@@ -1,0 +1,209 @@
+"""Index tests: device dense/BM25 paths pinned to scalar oracles, store
+invariants (dimension validation, tombstones, growth), reference BM25
+ranking semantics (index.rs unit tests: ranking sanity, idf math)."""
+
+import numpy as np
+import pytest
+
+from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+from trueno_rag_tpu.embed import MockEmbedder
+from trueno_rag_tpu.errors import DimensionMismatchError, VectorStoreError
+from trueno_rag_tpu.index import BM25Index, ChunkRegistry, VectorStore, VectorStoreConfig
+from trueno_rag_tpu.ops.dense import dense_topk, dense_topk_oracle
+
+
+def mk_chunk(i: int, content: str, dim=None) -> Chunk:
+    c = Chunk(
+        document_id="doc",
+        content=content,
+        start_offset=0,
+        end_offset=len(content),
+        metadata=ChunkMetadata(),
+        id=chunk_id_from_int(i),
+    )
+    if dim is not None:
+        rng = np.random.Generator(np.random.PCG64(i))
+        c.set_embedding(rng.standard_normal(dim).astype(np.float32))
+    return c
+
+
+# ---------------------------------------------------------------- dense ----
+
+
+@pytest.mark.parametrize("metric", ["cosine", "dot", "euclidean"])
+def test_dense_topk_matches_oracle(metric):
+    rng = np.random.Generator(np.random.PCG64(0))
+    n, d, b, k = 200, 32, 4, 10
+    matrix = rng.standard_normal((n, d)).astype(np.float32)
+    if metric == "cosine":
+        # store normalized rows like VectorStore does
+        norms = np.linalg.norm(matrix, axis=1, keepdims=True)
+        matrix = matrix / np.where(norms == 0, 1, norms)
+    queries = rng.standard_normal((b, d)).astype(np.float32)
+    valid = np.ones(n, dtype=bool)
+    valid[50:60] = False  # tombstones
+    s_dev, r_dev = dense_topk(queries, matrix, valid, k, metric)
+    s_ora, r_ora = dense_topk_oracle(queries, matrix, valid, k, metric)
+    np.testing.assert_array_equal(np.asarray(r_dev), r_ora)
+    np.testing.assert_allclose(np.asarray(s_dev), s_ora, rtol=1e-4, atol=1e-5)
+
+
+def test_dense_topk_tie_break_row_asc():
+    # identical rows -> equal scores; lower row must win
+    matrix = np.tile(np.array([[1.0, 0.0]], dtype=np.float32), (8, 1))
+    valid = np.ones(8, dtype=bool)
+    q = np.array([[1.0, 0.0]], dtype=np.float32)
+    _, rows = dense_topk(q, matrix, valid, 4, "cosine")
+    np.testing.assert_array_equal(np.asarray(rows[0]), [0, 1, 2, 3])
+
+
+def test_vector_store_roundtrip_and_validation():
+    store = VectorStore(VectorStoreConfig(dimension=16, initial_capacity=4))
+    with pytest.raises(VectorStoreError):
+        store.insert(mk_chunk(1, "no embedding"))
+    bad = mk_chunk(2, "bad dim", dim=8)
+    with pytest.raises(DimensionMismatchError):
+        store.insert(bad)
+
+    chunks = [mk_chunk(i, f"chunk {i}", dim=16) for i in range(10)]
+    store.insert_many(chunks)  # forces capacity growth 4 -> 16
+    assert len(store) == 10
+    res = store.search(chunks[3].embedding, k=3)
+    assert res[0][0] == chunks[3].id  # self-similarity wins
+    assert res[0][1] == pytest.approx(1.0, abs=1e-5)
+    assert store.get(chunks[3].id).content == "chunk 3"
+
+
+def test_vector_store_remove_tombstone():
+    store = VectorStore(VectorStoreConfig(dimension=8))
+    chunks = [mk_chunk(i, f"c{i}", dim=8) for i in range(5)]
+    store.insert_many(chunks)
+    assert store.remove(chunks[0].id)
+    assert not store.remove(chunks[0].id)
+    assert len(store) == 4
+    res = store.search(chunks[0].embedding, k=5)
+    assert chunks[0].id not in [cid for cid, _ in res]
+    # freed row gets recycled
+    store.insert(mk_chunk(99, "recycled", dim=8))
+    assert len(store) == 5
+
+
+def test_vector_store_euclidean_and_dot():
+    for metric in ("euclidean", "dot"):
+        store = VectorStore(VectorStoreConfig(dimension=4, metric=metric))
+        a, b = mk_chunk(1, "a"), mk_chunk(2, "b")
+        a.set_embedding([1, 0, 0, 0])
+        b.set_embedding([5, 0, 0, 0])
+        store.insert_many([a, b])
+        res = store.search([1.1, 0, 0, 0], k=2)
+        if metric == "euclidean":
+            assert res[0][0] == a.id
+            assert res[0][1] == pytest.approx(-0.1, abs=1e-5)
+        else:
+            assert res[0][0] == b.id
+
+
+# ---------------------------------------------------------------- BM25 ----
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "machine learning models process data quickly",
+    "the fox is a wild animal found in forests",
+    "deep learning requires large amounts of data",
+    "foxes hunt small animals during the night",
+    "data processing pipelines transform information",
+]
+
+
+def build_bm25():
+    idx = BM25Index()
+    for i, text in enumerate(CORPUS):
+        idx.add(mk_chunk(i, text))
+    return idx
+
+
+def test_bm25_device_matches_host_oracle():
+    idx = build_bm25()
+    for q in ["fox", "data learning", "quick brown fox", "nonexistent term", "the"]:
+        host = idx.search_host(q, 10)
+        dev = idx.search(q, 10)
+        assert [cid for cid, _ in dev] == [cid for cid, _ in host], q
+        for (c1, s1), (c2, s2) in zip(dev, host):
+            assert s1 == pytest.approx(s2, rel=1e-5), q
+
+
+def test_bm25_ranking_sanity():
+    idx = build_bm25()
+    res = idx.search("fox", 10)
+    hits = [cid for cid, _ in res]
+    assert chunk_id_from_int(0) in hits and chunk_id_from_int(2) in hits
+    # stopword-only query: "the" and "is" are stopwords -> no results
+    assert idx.search("the is", 10) == []
+
+
+def test_bm25_rare_term_beats_common():
+    idx = BM25Index()
+    docs = ["common words appear everywhere"] * 5 + ["zyzzyva rare specimen"]
+    for i, t in enumerate(docs):
+        idx.add(mk_chunk(i, t))
+    res = idx.search("zyzzyva common", 6)
+    assert res[0][0] == chunk_id_from_int(5)
+
+
+def test_bm25_remove_and_gc():
+    idx = build_bm25()
+    assert idx.remove(chunk_id_from_int(0))
+    assert not idx.remove(chunk_id_from_int(0))
+    assert len(idx) == 5
+    res = idx.search("quick brown", 10)
+    assert chunk_id_from_int(0) not in [cid for cid, _ in res]
+    # posting list for 'jumps' should be gone entirely
+    assert "jumps" not in idx._postings
+
+
+def test_bm25_avgdl_incremental():
+    idx = build_bm25()
+    lens = [len(idx._tokenize(t)) for t in CORPUS]
+    assert idx.avg_doc_length == pytest.approx(sum(lens) / len(lens))
+    idx.remove(chunk_id_from_int(1))
+    lens.pop(1)
+    assert idx.avg_doc_length == pytest.approx(sum(lens) / len(lens))
+
+
+def test_bm25_batch_queries():
+    idx = build_bm25()
+    scores, rows = idx.search_arrays(["fox", "data"], k=4)
+    assert scores.shape == (2, 4) and rows.shape == (2, 4)
+    host_fox = idx.search_host("fox", 4)
+    assert idx.registry.id_of(int(rows[0, 0])) == host_fox[0][0]
+
+
+def test_bm25_empty_and_unknown():
+    idx = BM25Index()
+    assert idx.search("anything", 5) == []
+    idx.add(mk_chunk(1, "hello world example"))
+    assert idx.search("zzz qqq", 5) == []
+
+
+def test_bm25_state_dict_roundtrip():
+    idx = build_bm25()
+    state = idx.state_dict()
+    reg = idx.registry
+    idx2 = BM25Index(registry=reg)
+    idx2.load_state_dict(state)
+    assert [c for c, _ in idx2.search("fox data", 10)] == [
+        c for c, _ in idx.search("fox data", 10)
+    ]
+
+
+def test_shared_registry_rows_align():
+    reg = ChunkRegistry()
+    store = VectorStore(VectorStoreConfig(dimension=8), registry=reg)
+    idx = BM25Index(registry=reg)
+    chunks = [mk_chunk(i, f"shared text number {i}", dim=8) for i in range(4)]
+    for c in chunks:
+        store.insert(c)
+        idx.add(c)
+    assert reg.capacity_rows == 4
+    _, rows_d = store.search_arrays(chunks[2].embedding[None, :], k=1)
+    assert int(rows_d[0, 0]) == reg.row_of(chunks[2].id)

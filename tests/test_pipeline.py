@@ -1,0 +1,172 @@
+"""Pipeline + context assembly tests (reference: pipeline.rs inline tests
+— full index+query+context round-trip pipeline.rs:769-803, builder
+validation pipeline.rs:494-501, token budgeting, citation formatting)."""
+
+import pytest
+
+from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, RecursiveChunker, chunk_id_from_int
+from trueno_rag_tpu.document import Document
+from trueno_rag_tpu.embed import MockEmbedder, TfIdfEmbedder
+from trueno_rag_tpu.errors import InvalidConfigError
+from trueno_rag_tpu.fusion import FusionStrategy
+from trueno_rag_tpu.pipeline import (
+    AssemblyStrategy,
+    ContextAssembler,
+    ContextAssemblerConfig,
+    RagPipelineBuilder,
+    pipeline_builder,
+)
+from trueno_rag_tpu.rerank import LexicalReranker, NoOpReranker
+from trueno_rag_tpu.retrieve import RetrievalResult
+
+DOCS = [
+    Document(
+        "Rust is a systems programming language focused on safety and speed. "
+        "It has a strong type system. Memory safety without garbage collection.",
+        title="Rust",
+    ),
+    Document(
+        "TPUs are custom accelerators for machine learning workloads. "
+        "They excel at large matrix multiplication. The MXU is a systolic array.",
+        title="TPU",
+    ),
+    Document(
+        "Retrieval augmented generation grounds language models in documents. "
+        "It retrieves relevant chunks and assembles them into context.",
+        title="RAG",
+    ),
+]
+
+
+def build_pipeline(**kw):
+    emb = TfIdfEmbedder(64).fit([d.content for d in DOCS])
+    p = (
+        RagPipelineBuilder()
+        .with_embedder(emb)
+        .with_reranker(kw.get("reranker", LexicalReranker()))
+        .with_chunker(RecursiveChunker(chunk_size=160, overlap=20))
+        .build()
+    )
+    p.index_documents(DOCS)
+    return p
+
+
+def test_builder_requires_embedder_and_reranker():
+    with pytest.raises(InvalidConfigError):
+        RagPipelineBuilder().build()
+    with pytest.raises(InvalidConfigError):
+        RagPipelineBuilder().with_embedder(MockEmbedder(8)).build()
+    with pytest.raises(InvalidConfigError):
+        RagPipelineBuilder().with_reranker(NoOpReranker()).build()
+
+
+def test_pipeline_builder_convenience():
+    p = pipeline_builder().build()
+    p.index_document(Document("hello world content for the mock pipeline"))
+    assert p.document_count == 1
+    assert p.query("hello", 2) is not None
+
+
+def test_full_round_trip():
+    p = build_pipeline()
+    assert p.document_count == 3 and p.chunk_count >= 3
+    results = p.query("matrix multiplication accelerator", k=3)
+    assert results
+    assert results[0].chunk.metadata.title == "TPU"
+    assert results[0].rerank_score is not None
+
+
+def test_query_retrieves_2k_then_reranks_to_k():
+    p = build_pipeline()
+    results = p.query("language", k=2)
+    assert len(results) <= 2
+
+
+def test_query_batch():
+    p = build_pipeline()
+    outs = p.query_batch(["rust memory safety", "systolic array"], k=2)
+    assert len(outs) == 2
+    assert outs[0][0].chunk.metadata.title == "Rust"
+    assert outs[1][0].chunk.metadata.title == "TPU"
+
+
+def test_query_with_context_citations():
+    p = build_pipeline()
+    ctx = p.query_with_context("retrieval augmented generation", k=3)
+    assert ctx.chunks and ctx.citations
+    assert ctx.total_tokens > 0
+    formatted = ctx.format_with_citations()
+    assert "[1]" in formatted
+    listing = ctx.citation_list()
+    assert listing.startswith("[1] ")
+    assert ctx.format_plain()
+    assert "[1]" not in ctx.format_plain()
+
+
+# ---------------------------------------------------------- assembler ----
+
+
+def _results(n, doc_ids=None, content_len=100):
+    out = []
+    for i in range(n):
+        c = Chunk(
+            document_id=(doc_ids[i] if doc_ids else f"d{i}"),
+            content="x" * content_len,
+            start_offset=0,
+            end_offset=content_len,
+            metadata=ChunkMetadata(title=f"T{i}"),
+            id=chunk_id_from_int(i),
+        )
+        out.append(RetrievalResult(chunk=c, fused_score=1.0 - i * 0.1))
+    return out
+
+
+def test_budget_stops_at_first_overflow():
+    # each chunk ~25 tokens (100 chars / 4); budget of 60 fits 2
+    asm = ContextAssembler(ContextAssemblerConfig(max_tokens=60))
+    ctx = asm.assemble(_results(5))
+    assert len(ctx.chunks) == 2
+    assert ctx.total_tokens == 50
+
+
+def test_citations_disabled_gives_zero_ids():
+    asm = ContextAssembler(ContextAssemblerConfig(include_citations=False))
+    ctx = asm.assemble(_results(3))
+    assert all(c.citation_id == 0 for c in ctx.chunks)
+    assert ctx.citations == []
+    assert "[1]" not in ctx.format_with_citations()
+
+
+def test_document_grouped_first_appearance_order():
+    asm = ContextAssembler(ContextAssemblerConfig(strategy=AssemblyStrategy.DOCUMENT_GROUPED))
+    res = _results(4, doc_ids=["A", "B", "A", "B"])
+    ctx = asm.assemble(res)
+    assert [c.document_id for c in ctx.chunks] == ["A", "A", "B", "B"]
+
+
+def test_interleaved_round_robin():
+    asm = ContextAssembler(ContextAssemblerConfig(strategy=AssemblyStrategy.INTERLEAVED))
+    res = _results(5, doc_ids=["A", "A", "A", "B", "B"])
+    ctx = asm.assemble(res)
+    assert [c.document_id for c in ctx.chunks] == ["A", "B", "A", "B", "A"]
+
+
+def test_assembler_config_validation():
+    with pytest.raises(InvalidConfigError):
+        ContextAssemblerConfig(max_tokens=0)
+    with pytest.raises(InvalidConfigError):
+        ContextAssemblerConfig(strategy="bogus")
+
+
+def test_fusion_override_through_builder():
+    emb = TfIdfEmbedder(32).fit([d.content for d in DOCS])
+    p = (
+        RagPipelineBuilder()
+        .with_embedder(emb)
+        .with_reranker(NoOpReranker())
+        .with_fusion(FusionStrategy.linear(0.9))
+        .build()
+    )
+    assert p.retriever.config.fusion.kind == "linear"
+    p.index_documents(DOCS)
+    assert p.query("rust", 2)

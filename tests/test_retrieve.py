@@ -1,0 +1,240 @@
+"""Retriever + reranker tests (reference: retrieve.rs / rerank.rs inline
+tests — best_score priority retrieve.rs:383-401, hybrid round-trip,
+lexical/cross-encoder/composite scoring)."""
+
+import numpy as np
+import pytest
+
+from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+from trueno_rag_tpu.embed import MockEmbedder, TfIdfEmbedder
+from trueno_rag_tpu.errors import QueryError
+from trueno_rag_tpu.fusion import FusionStrategy
+from trueno_rag_tpu.retrieve import (
+    DenseRetriever,
+    HybridRetriever,
+    HybridRetrieverConfig,
+    RetrievalResult,
+    SparseRetriever,
+)
+from trueno_rag_tpu.rerank import (
+    CompositeReranker,
+    LexicalReranker,
+    MockCrossEncoderReranker,
+    NoOpReranker,
+)
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "machine learning models process large data sets",
+    "foxes are clever wild animals living in forests",
+    "deep neural networks learn hierarchical features",
+    "a lazy afternoon nap under the summer sun",
+    "data pipelines move information between systems",
+]
+
+
+def mk_chunk(i: int, content: str) -> Chunk:
+    return Chunk(
+        document_id=f"doc{i % 2}",
+        content=content,
+        start_offset=0,
+        end_offset=len(content),
+        metadata=ChunkMetadata(title=f"t{i}"),
+        id=chunk_id_from_int(i),
+    )
+
+
+def build_hybrid(embedder=None, config=None):
+    emb = embedder or TfIdfEmbedder(64).fit(CORPUS)
+    retr = HybridRetriever(emb, config=config)
+    chunks = [mk_chunk(i, t) for i, t in enumerate(CORPUS)]
+    emb.embed_chunks(chunks)
+    retr.index_batch(chunks)
+    return retr, chunks
+
+
+def test_best_score_priority():
+    c = mk_chunk(0, "x")
+    r = RetrievalResult(chunk=c)
+    assert r.best_score() == 0.0
+    r.sparse_score = 1.0
+    assert r.best_score() == 1.0
+    r.dense_score = 2.0
+    assert r.best_score() == 2.0
+    r.fused_score = 3.0
+    assert r.best_score() == 3.0
+    r.rerank_score = 4.0
+    assert r.best_score() == 4.0
+
+
+def test_hybrid_retrieve_relevance():
+    retr, chunks = build_hybrid()
+    results = retr.retrieve("fox", k=3)
+    assert results
+    top_contents = [r.chunk.content for r in results[:2]]
+    assert any("fox" in c for c in top_contents)
+    # hybrid results carry fused scores and per-source scores where present
+    assert all(r.fused_score is not None for r in results)
+
+
+def test_hybrid_scores_populated():
+    retr, chunks = build_hybrid()
+    results = retr.retrieve("machine learning data", k=6)
+    got_dense = any(r.dense_score is not None for r in results)
+    got_sparse = any(r.sparse_score is not None for r in results)
+    assert got_dense and got_sparse
+
+
+def test_hybrid_dense_only_and_sparse_only_toggles():
+    cfg = HybridRetrieverConfig(use_sparse=False)
+    retr, chunks = build_hybrid(config=cfg)
+    res = retr.retrieve("fox", 3)
+    assert all(r.fused_score is None for r in res)
+    assert all(r.dense_score is not None for r in res)
+
+    cfg2 = HybridRetrieverConfig(use_dense=False)
+    retr2, _ = build_hybrid(config=cfg2)
+    res2 = retr2.retrieve("fox", 3)
+    assert all(r.sparse_score is not None for r in res2)
+
+    cfg3 = HybridRetrieverConfig(use_dense=False, use_sparse=False)
+    retr3, _ = build_hybrid(config=cfg3)
+    with pytest.raises(QueryError):
+        retr3.retrieve("fox", 3)
+
+
+def test_hybrid_empty_query_raises():
+    retr, _ = build_hybrid()
+    with pytest.raises(QueryError):
+        retr.retrieve("   ", 3)
+
+
+def test_hybrid_empty_index_returns_empty():
+    retr = HybridRetriever(MockEmbedder(16))
+    assert retr.retrieve("anything", 5) == []
+
+
+def test_hybrid_batch_matches_single():
+    retr, _ = build_hybrid()
+    single_a = retr.retrieve("fox", 4)
+    single_b = retr.retrieve("data pipelines", 4)
+    batch = retr.retrieve_batch(["fox", "data pipelines"], 4)
+    assert [r.chunk.id for r in batch[0]] == [r.chunk.id for r in single_a]
+    assert [r.chunk.id for r in batch[1]] == [r.chunk.id for r in single_b]
+
+
+def test_hybrid_remove():
+    retr, chunks = build_hybrid()
+    target = chunks[0]
+    assert retr.remove(target.id)
+    assert not retr.remove(target.id)
+    res = retr.retrieve("quick brown fox", 6)
+    assert target.id not in [r.chunk.id for r in res]
+    assert len(retr) == 5
+
+
+def test_hybrid_fusion_strategies_all_work():
+    for strat in [
+        FusionStrategy.rrf(),
+        FusionStrategy.linear(0.5),
+        FusionStrategy.convex(0.3),
+        FusionStrategy.dbsf(),
+        FusionStrategy.union(),
+        FusionStrategy.intersection(),
+    ]:
+        cfg = HybridRetrieverConfig(fusion=strat, candidates_per_source=6)
+        retr, _ = build_hybrid(config=cfg)
+        res = retr.retrieve("fox forests", 4)
+        assert isinstance(res, list)  # intersection may legitimately be empty
+
+
+def test_hybrid_sparse_only_hit_still_hydrates():
+    # A chunk found only by BM25 must still hydrate (the reference requires
+    # it to exist in the dense store; our shared registry guarantees it).
+    retr, chunks = build_hybrid()
+    res = retr.retrieve("zzz hierarchical", 6)
+    assert any(r.chunk.id == chunks[3].id for r in res)
+
+
+def test_dense_and_sparse_retrievers():
+    emb = TfIdfEmbedder(64).fit(CORPUS)
+    chunks = [mk_chunk(i, t) for i, t in enumerate(CORPUS)]
+    emb.embed_chunks(chunks)
+
+    dr = DenseRetriever(emb)
+    dr.index_batch(chunks)
+    res = dr.retrieve("fox", 2)
+    assert len(res) == 2 and res[0].dense_score is not None
+
+    sr = SparseRetriever()
+    sr.index_batch(chunks)
+    res = sr.retrieve("fox", 2)
+    assert res and res[0].sparse_score is not None
+    assert "fox" in res[0].chunk.content
+
+
+# ----------------------------------------------------------- rerankers ----
+
+
+def _candidates():
+    texts = [
+        "the fox jumps high over fences",
+        "completely unrelated text about cooking pasta",
+        "fox fox fox everywhere a fox",
+    ]
+    return [RetrievalResult(chunk=mk_chunk(i, t), fused_score=1.0 - 0.1 * i) for i, t in enumerate(texts)]
+
+
+def test_noop_reranker_preserves_order():
+    cands = _candidates()
+    out = NoOpReranker().rerank("fox", cands, 2)
+    assert [r.chunk.id for r in out] == [c.chunk.id for c in cands[:2]]
+
+
+def test_lexical_reranker_prefers_matches():
+    out = LexicalReranker().rerank("fox", _candidates(), 3)
+    assert "fox" in out[0].chunk.content
+    assert out[-1].chunk.content.startswith("completely unrelated")
+    assert all(r.rerank_score is not None for r in out)
+
+
+def test_lexical_exact_substring_component():
+    rr = LexicalReranker(exact_match_weight=1.0, coverage_weight=0.0, position_weight=0.0)
+    assert rr.score("fox jumps", "the fox jumps high") == pytest.approx(1.0)
+    assert rr.score("fox jumps", "no match") == pytest.approx(0.0)
+
+
+def test_lexical_case_sensitivity():
+    ci = LexicalReranker()
+    cs = LexicalReranker(case_sensitive=True)
+    assert ci.score("FOX", "the fox runs") > 0.0
+    assert cs.score("FOX", "the fox runs") == 0.0
+
+
+def test_cross_encoder_overlap():
+    rr = MockCrossEncoderReranker()
+    assert rr.score("fox jumps", "fox jumps high") == pytest.approx(1.0)
+    assert rr.score("fox jumps", "fox sleeps") == pytest.approx(0.5)
+    assert rr.score("", "anything") == 0.0
+
+
+def test_composite_weighted_sum():
+    lex = LexicalReranker()
+    ce = MockCrossEncoderReranker()
+    comp = CompositeReranker([lex, ce], weights=[0.25, 0.75])
+    cands = _candidates()
+    out = comp.rerank("fox", cands, 3)
+    expected_top = max(
+        cands,
+        key=lambda r: 0.25 * lex.score("fox", r.chunk.content) + 0.75 * ce.score("fox", r.chunk.content),
+    )
+    assert out[0].chunk.id == expected_top.chunk.id
+
+
+def test_composite_validation():
+    from trueno_rag_tpu.errors import InvalidConfigError
+
+    with pytest.raises(InvalidConfigError):
+        CompositeReranker([])
+    with pytest.raises(InvalidConfigError):
+        CompositeReranker([NoOpReranker()], weights=[1.0, 2.0])

@@ -50,6 +50,53 @@ from trueno_rag_tpu.chunking import (
     new_chunk_id,
 )
 
+from trueno_rag_tpu.embed import (
+    Embedder,
+    EmbeddingConfig,
+    MockEmbedder,
+    PoolingStrategy,
+    TfIdfEmbedder,
+    cosine_similarity,
+    dot_product,
+    euclidean_distance,
+)
+from trueno_rag_tpu.fusion import FusionStrategy
+from trueno_rag_tpu.index import (
+    BM25Index,
+    ChunkRegistry,
+    DistanceMetric,
+    SparseIndex,
+    VectorStore,
+    VectorStoreConfig,
+)
+from trueno_rag_tpu.metrics import AggregatedMetrics, RetrievalMetrics
+from trueno_rag_tpu.pipeline import (
+    AssembledContext,
+    AssemblyStrategy,
+    Citation,
+    ContextAssembler,
+    ContextAssemblerConfig,
+    ContextChunk,
+    RagPipeline,
+    RagPipelineBuilder,
+    RagPipelineConfig,
+    pipeline_builder,
+)
+from trueno_rag_tpu.rerank import (
+    CompositeReranker,
+    LexicalReranker,
+    MockCrossEncoderReranker,
+    NoOpReranker,
+    Reranker,
+)
+from trueno_rag_tpu.retrieve import (
+    DenseRetriever,
+    HybridRetriever,
+    HybridRetrieverConfig,
+    RetrievalResult,
+    SparseRetriever,
+)
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -77,5 +124,47 @@ __all__ = [
     "SentenceChunker",
     "new_chunk_id",
     "chunk_id_from_int",
+    # embed
+    "Embedder",
+    "EmbeddingConfig",
+    "PoolingStrategy",
+    "MockEmbedder",
+    "TfIdfEmbedder",
+    "cosine_similarity",
+    "dot_product",
+    "euclidean_distance",
+    # index
+    "BM25Index",
+    "ChunkRegistry",
+    "DistanceMetric",
+    "SparseIndex",
+    "VectorStore",
+    "VectorStoreConfig",
+    # fusion / retrieve / rerank
+    "FusionStrategy",
+    "DenseRetriever",
+    "HybridRetriever",
+    "HybridRetrieverConfig",
+    "RetrievalResult",
+    "SparseRetriever",
+    "CompositeReranker",
+    "LexicalReranker",
+    "MockCrossEncoderReranker",
+    "NoOpReranker",
+    "Reranker",
+    # pipeline
+    "AssembledContext",
+    "AssemblyStrategy",
+    "Citation",
+    "ContextAssembler",
+    "ContextAssemblerConfig",
+    "ContextChunk",
+    "RagPipeline",
+    "RagPipelineBuilder",
+    "RagPipelineConfig",
+    "pipeline_builder",
+    # metrics
+    "RetrievalMetrics",
+    "AggregatedMetrics",
     "__version__",
 ]

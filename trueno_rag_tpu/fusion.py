@@ -1,0 +1,168 @@
+"""Rank fusion strategies — host implementation and config type.
+
+Exact behavioral mirror of the reference's ``FusionStrategy``
+(reference: fusion.rs:8-224): RRF (default, k=60), Linear, Convex
+(delegates to Linear), DBSF, Union, Intersection, including the
+normalizer edge cases (min-max of an all-equal list → all 1.0,
+fusion.rs:183-202; z-score with σ=0 → all 0.0, fusion.rs:204-224).
+
+This host path is the correctness oracle and the fallback for exotic id
+types; the hot path is :func:`trueno_rag_tpu.ops.fusion.fuse_topk`,
+which applies identical math to padded candidate arrays on device.
+Ordering here is deterministic — (score desc, id asc) — a total order
+the reference does not guarantee (it uses an unstable sort); the device
+path uses the same rule with integer rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Hashable, List, Sequence, Tuple
+
+from trueno_rag_tpu.errors import InvalidConfigError
+
+ScoredList = Sequence[Tuple[Hashable, float]]
+
+
+def _minmax(scores: List[float]) -> List[float]:
+    if not scores:
+        return []
+    mn, mx = min(scores), max(scores)
+    if mx == mn:
+        return [1.0] * len(scores)
+    return [(s - mn) / (mx - mn) for s in scores]
+
+
+def _zscore(scores: List[float]) -> List[float]:
+    if not scores:
+        return []
+    mean = sum(scores) / len(scores)
+    var = sum((s - mean) ** 2 for s in scores) / len(scores)
+    std = var**0.5
+    if std == 0.0:
+        return [0.0] * len(scores)
+    return [(s - mean) / std for s in scores]
+
+
+def _sorted_desc(acc: Dict[Hashable, float]) -> List[Tuple[Hashable, float]]:
+    return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+@dataclass
+class FusionStrategy:
+    """Serializable fusion config + host ``fuse``.
+
+    ``kind`` ∈ {rrf, linear, convex, dbsf, union, intersection}.
+    Defaults to RRF(k=60) like the reference.
+    """
+
+    kind: str = "rrf"
+    params: Dict[str, Any] = field(default_factory=lambda: {"k": 60.0})
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def rrf(cls, k: float = 60.0) -> "FusionStrategy":
+        return cls("rrf", {"k": k})
+
+    @classmethod
+    def linear(cls, dense_weight: float = 0.5) -> "FusionStrategy":
+        return cls("linear", {"dense_weight": dense_weight})
+
+    @classmethod
+    def convex(cls, alpha: float = 0.5) -> "FusionStrategy":
+        return cls("convex", {"alpha": alpha})
+
+    @classmethod
+    def dbsf(cls) -> "FusionStrategy":
+        return cls("dbsf", {})
+
+    @classmethod
+    def union(cls) -> "FusionStrategy":
+        return cls("union", {})
+
+    @classmethod
+    def intersection(cls) -> "FusionStrategy":
+        return cls("intersection", {})
+
+    # -- the single scalar parameter used by the device kernel --------------
+
+    @property
+    def device_param(self) -> float:
+        if self.kind == "rrf":
+            return float(self.params.get("k", 60.0))
+        if self.kind == "linear":
+            return float(self.params.get("dense_weight", 0.5))
+        if self.kind == "convex":
+            return float(self.params.get("alpha", 0.5))
+        return 0.0
+
+    def __post_init__(self) -> None:
+        if self.kind not in ("rrf", "linear", "convex", "dbsf", "union", "intersection"):
+            raise InvalidConfigError(f"unknown fusion kind: {self.kind!r}")
+
+    # -- host fusion ---------------------------------------------------------
+
+    def fuse(self, dense: ScoredList, sparse: ScoredList) -> List[Tuple[Hashable, float]]:
+        """Fuse two ranked (id, score) lists → fused ranked list.
+
+        Exact reference semantics per variant; see module docstring.
+        """
+        if self.kind == "rrf":
+            k = float(self.params.get("k", 60.0))
+            acc: Dict[Hashable, float] = {}
+            for lst in (dense, sparse):
+                for rank, (cid, _score) in enumerate(lst):
+                    acc[cid] = acc.get(cid, 0.0) + 1.0 / (k + rank + 1.0)
+            return _sorted_desc(acc)
+
+        if self.kind in ("linear", "convex"):
+            w = float(
+                self.params.get("dense_weight", self.params.get("alpha", 0.5))
+            )
+            nd = _minmax([s for _, s in dense])
+            ns = _minmax([s for _, s in sparse])
+            acc = {}
+            for (cid, _), s in zip(dense, nd):
+                acc[cid] = acc.get(cid, 0.0) + w * s
+            for (cid, _), s in zip(sparse, ns):
+                acc[cid] = acc.get(cid, 0.0) + (1.0 - w) * s
+            return _sorted_desc(acc)
+
+        if self.kind == "dbsf":
+            zd = _zscore([s for _, s in dense])
+            zs = _zscore([s for _, s in sparse])
+            acc = {}
+            for (cid, _), s in zip(dense, zd):
+                acc[cid] = acc.get(cid, 0.0) + s
+            for (cid, _), s in zip(sparse, zs):
+                acc[cid] = acc.get(cid, 0.0) + s
+            return _sorted_desc(acc)
+
+        if self.kind == "union":
+            # Dense entries keep (score, rank); sparse fills gaps at rank
+            # offset |dense|; output ordered by rank, original scores.
+            seen = {cid for cid, _ in dense}
+            out = list(dense)
+            out.extend((cid, s) for cid, s in sparse if cid not in seen)
+            return out
+
+        if self.kind == "intersection":
+            sparse_map = dict(sparse)
+            acc = {
+                cid: (s + sparse_map[cid]) / 2.0
+                for cid, s in dense
+                if cid in sparse_map
+            }
+            return _sorted_desc(acc)
+
+        raise InvalidConfigError(f"unknown fusion kind: {self.kind!r}")
+
+    # -- serialization -------------------------------------------------------
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {"kind": self.kind, "params": dict(self.params)}
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "FusionStrategy":
+        return cls(kind=d["kind"], params=dict(d.get("params", {})))

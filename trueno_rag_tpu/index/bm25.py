@@ -1,0 +1,290 @@
+"""BM25 sparse index: host-built inverted index, device CSR scoring.
+
+Capability-equivalent to the reference's ``BM25Index``
+(reference: index.rs:30-280) with the same ranking math, tokenizer and
+parameters (k1=1.2, b=0.75, ~100 stopwords, min token length 2), but a
+TPU-native execution plan:
+
+- The host maintains the mutable inverted index (term → {row: tf}) plus
+  per-row token counts for O(terms) removal — the reference instead
+  rescans posting lists (index.rs:245-275).
+- ``avg_doc_length`` is maintained O(1) from a running total; the
+  reference recomputes it over all docs on every add (index.rs:157-164,
+  an O(N²) index build).
+- On search, a CSR snapshot (rows/tfs arrays grouped by term + per-term
+  idf + doc lengths) is pushed to device lazily (dirty flag) and the
+  query becomes gather lists into those arrays — all float math runs in
+  :func:`trueno_rag_tpu.ops.bm25.bm25_topk` on device.
+
+``search_host`` is the scalar oracle with loop-level reference
+semantics, used by tests to pin the device path to exact parity.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from trueno_rag_tpu.chunking import Chunk
+from trueno_rag_tpu.index.base import ChunkRegistry
+from trueno_rag_tpu.ops.bm25 import bm25_topk, bucket_len
+from trueno_rag_tpu.text import STOPWORDS, tokenize
+
+
+class BM25Index:
+    def __init__(
+        self,
+        k1: float = 1.2,
+        b: float = 0.75,
+        registry: Optional[ChunkRegistry] = None,
+        stopwords=STOPWORDS,
+        min_token_len: int = 2,
+    ) -> None:
+        self.k1 = float(k1)
+        self.b = float(b)
+        self.stopwords = stopwords
+        self.min_token_len = min_token_len
+        self._owns_registry = registry is None
+        self.registry = ChunkRegistry() if registry is None else registry
+        # term -> {row: tf}
+        self._postings: Dict[str, Dict[int, int]] = {}
+        # row -> token count (doc length); also marks membership
+        self._doc_len: Dict[int, int] = {}
+        self._total_len = 0
+        # device snapshot
+        self._dirty = True
+        self._snap = None  # (vocab, rows, tfs, idf, doc_len_arr, avgdl, indptr)
+
+    # -- mutation ------------------------------------------------------------
+
+    def _tokenize(self, text: str) -> List[str]:
+        return tokenize(text, stopwords=self.stopwords, min_len=self.min_token_len)
+
+    def add(self, chunk: Chunk) -> None:
+        row = self.registry.add(chunk)
+        if row in self._doc_len:
+            self._remove_row(row)
+        toks = self._tokenize(chunk.content)
+        self._doc_len[row] = len(toks)
+        self._total_len += len(toks)
+        tf: Dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        for term, count in tf.items():
+            self._postings.setdefault(term, {})[row] = count
+        self._dirty = True
+
+    def add_batch(self, chunks: Sequence[Chunk]) -> None:
+        for c in chunks:
+            self.add(c)
+
+    def _remove_row(self, row: int) -> None:
+        """Clear a row's postings given its stored chunk is still in the
+        registry (needed to re-tokenize) or via full posting sweep."""
+        chunk = self.registry.chunk_of(row)
+        if chunk is not None:
+            for term in set(self._tokenize(chunk.content)):
+                plist = self._postings.get(term)
+                if plist is not None:
+                    plist.pop(row, None)
+                    if not plist:
+                        del self._postings[term]  # empty-term GC (index.rs:268-273)
+        else:  # fallback sweep
+            for term in list(self._postings):
+                self._postings[term].pop(row, None)
+                if not self._postings[term]:
+                    del self._postings[term]
+        self._total_len -= self._doc_len.pop(row, 0)
+
+    def remove(self, chunk_id: str) -> bool:
+        row = self.registry.row_of(chunk_id)
+        if row is None or row not in self._doc_len:
+            return False
+        self._remove_row(row)
+        if self._owns_registry:
+            self.registry.remove(chunk_id)
+        self._dirty = True
+        return True
+
+    def __len__(self) -> int:
+        return len(self._doc_len)
+
+    def is_empty(self) -> bool:
+        return not self._doc_len
+
+    @property
+    def avg_doc_length(self) -> float:
+        return self._total_len / len(self._doc_len) if self._doc_len else 0.0
+
+    def _idf(self, term: str) -> float:
+        """Okapi idf with +1 smoothing: ln((N - df + 0.5)/(df + 0.5) + 1)
+        (reference: index.rs:136-145)."""
+        df = len(self._postings.get(term, ()))
+        if df == 0:
+            return 0.0
+        n = len(self._doc_len)
+        return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+    # -- device snapshot --------------------------------------------------------
+
+    def _refresh_snapshot(self) -> None:
+        if not self._dirty and self._snap is not None:
+            return
+        n_rows = self.registry.capacity_rows
+        terms = sorted(self._postings.keys())
+        vocab = {t: i for i, t in enumerate(terms)}
+        sizes = [len(self._postings[t]) for t in terms]
+        indptr = np.zeros(len(terms) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=indptr[1:])
+        total = int(indptr[-1])
+        rows = np.zeros(max(total, 1), dtype=np.int32)
+        tfs = np.zeros(max(total, 1), dtype=np.float32)
+        for t in terms:
+            lo = indptr[vocab[t]]
+            plist = sorted(self._postings[t].items())  # row-asc for determinism
+            for j, (row, tf) in enumerate(plist):
+                rows[lo + j] = row
+                tfs[lo + j] = tf
+        idf = np.asarray([self._idf(t) for t in terms] or [0.0], dtype=np.float32)
+        doc_len = np.zeros(max(n_rows, 1), dtype=np.float32)
+        for row, ln in self._doc_len.items():
+            doc_len[row] = ln
+        self._snap = {
+            "vocab": vocab,
+            "indptr": indptr,
+            "rows": jnp.asarray(rows),
+            "tfs": jnp.asarray(tfs),
+            "idf": jnp.asarray(idf),
+            "doc_len": jnp.asarray(doc_len),
+            "avgdl": jnp.asarray(np.float32(self.avg_doc_length)),
+            "n_rows": max(n_rows, 1),
+        }
+        self._dirty = False
+
+    def _gather_lists(self, queries: Sequence[str], pad_to: Optional[int] = None):
+        """Compile queries into (positions, terms, mask) gather arrays."""
+        snap = self._snap
+        per_query: List[Tuple[np.ndarray, np.ndarray]] = []
+        max_len = 1
+        for q in queries:
+            pos_parts, term_parts = [], []
+            for term in self._tokenize(q):
+                tid = snap["vocab"].get(term)
+                if tid is None:
+                    continue
+                lo, hi = int(snap["indptr"][tid]), int(snap["indptr"][tid + 1])
+                pos_parts.append(np.arange(lo, hi, dtype=np.int32))
+                term_parts.append(np.full(hi - lo, tid, dtype=np.int32))
+            if pos_parts:
+                pos = np.concatenate(pos_parts)
+                trm = np.concatenate(term_parts)
+            else:
+                pos = np.zeros(0, dtype=np.int32)
+                trm = np.zeros(0, dtype=np.int32)
+            per_query.append((pos, trm))
+            max_len = max(max_len, len(pos))
+        L = bucket_len(pad_to or max_len)
+        B = len(queries)
+        positions = np.zeros((B, L), dtype=np.int32)
+        terms = np.zeros((B, L), dtype=np.int32)
+        mask = np.zeros((B, L), dtype=bool)
+        for i, (pos, trm) in enumerate(per_query):
+            positions[i, : len(pos)] = pos
+            terms[i, : len(trm)] = trm
+            mask[i, : len(pos)] = True
+        return positions, terms, mask
+
+    # -- queries -----------------------------------------------------------------
+
+    def search_arrays(self, queries: Sequence[str], k: int):
+        """Device-level batched search → ``(scores [B,k], rows [B,k])``."""
+        self._refresh_snapshot()
+        snap = self._snap
+        positions, terms, mask = self._gather_lists(queries)
+        return bm25_topk(
+            jnp.asarray(positions),
+            jnp.asarray(terms),
+            jnp.asarray(mask),
+            snap["rows"],
+            snap["tfs"],
+            snap["idf"],
+            snap["doc_len"],
+            snap["avgdl"],
+            k=k,
+            k1=self.k1,
+            b=self.b,
+            n_rows=snap["n_rows"],
+        )
+
+    def search(self, query: str, k: int) -> List[Tuple[str, float]]:
+        """Host-facing search: ``[(chunk_id, score)]``, score>0 only,
+        (score desc, row asc) — reference semantics (index.rs:212-243)."""
+        if self.is_empty() or k <= 0:
+            return []
+        scores, rows = self.search_arrays([query], k)
+        out: List[Tuple[str, float]] = []
+        for s, r in zip(np.asarray(scores[0]), np.asarray(rows[0])):
+            if r < 0:
+                continue
+            cid = self.registry.id_of(int(r))
+            if cid is not None:
+                out.append((cid, float(s)))
+        return out
+
+    def search_host(self, query: str, k: int) -> List[Tuple[str, float]]:
+        """Scalar oracle with the reference's exact loop semantics:
+        candidate union of posting lists → per-candidate term sum →
+        score>0 filter → sort desc → truncate (index.rs:212-243)."""
+        terms = self._tokenize(query)
+        if not terms or self.is_empty():
+            return []
+        candidates: Dict[int, float] = {}
+        avgdl = self.avg_doc_length
+        cand_rows = set()
+        for t in terms:
+            cand_rows.update(self._postings.get(t, ()))
+        for row in cand_rows:
+            score = 0.0
+            dl = self._doc_len[row]
+            for t in terms:
+                tf = self._postings.get(t, {}).get(row, 0)
+                if tf == 0:
+                    continue
+                idf = self._idf(t)
+                denom = tf + self.k1 * (1.0 - self.b + self.b * dl / max(avgdl, 1e-9))
+                score += idf * tf * (self.k1 + 1.0) / max(denom, 1e-9)
+            if score > 0.0:
+                candidates[row] = score
+        ranked = sorted(candidates.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out = []
+        for row, s in ranked:
+            cid = self.registry.id_of(row)
+            if cid is not None:
+                out.append((cid, s))
+        return out
+
+    # -- persistence hooks ---------------------------------------------------------
+
+    def state_dict(self) -> Dict[str, object]:
+        return {
+            "k1": self.k1,
+            "b": self.b,
+            "min_token_len": self.min_token_len,
+            "postings": {t: {str(r): tf for r, tf in p.items()} for t, p in self._postings.items()},
+            "doc_len": {str(r): l for r, l in self._doc_len.items()},
+            "total_len": self._total_len,
+        }
+
+    def load_state_dict(self, d: Dict[str, object]) -> None:
+        self.k1 = float(d["k1"])
+        self.b = float(d["b"])
+        self.min_token_len = int(d.get("min_token_len", 2))
+        self._postings = {
+            t: {int(r): int(tf) for r, tf in p.items()} for t, p in d["postings"].items()
+        }
+        self._doc_len = {int(r): int(l) for r, l in d["doc_len"].items()}
+        self._total_len = int(d["total_len"])
+        self._dirty = True

@@ -1,0 +1,195 @@
+"""Dense vector store: HBM-resident ``[N, d]`` embedding matrix.
+
+Capability-equivalent to the reference's ``VectorStore``
+(reference: index.rs:321-437 — a ``HashMap<ChunkId, Vec<f32>>`` scanned
+with scalar loops per query) redesigned for TPU:
+
+- Embeddings live in one capacity-padded device matrix; inserts write a
+  host mirror and the device copy refreshes lazily (one transfer per
+  mutation batch, not per chunk).
+- Cosine metric L2-normalizes rows **once at insert**, so query scoring
+  is a single MXU matmul (query normalization happens in the kernel).
+- Capacity grows by doubling over power-of-two buckets so jitted search
+  recompiles O(log N) times over an index build, not per insert.
+- Removal tombstones the row (mask False + zero row) and recycles it
+  through the shared :class:`~trueno_rag_tpu.index.base.ChunkRegistry`.
+
+Validation matches the reference: inserting a chunk without an
+embedding raises :class:`VectorStoreError`; a wrong-size embedding
+raises :class:`DimensionMismatchError` (index.rs:359-375).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from trueno_rag_tpu.chunking import Chunk
+from trueno_rag_tpu.errors import DimensionMismatchError, InvalidConfigError, VectorStoreError
+from trueno_rag_tpu.index.base import ChunkRegistry
+from trueno_rag_tpu.ops.dense import dense_topk
+
+
+class DistanceMetric:
+    COSINE = "cosine"
+    EUCLIDEAN = "euclidean"
+    DOT_PRODUCT = "dot"
+
+    ALL = (COSINE, EUCLIDEAN, DOT_PRODUCT)
+
+
+@dataclass
+class VectorStoreConfig:
+    """Mirror of the reference's config (index.rs:282-319). The
+    reference also carries hnsw_m/ef_* fields that nothing reads — this
+    store is exact brute-force by design (SURVEY §0.2), so they have no
+    equivalent here."""
+
+    dimension: int = 384
+    metric: str = DistanceMetric.COSINE
+    initial_capacity: int = 1024
+
+    def __post_init__(self) -> None:
+        if self.dimension <= 0:
+            raise InvalidConfigError("dimension must be positive")
+        if self.metric not in DistanceMetric.ALL:
+            raise InvalidConfigError(f"unknown metric {self.metric!r}")
+        if self.initial_capacity <= 0:
+            raise InvalidConfigError("initial_capacity must be positive")
+
+
+class VectorStore:
+    def __init__(
+        self,
+        config: Optional[VectorStoreConfig] = None,
+        registry: Optional[ChunkRegistry] = None,
+    ) -> None:
+        self.config = config or VectorStoreConfig()
+        # When the registry is shared (hybrid retrieval) its lifecycle is
+        # owned by the sharer; a private registry is tombstoned directly.
+        self._owns_registry = registry is None
+        self.registry = ChunkRegistry() if registry is None else registry
+        cap = self.config.initial_capacity
+        self._host = np.zeros((cap, self.config.dimension), dtype=np.float32)
+        self._valid = np.zeros((cap,), dtype=bool)
+        self._device_matrix = None  # lazily refreshed jnp copy
+        self._device_valid = None
+        self._dirty = True
+        self._count = 0
+
+    # -- mutation ------------------------------------------------------------
+
+    def insert(self, chunk: Chunk) -> None:
+        if chunk.embedding is None:
+            raise VectorStoreError(f"chunk {chunk.id} has no embedding")
+        emb = np.asarray(chunk.embedding, dtype=np.float32)
+        if emb.shape != (self.config.dimension,):
+            raise DimensionMismatchError(self.config.dimension, int(emb.shape[-1]) if emb.ndim else 0)
+        row = self.registry.add(chunk)
+        self._ensure_capacity(row + 1)
+        if self.config.metric == DistanceMetric.COSINE:
+            n = float(np.linalg.norm(emb))
+            if n > 0.0:
+                emb = emb / n
+        if not self._valid[row]:
+            self._count += 1
+        self._host[row] = emb
+        self._valid[row] = True
+        self._dirty = True
+
+    def insert_many(self, chunks: Sequence[Chunk]) -> None:
+        for c in chunks:
+            self.insert(c)
+
+    def remove(self, chunk_id: str) -> bool:
+        row = self.registry.row_of(chunk_id)
+        if row is None or not self._valid[row]:
+            return False
+        if self._owns_registry:
+            self.registry.remove(chunk_id)
+        self._host[row] = 0.0
+        self._valid[row] = False
+        self._count -= 1
+        self._dirty = True
+        return True
+
+    def _ensure_capacity(self, needed: int) -> None:
+        cap = self._host.shape[0]
+        if needed <= cap:
+            return
+        while cap < needed:
+            cap *= 2
+        host = np.zeros((cap, self.config.dimension), dtype=np.float32)
+        host[: self._host.shape[0]] = self._host
+        valid = np.zeros((cap,), dtype=bool)
+        valid[: self._valid.shape[0]] = self._valid
+        self._host, self._valid = host, valid
+        self._dirty = True
+
+    # -- device state ----------------------------------------------------------
+
+    def _refresh_device(self) -> None:
+        if self._dirty or self._device_matrix is None:
+            self._device_matrix = jnp.asarray(self._host)
+            self._device_valid = jnp.asarray(self._valid)
+            self._dirty = False
+
+    @property
+    def device_matrix(self) -> jnp.ndarray:
+        """The ``[capacity, d]`` device matrix (cosine rows normalized)."""
+        self._refresh_device()
+        return self._device_matrix
+
+    @property
+    def device_valid(self) -> jnp.ndarray:
+        self._refresh_device()
+        return self._device_valid
+
+    # -- queries -----------------------------------------------------------------
+
+    def search_arrays(self, queries: np.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Device-level search: ``[B, d]`` queries → ``(scores, rows) [B, k]``.
+        Stays on device; use from the fused one-program query path."""
+        self._refresh_device()
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+        if q.shape[-1] != self.config.dimension:
+            raise DimensionMismatchError(self.config.dimension, int(q.shape[-1]))
+        k_eff = min(k, self._host.shape[0])
+        scores, rows = dense_topk(q, self._device_matrix, self._device_valid, k_eff, self.config.metric)
+        return scores, rows
+
+    def search(self, query: Sequence[float], k: int) -> List[Tuple[str, float]]:
+        """Host-facing search: returns ``[(chunk_id, score)]`` sorted
+        (score desc, row asc), only valid hits (like index.rs:386-412)."""
+        if len(self) == 0 or k <= 0:
+            return []
+        scores, rows = self.search_arrays(np.asarray(query, dtype=np.float32)[None, :], k)
+        return self._hydrate(np.asarray(scores[0]), np.asarray(rows[0]))
+
+    def _hydrate(self, scores: np.ndarray, rows: np.ndarray) -> List[Tuple[str, float]]:
+        out: List[Tuple[str, float]] = []
+        for s, r in zip(scores, rows):
+            if r < 0:
+                continue
+            cid = self.registry.id_of(int(r))
+            if cid is not None:
+                out.append((cid, float(s)))
+        return out
+
+    # -- accessors ---------------------------------------------------------------
+
+    def get(self, chunk_id: str) -> Optional[Chunk]:
+        return self.registry.get_chunk(chunk_id)
+
+    def __len__(self) -> int:
+        return self._count
+
+    def is_empty(self) -> bool:
+        return self._count == 0
+
+    @property
+    def dimension(self) -> int:
+        return self.config.dimension

@@ -1,0 +1,86 @@
+"""BM25 scoring on device over a CSR postings store.
+
+TPU-native recast of the reference's inverted-index search
+(reference: index.rs:30-280). The reference unions posting lists into a
+candidate set and then *linearly rescans* each posting list per
+(candidate, term) pair — effectively O(cand·terms·postings)
+(index.rs:127-133, 212-243). Here:
+
+- The host owns the vocabulary and CSR layout (``indptr``); the device
+  owns the numeric posting arrays (``rows``, ``tfs``), per-term ``idf``,
+  per-doc lengths and ``avgdl``.
+- A query is compiled host-side into flat **gather lists**: the posting
+  positions its terms touch plus the term id per position, padded to a
+  static bucket length. This keeps every device shape static while the
+  work stays proportional to the real posting mass.
+- The device gathers (row, tf, idf, doclen) per position, computes the
+  Okapi BM25 contribution and scatter-adds into a dense score vector —
+  one fused XLA program per query batch, then exact top-k.
+
+Scoring math matches the reference exactly (index.rs:136-154):
+``idf = ln((N - df + 0.5) / (df + 0.5) + 1)`` and
+``tf_norm = tf * (k1 + 1) / (tf + k1 * (1 - b + b * len/avglen))``;
+only candidates with score > 0 are returned (index.rs:231).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")
+
+
+@functools.partial(jax.jit, static_argnames=("k", "k1", "b", "n_rows"))
+def bm25_topk(
+    positions: jax.Array,  # [B, L] int32 — indices into the postings arrays
+    pos_terms: jax.Array,  # [B, L] int32 — term id per position
+    pos_mask: jax.Array,  # [B, L] bool — False for padding slots
+    rows: jax.Array,  # [P] int32 — chunk row per posting
+    tfs: jax.Array,  # [P] float32 — term frequency per posting
+    idf: jax.Array,  # [V] float32 — per-term idf
+    doc_len: jax.Array,  # [N] float32 — token count per chunk row
+    avgdl: jax.Array,  # scalar float32
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_rows: int = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched BM25 top-k. Returns ``(scores [B,k], rows [B,k])`` with
+    (score desc, row asc) ordering; slots with score <= 0 are (-inf, -1),
+    mirroring the reference's score>0 filter."""
+    n = n_rows or doc_len.shape[0]
+
+    def one_query(pos, terms, mask):
+        r = rows[pos]  # [L]
+        tf = tfs[pos]
+        dl = doc_len[r]
+        idf_t = idf[terms]
+        denom = tf + k1 * (1.0 - b + b * dl / jnp.maximum(avgdl, 1e-9))
+        contrib = idf_t * tf * (k1 + 1.0) / jnp.maximum(denom, 1e-9)
+        contrib = jnp.where(mask, contrib, 0.0)
+        # Padding positions point at posting 0; their contribution is 0.
+        scores = jnp.zeros((n,), dtype=jnp.float32).at[r].add(contrib)
+        return scores
+
+    scores = jax.vmap(one_query)(positions, pos_terms, pos_mask)  # [B, N]
+    masked = jnp.where(scores > 0.0, scores, NEG_INF)
+    top_scores, top_rows = jax.lax.top_k(masked, min(k, n))
+    top_rows = jnp.where(jnp.isneginf(top_scores), -1, top_rows).astype(jnp.int32)
+    if top_scores.shape[1] < k:  # corpus smaller than k: pad out
+        pad = k - top_scores.shape[1]
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        top_rows = jnp.pad(top_rows, ((0, 0), (0, pad)), constant_values=-1)
+    return top_scores, top_rows
+
+
+def bucket_len(n: int, minimum: int = 64) -> int:
+    """Round a gather-list length up to a power-of-two bucket so jit
+    recompiles O(log L) times, not per query."""
+    m = minimum
+    while m < n:
+        m *= 2
+    return m

@@ -1,0 +1,144 @@
+"""Rerankers — second-stage scoring over retrieved candidates.
+
+Capability-equivalent to the reference's ``src/rerank.rs``: the
+``Reranker`` interface (rerank.rs:7-15), ``LexicalReranker``
+(rerank.rs:17-122), ``MockCrossEncoderReranker`` (rerank.rs:124-191),
+``CompositeReranker`` (rerank.rs:193-264) and ``NoOpReranker``
+(rerank.rs:266-287).
+
+These host rerankers operate on strings, so they stay host-side; the
+neural cross-encoder reranker (the real capability the mock stands in
+for) is a JAX forward pass in :mod:`trueno_rag_tpu.models` scoring all
+candidates in one batched device call.
+
+All rerankers return NEW result lists with ``rerank_score`` attached and
+results ordered (score desc, chunk id asc), truncated to ``top_k``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Protocol, Sequence, runtime_checkable
+
+import re
+
+from trueno_rag_tpu.errors import InvalidConfigError
+from trueno_rag_tpu.retrieve import RetrievalResult
+from trueno_rag_tpu.text import tokenize_simple
+
+_NON_ALNUM = re.compile(r"[^0-9A-Za-z]+")
+
+
+@runtime_checkable
+class Reranker(Protocol):
+    def rerank(
+        self, query: str, candidates: Sequence[RetrievalResult], top_k: int
+    ) -> List[RetrievalResult]: ...
+
+
+def _clone_with_score(r: RetrievalResult, score: float) -> RetrievalResult:
+    return RetrievalResult(
+        chunk=r.chunk,
+        dense_score=r.dense_score,
+        sparse_score=r.sparse_score,
+        fused_score=r.fused_score,
+        rerank_score=score,
+    )
+
+
+def _sort_desc(results: List[RetrievalResult]) -> List[RetrievalResult]:
+    return sorted(results, key=lambda r: (-(r.rerank_score or 0.0), r.chunk.id))
+
+
+class NoOpReranker:
+    """Pass-through: take(top_k) in the original order
+    (reference: rerank.rs:266-287)."""
+
+    def rerank(self, query: str, candidates: Sequence[RetrievalResult], top_k: int) -> List[RetrievalResult]:
+        return list(candidates[:top_k])
+
+
+@dataclass
+class LexicalReranker:
+    """Lexical feature mix (reference: rerank.rs:17-122):
+
+    ``score = w_exact * [query is a substring of content]
+            + w_coverage * (fraction of query terms present in content)
+            + w_position * mean(1 / (1 + first_pos/100)) over found terms``
+
+    with default weights (0.3, 0.5, 0.2) and case-insensitive matching.
+    """
+
+    exact_match_weight: float = 0.3
+    coverage_weight: float = 0.5
+    position_weight: float = 0.2
+    case_sensitive: bool = False
+
+    def score(self, query: str, content: str) -> float:
+        q = query if self.case_sensitive else query.lower()
+        c = content if self.case_sensitive else content.lower()
+        exact = 1.0 if q and q in c else 0.0
+        # q/c are already lowercased unless case_sensitive; split must not
+        # re-lowercase or case-sensitive mode would silently match anyway.
+        terms = [t for t in _NON_ALNUM.split(q) if t]
+        if not terms:
+            return self.exact_match_weight * exact
+        found_positions = []
+        hits = 0
+        for t in terms:
+            pos = c.find(t)
+            if pos >= 0:
+                hits += 1
+                found_positions.append(1.0 / (1.0 + pos / 100.0))
+        coverage = hits / len(terms)
+        position = sum(found_positions) / len(found_positions) if found_positions else 0.0
+        return (
+            self.exact_match_weight * exact
+            + self.coverage_weight * coverage
+            + self.position_weight * position
+        )
+
+    def rerank(self, query: str, candidates: Sequence[RetrievalResult], top_k: int) -> List[RetrievalResult]:
+        scored = [_clone_with_score(r, self.score(query, r.chunk.content)) for r in candidates]
+        return _sort_desc(scored)[:top_k]
+
+
+class MockCrossEncoderReranker:
+    """Term-set overlap / |query terms| — deterministic stand-in for a
+    neural cross-encoder (reference: rerank.rs:124-191)."""
+
+    def score(self, query: str, content: str) -> float:
+        q_terms = set(tokenize_simple(query))
+        if not q_terms:
+            return 0.0
+        c_terms = set(tokenize_simple(content))
+        return len(q_terms & c_terms) / len(q_terms)
+
+    def rerank(self, query: str, candidates: Sequence[RetrievalResult], top_k: int) -> List[RetrievalResult]:
+        scored = [_clone_with_score(r, self.score(query, r.chunk.content)) for r in candidates]
+        return _sort_desc(scored)[:top_k]
+
+
+class CompositeReranker:
+    """Weighted sum of member rerankers' scores, matched by chunk id.
+
+    The reference does an O(n²) index lookup per member
+    (rerank.rs:236-248); here the member scores join through a dict.
+    """
+
+    def __init__(self, rerankers: Sequence[Reranker], weights: Optional[Sequence[float]] = None) -> None:
+        if not rerankers:
+            raise InvalidConfigError("CompositeReranker needs at least one member")
+        self.rerankers = list(rerankers)
+        self.weights = list(weights) if weights is not None else [1.0] * len(self.rerankers)
+        if len(self.weights) != len(self.rerankers):
+            raise InvalidConfigError("weights must match rerankers in length")
+
+    def rerank(self, query: str, candidates: Sequence[RetrievalResult], top_k: int) -> List[RetrievalResult]:
+        acc = {r.chunk.id: 0.0 for r in candidates}
+        for reranker, w in zip(self.rerankers, self.weights):
+            member = reranker.rerank(query, candidates, len(candidates))
+            for res in member:
+                acc[res.chunk.id] = acc.get(res.chunk.id, 0.0) + w * (res.rerank_score or 0.0)
+        scored = [_clone_with_score(r, acc[r.chunk.id]) for r in candidates]
+        return _sort_desc(scored)[:top_k]

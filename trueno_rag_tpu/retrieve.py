@@ -1,0 +1,268 @@
+"""Retrievers: hybrid dense+sparse with on-device fusion.
+
+Capability-equivalent to the reference's ``src/retrieve.rs``:
+``RetrievalResult`` with the four-score model and ``best_score``
+priority (retrieve.rs:11-76), ``HybridRetrieverConfig``
+(retrieve.rs:78-100), ``HybridRetriever`` (retrieve.rs:102-263) and the
+``DenseRetriever``/``SparseRetriever`` conveniences
+(retrieve.rs:265-341).
+
+TPU-native query plan (one logical program, no host round-trips between
+stages): embed query (host hash / device encoder) → dense matmul top-C
+and BM25 scatter top-C over the *shared row space* (both stores use one
+:class:`ChunkRegistry`) → device fusion over the padded candidate
+arrays → final top-k → a single hydration step back on host. The
+reference instead hops HashMaps between each stage (retrieve.rs:175-220).
+
+Batched retrieval (``retrieve_batch``) amortizes compilation and device
+dispatch across queries — the unit of work the TPU actually wants.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from trueno_rag_tpu.chunking import Chunk
+from trueno_rag_tpu.embed import Embedder
+from trueno_rag_tpu.errors import QueryError
+from trueno_rag_tpu.fusion import FusionStrategy
+from trueno_rag_tpu.index import BM25Index, ChunkRegistry, VectorStore, VectorStoreConfig
+from trueno_rag_tpu.ops.fusion import fuse_topk
+
+# ---------------------------------------------------------------------------
+# RetrievalResult (reference: retrieve.rs:11-76)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RetrievalResult:
+    """A retrieved chunk plus its per-source scores."""
+
+    chunk: Chunk
+    dense_score: Optional[float] = None
+    sparse_score: Optional[float] = None
+    fused_score: Optional[float] = None
+    rerank_score: Optional[float] = None
+
+    def best_score(self) -> float:
+        """Priority: rerank > fused > dense > sparse > 0.0
+        (reference: retrieve.rs:60-76)."""
+        for s in (self.rerank_score, self.fused_score, self.dense_score, self.sparse_score):
+            if s is not None:
+                return s
+        return 0.0
+
+    def with_rerank_score(self, score: float) -> "RetrievalResult":
+        self.rerank_score = score
+        return self
+
+
+@dataclass
+class HybridRetrieverConfig:
+    """Reference defaults: 50 candidates per source, RRF(60) fusion,
+    both sources enabled (retrieve.rs:78-100)."""
+
+    candidates_per_source: int = 50
+    fusion: FusionStrategy = field(default_factory=FusionStrategy.rrf)
+    use_dense: bool = True
+    use_sparse: bool = True
+
+
+# ---------------------------------------------------------------------------
+# HybridRetriever (reference: retrieve.rs:102-263)
+# ---------------------------------------------------------------------------
+
+
+class HybridRetriever:
+    """Owns a VectorStore + BM25Index over one shared row registry."""
+
+    def __init__(
+        self,
+        embedder: Embedder,
+        config: Optional[HybridRetrieverConfig] = None,
+        vector_config: Optional[VectorStoreConfig] = None,
+    ) -> None:
+        self.embedder = embedder
+        self.config = config or HybridRetrieverConfig()
+        self.registry = ChunkRegistry()
+        vcfg = vector_config or VectorStoreConfig(dimension=embedder.dimension)
+        self.vector_store = VectorStore(vcfg, registry=self.registry)
+        self.sparse_index = BM25Index(registry=self.registry)
+
+    # -- indexing -------------------------------------------------------------
+
+    def index(self, chunk: Chunk) -> None:
+        """Add a chunk to both stores (reference: retrieve.rs:156-164).
+        The chunk must already carry an embedding."""
+        self.vector_store.insert(chunk)
+        self.sparse_index.add(chunk)
+
+    def index_batch(self, chunks: Sequence[Chunk]) -> None:
+        for c in chunks:
+            self.index(c)
+
+    def remove(self, chunk_id: str) -> bool:
+        """Remove from both stores and free the shared row."""
+        found_sparse = self.sparse_index.remove(chunk_id)
+        found_dense = self.vector_store.remove(chunk_id)
+        if found_dense or found_sparse:
+            self.registry.remove(chunk_id)
+        return found_dense or found_sparse
+
+    # -- retrieval ---------------------------------------------------------------
+
+    def retrieve(self, query: str, k: int) -> List[RetrievalResult]:
+        return self.retrieve_batch([query], k)[0]
+
+    def retrieve_batch(self, queries: Sequence[str], k: int) -> List[List[RetrievalResult]]:
+        """Hybrid retrieval for a query batch.
+
+        Candidate generation and fusion run on device over shared rows;
+        hydration maps the final top-k rows back to chunks exactly once
+        (the reference hydrates through the dense store per result,
+        retrieve.rs:203-217).
+        """
+        if not queries:
+            return []
+        if any(not q.strip() for q in queries):
+            raise QueryError("empty query")
+        if len(self.registry) == 0:
+            return [[] for _ in queries]
+        cand = self.config.candidates_per_source
+        use_dense = self.config.use_dense
+        use_sparse = self.config.use_sparse
+        if not use_dense and not use_sparse:
+            raise QueryError("both retrieval sources disabled")
+
+        b = len(queries)
+        if use_dense:
+            qvecs = self.embedder.embed_queries(queries)
+            d_scores, d_rows = self.vector_store.search_arrays(qvecs, cand)
+        if use_sparse:
+            s_scores, s_rows = self.sparse_index.search_arrays(queries, cand)
+
+        if use_dense and use_sparse:
+            f_rows, f_scores = fuse_topk(
+                d_rows,
+                d_scores,
+                s_rows,
+                s_scores,
+                kind=self.config.fusion.kind,
+                param=self.config.fusion.device_param,
+            )
+        elif use_dense:
+            f_rows, f_scores = d_rows, d_scores
+        else:
+            f_rows, f_scores = s_rows, s_scores
+
+        f_rows = np.asarray(f_rows)
+        f_scores = np.asarray(f_scores)
+        d_maps = self._score_maps(d_rows, d_scores) if use_dense else [{}] * b
+        s_maps = self._score_maps(s_rows, s_scores) if use_sparse else [{}] * b
+
+        out: List[List[RetrievalResult]] = []
+        fused_is_real = use_dense and use_sparse
+        for i in range(b):
+            results: List[RetrievalResult] = []
+            for row, score in zip(f_rows[i], f_scores[i]):
+                if row < 0 or len(results) >= k:
+                    continue
+                chunk = self.registry.chunk_of(int(row))
+                if chunk is None:
+                    continue
+                results.append(
+                    RetrievalResult(
+                        chunk=chunk,
+                        dense_score=d_maps[i].get(int(row)),
+                        sparse_score=s_maps[i].get(int(row)),
+                        fused_score=float(score) if fused_is_real else None,
+                    )
+                )
+            out.append(results)
+        return out
+
+    @staticmethod
+    def _score_maps(rows, scores) -> List[Dict[int, float]]:
+        rows = np.asarray(rows)
+        scores = np.asarray(scores)
+        maps: List[Dict[int, float]] = []
+        for i in range(rows.shape[0]):
+            maps.append(
+                {int(r): float(s) for r, s in zip(rows[i], scores[i]) if r >= 0}
+            )
+        return maps
+
+    def retrieve_dense(self, query: str, k: int) -> List[RetrievalResult]:
+        """Vector-only retrieval (reference: retrieve.rs:225-240)."""
+        qvec = self.embedder.embed_query(query)
+        hits = self.vector_store.search(qvec, k)
+        return [
+            RetrievalResult(chunk=self.vector_store.get(cid), dense_score=s)
+            for cid, s in hits
+            if self.vector_store.get(cid) is not None
+        ]
+
+    def retrieve_sparse(self, query: str, k: int) -> List[RetrievalResult]:
+        """BM25-only retrieval (reference: retrieve.rs:242-257)."""
+        hits = self.sparse_index.search(query, k)
+        return [
+            RetrievalResult(chunk=self.registry.get_chunk(cid), sparse_score=s)
+            for cid, s in hits
+            if self.registry.get_chunk(cid) is not None
+        ]
+
+    def __len__(self) -> int:
+        return len(self.registry)
+
+
+# ---------------------------------------------------------------------------
+# Single-source conveniences (reference: retrieve.rs:265-341)
+# ---------------------------------------------------------------------------
+
+
+class DenseRetriever:
+    def __init__(self, embedder: Embedder, vector_config: Optional[VectorStoreConfig] = None) -> None:
+        self.embedder = embedder
+        self.store = VectorStore(vector_config or VectorStoreConfig(dimension=embedder.dimension))
+
+    def index(self, chunk: Chunk) -> None:
+        self.store.insert(chunk)
+
+    def index_batch(self, chunks: Sequence[Chunk]) -> None:
+        self.store.insert_many(chunks)
+
+    def retrieve(self, query: str, k: int) -> List[RetrievalResult]:
+        qvec = self.embedder.embed_query(query)
+        return [
+            RetrievalResult(chunk=self.store.get(cid), dense_score=s)
+            for cid, s in self.store.search(qvec, k)
+        ]
+
+    def __len__(self) -> int:
+        return len(self.store)
+
+
+class SparseRetriever:
+    """BM25-only retriever with its own chunk registry, so sparse-only
+    deployments work standalone (reference: retrieve.rs:299-341)."""
+
+    def __init__(self) -> None:
+        self.index_ = BM25Index()
+
+    def index(self, chunk: Chunk) -> None:
+        self.index_.add(chunk)
+
+    def index_batch(self, chunks: Sequence[Chunk]) -> None:
+        self.index_.add_batch(chunks)
+
+    def retrieve(self, query: str, k: int) -> List[RetrievalResult]:
+        return [
+            RetrievalResult(chunk=self.index_.registry.get_chunk(cid), sparse_score=s)
+            for cid, s in self.index_.search(query, k)
+        ]
+
+    def __len__(self) -> int:
+        return len(self.index_)
