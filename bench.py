@@ -1,0 +1,148 @@
+"""Benchmark: hybrid (dense + BM25 + fusion) query throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: the BASELINE.json `hybrid_search` config at production scale —
+a 100k-chunk corpus (384-d dense matrix resident in HBM + synthetic BM25
+CSR postings, ~6M postings), batched queries running the full device
+program: dense cosine top-50 + BM25 scatter top-50 + RRF fusion + final
+top-10.
+
+Baseline: the reference publishes one illustrative number for this
+path — "query top-10 ~1.25 ms" on a 1 000-chunk index (BASELINE.md,
+book/src/advanced/performance.md:91) ⇒ 800 QPS. vs_baseline = our QPS /
+800, with our corpus 100x larger — a conservative comparison in the
+reference's favor.
+
+The corpus is generated on-device (no host transfer); BM25 postings are
+synthesized directly as CSR arrays with a realistic Zipf-ish shape.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_QPS = 800.0  # reference: 1.25 ms / top-10 query (1k chunks, CPU)
+
+
+def build_synthetic_bm25(n_chunks: int, vocab: int, avg_len: int, seed: int = 0):
+    """Synthesize CSR postings: term t appears in ~(P/V) docs with Zipf
+    weighting; returns device arrays matching ops.bm25's layout."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    total_postings = n_chunks * avg_len // 4  # distinct (term, doc) pairs
+    # Zipf-ish term popularity
+    term_weights = 1.0 / (np.arange(1, vocab + 1) ** 0.9)
+    term_weights /= term_weights.sum()
+    term_of_posting = rng.choice(vocab, size=total_postings, p=term_weights)
+    order = np.argsort(term_of_posting, kind="stable")
+    term_sorted = term_of_posting[order]
+    rows = rng.integers(0, n_chunks, size=total_postings).astype(np.int32)
+    tfs = rng.integers(1, 5, size=total_postings).astype(np.float32)
+    indptr = np.searchsorted(term_sorted, np.arange(vocab + 1)).astype(np.int64)
+    df = np.maximum(np.diff(indptr), 1)
+    idf = np.log((n_chunks - df + 0.5) / (df + 0.5) + 1.0).astype(np.float32)
+    doc_len = rng.integers(avg_len // 2, avg_len * 2, size=n_chunks).astype(np.float32)
+    return {
+        "indptr": indptr,
+        "rows": jnp.asarray(rows),
+        "tfs": jnp.asarray(tfs),
+        "idf": jnp.asarray(idf),
+        "doc_len": jnp.asarray(doc_len),
+        "avgdl": jnp.asarray(np.float32(doc_len.mean())),
+    }
+
+
+def make_query_gather_lists(snap, batch: int, terms_per_query: int, pad_to: int, seed: int = 1):
+    rng = np.random.default_rng(seed)
+    vocab = len(snap["indptr"]) - 1
+    positions = np.zeros((batch, pad_to), dtype=np.int32)
+    terms = np.zeros((batch, pad_to), dtype=np.int32)
+    mask = np.zeros((batch, pad_to), dtype=bool)
+    for i in range(batch):
+        tids = rng.choice(vocab, size=terms_per_query, replace=False)
+        parts_p, parts_t = [], []
+        for t in tids:
+            lo, hi = int(snap["indptr"][t]), int(snap["indptr"][t + 1])
+            hi = min(hi, lo + 512)  # cap pathological posting lists
+            parts_p.append(np.arange(lo, hi, dtype=np.int32))
+            parts_t.append(np.full(hi - lo, t, dtype=np.int32))
+        pos = np.concatenate(parts_p)[:pad_to]
+        trm = np.concatenate(parts_t)[:pad_to]
+        positions[i, : len(pos)] = pos
+        terms[i, : len(trm)] = trm
+        mask[i, : len(pos)] = True
+    return positions, terms, mask
+
+
+def bench_hybrid(n_chunks=100_000, dim=384, batch=64, k=10, cand=50, iters=30):
+    import jax
+    import jax.numpy as jnp
+
+    from trueno_rag_tpu.ops.bm25 import bm25_topk
+    from trueno_rag_tpu.ops.dense import dense_topk
+    from trueno_rag_tpu.ops.fusion import fuse_topk
+
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    matrix = jax.random.normal(k1, (n_chunks, dim), dtype=jnp.float32)
+    matrix = matrix / jnp.linalg.norm(matrix, axis=1, keepdims=True)
+    valid = jnp.ones((n_chunks,), dtype=bool)
+    queries = jax.random.normal(k2, (batch, dim), dtype=jnp.float32)
+
+    snap = build_synthetic_bm25(n_chunks, vocab=50_000, avg_len=64)
+    positions, terms, mask = make_query_gather_lists(snap, batch, terms_per_query=6, pad_to=2048)
+    positions, terms, mask = jnp.asarray(positions), jnp.asarray(terms), jnp.asarray(mask)
+
+    import functools
+
+    from trueno_rag_tpu.ops.dense import similarity_scores
+
+    # Timing methodology: a dependency-chained lax.scan of `iters` full
+    # hybrid queries inside ONE jitted program, materializing only a
+    # scalar at the end. Naive dispatch loops measure Python/tunnel
+    # dispatch, not device time (block_until_ready over this remote
+    # tunnel returns before execution completes), and fetching anything
+    # large measures the tunnel's transfer rate instead of the TPU.
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def hybrid_chain(queries, positions, terms, mask, matrix, valid,
+                     rows, tfs, idf, doc_len, avgdl, steps):
+        def one(carry, _):
+            q = queries + carry  # data dependency defeats CSE/hoisting
+            d_s, d_r = dense_topk(q, matrix, valid, cand, "cosine")
+            s_s, s_r = bm25_topk(positions, terms, mask, rows, tfs, idf,
+                                 doc_len, avgdl, k=cand, n_rows=n_chunks)
+            f_r, f_s = fuse_topk(d_r, d_s, s_r, s_s, kind="rrf", param=60.0)
+            top = jax.lax.top_k(f_s, k)[0]
+            return jnp.max(top) * 1e-12, None
+
+        c, _ = jax.lax.scan(one, 0.0, None, length=steps)
+        return c
+
+    args = (queries, positions, terms, mask, matrix, valid,
+            snap["rows"], snap["tfs"], snap["idf"], snap["doc_len"], snap["avgdl"])
+    float(hybrid_chain(*args, steps=1))  # compile small
+    float(hybrid_chain(*args, steps=iters))  # compile full chain
+    t0 = time.perf_counter()
+    float(hybrid_chain(*args, steps=iters))  # sync via scalar fetch
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main():
+    qps = bench_hybrid()
+    print(json.dumps({
+        "metric": "hybrid_query_qps_100k_chunks",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / BASELINE_QPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

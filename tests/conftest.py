@@ -1,21 +1,25 @@
 """Test configuration: run the suite on a virtual 8-device CPU mesh.
 
 Multi-chip TPU hardware is not available in CI; sharding logic is
-validated on `--xla_force_host_platform_device_count=8` CPU devices,
-exactly like the driver's multichip dry-run. Must run before jax import.
+validated on 8 virtual CPU devices, exactly like the driver's multichip
+dry-run.
+
+Note: this environment's sitecustomize registers the tunneled 'axon'
+TPU backend at interpreter startup and forces jax_platforms="axon,cpu",
+which overrides the JAX_PLATFORMS env var — so we must update
+jax.config *after* import (clearing any initialized backends first).
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env pins the TPU platform
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
-# Persistent compilation cache: XLA CPU compiles dominate suite time.
-import jax  # noqa: E402  (env vars above must be set first)
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+import jax  # noqa: E402
+from jax.extend.backend import clear_backends  # noqa: E402
+
+clear_backends()
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"

@@ -1,0 +1,128 @@
+"""Corpus-sharded dense retrieval: local top-k + ICI all-gather merge.
+
+The pod-scale answer to the reference's single-host brute force: the
+``[N, d]`` embedding matrix shards row-wise across the mesh's ``data``
+axis (each chip holds ``N/s`` rows in its own HBM). A query batch is
+replicated; every chip scores its shard on its MXU and keeps a local
+top-k; the k candidates per chip (k·s total, not N) all-gather over ICI
+and a final top-k yields the exact global result.
+
+Exactness: identical to the single-device scan — the global top-k is a
+subset of the union of local top-ks by a standard selection argument.
+Tie-breaking stays (score desc, global row asc) because the all-gather
+concatenates shards in axis order and ``lax.top_k`` prefers earlier
+positions.
+
+Communication cost per query batch: ``s * k * 8`` bytes (scores+rows),
+independent of corpus size N — the merge is effectively free next to
+the O(N·d/s) local scan.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from trueno_rag_tpu.ops.dense import NEG_INF, similarity_scores
+
+
+def sharded_dense_topk(
+    queries: jax.Array,
+    matrix: jax.Array,
+    valid_mask: jax.Array,
+    k: int,
+    mesh: Mesh,
+    metric: str = "cosine",
+    axis: str = "data",
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over a row-sharded corpus.
+
+    Args:
+      queries: ``[B, d]`` (replicated).
+      matrix: ``[N, d]`` logically; physically sharded ``P(axis, None)``.
+      valid_mask: ``[N]`` bool, sharded ``P(axis)``.
+      k: candidates to return (``k <= N/s`` per shard).
+
+    Returns ``(scores [B,k], rows [B,k])`` with *global* row ids.
+    """
+
+    def local(q, m, v):
+        # m: [N/s, d] local shard; q replicated
+        scores = similarity_scores(q, m, metric)
+        masked = jnp.where(v[None, :], scores, NEG_INF)
+        k_local = min(k, m.shape[0])
+        s_loc, r_loc = jax.lax.top_k(masked, k_local)
+        shard = jax.lax.axis_index(axis)
+        r_glob = r_loc + shard * m.shape[0]
+        r_glob = jnp.where(jnp.isneginf(s_loc), jnp.iinfo(jnp.int32).max, r_glob)
+        # merge: gather candidates from all shards (k*s per query), re-select
+        s_all = jax.lax.all_gather(s_loc, axis, axis=1, tiled=True)  # [B, k*s]
+        r_all = jax.lax.all_gather(r_glob, axis, axis=1, tiled=True)
+        k_out = min(k, s_all.shape[1])
+        s_top, idx = jax.lax.top_k(s_all, k_out)
+        r_top = jnp.take_along_axis(r_all, idx, axis=1)
+        r_top = jnp.where(jnp.isneginf(s_top), -1, r_top).astype(jnp.int32)
+        if k_out < k:
+            s_top = jnp.pad(s_top, ((0, 0), (0, k - k_out)), constant_values=NEG_INF)
+            r_top = jnp.pad(r_top, ((0, 0), (0, k - k_out)), constant_values=-1)
+        return s_top, r_top
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis)),
+        out_specs=(P(), P()),
+        # outputs ARE replicated (identical all-gather + top_k everywhere);
+        # the varying-mesh-axes inference can't see through axis_index
+        check_vma=False,
+    )
+    return jax.jit(fn)(queries, matrix, valid_mask)
+
+
+class ShardedVectorIndex:
+    """A read-optimized, corpus-sharded dense index.
+
+    Built once from a host matrix (e.g. a :class:`VectorStore` snapshot
+    or a loaded artifact); rows pad up to a multiple of the data-axis
+    size and shard across chips. Query batches return exact global
+    top-k. Mutation story: rebuild (batch-built index; the mutable
+    path is the single-chip VectorStore — SURVEY §7.3 decision).
+    """
+
+    def __init__(
+        self,
+        matrix: np.ndarray,
+        mesh: Mesh,
+        metric: str = "cosine",
+        valid: Optional[np.ndarray] = None,
+        axis: str = "data",
+    ) -> None:
+        matrix = np.asarray(matrix, dtype=np.float32)
+        n, d = matrix.shape
+        self.n = n
+        self.metric = metric
+        self.mesh = mesh
+        self.axis = axis
+        s = mesh.shape[axis]
+        n_pad = ((n + s - 1) // s) * s
+        if metric == "cosine":
+            norms = np.linalg.norm(matrix, axis=1, keepdims=True)
+            matrix = matrix / np.where(norms == 0.0, 1.0, norms)
+        if n_pad != n:
+            matrix = np.pad(matrix, ((0, n_pad - n), (0, 0)))
+        v = np.zeros(n_pad, dtype=bool)
+        v[:n] = True if valid is None else np.asarray(valid, dtype=bool)[:n]
+        row_sharding = NamedSharding(mesh, P(axis, None))
+        mask_sharding = NamedSharding(mesh, P(axis))
+        self.matrix = jax.device_put(matrix, row_sharding)
+        self.valid = jax.device_put(v, mask_sharding)
+
+    def search(self, queries: np.ndarray, k: int) -> Tuple[jax.Array, jax.Array]:
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+        return sharded_dense_topk(q, self.matrix, self.valid, k, self.mesh, self.metric, self.axis)
