@@ -1,0 +1,130 @@
+"""Persistence tests (reference: compressed.rs:186-270 — codec
+round-trips, empty-input contract, BM25 score preservation to 1e-5
+through a save/load cycle; extended to the full hybrid artifact)."""
+
+import numpy as np
+import pytest
+
+from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+from trueno_rag_tpu.embed import TfIdfEmbedder
+from trueno_rag_tpu.errors import IndexNotFoundError, SerializationError
+from trueno_rag_tpu.persist import (
+    Compression,
+    default_compression,
+    deserialize_compressed,
+    load_index,
+    save_index,
+    serialize_compressed,
+)
+from trueno_rag_tpu.retrieve import HybridRetriever
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "machine learning models process large data sets",
+    "foxes are clever wild animals living in forests",
+    "deep neural networks learn hierarchical features",
+]
+
+
+def mk_chunk(i, content, dim, emb):
+    c = Chunk(
+        document_id="doc",
+        content=content,
+        start_offset=0,
+        end_offset=len(content),
+        metadata=ChunkMetadata(title=f"t{i}"),
+        id=chunk_id_from_int(i),
+    )
+    c.set_embedding(emb.embed_document(content))
+    return c
+
+
+@pytest.mark.parametrize("codec", [Compression.ZLIB, Compression.ZSTD, Compression.NONE])
+def test_codec_roundtrip(codec):
+    data = b"hello " * 1000
+    comp = codec.compress(data)
+    if codec is not Compression.NONE:
+        assert len(comp) < len(data)
+    assert codec.decompress(comp) == data
+
+
+def test_codec_empty_contract():
+    for codec in (Compression.ZLIB, Compression.ZSTD):
+        assert codec.compress(b"") == b""
+        assert codec.decompress(b"") == b""
+
+
+def test_serialize_roundtrip():
+    obj = {"a": [1, 2, 3], "b": "text", "c": {"nested": True}, "bin": b"\x00\x01"}
+    blob = serialize_compressed(obj)
+    assert deserialize_compressed(blob) == obj
+
+
+def test_bad_magic_rejected():
+    with pytest.raises(SerializationError):
+        deserialize_compressed(b"not an artifact at all")
+
+
+def test_default_compression_is_zstd():
+    assert default_compression() == Compression.ZSTD
+
+
+def test_index_roundtrip_preserves_scores(tmp_path):
+    emb = TfIdfEmbedder(32).fit(CORPUS)
+    retr = HybridRetriever(emb)
+    chunks = [mk_chunk(i, t, 32, emb) for i, t in enumerate(CORPUS)]
+    retr.index_batch(chunks)
+
+    path = str(tmp_path / "index.trag")
+    stats = save_index(path, retr, embedder_info={"type": "tfidf", "dimension": 32})
+    assert stats["chunks"] == 4
+    assert stats["compressed_bytes"] > 0
+
+    retr2, emb_info = load_index(path, emb)
+    assert emb_info["type"] == "tfidf"
+    assert len(retr2) == 4
+
+    for q in ["fox", "learning data", "quick brown fox"]:
+        before = retr.retrieve(q, 4)
+        after = retr2.retrieve(q, 4)
+        assert [r.chunk.content for r in before] == [r.chunk.content for r in after], q
+        for b, a in zip(before, after):
+            assert a.best_score() == pytest.approx(b.best_score(), abs=1e-5)
+            if b.sparse_score is not None:
+                assert a.sparse_score == pytest.approx(b.sparse_score, abs=1e-5)
+
+
+def test_index_roundtrip_chunk_fidelity(tmp_path):
+    emb = TfIdfEmbedder(16).fit(CORPUS)
+    retr = HybridRetriever(emb)
+    c = mk_chunk(7, CORPUS[0], 16, emb)
+    c.metadata.headers = ["H1", "H2"]
+    c.metadata.page = 3
+    retr.index(c)
+    path = str(tmp_path / "idx.trag")
+    save_index(path, retr)
+    retr2, _ = load_index(path, emb)
+    got = retr2.registry.get_chunk(c.id)
+    assert got.content == c.content
+    assert got.metadata.headers == ["H1", "H2"]
+    assert got.metadata.page == 3
+    assert got.document_id == c.document_id
+
+
+def test_load_missing_raises(tmp_path):
+    emb = TfIdfEmbedder(8).fit(CORPUS)
+    with pytest.raises(IndexNotFoundError):
+        load_index(str(tmp_path / "nope.trag"), emb)
+
+
+def test_compression_ratio_on_index(tmp_path):
+    """Docs claim 3-6x on index data (compression.md:47-59); verify we
+    land in a sane band on text-heavy payloads."""
+    emb = TfIdfEmbedder(32).fit(CORPUS)
+    retr = HybridRetriever(emb)
+    chunks = [mk_chunk(i, CORPUS[i % 4] * 5, 32, emb) for i in range(40)]
+    retr.index_batch(chunks)
+    path = str(tmp_path / "c.trag")
+    stats = save_index(path, retr)
+    # embeddings are random-ish floats (incompressible); text compresses
+    assert stats["compressed_bytes"] < stats["raw_bytes_estimate"] * 1.2
