@@ -80,7 +80,7 @@ def make_query_gather_lists(snap, batch: int, terms_per_query: int, pad_to: int,
     return positions, terms, mask
 
 
-def bench_hybrid(n_chunks=100_000, dim=384, batch=64, k=10, cand=50, iters=30):
+def bench_hybrid(n_chunks=100_000, dim=384, batch=256, k=10, cand=50, iters=30):
     import jax
     import jax.numpy as jnp
 

@@ -1,0 +1,128 @@
+"""Preprocessing tests (reference: preprocess.rs inline tests — but here
+the subsystem is alive and wired into the pipeline)."""
+
+import pytest
+
+from trueno_rag_tpu.errors import QueryError
+from trueno_rag_tpu.preprocess import (
+    ChainedPreprocessor,
+    HydePreprocessor,
+    KeywordExpander,
+    MockHypotheticalGenerator,
+    MultiQueryPreprocessor,
+    PassthroughPreprocessor,
+    QueryAnalyzer,
+    QueryIntent,
+    SynonymExpander,
+)
+
+
+def test_passthrough():
+    assert PassthroughPreprocessor().preprocess("hello world") == ["hello world"]
+    with pytest.raises(QueryError):
+        PassthroughPreprocessor().preprocess("  ")
+
+
+def test_hyde_replace_and_augment():
+    h = HydePreprocessor()
+    out = h.preprocess("what is BM25")
+    assert out == ["The answer is: what is BM25"]
+    h2 = HydePreprocessor(augment=True)
+    out2 = h2.preprocess("what is BM25")
+    assert out2[0] == "what is BM25" and "The answer is" in out2[1]
+
+
+def test_hyde_custom_generator():
+    class Gen:
+        def generate(self, q):
+            return f"hypothetical doc about {q}"
+
+    out = HydePreprocessor(Gen()).preprocess("foxes")
+    assert out == ["hypothetical doc about foxes"]
+
+
+def test_keyword_expander():
+    out = KeywordExpander().expand("how to fix the broken index")
+    assert out[0] == "fix broken index"  # stopwords removed ('how','to','the')
+    assert any(v.startswith("how to fix the broken index ") for v in out[1:])
+    assert KeywordExpander().expand("the of a") == []
+
+
+def test_synonym_expander():
+    out = SynonymExpander().expand("fix the error")
+    assert "repair the error" in out
+    assert "fix the failure" in out
+    assert SynonymExpander({}).expand("fix the error") == []
+
+
+def test_multi_query_caps_and_dedupes():
+    class Dup:
+        def expand(self, q):
+            return [q, "v1", "v1", "v2", "v3", "v4", "v5"]
+
+    mq = MultiQueryPreprocessor(Dup(), max_queries=4)
+    out = mq.preprocess("orig")
+    assert out[0] == "orig"
+    assert len(out) == 4
+    assert len(set(out)) == 4
+
+
+def test_chained_dedupes_and_caps():
+    chain = ChainedPreprocessor(
+        [PassthroughPreprocessor(), HydePreprocessor(augment=True)], max_total=2
+    )
+    out = chain.preprocess("q")
+    assert out[0] == "q" and len(out) == 2
+
+
+@pytest.mark.parametrize(
+    "query,intent",
+    [
+        ("how to install the package", QueryIntent.HOW_TO),
+        ("what is a systolic array", QueryIntent.DEFINITION),
+        ("fix crash error on startup", QueryIntent.TROUBLESHOOTING),
+        ("rust vs python comparison", QueryIntent.COMPARISON),
+        ("why when where overview", QueryIntent.INFORMATIONAL),
+        ("zebra quantum paddle", QueryIntent.UNKNOWN),
+    ],
+)
+def test_analyzer_intents(query, intent):
+    a = QueryAnalyzer().analyze(query)
+    assert a.intent == intent
+    assert 0.3 <= a.confidence <= 1.0
+
+
+def test_analyzer_keywords_filtered():
+    a = QueryAnalyzer().analyze("how to fix the broken index quickly")
+    assert "broken" in a.keywords and "index" in a.keywords
+    assert "the" not in a.keywords
+
+
+def test_pipeline_with_preprocessor():
+    from trueno_rag_tpu import (
+        Document,
+        LexicalReranker,
+        RagPipelineBuilder,
+        RecursiveChunker,
+        TfIdfEmbedder,
+    )
+
+    docs = [
+        Document("BM25 failure modes and how to repair the ranking error.", title="A"),
+        Document("Cooking pasta requires boiling water and salt.", title="B"),
+        Document("Dense embeddings capture semantic similarity.", title="C"),
+    ]
+    emb = TfIdfEmbedder(64).fit([d.content for d in docs])
+    p = (
+        RagPipelineBuilder()
+        .with_embedder(emb)
+        .with_reranker(LexicalReranker())
+        .with_chunker(RecursiveChunker(chunk_size=200, overlap=20))
+        .with_preprocessor(MultiQueryPreprocessor(SynonymExpander()))
+        .build()
+    )
+    p.index_documents(docs)
+    # 'fix' expands to 'repair' via synonyms; doc A says 'repair'
+    res = p.query("fix the ranking", k=2)
+    assert res
+    assert res[0].chunk.metadata.title == "A"

@@ -1,0 +1,305 @@
+"""Command-line interface: ``demo`` / ``index`` / ``query`` / ``info``.
+
+Capability-equivalent to the reference CLI
+(reference: crates/trueno-rag-cli/src/main.rs:68-132):
+
+- ``info``    — version + feature-aware component list (main.rs:190-215)
+- ``demo``    — TF-IDF pipeline over built-in sample texts, prints
+                results + assembled context + citations (main.rs:217-281)
+- ``index``   — walk .txt/.md files, chunk, embed, persist an index
+                artifact (main.rs:283-427). Unlike the reference's
+                pretty-printed JSON, the artifact is the compressed
+                binary format from :mod:`trueno_rag_tpu.persist` and
+                includes the BM25 state (the reference's persisted
+                query path is dense-only, main.rs:429-525); TF-IDF
+                vocabulary/idf persist too instead of being re-fit on
+                load (fixing the reference's re-fit quirk,
+                main.rs:468-477).
+- ``query``   — load an index, run a HYBRID query, print text or JSON
+                (--format text|json, main.rs:429-525).
+
+Usage: ``python -m trueno_rag_tpu.cli <command> ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional
+
+DEMO_TEXTS = [
+    (
+        "Introduction to RAG",
+        "Retrieval-Augmented Generation (RAG) combines information retrieval "
+        "with language model generation. Documents are chunked, embedded and "
+        "indexed; at query time relevant chunks are retrieved and assembled "
+        "into grounded context for the model.",
+    ),
+    (
+        "Dense Retrieval",
+        "Dense retrieval encodes text into embedding vectors and ranks "
+        "documents by vector similarity such as cosine similarity. It "
+        "captures semantic matches that keyword search misses.",
+    ),
+    (
+        "Sparse Retrieval",
+        "Sparse retrieval like BM25 scores documents by term frequency and "
+        "inverse document frequency over an inverted index. It excels at "
+        "exact keyword matching and rare terms.",
+    ),
+    (
+        "Hybrid Search",
+        "Hybrid search fuses dense and sparse rankings with strategies like "
+        "reciprocal rank fusion. Fusion combines the complementary strengths "
+        "of semantic and lexical retrieval for better recall.",
+    ),
+]
+
+
+def _build_embedder(kind: str, dimension: int, model: Optional[str], seed: int = 0):
+    from trueno_rag_tpu.embed import TfIdfEmbedder
+
+    if kind == "tfidf":
+        return TfIdfEmbedder(dimension)
+    if kind == "semantic":
+        from trueno_rag_tpu.models.encoder import EncoderConfig, JaxEncoderEmbedder
+
+        name = model or "mini-lm"
+        configs = {
+            "mini-lm": EncoderConfig.minilm_l6,
+            "mini-lm-l12": EncoderConfig.minilm_l12,
+            "bge-small": EncoderConfig.bge_small,
+            "bge-base": EncoderConfig.bge_base,
+        }
+        if name not in configs:
+            raise SystemExit(f"unknown model {name!r}; choose from {sorted(configs)}")
+        return JaxEncoderEmbedder(config=configs[name](), seed=seed, model_name=name)
+    raise SystemExit(f"unknown embedder {kind!r}; choose tfidf or semantic")
+
+
+def cmd_info(args) -> int:
+    import trueno_rag_tpu as rag
+
+    print(f"trueno-rag-tpu v{rag.__version__}")
+    print()
+    print("TPU-native RAG pipeline framework (JAX/XLA/Pallas)")
+    try:
+        import jax
+
+        devs = jax.devices()
+        print(f"devices: {len(devs)} x {devs[0].platform} ({devs[0].device_kind})")
+    except Exception as e:  # device probe must never break `info`
+        print(f"devices: unavailable ({type(e).__name__})")
+    print()
+    print("components:")
+    for line in [
+        "  chunking: recursive, fixed-size, sentence, paragraph, structural, semantic",
+        "  embedders: mock, tfidf, jax-encoder (MiniLM/BGE-class), nemotron-class",
+        "  indexes: dense vector store (HBM-resident), BM25 (device CSR scoring)",
+        "  fusion: rrf, linear, convex, dbsf, union, intersection",
+        "  rerankers: noop, lexical, mock-cross-encoder, neural cross-encoder, composite",
+        "  context: sequential / document-grouped / interleaved assembly + citations",
+        "  metrics: recall/precision/NDCG/MRR/MAP/F1/hit-rate @k + aggregation",
+        "  preprocessing: hyde, multi-query, keyword/synonym expansion, analyzer",
+        "  persistence: zstd/zlib compressed index artifacts, safetensors checkpoints",
+        "  parallel: corpus sharding over device meshes, dp/tp encoder training",
+    ]:
+        print(line)
+    return 0
+
+
+def cmd_demo(args) -> int:
+    from trueno_rag_tpu import (
+        Document,
+        FusionStrategy,
+        LexicalReranker,
+        RagPipelineBuilder,
+        RecursiveChunker,
+        TfIdfEmbedder,
+    )
+
+    docs = [Document(text, title=title) for title, text in DEMO_TEXTS]
+    embedder = TfIdfEmbedder(128).fit([d.content for d in docs])
+    pipeline = (
+        RagPipelineBuilder()
+        .with_embedder(embedder)
+        .with_reranker(LexicalReranker())
+        .with_chunker(RecursiveChunker(chunk_size=256, overlap=32))
+        .with_fusion(FusionStrategy.rrf(60.0))
+        .build()
+    )
+    n = pipeline.index_documents(docs)
+    print(f"indexed {len(docs)} documents ({n} chunks)")
+    query = args.query
+    print(f"\nquery: {query}\n")
+    results = pipeline.query(query, k=args.top_k)
+    for i, r in enumerate(results, 1):
+        print(f"{i}. [{r.best_score():.4f}] {r.chunk.metadata.title}: {r.chunk.content[:100]}...")
+    ctx = pipeline.query_with_context(query, k=args.top_k)
+    print("\n--- assembled context ---")
+    print(ctx.format_with_citations())
+    print("\n--- citations ---")
+    print(ctx.citation_list())
+    return 0
+
+
+def _walk_documents(path: str):
+    from trueno_rag_tpu import Document
+
+    exts = (".txt", ".md")
+    files: List[str] = []
+    if os.path.isfile(path):
+        files = [path]
+    elif os.path.isdir(path):
+        for root, _dirs, names in sorted(os.walk(path)):
+            for name in sorted(names):
+                if name.lower().endswith(exts):
+                    files.append(os.path.join(root, name))
+    else:
+        raise SystemExit(f"error: path does not exist: {path}")
+    docs = []
+    for f in files:
+        try:
+            with open(f, "r", encoding="utf-8", errors="replace") as fh:
+                content = fh.read()
+        except OSError as e:
+            print(f"warning: skipping {f}: {e}", file=sys.stderr)
+            continue
+        if content.strip():
+            docs.append(Document(content, title=os.path.basename(f), source=f))
+    if not docs:
+        raise SystemExit(f"error: no indexable .txt/.md documents under {path}")
+    return docs
+
+
+def cmd_index(args) -> int:
+    from trueno_rag_tpu import NoOpReranker, RagPipelineBuilder, RecursiveChunker
+    from trueno_rag_tpu.persist import save_index
+
+    docs = _walk_documents(args.path)
+    embedder = _build_embedder(args.embedder, args.dimension, args.model)
+    if args.embedder == "tfidf":
+        embedder.fit([d.content for d in docs])
+    pipeline = (
+        RagPipelineBuilder()
+        .with_embedder(embedder)
+        .with_reranker(NoOpReranker())
+        .with_chunker(RecursiveChunker(chunk_size=args.chunk_size, overlap=args.chunk_overlap))
+        .build()
+    )
+    n_chunks = pipeline.index_documents(docs)
+    os.makedirs(args.output, exist_ok=True)
+    out_path = os.path.join(args.output, "index.trag")
+    info = {"type": args.embedder, "dimension": embedder.dimension, "model": args.model}
+    if args.embedder == "tfidf":
+        info["state"] = embedder.state_dict()
+    else:
+        info["seed"] = 0
+    stats = save_index(out_path, pipeline.retriever, embedder_info=info)
+    print(
+        f"indexed {len(docs)} documents, {n_chunks} chunks "
+        f"-> {out_path} ({stats['compressed_bytes']} bytes compressed)"
+    )
+    return 0
+
+
+def _load(index_dir: str):
+    from trueno_rag_tpu.embed import TfIdfEmbedder
+    from trueno_rag_tpu.errors import IndexNotFoundError
+    from trueno_rag_tpu.persist import deserialize_compressed
+
+    path = os.path.join(index_dir, "index.trag")
+    if not os.path.exists(path):
+        raise SystemExit(f"error: no index found at {path}")
+    with open(path, "rb") as f:
+        payload = deserialize_compressed(f.read())
+    info = payload.get("embedder", {})
+    kind = info.get("type", "tfidf")
+    if kind == "tfidf":
+        if "state" in info:
+            embedder = TfIdfEmbedder.from_state_dict(info["state"])
+        else:
+            embedder = TfIdfEmbedder(info.get("dimension", 128))
+            embedder.fit([c["content"] for c in payload["chunks"]])
+    else:
+        embedder = _build_embedder("semantic", info.get("dimension", 384), info.get("model"), info.get("seed", 0))
+    from trueno_rag_tpu.persist import load_index
+
+    retr, _ = load_index(path, embedder)
+    return retr
+
+
+def cmd_query(args) -> int:
+    retr = _load(args.index)
+    results = retr.retrieve(args.query_text, args.top_k)
+    if args.format == "json":
+        out = [
+            {
+                "rank": i + 1,
+                "score": r.best_score(),
+                "dense_score": r.dense_score,
+                "sparse_score": r.sparse_score,
+                "fused_score": r.fused_score,
+                "title": r.chunk.metadata.title,
+                "source": r.chunk.metadata.custom.get("source"),
+                "content": r.chunk.content,
+            }
+            for i, r in enumerate(results)
+        ]
+        print(json.dumps(out, indent=2))
+    else:
+        if not results:
+            print("no results")
+        for i, r in enumerate(results, 1):
+            title = r.chunk.metadata.title or "untitled"
+            print(f"{i}. [{r.best_score():.4f}] {title}")
+            print(f"   {r.chunk.content[:160]}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="trueno-rag-tpu", description="TPU-native RAG pipeline CLI")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("info", help="show version and components").set_defaults(fn=cmd_info)
+
+    d = sub.add_parser("demo", help="run the built-in demo pipeline")
+    d.add_argument("--query", default="How does hybrid search combine retrieval methods?")
+    d.add_argument("--top-k", type=int, default=3)
+    d.set_defaults(fn=cmd_demo)
+
+    i = sub.add_parser("index", help="index .txt/.md documents")
+    i.add_argument("--path", required=True, help="file or directory to index")
+    i.add_argument("--output", required=True, help="output directory for the index artifact")
+    i.add_argument("--chunk-size", type=int, default=512)
+    i.add_argument("--chunk-overlap", type=int, default=64)
+    i.add_argument("--dimension", type=int, default=256)
+    i.add_argument("--embedder", choices=["tfidf", "semantic"], default="tfidf")
+    i.add_argument("--model", default=None, help="semantic model: mini-lm|mini-lm-l12|bge-small|bge-base")
+    i.set_defaults(fn=cmd_index)
+
+    q = sub.add_parser("query", help="query a persisted index")
+    q.add_argument("query_text")
+    q.add_argument("--index", required=True, help="directory containing index.trag")
+    q.add_argument("--top-k", type=int, default=5)
+    q.add_argument("--format", choices=["text", "json"], default="text")
+    q.set_defaults(fn=cmd_query)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except BrokenPipeError:  # downstream pipe (e.g. `| head`) closed early
+        try:
+            sys.stdout.close()
+        except OSError:
+            pass
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -207,12 +207,14 @@ class RagPipeline:
         chunker: Chunker,
         retriever: HybridRetriever,
         assembler: ContextAssembler,
+        preprocessor=None,
     ) -> None:
         self.embedder = embedder
         self.reranker = reranker
         self.chunker = chunker
         self.retriever = retriever
         self.assembler = assembler
+        self.preprocessor = preprocessor  # optional QueryPreprocessor
         self.document_count = 0
         self.chunk_count = 0
 
@@ -234,8 +236,39 @@ class RagPipeline:
     # -- query ------------------------------------------------------------------
 
     def query(self, query: str, k: int = 5) -> List[RetrievalResult]:
+        if self.preprocessor is not None:
+            return self._query_preprocessed(query, k)
         candidates = self.retriever.retrieve(query, k * 2)
         return self.reranker.rerank(query, candidates, k)
+
+    def _query_preprocessed(self, query: str, k: int) -> List[RetrievalResult]:
+        """Multi-query retrieval: preprocess into variants, retrieve all
+        variants as ONE device batch, fuse the per-variant rankings by
+        reciprocal rank (RRF), then rerank against the ORIGINAL query.
+
+        This is the live version of the reference's dead preprocessing
+        subsystem (SURVEY §0.3): the variant batch shares a single
+        corpus scan on device, so expansion is nearly free.
+        """
+        variants = self.preprocessor.preprocess(query)
+        per_variant = self.retriever.retrieve_batch(variants, k * 2)
+        rrf_k = 60.0
+        acc: dict = {}
+        best: dict = {}
+        for results in per_variant:
+            for rank, res in enumerate(results):
+                cid = res.chunk.id
+                acc[cid] = acc.get(cid, 0.0) + 1.0 / (rrf_k + rank + 1.0)
+                prev = best.get(cid)
+                if prev is None or res.best_score() > prev.best_score():
+                    best[cid] = res
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[: k * 2]
+        fused = []
+        for cid, score in ranked:
+            res = best[cid]
+            res.fused_score = score
+            fused.append(res)
+        return self.reranker.rerank(query, fused, k)
 
     def query_batch(self, queries: Sequence[str], k: int = 5) -> List[List[RetrievalResult]]:
         batches = self.retriever.retrieve_batch(queries, k * 2)
@@ -264,6 +297,7 @@ class RagPipelineBuilder:
         self._retriever_config: Optional[HybridRetrieverConfig] = None
         self._vector_config: Optional[VectorStoreConfig] = None
         self._assembler_config: Optional[ContextAssemblerConfig] = None
+        self._preprocessor = None
 
     def with_embedder(self, embedder: Embedder) -> "RagPipelineBuilder":
         self._embedder = embedder
@@ -293,6 +327,12 @@ class RagPipelineBuilder:
         self._assembler_config = config
         return self
 
+    def with_preprocessor(self, preprocessor) -> "RagPipelineBuilder":
+        """Route queries through a QueryPreprocessor (HyDE, multi-query,
+        chained — :mod:`trueno_rag_tpu.preprocess`)."""
+        self._preprocessor = preprocessor
+        return self
+
     def build(self) -> RagPipeline:
         if self._embedder is None:
             raise InvalidConfigError("pipeline requires an embedder")
@@ -308,7 +348,10 @@ class RagPipelineBuilder:
             vector_config=self._vector_config,
         )
         assembler = ContextAssembler(self._assembler_config)
-        return RagPipeline(self._embedder, self._reranker, chunker, retriever, assembler)
+        return RagPipeline(
+            self._embedder, self._reranker, chunker, retriever, assembler,
+            preprocessor=self._preprocessor,
+        )
 
 
 def pipeline_builder() -> RagPipelineBuilder:
