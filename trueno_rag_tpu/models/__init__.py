@@ -29,6 +29,18 @@ from trueno_rag_tpu.models.encoder import (
     encoder_forward,
     init_encoder_params,
 )
+from trueno_rag_tpu.models.nemotron import (
+    NEMOTRON_QUERY_PREFIX,
+    NemotronConfig,
+    NemotronEmbedder,
+    init_nemotron_params,
+    nemotron_forward,
+)
+from trueno_rag_tpu.models.cross_encoder import (
+    CrossEncoderReranker,
+    cross_encoder_scores,
+    init_cross_encoder_params,
+)
 
 __all__ = [
     "EncoderConfig",
@@ -36,4 +48,12 @@ __all__ = [
     "JaxEncoderEmbedder",
     "encoder_forward",
     "init_encoder_params",
+    "NEMOTRON_QUERY_PREFIX",
+    "NemotronConfig",
+    "NemotronEmbedder",
+    "init_nemotron_params",
+    "nemotron_forward",
+    "CrossEncoderReranker",
+    "cross_encoder_scores",
+    "init_cross_encoder_params",
 ]

@@ -68,7 +68,9 @@ def bm25_topk(
 
     scores = jax.vmap(one_query)(positions, pos_terms, pos_mask)  # [B, N]
     masked = jnp.where(scores > 0.0, scores, NEG_INF)
-    top_scores, top_rows = jax.lax.top_k(masked, min(k, n))
+    from trueno_rag_tpu.ops.dense import blockwise_topk
+
+    top_scores, top_rows = blockwise_topk(masked, min(k, n))
     top_rows = jnp.where(jnp.isneginf(top_scores), -1, top_rows).astype(jnp.int32)
     if top_scores.shape[1] < k:  # corpus smaller than k: pad out
         pad = k - top_scores.shape[1]
