@@ -207,3 +207,49 @@ def test_shared_registry_rows_align():
     assert reg.capacity_rows == 4
     _, rows_d = store.search_arrays(chunks[2].embedding[None, :], k=1)
     assert int(rows_d[0, 0]) == reg.row_of(chunks[2].id)
+
+
+def test_bm25_candidates_matches_scatter():
+    """The corpus-size-independent candidate path must agree with the
+    dense scatter oracle on randomized postings."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trueno_rag_tpu.ops.bm25 import bm25_topk_candidates, bm25_topk_scatter
+
+    rng = np.random.default_rng(7)
+    n, v, p, bsz, L, k = 500, 40, 2000, 3, 256, 20
+    term_sorted = np.sort(rng.integers(0, v, p))
+    rows = rng.integers(0, n, p).astype(np.int32)
+    tfs = rng.integers(1, 6, p).astype(np.float32)
+    indptr = np.searchsorted(term_sorted, np.arange(v + 1))
+    idf = rng.random(v).astype(np.float32) + 0.1
+    doc_len = rng.integers(5, 50, n).astype(np.float32)
+    avgdl = jnp.asarray(np.float32(doc_len.mean()))
+
+    positions = np.zeros((bsz, L), np.int32)
+    terms = np.zeros((bsz, L), np.int32)
+    mask = np.zeros((bsz, L), bool)
+    for i in range(bsz):
+        parts_p, parts_t = [], []
+        for t in rng.choice(v, 4, replace=False):
+            lo, hi = int(indptr[t]), int(indptr[t + 1])
+            parts_p.append(np.arange(lo, hi, dtype=np.int32))
+            parts_t.append(np.full(hi - lo, t, np.int32))
+        pos = np.concatenate(parts_p)[:L]
+        trm = np.concatenate(parts_t)[:L]
+        positions[i, : len(pos)] = pos
+        terms[i, : len(trm)] = trm
+        mask[i, : len(pos)] = True
+
+    args = (jnp.asarray(positions), jnp.asarray(terms), jnp.asarray(mask),
+            jnp.asarray(rows), jnp.asarray(tfs), jnp.asarray(idf),
+            jnp.asarray(doc_len), avgdl)
+    s_c, r_c = bm25_topk_candidates(*args, k=k)
+    s_s, r_s = bm25_topk_scatter(*args, k=k, n_rows=n)
+    r_c, r_s = np.asarray(r_c), np.asarray(r_s)
+    # same candidate sets; adjacent ranks may swap when two true scores
+    # differ by <1 ulp (cumsum-difference vs scatter-add fp association)
+    for qi in range(bsz):
+        assert set(r_c[qi].tolist()) == set(r_s[qi].tolist()), qi
+    np.testing.assert_allclose(np.asarray(s_c), np.asarray(s_s), rtol=1e-4, atol=1e-5)

@@ -34,8 +34,77 @@ import jax.numpy as jnp
 NEG_INF = float("-inf")
 
 
+@functools.partial(jax.jit, static_argnames=("k", "k1", "b"))
+def bm25_topk_candidates(
+    positions: jax.Array,  # [B, L] int32 — indices into the postings arrays
+    pos_terms: jax.Array,  # [B, L] int32 — term id per position
+    pos_mask: jax.Array,  # [B, L] bool — False for padding slots
+    rows: jax.Array,  # [P] int32 — chunk row per posting
+    tfs: jax.Array,  # [P] float32 — term frequency per posting
+    idf: jax.Array,  # [V] float32 — per-term idf
+    doc_len: jax.Array,  # [N] float32 — token count per chunk row
+    avgdl: jax.Array,  # scalar float32
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> Tuple[jax.Array, jax.Array]:
+    """Candidate-set BM25 top-k — corpus-size-independent.
+
+    The scatter formulation (:func:`bm25_topk_scatter`) materializes a
+    dense ``[B, N]`` score vector; its cost grows with the corpus even
+    though only the union of the query terms' postings (≤ L rows) can
+    score non-zero — exactly the candidate-union insight of the
+    reference's own search (index.rs:212-243). This version stays in
+    candidate space:
+
+    1. gather (row, tf·idf-contribution) per posting position — [B, L];
+    2. sort each query's postings by row (single-key int sort);
+    3. segment-sum equal-row runs with a cumsum-difference (no scatter):
+       ``seg_sum[i] = cumsum[i] - cumsum[prev_segment_end]`` at each
+       run's last element;
+    4. exact top-k over the ≤L candidate scores.
+
+    O(L log L) per query regardless of N, and the sorted-row layout
+    makes ``lax.top_k``'s tie preference yield (score desc, row asc)
+    automatically. Scoring math identical to the scatter path.
+    """
+    L = positions.shape[1]
+
+    def one_query(pos, terms, mask):
+        r = rows[pos]
+        tf = tfs[pos]
+        dl = doc_len[r]
+        idf_t = idf[terms]
+        denom = tf + k1 * (1.0 - b + b * dl / jnp.maximum(avgdl, 1e-9))
+        contrib = idf_t * tf * (k1 + 1.0) / jnp.maximum(denom, 1e-9)
+        contrib = jnp.where(mask, contrib, 0.0)
+        r_key = jnp.where(mask, r, jnp.iinfo(jnp.int32).max)  # padding last
+        r_sorted, c_sorted = jax.lax.sort((r_key, contrib), num_keys=1)
+        csum = jnp.cumsum(c_sorted)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0).squeeze(-1)
+        nxt = jnp.concatenate([r_sorted[1:], jnp.full((1,), -1, r_sorted.dtype)])
+        is_end = r_sorted != nxt  # last element of each equal-row run
+        # index of the previous run's end (or -1): running max of end positions
+        end_pos = jnp.where(is_end, idx, -1)
+        prev_end = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                                    jax.lax.associative_scan(jnp.maximum, end_pos)[:-1]])
+        base = jnp.where(prev_end >= 0, csum[jnp.maximum(prev_end, 0)], 0.0)
+        seg_sum = csum - base
+        valid = is_end & (r_sorted != jnp.iinfo(jnp.int32).max) & (seg_sum > 0.0)
+        scores_c = jnp.where(valid, seg_sum, NEG_INF)
+        k_eff = min(k, L)
+        top_s, top_i = jax.lax.top_k(scores_c, k_eff)
+        top_r = jnp.where(jnp.isneginf(top_s), -1, r_sorted[top_i]).astype(jnp.int32)
+        if k_eff < k:
+            top_s = jnp.pad(top_s, (0, k - k_eff), constant_values=NEG_INF)
+            top_r = jnp.pad(top_r, (0, k - k_eff), constant_values=-1)
+        return top_s, top_r
+
+    return jax.vmap(one_query)(positions, pos_terms, pos_mask)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "k1", "b", "n_rows"))
-def bm25_topk(
+def bm25_topk_scatter(
     positions: jax.Array,  # [B, L] int32 — indices into the postings arrays
     pos_terms: jax.Array,  # [B, L] int32 — term id per position
     pos_mask: jax.Array,  # [B, L] bool — False for padding slots
@@ -77,6 +146,37 @@ def bm25_topk(
         top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
         top_rows = jnp.pad(top_rows, ((0, 0), (0, pad)), constant_values=-1)
     return top_scores, top_rows
+
+
+def bm25_topk(
+    positions,
+    pos_terms,
+    pos_mask,
+    rows,
+    tfs,
+    idf,
+    doc_len,
+    avgdl,
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_rows: int = 0,
+    algorithm: str = "candidates",
+):
+    """BM25 top-k dispatcher. ``candidates`` (default) is the
+    corpus-size-independent sort/segment-sum path; ``scatter`` is the
+    dense-score oracle (kept for cross-checks and tiny corpora)."""
+    if algorithm == "candidates":
+        return bm25_topk_candidates(
+            positions, pos_terms, pos_mask, rows, tfs, idf, doc_len, avgdl,
+            k=k, k1=k1, b=b,
+        )
+    if algorithm == "scatter":
+        return bm25_topk_scatter(
+            positions, pos_terms, pos_mask, rows, tfs, idf, doc_len, avgdl,
+            k=k, k1=k1, b=b, n_rows=n_rows,
+        )
+    raise ValueError(f"unknown bm25 algorithm {algorithm!r}")
 
 
 def bucket_len(n: int, minimum: int = 64) -> int:
