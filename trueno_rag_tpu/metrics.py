@@ -38,15 +38,15 @@ def recall_at_k(retrieved: Sequence[str], relevant: Set[str], k: int) -> float:
     (reference: metrics.rs:45-58)."""
     if not relevant:
         return 0.0
-    hits = sum(1 for i in retrieved[:k] if i in relevant)
-    return hits / len(relevant)
+    hits = len(set(retrieved[:k]) & relevant)  # set semantics: duplicate
+    return hits / len(relevant)  # retrieved ids count once (metrics.rs:49-58)
 
 
 def precision_at_k(retrieved: Sequence[str], relevant: Set[str], k: int) -> float:
     """|relevant ∩ retrieved@k| / k; 0.0 when k == 0 (metrics.rs:60-73)."""
     if k == 0:
         return 0.0
-    hits = sum(1 for i in retrieved[:k] if i in relevant)
+    hits = len(set(retrieved[:k]) & relevant)
     return hits / k
 
 
@@ -77,8 +77,10 @@ def average_precision(retrieved: Sequence[str], relevant: Set[str]) -> float:
         return 0.0
     hits = 0
     acc = 0.0
+    seen: Set[str] = set()
     for rank, i in enumerate(retrieved):
-        if i in relevant:
+        if i in relevant and i not in seen:  # each relevant id scores once
+            seen.add(i)
             hits += 1
             acc += hits / (rank + 1)
     return acc / len(relevant)
