@@ -42,6 +42,7 @@ class BM25Index:
         registry: Optional[ChunkRegistry] = None,
         stopwords=STOPWORDS,
         min_token_len: int = 2,
+        use_native: Optional[bool] = None,
     ) -> None:
         self.k1 = float(k1)
         self.b = float(b)
@@ -57,6 +58,47 @@ class BM25Index:
         # device snapshot
         self._dirty = True
         self._snap = None  # (vocab, rows, tfs, idf, doc_len_arr, avgdl, indptr)
+        # Native bulk-build path: postings accumulate inside the C++
+        # builder (trueno_rag_tpu.native); Python dicts materialize
+        # lazily only when the index is mutated (remove / re-add) or
+        # serialized. use_native=None -> auto-detect.
+        self._native_builder = None
+        self._use_native = use_native
+        if use_native is not False:
+            try:
+                from trueno_rag_tpu.native import NativeBM25Builder, native_available
+
+                if native_available():
+                    self._native_builder = NativeBM25Builder(
+                        min_token_len=min_token_len, stopwords=stopwords
+                    )
+            except Exception:
+                if use_native is True:
+                    raise
+
+    @property
+    def native_active(self) -> bool:
+        """True while postings live in the C++ builder only."""
+        return self._native_builder is not None
+
+    def _materialize_postings(self) -> None:
+        """Pull postings out of the native builder into Python dicts so
+        mutation/serialization can proceed; drops the builder."""
+        if self._native_builder is None:
+            return
+        export = self._native_builder.export()
+        postings: Dict[str, Dict[int, int]] = {}
+        indptr = export["indptr"]
+        rows = export["rows"]
+        tfs = export["tfs"]
+        for ti, term in enumerate(export["terms"]):
+            lo, hi = int(indptr[ti]), int(indptr[ti + 1])
+            postings[term] = {
+                int(rows[j]): int(tfs[j]) for j in range(lo, hi)
+            }
+        self._postings = postings
+        self._native_builder = None
+        self._dirty = True
 
     # -- mutation ------------------------------------------------------------
 
@@ -64,9 +106,20 @@ class BM25Index:
         return tokenize(text, stopwords=self.stopwords, min_len=self.min_token_len)
 
     def add(self, chunk: Chunk) -> None:
+        # Replacement must clear the OLD content's postings before the
+        # registry swaps in the new chunk (remove re-tokenizes the stored
+        # chunk), so resolve the row first.
+        existing_row = self.registry.row_of(chunk.id)
+        if existing_row is not None and existing_row in self._doc_len:
+            self._materialize_postings()
+            self._remove_row(existing_row)
         row = self.registry.add(chunk)
-        if row in self._doc_len:
-            self._remove_row(row)
+        if self._native_builder is not None:
+            count = self._native_builder.add(row, chunk.content)
+            self._doc_len[row] = count
+            self._total_len += count
+            self._dirty = True
+            return
         toks = self._tokenize(chunk.content)
         self._doc_len[row] = len(toks)
         self._total_len += len(toks)
@@ -78,6 +131,15 @@ class BM25Index:
         self._dirty = True
 
     def add_batch(self, chunks: Sequence[Chunk]) -> None:
+        if self._native_builder is not None:
+            rows = [self.registry.add(c) for c in chunks]
+            if not any(r in self._doc_len for r in rows):  # no replacements
+                counts = self._native_builder.add_batch(rows, [c.content for c in chunks])
+                for r, n in zip(rows, counts):
+                    self._doc_len[r] = int(n)
+                self._total_len += int(counts.sum())
+                self._dirty = True
+                return
         for c in chunks:
             self.add(c)
 
@@ -103,6 +165,7 @@ class BM25Index:
         row = self.registry.row_of(chunk_id)
         if row is None or row not in self._doc_len:
             return False
+        self._materialize_postings()
         self._remove_row(row)
         if self._owns_registry:
             self.registry.remove(chunk_id)
@@ -134,6 +197,34 @@ class BM25Index:
         if not self._dirty and self._snap is not None:
             return
         n_rows = self.registry.capacity_rows
+        if self._native_builder is not None:
+            export = self._native_builder.export()
+            terms = export["terms"]
+            vocab = {t: i for i, t in enumerate(terms)}
+            indptr = np.asarray(export["indptr"], dtype=np.int64)
+            rows = np.asarray(export["rows"], dtype=np.int32)
+            tfs = np.asarray(export["tfs"], dtype=np.float32)
+            n = max(len(self._doc_len), 1)
+            df = np.maximum(np.diff(indptr), 1).astype(np.float64)
+            idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0).astype(np.float32)
+            if idf.size == 0:
+                idf = np.zeros(1, dtype=np.float32)
+                rows = np.zeros(1, dtype=np.int32)
+                tfs = np.zeros(1, dtype=np.float32)
+            doc_len = np.zeros(max(n_rows, 1), dtype=np.float32)
+            doc_len[export["doc_len_rows"]] = export["doc_len_vals"]
+            self._snap = {
+                "vocab": vocab,
+                "indptr": indptr,
+                "rows": jnp.asarray(rows),
+                "tfs": jnp.asarray(tfs),
+                "idf": jnp.asarray(idf),
+                "doc_len": jnp.asarray(doc_len),
+                "avgdl": jnp.asarray(np.float32(self.avg_doc_length)),
+                "n_rows": max(n_rows, 1),
+            }
+            self._dirty = False
+            return
         terms = sorted(self._postings.keys())
         vocab = {t: i for i, t in enumerate(terms)}
         sizes = [len(self._postings[t]) for t in terms]
@@ -237,7 +328,9 @@ class BM25Index:
     def search_host(self, query: str, k: int) -> List[Tuple[str, float]]:
         """Scalar oracle with the reference's exact loop semantics:
         candidate union of posting lists → per-candidate term sum →
-        score>0 filter → sort desc → truncate (index.rs:212-243)."""
+        score>0 filter → sort desc → truncate (index.rs:212-243).
+        Materializes native postings (test/debug path)."""
+        self._materialize_postings()
         terms = self._tokenize(query)
         if not terms or self.is_empty():
             return []
@@ -269,6 +362,7 @@ class BM25Index:
     # -- persistence hooks ---------------------------------------------------------
 
     def state_dict(self) -> Dict[str, object]:
+        self._materialize_postings()
         return {
             "k1": self.k1,
             "b": self.b,
@@ -279,6 +373,7 @@ class BM25Index:
         }
 
     def load_state_dict(self, d: Dict[str, object]) -> None:
+        self._native_builder = None  # dicts become the source of truth
         self.k1 = float(d["k1"])
         self.b = float(d["b"])
         self.min_token_len = int(d.get("min_token_len", 2))
