@@ -125,3 +125,40 @@ def test_dp_matches_single_device_loss():
     with mesh:
         loss_shard, _ = jax.jit(functools.partial(contrastive_loss, config=cfg))(ps, qs, ds)
     np.testing.assert_allclose(float(loss_single), float(loss_shard), rtol=2e-3)
+
+
+def test_sharded_hybrid_matches_single_host():
+    """ShardedHybridIndex over 8 shards must return the same ranking as
+    the single-host HybridRetriever for every fusion strategy."""
+    from trueno_rag_tpu.embed import TfIdfEmbedder
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+    from trueno_rag_tpu.fusion import FusionStrategy
+    from trueno_rag_tpu.parallel.hybrid import ShardedHybridIndex
+    from trueno_rag_tpu.retrieve import HybridRetriever
+
+    corpus = [
+        f"document number {i} about {'foxes' if i % 3 == 0 else 'data'} "
+        f"and {'retrieval' if i % 2 == 0 else 'ranking'} systems"
+        for i in range(40)
+    ]
+    emb = TfIdfEmbedder(32).fit(corpus)
+    retr = HybridRetriever(emb)
+    chunks = []
+    for i, t in enumerate(corpus):
+        c = Chunk(document_id="d", content=t, start_offset=0, end_offset=len(t),
+                  metadata=ChunkMetadata(), id=chunk_id_from_int(i))
+        c.set_embedding(emb.embed_document(t))
+        chunks.append(c)
+    retr.index_batch(chunks)
+
+    mesh = create_mesh(data=8, model=1)
+    for fusion in [FusionStrategy.rrf(), FusionStrategy.linear(0.5), FusionStrategy.dbsf()]:
+        retr.config.fusion = fusion
+        sharded = ShardedHybridIndex(retr, mesh, fusion=fusion, candidates_per_source=20)
+        retr.config.candidates_per_source = 20
+        for q in ["foxes retrieval", "data ranking", "document systems"]:
+            single = retr.retrieve(q, 8)
+            multi = sharded.search(q, 8)
+            assert [r.chunk.id for r in multi] == [r.chunk.id for r in single], (fusion.kind, q)
+            for a, b in zip(multi, single):
+                assert abs(a.fused_score - b.fused_score) < 1e-5

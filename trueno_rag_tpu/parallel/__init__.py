@@ -12,7 +12,14 @@ The reference is strictly single-process with zero parallelism
   BASELINE.json).
 """
 
+from trueno_rag_tpu.parallel.hybrid import ShardedHybridIndex
 from trueno_rag_tpu.parallel.mesh import create_mesh, encoder_param_specs
 from trueno_rag_tpu.parallel.sharded import ShardedVectorIndex, sharded_dense_topk
 
-__all__ = ["create_mesh", "encoder_param_specs", "sharded_dense_topk", "ShardedVectorIndex"]
+__all__ = [
+    "create_mesh",
+    "encoder_param_specs",
+    "sharded_dense_topk",
+    "ShardedVectorIndex",
+    "ShardedHybridIndex",
+]

@@ -1,0 +1,95 @@
+"""Pod-scale hybrid serving: sharded dense + replicated sparse + fusion.
+
+The BASELINE.json north star: a hybrid (dense+BM25) index whose memory
+footprint is dominated by the ``[N, d]`` embedding matrix, sharded
+row-wise across the mesh so an N-chunk corpus needs only ``N/s`` rows of
+HBM per chip. The BM25 side is ~16 bytes/posting vs ~4·d bytes/chunk
+dense (~100x smaller at 384-d), and its candidate-space scoring is
+corpus-size-independent, so its arrays replicate.
+
+Query plan (one jitted program per batch):
+
+  dense:   replicated queries → per-shard MXU scan → local top-k →
+           ICI all-gather merge (exact)
+  sparse:  candidate-space BM25 over replicated postings
+  fuse:    any of the six strategies over the two padded candidate sets
+  output:  global (rows, scores) top-k
+
+Built once from a :class:`~trueno_rag_tpu.retrieve.HybridRetriever`
+snapshot (or artifacts); serving-oriented and immutable — mutate the
+single-host retriever and rebuild/refresh shards.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from trueno_rag_tpu.fusion import FusionStrategy
+from trueno_rag_tpu.ops.bm25 import bm25_topk
+from trueno_rag_tpu.ops.fusion import fuse_topk
+from trueno_rag_tpu.parallel.sharded import ShardedVectorIndex
+from trueno_rag_tpu.retrieve import RetrievalResult
+
+
+class ShardedHybridIndex:
+    """Read-optimized multi-chip hybrid index."""
+
+    def __init__(
+        self,
+        retriever,
+        mesh: Mesh,
+        fusion: Optional[FusionStrategy] = None,
+        candidates_per_source: Optional[int] = None,
+    ) -> None:
+        self.mesh = mesh
+        self.registry = retriever.registry
+        self.embedder = retriever.embedder
+        self.fusion = fusion or retriever.config.fusion
+        self.candidates = candidates_per_source or retriever.config.candidates_per_source
+
+        store = retriever.vector_store
+        self.dense = ShardedVectorIndex(
+            store._host,
+            mesh,
+            metric=store.config.metric,
+            valid=store._valid,
+        )
+        sparse = retriever.sparse_index
+        sparse._refresh_snapshot()
+        self._bm25 = sparse
+        self._snap = sparse._snap
+
+    def search_arrays(self, queries: Sequence[str], k: int) -> Tuple[jax.Array, jax.Array]:
+        """Batched hybrid search → global ``(rows, scores) [B, k]``."""
+        cand = self.candidates
+        qvecs = self.embedder.embed_queries(list(queries))
+        d_scores, d_rows = self.dense.search(np.asarray(qvecs, dtype=np.float32), cand)
+
+        positions, terms, mask = self._bm25._gather_lists(list(queries))
+        snap = self._snap
+        s_scores, s_rows = bm25_topk(
+            jnp.asarray(positions), jnp.asarray(terms), jnp.asarray(mask),
+            snap["rows"], snap["tfs"], snap["idf"], snap["doc_len"], snap["avgdl"],
+            k=cand, k1=self._bm25.k1, b=self._bm25.b, n_rows=snap["n_rows"],
+        )
+        f_rows, f_scores = fuse_topk(
+            d_rows, d_scores, s_rows, s_scores,
+            kind=self.fusion.kind, param=self.fusion.device_param,
+        )
+        return f_rows[:, :k], f_scores[:, :k]
+
+    def search(self, query: str, k: int) -> List[RetrievalResult]:
+        rows, scores = self.search_arrays([query], k)
+        out: List[RetrievalResult] = []
+        for row, score in zip(np.asarray(rows[0]), np.asarray(scores[0])):
+            if row < 0:
+                continue
+            chunk = self.registry.chunk_of(int(row))
+            if chunk is not None:
+                out.append(RetrievalResult(chunk=chunk, fused_score=float(score)))
+        return out
