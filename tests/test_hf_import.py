@@ -1,0 +1,123 @@
+"""HF BERT import faithfulness: construct a RANDOM-weight BertModel with
+transformers (no network), export it, and assert our JAX encoder
+reproduces its hidden states / pooled embeddings numerically."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from trueno_rag_tpu.models.hf_import import convert_bert_state, load_hf_bert_encoder
+from trueno_rag_tpu.models.tokenization import WordPieceTokenizer, basic_tokenize
+
+TINY_CFG = dict(
+    vocab_size=200,
+    hidden_size=32,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    intermediate_size=64,
+    max_position_embeddings=64,
+    pad_token_id=0,
+    type_vocab_size=2,
+)
+
+VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+    "the", "fox", "jump", "##s", "##ing", "over", "dog", "lazy", "quick",
+    "retrieval", "tpu", "matrix", "a", "b", "c", ".", ",",
+]
+
+
+@pytest.fixture(scope="module")
+def hf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hf_tiny_bert")
+    torch.manual_seed(0)
+    cfg = transformers.BertConfig(**TINY_CFG)
+    model = transformers.BertModel(cfg)
+    model.eval()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    from safetensors.numpy import save_file
+
+    save_file(state, str(d / "model.safetensors"))
+    with open(d / "config.json", "w") as f:
+        json.dump(TINY_CFG, f)
+    with open(d / "vocab.txt", "w") as f:
+        f.write("\n".join(VOCAB))
+    return str(d), model
+
+
+def test_forward_matches_transformers(hf_dir):
+    import jax.numpy as jnp
+
+    model_dir, torch_model = hf_dir
+    emb = load_hf_bert_encoder(
+        model_dir, pooling="mean", normalize=False, compute_dtype=jnp.float32
+    )
+
+    ids = np.array(
+        [[2, 5, 6, 8, 3, 0, 0, 0], [2, 9, 10, 11, 14, 15, 16, 3]], dtype=np.int32
+    )
+    mask = (ids != 0).astype(np.int64)
+    with torch.no_grad():
+        out = torch_model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask),
+        ).last_hidden_state.numpy()
+    # mean-pool with the same mask
+    m = mask[..., None].astype(np.float32)
+    expected = (out * m).sum(1) / m.sum(1)
+
+    from trueno_rag_tpu.models.encoder import encoder_forward
+
+    got = np.asarray(encoder_forward(emb.params, jnp.asarray(ids), emb.encoder_config))
+    np.testing.assert_allclose(got, expected, atol=2e-4, rtol=2e-4)
+
+
+def test_embedder_end_to_end(hf_dir):
+    model_dir, _ = hf_dir
+    emb = load_hf_bert_encoder(model_dir)
+    assert isinstance(emb.tokenizer, WordPieceTokenizer)
+    v = emb.embed("the quick fox jumps")
+    assert v.shape == (32,)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    # deterministic + distinct
+    np.testing.assert_allclose(emb.embed("the fox"), emb.embed("the fox"))
+    assert not np.allclose(emb.embed("the fox"), emb.embed("tpu matrix"))
+
+
+def test_convert_rejects_missing_weight():
+    from trueno_rag_tpu.errors import SerializationError
+
+    with pytest.raises(SerializationError):
+        convert_bert_state({"embeddings.word_embeddings.weight": np.zeros((4, 4))}, 1)
+
+
+# ------------------------------------------------------------ wordpiece ----
+
+
+def test_basic_tokenize():
+    assert basic_tokenize("Hello, World!") == ["hello", ",", "world", "!"]
+    assert basic_tokenize("  spaced   out  ") == ["spaced", "out"]
+
+
+def test_wordpiece_continuations():
+    vocab = {t: i for i, t in enumerate(VOCAB)}
+    tok = WordPieceTokenizer(vocab, max_len=16)
+    ids = tok.encode("the fox jumps")
+    # jumps -> jump + ##s
+    assert ids == [2, vocab["the"], vocab["fox"], vocab["jump"], vocab["##s"], 3]
+    # unknown word -> [UNK]
+    ids = tok.encode("zzzq")
+    assert ids == [2, 1, 3]
+
+
+def test_wordpiece_batch_padding():
+    vocab = {t: i for i, t in enumerate(VOCAB)}
+    tok = WordPieceTokenizer(vocab, max_len=32)
+    batch = tok.encode_batch(["the fox", "the quick lazy dog jumping over the fox"])
+    assert batch.shape[0] == 2
+    assert batch[0, 0] == 2  # CLS
+    assert (batch[0] == 0).any()  # padded

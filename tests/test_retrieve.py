@@ -238,3 +238,31 @@ def test_composite_validation():
         CompositeReranker([])
     with pytest.raises(InvalidConfigError):
         CompositeReranker([NoOpReranker()], weights=[1.0, 2.0])
+
+
+def test_fused_query_program_matches_staged_path():
+    """The one-XLA-program path (encoder+dense+bm25+fusion fused) must
+    rank identically to the staged retrieve_batch."""
+    from trueno_rag_tpu.models.encoder import EncoderConfig, JaxEncoderEmbedder
+
+    emb = JaxEncoderEmbedder(config=EncoderConfig.tiny())
+    retr = HybridRetriever(emb, config=HybridRetrieverConfig(candidates_per_source=10))
+    chunks = [mk_chunk(i, t) for i, t in enumerate(CORPUS)]
+    emb.embed_chunks(chunks)
+    retr.index_batch(chunks)
+
+    queries = ["fox forests", "neural networks data"]
+    staged = retr.retrieve_batch(queries, 4)
+    fused = retr.retrieve_batch_fused(queries, 4)
+    for s_list, f_list in zip(staged, fused):
+        assert [r.chunk.id for r in f_list] == [r.chunk.id for r in s_list]
+        for s, f in zip(s_list, f_list):
+            assert f.fused_score == pytest.approx(s.fused_score, rel=1e-4, abs=1e-6)
+
+
+def test_fused_path_requires_jax_encoder():
+    from trueno_rag_tpu.errors import QueryError
+
+    retr, _ = build_hybrid()  # TF-IDF embedder
+    with pytest.raises(QueryError):
+        retr.retrieve_batch_fused(["q"], 2)

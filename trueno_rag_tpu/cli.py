@@ -67,6 +67,10 @@ def _build_embedder(kind: str, dimension: int, model: Optional[str], seed: int =
         from trueno_rag_tpu.models.encoder import EncoderConfig, JaxEncoderEmbedder
 
         name = model or "mini-lm"
+        if os.path.isdir(name):  # local HF checkpoint directory
+            from trueno_rag_tpu.models.hf_import import load_hf_bert_encoder
+
+            return load_hf_bert_encoder(name)
         configs = {
             "mini-lm": EncoderConfig.minilm_l6,
             "mini-lm-l12": EncoderConfig.minilm_l12,

@@ -41,6 +41,8 @@ from trueno_rag_tpu.models.cross_encoder import (
     cross_encoder_scores,
     init_cross_encoder_params,
 )
+from trueno_rag_tpu.models.hf_import import load_hf_bert_encoder
+from trueno_rag_tpu.models.tokenization import WordPieceTokenizer
 
 __all__ = [
     "EncoderConfig",
@@ -56,4 +58,6 @@ __all__ = [
     "CrossEncoderReranker",
     "cross_encoder_scores",
     "init_cross_encoder_params",
+    "load_hf_bert_encoder",
+    "WordPieceTokenizer",
 ]

@@ -1,0 +1,147 @@
+"""Import BERT-family HuggingFace checkpoints into the JAX encoder.
+
+MiniLM (all-MiniLM-L6/L12-v2), BGE (bge-small/base-en-v1.5) and friends
+are BERT-architecture encoders; this module maps an HF checkpoint
+directory (``config.json`` + ``model.safetensors``/``pytorch_model.bin``
++ ``vocab.txt``) onto :func:`trueno_rag_tpu.models.encoder`'s
+layer-stacked parameter layout, giving real production embeddings from
+locally-available weights (this environment has no network egress; the
+reference's fastembed downloads models at first use, embed.rs:419-532).
+
+Fidelity notes:
+- HF Linear weights are ``[out, in]`` → transposed.
+- Q/K/V concatenate into the fused ``qkv_w`` ``[hidden, 3*hidden]``.
+- ``token_type_embeddings[0]`` folds into the word embeddings (retrieval
+  encodes single segments, so every position is type 0).
+- Requires ``pad_token_id == 0`` (standard for BERT vocabs) because the
+  encoder masks on token id 0.
+
+The faithfulness test constructs a *random-weight* ``BertModel`` with
+``transformers`` (no download), exports it, and asserts our forward
+matches it numerically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from trueno_rag_tpu.errors import SerializationError
+from trueno_rag_tpu.models.encoder import EncoderConfig, JaxEncoderEmbedder
+from trueno_rag_tpu.models.tokenization import WordPieceTokenizer
+
+
+def _load_hf_state(model_dir: str) -> Dict[str, np.ndarray]:
+    st_path = os.path.join(model_dir, "model.safetensors")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        return load_file(st_path)
+    pt_path = os.path.join(model_dir, "pytorch_model.bin")
+    if os.path.exists(pt_path):
+        import torch
+
+        state = torch.load(pt_path, map_location="cpu", weights_only=True)
+        return {k: v.numpy() for k, v in state.items()}
+    raise SerializationError(f"no model.safetensors or pytorch_model.bin in {model_dir}")
+
+
+def convert_bert_state(
+    state: Dict[str, np.ndarray], num_layers: int
+) -> Dict[str, np.ndarray]:
+    """HF BERT state dict → layer-stacked encoder params (float32)."""
+
+    def get(name: str) -> np.ndarray:
+        for prefix in ("", "bert.", "model."):
+            key = prefix + name
+            if key in state:
+                return np.asarray(state[key], dtype=np.float32)
+        raise SerializationError(f"missing HF weight: {name}")
+
+    tok = get("embeddings.word_embeddings.weight")
+    if any(k.endswith("embeddings.token_type_embeddings.weight") for k in state):
+        tok = tok + get("embeddings.token_type_embeddings.weight")[0][None, :]
+
+    def stack(fmt: str, transpose: bool = False) -> np.ndarray:
+        mats = [get(fmt.format(i)) for i in range(num_layers)]
+        if transpose:
+            mats = [m.T for m in mats]
+        return np.stack(mats)
+
+    qkv_w = np.concatenate(
+        [
+            stack("encoder.layer.{}.attention.self.query.weight", transpose=True),
+            stack("encoder.layer.{}.attention.self.key.weight", transpose=True),
+            stack("encoder.layer.{}.attention.self.value.weight", transpose=True),
+        ],
+        axis=2,
+    )  # [L, H, 3H]
+    qkv_b = np.concatenate(
+        [
+            stack("encoder.layer.{}.attention.self.query.bias"),
+            stack("encoder.layer.{}.attention.self.key.bias"),
+            stack("encoder.layer.{}.attention.self.value.bias"),
+        ],
+        axis=1,
+    )  # [L, 3H]
+
+    return {
+        "tok_emb": tok,
+        "pos_emb": get("embeddings.position_embeddings.weight"),
+        "emb_ln_scale": get("embeddings.LayerNorm.weight"),
+        "emb_ln_bias": get("embeddings.LayerNorm.bias"),
+        "qkv_w": qkv_w,
+        "qkv_b": qkv_b,
+        "attn_out_w": stack("encoder.layer.{}.attention.output.dense.weight", transpose=True),
+        "attn_out_b": stack("encoder.layer.{}.attention.output.dense.bias"),
+        "ln1_scale": stack("encoder.layer.{}.attention.output.LayerNorm.weight"),
+        "ln1_bias": stack("encoder.layer.{}.attention.output.LayerNorm.bias"),
+        "mlp_w1": stack("encoder.layer.{}.intermediate.dense.weight", transpose=True),
+        "mlp_b1": stack("encoder.layer.{}.intermediate.dense.bias"),
+        "mlp_w2": stack("encoder.layer.{}.output.dense.weight", transpose=True),
+        "mlp_b2": stack("encoder.layer.{}.output.dense.bias"),
+        "ln2_scale": stack("encoder.layer.{}.output.LayerNorm.weight"),
+        "ln2_bias": stack("encoder.layer.{}.output.LayerNorm.bias"),
+    }
+
+
+def load_hf_bert_encoder(
+    model_dir: str,
+    pooling: str = "mean",
+    normalize: bool = True,
+    max_len: int = 256,
+    compute_dtype: Any = None,
+    embedding_config=None,
+) -> JaxEncoderEmbedder:
+    """Build a :class:`JaxEncoderEmbedder` from a local HF checkpoint."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    if hf_cfg.get("pad_token_id", 0) != 0:
+        raise SerializationError("encoder requires pad_token_id == 0")
+    config = EncoderConfig(
+        vocab_size=hf_cfg["vocab_size"],
+        hidden_dim=hf_cfg["hidden_size"],
+        num_layers=hf_cfg["num_hidden_layers"],
+        num_heads=hf_cfg["num_attention_heads"],
+        mlp_dim=hf_cfg["intermediate_size"],
+        max_len=min(max_len, hf_cfg.get("max_position_embeddings", max_len)),
+        pooling=pooling,
+        normalize=normalize,
+        compute_dtype=compute_dtype if compute_dtype is not None else jnp.bfloat16,
+    )
+    params = {k: jnp.asarray(v) for k, v in convert_bert_state(_load_hf_state(model_dir), config.num_layers).items()}
+    name = hf_cfg.get("_name_or_path") or os.path.basename(os.path.normpath(model_dir))
+    emb = JaxEncoderEmbedder(
+        config=config, params=params, model_name=name, embedding_config=embedding_config
+    )
+    vocab_path = os.path.join(model_dir, "vocab.txt")
+    if os.path.exists(vocab_path):
+        emb.tokenizer = WordPieceTokenizer.from_vocab_file(vocab_path, max_len=config.max_len)
+    return emb

@@ -1,0 +1,73 @@
+"""The fused hybrid query program: encode → score → fuse in one jit.
+
+BASELINE.json's north star is "embed→retrieve→fuse→rerank as one jitted
+XLA program". :class:`~trueno_rag_tpu.retrieve.HybridRetriever` composes
+its stages as separate jitted calls (fine for host embedders like
+TF-IDF, whose query vectors are born on the host); this module provides
+the fully fused program for JAX encoders: query *token ids* go in,
+fused candidate ``(rows, scores)`` come out, with no host round-trips
+in between — XLA schedules the encoder matmuls, corpus scan, BM25
+segment-sum and fusion sort as one executable.
+
+The lexical rerankers are host string code by nature; the neural
+cross-encoder reranker is itself a single jitted program over the fused
+candidates, so a neural end-to-end query costs exactly two device
+dispatches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from trueno_rag_tpu.models.encoder import EncoderConfig, encoder_forward
+from trueno_rag_tpu.ops.bm25 import bm25_topk_candidates
+from trueno_rag_tpu.ops.dense import blockwise_topk, similarity_scores, NEG_INF
+from trueno_rag_tpu.ops.fusion import fuse_topk
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("encoder_config", "cand", "k", "metric", "fusion_kind", "fusion_param", "k1", "b"),
+)
+def fused_hybrid_query(
+    encoder_params,
+    token_ids: jax.Array,  # [B, T] query token ids
+    matrix: jax.Array,  # [N, d] corpus (cosine rows pre-normalized)
+    valid_mask: jax.Array,  # [N]
+    positions: jax.Array,  # [B, L] BM25 gather lists
+    pos_terms: jax.Array,
+    pos_mask: jax.Array,
+    rows: jax.Array,
+    tfs: jax.Array,
+    idf: jax.Array,
+    doc_len: jax.Array,
+    avgdl: jax.Array,
+    encoder_config: EncoderConfig,
+    cand: int = 50,
+    k: int = 10,
+    metric: str = "cosine",
+    fusion_kind: str = "rrf",
+    fusion_param: float = 60.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> Tuple[jax.Array, jax.Array]:
+    """One XLA program: encoder forward + dense top-c + BM25 top-c +
+    fusion + final top-k. Returns ``(rows [B,k], scores [B,k])``."""
+    q = encoder_forward(encoder_params, token_ids, encoder_config)  # [B, d] f32
+    scores = similarity_scores(q, matrix, metric)
+    masked = jnp.where(valid_mask[None, :], scores, NEG_INF)
+    d_scores, d_rows = blockwise_topk(masked, cand)
+    d_rows = jnp.where(jnp.isneginf(d_scores), -1, d_rows)
+
+    s_scores, s_rows = bm25_topk_candidates(
+        positions, pos_terms, pos_mask, rows, tfs, idf, doc_len, avgdl,
+        k=cand, k1=k1, b=b,
+    )
+    f_rows, f_scores = fuse_topk(
+        d_rows, d_scores, s_rows, s_scores, kind=fusion_kind, param=fusion_param
+    )
+    return f_rows[:, :k], f_scores[:, :k]

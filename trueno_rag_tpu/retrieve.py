@@ -195,6 +195,61 @@ class HybridRetriever:
             )
         return maps
 
+    def retrieve_batch_fused(self, queries: Sequence[str], k: int) -> List[List[RetrievalResult]]:
+        """Fully fused query path (requires a JAX encoder embedder):
+        tokenization and BM25 gather-list assembly on host, then ONE
+        jitted program — encoder forward + dense scan + BM25 + fusion +
+        top-k (:func:`trueno_rag_tpu.ops.hybrid.fused_hybrid_query`)."""
+        from trueno_rag_tpu.models.encoder import JaxEncoderEmbedder
+        from trueno_rag_tpu.ops.hybrid import fused_hybrid_query
+
+        if not isinstance(self.embedder, JaxEncoderEmbedder):
+            raise QueryError("fused path requires a JaxEncoderEmbedder")
+        if not queries:
+            return []
+        if any(not q.strip() for q in queries):
+            raise QueryError("empty query")
+        if len(self.registry) == 0:
+            return [[] for _ in queries]
+        import jax.numpy as jnp
+
+        emb = self.embedder
+        token_ids = emb.tokenizer.encode_batch(
+            [emb.config.query_prefix + q for q in queries]
+        )
+        self.sparse_index._refresh_snapshot()
+        snap = self.sparse_index._snap
+        positions, terms, mask = self.sparse_index._gather_lists(list(queries))
+        f_rows, f_scores = fused_hybrid_query(
+            emb.params,
+            jnp.asarray(token_ids),
+            self.vector_store.device_matrix,
+            self.vector_store.device_valid,
+            jnp.asarray(positions), jnp.asarray(terms), jnp.asarray(mask),
+            snap["rows"], snap["tfs"], snap["idf"], snap["doc_len"], snap["avgdl"],
+            encoder_config=emb.encoder_config,
+            cand=self.config.candidates_per_source,
+            k=k,
+            metric=self.vector_store.config.metric,
+            fusion_kind=self.config.fusion.kind,
+            fusion_param=self.config.fusion.device_param,
+            k1=self.sparse_index.k1,
+            b=self.sparse_index.b,
+        )
+        f_rows = np.asarray(f_rows)
+        f_scores = np.asarray(f_scores)
+        out: List[List[RetrievalResult]] = []
+        for i in range(len(queries)):
+            results: List[RetrievalResult] = []
+            for row, score in zip(f_rows[i], f_scores[i]):
+                if row < 0:
+                    continue
+                chunk = self.registry.chunk_of(int(row))
+                if chunk is not None:
+                    results.append(RetrievalResult(chunk=chunk, fused_score=float(score)))
+            out.append(results)
+        return out
+
     def retrieve_dense(self, query: str, k: int) -> List[RetrievalResult]:
         """Vector-only retrieval (reference: retrieve.rs:225-240)."""
         qvec = self.embedder.embed_query(query)
