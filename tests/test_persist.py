@@ -128,3 +128,24 @@ def test_compression_ratio_on_index(tmp_path):
     stats = save_index(path, retr)
     # embeddings are random-ish floats (incompressible); text compresses
     assert stats["compressed_bytes"] < stats["raw_bytes_estimate"] * 1.2
+
+
+def test_bm25_compressed_bytes_roundtrip():
+    """BM25Index::to/from_compressed_bytes parity (compressed.rs:92-108):
+    search scores preserved through the byte round-trip."""
+    from trueno_rag_tpu.index import BM25Index
+
+    emb = TfIdfEmbedder(16).fit(CORPUS)
+    idx = BM25Index()
+    chunks = [mk_chunk(i, t, 16, emb) for i, t in enumerate(CORPUS)]
+    idx.add_batch(chunks)
+    blob = idx.to_compressed_bytes()
+    assert isinstance(blob, bytes) and len(blob) > 0
+
+    idx2 = BM25Index.from_compressed_bytes(blob, registry=idx.registry)
+    for q in ["fox", "learning data"]:
+        a = idx.search(q, 5)
+        b = idx2.search(q, 5)
+        assert [c for c, _ in a] == [c for c, _ in b]
+        for (_, s1), (_, s2) in zip(a, b):
+            assert s1 == pytest.approx(s2, abs=1e-5)

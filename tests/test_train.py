@@ -1,0 +1,80 @@
+"""Training tests: loss decreases over steps, checkpoint round-trip,
+resume continues from the saved step."""
+
+import functools
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from trueno_rag_tpu.models.encoder import EncoderConfig
+from trueno_rag_tpu.train.checkpoint import load_train_state, save_train_state
+from trueno_rag_tpu.train.contrastive import (
+    TrainState,
+    contrastive_loss,
+    create_train_state,
+    train_step,
+)
+
+CFG = EncoderConfig(vocab_size=64, hidden_dim=32, num_layers=1, num_heads=2, mlp_dim=64, max_len=12)
+
+
+def _batch(seed=0, b=8, t=12):
+    rng = np.random.default_rng(seed)
+    q = rng.integers(3, 64, (b, t), dtype=np.int32)
+    # positives share most tokens with their query
+    d = q.copy()
+    d[:, -2:] = rng.integers(3, 64, (b, 2), dtype=np.int32)
+    return jnp.asarray(q), jnp.asarray(d)
+
+
+def test_loss_decreases_over_steps():
+    state, tx = create_train_state(jax.random.PRNGKey(0), CFG, learning_rate=1e-3)
+    step = jax.jit(functools.partial(train_step, tx=tx, config=CFG))
+    q, d = _batch()
+    first = None
+    for i in range(12):
+        state, metrics = step(state, q, d)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert last < first, (first, last)
+    assert int(state.step) == 12
+
+
+def test_accuracy_metric_bounded():
+    state, tx = create_train_state(jax.random.PRNGKey(1), CFG)
+    q, d = _batch(1)
+    loss, metrics = contrastive_loss(state.params, q, d, CFG)
+    assert np.isfinite(float(loss))
+    assert 0.0 <= float(metrics["accuracy"]) <= 1.0
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    state, tx = create_train_state(jax.random.PRNGKey(0), CFG, learning_rate=1e-3)
+    step = jax.jit(functools.partial(train_step, tx=tx, config=CFG))
+    q, d = _batch()
+    for _ in range(3):
+        state, _ = step(state, q, d)
+
+    path = str(tmp_path / "ckpt")
+    save_train_state(path, state)
+    template, _ = create_train_state(jax.random.PRNGKey(0), CFG, learning_rate=1e-3)
+    restored = load_train_state(path, template=template)
+    assert int(restored.step) == 3
+    for k in state.params:
+        np.testing.assert_allclose(np.asarray(restored.params[k]), np.asarray(state.params[k]))
+
+    # resume: stepping the restored state matches stepping the original
+    s1, m1 = step(state, q, d)
+    s2, m2 = step(restored, q, d)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+    assert int(s2.step) == 4
+
+
+def test_load_missing_checkpoint(tmp_path):
+    from trueno_rag_tpu.errors import SerializationError
+
+    with pytest.raises(SerializationError):
+        load_train_state(str(tmp_path / "missing"))

@@ -372,6 +372,21 @@ class BM25Index:
             "total_len": self._total_len,
         }
 
+    def to_compressed_bytes(self, codec=None) -> bytes:
+        """Compressed snapshot of the index state (reference:
+        BM25Index::to_compressed_bytes, compressed.rs:92-108)."""
+        from trueno_rag_tpu.persist import serialize_compressed
+
+        return serialize_compressed(self.state_dict(), codec)
+
+    @classmethod
+    def from_compressed_bytes(cls, data: bytes, registry=None) -> "BM25Index":
+        from trueno_rag_tpu.persist import deserialize_compressed
+
+        idx = cls(registry=registry)
+        idx.load_state_dict(deserialize_compressed(data))
+        return idx
+
     def load_state_dict(self, d: Dict[str, object]) -> None:
         self._native_builder = None  # dicts become the source of truth
         self.k1 = float(d["k1"])
