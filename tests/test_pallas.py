@@ -49,3 +49,41 @@ def test_pallas_rejects_euclidean():
 
 def test_pallas_available_reports_platform():
     assert pallas_available() in (True, False)  # CPU in tests -> False
+
+
+# -------------------------------------------------------- attention ----
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_block_attention_matches_oracle(causal):
+    import jax
+
+    from trueno_rag_tpu.ops.pallas.attention import attention_oracle, block_attention
+
+    rng = np.random.default_rng(0)
+    bh, t, hd = 4, 256, 32
+    q = jnp.asarray(rng.standard_normal((bh, t, hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((bh, t, hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((bh, t, hd)).astype(np.float32))
+    mask = np.ones((bh, t), bool)
+    mask[0, 200:] = False  # padding on one row
+    mask = jnp.asarray(mask)
+    got = block_attention(q, k, v, mask, causal=causal, interpret=True)
+    want = attention_oracle(q, k, v, mask, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_nemotron_block_attention_matches_naive():
+    import dataclasses
+
+    import jax
+
+    from trueno_rag_tpu.models.nemotron import NemotronConfig, init_nemotron_params, nemotron_forward
+
+    cfg_naive = dataclasses.replace(NemotronConfig.tiny(), attention_impl="naive", compute_dtype=jnp.float32)
+    cfg_block = dataclasses.replace(cfg_naive, attention_impl="block")
+    params = init_nemotron_params(jax.random.PRNGKey(0), cfg_naive)
+    ids = jnp.asarray(np.random.default_rng(0).integers(3, 512, (2, 128), dtype=np.int32))
+    out_naive = np.asarray(nemotron_forward(params, ids, cfg_naive))
+    out_block = np.asarray(nemotron_forward(params, ids, cfg_block))
+    np.testing.assert_allclose(out_block, out_naive, atol=3e-4, rtol=3e-4)

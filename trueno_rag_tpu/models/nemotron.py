@@ -51,6 +51,10 @@ class NemotronConfig:
     rope_theta: float = 10000.0
     normalize: bool = True
     compute_dtype: Any = jnp.bfloat16
+    # "naive" materializes [B,H,T,T] logits (fine for short contexts);
+    # "block" uses the O(T)-memory Pallas kernel (required at 8k);
+    # "auto" switches to block at T >= 512.
+    attention_impl: str = "auto"
 
     def __post_init__(self) -> None:
         if self.hidden_dim % self.num_heads != 0:
@@ -123,14 +127,28 @@ def _decoder_block(x: jax.Array, mask: jax.Array, lp: Dict[str, jax.Array], conf
     q, k, v = heads(q), heads(k), heads(v)
     q = _rope(q, config.rope_theta)
     k = _rope(k, config.rope_theta)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    logits = logits / np.sqrt(hd).astype(np.float32)
-    causal = jnp.tril(jnp.ones((t, t), dtype=bool))
-    keep = causal[None, None, :, :] & mask[:, None, None, :]
-    logits = jnp.where(keep, logits, jnp.asarray(-1e9, logits.dtype))
-    probs = jax.nn.softmax(logits, axis=-1).astype(y.dtype)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, h)
+    impl = config.attention_impl
+    if impl == "auto":
+        impl = "block" if t >= 512 else "naive"
+    if impl == "block":
+        from trueno_rag_tpu.ops.pallas.attention import block_attention
+
+        qf = q.reshape(b * nh, t, hd)
+        kf = k.reshape(b * nh, t, hd)
+        vf = v.reshape(b * nh, t, hd)
+        mask_bh = jnp.repeat(mask, nh, axis=0)  # [B*H, T]
+        interpret = jax.default_backend() == "cpu"
+        ctx = block_attention(qf, kf, vf, mask_bh, causal=True, interpret=interpret)
+        ctx = ctx.reshape(b, nh, t, hd).transpose(0, 2, 1, 3).reshape(b, t, h)
+    else:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits = logits / np.sqrt(hd).astype(np.float32)
+        causal = jnp.tril(jnp.ones((t, t), dtype=bool))
+        keep = causal[None, None, :, :] & mask[:, None, None, :]
+        logits = jnp.where(keep, logits, jnp.asarray(-1e9, logits.dtype))
+        probs = jax.nn.softmax(logits, axis=-1).astype(y.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, h)
     x = x + jnp.dot(ctx, lp["attn_out_w"].astype(ctx.dtype))
     # SwiGLU MLP
     y = _rms_norm(x, lp["rms2_scale"])
