@@ -58,6 +58,42 @@ def build_synthetic_bm25(n_chunks: int, vocab: int, avg_len: int, seed: int = 0)
     }
 
 
+def make_query_segments(snap, batch: int, terms_per_query: int, seed: int = 1):
+    """Emit (seg_starts, seg_lens, packed) for the segment fast path."""
+    import jax.numpy as jnp
+
+    from trueno_rag_tpu.ops.bm25 import SEGMENT_LEN, pack_postings
+
+    rng = np.random.default_rng(seed)
+    indptr = snap["indptr"]
+    vocab = len(indptr) - 1
+    term_of = np.repeat(np.arange(vocab), np.diff(indptr))
+    packed = pack_postings(
+        np.asarray(snap["rows"]), np.asarray(snap["tfs"]),
+        np.asarray(snap["doc_len"]), np.asarray(snap["idf"]), term_of,
+    )
+    sentinel = int(indptr[-1])
+    per_query = []
+    max_segs = 1
+    for _ in range(batch):
+        segs = []
+        for t in rng.choice(vocab, size=terms_per_query, replace=False):
+            lo, hi = int(indptr[t]), int(indptr[t + 1])
+            hi = min(hi, lo + 512)  # cap pathological posting lists
+            for s in range(lo, hi, SEGMENT_LEN):
+                segs.append((s, min(SEGMENT_LEN, hi - s)))
+        per_query.append(segs)
+        max_segs = max(max_segs, len(segs))
+    S = max(2, max_segs)
+    starts = np.full((batch, S), sentinel, dtype=np.int32)
+    lens = np.zeros((batch, S), dtype=np.int32)
+    for i, segs in enumerate(per_query):
+        for j, (s, ln) in enumerate(segs):
+            starts[i, j] = s
+            lens[i, j] = ln
+    return starts, lens, packed
+
+
 def make_query_gather_lists(snap, batch: int, terms_per_query: int, pad_to: int, seed: int = 1):
     rng = np.random.default_rng(seed)
     vocab = len(snap["indptr"]) - 1
@@ -84,7 +120,7 @@ def bench_hybrid(n_chunks=100_000, dim=384, batch=256, k=10, cand=50, iters=30):
     import jax
     import jax.numpy as jnp
 
-    from trueno_rag_tpu.ops.bm25 import bm25_topk
+    from trueno_rag_tpu.ops.bm25 import bm25_topk_segments
     from trueno_rag_tpu.ops.dense import dense_topk
     from trueno_rag_tpu.ops.fusion import fuse_topk
 
@@ -96,8 +132,8 @@ def bench_hybrid(n_chunks=100_000, dim=384, batch=256, k=10, cand=50, iters=30):
     queries = jax.random.normal(k2, (batch, dim), dtype=jnp.float32)
 
     snap = build_synthetic_bm25(n_chunks, vocab=50_000, avg_len=64)
-    positions, terms, mask = make_query_gather_lists(snap, batch, terms_per_query=6, pad_to=2048)
-    positions, terms, mask = jnp.asarray(positions), jnp.asarray(terms), jnp.asarray(mask)
+    seg_starts, seg_lens, packed = make_query_segments(snap, batch, terms_per_query=6)
+    seg_starts, seg_lens = jnp.asarray(seg_starts), jnp.asarray(seg_lens)
 
     import functools
 
@@ -109,14 +145,18 @@ def bench_hybrid(n_chunks=100_000, dim=384, batch=256, k=10, cand=50, iters=30):
     # dispatch, not device time (block_until_ready over this remote
     # tunnel returns before execution completes), and fetching anything
     # large measures the tunnel's transfer rate instead of the TPU.
+    # EVERY stage input depends on the carry — otherwise XLA hoists the
+    # loop-invariant stage out of the scan and the bench lies.
     @functools.partial(jax.jit, static_argnames=("steps",))
-    def hybrid_chain(queries, positions, terms, mask, matrix, valid,
-                     rows, tfs, idf, doc_len, avgdl, steps):
+    def hybrid_chain(queries, seg_starts, seg_lens, packed, matrix, valid, avgdl, steps):
         def one(carry, _):
-            q = queries + carry  # data dependency defeats CSE/hoisting
+            q = queries + carry
+            # carry-derived (always-zero, but not provably so) shift keeps
+            # the BM25 stage inside the loop
+            shift = (carry > 1e30).astype(jnp.int32)
             d_s, d_r = dense_topk(q, matrix, valid, cand, "cosine")
-            s_s, s_r = bm25_topk(positions, terms, mask, rows, tfs, idf,
-                                 doc_len, avgdl, k=cand, n_rows=n_chunks)
+            s_s, s_r = bm25_topk_segments(seg_starts + shift, seg_lens, packed,
+                                          avgdl, k=cand)
             f_r, f_s = fuse_topk(d_r, d_s, s_r, s_s, kind="rrf", param=60.0)
             top = jax.lax.top_k(f_s, k)[0]
             return jnp.max(top) * 1e-12, None
@@ -124,8 +164,7 @@ def bench_hybrid(n_chunks=100_000, dim=384, batch=256, k=10, cand=50, iters=30):
         c, _ = jax.lax.scan(one, 0.0, None, length=steps)
         return c
 
-    args = (queries, positions, terms, mask, matrix, valid,
-            snap["rows"], snap["tfs"], snap["idf"], snap["doc_len"], snap["avgdl"])
+    args = (queries, seg_starts, seg_lens, packed, matrix, valid, snap["avgdl"])
     float(hybrid_chain(*args, steps=1))  # compile small
     float(hybrid_chain(*args, steps=iters))  # compile full chain
     t0 = time.perf_counter()

@@ -213,17 +213,7 @@ class BM25Index:
                 tfs = np.zeros(1, dtype=np.float32)
             doc_len = np.zeros(max(n_rows, 1), dtype=np.float32)
             doc_len[export["doc_len_rows"]] = export["doc_len_vals"]
-            self._snap = {
-                "vocab": vocab,
-                "indptr": indptr,
-                "rows": jnp.asarray(rows),
-                "tfs": jnp.asarray(tfs),
-                "idf": jnp.asarray(idf),
-                "doc_len": jnp.asarray(doc_len),
-                "avgdl": jnp.asarray(np.float32(self.avg_doc_length)),
-                "n_rows": max(n_rows, 1),
-            }
-            self._dirty = False
+            self._finish_snapshot(vocab, indptr, rows, tfs, idf, doc_len, n_rows)
             return
         terms = sorted(self._postings.keys())
         vocab = {t: i for i, t in enumerate(terms)}
@@ -243,6 +233,17 @@ class BM25Index:
         doc_len = np.zeros(max(n_rows, 1), dtype=np.float32)
         for row, ln in self._doc_len.items():
             doc_len[row] = ln
+        self._finish_snapshot(vocab, indptr, rows, tfs, idf, doc_len, n_rows)
+
+    def _finish_snapshot(self, vocab, indptr, rows, tfs, idf, doc_len, n_rows) -> None:
+        """Common snapshot tail: device arrays + pre-joined packed
+        postings for the segment-fetch fast path (ops.bm25)."""
+        from trueno_rag_tpu.ops.bm25 import pack_postings
+
+        n_terms = len(indptr) - 1
+        term_of = np.repeat(np.arange(max(n_terms, 1)), np.maximum(np.diff(indptr), 0))
+        if len(term_of) < len(rows):  # degenerate empty-index shapes
+            term_of = np.zeros(len(rows), dtype=np.int64)
         self._snap = {
             "vocab": vocab,
             "indptr": indptr,
@@ -252,6 +253,7 @@ class BM25Index:
             "doc_len": jnp.asarray(doc_len),
             "avgdl": jnp.asarray(np.float32(self.avg_doc_length)),
             "n_rows": max(n_rows, 1),
+            "packed": pack_postings(rows, tfs, doc_len, idf, term_of),
         }
         self._dirty = False
 
@@ -290,24 +292,54 @@ class BM25Index:
 
     # -- queries -----------------------------------------------------------------
 
+    def _gather_segments(self, queries: Sequence[str]):
+        """Compile queries into contiguous-run (start, len) pairs over
+        the packed postings (long posting lists split into SEGMENT_LEN
+        runs) — the input of ops.bm25.bm25_topk_segments."""
+        from trueno_rag_tpu.ops.bm25 import SEGMENT_LEN
+
+        snap = self._snap
+        indptr = snap["indptr"]
+        sentinel = int(indptr[-1])  # points at the packed padding block
+        per_query: List[List[Tuple[int, int]]] = []
+        max_segs = 1
+        for q in queries:
+            segs: List[Tuple[int, int]] = []
+            for term in self._tokenize(q):
+                tid = snap["vocab"].get(term)
+                if tid is None:
+                    continue
+                lo, hi = int(indptr[tid]), int(indptr[tid + 1])
+                for s in range(lo, hi, SEGMENT_LEN):
+                    segs.append((s, min(SEGMENT_LEN, hi - s)))
+            per_query.append(segs)
+            max_segs = max(max_segs, len(segs))
+        S = bucket_len(max_segs, minimum=2)
+        B = len(queries)
+        starts = np.full((B, S), sentinel, dtype=np.int32)
+        lens = np.zeros((B, S), dtype=np.int32)
+        for i, segs in enumerate(per_query):
+            for j, (s, ln) in enumerate(segs[:S]):
+                starts[i, j] = s
+                lens[i, j] = ln
+        return starts, lens
+
     def search_arrays(self, queries: Sequence[str], k: int):
-        """Device-level batched search → ``(scores [B,k], rows [B,k])``."""
+        """Device-level batched search → ``(scores [B,k], rows [B,k])``
+        via the contiguous-segment fast path."""
+        from trueno_rag_tpu.ops.bm25 import bm25_topk_segments
+
         self._refresh_snapshot()
         snap = self._snap
-        positions, terms, mask = self._gather_lists(queries)
-        return bm25_topk(
-            jnp.asarray(positions),
-            jnp.asarray(terms),
-            jnp.asarray(mask),
-            snap["rows"],
-            snap["tfs"],
-            snap["idf"],
-            snap["doc_len"],
+        starts, lens = self._gather_segments(queries)
+        return bm25_topk_segments(
+            jnp.asarray(starts),
+            jnp.asarray(lens),
+            snap["packed"],
             snap["avgdl"],
             k=k,
             k1=self.k1,
             b=self.b,
-            n_rows=snap["n_rows"],
         )
 
     def search(self, query: str, k: int) -> List[Tuple[str, float]]:

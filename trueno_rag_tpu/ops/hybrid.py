@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from trueno_rag_tpu.models.encoder import EncoderConfig, encoder_forward
-from trueno_rag_tpu.ops.bm25 import bm25_topk_candidates
+from trueno_rag_tpu.ops.bm25 import bm25_topk_segments
 from trueno_rag_tpu.ops.dense import blockwise_topk, similarity_scores, NEG_INF
 from trueno_rag_tpu.ops.fusion import fuse_topk
 
@@ -38,13 +38,9 @@ def fused_hybrid_query(
     token_ids: jax.Array,  # [B, T] query token ids
     matrix: jax.Array,  # [N, d] corpus (cosine rows pre-normalized)
     valid_mask: jax.Array,  # [N]
-    positions: jax.Array,  # [B, L] BM25 gather lists
-    pos_terms: jax.Array,
-    pos_mask: jax.Array,
-    rows: jax.Array,
-    tfs: jax.Array,
-    idf: jax.Array,
-    doc_len: jax.Array,
+    seg_starts: jax.Array,  # [B, S] BM25 contiguous-run offsets
+    seg_lens: jax.Array,  # [B, S]
+    packed: jax.Array,  # [P + SEGMENT_LEN, 4] pre-joined postings
     avgdl: jax.Array,
     encoder_config: EncoderConfig,
     cand: int = 50,
@@ -63,9 +59,8 @@ def fused_hybrid_query(
     d_scores, d_rows = blockwise_topk(masked, cand)
     d_rows = jnp.where(jnp.isneginf(d_scores), -1, d_rows)
 
-    s_scores, s_rows = bm25_topk_candidates(
-        positions, pos_terms, pos_mask, rows, tfs, idf, doc_len, avgdl,
-        k=cand, k1=k1, b=b,
+    s_scores, s_rows = bm25_topk_segments(
+        seg_starts, seg_lens, packed, avgdl, k=cand, k1=k1, b=b
     )
     f_rows, f_scores = fuse_topk(
         d_rows, d_scores, s_rows, s_scores, kind=fusion_kind, param=fusion_param

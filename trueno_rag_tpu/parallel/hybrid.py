@@ -30,7 +30,6 @@ import numpy as np
 from jax.sharding import Mesh
 
 from trueno_rag_tpu.fusion import FusionStrategy
-from trueno_rag_tpu.ops.bm25 import bm25_topk
 from trueno_rag_tpu.ops.fusion import fuse_topk
 from trueno_rag_tpu.parallel.sharded import ShardedVectorIndex
 from trueno_rag_tpu.retrieve import RetrievalResult
@@ -70,13 +69,7 @@ class ShardedHybridIndex:
         qvecs = self.embedder.embed_queries(list(queries))
         d_scores, d_rows = self.dense.search(np.asarray(qvecs, dtype=np.float32), cand)
 
-        positions, terms, mask = self._bm25._gather_lists(list(queries))
-        snap = self._snap
-        s_scores, s_rows = bm25_topk(
-            jnp.asarray(positions), jnp.asarray(terms), jnp.asarray(mask),
-            snap["rows"], snap["tfs"], snap["idf"], snap["doc_len"], snap["avgdl"],
-            k=cand, k1=self._bm25.k1, b=self._bm25.b, n_rows=snap["n_rows"],
-        )
+        s_scores, s_rows = self._bm25.search_arrays(list(queries), cand)
         f_rows, f_scores = fuse_topk(
             d_rows, d_scores, s_rows, s_scores,
             kind=self.fusion.kind, param=self.fusion.device_param,

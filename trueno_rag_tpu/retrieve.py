@@ -219,14 +219,14 @@ class HybridRetriever:
         )
         self.sparse_index._refresh_snapshot()
         snap = self.sparse_index._snap
-        positions, terms, mask = self.sparse_index._gather_lists(list(queries))
+        starts, lens = self.sparse_index._gather_segments(list(queries))
         f_rows, f_scores = fused_hybrid_query(
             emb.params,
             jnp.asarray(token_ids),
             self.vector_store.device_matrix,
             self.vector_store.device_valid,
-            jnp.asarray(positions), jnp.asarray(terms), jnp.asarray(mask),
-            snap["rows"], snap["tfs"], snap["idf"], snap["doc_len"], snap["avgdl"],
+            jnp.asarray(starts), jnp.asarray(lens),
+            snap["packed"], snap["avgdl"],
             encoder_config=emb.encoder_config,
             cand=self.config.candidates_per_source,
             k=k,
