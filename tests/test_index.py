@@ -253,3 +253,25 @@ def test_bm25_candidates_matches_scatter():
     for qi in range(bsz):
         assert set(r_c[qi].tolist()) == set(r_s[qi].tolist()), qi
     np.testing.assert_allclose(np.asarray(s_c), np.asarray(s_s), rtol=1e-4, atol=1e-5)
+
+
+def test_vector_store_bf16_storage_mode():
+    """bfloat16 storage: same top results on well-separated data, half
+    the device bytes; scores within ~1e-2 of the fp32 store."""
+    cfg32 = VectorStoreConfig(dimension=32, storage_dtype="float32")
+    cfg16 = VectorStoreConfig(dimension=32, storage_dtype="bfloat16")
+    s32, s16 = VectorStore(cfg32), VectorStore(cfg16)
+    chunks = [mk_chunk(i, f"c{i}", dim=32) for i in range(50)]
+    s32.insert_many([mk_chunk(i, f"c{i}", dim=32) for i in range(50)])
+    s16.insert_many(chunks)
+    import jax.numpy as jnp
+
+    assert s16.device_matrix.dtype == jnp.bfloat16
+    q = chunks[7].embedding
+    r32 = s32.search(q, 3)
+    r16 = s16.search(q, 3)
+    assert r16[0][0] == r32[0][0]  # clear winner identical
+    assert r16[0][1] == pytest.approx(r32[0][1], abs=1e-2)
+
+    with pytest.raises(Exception):
+        VectorStoreConfig(dimension=8, storage_dtype="fp8")

@@ -51,6 +51,13 @@ class VectorStoreConfig:
     dimension: int = 384
     metric: str = DistanceMetric.COSINE
     initial_capacity: int = 1024
+    # Device storage dtype. "float32" (default) keeps exact parity with
+    # the scalar oracle. "bfloat16" halves HBM bytes and read time —
+    # the right trade at multi-million-chunk scale — at ~1e-3 relative
+    # score error (rankings of well-separated corpora are stable;
+    # exact-tie behavior is not guaranteed). Scores always accumulate
+    # in float32 either way.
+    storage_dtype: str = "float32"
 
     def __post_init__(self) -> None:
         if self.dimension <= 0:
@@ -59,6 +66,8 @@ class VectorStoreConfig:
             raise InvalidConfigError(f"unknown metric {self.metric!r}")
         if self.initial_capacity <= 0:
             raise InvalidConfigError("initial_capacity must be positive")
+        if self.storage_dtype not in ("float32", "bfloat16"):
+            raise InvalidConfigError(f"unknown storage_dtype {self.storage_dtype!r}")
 
 
 class VectorStore:
@@ -133,7 +142,10 @@ class VectorStore:
 
     def _refresh_device(self) -> None:
         if self._dirty or self._device_matrix is None:
-            self._device_matrix = jnp.asarray(self._host)
+            matrix = jnp.asarray(self._host)
+            if self.config.storage_dtype == "bfloat16":
+                matrix = matrix.astype(jnp.bfloat16)
+            self._device_matrix = matrix
             self._device_valid = jnp.asarray(self._valid)
             self._dirty = False
 
