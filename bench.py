@@ -174,13 +174,28 @@ def bench_hybrid(n_chunks=100_000, dim=384, batch=256, k=10, cand=50, iters=30):
 
 
 def main():
-    qps = bench_hybrid()
-    print(json.dumps({
-        "metric": "hybrid_query_qps_100k_chunks",
-        "value": round(qps, 1),
-        "unit": "queries/s",
-        "vs_baseline": round(qps / BASELINE_QPS, 2),
-    }))
+    # The driver needs ONE JSON line no matter what; the tunneled TPU
+    # backend occasionally fails to initialize, so fall back to CPU
+    # (marked) rather than crash without output.
+    result = {"metric": "hybrid_query_qps_100k_chunks", "unit": "queries/s"}
+    try:
+        qps = bench_hybrid()
+    except Exception as first_error:  # noqa: BLE001 — report, don't die
+        try:
+            import jax
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
+            jax.config.update("jax_platforms", "cpu")
+            qps = bench_hybrid(iters=5)
+            result["note"] = f"TPU unavailable ({type(first_error).__name__}); CPU fallback"
+        except Exception as second_error:  # noqa: BLE001
+            result.update({"value": 0, "vs_baseline": 0.0,
+                           "error": f"{first_error!r} / {second_error!r}"})
+            print(json.dumps(result))
+            return
+    result.update({"value": round(qps, 1), "vs_baseline": round(qps / BASELINE_QPS, 2)})
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -141,10 +141,13 @@ def pallas_dense_topk(
     b_pad = max(8, -(-b // 8) * 8)
     n_128 = -(-n // BLOCK) * BLOCK
     # VMEM budget: the scores block is [B, tile] f32 and Mosaic double-
-    # buffers it; cap tile so B*tile*4 stays ~<=2 MB.
-    tile_cap = max(BLOCK, (2 * 1024 * 1024 // (4 * b_pad)) // BLOCK * BLOCK)
+    # buffers it; cap tile so B*tile*4 stays ~<=2 MB. Mosaic also needs
+    # the blockmax block's second-to-last dim (tile/128) >= 8, so tile
+    # has a hard floor of 1024; beyond B~1024 the caller should slice
+    # the batch instead.
+    tile_cap = max(8 * BLOCK, (2 * 1024 * 1024 // (4 * b_pad)) // BLOCK * BLOCK)
     tile = min(tile_n, tile_cap)
-    tile = tile if n_128 >= tile else n_128
+    tile = tile if n_128 >= tile else max(n_128, 8 * BLOCK)
     n_pad = -(-n // tile) * tile
     if b_pad != b:
         queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
