@@ -138,11 +138,19 @@ class HybridRetriever:
             raise QueryError("both retrieval sources disabled")
 
         b = len(queries)
+        # Bucket the batch dimension to a power of two so serving at
+        # arbitrary batch sizes compiles O(log B) programs, not one per B.
+        b_pad = 1
+        while b_pad < b:
+            b_pad *= 2
         if use_dense:
-            qvecs = self.embedder.embed_queries(queries)
+            qvecs = np.asarray(self.embedder.embed_queries(queries), dtype=np.float32)
+            if b_pad != b:
+                qvecs = np.pad(qvecs, ((0, b_pad - b), (0, 0)))
             d_scores, d_rows = self.vector_store.search_arrays(qvecs, cand)
         if use_sparse:
-            s_scores, s_rows = self.sparse_index.search_arrays(queries, cand)
+            padded_queries = list(queries) + ["\0"] * (b_pad - b)
+            s_scores, s_rows = self.sparse_index.search_arrays(padded_queries, cand)
 
         if use_dense and use_sparse:
             f_rows, f_scores = fuse_topk(
