@@ -33,7 +33,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float, causal
     q = q_ref[0]  # [bq, hd]
     k = k_ref[0]  # [T, hd]
     v = v_ref[0]  # [T, hd]
-    kmask = mask_ref[0]  # [T] bool
+    # Mosaic needs mask blocks >= (8, T); fetch 8 rows, select ours.
+    kmask = mask_ref[pl.program_id(0) % 8]  # [T] bool
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [bq, T]
@@ -64,6 +65,10 @@ def block_attention(
     assert t % bq == 0, "sequence length must divide the query block"
     scale = float(1.0 / np.sqrt(hd))
     grid = (bh, t // bq)
+    # pad mask rows to a multiple of 8 (Mosaic min sublane tile)
+    bh8 = -(-bh // 8) * 8
+    if bh8 != bh:
+        key_mask = jnp.pad(key_mask, ((0, bh8 - bh), (0, 0)))
     kernel = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, causal=causal, bq=bq),
         grid=grid,
@@ -71,7 +76,7 @@ def block_attention(
             pl.BlockSpec((1, bq, hd), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, t, hd), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, t, hd), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, t), lambda b, i: (b, 0)),
+            pl.BlockSpec((8, t), lambda b, i: (b // 8, 0)),
         ],
         out_specs=pl.BlockSpec((1, bq, hd), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, t, hd), q.dtype),
