@@ -241,8 +241,11 @@ class BM25Index:
         from trueno_rag_tpu.ops.bm25 import pack_postings
 
         n_terms = len(indptr) - 1
-        term_of = np.repeat(np.arange(max(n_terms, 1)), np.maximum(np.diff(indptr), 0))
-        if len(term_of) < len(rows):  # degenerate empty-index shapes
+        if n_terms > 0:
+            term_of = np.repeat(np.arange(n_terms), np.maximum(np.diff(indptr), 0))
+        else:
+            term_of = np.zeros(0, dtype=np.int64)
+        if len(term_of) != len(rows):  # degenerate empty-index shapes
             term_of = np.zeros(len(rows), dtype=np.int64)
         self._snap = {
             "vocab": vocab,
