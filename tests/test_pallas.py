@@ -87,3 +87,21 @@ def test_nemotron_block_attention_matches_naive():
     out_naive = np.asarray(nemotron_forward(params, ids, cfg_naive))
     out_block = np.asarray(nemotron_forward(params, ids, cfg_block))
     np.testing.assert_allclose(out_block, out_naive, atol=3e-4, rtol=3e-4)
+
+
+@pytest.mark.parametrize("n,d,b,k", [(1000, 64, 5, 13), (4096, 128, 16, 50)])
+def test_twopass_matches_xla(n, d, b, k):
+    from trueno_rag_tpu.ops.pallas.dense_score import pallas_dense_topk_twopass
+
+    rng = np.random.default_rng(n)
+    matrix = rng.standard_normal((n, d)).astype(np.float32)
+    matrix /= np.linalg.norm(matrix, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[n // 7 : n // 5] = False
+    s_p, r_p = pallas_dense_topk_twopass(
+        jnp.asarray(q), jnp.asarray(matrix), jnp.asarray(valid), k, "cosine", interpret=True
+    )
+    s_x, r_x = dense_topk(jnp.asarray(q), jnp.asarray(matrix), jnp.asarray(valid), k, "cosine")
+    np.testing.assert_array_equal(np.asarray(r_p), np.asarray(r_x))
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), atol=1e-5, rtol=1e-5)

@@ -94,6 +94,115 @@ def score_blockmax(
     return scores, bmax_t.T
 
 
+def _blockmax_only_kernel(q_ref, m_ref, valid_ref, bmax_ref):
+    """One corpus tile: block maxima of masked scores — scores are never
+    written to HBM (the two-pass path recomputes selected blocks)."""
+    s = jax.lax.dot_general(
+        q_ref[:],
+        m_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    s = jnp.where(valid_ref[:][None, :], s, NEG_INF)
+    b, tile_n = s.shape
+    bmax_ref[:] = jnp.max(s.reshape(b, tile_n // BLOCK, BLOCK), axis=2).T
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def blockmax_only(
+    queries: jax.Array,
+    matrix: jax.Array,
+    valid_mask: jax.Array,
+    tile_n: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """[B, d] x [N, d] → block maxima [B, N/128] with no score output."""
+    b, d = queries.shape
+    n = matrix.shape[0]
+    assert n % tile_n == 0 and tile_n % BLOCK == 0
+    kernel = pl.pallas_call(
+        _blockmax_only_kernel,
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i: (0, 0)),
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0)),
+            pl.BlockSpec((tile_n,), lambda i: (i,)),
+        ],
+        out_specs=pl.BlockSpec((tile_n // BLOCK, b), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n // BLOCK, b), jnp.float32),
+        interpret=interpret,
+    )
+    return kernel(queries, matrix, valid_mask).T
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "tile_n", "interpret"))
+def pallas_dense_topk_twopass(
+    queries: jax.Array,
+    matrix: jax.Array,
+    valid_mask: jax.Array,
+    k: int,
+    metric: str = "cosine",
+    tile_n: int = 2048,
+    interpret: bool = False,
+):
+    """Two-pass exact top-k for LARGE corpora: pass A computes only the
+    per-128-row block maxima (Pallas, no [B, N] score tensor in HBM);
+    pass B re-scores just the ≤k selected blocks per query.
+
+    HBM traffic is O(matrix + B·k·128·d) instead of O(matrix + 2·B·N):
+    at 10M chunks and B=256 that is ~17 GB vs ~95 GB per batch — the
+    unlock for pod-scale shards. Crossover vs the one-pass blockwise
+    path is around N ≈ 2.5M at B=256; below that prefer `dense_topk`.
+    """
+    if metric == "cosine":
+        qn = jnp.linalg.norm(queries, axis=-1, keepdims=True)
+        queries = queries / jnp.where(qn == 0.0, 1.0, qn)
+    elif metric != "dot":
+        raise ValueError(f"twopass supports cosine/dot, got {metric!r}")
+    b, d = queries.shape
+    n = matrix.shape[0]
+    b_pad = max(8, -(-b // 8) * 8)
+    n_128 = -(-n // BLOCK) * BLOCK
+    tile_cap = max(8 * BLOCK, (2 * 1024 * 1024 // (4 * b_pad)) // BLOCK * BLOCK)
+    tile = min(tile_n, tile_cap)
+    tile = tile if n_128 >= tile else max(n_128, 8 * BLOCK)
+    n_pad = -(-n // tile) * tile
+    if b_pad != b:
+        queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
+    if n_pad != n:
+        matrix = jnp.pad(matrix, ((0, n_pad - n), (0, 0)))
+        valid_mask = jnp.pad(valid_mask, (0, n_pad - n))
+
+    bmax = blockmax_only(queries, matrix, valid_mask, tile_n=tile, interpret=interpret)
+    g = n_pad // BLOCK
+    nb = min(k, g)
+    _, bidx = jax.lax.top_k(bmax, nb)  # [B, nb]
+    bidx = jax.lax.sort(bidx, dimension=1)  # row-asc tie order
+
+    # pass B: re-score only the selected blocks (contiguous slices)
+    def per_query(q, blocks):
+        def one_block(bi):
+            rows_blk = jax.lax.dynamic_slice(matrix, (bi * BLOCK, 0), (BLOCK, d))
+            v_blk = jax.lax.dynamic_slice(valid_mask, (bi * BLOCK,), (BLOCK,))
+            s = jnp.dot(rows_blk, q, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            return jnp.where(v_blk, s, NEG_INF)
+
+        return jax.vmap(one_block)(blocks).reshape(nb * BLOCK)
+
+    cand = jax.vmap(per_query)(queries, bidx)  # [B, nb*128]
+    k_eff = min(k, nb * BLOCK)
+    top_scores, flat_idx = jax.lax.top_k(cand, k_eff)
+    blk = jnp.take_along_axis(bidx, flat_idx // BLOCK, axis=1)
+    rows = (blk * BLOCK + flat_idx % BLOCK).astype(jnp.int32)
+    rows = jnp.where(jnp.isneginf(top_scores), -1, rows)
+    if k_eff < k:
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        rows = jnp.pad(rows, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    return top_scores[:b], rows[:b]
+
+
 def _select_from_blockmax(
     scores: jax.Array, bmax: jax.Array, k: int
 ) -> Tuple[jax.Array, jax.Array]:
