@@ -150,10 +150,14 @@ def pallas_dense_topk_twopass(
     per-128-row block maxima (Pallas, no [B, N] score tensor in HBM);
     pass B re-scores just the ≤k selected blocks per query.
 
-    HBM traffic is O(matrix + B·k·128·d) instead of O(matrix + 2·B·N):
-    at 10M chunks and B=256 that is ~17 GB vs ~95 GB per batch — the
-    unlock for pod-scale shards. Crossover vs the one-pass blockwise
-    path is around N ≈ 2.5M at B=256; below that prefer `dense_topk`.
+    HBM traffic is O(matrix + B·k·128·d) instead of O(matrix + 2·B·N).
+    MEASURED (v5e, B=256): slower than the one-pass blockwise path at
+    1M (58 vs 32 ms) and 2.5M (82 vs 40 ms) — the small per-grid-step
+    matmuls and vmapped block slices cost more than the score-tensor
+    round-trip they avoid, so `dense_topk` (blockwise) remains the
+    default. Kept as a parity-tested alternative: its traffic advantage
+    grows linearly with N/B and the kernel is the starting point for a
+    fully-fused selection kernel.
     """
     if metric == "cosine":
         qn = jnp.linalg.norm(queries, axis=-1, keepdims=True)
