@@ -137,8 +137,6 @@ def bench_hybrid(n_chunks=100_000, dim=384, batch=256, k=10, cand=50, iters=30):
 
     import functools
 
-    from trueno_rag_tpu.ops.dense import similarity_scores
-
     # Timing methodology: a dependency-chained lax.scan of `iters` full
     # hybrid queries inside ONE jitted program, materializing only a
     # scalar at the end. Naive dispatch loops measure Python/tunnel

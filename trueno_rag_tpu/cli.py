@@ -211,7 +211,6 @@ def cmd_index(args) -> int:
 
 def _load(index_dir: str):
     from trueno_rag_tpu.embed import TfIdfEmbedder
-    from trueno_rag_tpu.errors import IndexNotFoundError
     from trueno_rag_tpu.persist import deserialize_compressed
 
     path = os.path.join(index_dir, "index.trag")

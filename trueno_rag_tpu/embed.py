@@ -21,8 +21,8 @@ import enum
 import hashlib
 import math
 from collections import Counter
-from dataclasses import dataclass, field, replace
-from typing import Dict, List, Optional, Sequence
+from dataclasses import dataclass, replace
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 
@@ -117,8 +117,6 @@ def load_hf_bert_encoder(
     embedding_config=None,
 ) -> JaxEncoderEmbedder:
     """Build a :class:`JaxEncoderEmbedder` from a local HF checkpoint."""
-    import dataclasses
-
     import jax.numpy as jnp
 
     with open(os.path.join(model_dir, "config.json")) as f:

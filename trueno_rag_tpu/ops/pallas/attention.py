@@ -21,8 +21,6 @@ Nemotron-class path.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

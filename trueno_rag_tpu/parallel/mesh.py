@@ -13,7 +13,7 @@ Axis conventions:
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import numpy as np

@@ -20,7 +20,6 @@ the O(N·d/s) local scan.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

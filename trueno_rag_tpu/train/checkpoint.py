@@ -9,7 +9,7 @@ restore onto whatever mesh the resuming process uses.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np
