@@ -31,6 +31,43 @@ from trueno_rag_tpu.ops.fusion import fuse_topk
 
 @functools.partial(
     jax.jit,
+    static_argnames=("cand", "metric", "fusion_kind", "fusion_param", "k1", "b"),
+)
+def hybrid_query_arrays(
+    qvecs: jax.Array,  # [B, d] query vectors (any embedder)
+    matrix: jax.Array,
+    valid_mask: jax.Array,
+    seg_starts: jax.Array,
+    seg_lens: jax.Array,
+    packed: jax.Array,
+    avgdl: jax.Array,
+    cand: int = 50,
+    metric: str = "cosine",
+    fusion_kind: str = "rrf",
+    fusion_param: float = 60.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Single-dispatch hybrid candidates for host-embedded queries:
+    dense top-c + BM25 top-c + fusion in ONE jitted program (three
+    separate dispatches otherwise each pay the device round-trip).
+    Returns (f_rows, f_scores, d_rows, d_scores, s_rows, s_scores) so
+    the caller can attach per-source scores."""
+    scores = similarity_scores(qvecs, matrix, metric)
+    masked = jnp.where(valid_mask[None, :], scores, NEG_INF)
+    d_scores, d_rows = blockwise_topk(masked, cand)
+    d_rows = jnp.where(jnp.isneginf(d_scores), -1, d_rows)
+    s_scores, s_rows = bm25_topk_segments(
+        seg_starts, seg_lens, packed, avgdl, k=cand, k1=k1, b=b
+    )
+    f_rows, f_scores = fuse_topk(
+        d_rows, d_scores, s_rows, s_scores, kind=fusion_kind, param=fusion_param
+    )
+    return f_rows, f_scores, d_rows, d_scores, s_rows, s_scores
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("encoder_config", "cand", "k", "metric", "fusion_kind", "fusion_param", "k1", "b"),
 )
 def fused_hybrid_query(

@@ -231,7 +231,18 @@ class RagPipeline:
         return len(chunks)
 
     def index_documents(self, documents: Sequence[Document]) -> int:
-        return sum(self.index_document(d) for d in documents)
+        """Bulk ingest: chunk every document first, then embed ALL chunks
+        in one batched embedder call (one big device batch instead of one
+        tiny batch per document — the difference between idle and fed
+        MXUs with neural embedders), then index both stores."""
+        all_chunks: List[Chunk] = []
+        for d in documents:
+            all_chunks.extend(self.chunker.chunk(d))
+        self.embedder.embed_chunks(all_chunks)
+        self.retriever.index_batch(all_chunks)
+        self.document_count += len(documents)
+        self.chunk_count += len(all_chunks)
+        return len(all_chunks)
 
     # -- query ------------------------------------------------------------------
 

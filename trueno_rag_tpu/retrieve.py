@@ -30,7 +30,6 @@ from trueno_rag_tpu.embed import Embedder
 from trueno_rag_tpu.errors import QueryError
 from trueno_rag_tpu.fusion import FusionStrategy
 from trueno_rag_tpu.index import BM25Index, ChunkRegistry, VectorStore, VectorStoreConfig
-from trueno_rag_tpu.ops.fusion import fuse_topk
 
 # ---------------------------------------------------------------------------
 # RetrievalResult (reference: retrieve.rs:11-76)
@@ -147,23 +146,37 @@ class HybridRetriever:
             qvecs = np.asarray(self.embedder.embed_queries(queries), dtype=np.float32)
             if b_pad != b:
                 qvecs = np.pad(qvecs, ((0, b_pad - b), (0, 0)))
-            d_scores, d_rows = self.vector_store.search_arrays(qvecs, cand)
         if use_sparse:
             padded_queries = list(queries) + ["\0"] * (b_pad - b)
-            s_scores, s_rows = self.sparse_index.search_arrays(padded_queries, cand)
 
         if use_dense and use_sparse:
-            f_rows, f_scores = fuse_topk(
-                d_rows,
-                d_scores,
-                s_rows,
-                s_scores,
-                kind=self.config.fusion.kind,
-                param=self.config.fusion.device_param,
+            # one device dispatch for dense + BM25 + fusion
+            from trueno_rag_tpu.ops.hybrid import hybrid_query_arrays
+
+            import jax.numpy as jnp
+
+            self.sparse_index._refresh_snapshot()
+            snap = self.sparse_index._snap
+            starts, lens = self.sparse_index._gather_segments(padded_queries)
+            self.vector_store._refresh_device()
+            f_rows, f_scores, d_rows, d_scores, s_rows, s_scores = hybrid_query_arrays(
+                jnp.asarray(qvecs),
+                self.vector_store.device_matrix,
+                self.vector_store.device_valid,
+                jnp.asarray(starts), jnp.asarray(lens),
+                snap["packed"], snap["avgdl"],
+                cand=cand,
+                metric=self.vector_store.config.metric,
+                fusion_kind=self.config.fusion.kind,
+                fusion_param=self.config.fusion.device_param,
+                k1=self.sparse_index.k1,
+                b=self.sparse_index.b,
             )
         elif use_dense:
+            d_scores, d_rows = self.vector_store.search_arrays(qvecs, cand)
             f_rows, f_scores = d_rows, d_scores
         else:
+            s_scores, s_rows = self.sparse_index.search_arrays(padded_queries, cand)
             f_rows, f_scores = s_rows, s_scores
 
         f_rows = np.asarray(f_rows)
