@@ -1,0 +1,60 @@
+"""Contrastive fine-tuning of the retrieval encoder on its own corpus
+(Inverse Cloze Task pairs), data-parallel over the available devices,
+with checkpointing.
+
+Run: PYTHONPATH=. PALLAS_AXON_POOL_IPS= python examples/training.py
+"""
+
+import functools
+import random
+import tempfile
+
+import jax
+import jax.numpy as jnp
+
+from trueno_rag_tpu import Document, RecursiveChunker
+from trueno_rag_tpu.models.encoder import EncoderConfig, HashTokenizer
+from trueno_rag_tpu.train import create_train_state, train_step
+from trueno_rag_tpu.train.checkpoint import load_train_state, save_train_state
+from trueno_rag_tpu.train.data import PairBatcher, ict_pairs
+
+CORPUS = [
+    "Dense retrieval encodes queries and passages into one vector space. "
+    "Similar meanings land close together. Cosine similarity ranks them.",
+    "BM25 weights terms by frequency and rarity. It rewards exact matches. "
+    "Inverted indexes make it fast.",
+    "TPUs multiply matrices in systolic arrays. HBM feeds the compute units. "
+    "Batching keeps the hardware busy.",
+    "Chunking splits documents into retrievable pieces. Overlap preserves "
+    "context. Offsets map chunks back to sources.",
+]
+
+
+def main() -> None:
+    config = EncoderConfig(vocab_size=2048, hidden_dim=128, num_layers=2,
+                           num_heads=4, mlp_dim=256, max_len=64)
+    state, tx = create_train_state(jax.random.PRNGKey(0), config, learning_rate=5e-4)
+    step = jax.jit(functools.partial(train_step, tx=tx, config=config))
+
+    chunker = RecursiveChunker(chunk_size=200, overlap=20)
+    chunks = [c for text in CORPUS for c in chunker.chunk(Document(text))]
+    batcher = PairBatcher(HashTokenizer(config.vocab_size, config.max_len),
+                          batch_size=16, max_len=config.max_len)
+    stream = batcher.batches(ict_pairs(chunks, random.Random(0)))
+
+    for i in range(20):
+        q_ids, d_ids = next(stream)
+        state, metrics = step(state, jnp.asarray(q_ids), jnp.asarray(d_ids))
+        if i % 5 == 0:
+            print(f"step {int(state.step):3d}  loss={float(metrics['loss']):.4f}  "
+                  f"acc={float(metrics['accuracy']):.2f}")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        save_train_state(f"{tmp}/ckpt", state)
+        template, _ = create_train_state(jax.random.PRNGKey(0), config, learning_rate=5e-4)
+        restored = load_train_state(f"{tmp}/ckpt", template=template)
+        print(f"checkpoint round-trip OK (step {int(restored.step)})")
+
+
+if __name__ == "__main__":
+    main()

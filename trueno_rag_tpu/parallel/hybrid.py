@@ -56,6 +56,7 @@ class ShardedHybridIndex:
             mesh,
             metric=store.config.metric,
             valid=store._valid,
+            rows_normalized=True,  # VectorStore normalizes at insert
         )
         sparse = retriever.sparse_index
         sparse._refresh_snapshot()

@@ -101,6 +101,7 @@ class ShardedVectorIndex:
         metric: str = "cosine",
         valid: Optional[np.ndarray] = None,
         axis: str = "data",
+        rows_normalized: bool = False,
     ) -> None:
         matrix = np.asarray(matrix, dtype=np.float32)
         n, d = matrix.shape
@@ -110,7 +111,10 @@ class ShardedVectorIndex:
         self.axis = axis
         s = mesh.shape[axis]
         n_pad = ((n + s - 1) // s) * s
-        if metric == "cosine":
+        # Skip normalization when the rows come from a VectorStore (it
+        # normalizes at insert): re-normalizing perturbs values by an
+        # ulp, which reorders near-tied scores vs the single-host path.
+        if metric == "cosine" and not rows_normalized:
             norms = np.linalg.norm(matrix, axis=1, keepdims=True)
             matrix = matrix / np.where(norms == 0.0, 1.0, norms)
         if n_pad != n:
