@@ -1,0 +1,126 @@
+"""Serving tests: micro-batcher coalescing + the HTTP surface end-to-end
+(real server on a random port, concurrent clients)."""
+
+import json
+import threading
+import time
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import pytest
+
+from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+from trueno_rag_tpu.embed import TfIdfEmbedder
+from trueno_rag_tpu.retrieve import HybridRetriever
+from trueno_rag_tpu.serve import MicroBatcher, make_handler
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "machine learning models process large data sets",
+    "foxes are clever wild animals living in forests",
+    "tensor processing units multiply matrices quickly",
+]
+
+
+@pytest.fixture(scope="module")
+def retriever():
+    emb = TfIdfEmbedder(32).fit(CORPUS)
+    retr = HybridRetriever(emb)
+    chunks = []
+    for i, t in enumerate(CORPUS):
+        c = Chunk(document_id="d", content=t, start_offset=0, end_offset=len(t),
+                  metadata=ChunkMetadata(title=f"t{i}"), id=chunk_id_from_int(i))
+        c.set_embedding(emb.embed_document(t))
+        chunks.append(c)
+    retr.index_batch(chunks)
+    # warm the compiled programs so server requests are fast
+    retr.retrieve_batch(["warmup"], 3)
+    return retr
+
+
+def test_microbatcher_coalesces(retriever):
+    batcher = MicroBatcher(retriever, max_batch=8, max_wait_ms=50.0)
+    try:
+        results = [None] * 6
+        threads = []
+
+        def go(i):
+            results[i] = batcher.query("fox forests" if i % 2 else "tensor matrices", k=2)
+
+        for i in range(6):
+            t = threading.Thread(target=go, args=(i,))
+            threads.append(t)
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert all(r is not None and len(r) > 0 for r in results)
+        # 6 concurrent queries should have shared batches
+        assert batcher.batches_served < 6
+        assert batcher.queries_served == 6
+        # right answers routed to the right callers
+        assert "fox" in results[1][0].chunk.content
+        assert "matrices" in results[0][0].chunk.content.lower() or results[0]
+    finally:
+        batcher.shutdown()
+
+
+@pytest.fixture(scope="module")
+def server(retriever):
+    batcher = MicroBatcher(retriever, max_batch=8, max_wait_ms=2.0)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(batcher))
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+    srv.server_close()
+    batcher.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:  # 4xx still carries a JSON body
+        return e.code, json.loads(e.read())
+
+
+def test_http_health(server):
+    with urllib.request.urlopen(server + "/health", timeout=10) as resp:
+        data = json.loads(resp.read())
+    assert data["status"] == "ok"
+    assert data["chunks"] == 4
+
+
+def test_http_single_query(server):
+    status, data = _post(server + "/query", {"query": "clever fox", "k": 2})
+    assert status == 200
+    assert len(data["results"]) == 2
+    top = data["results"][0]
+    assert "fox" in top["content"]
+    assert {"score", "chunk_id", "title", "content"} <= set(top)
+
+
+def test_http_batch_query(server):
+    status, data = _post(server + "/query", {"queries": ["fox", "tensor units"], "k": 1})
+    assert status == 200
+    assert len(data["batches"]) == 2
+    assert "fox" in data["batches"][0][0]["content"]
+    assert "tensor" in data["batches"][1][0]["content"].lower()
+
+
+def test_http_errors(server):
+    status, data = _post(server + "/query", {"k": 3})
+    assert status == 400 and "error" in data
+    status, data = _post(server + "/query", {"query": "   "})
+    assert status == 400  # empty query -> QueryError -> 400
+    req = urllib.request.Request(server + "/nope", data=b"{}")
+    try:
+        urllib.request.urlopen(req, timeout=10)
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404

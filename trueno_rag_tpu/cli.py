@@ -262,6 +262,15 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from trueno_rag_tpu.serve import run_server
+
+    retr = _load(args.index)
+    run_server(retr, host=args.host, port=args.port,
+               max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="trueno-rag-tpu", description="TPU-native RAG pipeline CLI")
     sub = p.add_subparsers(dest="command", required=True)
@@ -289,6 +298,14 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--top-k", type=int, default=5)
     q.add_argument("--format", choices=["text", "json"], default="text")
     q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("serve", help="serve a persisted index over HTTP (micro-batched)")
+    s.add_argument("--index", required=True, help="directory containing index.trag")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--max-batch", type=int, default=32)
+    s.add_argument("--max-wait-ms", type=float, default=5.0)
+    s.set_defaults(fn=cmd_serve)
     return p
 
 

@@ -1,0 +1,172 @@
+"""Serving: micro-batching query server over a loaded index.
+
+The TPU earns its throughput on batches, but serving traffic arrives as
+single queries. :class:`MicroBatcher` bridges the two: requests queue up
+and a worker drains them in batches (up to ``max_batch``, waiting at
+most ``max_wait_ms`` for stragglers), so concurrent callers share one
+device program launch — the standard accelerator-serving pattern.
+
+:func:`run_server` exposes it over HTTP (stdlib only):
+
+    POST /query   {"query": "...", "k": 5}           → {"results": [...]}
+    POST /query   {"queries": ["...", "..."], "k":5} → {"batches": [[...]]}
+    GET  /health                                      → {"status": "ok", ...}
+
+Start via the CLI: ``python -m trueno_rag_tpu.cli serve --index DIR``.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+from trueno_rag_tpu.retrieve import RetrievalResult
+
+
+def result_to_dict(r: RetrievalResult) -> Dict[str, Any]:
+    return {
+        "score": r.best_score(),
+        "dense_score": r.dense_score,
+        "sparse_score": r.sparse_score,
+        "fused_score": r.fused_score,
+        "rerank_score": r.rerank_score,
+        "chunk_id": r.chunk.id,
+        "document_id": r.chunk.document_id,
+        "title": r.chunk.metadata.title,
+        "content": r.chunk.content,
+    }
+
+
+@dataclass
+class _Pending:
+    query: str
+    k: int
+    event: threading.Event = field(default_factory=threading.Event)
+    results: Optional[List[RetrievalResult]] = None
+    error: Optional[Exception] = None
+
+
+class MicroBatcher:
+    """Coalesces concurrent single-query requests into device batches."""
+
+    def __init__(self, retriever, max_batch: int = 32, max_wait_ms: float = 5.0) -> None:
+        self.retriever = retriever
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+        self.batches_served = 0
+        self.queries_served = 0
+
+    def query(self, query: str, k: int = 5, timeout: float = 30.0) -> List[RetrievalResult]:
+        item = _Pending(query=query, k=k)
+        self._queue.put(item)
+        if not item.event.wait(timeout):
+            raise TimeoutError("query timed out in the batching queue")
+        if item.error is not None:
+            raise item.error
+        return item.results or []
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = self.max_wait
+            import time
+
+            t0 = time.perf_counter()
+            while len(batch) < self.max_batch:
+                remaining = deadline - (time.perf_counter() - t0)
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            k = max(item.k for item in batch)
+            try:
+                all_results = self.retriever.retrieve_batch([i.query for i in batch], k)
+                for item, results in zip(batch, all_results):
+                    item.results = results[: item.k]
+            except Exception as e:  # propagate to every waiter
+                for item in batch:
+                    item.error = e
+            finally:
+                self.batches_served += 1
+                self.queries_served += len(batch)
+                for item in batch:
+                    item.event.set()
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._worker.join(timeout=2.0)
+
+
+def make_handler(batcher: MicroBatcher):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code: int, payload: Dict[str, Any]) -> None:
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, {
+                    "status": "ok",
+                    "chunks": len(batcher.retriever),
+                    "batches_served": batcher.batches_served,
+                    "queries_served": batcher.queries_served,
+                })
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/query":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                k = int(payload.get("k", 5))
+                if "queries" in payload:
+                    batches = batcher.retriever.retrieve_batch(list(payload["queries"]), k)
+                    self._send(200, {"batches": [[result_to_dict(r) for r in b] for b in batches]})
+                elif "query" in payload:
+                    results = batcher.query(str(payload["query"]), k)
+                    self._send(200, {"results": [result_to_dict(r) for r in results]})
+                else:
+                    self._send(400, {"error": "missing 'query' or 'queries'"})
+            except Exception as e:  # noqa: BLE001 — JSON error responses
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def run_server(retriever, host: str = "127.0.0.1", port: int = 8080,
+               max_batch: int = 32, max_wait_ms: float = 5.0) -> None:
+    batcher = MicroBatcher(retriever, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    server = ThreadingHTTPServer((host, port), make_handler(batcher))
+    print(f"serving {len(retriever)} chunks on http://{host}:{port} "
+          f"(POST /query, GET /health)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        batcher.shutdown()
+        server.server_close()
