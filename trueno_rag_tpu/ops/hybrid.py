@@ -87,19 +87,15 @@ def fused_hybrid_query(
     fusion_param: float = 60.0,
     k1: float = 1.2,
     b: float = 0.75,
-) -> Tuple[jax.Array, jax.Array]:
+):
     """One XLA program: encoder forward + dense top-c + BM25 top-c +
-    fusion + final top-k. Returns ``(rows [B,k], scores [B,k])``."""
+    fusion + final top-k. Returns ``(f_rows [B,k], f_scores [B,k],
+    d_rows, d_scores, s_rows, s_scores)`` so callers can attach
+    per-source scores like the staged path."""
     q = encoder_forward(encoder_params, token_ids, encoder_config)  # [B, d] f32
-    scores = similarity_scores(q, matrix, metric)
-    masked = jnp.where(valid_mask[None, :], scores, NEG_INF)
-    d_scores, d_rows = blockwise_topk(masked, cand)
-    d_rows = jnp.where(jnp.isneginf(d_scores), -1, d_rows)
-
-    s_scores, s_rows = bm25_topk_segments(
-        seg_starts, seg_lens, packed, avgdl, k=cand, k1=k1, b=b
+    f_rows, f_scores, d_rows, d_scores, s_rows, s_scores = hybrid_query_arrays(
+        q, matrix, valid_mask, seg_starts, seg_lens, packed, avgdl,
+        cand=cand, metric=metric, fusion_kind=fusion_kind,
+        fusion_param=fusion_param, k1=k1, b=b,
     )
-    f_rows, f_scores = fuse_topk(
-        d_rows, d_scores, s_rows, s_scores, kind=fusion_kind, param=fusion_param
-    )
-    return f_rows[:, :k], f_scores[:, :k]
+    return f_rows[:, :k], f_scores[:, :k], d_rows, d_scores, s_rows, s_scores

@@ -238,10 +238,17 @@ class HybridRetriever:
         token_ids = emb.tokenizer.encode_batch(
             [emb.config.query_prefix + q for q in queries]
         )
+        b_pad = 1  # power-of-two batch bucket (see retrieve_batch)
+        while b_pad < len(queries):
+            b_pad *= 2
+        if b_pad != token_ids.shape[0]:
+            token_ids = np.pad(token_ids, ((0, b_pad - token_ids.shape[0]), (0, 0)))
         self.sparse_index._refresh_snapshot()
         snap = self.sparse_index._snap
-        starts, lens = self.sparse_index._gather_segments(list(queries))
-        f_rows, f_scores = fused_hybrid_query(
+        starts, lens = self.sparse_index._gather_segments(
+            list(queries) + ["\0"] * (b_pad - len(queries))
+        )
+        f_rows, f_scores, d_rows, d_scores, s_rows, s_scores = fused_hybrid_query(
             emb.params,
             jnp.asarray(token_ids),
             self.vector_store.device_matrix,
@@ -259,6 +266,8 @@ class HybridRetriever:
         )
         f_rows = np.asarray(f_rows)
         f_scores = np.asarray(f_scores)
+        d_maps = self._score_maps(d_rows, d_scores)
+        s_maps = self._score_maps(s_rows, s_scores)
         out: List[List[RetrievalResult]] = []
         for i in range(len(queries)):
             results: List[RetrievalResult] = []
@@ -267,7 +276,14 @@ class HybridRetriever:
                     continue
                 chunk = self.registry.chunk_of(int(row))
                 if chunk is not None:
-                    results.append(RetrievalResult(chunk=chunk, fused_score=float(score)))
+                    results.append(
+                        RetrievalResult(
+                            chunk=chunk,
+                            dense_score=d_maps[i].get(int(row)),
+                            sparse_score=s_maps[i].get(int(row)),
+                            fused_score=float(score),
+                        )
+                    )
             out.append(results)
         return out
 
