@@ -275,3 +275,41 @@ def test_vector_store_bf16_storage_mode():
 
     with pytest.raises(Exception):
         VectorStoreConfig(dimension=8, storage_dtype="fp8")
+
+
+def test_incremental_device_update_matches_full_upload():
+    """After small mutations the incremental scatter refresh must give
+    the same device state as a from-scratch upload."""
+    import jax.numpy as jnp
+
+    store = VectorStore(VectorStoreConfig(dimension=8, initial_capacity=64))
+    chunks = [mk_chunk(i, f"c{i}", dim=8) for i in range(40)]
+    store.insert_many(chunks)
+    _ = store.device_matrix  # full upload happens here
+
+    # small mutation set -> incremental path
+    store.remove(chunks[3].id)
+    repl = mk_chunk(3, "replaced", dim=8)
+    store.insert(repl)
+    extra = mk_chunk(99, "extra", dim=8)
+    store.insert(extra)
+    assert store._dirty_rows  # bounded set pending
+    incr_matrix = np.asarray(store.device_matrix)
+    incr_valid = np.asarray(store.device_valid)
+
+    np.testing.assert_array_equal(incr_matrix, store._host)
+    np.testing.assert_array_equal(incr_valid, store._valid)
+
+    # search still correct after incremental refresh
+    res = store.search(extra.embedding, k=1)
+    assert res[0][0] == extra.id
+
+
+def test_bulk_mutation_falls_back_to_full_upload():
+    store = VectorStore(VectorStoreConfig(dimension=8, initial_capacity=64))
+    store.insert_many([mk_chunk(i, f"c{i}", dim=8) for i in range(10)])
+    _ = store.device_matrix
+    # mutate more than the 5% threshold
+    store.insert_many([mk_chunk(100 + i, f"n{i}", dim=8) for i in range(40)])
+    assert store._dirty_rows is None  # unbounded -> full re-upload
+    np.testing.assert_array_equal(np.asarray(store.device_matrix), store._host)

@@ -87,6 +87,7 @@ class VectorStore:
         self._device_matrix = None  # lazily refreshed jnp copy
         self._device_valid = None
         self._dirty = True
+        self._dirty_rows: set = set()  # None-tracking: full re-upload when unbounded
         self._count = 0
 
     # -- mutation ------------------------------------------------------------
@@ -107,7 +108,7 @@ class VectorStore:
             self._count += 1
         self._host[row] = emb
         self._valid[row] = True
-        self._dirty = True
+        self._mark_dirty(row)
 
     def insert_many(self, chunks: Sequence[Chunk]) -> None:
         for c in chunks:
@@ -122,8 +123,16 @@ class VectorStore:
         self._host[row] = 0.0
         self._valid[row] = False
         self._count -= 1
-        self._dirty = True
+        self._mark_dirty(row)
         return True
+
+    def _mark_dirty(self, row: int) -> None:
+        self._dirty = True
+        if self._dirty_rows is not None:
+            self._dirty_rows.add(row)
+            # beyond ~5% of capacity a full upload is cheaper than scatter
+            if len(self._dirty_rows) > max(64, self._host.shape[0] // 20):
+                self._dirty_rows = None
 
     def _ensure_capacity(self, needed: int) -> None:
         cap = self._host.shape[0]
@@ -137,17 +146,39 @@ class VectorStore:
         valid[: self._valid.shape[0]] = self._valid
         self._host, self._valid = host, valid
         self._dirty = True
+        self._dirty_rows = None  # capacity changed: full re-upload
 
     # -- device state ----------------------------------------------------------
 
     def _refresh_device(self) -> None:
-        if self._dirty or self._device_matrix is None:
+        if not self._dirty and self._device_matrix is not None:
+            return
+        dtype16 = self.config.storage_dtype == "bfloat16"
+        if (
+            self._device_matrix is not None
+            and self._dirty_rows  # bounded, non-empty row set
+            and self._device_matrix.shape[0] == self._host.shape[0]
+        ):
+            # Incremental: ship only the changed rows and scatter them in
+            # on device — a full matrix is GBs at production scale, the
+            # delta is KBs (mutable-corpus answer, SURVEY §7.3).
+            rows = np.fromiter(self._dirty_rows, dtype=np.int32)
+            updates = jnp.asarray(self._host[rows])
+            if dtype16:
+                updates = updates.astype(jnp.bfloat16)
+            rows_j = jnp.asarray(rows)
+            self._device_matrix = self._device_matrix.at[rows_j].set(updates)
+            self._device_valid = self._device_valid.at[rows_j].set(
+                jnp.asarray(self._valid[rows])
+            )
+        else:
             matrix = jnp.asarray(self._host)
-            if self.config.storage_dtype == "bfloat16":
+            if dtype16:
                 matrix = matrix.astype(jnp.bfloat16)
             self._device_matrix = matrix
             self._device_valid = jnp.asarray(self._valid)
-            self._dirty = False
+        self._dirty = False
+        self._dirty_rows = set()
 
     @property
     def device_matrix(self) -> jnp.ndarray:
