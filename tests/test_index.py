@@ -309,7 +309,7 @@ def test_bulk_mutation_falls_back_to_full_upload():
     store = VectorStore(VectorStoreConfig(dimension=8, initial_capacity=64))
     store.insert_many([mk_chunk(i, f"c{i}", dim=8) for i in range(10)])
     _ = store.device_matrix
-    # mutate more than the 5% threshold
-    store.insert_many([mk_chunk(100 + i, f"n{i}", dim=8) for i in range(40)])
+    # mutate more than the max(64, 5%) threshold (also grows capacity)
+    store.insert_many([mk_chunk(100 + i, f"n{i}", dim=8) for i in range(70)])
     assert store._dirty_rows is None  # unbounded -> full re-upload
     np.testing.assert_array_equal(np.asarray(store.device_matrix), store._host)
