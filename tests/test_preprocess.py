@@ -126,3 +126,40 @@ def test_pipeline_with_preprocessor():
     res = p.query("fix the ranking", k=2)
     assert res
     assert res[0].chunk.metadata.title == "A"
+
+
+def test_adaptive_preprocessor_routes_by_intent():
+    from trueno_rag_tpu.preprocess_adaptive import AdaptivePreprocessor
+
+    ap = AdaptivePreprocessor()
+    # troubleshooting -> synonym variants ('fix' -> 'repair' etc.)
+    out = ap.preprocess("fix the error")
+    assert out[0] == "fix the error" and len(out) > 1
+    assert any("repair" in v or "failure" in v for v in out[1:])
+    # definition -> HyDE augmented
+    out = ap.preprocess("what is a systolic array")
+    assert out[0] == "what is a systolic array"
+    assert any("The answer is" in v for v in out)
+    # unknown intent -> passthrough
+    assert ap.preprocess("zebra quantum paddle") == ["zebra quantum paddle"]
+
+
+def test_adaptive_in_pipeline():
+    from trueno_rag_tpu import Document, LexicalReranker, RagPipelineBuilder, TfIdfEmbedder
+    from trueno_rag_tpu.preprocess_adaptive import AdaptivePreprocessor
+
+    docs = [
+        Document("To repair a broken build, clear the cache and rerun.", title="Fix"),
+        Document("A systolic array is a grid of multiply-accumulate units.", title="Def"),
+    ]
+    emb = TfIdfEmbedder(32).fit([d.content for d in docs])
+    p = (
+        RagPipelineBuilder()
+        .with_embedder(emb)
+        .with_reranker(LexicalReranker())
+        .with_preprocessor(AdaptivePreprocessor())
+        .build()
+    )
+    p.index_documents(docs)
+    res = p.query("fix the broken build", k=1)
+    assert res[0].chunk.metadata.title == "Fix"
