@@ -138,3 +138,23 @@ def test_cross_encoder_in_pipeline():
     p.index_documents(docs)
     res = p.query("alpha beta", k=2)
     assert res and res[0].rerank_score is not None
+
+
+def test_nemotron_in_pipeline():
+    from trueno_rag_tpu import Document, NoOpReranker, RagPipelineBuilder, RecursiveChunker
+
+    emb = NemotronEmbedder(config=CFG, batch_size=4)
+    p = (
+        RagPipelineBuilder()
+        .with_embedder(emb)
+        .with_reranker(NoOpReranker())
+        .with_chunker(RecursiveChunker(chunk_size=120, overlap=10))
+        .build()
+    )
+    p.index_documents([
+        Document("alpha beta gamma delta words", title="A"),
+        Document("epsilon zeta eta theta words", title="B"),
+    ])
+    res = p.query("alpha beta", k=2)
+    assert res and res[0].rerank_score is None
+    assert res[0].fused_score is not None

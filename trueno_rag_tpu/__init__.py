@@ -96,6 +96,16 @@ from trueno_rag_tpu.retrieve import (
     RetrievalResult,
     SparseRetriever,
 )
+from trueno_rag_tpu.preprocess import (
+    ChainedPreprocessor,
+    HydePreprocessor,
+    KeywordExpander,
+    MultiQueryPreprocessor,
+    PassthroughPreprocessor,
+    QueryAnalyzer,
+    QueryIntent,
+    SynonymExpander,
+)
 
 __version__ = "0.1.0"
 
@@ -166,5 +176,14 @@ __all__ = [
     # metrics
     "RetrievalMetrics",
     "AggregatedMetrics",
+    # preprocessing
+    "ChainedPreprocessor",
+    "HydePreprocessor",
+    "KeywordExpander",
+    "MultiQueryPreprocessor",
+    "PassthroughPreprocessor",
+    "QueryAnalyzer",
+    "QueryIntent",
+    "SynonymExpander",
     "__version__",
 ]
