@@ -102,10 +102,12 @@ from trueno_rag_tpu.preprocess import (
     KeywordExpander,
     MultiQueryPreprocessor,
     PassthroughPreprocessor,
+    QueryAnalysis,
     QueryAnalyzer,
     QueryIntent,
     SynonymExpander,
 )
+from trueno_rag_tpu.preprocess_adaptive import AdaptivePreprocessor
 
 __version__ = "0.1.0"
 
@@ -177,11 +179,13 @@ __all__ = [
     "RetrievalMetrics",
     "AggregatedMetrics",
     # preprocessing
+    "AdaptivePreprocessor",
     "ChainedPreprocessor",
     "HydePreprocessor",
     "KeywordExpander",
     "MultiQueryPreprocessor",
     "PassthroughPreprocessor",
+    "QueryAnalysis",
     "QueryAnalyzer",
     "QueryIntent",
     "SynonymExpander",
