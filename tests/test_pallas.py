@@ -41,7 +41,9 @@ def test_pallas_dot_metric():
 
 
 def test_pallas_rejects_euclidean():
-    with pytest.raises(ValueError):
+    from trueno_rag_tpu.errors import InvalidConfigError
+
+    with pytest.raises(InvalidConfigError):
         pallas_dense_topk(
             jnp.zeros((1, 8)), jnp.zeros((16, 8)), jnp.ones(16, bool), 2, "euclidean", interpret=True
         )

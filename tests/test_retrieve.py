@@ -266,3 +266,43 @@ def test_fused_path_requires_jax_encoder():
     retr, _ = build_hybrid()  # TF-IDF embedder
     with pytest.raises(QueryError):
         retr.retrieve_batch_fused(["q"], 2)
+
+
+def test_hybrid_reindex_same_id_clears_old_postings():
+    """Regression (code review): re-indexing an existing chunk id must
+    clear the OLD content's BM25 postings — the registry swap order
+    used to leave 'zebra' retrievable after replacement."""
+    emb = TfIdfEmbedder(32).fit(["zebra quantum falafel", "gorilla neutrino pancake"])
+    retr = HybridRetriever(emb)
+    c1 = mk_chunk(1, "zebra quantum falafel")
+    c1.set_embedding(emb.embed_document(c1.content))
+    retr.index(c1)
+    c2 = mk_chunk(1, "gorilla neutrino pancake")  # same id -> replacement
+    c2.set_embedding(emb.embed_document(c2.content))
+    retr.index(c2)
+    assert retr.sparse_index.search("zebra", 5) == []
+    hits = retr.sparse_index.search("gorilla", 5)
+    assert [c for c, _ in hits] == [c2.id]
+    assert len(retr) == 1
+
+
+def test_bm25_add_batch_replacement_and_duplicates():
+    """Regression (code review): native add_batch must fall back to the
+    safe path for replacements across batches and duplicate ids within
+    one batch (no stale postings, no double-counted doc lengths)."""
+    from trueno_rag_tpu.index import BM25Index
+
+    idx = BM25Index()
+    idx.add_batch([mk_chunk(1, "zebra quantum falafel")])
+    idx.add_batch([mk_chunk(1, "gorilla neutrino pancake")])  # replacement
+    assert idx.search("zebra", 5) == []
+    assert idx.search("gorilla", 5)
+    assert len(idx) == 1
+
+    idx2 = BM25Index()
+    idx2.add_batch([mk_chunk(7, "apple banana"), mk_chunk(7, "cherry durian")])
+    assert len(idx2) == 1
+    assert idx2.search("apple", 5) == []  # last write wins
+    assert idx2.search("cherry", 5)
+    # doc length counted once (2 tokens), not accumulated
+    assert idx2.avg_doc_length == 2.0

@@ -124,3 +124,32 @@ def test_http_errors(server):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_empty_query_rejected_before_batching(retriever):
+    """Regression (code review): one empty query must not poison the
+    micro-batch for concurrent valid requests."""
+    from trueno_rag_tpu.errors import QueryError
+
+    batcher = MicroBatcher(retriever, max_batch=8, max_wait_ms=30.0)
+    try:
+        outcome = {}
+
+        def bad():
+            try:
+                batcher.query("   ", k=2)
+                outcome["bad"] = "no error"
+            except QueryError:
+                outcome["bad"] = "rejected"
+
+        def good():
+            outcome["good"] = batcher.query("fox", k=2)
+
+        t1 = threading.Thread(target=bad)
+        t2 = threading.Thread(target=good)
+        t1.start(); t2.start()
+        t1.join(20); t2.join(20)
+        assert outcome["bad"] == "rejected"
+        assert outcome["good"], "valid request must survive a bad neighbor"
+    finally:
+        batcher.shutdown()

@@ -224,6 +224,16 @@ def _load(index_dir: str):
         if "state" in info:
             embedder = TfIdfEmbedder.from_state_dict(info["state"])
         else:
+            # Legacy artifact without persisted vocabulary: re-fitting on
+            # chunk texts gives a DIFFERENT df/idf space than the one the
+            # stored matrix was embedded in (the reference CLI has the
+            # same quirk, main.rs:468-477) — dense scores will be
+            # inconsistent. Our `index` command always persists state.
+            print(
+                "warning: index lacks persisted TF-IDF state; re-fitting on "
+                "chunks — dense scores may be inconsistent",
+                file=sys.stderr,
+            )
             embedder = TfIdfEmbedder(info.get("dimension", 128))
             embedder.fit([c["content"] for c in payload["chunks"]])
     else:

@@ -14,7 +14,7 @@ TPU-native execution plan:
 - On search, a CSR snapshot (rows/tfs arrays grouped by term + per-term
   idf + doc lengths) is pushed to device lazily (dirty flag) and the
   query becomes gather lists into those arrays — all float math runs in
-  :func:`trueno_rag_tpu.ops.bm25.bm25_topk` on device.
+  :func:`trueno_rag_tpu.ops.bm25.bm25_topk_segments` on device.
 
 ``search_host`` is the scalar oracle with loop-level reference
 semantics, used by tests to pin the device path to exact parity.
@@ -30,7 +30,7 @@ import numpy as np
 
 from trueno_rag_tpu.chunking import Chunk
 from trueno_rag_tpu.index.base import ChunkRegistry
-from trueno_rag_tpu.ops.bm25 import bm25_topk, bucket_len
+from trueno_rag_tpu.ops.bm25 import bucket_len
 from trueno_rag_tpu.text import STOPWORDS, tokenize
 
 
@@ -132,8 +132,17 @@ class BM25Index:
 
     def add_batch(self, chunks: Sequence[Chunk]) -> None:
         if self._native_builder is not None:
-            rows = [self.registry.add(c) for c in chunks]
-            if not any(r in self._doc_len for r in rows):  # no replacements
+            # The fast path must be detected BEFORE registering anything:
+            # registry.add() swaps the stored chunk, after which a
+            # replacement can no longer clear the old content's postings.
+            # Intra-batch duplicate ids would also double-count postings.
+            ids = [c.id for c in chunks]
+            clean = len(set(ids)) == len(ids) and not any(
+                (row := self.registry.row_of(cid)) is not None and row in self._doc_len
+                for cid in ids
+            )
+            if clean:
+                rows = [self.registry.add(c) for c in chunks]
                 counts = self._native_builder.add_batch(rows, [c.content for c in chunks])
                 for r, n in zip(rows, counts):
                     self._doc_len[r] = int(n)
@@ -259,41 +268,6 @@ class BM25Index:
             "packed": pack_postings(rows, tfs, doc_len, idf, term_of),
         }
         self._dirty = False
-
-    def _gather_lists(self, queries: Sequence[str], pad_to: Optional[int] = None):
-        """Compile queries into (positions, terms, mask) gather arrays."""
-        snap = self._snap
-        per_query: List[Tuple[np.ndarray, np.ndarray]] = []
-        max_len = 1
-        for q in queries:
-            pos_parts, term_parts = [], []
-            for term in self._tokenize(q):
-                tid = snap["vocab"].get(term)
-                if tid is None:
-                    continue
-                lo, hi = int(snap["indptr"][tid]), int(snap["indptr"][tid + 1])
-                pos_parts.append(np.arange(lo, hi, dtype=np.int32))
-                term_parts.append(np.full(hi - lo, tid, dtype=np.int32))
-            if pos_parts:
-                pos = np.concatenate(pos_parts)
-                trm = np.concatenate(term_parts)
-            else:
-                pos = np.zeros(0, dtype=np.int32)
-                trm = np.zeros(0, dtype=np.int32)
-            per_query.append((pos, trm))
-            max_len = max(max_len, len(pos))
-        L = bucket_len(pad_to or max_len)
-        B = len(queries)
-        positions = np.zeros((B, L), dtype=np.int32)
-        terms = np.zeros((B, L), dtype=np.int32)
-        mask = np.zeros((B, L), dtype=bool)
-        for i, (pos, trm) in enumerate(per_query):
-            positions[i, : len(pos)] = pos
-            terms[i, : len(trm)] = trm
-            mask[i, : len(pos)] = True
-        return positions, terms, mask
-
-    # -- queries -----------------------------------------------------------------
 
     def _gather_segments(self, queries: Sequence[str]):
         """Compile queries into contiguous-run (start, len) pairs over

@@ -34,60 +34,6 @@ import jax.numpy as jnp
 NEG_INF = float("-inf")
 
 
-@functools.partial(jax.jit, static_argnames=("k", "k1", "b"))
-def bm25_topk_packed(
-    positions: jax.Array,  # [B, L] int32 — indices into the packed postings
-    pos_mask: jax.Array,  # [B, L] bool — False for padding slots
-    packed: jax.Array,  # [P, 4] f32 — (row bits, tf, doc_len, idf) per posting
-    avgdl: jax.Array,  # scalar f32
-    k: int,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> Tuple[jax.Array, jax.Array]:
-    """Candidate-set BM25 over PRE-JOINED postings — the production path.
-
-    Irregular gathers dominate BM25 on TPU: four separate random-access
-    gathers per posting (row, tf, then the *dependent* doc_len[row] and
-    idf[term]) measured ~28 ms per 256-query batch at L=2048 on v5e.
-    The snapshot instead pre-joins everything per posting into one
-    ``[P, 4]`` float32 record (row id bitcast into the float container),
-    so the device issues ONE coalesced 16-byte gather per posting and
-    the dependent-gather chain disappears. Scoring math and output
-    contract are identical to :func:`bm25_topk_candidates`.
-    """
-    L = positions.shape[1]
-
-    def one_query(pos, mask):
-        g = packed[pos]  # [L, 4] — single coalesced gather
-        r = jax.lax.bitcast_convert_type(g[:, 0], jnp.int32)
-        tf = g[:, 1]
-        dl = g[:, 2]
-        idf_t = g[:, 3]
-        denom = tf + k1 * (1.0 - b + b * dl / jnp.maximum(avgdl, 1e-9))
-        contrib = idf_t * tf * (k1 + 1.0) / jnp.maximum(denom, 1e-9)
-        contrib = jnp.where(mask, contrib, 0.0)
-        r_key = jnp.where(mask, r, jnp.iinfo(jnp.int32).max)
-        r_sorted, c_sorted = jax.lax.sort((r_key, contrib), num_keys=1)
-        csum = jnp.cumsum(c_sorted)
-        nxt = jnp.concatenate([r_sorted[1:], jnp.full((1,), -1, r_sorted.dtype)])
-        is_end = r_sorted != nxt
-        run_max = jax.lax.associative_scan(jnp.maximum, jnp.where(is_end, csum, -jnp.inf))
-        prev_csum = jnp.concatenate([jnp.full((1,), -jnp.inf, csum.dtype), run_max[:-1]])
-        base = jnp.where(jnp.isneginf(prev_csum), 0.0, prev_csum)
-        seg_sum = csum - base
-        valid = is_end & (r_sorted != jnp.iinfo(jnp.int32).max) & (seg_sum > 0.0)
-        scores_c = jnp.where(valid, seg_sum, NEG_INF)
-        k_eff = min(k, L)
-        top_s, top_i = jax.lax.top_k(scores_c, k_eff)
-        top_r = jnp.where(jnp.isneginf(top_s), -1, r_sorted[top_i]).astype(jnp.int32)
-        if k_eff < k:
-            top_s = jnp.pad(top_s, (0, k - k_eff), constant_values=NEG_INF)
-            top_r = jnp.pad(top_r, (0, k - k_eff), constant_values=-1)
-        return top_s, top_r
-
-    return jax.vmap(one_query)(positions, pos_mask)
-
-
 SEGMENT_LEN = 256  # postings per fetched segment (PM)
 
 
@@ -155,7 +101,7 @@ def bm25_topk_segments(
 
 def pack_postings(rows, tfs, doc_len, idf, term_of_posting) -> "jnp.ndarray":
     """Host helper: pre-join per-posting (row, tf, doc_len[row],
-    idf[term]) into the [P, 4] float32 record bm25_topk_packed expects."""
+    idf[term]) into the [P, 4] float32 record bm25_topk_segments expects."""
     import numpy as np
 
     rows = np.asarray(rows, dtype=np.int32)
@@ -284,37 +230,6 @@ def bm25_topk_scatter(
         top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
         top_rows = jnp.pad(top_rows, ((0, 0), (0, pad)), constant_values=-1)
     return top_scores, top_rows
-
-
-def bm25_topk(
-    positions,
-    pos_terms,
-    pos_mask,
-    rows,
-    tfs,
-    idf,
-    doc_len,
-    avgdl,
-    k: int,
-    k1: float = 1.2,
-    b: float = 0.75,
-    n_rows: int = 0,
-    algorithm: str = "candidates",
-):
-    """BM25 top-k dispatcher. ``candidates`` (default) is the
-    corpus-size-independent sort/segment-sum path; ``scatter`` is the
-    dense-score oracle (kept for cross-checks and tiny corpora)."""
-    if algorithm == "candidates":
-        return bm25_topk_candidates(
-            positions, pos_terms, pos_mask, rows, tfs, idf, doc_len, avgdl,
-            k=k, k1=k1, b=b,
-        )
-    if algorithm == "scatter":
-        return bm25_topk_scatter(
-            positions, pos_terms, pos_mask, rows, tfs, idf, doc_len, avgdl,
-            k=k, k1=k1, b=b, n_rows=n_rows,
-        )
-    raise ValueError(f"unknown bm25 algorithm {algorithm!r}")
 
 
 def bucket_len(n: int, minimum: int = 64) -> int:

@@ -60,7 +60,9 @@ def similarity_scores(queries: jax.Array, matrix: jax.Array, metric: str = "cosi
         cross = jnp.dot(queries, matrix.T, preferred_element_type=jnp.float32, precision=_PRECISION)
         d2 = jnp.maximum(sq_q + sq_m[None, :] - 2.0 * cross, 0.0)
         return -jnp.sqrt(d2)
-    raise ValueError(f"unknown metric: {metric!r}")
+    from trueno_rag_tpu.errors import InvalidConfigError
+
+    raise InvalidConfigError(f"unknown metric: {metric!r}")
 
 
 def blockwise_topk(scores: jax.Array, k: int, block: int = 128) -> Tuple[jax.Array, jax.Array]:
@@ -141,7 +143,9 @@ def dense_topk(
     elif algorithm == "full":
         top_scores, top_rows = jax.lax.top_k(masked, k)
     else:
-        raise ValueError(f"unknown top-k algorithm {algorithm!r}")
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(f"unknown top-k algorithm {algorithm!r}")
     top_rows = jnp.where(jnp.isneginf(top_scores), -1, top_rows).astype(jnp.int32)
     return top_scores, top_rows
 

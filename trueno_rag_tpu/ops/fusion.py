@@ -4,7 +4,7 @@ Vectorized recast of the reference's HashMap-based ``FusionStrategy::fuse``
 (reference: fusion.rs:39-224). Candidate lists arrive as fixed-width
 ``(rows, scores)`` pairs (row ``-1`` + score ``-inf`` = empty slot), i.e.
 exactly what :func:`trueno_rag_tpu.ops.dense.dense_topk` and
-:func:`trueno_rag_tpu.ops.bm25.bm25_topk` emit, so hybrid retrieval is a
+:func:`trueno_rag_tpu.ops.bm25.bm25_topk_segments` emit, so hybrid retrieval is a
 single XLA program: dense matmul + BM25 scatter + fusion + final top-k
 with no host round-trip.
 
@@ -128,7 +128,9 @@ def _fuse_one(rows_d, scores_d, rows_s, scores_s, kind: str, param: float):
         )
         return _sort_desc(rows_all, scores_all)
     else:
-        raise ValueError(f"unknown fusion kind: {kind!r}")
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(f"unknown fusion kind: {kind!r}")
 
     # Common tail for rrf/linear/dbsf: dense slots fused, sparse slots only
     # when not already represented by a dense slot.

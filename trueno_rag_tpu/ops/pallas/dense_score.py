@@ -163,7 +163,9 @@ def pallas_dense_topk_twopass(
         qn = jnp.linalg.norm(queries, axis=-1, keepdims=True)
         queries = queries / jnp.where(qn == 0.0, 1.0, qn)
     elif metric != "dot":
-        raise ValueError(f"twopass supports cosine/dot, got {metric!r}")
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(f"twopass supports cosine/dot, got {metric!r}")
     b, d = queries.shape
     n = matrix.shape[0]
     b_pad = max(8, -(-b // 8) * 8)
@@ -247,7 +249,9 @@ def pallas_dense_topk(
         qn = jnp.linalg.norm(queries, axis=-1, keepdims=True)
         queries = queries / jnp.where(qn == 0.0, 1.0, qn)
     elif metric != "dot":
-        raise ValueError(f"pallas_dense_topk supports cosine/dot, got {metric!r}")
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(f"pallas_dense_topk supports cosine/dot, got {metric!r}")
 
     b, d = queries.shape
     n = matrix.shape[0]

@@ -95,13 +95,21 @@ class HybridRetriever:
 
     def index(self, chunk: Chunk) -> None:
         """Add a chunk to both stores (reference: retrieve.rs:156-164).
-        The chunk must already carry an embedding."""
-        self.vector_store.insert(chunk)
+        The chunk must already carry an embedding.
+
+        Order matters: the sparse index goes FIRST — replacing an
+        existing chunk id requires re-tokenizing the OLD content to
+        clear its postings, and inserting into the vector store swaps
+        the new chunk into the shared registry."""
         self.sparse_index.add(chunk)
+        self.vector_store.insert(chunk)
 
     def index_batch(self, chunks: Sequence[Chunk]) -> None:
-        for c in chunks:
-            self.index(c)
+        # Bulk sparse path engages the native C++ builder (one FFI call);
+        # sparse before dense for the same replacement-ordering reason
+        # as index().
+        self.sparse_index.add_batch(chunks)
+        self.vector_store.insert_many(chunks)
 
     def remove(self, chunk_id: str) -> bool:
         """Remove from both stores and free the shared row."""

@@ -59,12 +59,21 @@ class MicroBatcher:
         self.max_wait = max_wait_ms / 1000.0
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
+        # guards the retriever's lazy snapshot/device state against
+        # concurrent refresh from the worker and bulk-request threads
+        self._retriever_lock = threading.Lock()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
         self.batches_served = 0
         self.queries_served = 0
 
     def query(self, query: str, k: int = 5, timeout: float = 30.0) -> List[RetrievalResult]:
+        # Validate per-item BEFORE batching: one bad query must not
+        # poison every request coalesced into the same micro-batch.
+        if not query or not query.strip():
+            from trueno_rag_tpu.errors import QueryError
+
+            raise QueryError("empty query")
         item = _Pending(query=query, k=k)
         self._queue.put(item)
         if not item.event.wait(timeout):
@@ -94,7 +103,8 @@ class MicroBatcher:
                     break
             k = max(item.k for item in batch)
             try:
-                all_results = self.retriever.retrieve_batch([i.query for i in batch], k)
+                with self._retriever_lock:
+                    all_results = self.retriever.retrieve_batch([i.query for i in batch], k)
                 for item, results in zip(batch, all_results):
                     item.results = results[: item.k]
             except Exception as e:  # propagate to every waiter
@@ -105,6 +115,15 @@ class MicroBatcher:
                 self.queries_served += len(batch)
                 for item in batch:
                     item.event.set()
+
+    def retrieve_batch(self, queries: List[str], k: int) -> List[List[RetrievalResult]]:
+        """Bulk retrieval sharing the worker's retriever lock (the
+        retriever's lazy snapshot refresh is not thread-safe)."""
+        with self._retriever_lock:
+            batches = self.retriever.retrieve_batch(queries, k)
+        self.batches_served += 1
+        self.queries_served += len(queries)
+        return batches
 
     def shutdown(self) -> None:
         self._stop.set()
@@ -144,7 +163,7 @@ def make_handler(batcher: MicroBatcher):
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 k = int(payload.get("k", 5))
                 if "queries" in payload:
-                    batches = batcher.retriever.retrieve_batch(list(payload["queries"]), k)
+                    batches = batcher.retrieve_batch(list(payload["queries"]), k)
                     self._send(200, {"batches": [[result_to_dict(r) for r in b] for b in batches]})
                 elif "query" in payload:
                     results = batcher.query(str(payload["query"]), k)
