@@ -40,27 +40,20 @@ def test_property_bm25_device_matches_oracle(docs, query, data):
     k = data.draw(st.integers(1, 15))
     host = idx.search_host(query, k)
     dev = idx.search(query, k)
-    # Same ids and scores; order may differ only WITHIN groups of exactly
-    # tied scores (cumsum-difference fp noise breaks exact ties into
-    # near-ties; the reference's unstable sort gives no tie order either).
-    assert {c for c, _ in dev} == {c for c, _ in host}
+    # Tie-tolerant contract: results may differ only among exactly tied
+    # scores (cumsum-difference fp noise breaks exact ties into
+    # near-ties; the reference's unstable sort gives no tie order
+    # either). Every device result must be a legitimate member of the
+    # tie-extended host top-k, counts match, scores match pairwise.
+    assert len(dev) == len(host)
     for (_, s1), (_, s2) in zip(dev, host):
         assert s1 == pytest.approx(s2, rel=1e-4, abs=1e-5)
-
-    def tie_groups(results):
-        groups, cur, cur_s = [], [], None
-        for c, s in results:
-            if cur_s is None or abs(s - cur_s) <= 1e-5 * max(1.0, abs(s)):
-                cur.append(c)
-            else:
-                groups.append(set(cur))
-                cur = [c]
-            cur_s = s
-        if cur:
-            groups.append(set(cur))
-        return groups
-
-    assert tie_groups(dev) == tie_groups(host)
+    if host:
+        full = dict(idx.search_host(query, len(docs)))
+        cutoff = host[-1][1]
+        for c, s in dev:
+            assert c in full
+            assert full[c] >= cutoff - 1e-4 * max(1.0, abs(cutoff)), (c, full[c], cutoff)
 
 
 @settings(max_examples=30, deadline=None)
