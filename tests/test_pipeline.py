@@ -170,3 +170,11 @@ def test_fusion_override_through_builder():
     assert p.retriever.config.fusion.kind == "linear"
     p.index_documents(DOCS)
     assert p.query("rust", 2)
+
+
+def test_query_with_context_batch():
+    p = build_pipeline()
+    ctxs = p.query_with_context_batch(["rust memory safety", "systolic array"], k=2)
+    assert len(ctxs) == 2
+    assert all(c.chunks for c in ctxs)
+    assert "Rust" in ctxs[0].citation_list()

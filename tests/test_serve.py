@@ -153,3 +153,15 @@ def test_empty_query_rejected_before_batching(retriever):
         assert outcome["good"], "valid request must survive a bad neighbor"
     finally:
         batcher.shutdown()
+
+
+def test_latency_stats_populated(retriever):
+    batcher = MicroBatcher(retriever, max_batch=4, max_wait_ms=1.0)
+    try:
+        for _ in range(3):
+            batcher.query("fox", k=1)
+        stats = batcher.latency_stats()
+        assert {"p50_ms", "p95_ms", "p99_ms"} <= set(stats)
+        assert stats["p50_ms"] > 0
+    finally:
+        batcher.shutdown()

@@ -288,6 +288,9 @@ class RagPipeline:
     def query_with_context(self, query: str, k: int = 5) -> AssembledContext:
         return self.assembler.assemble(self.query(query, k))
 
+    def query_with_context_batch(self, queries: Sequence[str], k: int = 5) -> List[AssembledContext]:
+        return [self.assembler.assemble(results) for results in self.query_batch(queries, k)]
+
 
 # ---------------------------------------------------------------------------
 # Builder (reference: pipeline.rs:419-538)

@@ -66,6 +66,8 @@ class MicroBatcher:
         self._worker.start()
         self.batches_served = 0
         self.queries_served = 0
+        self._latencies_ms: List[float] = []  # ring buffer of batch latencies
+        self._lat_lock = threading.Lock()
 
     def query(self, query: str, k: int = 5, timeout: float = 30.0) -> List[RetrievalResult]:
         # Validate per-item BEFORE batching: one bad query must not
@@ -102,6 +104,7 @@ class MicroBatcher:
                 except queue.Empty:
                     break
             k = max(item.k for item in batch)
+            t_start = time.perf_counter()
             try:
                 with self._retriever_lock:
                     all_results = self.retriever.retrieve_batch([i.query for i in batch], k)
@@ -111,6 +114,7 @@ class MicroBatcher:
                 for item in batch:
                     item.error = e
             finally:
+                self._record_latency((time.perf_counter() - t_start) * 1e3)
                 self.batches_served += 1
                 self.queries_served += len(batch)
                 for item in batch:
@@ -124,6 +128,21 @@ class MicroBatcher:
         self.batches_served += 1
         self.queries_served += len(queries)
         return batches
+
+    def _record_latency(self, ms: float) -> None:
+        with self._lat_lock:
+            self._latencies_ms.append(ms)
+            if len(self._latencies_ms) > 1024:
+                self._latencies_ms = self._latencies_ms[-512:]
+
+    def latency_stats(self) -> Dict[str, float]:
+        """p50/p95/p99 device-batch latency (ms) over the recent window."""
+        with self._lat_lock:
+            lat = sorted(self._latencies_ms)
+        if not lat:
+            return {}
+        pick = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))]  # noqa: E731
+        return {"p50_ms": pick(0.50), "p95_ms": pick(0.95), "p99_ms": pick(0.99)}
 
     def shutdown(self) -> None:
         self._stop.set()
@@ -150,6 +169,7 @@ def make_handler(batcher: MicroBatcher):
                     "chunks": len(batcher.retriever),
                     "batches_served": batcher.batches_served,
                     "queries_served": batcher.queries_served,
+                    **batcher.latency_stats(),
                 })
             else:
                 self._send(404, {"error": "unknown path"})
