@@ -39,7 +39,7 @@ def retriever():
 
 
 def test_microbatcher_coalesces(retriever):
-    batcher = MicroBatcher(retriever, max_batch=8, max_wait_ms=50.0)
+    batcher = MicroBatcher(retriever, max_batch=8, max_wait_ms=150.0)
     try:
         results = [None] * 6
         threads = []

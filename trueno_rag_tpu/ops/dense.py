@@ -108,6 +108,7 @@ def blockwise_topk(scores: jax.Array, k: int, block: int = 128) -> Tuple[jax.Arr
     # flat -> global row: block_rank = idx // block, offset = idx % block
     blk = jnp.take_along_axis(bidx, flat_idx // block, axis=1)
     rows = (blk * block + flat_idx % block).astype(jnp.int32)
+    rows = jnp.where(jnp.isneginf(top_scores), -1, rows)
     if k_eff < k:
         top_scores = jnp.pad(top_scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
         rows = jnp.pad(rows, ((0, 0), (0, k - k_eff)), constant_values=-1)
