@@ -246,7 +246,11 @@ def test_fused_query_program_matches_staged_path():
     from trueno_rag_tpu.models.encoder import EncoderConfig, JaxEncoderEmbedder
 
     emb = JaxEncoderEmbedder(config=EncoderConfig.tiny())
-    retr = HybridRetriever(emb, config=HybridRetrieverConfig(candidates_per_source=10))
+    # fused=False forces the staged path so the comparison is real
+    # (JAX encoders auto-route through the fused program by default)
+    retr = HybridRetriever(
+        emb, config=HybridRetrieverConfig(candidates_per_source=10, fused=False)
+    )
     chunks = [mk_chunk(i, t) for i, t in enumerate(CORPUS)]
     emb.embed_chunks(chunks)
     retr.index_batch(chunks)
@@ -306,3 +310,28 @@ def test_bm25_add_batch_replacement_and_duplicates():
     assert idx2.search("cherry", 5)
     # doc length counted once (2 tokens), not accumulated
     assert idx2.avg_doc_length == 2.0
+
+
+def test_auto_fused_routing():
+    from trueno_rag_tpu.models.encoder import EncoderConfig, JaxEncoderEmbedder
+
+    emb = JaxEncoderEmbedder(config=EncoderConfig.tiny())
+    retr = HybridRetriever(emb, config=HybridRetrieverConfig(candidates_per_source=8))
+    chunks = [mk_chunk(i, t) for i, t in enumerate(CORPUS)]
+    emb.embed_chunks(chunks)
+    retr.index_batch(chunks)
+    # auto (fused=None) routes JAX encoders through the fused program and
+    # must agree with the explicitly fused call
+    auto = retr.retrieve_batch(["fox forests"], 3)
+    explicit = retr.retrieve_batch_fused(["fox forests"], 3)
+    assert [r.chunk.id for r in auto[0]] == [r.chunk.id for r in explicit[0]]
+    # fused=True with a host embedder is a config error
+    bad = HybridRetriever(
+        TfIdfEmbedder(16).fit(CORPUS),
+        config=HybridRetrieverConfig(fused=True),
+    )
+    bad_chunks = [mk_chunk(i, t) for i, t in enumerate(CORPUS)]
+    bad.embedder.embed_chunks(bad_chunks)
+    bad.index_batch(bad_chunks)
+    with pytest.raises(QueryError):
+        bad.retrieve("fox", 2)

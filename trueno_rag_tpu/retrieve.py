@@ -68,6 +68,10 @@ class HybridRetrieverConfig:
     fusion: FusionStrategy = field(default_factory=FusionStrategy.rrf)
     use_dense: bool = True
     use_sparse: bool = True
+    # None = auto: JAX-encoder embedders route through the fully fused
+    # one-XLA-program path (encoder+dense+BM25+fusion); False forces the
+    # staged path; True raises for non-JAX embedders.
+    fused: Optional[bool] = None
 
 
 # ---------------------------------------------------------------------------
@@ -143,6 +147,13 @@ class HybridRetriever:
         use_sparse = self.config.use_sparse
         if not use_dense and not use_sparse:
             raise QueryError("both retrieval sources disabled")
+        if use_dense and use_sparse and self.config.fused is not False:
+            from trueno_rag_tpu.models.encoder import JaxEncoderEmbedder
+
+            if isinstance(self.embedder, JaxEncoderEmbedder):
+                return self.retrieve_batch_fused(queries, k)
+            if self.config.fused is True:
+                raise QueryError("fused=True requires a JaxEncoderEmbedder")
 
         b = len(queries)
         # Bucket the batch dimension to a power of two so serving at
