@@ -22,5 +22,11 @@ examples:
 dryrun:
 	$(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 
+profile:
+	PYTHONPATH=.:$$PYTHONPATH $(PY) benches/device_profile.py
+
+microbench:
+	PYTHONPATH=.:$$PYTHONPATH $(PY) benches/micro.py
+
 lint:
 	$(PY) -m compileall -q trueno_rag_tpu tests examples bench.py __graft_entry__.py
