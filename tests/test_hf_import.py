@@ -121,3 +121,41 @@ def test_wordpiece_batch_padding():
     assert batch.shape[0] == 2
     assert batch[0, 0] == 2  # CLS
     assert (batch[0] == 0).any()  # padded
+
+
+def test_cross_encoder_import_matches_transformers(hf_dir, tmp_path):
+    """Random-weight BertForSequenceClassification (1 label) exported and
+    imported: our scores must be sigmoid(HF logits)."""
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file
+
+    from trueno_rag_tpu.models.hf_import import load_hf_cross_encoder
+
+    torch.manual_seed(1)
+    cfg = transformers.BertConfig(**TINY_CFG, num_labels=1)
+    model = transformers.BertForSequenceClassification(cfg)
+    model.eval()
+    d = tmp_path / "ce"
+    d.mkdir()
+    save_file({k: v.numpy() for k, v in model.state_dict().items()}, str(d / "model.safetensors"))
+    (d / "config.json").write_text(json.dumps(TINY_CFG))
+    (d / "vocab.txt").write_text("\n".join(VOCAB))
+
+    rr = load_hf_cross_encoder(str(d), compute_dtype=jnp.float32)
+    ids = np.array([[2, 5, 6, 3, 8, 3, 0, 0], [2, 9, 10, 3, 11, 14, 15, 3]], dtype=np.int32)
+    mask = (ids != 0).astype(np.int64)
+    with torch.no_grad():
+        logits = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask),
+        ).logits.numpy()[:, 0]
+    expected = 1.0 / (1.0 + np.exp(-logits))
+
+    from trueno_rag_tpu.models.cross_encoder import cross_encoder_scores
+
+    got = np.asarray(cross_encoder_scores(rr.params, jnp.asarray(ids), rr.config))
+    np.testing.assert_allclose(got, expected, atol=3e-4, rtol=3e-4)
+
+    # end-to-end rerank through the imported model
+    out = rr.score_batch("the fox", ["the fox jumps", "tpu matrix"])
+    assert out.shape == (2,) and np.isfinite(out).all()

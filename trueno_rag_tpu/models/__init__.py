@@ -41,7 +41,7 @@ from trueno_rag_tpu.models.cross_encoder import (
     cross_encoder_scores,
     init_cross_encoder_params,
 )
-from trueno_rag_tpu.models.hf_import import load_hf_bert_encoder
+from trueno_rag_tpu.models.hf_import import load_hf_bert_encoder, load_hf_cross_encoder
 from trueno_rag_tpu.models.tokenization import WordPieceTokenizer
 
 __all__ = [
@@ -59,5 +59,6 @@ __all__ = [
     "cross_encoder_scores",
     "init_cross_encoder_params",
     "load_hf_bert_encoder",
+    "load_hf_cross_encoder",
     "WordPieceTokenizer",
 ]

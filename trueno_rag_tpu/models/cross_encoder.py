@@ -69,7 +69,10 @@ def cross_encoder_scores(params: Dict[str, jax.Array], token_ids: jax.Array, con
 
     x, _ = jax.lax.scan(body, x, layer_params)
     cls = _pool(x, mask, "cls")  # [B, H] f32
+    if "pooler_w" in params:  # HF BERT pooler (dense+tanh) before the head
+        cls = jnp.tanh(cls @ params["pooler_w"] + params["pooler_b"])
     logits = cls @ params["score_w"] + params["score_b"]
+    # sigmoid for [0,1] scores; monotonic, so rankings equal raw logits
     return jax.nn.sigmoid(logits[:, 0])
 
 

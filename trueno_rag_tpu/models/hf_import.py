@@ -108,6 +108,64 @@ def convert_bert_state(
     }
 
 
+def load_hf_cross_encoder(
+    model_dir: str,
+    max_len: int = 256,
+    compute_dtype: Any = None,
+):
+    """Build a :class:`~trueno_rag_tpu.models.cross_encoder.CrossEncoderReranker`
+    from a local HF ``BertForSequenceClassification`` checkpoint (the
+    architecture of the standard ms-marco MiniLM rerankers).
+
+    Maps the BERT trunk like :func:`load_hf_bert_encoder`; the
+    single-logit classifier head becomes the score head. HF pools the
+    CLS state through ``bert.pooler`` (dense+tanh) before the
+    classifier, so the pooler folds into the head computation.
+    """
+    import jax.numpy as jnp
+
+    from trueno_rag_tpu.models.cross_encoder import CrossEncoderReranker
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    config = EncoderConfig(
+        vocab_size=hf_cfg["vocab_size"],
+        hidden_dim=hf_cfg["hidden_size"],
+        num_layers=hf_cfg["num_hidden_layers"],
+        num_heads=hf_cfg["num_attention_heads"],
+        mlp_dim=hf_cfg["intermediate_size"],
+        max_len=min(max_len, hf_cfg.get("max_position_embeddings", max_len)),
+        pooling="cls",
+        normalize=False,
+        compute_dtype=compute_dtype if compute_dtype is not None else jnp.bfloat16,
+    )
+    state = _load_hf_state(model_dir)
+    params = {k: jnp.asarray(v) for k, v in convert_bert_state(state, config.num_layers).items()}
+
+    def get(name: str) -> np.ndarray:
+        for prefix in ("", "bert."):
+            if prefix + name in state:
+                return np.asarray(state[prefix + name], dtype=np.float32)
+        raise SerializationError(f"missing HF weight: {name}")
+
+    params["pooler_w"] = jnp.asarray(get("pooler.dense.weight").T)
+    params["pooler_b"] = jnp.asarray(get("pooler.dense.bias"))
+    clf_w = get("classifier.weight")  # [num_labels, H]
+    if clf_w.shape[0] != 1:
+        raise SerializationError(
+            f"cross-encoder import expects a single-logit classifier, got {clf_w.shape[0]} labels"
+        )
+    params["score_w"] = jnp.asarray(clf_w.T)  # [H, 1]
+    params["score_b"] = jnp.asarray(get("classifier.bias"))
+
+    reranker = CrossEncoderReranker(config=config, params=params, max_len=config.max_len)
+    vocab_path = os.path.join(model_dir, "vocab.txt")
+    if os.path.exists(vocab_path):
+        reranker.tokenizer = WordPieceTokenizer.from_vocab_file(vocab_path, max_len=config.max_len)
+    reranker.has_pooler = True
+    return reranker
+
+
 def load_hf_bert_encoder(
     model_dir: str,
     pooling: str = "mean",
