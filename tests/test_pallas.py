@@ -107,3 +107,39 @@ def test_twopass_matches_xla(n, d, b, k):
     s_x, r_x = dense_topk(jnp.asarray(q), jnp.asarray(matrix), jnp.asarray(valid), k, "cosine")
     np.testing.assert_array_equal(np.asarray(r_p), np.asarray(r_x))
     np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), atol=1e-5, rtol=1e-5)
+
+
+# -------------------------------------------------------- bm25 DMA ----
+
+
+@pytest.mark.parametrize("seed,nwords,ndocs,nq", [(0, 50, 200, 5), (1, 20, 800, 9), (2, 300, 100, 3)])
+def test_bm25_dma_matches_segments(seed, nwords, ndocs, nq):
+    from trueno_rag_tpu.chunking import Chunk
+    from trueno_rag_tpu.index.bm25 import BM25Index
+    from trueno_rag_tpu.ops.pallas.bm25_fetch import bm25_topk_dma, gather_aligned_segments
+
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(nwords)]
+    idx = BM25Index(use_native=False)
+    for i in range(ndocs):
+        text = " ".join(rng.choice(words, size=rng.integers(5, 60)))
+        idx.add(Chunk(id=f"c{i}", document_id="d", content=text, start_offset=0, end_offset=1))
+    idx._refresh_snapshot()
+    snap = idx._snap
+    queries = [" ".join(rng.choice(words, size=rng.integers(1, 6))) for _ in range(nq)]
+    queries.append("zzz unknown terms only")
+    k = 10
+    s_ref, r_ref = idx.search_arrays(queries, k)
+    block_ids, lo, hi, s_slots, _ = gather_aligned_segments(
+        snap["indptr"], None, snap["vocab"], idx._tokenize, queries, int(snap["indptr"][-1])
+    )
+    s_dma, r_dma = bm25_topk_dma(
+        jnp.asarray(block_ids), jnp.asarray(lo), jnp.asarray(hi), snap["packed"],
+        float(snap["avgdl"]), k=k, s_slots=s_slots, interpret=True,
+    )
+    # Rows/order identical; scores may differ ~1e-4 (fp32 associativity:
+    # aligned-block vs term-aligned summation order).
+    np.testing.assert_array_equal(np.asarray(r_dma)[: len(queries)], np.asarray(r_ref))
+    np.testing.assert_allclose(
+        np.asarray(s_dma)[: len(queries)], np.asarray(s_ref), atol=1e-4, rtol=1e-4
+    )
