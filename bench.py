@@ -94,6 +94,48 @@ def make_query_segments(snap, batch: int, terms_per_query: int, seed: int = 1):
     return starts, lens, packed
 
 
+def make_query_blocks(snap, batch: int, terms_per_query: int, seed: int = 1):
+    """Emit (block_ids, lo, hi, blocks) for the block-gather fast path."""
+    import jax.numpy as jnp
+
+    from trueno_rag_tpu.ops.bm25 import BLOCK_LEN, pack_posting_blocks
+
+    rng = np.random.default_rng(seed)
+    indptr = snap["indptr"]
+    vocab = len(indptr) - 1
+    term_of = np.repeat(np.arange(vocab), np.diff(indptr))
+    blocks = pack_posting_blocks(
+        np.asarray(snap["rows"]), np.asarray(snap["tfs"]),
+        np.asarray(snap["doc_len"]), np.asarray(snap["idf"]), term_of,
+        np.float32(np.asarray(snap["avgdl"])),
+    )
+    sentinel = int(indptr[-1]) // BLOCK_LEN
+    per_query = []
+    max_slots = 1
+    for _ in range(batch):
+        slots = []
+        for t in rng.choice(vocab, size=terms_per_query, replace=False):
+            lo, hi = int(indptr[t]), int(indptr[t + 1])
+            hi = min(hi, lo + 512)  # cap pathological posting lists
+            if hi <= lo:
+                continue
+            for blk in range(lo // BLOCK_LEN, (hi - 1) // BLOCK_LEN + 1):
+                base = blk * BLOCK_LEN
+                slots.append((blk, max(lo - base, 0), min(hi - base, BLOCK_LEN)))
+        per_query.append(slots)
+        max_slots = max(max_slots, len(slots))
+    S = max(2, max_slots)
+    bids = np.full((batch, S), sentinel, dtype=np.int32)
+    lo_a = np.zeros((batch, S), dtype=np.int32)
+    hi_a = np.zeros((batch, S), dtype=np.int32)
+    for i, slots in enumerate(per_query):
+        for j, (blk, l, h) in enumerate(slots):
+            bids[i, j] = blk
+            lo_a[i, j] = l
+            hi_a[i, j] = h
+    return bids, lo_a, hi_a, blocks
+
+
 def make_query_gather_lists(snap, batch: int, terms_per_query: int, pad_to: int, seed: int = 1):
     rng = np.random.default_rng(seed)
     vocab = len(snap["indptr"]) - 1
@@ -120,7 +162,7 @@ def bench_hybrid(n_chunks=100_000, dim=384, batch=256, k=10, cand=50, iters=30):
     import jax
     import jax.numpy as jnp
 
-    from trueno_rag_tpu.ops.bm25 import bm25_topk_segments
+    from trueno_rag_tpu.ops.bm25 import bm25_topk_blocks
     from trueno_rag_tpu.ops.dense import dense_topk
     from trueno_rag_tpu.ops.fusion import fuse_topk
 
@@ -132,8 +174,8 @@ def bench_hybrid(n_chunks=100_000, dim=384, batch=256, k=10, cand=50, iters=30):
     queries = jax.random.normal(k2, (batch, dim), dtype=jnp.float32)
 
     snap = build_synthetic_bm25(n_chunks, vocab=50_000, avg_len=64)
-    seg_starts, seg_lens, packed = make_query_segments(snap, batch, terms_per_query=6)
-    seg_starts, seg_lens = jnp.asarray(seg_starts), jnp.asarray(seg_lens)
+    bids, blo, bhi, blocks = make_query_blocks(snap, batch, terms_per_query=6)
+    bids, blo, bhi = jnp.asarray(bids), jnp.asarray(blo), jnp.asarray(bhi)
 
     import functools
 
@@ -146,15 +188,14 @@ def bench_hybrid(n_chunks=100_000, dim=384, batch=256, k=10, cand=50, iters=30):
     # EVERY stage input depends on the carry — otherwise XLA hoists the
     # loop-invariant stage out of the scan and the bench lies.
     @functools.partial(jax.jit, static_argnames=("steps",))
-    def hybrid_chain(queries, seg_starts, seg_lens, packed, matrix, valid, avgdl, steps):
+    def hybrid_chain(queries, bids, blo, bhi, blocks, matrix, valid, steps):
         def one(carry, _):
             q = queries + carry
             # carry-derived (always-zero, but not provably so) shift keeps
             # the BM25 stage inside the loop
             shift = (carry > 1e30).astype(jnp.int32)
             d_s, d_r = dense_topk(q, matrix, valid, cand, "cosine")
-            s_s, s_r = bm25_topk_segments(seg_starts + shift, seg_lens, packed,
-                                          avgdl, k=cand)
+            s_s, s_r = bm25_topk_blocks(bids + shift, blo, bhi, blocks, k=cand)
             f_r, f_s = fuse_topk(d_r, d_s, s_r, s_s, kind="rrf", param=60.0)
             top = jax.lax.top_k(f_s, k)[0]
             return jnp.max(top) * 1e-12, None
@@ -162,7 +203,7 @@ def bench_hybrid(n_chunks=100_000, dim=384, batch=256, k=10, cand=50, iters=30):
         c, _ = jax.lax.scan(one, 0.0, None, length=steps)
         return c
 
-    args = (queries, seg_starts, seg_lens, packed, matrix, valid, snap["avgdl"])
+    args = (queries, bids, blo, bhi, blocks, matrix, valid)
     float(hybrid_chain(*args, steps=1))  # compile small
     float(hybrid_chain(*args, steps=iters))  # compile full chain
     t0 = time.perf_counter()

@@ -85,6 +85,20 @@ def main() -> None:
     t = chain_timed(bm25)
     print(f"bm25 segments top-{cand:<7d}: {t*1e3:8.3f} ms")
 
+    from bench import make_query_blocks
+    from trueno_rag_tpu.ops.bm25 import bm25_topk_blocks
+
+    bids, blo, bhi, blocks = make_query_blocks(snap, b, terms_per_query=6)
+    bids, blo, bhi = jnp.asarray(bids), jnp.asarray(blo), jnp.asarray(bhi)
+
+    def bm25_blk(c):
+        shift = (c > 1e30).astype(jnp.int32)
+        s, r = bm25_topk_blocks(bids + shift, blo, bhi, blocks, k=cand)
+        return jnp.max(s) * 1e-12 + c * 1e-30
+
+    t = chain_timed(bm25_blk)
+    print(f"bm25 blocks top-{cand:<9d}: {t*1e3:8.3f} ms")
+
     d_s, d_r = dense_topk(queries, matrix, valid, cand)
     s_s, s_r = bm25_topk_segments(seg_starts, seg_lens, packed, avgdl, k=cand)
     t = chain_timed(lambda c: jnp.max(fuse_topk(d_r, d_s + c, s_r, s_s)[1]) * 1e-12)

@@ -313,3 +313,65 @@ def test_bulk_mutation_falls_back_to_full_upload():
     store.insert_many([mk_chunk(100 + i, f"n{i}", dim=8) for i in range(70)])
     assert store._dirty_rows is None  # unbounded -> full re-upload
     np.testing.assert_array_equal(np.asarray(store.device_matrix), store._host)
+
+
+def test_bm25_blocks_matches_segments_and_host():
+    """The block-gather fast path must rank identically to the segment
+    path and the host oracle (scores to fp32 associativity)."""
+    import jax.numpy as jnp
+
+    from trueno_rag_tpu.ops.bm25 import bm25_topk_segments
+
+    rng = np.random.default_rng(11)
+    words = [f"t{i}" for i in range(80)]
+    idx = BM25Index(use_native=False)
+    for i in range(300):
+        text = " ".join(rng.choice(words, size=rng.integers(4, 50)))
+        idx.add(mk_chunk(i, text))
+    queries = [" ".join(rng.choice(words, size=rng.integers(1, 5))) for _ in range(6)]
+    queries.append("unknownterm onlyhere")
+    k = 12
+    s_blk, r_blk = idx.search_arrays(queries, k)  # blocks path (default)
+    idx._refresh_snapshot()
+    starts, lens = idx._gather_segments(queries)
+    s_seg, r_seg = bm25_topk_segments(
+        jnp.asarray(starts), jnp.asarray(lens), idx._get_packed(),
+        idx._snap["avgdl"], k=k, k1=idx.k1, b=idx.b,
+    )
+    # Scores agree to fp32 tolerance; rows agree except where two rows'
+    # scores tie within that tolerance (XLA's f32 division can differ
+    # from numpy's in the last ulp, swapping exact near-ties).
+    s_blk_np, s_seg_np = np.asarray(s_blk), np.asarray(s_seg)
+    r_blk_np, r_seg_np = np.asarray(r_blk), np.asarray(r_seg)
+    np.testing.assert_allclose(
+        np.where(np.isneginf(s_blk_np), 0, s_blk_np),
+        np.where(np.isneginf(s_seg_np), 0, s_seg_np),
+        atol=1e-4, rtol=1e-4,
+    )
+    for qi in range(len(queries)):
+        for j in np.nonzero(r_blk_np[qi] != r_seg_np[qi])[0]:
+            # a displaced row must sit in a near-tie band
+            assert abs(s_blk_np[qi, j] - s_seg_np[qi, j]) < 1e-4, (qi, j)
+            assert r_blk_np[qi, j] in r_seg_np[qi], (qi, j)
+    # host-oracle ranking agreement for the first real query
+    host = idx.search_host(queries[0], k)
+    dev = idx.search(queries[0], k)
+    assert [h[0] for h in host] == [d[0] for d in dev]
+
+
+def test_bm25_blocks_fallback_past_f32_rows(monkeypatch):
+    """Past the f32-exact row range the snapshot must fall back to the
+    segment layout and still search correctly."""
+    import trueno_rag_tpu.ops.bm25 as ops_bm25
+
+    monkeypatch.setattr(ops_bm25, "MAX_BLOCK_ROWS", 4)  # force fallback
+    idx = BM25Index(use_native=False)
+    for i in range(6):
+        # distinct doc lengths → distinct scores (exact ties have no
+        # guaranteed order — reference behavior)
+        filler = " ".join(f"pad{j}" for j in range(i))
+        idx.add(mk_chunk(i, f"alpha beta gamma{i} delta {filler}"))
+    res = idx.search("alpha beta", 3)
+    assert idx._snap["blocks"] is None and idx._snap["packed"] is not None
+    host = idx.search_host("alpha beta", 3)
+    assert [r[0] for r in res] == [h[0] for h in host]

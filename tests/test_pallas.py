@@ -134,12 +134,20 @@ def test_bm25_dma_matches_segments(seed, nwords, ndocs, nq):
         snap["indptr"], None, snap["vocab"], idx._tokenize, queries, int(snap["indptr"][-1])
     )
     s_dma, r_dma = bm25_topk_dma(
-        jnp.asarray(block_ids), jnp.asarray(lo), jnp.asarray(hi), snap["packed"],
+        jnp.asarray(block_ids), jnp.asarray(lo), jnp.asarray(hi), idx._get_packed(),
         float(snap["avgdl"]), k=k, s_slots=s_slots, interpret=True,
     )
-    # Rows/order identical; scores may differ ~1e-4 (fp32 associativity:
-    # aligned-block vs term-aligned summation order).
-    np.testing.assert_array_equal(np.asarray(r_dma)[: len(queries)], np.asarray(r_ref))
+    # Scores agree to fp32 associativity tolerance; rows agree except
+    # near-tie swaps (host-precomputed vs device-computed contributions
+    # can differ in the last ulp).
+    s_d = np.asarray(s_dma)[: len(queries)]
+    r_d = np.asarray(r_dma)[: len(queries)]
+    s_r, r_r = np.asarray(s_ref), np.asarray(r_ref)
     np.testing.assert_allclose(
-        np.asarray(s_dma)[: len(queries)], np.asarray(s_ref), atol=1e-4, rtol=1e-4
+        np.where(np.isneginf(s_d), 0, s_d), np.where(np.isneginf(s_r), 0, s_r),
+        atol=1e-4, rtol=1e-4,
     )
+    for qi in range(len(queries)):
+        for j in np.nonzero(r_d[qi] != r_r[qi])[0]:
+            assert abs(s_d[qi, j] - s_r[qi, j]) < 1e-4, (qi, j)
+            assert r_d[qi, j] in r_r[qi], (qi, j)

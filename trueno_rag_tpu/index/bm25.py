@@ -245,9 +245,15 @@ class BM25Index:
         self._finish_snapshot(vocab, indptr, rows, tfs, idf, doc_len, n_rows)
 
     def _finish_snapshot(self, vocab, indptr, rows, tfs, idf, doc_len, n_rows) -> None:
-        """Common snapshot tail: device arrays + pre-joined packed
-        postings for the segment-fetch fast path (ops.bm25)."""
-        from trueno_rag_tpu.ops.bm25 import pack_postings
+        """Common snapshot tail: device arrays + the block table for the
+        block-gather fast path (ops.bm25.bm25_topk_blocks); the pre-joined
+        packed postings (segment path) back it up past the f32-exact row
+        range (>= 2**24 rows) and serve as the on-device oracle."""
+        from trueno_rag_tpu.ops.bm25 import (
+            MAX_BLOCK_ROWS,
+            pack_posting_blocks,
+            pack_postings,
+        )
 
         n_terms = len(indptr) - 1
         if n_terms > 0:
@@ -256,6 +262,7 @@ class BM25Index:
             term_of = np.zeros(0, dtype=np.int64)
         if len(term_of) != len(rows):  # degenerate empty-index shapes
             term_of = np.zeros(len(rows), dtype=np.int64)
+        use_blocks = max(n_rows, 1) < MAX_BLOCK_ROWS
         self._snap = {
             "vocab": vocab,
             "indptr": indptr,
@@ -265,9 +272,37 @@ class BM25Index:
             "doc_len": jnp.asarray(doc_len),
             "avgdl": jnp.asarray(np.float32(self.avg_doc_length)),
             "n_rows": max(n_rows, 1),
-            "packed": pack_postings(rows, tfs, doc_len, idf, term_of),
+            "blocks": (
+                pack_posting_blocks(
+                    rows, tfs, doc_len, idf, term_of,
+                    np.float32(self.avg_doc_length), k1=self.k1, b=self.b,
+                )
+                if use_blocks
+                else None
+            ),
+            "packed": (
+                None if use_blocks else pack_postings(rows, tfs, doc_len, idf, term_of)
+            ),
         }
         self._dirty = False
+
+    def _get_packed(self):
+        """Segment-path postings, built lazily (oracle / huge-row fallback)."""
+        from trueno_rag_tpu.ops.bm25 import pack_postings
+
+        snap = self._snap
+        if snap["packed"] is None:
+            indptr = snap["indptr"]
+            n_terms = len(indptr) - 1
+            rows = np.asarray(snap["rows"])
+            term_of = np.repeat(np.arange(max(n_terms, 0)), np.maximum(np.diff(indptr), 0))
+            if len(term_of) != len(rows):
+                term_of = np.zeros(len(rows), dtype=np.int64)
+            snap["packed"] = pack_postings(
+                rows, np.asarray(snap["tfs"]), np.asarray(snap["doc_len"]),
+                np.asarray(snap["idf"]), term_of,
+            )
+        return snap["packed"]
 
     def _gather_segments(self, queries: Sequence[str]):
         """Compile queries into contiguous-run (start, len) pairs over
@@ -301,18 +336,65 @@ class BM25Index:
                 lens[i, j] = ln
         return starts, lens
 
+    def _gather_blocks(self, queries: Sequence[str]):
+        """Compile queries into BLOCK_LEN-aligned (block, lo, hi) slot
+        triples over the block table — the input of
+        ops.bm25.bm25_topk_blocks. Duplicate query terms contribute one
+        slot set each (the reference scores per term occurrence)."""
+        from trueno_rag_tpu.ops.bm25 import BLOCK_LEN
+
+        snap = self._snap
+        indptr = snap["indptr"]
+        sentinel = int(indptr[-1]) // BLOCK_LEN  # always-masked padding block
+        per_query: List[List[Tuple[int, int, int]]] = []
+        max_slots = 1
+        for q in queries:
+            slots: List[Tuple[int, int, int]] = []
+            for term in self._tokenize(q):
+                tid = snap["vocab"].get(term)
+                if tid is None:
+                    continue
+                t_lo, t_hi = int(indptr[tid]), int(indptr[tid + 1])
+                if t_hi <= t_lo:
+                    continue
+                for blk in range(t_lo // BLOCK_LEN, (t_hi - 1) // BLOCK_LEN + 1):
+                    base = blk * BLOCK_LEN
+                    slots.append(
+                        (blk, max(t_lo - base, 0), min(t_hi - base, BLOCK_LEN))
+                    )
+            per_query.append(slots)
+            max_slots = max(max_slots, len(slots))
+        S = bucket_len(max_slots, minimum=2)
+        B = len(queries)
+        bids = np.full((B, S), sentinel, dtype=np.int32)
+        lo = np.zeros((B, S), dtype=np.int32)
+        hi = np.zeros((B, S), dtype=np.int32)
+        for i, slots in enumerate(per_query):
+            for j, (blk, l, h) in enumerate(slots[:S]):
+                bids[i, j] = blk
+                lo[i, j] = l
+                hi[i, j] = h
+        return bids, lo, hi
+
     def search_arrays(self, queries: Sequence[str], k: int):
         """Device-level batched search → ``(scores [B,k], rows [B,k])``
-        via the contiguous-segment fast path."""
-        from trueno_rag_tpu.ops.bm25 import bm25_topk_segments
+        via the block-gather fast path (segment path past the f32-exact
+        row range)."""
+        from trueno_rag_tpu.ops.bm25 import bm25_topk_blocks, bm25_topk_segments
 
         self._refresh_snapshot()
         snap = self._snap
+        if snap["blocks"] is not None:
+            bids, lo, hi = self._gather_blocks(queries)
+            return bm25_topk_blocks(
+                jnp.asarray(bids), jnp.asarray(lo), jnp.asarray(hi),
+                snap["blocks"], k=k,
+            )
         starts, lens = self._gather_segments(queries)
         return bm25_topk_segments(
             jnp.asarray(starts),
             jnp.asarray(lens),
-            snap["packed"],
+            self._get_packed(),
             snap["avgdl"],
             k=k,
             k1=self.k1,

@@ -41,6 +41,109 @@ NEG_INF = float("-inf")
 # slices with the surrounding compute better than few large ones.
 SEGMENT_LEN = 256
 
+# Postings per block in the block-gather layout (the default fast path).
+BLOCK_LEN = 256
+# Row ids ride the block tables as f32 VALUES; exact only below 2**24.
+MAX_BLOCK_ROWS = 1 << 24
+
+
+def _candidate_topk(r_key: jax.Array, contrib: jax.Array, k: int):
+    """Shared tail for candidate-space BM25: one query's (row-key,
+    contribution) pairs → exact (scores [k], rows [k]) with the
+    (score desc, row asc) contract. r_key uses int32-max for invalid
+    slots; contrib is 0 there. Sort by row, segment-sum equal-row runs
+    via cumsum difference (contrib >= 0 ⇒ running max of selected
+    cumsums IS the previous run's end — no gather), score>0 filter."""
+    L = r_key.shape[0]
+    r_sorted, c_sorted = jax.lax.sort((r_key, contrib), num_keys=1)
+    csum = jnp.cumsum(c_sorted)
+    nxt = jnp.concatenate([r_sorted[1:], jnp.full((1,), -1, r_sorted.dtype)])
+    is_end = r_sorted != nxt
+    run_max = jax.lax.associative_scan(jnp.maximum, jnp.where(is_end, csum, -jnp.inf))
+    prev_csum = jnp.concatenate([jnp.full((1,), -jnp.inf, csum.dtype), run_max[:-1]])
+    base = jnp.where(jnp.isneginf(prev_csum), 0.0, prev_csum)
+    seg_sum = csum - base
+    valid = is_end & (r_sorted != jnp.iinfo(jnp.int32).max) & (seg_sum > 0.0)
+    scores_c = jnp.where(valid, seg_sum, NEG_INF)
+    k_eff = min(k, L)
+    top_s, top_i = jax.lax.top_k(scores_c, k_eff)
+    top_r = jnp.where(jnp.isneginf(top_s), -1, r_sorted[top_i]).astype(jnp.int32)
+    if k_eff < k:
+        top_s = jnp.pad(top_s, (0, k - k_eff), constant_values=NEG_INF)
+        top_r = jnp.pad(top_r, (0, k - k_eff), constant_values=-1)
+    return top_s, top_r
+
+
+def pack_posting_blocks(
+    rows, tfs, doc_len, idf, term_of_posting, avgdl, k1: float = 1.2, b: float = 0.75
+) -> "jnp.ndarray":
+    """Host: pack postings into the [NB, 2, BLOCK_LEN] block table the
+    block-gather fast path fetches — lane 0 = row id as an f32 VALUE
+    (exact below 2**24 rows), lane 1 = the FULL precomputed Okapi BM25
+    contribution idf·tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)).
+
+    Precomputing the contribution at pack time (vs fetching tf/dl/idf
+    and computing on device) is valid because k1/b/avgdl are fixed per
+    snapshot; it halves the per-posting record to 8 bytes. All math in
+    float32 to bit-match the device computation it replaces.
+    """
+    import numpy as np
+
+    rows = np.asarray(rows, dtype=np.int32)
+    p = len(rows)
+    if p and int(rows.max()) >= MAX_BLOCK_ROWS:
+        raise ValueError("row ids exceed f32-exact range; use the segment path")
+    tfs32 = np.asarray(tfs, dtype=np.float32)
+    dl32 = np.asarray(doc_len, dtype=np.float32)[rows]
+    idf32 = np.asarray(idf, dtype=np.float32)[np.asarray(term_of_posting, dtype=np.int64)]
+    k1f, bf = np.float32(k1), np.float32(b)
+    av = np.maximum(np.float32(avgdl), np.float32(1e-9))
+    denom = tfs32 + k1f * (np.float32(1.0) - bf + bf * dl32 / av)
+    contrib = idf32 * tfs32 * (k1f + np.float32(1.0)) / np.maximum(denom, np.float32(1e-9))
+    # The block after the last posting is the sentinel target for padded
+    # slots (always masked, so its contents never matter).
+    nb = p // BLOCK_LEN + 1
+    flat_rows = np.zeros(nb * BLOCK_LEN, dtype=np.float32)
+    flat_rows[:p] = rows.astype(np.float32)
+    flat_contrib = np.zeros(nb * BLOCK_LEN, dtype=np.float32)
+    flat_contrib[:p] = contrib
+    table = np.stack(
+        [flat_rows.reshape(nb, BLOCK_LEN), flat_contrib.reshape(nb, BLOCK_LEN)], axis=1
+    )
+    return jnp.asarray(table)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def bm25_topk_blocks(
+    block_ids: jax.Array,  # [B, S] int32 — block index per slot
+    lo: jax.Array,  # [B, S] int32 — first valid lane within the block
+    hi: jax.Array,  # [B, S] int32 — one past the last valid lane
+    blocks: jax.Array,  # [NB, 2, BLOCK_LEN] f32 — see pack_posting_blocks
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Block-gather BM25 top-k — the fast path.
+
+    The segment path's vmapped ``dynamic_slice`` stream is latency-bound
+    on slab count (~0.2 ms per slab column at B=256 regardless of
+    bytes); a single wide row-gather (``jnp.take`` of [2·BLOCK_LEN]-wide
+    rows) moves the same postings at ~400 GB/s (measured v5e: 0.02 ms vs
+    1.5 ms for 9 MB). Blocks are BLOCK_LEN-aligned, so a query term's
+    run may start/end mid-block — (lo, hi) mask off neighbors' postings.
+    Scoring math lives in the precomputed contributions; the tail is the
+    shared sort + segment-sum + top-k.
+    """
+    bsz, s = block_ids.shape
+    bl = blocks.shape[-1]
+    L = s * bl
+    g = jnp.take(blocks, block_ids.reshape(-1), axis=0)  # [B*S, 2, BL]
+    g = g.reshape(bsz, s, 2, bl)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bsz, s, bl), 2)
+    mask = (lane >= lo[:, :, None]) & (lane < hi[:, :, None])
+    r = g[:, :, 0, :].astype(jnp.int32)  # f32 row VALUES — exact < 2**24
+    contrib = jnp.where(mask, g[:, :, 1, :], 0.0).reshape(bsz, L)
+    r_key = jnp.where(mask, r, jnp.iinfo(jnp.int32).max).reshape(bsz, L)
+    return jax.vmap(functools.partial(_candidate_topk, k=k))(r_key, contrib)
+
 
 @functools.partial(jax.jit, static_argnames=("k", "k1", "b"))
 def bm25_topk_segments(
@@ -83,23 +186,7 @@ def bm25_topk_segments(
         contrib = idf_t * tf * (k1 + 1.0) / jnp.maximum(denom, 1e-9)
         contrib = jnp.where(mask, contrib, 0.0)
         r_key = jnp.where(mask, r, jnp.iinfo(jnp.int32).max)
-        r_sorted, c_sorted = jax.lax.sort((r_key, contrib), num_keys=1)
-        csum = jnp.cumsum(c_sorted)
-        nxt = jnp.concatenate([r_sorted[1:], jnp.full((1,), -1, r_sorted.dtype)])
-        is_end = r_sorted != nxt
-        run_max = jax.lax.associative_scan(jnp.maximum, jnp.where(is_end, csum, -jnp.inf))
-        prev_csum = jnp.concatenate([jnp.full((1,), -jnp.inf, csum.dtype), run_max[:-1]])
-        base = jnp.where(jnp.isneginf(prev_csum), 0.0, prev_csum)
-        seg_sum = csum - base
-        valid = is_end & (r_sorted != jnp.iinfo(jnp.int32).max) & (seg_sum > 0.0)
-        scores_c = jnp.where(valid, seg_sum, NEG_INF)
-        k_eff = min(k, L)
-        top_s, top_i = jax.lax.top_k(scores_c, k_eff)
-        top_r = jnp.where(jnp.isneginf(top_s), -1, r_sorted[top_i]).astype(jnp.int32)
-        if k_eff < k:
-            top_s = jnp.pad(top_s, (0, k - k_eff), constant_values=NEG_INF)
-            top_r = jnp.pad(top_r, (0, k - k_eff), constant_values=-1)
-        return top_s, top_r
+        return _candidate_topk(r_key, contrib, k)
 
     return jax.vmap(one_query)(seg_starts, seg_lens)
 
@@ -167,27 +254,7 @@ def bm25_topk_candidates(
         contrib = idf_t * tf * (k1 + 1.0) / jnp.maximum(denom, 1e-9)
         contrib = jnp.where(mask, contrib, 0.0)
         r_key = jnp.where(mask, r, jnp.iinfo(jnp.int32).max)  # padding last
-        r_sorted, c_sorted = jax.lax.sort((r_key, contrib), num_keys=1)
-        csum = jnp.cumsum(c_sorted)
-        nxt = jnp.concatenate([r_sorted[1:], jnp.full((1,), -1, r_sorted.dtype)])
-        is_end = r_sorted != nxt  # last element of each equal-row run
-        # Base = csum at the previous run's end. contrib >= 0 makes csum
-        # monotone, so the latest selected value IS the running max —
-        # a pure cummax, avoiding a per-element gather (which costs ~10x
-        # the rest of this function on TPU).
-        run_max = jax.lax.associative_scan(jnp.maximum, jnp.where(is_end, csum, -jnp.inf))
-        prev_csum = jnp.concatenate([jnp.full((1,), -jnp.inf, csum.dtype), run_max[:-1]])
-        base = jnp.where(jnp.isneginf(prev_csum), 0.0, prev_csum)
-        seg_sum = csum - base
-        valid = is_end & (r_sorted != jnp.iinfo(jnp.int32).max) & (seg_sum > 0.0)
-        scores_c = jnp.where(valid, seg_sum, NEG_INF)
-        k_eff = min(k, L)
-        top_s, top_i = jax.lax.top_k(scores_c, k_eff)
-        top_r = jnp.where(jnp.isneginf(top_s), -1, r_sorted[top_i]).astype(jnp.int32)
-        if k_eff < k:
-            top_s = jnp.pad(top_s, (0, k - k_eff), constant_values=NEG_INF)
-            top_r = jnp.pad(top_r, (0, k - k_eff), constant_values=-1)
-        return top_s, top_r
+        return _candidate_topk(r_key, contrib, k)
 
     return jax.vmap(one_query)(positions, pos_terms, pos_mask)
 

@@ -7,12 +7,17 @@ TF-IDF, whose query vectors are born on the host); this module provides
 the fully fused program for JAX encoders: query *token ids* go in,
 fused candidate ``(rows, scores)`` come out, with no host round-trips
 in between — XLA schedules the encoder matmuls, corpus scan, BM25
-segment-sum and fusion sort as one executable.
+block gather + segment-sum and fusion sort as one executable.
 
 The lexical rerankers are host string code by nature; the neural
 cross-encoder reranker is itself a single jitted program over the fused
 candidates, so a neural end-to-end query costs exactly two device
 dispatches.
+
+BM25 rides the block-gather layout (``ops.bm25.bm25_topk_blocks``,
+precomputed contributions fetched with one wide row-gather); the
+``*_segments`` variants keep the dynamic-slice path for corpora past
+the f32-exact row range (>= 2**24 rows).
 """
 
 from __future__ import annotations
@@ -24,16 +29,49 @@ import jax
 import jax.numpy as jnp
 
 from trueno_rag_tpu.models.encoder import EncoderConfig, encoder_forward
-from trueno_rag_tpu.ops.bm25 import bm25_topk_segments
+from trueno_rag_tpu.ops.bm25 import bm25_topk_blocks, bm25_topk_segments
 from trueno_rag_tpu.ops.dense import blockwise_topk, similarity_scores, NEG_INF
 from trueno_rag_tpu.ops.fusion import fuse_topk
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cand", "metric", "fusion_kind", "fusion_param", "k1", "b"),
+    static_argnames=("cand", "metric", "fusion_kind", "fusion_param"),
 )
 def hybrid_query_arrays(
+    qvecs: jax.Array,  # [B, d] query vectors (any embedder)
+    matrix: jax.Array,
+    valid_mask: jax.Array,
+    block_ids: jax.Array,  # [B, S] BM25 block slots
+    block_lo: jax.Array,  # [B, S]
+    block_hi: jax.Array,  # [B, S]
+    blocks: jax.Array,  # [NB, 2, BLOCK_LEN] precomputed-contribution table
+    cand: int = 50,
+    metric: str = "cosine",
+    fusion_kind: str = "rrf",
+    fusion_param: float = 60.0,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Single-dispatch hybrid candidates for host-embedded queries:
+    dense top-c + BM25 top-c + fusion in ONE jitted program (three
+    separate dispatches otherwise each pay the device round-trip).
+    Returns (f_rows, f_scores, d_rows, d_scores, s_rows, s_scores) so
+    the caller can attach per-source scores."""
+    scores = similarity_scores(qvecs, matrix, metric)
+    masked = jnp.where(valid_mask[None, :], scores, NEG_INF)
+    d_scores, d_rows = blockwise_topk(masked, cand)
+    d_rows = jnp.where(jnp.isneginf(d_scores), -1, d_rows)
+    s_scores, s_rows = bm25_topk_blocks(block_ids, block_lo, block_hi, blocks, k=cand)
+    f_rows, f_scores = fuse_topk(
+        d_rows, d_scores, s_rows, s_scores, kind=fusion_kind, param=fusion_param
+    )
+    return f_rows, f_scores, d_rows, d_scores, s_rows, s_scores
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cand", "metric", "fusion_kind", "fusion_param", "k1", "b"),
+)
+def hybrid_query_arrays_segments(
     qvecs: jax.Array,  # [B, d] query vectors (any embedder)
     matrix: jax.Array,
     valid_mask: jax.Array,
@@ -48,11 +86,8 @@ def hybrid_query_arrays(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Single-dispatch hybrid candidates for host-embedded queries:
-    dense top-c + BM25 top-c + fusion in ONE jitted program (three
-    separate dispatches otherwise each pay the device round-trip).
-    Returns (f_rows, f_scores, d_rows, d_scores, s_rows, s_scores) so
-    the caller can attach per-source scores."""
+    """Segment-path variant of :func:`hybrid_query_arrays` for corpora
+    whose row ids exceed the f32-exact block-table range."""
     scores = similarity_scores(qvecs, matrix, metric)
     masked = jnp.where(valid_mask[None, :], scores, NEG_INF)
     d_scores, d_rows = blockwise_topk(masked, cand)
@@ -68,25 +103,23 @@ def hybrid_query_arrays(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("encoder_config", "cand", "k", "metric", "fusion_kind", "fusion_param", "k1", "b"),
+    static_argnames=("encoder_config", "cand", "k", "metric", "fusion_kind", "fusion_param"),
 )
 def fused_hybrid_query(
     encoder_params,
     token_ids: jax.Array,  # [B, T] query token ids
     matrix: jax.Array,  # [N, d] corpus (cosine rows pre-normalized)
     valid_mask: jax.Array,  # [N]
-    seg_starts: jax.Array,  # [B, S] BM25 contiguous-run offsets
-    seg_lens: jax.Array,  # [B, S]
-    packed: jax.Array,  # [P + SEGMENT_LEN, 4] pre-joined postings
-    avgdl: jax.Array,
+    block_ids: jax.Array,  # [B, S] BM25 block slots
+    block_lo: jax.Array,  # [B, S]
+    block_hi: jax.Array,  # [B, S]
+    blocks: jax.Array,  # [NB, 2, BLOCK_LEN] precomputed-contribution table
     encoder_config: EncoderConfig,
     cand: int = 50,
     k: int = 10,
     metric: str = "cosine",
     fusion_kind: str = "rrf",
     fusion_param: float = 60.0,
-    k1: float = 1.2,
-    b: float = 0.75,
 ):
     """One XLA program: encoder forward + dense top-c + BM25 top-c +
     fusion + final top-k. Returns ``(f_rows [B,k], f_scores [B,k],
@@ -94,8 +127,8 @@ def fused_hybrid_query(
     per-source scores like the staged path."""
     q = encoder_forward(encoder_params, token_ids, encoder_config)  # [B, d] f32
     f_rows, f_scores, d_rows, d_scores, s_rows, s_scores = hybrid_query_arrays(
-        q, matrix, valid_mask, seg_starts, seg_lens, packed, avgdl,
+        q, matrix, valid_mask, block_ids, block_lo, block_hi, blocks,
         cand=cand, metric=metric, fusion_kind=fusion_kind,
-        fusion_param=fusion_param, k1=k1, b=b,
+        fusion_param=fusion_param,
     )
     return f_rows[:, :k], f_scores[:, :k], d_rows, d_scores, s_rows, s_scores

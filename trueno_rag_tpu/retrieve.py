@@ -170,27 +170,46 @@ class HybridRetriever:
 
         if use_dense and use_sparse:
             # one device dispatch for dense + BM25 + fusion
-            from trueno_rag_tpu.ops.hybrid import hybrid_query_arrays
+            from trueno_rag_tpu.ops.hybrid import (
+                hybrid_query_arrays,
+                hybrid_query_arrays_segments,
+            )
 
             import jax.numpy as jnp
 
             self.sparse_index._refresh_snapshot()
             snap = self.sparse_index._snap
-            starts, lens = self.sparse_index._gather_segments(padded_queries)
             self.vector_store._refresh_device()
-            f_rows, f_scores, d_rows, d_scores, s_rows, s_scores = hybrid_query_arrays(
-                jnp.asarray(qvecs),
-                self.vector_store.device_matrix,
-                self.vector_store.device_valid,
-                jnp.asarray(starts), jnp.asarray(lens),
-                snap["packed"], snap["avgdl"],
-                cand=cand,
-                metric=self.vector_store.config.metric,
-                fusion_kind=self.config.fusion.kind,
-                fusion_param=self.config.fusion.device_param,
-                k1=self.sparse_index.k1,
-                b=self.sparse_index.b,
-            )
+            if snap["blocks"] is not None:
+                bids, blo, bhi = self.sparse_index._gather_blocks(padded_queries)
+                f_rows, f_scores, d_rows, d_scores, s_rows, s_scores = hybrid_query_arrays(
+                    jnp.asarray(qvecs),
+                    self.vector_store.device_matrix,
+                    self.vector_store.device_valid,
+                    jnp.asarray(bids), jnp.asarray(blo), jnp.asarray(bhi),
+                    snap["blocks"],
+                    cand=cand,
+                    metric=self.vector_store.config.metric,
+                    fusion_kind=self.config.fusion.kind,
+                    fusion_param=self.config.fusion.device_param,
+                )
+            else:  # rows past the f32-exact block range: segment path
+                starts, lens = self.sparse_index._gather_segments(padded_queries)
+                f_rows, f_scores, d_rows, d_scores, s_rows, s_scores = (
+                    hybrid_query_arrays_segments(
+                        jnp.asarray(qvecs),
+                        self.vector_store.device_matrix,
+                        self.vector_store.device_valid,
+                        jnp.asarray(starts), jnp.asarray(lens),
+                        self.sparse_index._get_packed(), snap["avgdl"],
+                        cand=cand,
+                        metric=self.vector_store.config.metric,
+                        fusion_kind=self.config.fusion.kind,
+                        fusion_param=self.config.fusion.device_param,
+                        k1=self.sparse_index.k1,
+                        b=self.sparse_index.b,
+                    )
+                )
         elif use_dense:
             d_scores, d_rows = self.vector_store.search_arrays(qvecs, cand)
             f_rows, f_scores = d_rows, d_scores
@@ -264,7 +283,12 @@ class HybridRetriever:
             token_ids = np.pad(token_ids, ((0, b_pad - token_ids.shape[0]), (0, 0)))
         self.sparse_index._refresh_snapshot()
         snap = self.sparse_index._snap
-        starts, lens = self.sparse_index._gather_segments(
+        if snap["blocks"] is None:
+            raise QueryError(
+                "fused path requires the block-table BM25 layout "
+                "(corpus rows must stay below 2**24); use the staged path"
+            )
+        bids, blo, bhi = self.sparse_index._gather_blocks(
             list(queries) + ["\0"] * (b_pad - len(queries))
         )
         f_rows, f_scores, d_rows, d_scores, s_rows, s_scores = fused_hybrid_query(
@@ -272,16 +296,14 @@ class HybridRetriever:
             jnp.asarray(token_ids),
             self.vector_store.device_matrix,
             self.vector_store.device_valid,
-            jnp.asarray(starts), jnp.asarray(lens),
-            snap["packed"], snap["avgdl"],
+            jnp.asarray(bids), jnp.asarray(blo), jnp.asarray(bhi),
+            snap["blocks"],
             encoder_config=emb.encoder_config,
             cand=self.config.candidates_per_source,
             k=k,
             metric=self.vector_store.config.metric,
             fusion_kind=self.config.fusion.kind,
             fusion_param=self.config.fusion.device_param,
-            k1=self.sparse_index.k1,
-            b=self.sparse_index.b,
         )
         f_rows = np.asarray(f_rows)
         f_scores = np.asarray(f_scores)
