@@ -1,0 +1,109 @@
+"""Tiered dense top-k (bf16 scan + verified fp32 rescore): the checked
+wrapper must ALWAYS match the fp32 oracle exactly — certification
+failures fall back, never degrade results."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from trueno_rag_tpu.ops.dense import dense_topk
+from trueno_rag_tpu.ops.dense_tiered import (
+    dense_topk_tiered,
+    dense_topk_tiered_checked,
+    prepare_tiered,
+)
+
+
+def build(n, d, bq, seed, invalidate=True):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    q = rng.standard_normal((bq, d)).astype(np.float32)
+    valid = np.ones(n, bool)
+    if invalidate:
+        valid[n // 10 : n // 8] = False
+    return jnp.asarray(m), jnp.asarray(q), jnp.asarray(valid)
+
+
+@pytest.mark.parametrize(
+    "n,d,bq,k", [(5000, 64, 7, 10), (20000, 384, 4, 50), (300, 32, 3, 7), (1000, 48, 5, 13)]
+)
+def test_tiered_checked_matches_oracle(n, d, bq, k):
+    m, q, valid = build(n, d, bq, seed=n)
+    mb, el2, al2 = prepare_tiered(m)
+    s_c, r_c, _ = dense_topk_tiered_checked(q, m, mb, el2, al2, valid, k, interpret=True)
+    s_x, r_x = dense_topk(q, m, valid, k, "cosine")
+    np.testing.assert_array_equal(np.asarray(r_c), np.asarray(r_x))
+    np.testing.assert_allclose(np.asarray(s_c), np.asarray(s_x), atol=2e-6, rtol=2e-6)
+
+
+def test_tiered_certified_results_are_exact():
+    """Whenever the certificate fires, results must equal the oracle
+    bit-for-bit (rows) — the certificate is a proof, not a heuristic."""
+    for seed in range(5):
+        m, q, valid = build(8192, 96, 6, seed)
+        mb, el2, al2 = prepare_tiered(m)
+        s_t, r_t, ok = dense_topk_tiered(q, m, mb, el2, al2, valid, 12, interpret=True)
+        if not bool(ok):
+            continue
+        s_x, r_x = dense_topk(q, m, valid, 12, "cosine")
+        np.testing.assert_array_equal(np.asarray(r_t), np.asarray(r_x))
+
+
+def test_tiered_exact_ties_fail_closed():
+    """Duplicated rows create exact ties at the k boundary; the
+    certificate must fail (strict >) and the checked wrapper must fall
+    back to the fp32 path, preserving (score desc, row asc)."""
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((1000, 32)).astype(np.float32)
+    m[500:521] = m[0]
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    q = jnp.asarray(m[0][None, :].copy())
+    m = jnp.asarray(m)
+    mb, el2, al2 = prepare_tiered(m)
+    valid = jnp.ones(1000, bool)
+    s_c, r_c, fb = dense_topk_tiered_checked(q, m, mb, el2, al2, valid, 5, interpret=True)
+    s_x, r_x = dense_topk(q, m, valid, 5, "cosine")
+    assert fb  # 16 surplus exact ties cannot be certified
+    np.testing.assert_array_equal(np.asarray(r_c), np.asarray(r_x))
+
+
+def test_tiered_dot_metric_and_euclidean_rejection():
+    m, q, valid = build(2048, 64, 4, seed=9)
+    mb, el2, al2 = prepare_tiered(m)
+    s_c, r_c, _ = dense_topk_tiered_checked(
+        q, m, mb, el2, al2, valid, 9, metric="dot", interpret=True
+    )
+    s_x, r_x = dense_topk(q, m, valid, 9, "dot")
+    np.testing.assert_array_equal(np.asarray(r_c), np.asarray(r_x))
+    from trueno_rag_tpu.errors import InvalidConfigError
+
+    with pytest.raises(InvalidConfigError):
+        dense_topk_tiered(q, m, mb, el2, al2, valid, 9, metric="euclidean", interpret=True)
+
+
+def test_tiered_bound_is_rigorous():
+    """The analytic upper bound must dominate the true fp32 score for
+    every (query, row) — checked directly against the bf16 scan."""
+    rng = np.random.default_rng(17)
+    n, d, bq = 4096, 80, 5
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    q = rng.standard_normal((bq, d)).astype(np.float32)
+    qn = np.linalg.norm(q, axis=1, keepdims=True)
+    q = q / qn
+    mj = jnp.asarray(m)
+    mb, el2, al2 = prepare_tiered(mj)
+    qb = jnp.asarray(q).astype(jnp.bfloat16)
+    approx = np.asarray(
+        jnp.dot(qb, jnp.asarray(mb).T, preferred_element_type=jnp.float32)
+    )
+    f = q - np.asarray(qb, dtype=np.float32)
+    b_l2 = np.linalg.norm(np.asarray(qb, dtype=np.float32), axis=1)
+    f_l2 = np.linalg.norm(f, axis=1)
+    acc = d * 2.0**-23
+    u = (b_l2 + f_l2) * 1.0001 + 1e-7
+    v = (f_l2 + acc * b_l2) * 1.0001 + 1e-7
+    upper = approx + np.asarray(el2)[None, :] * u[:, None] + np.asarray(al2)[None, :] * v[:, None]
+    true = q.astype(np.float64) @ m.astype(np.float64).T  # oracle scores
+    assert (upper + 1e-6 >= true).all(), float((true - upper).max())
