@@ -36,10 +36,11 @@ def build_synthetic_bm25(n_chunks: int, vocab: int, avg_len: int, seed: int = 0)
 
     rng = np.random.default_rng(seed)
     total_postings = n_chunks * avg_len // 4  # distinct (term, doc) pairs
-    # Zipf-ish term popularity
+    # Zipf-ish term popularity (inverse-CDF sampling — rng.choice with
+    # p= is ~100x slower at 16M postings)
     term_weights = 1.0 / (np.arange(1, vocab + 1) ** 0.9)
-    term_weights /= term_weights.sum()
-    term_of_posting = rng.choice(vocab, size=total_postings, p=term_weights)
+    cdf = np.cumsum(term_weights / term_weights.sum())
+    term_of_posting = np.searchsorted(cdf, rng.random(total_postings)).clip(0, vocab - 1)
     order = np.argsort(term_of_posting, kind="stable")
     term_sorted = term_of_posting[order]
     rows = rng.integers(0, n_chunks, size=total_postings).astype(np.int32)

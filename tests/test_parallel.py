@@ -162,3 +162,60 @@ def test_sharded_hybrid_matches_single_host():
             assert [r.chunk.id for r in multi] == [r.chunk.id for r in single], (fusion.kind, q)
             for a, b in zip(multi, single):
                 assert abs(a.fused_score - b.fused_score) < 1e-5
+
+
+def test_sharded_hybrid_incremental_refresh():
+    """refresh(rows) must propagate mutations to the sharded replicas:
+    post-refresh rankings equal a from-scratch rebuild AND the mutated
+    single-host retriever."""
+    from trueno_rag_tpu.embed import TfIdfEmbedder
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+    from trueno_rag_tpu.parallel.hybrid import ShardedHybridIndex
+    from trueno_rag_tpu.retrieve import HybridRetriever
+
+    corpus = [
+        f"entry {i} covering {'lions' if i % 4 == 0 else 'graphs'} and "
+        f"{'indexing' if i % 2 == 0 else 'search'} topics"
+        for i in range(32)
+    ]
+    emb = TfIdfEmbedder(32).fit(corpus + ["updated lions document indexing search"])
+
+    def mk(i, text):
+        c = Chunk(document_id="d", content=text, start_offset=0, end_offset=len(text),
+                  metadata=ChunkMetadata(), id=chunk_id_from_int(i))
+        c.set_embedding(emb.embed_document(text))
+        return c
+
+    retr = HybridRetriever(emb)
+    retr.index_batch([mk(i, t) for i, t in enumerate(corpus)])
+    mesh = create_mesh(data=8, model=1)
+    sharded = ShardedHybridIndex(retr, mesh, candidates_per_source=16)
+    retr.config.candidates_per_source = 16
+
+    # mutate: replace row 4's content, add a new chunk, remove chunk 7
+    changed = []
+    new4 = mk(4, "updated lions document indexing search")
+    retr.index(new4)
+    changed.append(retr.registry.row_of(new4.id))
+    extra = mk(100, "brand new lions entry about indexing")
+    retr.index(extra)
+    changed.append(retr.registry.row_of(extra.id))
+    row7 = retr.registry.row_of(chunk_id_from_int(7))
+    retr.remove(chunk_id_from_int(7))
+    changed.append(row7)
+
+    sharded.refresh(rows=changed)
+    rebuilt = ShardedHybridIndex(retr, mesh, candidates_per_source=16)
+    for q in ["lions indexing", "graphs search", "updated document"]:
+        inc = sharded.search(q, 6)
+        scratch = rebuilt.search(q, 6)
+        single = retr.retrieve(q, 6)
+        assert [r.chunk.id for r in inc] == [r.chunk.id for r in scratch], q
+        assert [r.chunk.id for r in inc] == [r.chunk.id for r in single], q
+
+    # capacity overflow falls back to a rebuild transparently
+    big = mk(200, "overflow chunk lions " + "pad " * 40)
+    retr.index(big)
+    sharded.refresh(rows=[retr.registry.row_of(big.id)])
+    got = [r.chunk.id for r in sharded.search("overflow lions", 4)]
+    assert big.id in got

@@ -51,6 +51,7 @@ class ShardedHybridIndex:
         self.candidates = candidates_per_source or retriever.config.candidates_per_source
 
         store = retriever.vector_store
+        self._store = store
         self.dense = ShardedVectorIndex(
             store._host,
             mesh,
@@ -62,6 +63,41 @@ class ShardedHybridIndex:
         sparse._refresh_snapshot()
         self._bm25 = sparse
         self._snap = sparse._snap
+
+    def refresh(self, rows: Optional[Sequence[int]] = None) -> None:
+        """Propagate retriever mutations to the sharded replicas.
+
+        ``rows`` — the chunk rows that changed (insert/replace/remove)
+        since the last build/refresh: the dense side scatters just those
+        rows into the sharded matrix (KBs over ICI, not the GB-scale
+        matrix). ``rows=None`` or rows beyond the sharded capacity
+        rebuild the dense shards outright. The BM25 snapshot re-derives
+        and re-replicates either way — its arrays are ~100x smaller than
+        the dense matrix (8 B/posting) and its CSR layout shifts
+        globally on any posting change.
+        """
+        store_host = self._store._host
+        if rows is not None:
+            rows = np.asarray(sorted(set(int(r) for r in rows)), dtype=np.int32)
+        if (
+            rows is None
+            or rows.size == 0
+            or (rows.size and int(rows.max()) >= self.dense.matrix.shape[0])
+        ):
+            if rows is None or rows.size:
+                self.dense = ShardedVectorIndex(
+                    store_host,
+                    self.mesh,
+                    metric=self._store.config.metric,
+                    valid=self._store._valid,
+                    rows_normalized=True,
+                )
+        else:
+            self.dense.update_rows(
+                rows, store_host[rows], self._store._valid[rows], rows_normalized=True
+            )
+        self._bm25._refresh_snapshot()
+        self._snap = self._bm25._snap
 
     def search_arrays(self, queries: Sequence[str], k: int) -> Tuple[jax.Array, jax.Array]:
         """Batched hybrid search → global ``(rows, scores) [B, k]``."""

@@ -129,3 +129,48 @@ class ShardedVectorIndex:
     def search(self, queries: np.ndarray, k: int) -> Tuple[jax.Array, jax.Array]:
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
         return sharded_dense_topk(q, self.matrix, self.valid, k, self.mesh, self.metric, self.axis)
+
+    def update_rows(
+        self,
+        rows: np.ndarray,
+        vectors: np.ndarray,
+        valid: Optional[np.ndarray] = None,
+        rows_normalized: bool = False,
+    ) -> None:
+        """Incremental refresh: scatter changed rows into the sharded
+        matrix in place (donated buffers — no second copy of the shard).
+
+        The updates ship as a tiny replicated array; GSPMD routes each
+        row to the shard that owns it. Rows must fit the existing
+        padded capacity — capacity growth means rebuild (the sharded
+        index is read-optimized; the mutable store is the single-chip
+        VectorStore).
+        """
+        rows = np.asarray(rows, dtype=np.int32)
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if rows.size == 0:
+            return
+        n_pad = self.matrix.shape[0]
+        if int(rows.max()) >= n_pad:
+            raise ValueError(
+                f"row {int(rows.max())} exceeds sharded capacity {n_pad}; rebuild"
+            )
+        if self.metric == "cosine" and not rows_normalized:
+            norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+            vectors = vectors / np.where(norms == 0.0, 1.0, norms)
+        v_flags = (
+            np.ones(len(rows), dtype=bool)
+            if valid is None
+            else np.asarray(valid, dtype=bool)
+        )
+
+        # donate so the (potentially huge) sharded buffers update in place
+        scatter_d = jax.jit(
+            lambda m, vmask, r, u, vf: (m.at[r].set(u), vmask.at[r].set(vf)),
+            donate_argnums=(0, 1),
+        )
+        self.matrix, self.valid = scatter_d(
+            self.matrix, self.valid, jnp.asarray(rows), jnp.asarray(vectors),
+            jnp.asarray(v_flags),
+        )
+        self.n = max(self.n, int(rows.max()) + 1)
