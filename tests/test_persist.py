@@ -149,3 +149,56 @@ def test_bm25_compressed_bytes_roundtrip():
         assert [c for c, _ in a] == [c for c, _ in b]
         for (_, s1), (_, s2) in zip(a, b):
             assert s1 == pytest.approx(s2, abs=1e-5)
+
+
+@pytest.mark.parametrize("frame_rows", [2, 3, 100])
+def test_streaming_index_roundtrip(tmp_path, frame_rows):
+    """v2 streaming artifacts must load through the same load_index and
+    reproduce identical search results, for frame sizes that split the
+    matrix mid-corpus and ones that don't."""
+    from trueno_rag_tpu.persist import save_index_streaming
+
+    emb = TfIdfEmbedder(32).fit(CORPUS)
+    retr = HybridRetriever(emb)
+    retr.index_batch([mk_chunk(i, t, 32, emb) for i, t in enumerate(CORPUS)])
+    path = str(tmp_path / "idx.trag2")
+    stats = save_index_streaming(path, retr, embedder_info={"type": "tfidf"}, frame_rows=frame_rows)
+    assert stats["chunks"] == len(CORPUS)
+    assert stats["matrix_frames"] == -(-len(CORPUS) // frame_rows)
+    retr2, info = load_index(path, emb)
+    assert info == {"type": "tfidf"}
+    for q in ["fox forest animals", "neural network data"]:
+        a = [(r.chunk.id, round(r.best_score(), 6)) for r in retr.retrieve(q, 3)]
+        b = [(r.chunk.id, round(r.best_score(), 6)) for r in retr2.retrieve(q, 3)]
+        assert a == b, q
+
+
+def test_streaming_matches_v1_results(tmp_path):
+    from trueno_rag_tpu.persist import save_index, save_index_streaming
+
+    emb = TfIdfEmbedder(32).fit(CORPUS)
+    retr = HybridRetriever(emb)
+    retr.index_batch([mk_chunk(i, t, 32, emb) for i, t in enumerate(CORPUS)])
+    p1 = str(tmp_path / "v1.trag")
+    p2 = str(tmp_path / "v2.trag")
+    save_index(p1, retr)
+    save_index_streaming(p2, retr)
+    r1, _ = load_index(p1, emb)
+    r2, _ = load_index(p2, emb)
+    q = "clever fox learning"
+    assert [r.chunk.id for r in r1.retrieve(q, 4)] == [r.chunk.id for r in r2.retrieve(q, 4)]
+
+
+def test_streaming_truncated_artifact_rejected(tmp_path):
+    from trueno_rag_tpu.errors import SerializationError
+    from trueno_rag_tpu.persist import save_index_streaming
+
+    emb = TfIdfEmbedder(32).fit(CORPUS)
+    retr = HybridRetriever(emb)
+    retr.index_batch([mk_chunk(i, t, 32, emb) for i, t in enumerate(CORPUS)])
+    path = str(tmp_path / "trunc.trag2")
+    save_index_streaming(path, retr)
+    blob = open(path, "rb").read()
+    open(path, "wb").write(blob[: len(blob) - 40])  # chop into the last frame
+    with pytest.raises((SerializationError, Exception)):
+        load_index(path, emb)

@@ -201,7 +201,12 @@ def cmd_index(args) -> int:
         info["state"] = embedder.state_dict()
     else:
         info["seed"] = 0
-    stats = save_index(out_path, pipeline.retriever, embedder_info=info)
+    if n_chunks > 50_000:  # stream large artifacts (constant memory)
+        from trueno_rag_tpu.persist import save_index_streaming
+
+        stats = save_index_streaming(out_path, pipeline.retriever, embedder_info=info)
+    else:
+        stats = save_index(out_path, pipeline.retriever, embedder_info=info)
     print(
         f"indexed {len(docs)} documents, {n_chunks} chunks "
         f"-> {out_path} ({stats['compressed_bytes']} bytes compressed)"

@@ -38,6 +38,7 @@ except ImportError:  # pragma: no cover
     _HAS_ZSTD = False
 
 MAGIC = b"TRAGv1\x00"
+MAGIC2 = b"TRAGv2\x00"  # streaming container: header + framed matrix
 
 
 class Compression(str, enum.Enum):
@@ -172,7 +173,10 @@ def load_index(path: str, embedder, codec: Optional[Compression] = None):
 
         raise IndexNotFoundError(f"no index at {path}")
     with open(path, "rb") as f:
-        payload = deserialize_compressed(f.read())
+        magic = f.read(len(MAGIC2))
+        if magic == MAGIC2:  # v2 streaming container
+            return _load_index_streaming(f, embedder)
+        payload = deserialize_compressed(magic + f.read())
     if payload.get("format") != "trueno-rag-tpu-index":
         raise SerializationError("not a trueno-rag-tpu index artifact")
 
@@ -203,6 +207,140 @@ def load_index(path: str, embedder, codec: Optional[Compression] = None):
     bm25_state["doc_len"] = {str(row_remap[int(r)]): l for r, l in bm25_state["doc_len"].items()}
     retr.sparse_index.load_state_dict(bm25_state)
     return retr, payload.get("embedder", {})
+
+
+# ---------------------------------------------------------------------------
+# Streaming index artifacts (multi-GB indexes; constant memory)
+# ---------------------------------------------------------------------------
+
+
+def _index_header(retriever, embedder_info):
+    """The v1 payload minus the embedding matrix (which streams as
+    frames); returns (header dict, row-ordered chunk-id list)."""
+    reg = retriever.registry
+    store = retriever.vector_store
+    ids = list(reg.ids())
+    header = {
+        "format": "trueno-rag-tpu-index",
+        "version": 2,
+        "dimension": store.dimension,
+        "metric": store.config.metric,
+        "chunks": [_chunk_to_wire(reg.get_chunk(cid)) for cid in ids],
+        "bm25": retriever.sparse_index.state_dict(),
+        "bm25_rows": {str(reg.row_of(cid)): i for i, cid in enumerate(ids)},
+        "retriever_config": {
+            "candidates_per_source": retriever.config.candidates_per_source,
+            "fusion": retriever.config.fusion.to_dict(),
+            "use_dense": retriever.config.use_dense,
+            "use_sparse": retriever.config.use_sparse,
+        },
+        "embedder": embedder_info or {},
+    }
+    return header, ids
+
+
+def save_index_streaming(
+    path: str,
+    retriever,
+    embedder_info: Optional[Dict[str, Any]] = None,
+    codec: Optional[Compression] = None,
+    frame_rows: int = 65536,
+) -> Dict[str, Any]:
+    """Persist a HybridRetriever with the embedding matrix written as
+    independent compressed frames of ``frame_rows`` rows each.
+
+    Unlike :func:`save_index` (one monolithic msgpack blob — fine at
+    MBs, 3x peak memory at GBs), this streams: peak memory is one frame
+    regardless of corpus size, and frames decompress independently on
+    load. Layout::
+
+        MAGIC2 | codec\\0 | u64 header_len | compressed header |
+        { u64 comp_len | u64 raw_len | compressed rows }*
+
+    :func:`load_index` reads both formats transparently.
+    """
+    codec = codec or default_compression()
+    header, ids = _index_header(retriever, embedder_info)
+    reg = retriever.registry
+    store = retriever.vector_store
+    n = len(ids)
+    header["n_rows"] = n
+    header["frame_rows"] = frame_rows
+    hdr_c = codec.compress(msgpack.packb(header, use_bin_type=True))
+    total_c = 0
+    with open(path, "wb") as f:
+        f.write(MAGIC2 + codec.value.encode() + b"\x00")
+        f.write(len(hdr_c).to_bytes(8, "little"))
+        f.write(hdr_c)
+        for lo in range(0, n, frame_rows):
+            hi = min(lo + frame_rows, n)
+            rows = [reg.row_of(cid) for cid in ids[lo:hi]]
+            block = np.ascontiguousarray(store._host[rows], dtype=np.float32)
+            raw = block.tobytes()
+            comp = codec.compress(raw)
+            f.write(len(comp).to_bytes(8, "little"))
+            f.write(len(raw).to_bytes(8, "little"))
+            f.write(comp)
+            total_c += len(comp)
+    return {
+        "compressed_bytes": os.path.getsize(path),
+        "matrix_frames": -(-n // frame_rows) if n else 0,
+        "matrix_compressed_bytes": total_c,
+        "chunks": n,
+    }
+
+
+def _load_index_streaming(f, embedder):
+    """Resume after MAGIC2: codec id, compressed header, matrix frames."""
+    from trueno_rag_tpu.fusion import FusionStrategy
+    from trueno_rag_tpu.retrieve import HybridRetriever, HybridRetrieverConfig
+
+    codec_bytes = b""
+    while True:
+        ch = f.read(1)
+        if not ch:
+            raise SerializationError("truncated artifact (codec id)")
+        if ch == b"\x00":
+            break
+        codec_bytes += ch
+    codec = Compression(codec_bytes.decode())
+    hdr_len = int.from_bytes(f.read(8), "little")
+    header = msgpack.unpackb(codec.decompress(f.read(hdr_len)), raw=False, strict_map_key=False)
+    if header.get("format") != "trueno-rag-tpu-index":
+        raise SerializationError("not a trueno-rag-tpu index artifact")
+    rcfg = header["retriever_config"]
+    config = HybridRetrieverConfig(
+        candidates_per_source=rcfg["candidates_per_source"],
+        fusion=FusionStrategy.from_dict(rcfg["fusion"]),
+        use_dense=rcfg["use_dense"],
+        use_sparse=rcfg["use_sparse"],
+    )
+    retr = HybridRetriever(embedder, config=config)
+    dim = header["dimension"]
+    n = header["n_rows"]
+    loaded = 0
+    chunk_dicts = header["chunks"]
+    while loaded < n:
+        comp_len = int.from_bytes(f.read(8), "little")
+        raw_len = int.from_bytes(f.read(8), "little")
+        raw = codec.decompress(f.read(comp_len))
+        if len(raw) != raw_len:
+            raise SerializationError("corrupt matrix frame")
+        block = np.frombuffer(raw, dtype=np.float32).reshape(-1, dim)
+        for r in range(block.shape[0]):
+            chunk = Chunk.from_dict(chunk_dicts[loaded + r])
+            chunk.set_embedding(block[r])
+            retr.vector_store.insert(chunk)
+        loaded += block.shape[0]
+    row_remap = {int(r): i for r, i in header["bm25_rows"].items()}
+    bm25_state = header["bm25"]
+    bm25_state["postings"] = {
+        t: {str(row_remap[int(r)]): tf for r, tf in plist.items()}
+        for t, plist in bm25_state["postings"].items()
+    }
+    bm25_state["doc_len"] = {str(row_remap[int(r)]): l for r, l in bm25_state["doc_len"].items()}
+    retr.sparse_index.load_state_dict(bm25_state)
+    return retr, header.get("embedder", {})
 
 
 # ---------------------------------------------------------------------------
