@@ -44,6 +44,7 @@ import jax.numpy as jnp
 
 from trueno_rag_tpu.ops.dense import NEG_INF, dense_topk
 from trueno_rag_tpu.ops.pallas.scan_select import BLOCK, TOP, scan_select
+from trueno_rag_tpu.ops.pallas.scan_select_int8 import scan_select_int8
 
 # Safety inflation on the analytic bound: absorbs f32 rounding in the
 # bound arithmetic itself (a handful of multiply-adds).
@@ -66,81 +67,18 @@ def prepare_tiered(matrix: jax.Array):
     return m_bf16, e_l2, a_l2
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "margin_blocks", "metric", "tile_n", "interpret")
-)
-def dense_topk_tiered(
-    queries: jax.Array,  # [B, d] f32
-    matrix: jax.Array,  # [N, d] f32 (cosine rows pre-normalized)
-    m_bf16: jax.Array,  # [N, d] bf16 scan copy
-    e_l2: jax.Array,  # [N] f32 — ‖row − bf16(row)‖₂
-    a_l2: jax.Array,  # [N] f32 — ‖bf16(row)‖₂
-    valid_mask: jax.Array,  # [N] bool
-    k: int,
-    margin_blocks: int = 64,
-    metric: str = "cosine",
-    tile_n: int = 1024,
-    interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """→ (scores [B,k], rows [B,k], certified [] bool).
-
-    When ``certified`` is True the results are PROVABLY the exact fp32
-    top-k with (score desc, row asc) ordering. When False they are
-    best-effort; callers wanting the exactness contract use
-    :func:`dense_topk_tiered_checked`."""
-    if metric == "cosine":
-        qn = jnp.linalg.norm(queries, axis=-1, keepdims=True)
-        q = queries / jnp.where(qn == 0.0, 1.0, qn)
-    elif metric == "dot":
-        q = queries
-    else:
-        from trueno_rag_tpu.errors import InvalidConfigError
-
-        raise InvalidConfigError(f"tiered scan supports cosine/dot, got {metric!r}")
-    n, d = matrix.shape
-    bsz = q.shape[0]
-    k_req = k
-
-    # -- bound coefficients (rank-1 per query) ----------------------------
-    qb = q.astype(jnp.bfloat16)
-    f = q - qb.astype(jnp.float32)
-    b_l2 = jnp.linalg.norm(qb.astype(jnp.float32), axis=1)  # [B]
-    f_l2 = jnp.linalg.norm(f, axis=1)  # [B]
-    acc_eps = jnp.float32(d) * jnp.float32(2.0**-23)
-    # bound = e_l2·u_q + a_l2·v_q  (slack folded into the coefficients;
-    # eps added to u_q's partner term via v_q would scale with a_l2, so
-    # add it through u_q only when e_l2 can be 0 — instead fold a flat
-    # eps by inflating both coefficients and adding eps to u on a 1-row
-    # basis is wrong; use explicit +eps on the upper inside the kernel?
-    # Simplest rigorous form: inflate coefficients and add eps to v_q's
-    # unit — a_l2 ≥ 0 may be 0 only for all-zero rows whose score is 0.)
-    u_q = (b_l2 + f_l2) * _BOUND_SLACK + _BOUND_EPS
-    v_q = (f_l2 + acc_eps * b_l2) * _BOUND_SLACK + _BOUND_EPS
-
-    # -- pad to kernel-friendly shapes ------------------------------------
-    b_pad = max(8, -(-bsz // 8) * 8)
-    tile = tile_n
-    n_pad = -(-n // tile) * tile
-    if n_pad < tile:
-        n_pad = tile
-    qb_p = jnp.pad(qb, ((0, b_pad - bsz), (0, 0))) if b_pad != bsz else qb
-    u_p = jnp.pad(u_q, (0, b_pad - bsz)) if b_pad != bsz else u_q
-    v_p = jnp.pad(v_q, (0, b_pad - bsz)) if b_pad != bsz else v_q
-    if n_pad != n:
-        m_bf16 = jnp.pad(m_bf16, ((0, n_pad - n), (0, 0)))
-        e_l2 = jnp.pad(e_l2, (0, n_pad - n))
-        a_l2 = jnp.pad(a_l2, (0, n_pad - n))
-        valid_mask_p = jnp.pad(valid_mask, (0, n_pad - n), constant_values=False)
-    else:
-        valid_mask_p = valid_mask
-
-    outs = scan_select(
-        qb_p, m_bf16, e_l2, a_l2, valid_mask_p.astype(jnp.int32), u_p, v_p,
-        tile_n=tile, interpret=interpret,
-    )
+def _select_rescore_verify(
+    outs, q, matrix, valid_mask, n, n_pad, bsz, b_pad, k, margin_blocks
+):
+    """Shared tier-2/3 tail: block selection by upper bounds, exact fp32
+    rescore of the selected blocks' top-4 rows, and the strict-beat
+    certificate. ``outs`` is the (v1..v5, i1..i4) tuple from a scan
+    kernel (bf16 or int8 tier); ``q`` is the fp32 query batch (metric
+    already applied), unpadded [bsz, d]."""
     v_top = outs[: TOP + 1]  # v1..v5 [B_pad, G]
     i_top = outs[TOP + 1 :]  # i1..i4 [B_pad, G] lanes
     g = n_pad // BLOCK
+    k_req = k
 
     # -- tier 2: block selection by v1 ------------------------------------
     kb = min(k + margin_blocks, g)
@@ -198,6 +136,85 @@ def dense_topk_tiered(
     return top_s[:bsz], top_r[:bsz], certified
 
 
+def _metric_queries(queries, metric, kinds=("cosine", "dot")):
+    if metric == "cosine":
+        qn = jnp.linalg.norm(queries, axis=-1, keepdims=True)
+        return queries / jnp.where(qn == 0.0, 1.0, qn)
+    if metric == "dot":
+        return queries
+    from trueno_rag_tpu.errors import InvalidConfigError
+
+    raise InvalidConfigError(f"tiered scan supports {'/'.join(kinds)}, got {metric!r}")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "margin_blocks", "metric", "tile_n", "interpret")
+)
+def dense_topk_tiered(
+    queries: jax.Array,  # [B, d] f32
+    matrix: jax.Array,  # [N, d] f32 (cosine rows pre-normalized)
+    m_bf16: jax.Array,  # [N, d] bf16 scan copy
+    e_l2: jax.Array,  # [N] f32 — ‖row − bf16(row)‖₂
+    a_l2: jax.Array,  # [N] f32 — ‖bf16(row)‖₂
+    valid_mask: jax.Array,  # [N] bool
+    k: int,
+    margin_blocks: int = 64,
+    metric: str = "cosine",
+    tile_n: int = 1024,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """→ (scores [B,k], rows [B,k], certified [] bool).
+
+    When ``certified`` is True the results are PROVABLY the exact fp32
+    top-k with (score desc, row asc) ordering. When False they are
+    best-effort; callers wanting the exactness contract use
+    :func:`dense_topk_tiered_checked`."""
+    q = _metric_queries(queries, metric)
+    n, d = matrix.shape
+    bsz = q.shape[0]
+
+    # -- bound coefficients (rank-1 per query) ----------------------------
+    qb = q.astype(jnp.bfloat16)
+    f = q - qb.astype(jnp.float32)
+    b_l2 = jnp.linalg.norm(qb.astype(jnp.float32), axis=1)  # [B]
+    f_l2 = jnp.linalg.norm(f, axis=1)  # [B]
+    acc_eps = jnp.float32(d) * jnp.float32(2.0**-23)
+    # bound = e_l2·u_q + a_l2·v_q  (slack folded into the coefficients;
+    # eps added to u_q's partner term via v_q would scale with a_l2, so
+    # add it through u_q only when e_l2 can be 0 — instead fold a flat
+    # eps by inflating both coefficients and adding eps to u on a 1-row
+    # basis is wrong; use explicit +eps on the upper inside the kernel?
+    # Simplest rigorous form: inflate coefficients and add eps to v_q's
+    # unit — a_l2 ≥ 0 may be 0 only for all-zero rows whose score is 0.)
+    u_q = (b_l2 + f_l2) * _BOUND_SLACK + _BOUND_EPS
+    v_q = (f_l2 + acc_eps * b_l2) * _BOUND_SLACK + _BOUND_EPS
+
+    # -- pad to kernel-friendly shapes ------------------------------------
+    b_pad = max(8, -(-bsz // 8) * 8)
+    tile = tile_n
+    n_pad = -(-n // tile) * tile
+    if n_pad < tile:
+        n_pad = tile
+    qb_p = jnp.pad(qb, ((0, b_pad - bsz), (0, 0))) if b_pad != bsz else qb
+    u_p = jnp.pad(u_q, (0, b_pad - bsz)) if b_pad != bsz else u_q
+    v_p = jnp.pad(v_q, (0, b_pad - bsz)) if b_pad != bsz else v_q
+    if n_pad != n:
+        m_bf16 = jnp.pad(m_bf16, ((0, n_pad - n), (0, 0)))
+        e_l2 = jnp.pad(e_l2, (0, n_pad - n))
+        a_l2 = jnp.pad(a_l2, (0, n_pad - n))
+        valid_mask_p = jnp.pad(valid_mask, (0, n_pad - n), constant_values=False)
+    else:
+        valid_mask_p = valid_mask
+
+    outs = scan_select(
+        qb_p, m_bf16, e_l2, a_l2, valid_mask_p.astype(jnp.int32), u_p, v_p,
+        tile_n=tile, interpret=interpret,
+    )
+    return _select_rescore_verify(
+        outs, q, matrix, valid_mask, n, n_pad, bsz, b_pad, k, margin_blocks
+    )
+
+
 def dense_topk_tiered_checked(
     queries, matrix, m_bf16, e_l2, a_l2, valid_mask, k,
     margin_blocks=64, metric="cosine", tile_n=1024, interpret=False,
@@ -211,6 +228,10 @@ def dense_topk_tiered_checked(
         margin_blocks=margin_blocks, metric=metric, tile_n=tile_n,
         interpret=interpret,
     )
+    return _checked_fallback(s, r, ok, queries, matrix, valid_mask, k, metric)
+
+
+def _checked_fallback(s, r, ok, queries, matrix, valid_mask, k, metric):
     if bool(ok):
         return s, r, False
     s, r = dense_topk(queries, matrix, valid_mask, min(k, matrix.shape[0]), metric)
@@ -219,3 +240,116 @@ def dense_topk_tiered_checked(
         s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=NEG_INF)
         r = jnp.pad(r, ((0, 0), (0, pad)), constant_values=-1)
     return s, r, True
+
+
+# ---------------------------------------------------------------------------
+# int8 tier: 4x less scan HBM than fp32 (2x less than bf16), 2x MXU rate
+# with the native int8 path — and a TIGHTER bound than bf16, because the
+# dequantized approximate score is arithmetically EXACT (see
+# ops/pallas/scan_select_int8.py): power-of-two scales make every scale
+# multiply exact and the integer dot stays below 2^24. The only error is
+# the quantization residual, whose per-row norm is measured at pack time.
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def prepare_int8(matrix: jax.Array):
+    """Pack the int8 scan tier.
+
+    Returns ``(m_i8 [N,d] int8, s_row [N] f32, e_l2 [N] f32, a_l2 [N]
+    f32)`` where ``s_row`` are power-of-two per-row scales, ``e_l2 =
+    ‖M_i − s_i·m_i8_i‖₂`` (exact residual norm) and ``a_l2 =
+    ‖s_i·m_i8_i‖₂``."""
+    amax = jnp.max(jnp.abs(matrix), axis=1)
+    # smallest power of two ≥ amax/127 (amax==0 → scale 1, all-zero row)
+    s = jnp.exp2(jnp.ceil(jnp.log2(jnp.where(amax == 0.0, 1.0, amax) / 127.0)))
+    s = jnp.where(amax == 0.0, 1.0, s)
+    # fp32 log2 rounding can land one step low; clip keeps |q| ≤ 127 and
+    # the measured residual norm keeps the bound rigorous either way
+    m_i8 = jnp.clip(jnp.round(matrix / s[:, None]), -127, 127).astype(jnp.int8)
+    a = m_i8.astype(jnp.float32) * s[:, None]  # exact (power-of-two scale)
+    err = matrix - a
+    e_l2 = jnp.sqrt(jnp.sum(err * err, axis=1))
+    a_l2 = jnp.sqrt(jnp.sum(a * a, axis=1))
+    return m_i8, s, e_l2, a_l2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "margin_blocks", "metric", "tile_n", "use_int8_mxu", "interpret"),
+)
+def dense_topk_int8(
+    queries: jax.Array,  # [B, d] f32
+    matrix: jax.Array,  # [N, d] f32 (cosine rows pre-normalized)
+    m_i8: jax.Array,  # [N, d] int8 scan copy
+    s_row: jax.Array,  # [N] f32 — power-of-two row scales
+    e_l2: jax.Array,  # [N] f32
+    a_l2: jax.Array,  # [N] f32
+    valid_mask: jax.Array,  # [N] bool
+    k: int,
+    margin_blocks: int = 64,
+    metric: str = "cosine",
+    tile_n: int = 1024,
+    use_int8_mxu: bool = True,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """→ (scores [B,k], rows [B,k], certified [] bool) — int8 sibling of
+    :func:`dense_topk_tiered`; same exactness contract."""
+    q = _metric_queries(queries, metric)
+    n, d = matrix.shape
+    bsz = q.shape[0]
+
+    # -- query quantization (power-of-two scale → exact dequant) ----------
+    t_amax = jnp.max(jnp.abs(q), axis=1)
+    t_q = jnp.exp2(jnp.ceil(jnp.log2(jnp.where(t_amax == 0.0, 1.0, t_amax) / 127.0)))
+    t_q = jnp.where(t_amax == 0.0, 1.0, t_q)
+    q_i8 = jnp.clip(jnp.round(q / t_q[:, None]), -127, 127).astype(jnp.int8)
+    b_vec = q_i8.astype(jnp.float32) * t_q[:, None]  # exact
+    f = q - b_vec
+    b_l2 = jnp.linalg.norm(b_vec, axis=1)  # [B]
+    f_l2 = jnp.linalg.norm(f, axis=1)  # [B]
+    # |m·q − A·b| ≤ ‖E‖(‖b‖+‖f‖) + ‖A‖‖f‖ — no accumulation term: the
+    # kernel's A·b is exact. Slack absorbs the f32 norm computations.
+    u_q = (b_l2 + f_l2) * _BOUND_SLACK + _BOUND_EPS
+    v_q = f_l2 * _BOUND_SLACK + _BOUND_EPS
+
+    # -- pad to kernel-friendly shapes ------------------------------------
+    b_pad = max(8, -(-bsz // 8) * 8)
+    tile = tile_n
+    n_pad = max(-(-n // tile) * tile, tile)
+    if b_pad != bsz:
+        q_i8 = jnp.pad(q_i8, ((0, b_pad - bsz), (0, 0)))
+        t_q = jnp.pad(t_q, (0, b_pad - bsz), constant_values=1.0)
+        u_q = jnp.pad(u_q, (0, b_pad - bsz))
+        v_q = jnp.pad(v_q, (0, b_pad - bsz))
+    if n_pad != n:
+        m_i8 = jnp.pad(m_i8, ((0, n_pad - n), (0, 0)))
+        s_row = jnp.pad(s_row, (0, n_pad - n), constant_values=1.0)
+        e_l2 = jnp.pad(e_l2, (0, n_pad - n))
+        a_l2 = jnp.pad(a_l2, (0, n_pad - n))
+        valid_p = jnp.pad(valid_mask, (0, n_pad - n), constant_values=False)
+    else:
+        valid_p = valid_mask
+
+    outs = scan_select_int8(
+        q_i8, m_i8, s_row, e_l2, a_l2, valid_p.astype(jnp.int32), t_q, u_q, v_q,
+        tile_n=tile, use_int8_mxu=use_int8_mxu, interpret=interpret,
+    )
+    return _select_rescore_verify(
+        outs, q, matrix, valid_mask, n, n_pad, bsz, b_pad, k, margin_blocks
+    )
+
+
+def dense_topk_int8_checked(
+    queries, matrix, m_i8, s_row, e_l2, a_l2, valid_mask, k,
+    margin_blocks=64, metric="cosine", tile_n=1024, use_int8_mxu=True,
+    interpret=False,
+):
+    """Exactness-contract wrapper for the int8 tier: fp32 fallback when
+    the certificate fails. Returns (scores, rows, used_fallback)."""
+    s, r, ok = dense_topk_int8(
+        queries, matrix, m_i8, s_row, e_l2, a_l2, valid_mask, k,
+        margin_blocks=margin_blocks, metric=metric, tile_n=tile_n,
+        use_int8_mxu=use_int8_mxu, interpret=interpret,
+    )
+    return _checked_fallback(s, r, ok, queries, matrix, valid_mask, k, metric)
