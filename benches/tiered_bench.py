@@ -33,7 +33,12 @@ def main() -> None:
     from bench import build_synthetic_bm25, make_query_blocks
     from trueno_rag_tpu.ops.bm25 import bm25_topk_blocks
     from trueno_rag_tpu.ops.dense import dense_topk
-    from trueno_rag_tpu.ops.dense_tiered import dense_topk_tiered, prepare_tiered
+    from trueno_rag_tpu.ops.dense_tiered import (
+        dense_topk_int8,
+        dense_topk_tiered,
+        prepare_int8,
+        prepare_tiered,
+    )
     from trueno_rag_tpu.ops.fusion import fuse_topk
 
     n, b, cand, k = args.n, args.batch, args.cand, args.k
@@ -46,13 +51,20 @@ def main() -> None:
     bids, blo, bhi, blocks = make_query_blocks(snap, b, terms_per_query=6)
     bids, blo, bhi = jnp.asarray(bids), jnp.asarray(blo), jnp.asarray(bhi)
     m_bf16, e_l2, a_l2 = prepare_tiered(matrix)
+    m_i8, s_row, e8_l2, a8_l2 = prepare_int8(matrix)
     jax.block_until_ready(m_bf16)
+    jax.block_until_ready(m_i8)
 
     if not args.skip_check:  # exactness spot check on this corpus
         s_t, r_t, ok = dense_topk_tiered(queries, matrix, m_bf16, e_l2, a_l2, valid, cand)
+        s_8, r_8, ok8 = dense_topk_int8(
+            queries, matrix, m_i8, s_row, e8_l2, a8_l2, valid, cand
+        )
         s_x, r_x = dense_topk(queries, matrix, valid, cand, "cosine")
-        print(f"N={n:,}: certified={bool(ok)} rows_equal="
-              f"{bool(np.array_equal(np.asarray(r_t), np.asarray(r_x)))}")
+        print(f"N={n:,}: bf16 certified={bool(ok)} rows_equal="
+              f"{bool(np.array_equal(np.asarray(r_t), np.asarray(r_x)))} | "
+              f"int8 certified={bool(ok8)} rows_equal="
+              f"{bool(np.array_equal(np.asarray(r_8), np.asarray(r_x)))}")
 
     @functools.partial(jax.jit, static_argnames=("steps", "dense_kind"))
     def hybrid_chain(steps, dense_kind):
@@ -62,6 +74,15 @@ def main() -> None:
             if dense_kind == "tiered":
                 d_s, d_r, ok = dense_topk_tiered(
                     q, matrix, m_bf16, e_l2, a_l2, valid, cand
+                )
+            elif dense_kind == "int8":
+                d_s, d_r, ok = dense_topk_int8(
+                    q, matrix, m_i8, s_row, e8_l2, a8_l2, valid, cand
+                )
+            elif dense_kind == "int8bf16":
+                d_s, d_r, ok = dense_topk_int8(
+                    q, matrix, m_i8, s_row, e8_l2, a8_l2, valid, cand,
+                    use_int8_mxu=False,
                 )
             else:
                 d_s, d_r = dense_topk(q, matrix, valid, cand, "cosine")

@@ -1,0 +1,105 @@
+"""Serving autotuner: measurement-driven, semantics-preserving."""
+
+import pytest
+
+from trueno_rag_tpu.chunking import RecursiveChunker
+from trueno_rag_tpu.document import Document
+from trueno_rag_tpu.embed import MockEmbedder
+from trueno_rag_tpu.retrieve import HybridRetriever
+from trueno_rag_tpu.tune import TuneResult, autotune_serving, calibration_queries
+
+TEXTS = [
+    "JAX compiles array programs to TPU via the XLA compiler toolchain.",
+    "BM25 ranks documents with term frequency and inverse document frequency.",
+    "Hybrid retrieval fuses dense vector search with sparse lexical search.",
+    "Context assembly fits retrieved chunks into a model token budget.",
+]
+
+
+@pytest.fixture(scope="module")
+def retriever():
+    emb = MockEmbedder(dimension=32)
+    r = HybridRetriever(emb)
+    chunker = RecursiveChunker(chunk_size=64, overlap=8)
+    for t in TEXTS * 4:
+        doc = Document(t)
+        chunks = chunker.chunk(doc)
+        emb.embed_chunks(chunks)
+        r.index_batch(chunks)
+    return r
+
+
+def test_calibration_queries_use_corpus_terms(retriever):
+    qs = calibration_queries(retriever, 8, seed=1)
+    assert len(qs) == 8
+    corpus_words = set(w for t in TEXTS for w in t.split())
+    assert any(w in corpus_words for q in qs for w in q.split())
+
+
+def test_autotune_picks_a_candidate_and_fills_table(retriever):
+    res = autotune_serving(retriever, k=3, batch_sizes=(1, 2, 4), iters=2)
+    assert isinstance(res, TuneResult)
+    assert res.max_batch in (1, 2, 4)
+    assert [p.batch_size for p in res.table] == [1, 2, 4]
+    assert all(p.p50_ms > 0 and p.qps > 0 for p in res.table)
+    assert res.max_wait_ms == pytest.approx(
+        0.3 * next(p for p in res.table if p.batch_size == res.max_batch).p50_ms
+    )
+    d = res.as_dict()
+    assert d["max_batch"] == res.max_batch and len(d["table"]) == 3
+
+
+def test_autotune_latency_budget_filters(retriever):
+    res = autotune_serving(retriever, k=3, batch_sizes=(1, 2), iters=2,
+                           latency_budget_ms=1e9)
+    assert res.max_batch in (1, 2)
+    # impossible budget: falls back to the single fastest point
+    res2 = autotune_serving(retriever, k=3, batch_sizes=(1, 2), iters=2,
+                            latency_budget_ms=1e-9)
+    assert res2.max_batch in (1, 2)
+
+
+def test_autotune_rejects_bad_inputs(retriever):
+    with pytest.raises(ValueError):
+        autotune_serving(retriever, batch_sizes=())
+    with pytest.raises(ValueError):
+        autotune_serving(retriever, batch_sizes=(0,), iters=1)
+
+
+def test_run_server_auto_wires_tuned_values(retriever, monkeypatch):
+    """max_batch='auto' must calibrate and hand the tuned values to the
+    MicroBatcher (captured via a stub server so nothing binds a port)."""
+    import trueno_rag_tpu.serve as serve_mod
+
+    captured = {}
+
+    class FakeServer:
+        def __init__(self, addr, handler):
+            captured["addr"] = addr
+
+        def serve_forever(self):
+            raise KeyboardInterrupt
+
+        def server_close(self):
+            pass
+
+    real_batcher = serve_mod.MicroBatcher
+
+    def spy_batcher(retr, max_batch, max_wait_ms):
+        captured["max_batch"] = max_batch
+        captured["max_wait_ms"] = max_wait_ms
+        return real_batcher(retr, max_batch=max_batch, max_wait_ms=max_wait_ms)
+
+    monkeypatch.setattr(serve_mod, "ThreadingHTTPServer", FakeServer)
+    monkeypatch.setattr(serve_mod, "MicroBatcher", spy_batcher)
+    import trueno_rag_tpu.tune as tune_mod
+
+    monkeypatch.setattr(
+        tune_mod, "autotune_serving",
+        lambda r, k=5, latency_budget_ms=None: tune_mod.TuneResult(
+            max_batch=16, max_wait_ms=2.5
+        ),
+    )
+    serve_mod.run_server(retriever, port=0, max_batch="auto")
+    assert captured["max_batch"] == 16
+    assert captured["max_wait_ms"] == 2.5

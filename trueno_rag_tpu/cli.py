@@ -281,8 +281,10 @@ def cmd_serve(args) -> int:
     from trueno_rag_tpu.serve import run_server
 
     retr = _load(args.index)
+    max_batch = "auto" if args.autotune else args.max_batch
     run_server(retr, host=args.host, port=args.port,
-               max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+               max_batch=max_batch, max_wait_ms=args.max_wait_ms,
+               latency_budget_ms=args.latency_budget_ms)
     return 0
 
 
@@ -320,6 +322,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--port", type=int, default=8080)
     s.add_argument("--max-batch", type=int, default=32)
     s.add_argument("--max-wait-ms", type=float, default=5.0)
+    s.add_argument("--autotune", action="store_true",
+                   help="calibrate max-batch/max-wait by measurement at startup")
+    s.add_argument("--latency-budget-ms", type=float, default=None,
+                   help="with --autotune: exclude batch sizes whose p50 exceeds this")
     s.set_defaults(fn=cmd_serve)
     return p
 

@@ -197,8 +197,23 @@ def make_handler(batcher: MicroBatcher):
 
 
 def run_server(retriever, host: str = "127.0.0.1", port: int = 8080,
-               max_batch: int = 32, max_wait_ms: float = 5.0) -> None:
-    batcher = MicroBatcher(retriever, max_batch=max_batch, max_wait_ms=max_wait_ms)
+               max_batch=32, max_wait_ms: float = 5.0,
+               autotune_k: int = 5,
+               latency_budget_ms: Optional[float] = None) -> None:
+    """Serve ``retriever`` over HTTP. ``max_batch="auto"`` calibrates
+    batch size and straggler wait by measurement before accepting
+    traffic (see :func:`trueno_rag_tpu.tune.autotune_serving`)."""
+    if max_batch == "auto":
+        from trueno_rag_tpu.tune import autotune_serving
+
+        tuned = autotune_serving(
+            retriever, k=autotune_k, latency_budget_ms=latency_budget_ms
+        )
+        max_batch, max_wait_ms = tuned.max_batch, tuned.max_wait_ms
+        print(f"autotuned: max_batch={max_batch} max_wait_ms={max_wait_ms:.2f}")
+        for p in tuned.table:
+            print(f"  batch {p.batch_size:4d}: p50 {p.p50_ms:8.2f} ms  {p.qps:10,.0f} q/s")
+    batcher = MicroBatcher(retriever, max_batch=int(max_batch), max_wait_ms=max_wait_ms)
     server = ThreadingHTTPServer((host, port), make_handler(batcher))
     print(f"serving {len(retriever)} chunks on http://{host}:{port} "
           f"(POST /query, GET /health)")

@@ -1,0 +1,143 @@
+"""Serving autotuner: pick micro-batching parameters from measurement.
+
+The measured A/Bs behind docs/architecture.md showed the optimal serving
+batch size and BM25 segment choices are shape- and device-dependent —
+there is no universally right ``max_batch``. This module calibrates at
+index-load time: it runs the *actual* retriever over realistic
+calibration queries at each candidate batch size (each a power-of-two
+bucket, so the compile cache stays small), measures end-to-end wall
+latency (host staging + device dispatch + hydration — what a caller
+experiences), and picks the throughput-maximizing batch size subject to
+an optional latency budget.
+
+Only semantics-preserving knobs are tuned: batch size and straggler wait
+change WHEN queries run, never what they return (the exactness contract
+of the retrieval ops is untouched).
+
+Reference parity note: the reference has no serving layer at all (no
+threads — SURVEY §2.13); this subsystem is TPU-native surplus.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+__all__ = ["TuneResult", "autotune_serving", "calibration_queries"]
+
+
+@dataclass
+class BatchPoint:
+    """One calibration measurement."""
+
+    batch_size: int
+    p50_ms: float
+    qps: float
+
+
+@dataclass
+class TuneResult:
+    """Chosen serving parameters plus the full measurement table."""
+
+    max_batch: int
+    max_wait_ms: float
+    table: List[BatchPoint] = field(default_factory=list)
+
+    def as_dict(self) -> dict:
+        return {
+            "max_batch": self.max_batch,
+            "max_wait_ms": round(self.max_wait_ms, 3),
+            "table": [
+                {"batch": p.batch_size, "p50_ms": round(p.p50_ms, 3), "qps": round(p.qps, 1)}
+                for p in self.table
+            ],
+        }
+
+
+def calibration_queries(retriever, n: int, seed: int = 0, terms_per_query: int = 4) -> List[str]:
+    """Build realistic calibration queries by sampling words from the
+    indexed chunks themselves — term statistics (and therefore BM25
+    gather-list lengths) then match live traffic far better than random
+    strings, which would hit no postings at all."""
+    import random
+
+    rng = random.Random(seed)
+    registry = getattr(retriever, "registry", None)
+    words: List[str] = []
+    if registry is not None and len(registry) > 0:
+        rows = list(range(len(registry)))
+        rng.shuffle(rows)
+        for row in rows[:256]:
+            chunk = registry.chunk_of(row)
+            if chunk is not None:
+                words.extend(chunk.content.split())
+            if len(words) > 50_000:
+                break
+    if not words:
+        words = ["calibration"]
+    return [
+        " ".join(rng.choice(words) for _ in range(terms_per_query)) for _ in range(n)
+    ]
+
+
+def _measure(retriever, queries: Sequence[str], k: int, iters: int) -> float:
+    """Median wall seconds for one retrieve_batch over ``queries``."""
+    retriever.retrieve_batch(list(queries), k)  # compile + warm
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        retriever.retrieve_batch(list(queries), k)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def autotune_serving(
+    retriever,
+    k: int = 5,
+    batch_sizes: Sequence[int] = (1, 2, 4, 8, 16, 32, 64, 128),
+    iters: int = 5,
+    latency_budget_ms: Optional[float] = None,
+    seed: int = 0,
+) -> TuneResult:
+    """Calibrate micro-batching for ``retriever`` by measurement.
+
+    Args:
+      retriever: anything with ``retrieve_batch(queries, k)`` (the
+        HybridRetriever or a sharded wrapper).
+      k: result count used during calibration (match production).
+      batch_sizes: candidate micro-batch sizes; keep them powers of two
+        so calibration itself populates the serving compile cache.
+      iters: timed repetitions per point (median is reported).
+      latency_budget_ms: if set, batch sizes whose p50 exceeds the
+        budget are excluded (unless none fit, in which case the fastest
+        point wins so the server still starts).
+      seed: calibration query sampling seed.
+
+    Returns a :class:`TuneResult`; ``max_wait_ms`` is set to ~30% of the
+    chosen point's batch latency — waiting longer for stragglers than a
+    third of the compute it saves costs more latency than it buys
+    throughput.
+    """
+    if not batch_sizes:
+        raise ValueError("batch_sizes must be non-empty")
+    queries = calibration_queries(retriever, max(batch_sizes), seed=seed)
+    table: List[BatchPoint] = []
+    for bsz in sorted(set(int(b) for b in batch_sizes)):
+        if bsz <= 0:
+            raise ValueError(f"batch size must be positive, got {bsz}")
+        t = _measure(retriever, queries[:bsz], k, iters)
+        table.append(BatchPoint(batch_size=bsz, p50_ms=t * 1e3, qps=bsz / t))
+
+    feasible = table
+    if latency_budget_ms is not None:
+        feasible = [p for p in table if p.p50_ms <= latency_budget_ms]
+        if not feasible:  # nothing fits the budget: least-bad point
+            feasible = [min(table, key=lambda p: p.p50_ms)]
+    best = max(feasible, key=lambda p: (p.qps, -p.batch_size))
+    return TuneResult(
+        max_batch=best.batch_size,
+        max_wait_ms=0.3 * best.p50_ms,
+        table=table,
+    )
