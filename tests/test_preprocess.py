@@ -163,3 +163,107 @@ def test_adaptive_in_pipeline():
     p.index_documents(docs)
     res = p.query("fix the broken build", k=1)
     assert res[0].chunk.metadata.title == "Fix"
+
+
+def test_adaptive_fusion_routing():
+    from trueno_rag_tpu.fusion import FusionStrategy
+    from trueno_rag_tpu.preprocess_adaptive import (
+        DEFAULT_FUSION_ROUTES,
+        AdaptivePreprocessor,
+    )
+    from trueno_rag_tpu.preprocess import QueryIntent
+
+    ap = AdaptivePreprocessor()
+    # troubleshooting → sparse-leaning linear
+    f = ap.fusion_for("fix the crash error")
+    assert f is not None and f.kind == "linear" and f.params["dense_weight"] < 0.5
+    # definition → dense-leaning linear
+    f = ap.fusion_for("what is a systolic array")
+    assert f is not None and f.kind == "linear" and f.params["dense_weight"] > 0.5
+    # unknown intent / low confidence → None (keep configured strategy)
+    assert ap.fusion_for("zebra quantum paddle") is None
+    # custom routes are honored
+    ap2 = AdaptivePreprocessor(
+        fusion_routes={QueryIntent.TROUBLESHOOTING: FusionStrategy.dbsf()}
+    )
+    assert ap2.fusion_for("fix the crash error").kind == "dbsf"
+    assert ap2.fusion_for("what is a systolic array") is None
+    assert DEFAULT_FUSION_ROUTES[QueryIntent.HOW_TO].kind == "rrf"
+
+
+def test_retrieve_batch_fusion_override_matches_reconfigured():
+    """A per-dispatch fusion override must return exactly what a
+    retriever permanently configured with that strategy returns."""
+    from trueno_rag_tpu import Document, MockEmbedder
+    from trueno_rag_tpu.chunking import RecursiveChunker
+    from trueno_rag_tpu.fusion import FusionStrategy
+    from trueno_rag_tpu.retrieve import HybridRetriever, HybridRetrieverConfig
+
+    docs = [
+        Document("dense vectors capture semantic similarity for retrieval", title="A"),
+        Document("BM25 scores exact keyword matches with idf weighting", title="B"),
+        Document("hybrid search fuses dense and sparse result lists", title="C"),
+    ]
+    emb = MockEmbedder(dimension=32)
+    chunker = RecursiveChunker(chunk_size=64, overlap=8)
+    all_chunks = []
+    for d in docs:
+        cs = chunker.chunk(d)
+        emb.embed_chunks(cs)
+        all_chunks.extend(cs)
+
+    def build(cfg=None):
+        # index the SAME chunk objects so ids line up across retrievers
+        r = HybridRetriever(emb, config=cfg)
+        r.index_batch(all_chunks)
+        return r
+
+    base = build()
+    linear = build(HybridRetrieverConfig(fusion=FusionStrategy.linear(0.3)))
+    qs = ["exact keyword matches", "semantic similarity search"]
+    got = base.retrieve_batch(qs, 3, fusion=FusionStrategy.linear(0.3))
+    want = linear.retrieve_batch(qs, 3)
+    for g_list, w_list in zip(got, want):
+        assert [r.chunk.id for r in g_list] == [r.chunk.id for r in w_list]
+        assert [r.fused_score for r in g_list] == [r.fused_score for r in w_list]
+    # and the override does NOT stick: base still fuses with RRF
+    rrf_again = base.retrieve_batch(qs, 3)
+    rrf_fresh = build().retrieve_batch(qs, 3)
+    for a_list, b_list in zip(rrf_again, rrf_fresh):
+        assert [r.chunk.id for r in a_list] == [r.chunk.id for r in b_list]
+
+
+def test_pipeline_applies_intent_fusion(monkeypatch):
+    """The pipeline must hand the preprocessor's fusion choice to the
+    retriever (spied), and fall back to the configured strategy when
+    fusion_for returns None."""
+    from trueno_rag_tpu import Document, LexicalReranker, RagPipelineBuilder, TfIdfEmbedder
+    from trueno_rag_tpu.preprocess_adaptive import AdaptivePreprocessor
+
+    docs = [
+        Document("To repair a broken build, clear the cache and rerun.", title="Fix"),
+        Document("A systolic array is a grid of multiply-accumulate units.", title="Def"),
+    ]
+    emb = TfIdfEmbedder(32).fit([d.content for d in docs])
+    p = (
+        RagPipelineBuilder()
+        .with_embedder(emb)
+        .with_reranker(LexicalReranker())
+        .with_preprocessor(AdaptivePreprocessor())
+        .build()
+    )
+    p.index_documents(docs)
+    seen = []
+    real = p.retriever.retrieve_batch
+
+    def spy(queries, k, fusion=None):
+        seen.append(fusion)
+        return real(queries, k, fusion=fusion)
+
+    monkeypatch.setattr(p.retriever, "retrieve_batch", spy)
+    res = p.query("fix the broken build", k=1)  # troubleshooting intent
+    assert res[0].chunk.metadata.title == "Fix"
+    assert seen[-1] is not None and seen[-1].kind == "linear"
+    assert seen[-1].params["dense_weight"] < 0.5
+    p.query("zebra quantum paddle", k=1)  # unknown → configured default
+    assert seen[-1] is None

@@ -262,7 +262,17 @@ class RagPipeline:
         corpus scan on device, so expansion is nearly free.
         """
         variants = self.preprocessor.preprocess(query)
-        per_variant = self.retriever.retrieve_batch(variants, k * 2)
+        # Intent-conditioned fusion: preprocessors exposing fusion_for
+        # (AdaptivePreprocessor) pick the merge strategy per query;
+        # None keeps the retriever's configured strategy.
+        fusion = None
+        fusion_for = getattr(self.preprocessor, "fusion_for", None)
+        if fusion_for is not None:
+            fusion = fusion_for(query)
+        if fusion is not None:
+            per_variant = self.retriever.retrieve_batch(variants, k * 2, fusion=fusion)
+        else:
+            per_variant = self.retriever.retrieve_batch(variants, k * 2)
         rrf_k = 60.0
         acc: dict = {}
         best: dict = {}

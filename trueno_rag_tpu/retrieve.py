@@ -125,16 +125,23 @@ class HybridRetriever:
 
     # -- retrieval ---------------------------------------------------------------
 
-    def retrieve(self, query: str, k: int) -> List[RetrievalResult]:
-        return self.retrieve_batch([query], k)[0]
+    def retrieve(self, query: str, k: int,
+                 fusion: Optional[FusionStrategy] = None) -> List[RetrievalResult]:
+        return self.retrieve_batch([query], k, fusion=fusion)[0]
 
-    def retrieve_batch(self, queries: Sequence[str], k: int) -> List[List[RetrievalResult]]:
+    def retrieve_batch(self, queries: Sequence[str], k: int,
+                       fusion: Optional[FusionStrategy] = None) -> List[List[RetrievalResult]]:
         """Hybrid retrieval for a query batch.
 
         Candidate generation and fusion run on device over shared rows;
         hydration maps the final top-k rows back to chunks exactly once
         (the reference hydrates through the dense store per result,
         retrieve.rs:203-217).
+
+        ``fusion`` overrides the configured strategy for this dispatch
+        only (used by intent-conditioned fusion routing) — candidate
+        generation is unchanged, so the override is semantics-equivalent
+        to reconfiguring the retriever for one call.
         """
         if not queries:
             return []
@@ -147,11 +154,12 @@ class HybridRetriever:
         use_sparse = self.config.use_sparse
         if not use_dense and not use_sparse:
             raise QueryError("both retrieval sources disabled")
+        fusion_strategy = fusion or self.config.fusion
         if use_dense and use_sparse and self.config.fused is not False:
             from trueno_rag_tpu.models.encoder import JaxEncoderEmbedder
 
             if isinstance(self.embedder, JaxEncoderEmbedder):
-                return self.retrieve_batch_fused(queries, k)
+                return self.retrieve_batch_fused(queries, k, fusion=fusion)
             if self.config.fused is True:
                 raise QueryError("fused=True requires a JaxEncoderEmbedder")
 
@@ -190,8 +198,8 @@ class HybridRetriever:
                     snap["blocks"],
                     cand=cand,
                     metric=self.vector_store.config.metric,
-                    fusion_kind=self.config.fusion.kind,
-                    fusion_param=self.config.fusion.device_param,
+                    fusion_kind=fusion_strategy.kind,
+                    fusion_param=fusion_strategy.device_param,
                 )
             else:  # rows past the f32-exact block range: segment path
                 starts, lens = self.sparse_index._gather_segments(padded_queries)
@@ -204,8 +212,8 @@ class HybridRetriever:
                         self.sparse_index._get_packed(), snap["avgdl"],
                         cand=cand,
                         metric=self.vector_store.config.metric,
-                        fusion_kind=self.config.fusion.kind,
-                        fusion_param=self.config.fusion.device_param,
+                        fusion_kind=fusion_strategy.kind,
+                        fusion_param=fusion_strategy.device_param,
                         k1=self.sparse_index.k1,
                         b=self.sparse_index.b,
                     )
@@ -254,7 +262,8 @@ class HybridRetriever:
             )
         return maps
 
-    def retrieve_batch_fused(self, queries: Sequence[str], k: int) -> List[List[RetrievalResult]]:
+    def retrieve_batch_fused(self, queries: Sequence[str], k: int,
+                             fusion: Optional[FusionStrategy] = None) -> List[List[RetrievalResult]]:
         """Fully fused query path (requires a JAX encoder embedder):
         tokenization and BM25 gather-list assembly on host, then ONE
         jitted program — encoder forward + dense scan + BM25 + fusion +
@@ -302,8 +311,8 @@ class HybridRetriever:
             cand=self.config.candidates_per_source,
             k=k,
             metric=self.vector_store.config.metric,
-            fusion_kind=self.config.fusion.kind,
-            fusion_param=self.config.fusion.device_param,
+            fusion_kind=(fusion or self.config.fusion).kind,
+            fusion_param=(fusion or self.config.fusion).device_param,
         )
         f_rows = np.asarray(f_rows)
         f_scores = np.asarray(f_scores)
