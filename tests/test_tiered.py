@@ -44,7 +44,7 @@ def test_tiered_certified_results_are_exact():
         m, q, valid = build(8192, 96, 6, seed)
         mb, el2, al2 = prepare_tiered(m)
         s_t, r_t, ok = dense_topk_tiered(q, m, mb, el2, al2, valid, 12, interpret=True)
-        if not bool(ok):
+        if not bool(ok.all()):
             continue
         s_x, r_x = dense_topk(q, m, valid, 12, "cosine")
         np.testing.assert_array_equal(np.asarray(r_t), np.asarray(r_x))

@@ -25,15 +25,19 @@ def build(n, d, bq, seed, invalidate=True):
     return jnp.asarray(m), jnp.asarray(q), jnp.asarray(valid)
 
 
-def test_prepare_int8_scales_are_powers_of_two_and_residuals_exact():
+def test_prepare_int8_scales_tight_and_residuals_exact():
     m, _, _ = build(512, 64, 1, seed=0)
     m_i8, s, e_l2, a_l2 = prepare_int8(m)
     s_np = np.asarray(s)
-    frac, _ = np.frexp(s_np)
-    assert (frac == 0.5).all()  # exact powers of two
+    amax = np.abs(np.asarray(m)).max(axis=1)
+    np.testing.assert_allclose(s_np, amax / 127.0, rtol=1e-6)  # tightest scale
     a = np.asarray(m_i8, dtype=np.float32) * s_np[:, None]
+    # XLA may fuse m − m_i8·s into an FMA, so the measured residual can
+    # differ from numpy's two-step rounding by ~1 ulp per element; the
+    # rigor of the bound is asserted in float64 by
+    # test_int8_bound_is_rigorous, not here.
     np.testing.assert_allclose(
-        np.asarray(e_l2), np.linalg.norm(np.asarray(m) - a, axis=1), rtol=1e-6, atol=1e-9
+        np.asarray(e_l2), np.linalg.norm(np.asarray(m) - a, axis=1), rtol=1e-4, atol=1e-7
     )
     assert np.abs(np.asarray(m_i8)).max() <= 127
 
@@ -59,7 +63,7 @@ def test_int8_certified_results_are_exact():
         s_t, r_t, ok = dense_topk_int8(
             q, m, mi, s, el2, al2, valid, 12, use_int8_mxu=False, interpret=True
         )
-        if not bool(ok):
+        if not bool(ok.all()):
             continue
         s_x, r_x = dense_topk(q, m, valid, 12, "cosine")
         np.testing.assert_array_equal(np.asarray(r_t), np.asarray(r_x))
@@ -75,7 +79,7 @@ def test_int8_mxu_paths_bit_identical():
     b = dense_topk_int8(q, m, mi, s, el2, al2, valid, 9, use_int8_mxu=False, interpret=True)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
-    assert bool(a[2]) == bool(b[2])
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
 
 
 def test_int8_exact_ties_fail_closed():
@@ -124,17 +128,18 @@ def test_int8_bound_is_rigorous():
     m_i8, s, el2, al2 = prepare_int8(mj)
 
     t_amax = np.abs(q).max(axis=1)
-    t = np.exp2(np.ceil(np.log2(t_amax / 127.0))).astype(np.float32)
+    t = (t_amax / 127.0).astype(np.float32)
     q_i8 = np.clip(np.round(q / t[:, None]), -127, 127).astype(np.int8)
     b_vec = q_i8.astype(np.float32) * t[:, None]
     f = q - b_vec
     b_l2 = np.linalg.norm(b_vec, axis=1)
     f_l2 = np.linalg.norm(f, axis=1)
     u = (b_l2 + f_l2) * 1.0001 + 1e-7
-    v = f_l2 * 1.0001 + 1e-7
+    v = (f_l2 + 4e-7 * b_l2) * 1.0001 + 1e-7
 
     dot = q_i8.astype(np.int64) @ np.asarray(m_i8).astype(np.int64).T
-    approx = dot.astype(np.float32) * t[:, None] * np.asarray(s)[None, :]
+    # f32 cast + two f32 scale multiplies, matching the kernel's rounding
+    approx = (dot.astype(np.float32) * np.asarray(s)[None, :]).astype(np.float32) * t[:, None]
     upper = approx + np.asarray(el2)[None, :] * u[:, None] + np.asarray(al2)[None, :] * v[:, None]
     true = q.astype(np.float64) @ m.astype(np.float64).T
     assert (upper + 1e-6 >= true).all(), float((true - upper).max())
@@ -158,4 +163,30 @@ def test_int8_zero_rows_and_zero_query():
         qj, mj, mi, s, el2, al2, valid, 7, use_int8_mxu=False, interpret=True
     )
     s_x, r_x = dense_topk(qj, mj, valid, 7, "cosine")
+    np.testing.assert_array_equal(np.asarray(r_c), np.asarray(r_x))
+
+
+def test_partial_batch_fallback_patches_only_failing_queries():
+    """One tie-poisoned query must not force the whole batch to the
+    fp32 path: certified queries keep tier results, the failing query is
+    patched from the fp32 fallback, and EVERY query matches the oracle."""
+    rng = np.random.default_rng(23)
+    m = rng.standard_normal((4096, 64)).astype(np.float32)
+    m[2000:2021] = m[0]  # exact duplicates → uncertifiable ties vs row 0
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    q = rng.standard_normal((5, 64)).astype(np.float32)
+    q[2] = m[0]  # this query hits the tie wall
+    mj, qj = jnp.asarray(m), jnp.asarray(q)
+    valid = jnp.ones(4096, bool)
+    mi, s, el2, al2 = prepare_int8(mj)
+    _, _, certm = dense_topk_int8(
+        qj, mj, mi, s, el2, al2, valid, 5, use_int8_mxu=False, interpret=True
+    )
+    certm = np.asarray(certm)
+    assert not certm[2] and certm.sum() >= 1  # mixed batch
+    s_c, r_c, fb = dense_topk_int8_checked(
+        qj, mj, mi, s, el2, al2, valid, 5, use_int8_mxu=False, interpret=True
+    )
+    assert fb
+    s_x, r_x = dense_topk(qj, mj, valid, 5, "cosine")
     np.testing.assert_array_equal(np.asarray(r_c), np.asarray(r_x))

@@ -132,8 +132,7 @@ def _select_rescore_verify(
     # -- verify: k-th exact must STRICTLY beat every excluded upper -------
     kth = top_s[:, min(k, k_req) - 1]
     per_q = (kth > threshold) | jnp.isneginf(threshold)
-    certified = jnp.all(per_q[:bsz])
-    return top_s[:bsz], top_r[:bsz], certified
+    return top_s[:bsz], top_r[:bsz], per_q[:bsz]
 
 
 def _metric_queries(queries, metric, kinds=("cosine", "dot")):
@@ -163,12 +162,13 @@ def dense_topk_tiered(
     tile_n: int = 1024,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """→ (scores [B,k], rows [B,k], certified [] bool).
+    """→ (scores [B,k], rows [B,k], certified [B] bool).
 
-    When ``certified`` is True the results are PROVABLY the exact fp32
-    top-k with (score desc, row asc) ordering. When False they are
-    best-effort; callers wanting the exactness contract use
-    :func:`dense_topk_tiered_checked`."""
+    Where ``certified[i]`` is True, query i's results are PROVABLY the
+    exact fp32 top-k with (score desc, row asc) ordering; elsewhere they
+    are best-effort. Callers wanting the exactness contract use
+    :func:`dense_topk_tiered_checked`, which re-runs only the
+    uncertified queries on the fp32 path."""
     q = _metric_queries(queries, metric)
     n, d = matrix.shape
     bsz = q.shape[0]
@@ -232,23 +232,38 @@ def dense_topk_tiered_checked(
 
 
 def _checked_fallback(s, r, ok, queries, matrix, valid_mask, k, metric):
-    if bool(ok):
+    """Re-run ONLY uncertified queries on the exact fp32 path and patch
+    their rows in. The failing subset is bucketed to a power of two
+    (repeating its first query) so serving compiles O(log B) fallback
+    programs, not one per failure pattern."""
+    import numpy as np
+
+    ok_np = np.asarray(ok)
+    if ok_np.all():
         return s, r, False
-    s, r = dense_topk(queries, matrix, valid_mask, min(k, matrix.shape[0]), metric)
-    if s.shape[1] < k:
-        pad = k - s.shape[1]
-        s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=NEG_INF)
-        r = jnp.pad(r, ((0, 0), (0, pad)), constant_values=-1)
+    bad = np.flatnonzero(~ok_np)
+    bucket = 1
+    while bucket < len(bad):
+        bucket *= 2
+    sel = np.concatenate([bad, np.full(bucket - len(bad), bad[0], np.int64)])
+    fb_q = jnp.asarray(np.asarray(queries)[sel])
+    fb_s, fb_r = dense_topk(fb_q, matrix, valid_mask, min(k, matrix.shape[0]), metric)
+    if fb_s.shape[1] < k:
+        pad = k - fb_s.shape[1]
+        fb_s = jnp.pad(fb_s, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        fb_r = jnp.pad(fb_r, ((0, 0), (0, pad)), constant_values=-1)
+    bad_j = jnp.asarray(bad)
+    s = s.at[bad_j].set(fb_s[: len(bad)])
+    r = r.at[bad_j].set(fb_r[: len(bad)])
     return s, r, True
 
 
 # ---------------------------------------------------------------------------
 # int8 tier: 4x less scan HBM than fp32 (2x less than bf16), 2x MXU rate
-# with the native int8 path — and a TIGHTER bound than bf16, because the
-# dequantized approximate score is arithmetically EXACT (see
-# ops/pallas/scan_select_int8.py): power-of-two scales make every scale
-# multiply exact and the integer dot stays below 2^24. The only error is
-# the quantization residual, whose per-row norm is measured at pack time.
+# with the native int8 path. The integer dot is exact (< 2^24) so the
+# bound carries only the measured per-row quantization residual plus a
+# ~2^-24-relative term for the two f32 scale multiplies (see
+# ops/pallas/scan_select_int8.py).
 # ---------------------------------------------------------------------------
 
 
@@ -257,17 +272,16 @@ def prepare_int8(matrix: jax.Array):
     """Pack the int8 scan tier.
 
     Returns ``(m_i8 [N,d] int8, s_row [N] f32, e_l2 [N] f32, a_l2 [N]
-    f32)`` where ``s_row`` are power-of-two per-row scales, ``e_l2 =
-    ‖M_i − s_i·m_i8_i‖₂`` (exact residual norm) and ``a_l2 =
-    ‖s_i·m_i8_i‖₂``."""
+    f32)`` where ``s_row = amax/127`` per-row scales (tightest symmetric
+    quantization — measured: power-of-two scales widened the residual up
+    to 2x and cost certification at batch scale, while the f32 rounding
+    they avoid is ~2⁻²⁴, covered by the arithmetic term in ``v_q``),
+    ``e_l2 = ‖M_i − s_i·m_i8_i‖₂`` (measured residual norm) and
+    ``a_l2 = ‖s_i·m_i8_i‖₂``."""
     amax = jnp.max(jnp.abs(matrix), axis=1)
-    # smallest power of two ≥ amax/127 (amax==0 → scale 1, all-zero row)
-    s = jnp.exp2(jnp.ceil(jnp.log2(jnp.where(amax == 0.0, 1.0, amax) / 127.0)))
-    s = jnp.where(amax == 0.0, 1.0, s)
-    # fp32 log2 rounding can land one step low; clip keeps |q| ≤ 127 and
-    # the measured residual norm keeps the bound rigorous either way
+    s = jnp.where(amax == 0.0, 1.0, amax / 127.0)
     m_i8 = jnp.clip(jnp.round(matrix / s[:, None]), -127, 127).astype(jnp.int8)
-    a = m_i8.astype(jnp.float32) * s[:, None]  # exact (power-of-two scale)
+    a = m_i8.astype(jnp.float32) * s[:, None]
     err = matrix - a
     e_l2 = jnp.sqrt(jnp.sum(err * err, axis=1))
     a_l2 = jnp.sqrt(jnp.sum(a * a, axis=1))
@@ -299,19 +313,20 @@ def dense_topk_int8(
     n, d = matrix.shape
     bsz = q.shape[0]
 
-    # -- query quantization (power-of-two scale → exact dequant) ----------
+    # -- query quantization (tightest symmetric scale) ---------------------
     t_amax = jnp.max(jnp.abs(q), axis=1)
-    t_q = jnp.exp2(jnp.ceil(jnp.log2(jnp.where(t_amax == 0.0, 1.0, t_amax) / 127.0)))
-    t_q = jnp.where(t_amax == 0.0, 1.0, t_q)
+    t_q = jnp.where(t_amax == 0.0, 1.0, t_amax / 127.0)
     q_i8 = jnp.clip(jnp.round(q / t_q[:, None]), -127, 127).astype(jnp.int8)
-    b_vec = q_i8.astype(jnp.float32) * t_q[:, None]  # exact
+    b_vec = q_i8.astype(jnp.float32) * t_q[:, None]
     f = q - b_vec
     b_l2 = jnp.linalg.norm(b_vec, axis=1)  # [B]
     f_l2 = jnp.linalg.norm(f, axis=1)  # [B]
-    # |m·q − A·b| ≤ ‖E‖(‖b‖+‖f‖) + ‖A‖‖f‖ — no accumulation term: the
-    # kernel's A·b is exact. Slack absorbs the f32 norm computations.
+    # |m·q − A·b| ≤ ‖E‖(‖b‖+‖f‖) + ‖A‖‖f‖ + arith, where the integer dot
+    # is exact (< 2²⁴) and only the two f32 scale multiplies round:
+    # arith ≤ ~2.4e-7·‖A‖‖b‖ (plus the measured-residual rounding gap,
+    # covered by the same coefficient; bound test verifies vs float64).
     u_q = (b_l2 + f_l2) * _BOUND_SLACK + _BOUND_EPS
-    v_q = f_l2 * _BOUND_SLACK + _BOUND_EPS
+    v_q = (f_l2 + jnp.float32(4e-7) * b_l2) * _BOUND_SLACK + _BOUND_EPS
 
     # -- pad to kernel-friendly shapes ------------------------------------
     b_pad = max(8, -(-bsz // 8) * 8)

@@ -5,17 +5,17 @@ an int8-quantized corpus once, compute EXACTLY-dequantized approximate
 scores, and emit per-128-row-block top-5 upper values + top-4 argmax
 lanes without materializing the [B, N] score tensor.
 
-Exactness of the dequantization (why this tier's bound is *tighter*
-than the bf16 tier's, despite 4x less storage):
+Arithmetic error model (why the caller's bound needs almost nothing
+beyond the measured quantization residual):
 
-- rows/queries quantize with POWER-OF-TWO scales, so ``s_i · t_q`` and
-  every scale multiply are exact fp32 ops;
-- the integer dot ``m_i8 · q_i8`` is exact: |sum| ≤ d·127² (6.2M at
+- the integer dot ``m_i8 · q_i8`` is EXACT: |sum| ≤ d·127² (6.2M at
   d=384) < 2²⁴, so it is exactly representable even after the f32 cast;
-- therefore ``approx = dot · s_i · t_q`` equals the real-number product
-  ``A_i·b`` with ZERO arithmetic error — the only gap vs the true fp32
-  score is the quantization residual, bounded rank-1 by the caller
-  (e_l2·u_q + a_l2·v_q, exact pack-time / query-time norms).
+- only the two scale multiplies ``dot · s_i · t_q`` round (~2⁻²⁴
+  relative each), folded into the caller's ``v_q`` coefficient;
+- the dominant gap vs the true fp32 score is the quantization residual,
+  bounded rank-1 by the caller (e_l2·u_q + a_l2·v_q, measured pack-time
+  / query-time norms; scales are amax/127, the tightest symmetric
+  choice).
 
 The matmul itself runs either natively in int8 (``use_int8_mxu=True``,
 2x the bf16 MXU rate on v5e+) or as a bf16 matmul after an in-kernel
