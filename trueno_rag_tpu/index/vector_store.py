@@ -58,6 +58,15 @@ class VectorStoreConfig:
     # exact-tie behavior is not guaranteed). Scores always accumulate
     # in float32 either way.
     storage_dtype: str = "float32"
+    # Certified reduced-precision scan tier (ops/dense_tiered.py):
+    # "none" (default) scores in fp32; "bf16"/"int8" maintain a
+    # quantized replica that one fused Pallas pass scans with rigorous
+    # upper bounds, exact-rescoring only the selected candidates —
+    # results stay EXACTLY equal to the fp32 path (uncertified queries
+    # fall back per-query), unlike storage_dtype="bfloat16" which is
+    # approximate. Worth it at ≥1M rows; requires float32 storage and
+    # cosine/dot metric.
+    scan_tier: str = "none"
 
     def __post_init__(self) -> None:
         if self.dimension <= 0:
@@ -68,6 +77,16 @@ class VectorStoreConfig:
             raise InvalidConfigError("initial_capacity must be positive")
         if self.storage_dtype not in ("float32", "bfloat16"):
             raise InvalidConfigError(f"unknown storage_dtype {self.storage_dtype!r}")
+        if self.scan_tier not in ("none", "bf16", "int8"):
+            raise InvalidConfigError(f"unknown scan_tier {self.scan_tier!r}")
+        if self.scan_tier != "none":
+            if self.storage_dtype != "float32":
+                raise InvalidConfigError(
+                    "scan_tier requires float32 storage (the exact rescore "
+                    "reads full-precision rows)"
+                )
+            if self.metric == DistanceMetric.EUCLIDEAN:
+                raise InvalidConfigError("scan_tier supports cosine/dot metrics only")
 
 
 class VectorStore:
@@ -89,6 +108,8 @@ class VectorStore:
         self._dirty = True
         self._dirty_rows: set = set()  # None-tracking: full re-upload when unbounded
         self._count = 0
+        self._tier = None  # scan-tier replica arrays (lazily prepared)
+        self.tier_fallbacks = 0  # queries re-run on fp32 (observability)
 
     # -- mutation ------------------------------------------------------------
 
@@ -171,14 +192,35 @@ class VectorStore:
             self._device_valid = self._device_valid.at[rows_j].set(
                 jnp.asarray(self._valid[rows])
             )
+            self._refresh_tier(rows_j=rows_j, updates=updates)
         else:
             matrix = jnp.asarray(self._host)
             if dtype16:
                 matrix = matrix.astype(jnp.bfloat16)
             self._device_matrix = matrix
             self._device_valid = jnp.asarray(self._valid)
+            self._refresh_tier()
         self._dirty = False
         self._dirty_rows = set()
+
+    def _refresh_tier(self, rows_j=None, updates=None) -> None:
+        """Maintain the scan-tier replica. The quantization/residual math
+        is row-local, so incremental mutations prepare ONLY the changed
+        rows and scatter them into the replica arrays."""
+        tier = self.config.scan_tier
+        if tier == "none":
+            self._tier = None
+            return
+        from trueno_rag_tpu.ops import dense_tiered as dt
+
+        prepare = dt.prepare_tiered if tier == "bf16" else dt.prepare_int8
+        if rows_j is None or self._tier is None:
+            self._tier = prepare(self._device_matrix)
+            return
+        parts = prepare(updates)
+        self._tier = tuple(
+            full.at[rows_j].set(part) for full, part in zip(self._tier, parts)
+        )
 
     @property
     def device_matrix(self) -> jnp.ndarray:
@@ -201,6 +243,25 @@ class VectorStore:
         if q.shape[-1] != self.config.dimension:
             raise DimensionMismatchError(self.config.dimension, int(q.shape[-1]))
         k_eff = min(k, self._host.shape[0])
+        if self._tier is not None:
+            import jax
+
+            from trueno_rag_tpu.ops import dense_tiered as dt
+
+            # Pallas TPU kernels need interpret mode off-TPU (tests/CPU)
+            interpret = jax.devices()[0].platform not in ("tpu", "axon")
+            checked = (
+                dt.dense_topk_tiered_checked
+                if self.config.scan_tier == "bf16"
+                else dt.dense_topk_int8_checked
+            )
+            scores, rows, fell_back = checked(
+                q, self._device_matrix, *self._tier, self._device_valid,
+                k_eff, metric=self.config.metric, interpret=interpret,
+            )
+            if fell_back:
+                self.tier_fallbacks += 1
+            return scores, rows
         scores, rows = dense_topk(q, self._device_matrix, self._device_valid, k_eff, self.config.metric)
         return scores, rows
 
