@@ -56,9 +56,9 @@ def main() -> None:
         s_t, r_t, ok = dense_topk_tiered(queries, matrix, m_bf16, e_l2, a_l2, valid, cand)
         s_8, r_8, ok8 = dense_topk_int8(queries, matrix, m_i8, s_row, e8, a8, valid, cand)
         s_x, r_x = dense_topk(queries, matrix, valid, cand, "cosine")
-        print(f"bf16 certified={bool(ok)} rows_equal="
+        print(f"bf16 certified={int(np.asarray(ok).sum())}/{b} rows_equal="
               f"{bool(np.array_equal(np.asarray(r_t), np.asarray(r_x)))} | "
-              f"int8 certified={bool(ok8)} rows_equal="
+              f"int8 certified={int(np.asarray(ok8).sum())}/{b} rows_equal="
               f"{bool(np.array_equal(np.asarray(r_8), np.asarray(r_x)))}")
 
     @functools.partial(jax.jit, static_argnames=("steps", "kind"))

@@ -61,9 +61,9 @@ def main() -> None:
             queries, matrix, m_i8, s_row, e8_l2, a8_l2, valid, cand
         )
         s_x, r_x = dense_topk(queries, matrix, valid, cand, "cosine")
-        print(f"N={n:,}: bf16 certified={bool(ok)} rows_equal="
+        print(f"N={n:,}: bf16 certified={int(np.asarray(ok).sum())}/{b} rows_equal="
               f"{bool(np.array_equal(np.asarray(r_t), np.asarray(r_x)))} | "
-              f"int8 certified={bool(ok8)} rows_equal="
+              f"int8 certified={int(np.asarray(ok8).sum())}/{b} rows_equal="
               f"{bool(np.array_equal(np.asarray(r_8), np.asarray(r_x)))}")
 
     @functools.partial(jax.jit, static_argnames=("steps", "dense_kind"))
