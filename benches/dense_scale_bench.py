@@ -27,6 +27,7 @@ def main() -> None:
     p.add_argument("--cand", type=int, default=50)
     p.add_argument("--kinds", default="fp32,tiered,int8,int8bf16")
     p.add_argument("--check", action="store_true", help="exactness spot check first")
+    p.add_argument("--rescore-rows", type=int, default=None)
     args = p.parse_args()
 
     import jax
@@ -66,12 +67,19 @@ def main() -> None:
         def one(carry, _):
             q = queries + carry  # keep the stage dependent on the carry
             if kind == "tiered":
-                s, r, _ = dense_topk_tiered(q, matrix, m_bf16, e_l2, a_l2, valid, cand)
+                s, r, _ = dense_topk_tiered(
+                    q, matrix, m_bf16, e_l2, a_l2, valid, cand,
+                    rescore_rows=args.rescore_rows,
+                )
             elif kind == "int8":
-                s, r, _ = dense_topk_int8(q, matrix, m_i8, s_row, e8, a8, valid, cand)
+                s, r, _ = dense_topk_int8(
+                    q, matrix, m_i8, s_row, e8, a8, valid, cand,
+                    rescore_rows=args.rescore_rows,
+                )
             elif kind == "int8bf16":
                 s, r, _ = dense_topk_int8(
-                    q, matrix, m_i8, s_row, e8, a8, valid, cand, use_int8_mxu=False
+                    q, matrix, m_i8, s_row, e8, a8, valid, cand,
+                    use_int8_mxu=False, rescore_rows=args.rescore_rows,
                 )
             else:
                 s, r = dense_topk(q, matrix, valid, cand, "cosine")

@@ -24,6 +24,7 @@ def main() -> None:
     p.add_argument("--cand", type=int, default=50)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--skip-check", action="store_true")
+    p.add_argument("--rescore-rows", type=int, default=None)
     args = p.parse_args()
 
     import jax
@@ -73,16 +74,18 @@ def main() -> None:
             shift = (carry > 1e30).astype(jnp.int32)
             if dense_kind == "tiered":
                 d_s, d_r, ok = dense_topk_tiered(
-                    q, matrix, m_bf16, e_l2, a_l2, valid, cand
+                    q, matrix, m_bf16, e_l2, a_l2, valid, cand,
+                    rescore_rows=args.rescore_rows,
                 )
             elif dense_kind == "int8":
                 d_s, d_r, ok = dense_topk_int8(
-                    q, matrix, m_i8, s_row, e8_l2, a8_l2, valid, cand
+                    q, matrix, m_i8, s_row, e8_l2, a8_l2, valid, cand,
+                    rescore_rows=args.rescore_rows,
                 )
             elif dense_kind == "int8bf16":
                 d_s, d_r, ok = dense_topk_int8(
                     q, matrix, m_i8, s_row, e8_l2, a8_l2, valid, cand,
-                    use_int8_mxu=False,
+                    use_int8_mxu=False, rescore_rows=args.rescore_rows,
                 )
             else:
                 d_s, d_r = dense_topk(q, matrix, valid, cand, "cosine")

@@ -107,3 +107,36 @@ def test_tiered_bound_is_rigorous():
     upper = approx + np.asarray(el2)[None, :] * u[:, None] + np.asarray(al2)[None, :] * v[:, None]
     true = q.astype(np.float64) @ m.astype(np.float64).T  # oracle scores
     assert (upper + 1e-6 >= true).all(), float((true - upper).max())
+
+
+@pytest.mark.parametrize("rr", [8, 24, 64, 10_000])
+def test_tiered_rescore_rows_trim_matches_oracle(rr):
+    """The global candidate-row trim must preserve the exactness
+    contract: the checked wrapper equals the fp32 oracle for any
+    rescore_rows, including over-large (no-op) values."""
+    m, q, valid = build(6000, 96, 5, seed=rr)
+    mb, el2, al2 = prepare_tiered(m)
+    s_c, r_c, _ = dense_topk_tiered_checked(
+        q, m, mb, el2, al2, valid, 11, rescore_rows=rr, interpret=True
+    )
+    s_x, r_x = dense_topk(q, m, valid, 11, "cosine")
+    np.testing.assert_array_equal(np.asarray(r_c), np.asarray(r_x))
+    np.testing.assert_allclose(np.asarray(s_c), np.asarray(s_x), atol=2e-6, rtol=2e-6)
+
+
+def test_tiered_trim_certified_results_are_exact():
+    """When the trimmed-tail certificate fires, rows must equal the
+    oracle — the extra thr_exp threshold keeps the proof sound."""
+    hits = 0
+    for seed in range(6):
+        m, q, valid = build(8192, 96, 6, seed)
+        mb, el2, al2 = prepare_tiered(m)
+        s_t, r_t, ok = dense_topk_tiered(
+            q, m, mb, el2, al2, valid, 12, rescore_rows=48, interpret=True
+        )
+        if not bool(ok.all()):
+            continue
+        hits += 1
+        s_x, r_x = dense_topk(q, m, valid, 12, "cosine")
+        np.testing.assert_array_equal(np.asarray(r_t), np.asarray(r_x))
+    assert hits  # the trim must certify at least sometimes on random data

@@ -190,3 +190,16 @@ def test_partial_batch_fallback_patches_only_failing_queries():
     assert fb
     s_x, r_x = dense_topk(qj, mj, valid, 5, "cosine")
     np.testing.assert_array_equal(np.asarray(r_c), np.asarray(r_x))
+
+
+def test_int8_rescore_rows_trim_matches_oracle():
+    """Trimmed-tail exactness contract on the int8 tier."""
+    for rr in (16, 40):
+        m, q, valid = build(5000, 96, 5, seed=100 + rr)
+        m8, sr, el2, al2 = prepare_int8(m)
+        s_c, r_c, _ = dense_topk_int8_checked(
+            q, m, m8, sr, el2, al2, valid, 11, rescore_rows=rr, interpret=True
+        )
+        s_x, r_x = dense_topk(q, m, valid, 11, "cosine")
+        np.testing.assert_array_equal(np.asarray(r_c), np.asarray(r_x))
+        np.testing.assert_allclose(np.asarray(s_c), np.asarray(s_x), atol=2e-6, rtol=2e-6)

@@ -68,13 +68,24 @@ def prepare_tiered(matrix: jax.Array):
 
 
 def _select_rescore_verify(
-    outs, q, matrix, valid_mask, n, n_pad, bsz, b_pad, k, margin_blocks
+    outs, q, matrix, valid_mask, n, n_pad, bsz, b_pad, k, margin_blocks,
+    rescore_rows=None,
 ):
     """Shared tier-2/3 tail: block selection by upper bounds, exact fp32
     rescore of the selected blocks' top-4 rows, and the strict-beat
     certificate. ``outs`` is the (v1..v5, i1..i4) tuple from a scan
     kernel (bf16 or int8 tier); ``q`` is the fp32 query batch (metric
-    already applied), unpadded [bsz, d]."""
+    already applied), unpadded [bsz, d].
+
+    ``rescore_rows``: if set, only the best ``rescore_rows`` explicit
+    candidates (globally, by upper bound) are gathered and rescored
+    instead of all ``4·(k+margin_blocks)``; the (rescore_rows+1)-th
+    explicit upper joins the certificate threshold, so exactness is
+    still proven — every row is covered by one of three bounds:
+    unselected block → its v1 ≤ thr_out; unseen row of a selected
+    block → its v5 ≤ thr_in; un-rescored explicit candidate → thr_exp.
+    Cuts the dominant fp32 row gather ~4-5x (measured; the tail, not
+    the scan, limits the tiered path at N≈100k)."""
     v_top = outs[: TOP + 1]  # v1..v5 [B_pad, G]
     i_top = outs[TOP + 1 :]  # i1..i4 [B_pad, G] lanes
     g = n_pad // BLOCK
@@ -98,7 +109,7 @@ def _select_rescore_verify(
     threshold = jnp.maximum(thr_out, thr_in)
 
     # -- candidates: the top-4 rows of each selected block ----------------
-    cand_parts = []
+    cand_parts, val_parts = [], []
     for t in range(TOP):
         lanes = jnp.take_along_axis(i_top[t], b_idx, axis=1)  # [B, kb]
         vals = jnp.take_along_axis(v_top[t], b_idx, axis=1)
@@ -106,7 +117,25 @@ def _select_rescore_verify(
         slot = jax.lax.broadcasted_iota(jnp.int32, (b_pad, kb), 1) * TOP + t
         rows_t = jnp.where(jnp.isneginf(vals), _ROW_SENTINEL + slot, rows_t)
         cand_parts.append(rows_t)
+        val_parts.append(vals)
     cand_rows = jnp.concatenate(cand_parts, axis=1)  # [B, 4·kb]
+
+    # -- optional global row trim before the fp32 gather ------------------
+    width = cand_rows.shape[1]
+    if rescore_rows is not None and rescore_rows < width:
+        # fewer than k_req rescored rows could certify an incomplete
+        # result set (the (k)-th *returned* score would not be the true
+        # k-th) — clamp so the proof stays about the full top-k
+        rescore_rows = max(rescore_rows, k_req)
+        cand_vals = jnp.concatenate(val_parts, axis=1)  # [B, 4·kb] uppers
+        sel_r = min(rescore_rows + 1, width)
+        v_sel, v_idx = jax.lax.top_k(cand_vals, sel_r)
+        if sel_r > rescore_rows:
+            # max over un-rescored explicit candidates: none of them can
+            # beat this, so it joins the certificate threshold
+            threshold = jnp.maximum(threshold, v_sel[:, rescore_rows])
+            v_idx = v_idx[:, :rescore_rows]
+        cand_rows = jnp.take_along_axis(cand_rows, v_idx, axis=1)
     cand_rows = jax.lax.sort(cand_rows, dimension=1)  # row-asc tie order
 
     # -- exact fp32 rescore of the candidates ------------------------------
@@ -147,7 +176,7 @@ def _metric_queries(queries, metric, kinds=("cosine", "dot")):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "margin_blocks", "metric", "tile_n", "interpret")
+    jax.jit, static_argnames=("k", "margin_blocks", "metric", "tile_n", "rescore_rows", "interpret")
 )
 def dense_topk_tiered(
     queries: jax.Array,  # [B, d] f32
@@ -160,6 +189,7 @@ def dense_topk_tiered(
     margin_blocks: int = 64,
     metric: str = "cosine",
     tile_n: int = 1024,
+    rescore_rows: int | None = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """→ (scores [B,k], rows [B,k], certified [B] bool).
@@ -211,13 +241,15 @@ def dense_topk_tiered(
         tile_n=tile, interpret=interpret,
     )
     return _select_rescore_verify(
-        outs, q, matrix, valid_mask, n, n_pad, bsz, b_pad, k, margin_blocks
+        outs, q, matrix, valid_mask, n, n_pad, bsz, b_pad, k, margin_blocks,
+        rescore_rows=rescore_rows,
     )
 
 
 def dense_topk_tiered_checked(
     queries, matrix, m_bf16, e_l2, a_l2, valid_mask, k,
-    margin_blocks=64, metric="cosine", tile_n=1024, interpret=False,
+    margin_blocks=64, metric="cosine", tile_n=1024, rescore_rows=None,
+    interpret=False,
 ):
     """Exactness-contract wrapper: tiered fast path, fp32 fallback when
     the certificate fails (rare — requires an excluded row within the
@@ -226,7 +258,7 @@ def dense_topk_tiered_checked(
     s, r, ok = dense_topk_tiered(
         queries, matrix, m_bf16, e_l2, a_l2, valid_mask, k,
         margin_blocks=margin_blocks, metric=metric, tile_n=tile_n,
-        interpret=interpret,
+        rescore_rows=rescore_rows, interpret=interpret,
     )
     return _checked_fallback(s, r, ok, queries, matrix, valid_mask, k, metric)
 
@@ -290,7 +322,7 @@ def prepare_int8(matrix: jax.Array):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "margin_blocks", "metric", "tile_n", "use_int8_mxu", "interpret"),
+    static_argnames=("k", "margin_blocks", "metric", "tile_n", "use_int8_mxu", "rescore_rows", "interpret"),
 )
 def dense_topk_int8(
     queries: jax.Array,  # [B, d] f32
@@ -305,6 +337,7 @@ def dense_topk_int8(
     metric: str = "cosine",
     tile_n: int = 1024,
     use_int8_mxu: bool = True,
+    rescore_rows: int | None = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """→ (scores [B,k], rows [B,k], certified [] bool) — int8 sibling of
@@ -351,20 +384,22 @@ def dense_topk_int8(
         tile_n=tile, use_int8_mxu=use_int8_mxu, interpret=interpret,
     )
     return _select_rescore_verify(
-        outs, q, matrix, valid_mask, n, n_pad, bsz, b_pad, k, margin_blocks
+        outs, q, matrix, valid_mask, n, n_pad, bsz, b_pad, k, margin_blocks,
+        rescore_rows=rescore_rows,
     )
 
 
 def dense_topk_int8_checked(
     queries, matrix, m_i8, s_row, e_l2, a_l2, valid_mask, k,
     margin_blocks=64, metric="cosine", tile_n=1024, use_int8_mxu=True,
-    interpret=False,
+    rescore_rows=None, interpret=False,
 ):
     """Exactness-contract wrapper for the int8 tier: fp32 fallback when
     the certificate fails. Returns (scores, rows, used_fallback)."""
     s, r, ok = dense_topk_int8(
         queries, matrix, m_i8, s_row, e_l2, a_l2, valid_mask, k,
         margin_blocks=margin_blocks, metric=metric, tile_n=tile_n,
-        use_int8_mxu=use_int8_mxu, interpret=interpret,
+        use_int8_mxu=use_int8_mxu, rescore_rows=rescore_rows,
+        interpret=interpret,
     )
     return _checked_fallback(s, r, ok, queries, matrix, valid_mask, k, metric)
