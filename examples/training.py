@@ -14,8 +14,8 @@ import jax.numpy as jnp
 
 from trueno_rag_tpu import Document, RecursiveChunker
 from trueno_rag_tpu.models.encoder import EncoderConfig, HashTokenizer
-from trueno_rag_tpu.train import create_train_state, train_step
-from trueno_rag_tpu.train.checkpoint import load_train_state, save_train_state
+from trueno_rag_tpu.train import create_train_state, fit, train_step
+from trueno_rag_tpu.train.checkpoint import load_train_state
 from trueno_rag_tpu.train.data import PairBatcher, ict_pairs
 
 CORPUS = [
@@ -34,26 +34,32 @@ def main() -> None:
     config = EncoderConfig(vocab_size=2048, hidden_dim=128, num_layers=2,
                            num_heads=4, mlp_dim=256, max_len=64)
     state, tx = create_train_state(jax.random.PRNGKey(0), config, learning_rate=5e-4)
-    step = jax.jit(functools.partial(train_step, tx=tx, config=config))
 
     chunker = RecursiveChunker(chunk_size=200, overlap=20)
     chunks = [c for text in CORPUS for c in chunker.chunk(Document(text))]
-    batcher = PairBatcher(HashTokenizer(config.vocab_size, config.max_len),
-                          batch_size=16, max_len=config.max_len)
-    stream = batcher.batches(ict_pairs(chunks, random.Random(0)))
+    tokenizer = HashTokenizer(config.vocab_size, config.max_len)
 
-    for i in range(20):
-        q_ids, d_ids = next(stream)
-        state, metrics = step(state, jnp.asarray(q_ids), jnp.asarray(d_ids))
-        if i % 5 == 0:
-            print(f"step {int(state.step):3d}  loss={float(metrics['loss']):.4f}  "
-                  f"acc={float(metrics['accuracy']):.2f}")
-
+    # Eval-driven fit: retrieval quality (recall on held-out ICT probes
+    # against the live index) picks the checkpoint, not the loss curve.
     with tempfile.TemporaryDirectory() as tmp:
-        save_train_state(f"{tmp}/ckpt", state)
+        result = fit(
+            state, tx, config, tokenizer, chunks,
+            steps=20, batch_size=16, eval_every=10, eval_queries=8, k=3,
+            select_metric="recall@3", checkpoint_dir=tmp, seed=0, log=print,
+        )
+        print(f"best recall@3={result.best_metric:.3f} at step {result.best_step}; "
+              f"checkpoint: {result.best_checkpoint}")
         template, _ = create_train_state(jax.random.PRNGKey(0), config, learning_rate=5e-4)
-        restored = load_train_state(f"{tmp}/ckpt", template=template)
-        print(f"checkpoint round-trip OK (step {int(restored.step)})")
+        restored = load_train_state(result.best_checkpoint, template=template)
+        print(f"best-checkpoint round-trip OK (step {int(restored.step)})")
+
+    # The raw step loop is still available for custom schedules:
+    step = jax.jit(functools.partial(train_step, tx=tx, config=config))
+    batcher = PairBatcher(tokenizer, batch_size=16, max_len=config.max_len)
+    stream = batcher.batches(ict_pairs(chunks, random.Random(0)))
+    q_ids, d_ids = next(stream)
+    _, metrics = step(result.state, jnp.asarray(q_ids), jnp.asarray(d_ids))
+    print(f"one more manual step: loss={float(metrics['loss']):.4f}")
 
 
 if __name__ == "__main__":

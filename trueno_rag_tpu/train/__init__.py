@@ -14,5 +14,22 @@ from trueno_rag_tpu.train.contrastive import (
     create_train_state,
     train_step,
 )
+from trueno_rag_tpu.train.loop import (
+    EvalSet,
+    FitResult,
+    build_ict_evalset,
+    evaluate_retrieval,
+    fit,
+)
 
-__all__ = ["TrainState", "contrastive_loss", "create_train_state", "train_step"]
+__all__ = [
+    "TrainState",
+    "contrastive_loss",
+    "create_train_state",
+    "train_step",
+    "EvalSet",
+    "FitResult",
+    "build_ict_evalset",
+    "evaluate_retrieval",
+    "fit",
+]
