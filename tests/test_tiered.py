@@ -140,3 +140,15 @@ def test_tiered_trim_certified_results_are_exact():
         s_x, r_x = dense_topk(q, m, valid, 12, "cosine")
         np.testing.assert_array_equal(np.asarray(r_t), np.asarray(r_x))
     assert hits  # the trim must certify at least sometimes on random data
+
+
+def test_prepare_residuals_are_nonzero():
+    """Regression: XLA on TPU folds the f32→bf16→f32 convert pair back
+    to the input unless blocked by an optimization barrier, which zeroes
+    e_l2 and silently voids the certificate's quantization-error term
+    (observed on hardware). The packed residual of a generic random
+    matrix must be positive on EVERY backend."""
+    m, _, _ = build(2048, 64, 1, seed=77)
+    _, el2, al2 = prepare_tiered(m)
+    assert float(jnp.min(el2)) > 0.0
+    assert float(jnp.min(al2)) > 0.0

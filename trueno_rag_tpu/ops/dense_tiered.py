@@ -58,9 +58,14 @@ def prepare_tiered(matrix: jax.Array):
     """Pack the scan tier: bf16 matrix + exact per-row error norms.
 
     Returns (m_bf16 [N,d], e_l2 [N], a_l2 [N]) where e_l2 = ‖M_i −
-    bf16(M_i)‖₂ and a_l2 = ‖bf16(M_i)‖₂, both in f32."""
+    bf16(M_i)‖₂ and a_l2 = ‖bf16(M_i)‖₂, both in f32.
+
+    The barrier is load-bearing: on the TPU backend XLA folds the
+    f32→bf16→f32 convert pair back to the input, which silently zeroes
+    the residual (measured on device: e_l2 ≡ 0 without it) and would
+    void the certificate's error term."""
     m_bf16 = matrix.astype(jnp.bfloat16)
-    a = m_bf16.astype(jnp.float32)
+    a = jax.lax.optimization_barrier(m_bf16).astype(jnp.float32)
     e = matrix - a
     e_l2 = jnp.sqrt(jnp.sum(e * e, axis=1))
     a_l2 = jnp.sqrt(jnp.sum(a * a, axis=1))
@@ -205,7 +210,9 @@ def dense_topk_tiered(
 
     # -- bound coefficients (rank-1 per query) ----------------------------
     qb = q.astype(jnp.bfloat16)
-    f = q - qb.astype(jnp.float32)
+    # barrier: prevents XLA from folding bf16→f32(bf16(q)) back to q,
+    # which would zero the query-side residual on TPU (see prepare_tiered)
+    f = q - jax.lax.optimization_barrier(qb).astype(jnp.float32)
     b_l2 = jnp.linalg.norm(qb.astype(jnp.float32), axis=1)  # [B]
     f_l2 = jnp.linalg.norm(f, axis=1)  # [B]
     acc_eps = jnp.float32(d) * jnp.float32(2.0**-23)
