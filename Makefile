@@ -15,8 +15,11 @@ bench:
 	$(PY) bench.py
 
 examples:
+	@# PYTHONPATH=. drops the axon sitecustomize, but JAX_PLATFORMS=axon may
+	@# still be exported in the environment; pin CPU (examples are demos —
+	@# auto-pick would also probe the half-configured libtpu, noisily).
 	@for ex in examples/*.py; do \
-		echo "== $$ex"; PYTHONPATH=. $(PY) $$ex > /dev/null || exit 1; \
+		echo "== $$ex"; PYTHONPATH=. JAX_PLATFORMS=cpu $(PY) $$ex > /dev/null || exit 1; \
 	done; echo "all examples OK"
 
 dryrun:
