@@ -57,9 +57,13 @@ def main() -> None:
     jax.block_until_ready(m_i8)
 
     if not args.skip_check:  # exactness spot check on this corpus
-        s_t, r_t, ok = dense_topk_tiered(queries, matrix, m_bf16, e_l2, a_l2, valid, cand)
+        s_t, r_t, ok = dense_topk_tiered(
+            queries, matrix, m_bf16, e_l2, a_l2, valid, cand,
+            rescore_rows=args.rescore_rows,
+        )
         s_8, r_8, ok8 = dense_topk_int8(
-            queries, matrix, m_i8, s_row, e8_l2, a8_l2, valid, cand
+            queries, matrix, m_i8, s_row, e8_l2, a8_l2, valid, cand,
+            rescore_rows=args.rescore_rows,
         )
         s_x, r_x = dense_topk(queries, matrix, valid, cand, "cosine")
         print(f"N={n:,}: bf16 certified={int(np.asarray(ok).sum())}/{b} rows_equal="

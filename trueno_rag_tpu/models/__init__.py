@@ -13,6 +13,8 @@ programs:
   instruction prefix), with *real* attention — more faithful than the
   reference's passthrough layers.
 - :mod:`trueno_rag_tpu.models.cross_encoder` — neural cross-encoder
+- :mod:`trueno_rag_tpu.models.late_interaction` — ColBERT-style MaxSim
+  reranking over shared-trunk token states
   reranker scoring (query, passage) pairs on device.
 
 Weights: this environment has no network egress, so constructors default
@@ -41,6 +43,11 @@ from trueno_rag_tpu.models.cross_encoder import (
     cross_encoder_scores,
     init_cross_encoder_params,
 )
+from trueno_rag_tpu.models.late_interaction import (
+    LateInteractionReranker,
+    late_interaction_scores,
+    maxsim,
+)
 from trueno_rag_tpu.models.hf_import import load_hf_bert_encoder, load_hf_cross_encoder
 from trueno_rag_tpu.models.tokenization import WordPieceTokenizer
 
@@ -56,6 +63,9 @@ __all__ = [
     "init_nemotron_params",
     "nemotron_forward",
     "CrossEncoderReranker",
+    "LateInteractionReranker",
+    "late_interaction_scores",
+    "maxsim",
     "cross_encoder_scores",
     "init_cross_encoder_params",
     "load_hf_bert_encoder",

@@ -177,14 +177,14 @@ def _pool(hidden: jax.Array, mask: jax.Array, pooling: str) -> jax.Array:
     )
 
 
-@partial(jax.jit, static_argnames=("config",))
-def encoder_forward(
+def _token_states(
     params: Dict[str, jax.Array],
     token_ids: jax.Array,  # [B, T] int32
     config: EncoderConfig,
-) -> jax.Array:
-    """Full encoder forward: ids → pooled (optionally L2-normed)
-    ``[B, hidden_dim]`` float32 embeddings."""
+):
+    """Shared trunk: ids → final per-token hidden states (compute
+    dtype) + padding mask. ``encoder_forward`` pools these; the
+    late-interaction scorer consumes them token-wise."""
     mask = token_ids != PAD_ID
     t = token_ids.shape[1]
     dtype = config.compute_dtype
@@ -204,6 +204,30 @@ def encoder_forward(
         return _block(carry, mask, lp, config.num_heads), None
 
     x, _ = jax.lax.scan(scan_body, x, layer_params)
+    return x, mask
+
+
+@partial(jax.jit, static_argnames=("config",))
+def encoder_token_states(
+    params: Dict[str, jax.Array],
+    token_ids: jax.Array,  # [B, T] int32
+    config: EncoderConfig,
+):
+    """Per-token final states ``([B, T, H] float32, mask [B, T])`` —
+    the token-level interface for late-interaction (MaxSim) scoring."""
+    x, mask = _token_states(params, token_ids, config)
+    return x.astype(jnp.float32), mask
+
+
+@partial(jax.jit, static_argnames=("config",))
+def encoder_forward(
+    params: Dict[str, jax.Array],
+    token_ids: jax.Array,  # [B, T] int32
+    config: EncoderConfig,
+) -> jax.Array:
+    """Full encoder forward: ids → pooled (optionally L2-normed)
+    ``[B, hidden_dim]`` float32 embeddings."""
+    x, mask = _token_states(params, token_ids, config)
     pooled = _pool(x, mask, config.pooling)
     if config.normalize:
         n = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
