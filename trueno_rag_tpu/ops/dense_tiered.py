@@ -72,9 +72,34 @@ def prepare_tiered(matrix: jax.Array):
     return m_bf16, e_l2, a_l2
 
 
+def _topk_select(values: jax.Array, k: int, approx: bool):
+    """Select ~top-k indices of ``values [B, G]`` plus a RIGOROUS
+    per-row upper bound on every non-selected entry (the masked max).
+
+    With ``approx=True`` selection uses ``jax.lax.approx_max_k`` — the
+    TPU's fast partial-reduce top-k, measured ~4x faster than
+    ``lax.top_k`` at [256, 782] — which may miss true top entries; the
+    returned threshold is computed from the ACTUAL selected set
+    (scatter -inf into selected slots, then row-max), so a miss only
+    RAISES the threshold and the caller's certificate fails closed
+    rather than certifying a wrong result. Exact mode keeps the same
+    masked-max threshold (equal to the (k+1)-th value, but tighter when
+    duplicates tie)."""
+    bsz, g = values.shape
+    if approx:
+        _, idx = jax.lax.approx_max_k(values, k)
+    else:
+        _, idx = jax.lax.top_k(values, k)
+    sel = jnp.zeros((bsz, g), bool).at[
+        jnp.arange(bsz)[:, None], idx
+    ].set(True)
+    threshold = jnp.max(jnp.where(sel, NEG_INF, values), axis=1)
+    return idx, threshold
+
+
 def _select_rescore_verify(
     outs, q, matrix, valid_mask, n, n_pad, bsz, b_pad, k, margin_blocks,
-    rescore_rows=None,
+    rescore_rows=None, approx_select=True,
 ):
     """Shared tier-2/3 tail: block selection by upper bounds, exact fp32
     rescore of the selected blocks' top-4 rows, and the strict-beat
@@ -98,14 +123,7 @@ def _select_rescore_verify(
 
     # -- tier 2: block selection by v1 ------------------------------------
     kb = min(k + margin_blocks, g)
-    sel_b = min(kb + 1, g)
-    b_scores, b_idx = jax.lax.top_k(v_top[0], sel_b)
-    if sel_b > kb:
-        thr_out = b_scores[:, kb]
-        b_idx = b_idx[:, :kb]
-    else:
-        thr_out = jnp.full((b_pad,), NEG_INF)
-        kb = sel_b
+    b_idx, thr_out = _topk_select(v_top[0], kb, approx_select)
     b_idx = jax.lax.sort(b_idx, dimension=1)
 
     # threshold from unselected rows of selected blocks
@@ -133,15 +151,22 @@ def _select_rescore_verify(
         # k-th) — clamp so the proof stays about the full top-k
         rescore_rows = max(rescore_rows, k_req)
         cand_vals = jnp.concatenate(val_parts, axis=1)  # [B, 4·kb] uppers
-        sel_r = min(rescore_rows + 1, width)
-        v_sel, v_idx = jax.lax.top_k(cand_vals, sel_r)
-        if sel_r > rescore_rows:
-            # max over un-rescored explicit candidates: none of them can
-            # beat this, so it joins the certificate threshold
-            threshold = jnp.maximum(threshold, v_sel[:, rescore_rows])
-            v_idx = v_idx[:, :rescore_rows]
-        cand_rows = jnp.take_along_axis(cand_rows, v_idx, axis=1)
+        if rescore_rows < width:
+            # the masked max over un-rescored explicit candidates joins
+            # the certificate threshold: none of them can beat it
+            v_idx, thr_exp = _topk_select(cand_vals, rescore_rows, approx_select)
+            threshold = jnp.maximum(threshold, thr_exp)
+            cand_rows = jnp.take_along_axis(cand_rows, v_idx, axis=1)
     cand_rows = jax.lax.sort(cand_rows, dimension=1)  # row-asc tie order
+    # defensive dedup: a repeated candidate row (possible only if a
+    # selector ever returned duplicate indices) must not occupy two
+    # top-k slots — sentinel the repeat, which rescores as (-inf, -1)
+    dup = jnp.concatenate(
+        [jnp.zeros((b_pad, 1), bool), cand_rows[:, 1:] == cand_rows[:, :-1]],
+        axis=1,
+    )
+    slot_w = jax.lax.broadcasted_iota(jnp.int32, cand_rows.shape, 1)
+    cand_rows = jnp.where(dup, _ROW_SENTINEL + slot_w, cand_rows)
 
     # -- exact fp32 rescore of the candidates ------------------------------
     safe_rows = jnp.minimum(cand_rows, n - 1)
@@ -181,7 +206,7 @@ def _metric_queries(queries, metric, kinds=("cosine", "dot")):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "margin_blocks", "metric", "tile_n", "rescore_rows", "interpret")
+    jax.jit, static_argnames=("k", "margin_blocks", "metric", "tile_n", "rescore_rows", "approx_select", "interpret")
 )
 def dense_topk_tiered(
     queries: jax.Array,  # [B, d] f32
@@ -195,6 +220,7 @@ def dense_topk_tiered(
     metric: str = "cosine",
     tile_n: int = 1024,
     rescore_rows: int | None = None,
+    approx_select: bool = True,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """→ (scores [B,k], rows [B,k], certified [B] bool).
@@ -249,14 +275,14 @@ def dense_topk_tiered(
     )
     return _select_rescore_verify(
         outs, q, matrix, valid_mask, n, n_pad, bsz, b_pad, k, margin_blocks,
-        rescore_rows=rescore_rows,
+        rescore_rows=rescore_rows, approx_select=approx_select,
     )
 
 
 def dense_topk_tiered_checked(
     queries, matrix, m_bf16, e_l2, a_l2, valid_mask, k,
     margin_blocks=64, metric="cosine", tile_n=1024, rescore_rows=None,
-    interpret=False,
+    approx_select=True, interpret=False,
 ):
     """Exactness-contract wrapper: tiered fast path, fp32 fallback when
     the certificate fails (rare — requires an excluded row within the
@@ -265,7 +291,8 @@ def dense_topk_tiered_checked(
     s, r, ok = dense_topk_tiered(
         queries, matrix, m_bf16, e_l2, a_l2, valid_mask, k,
         margin_blocks=margin_blocks, metric=metric, tile_n=tile_n,
-        rescore_rows=rescore_rows, interpret=interpret,
+        rescore_rows=rescore_rows, approx_select=approx_select,
+        interpret=interpret,
     )
     return _checked_fallback(s, r, ok, queries, matrix, valid_mask, k, metric)
 
@@ -329,7 +356,7 @@ def prepare_int8(matrix: jax.Array):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "margin_blocks", "metric", "tile_n", "use_int8_mxu", "rescore_rows", "interpret"),
+    static_argnames=("k", "margin_blocks", "metric", "tile_n", "use_int8_mxu", "rescore_rows", "approx_select", "interpret"),
 )
 def dense_topk_int8(
     queries: jax.Array,  # [B, d] f32
@@ -345,6 +372,7 @@ def dense_topk_int8(
     tile_n: int = 1024,
     use_int8_mxu: bool = True,
     rescore_rows: int | None = None,
+    approx_select: bool = True,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """→ (scores [B,k], rows [B,k], certified [] bool) — int8 sibling of
@@ -392,14 +420,14 @@ def dense_topk_int8(
     )
     return _select_rescore_verify(
         outs, q, matrix, valid_mask, n, n_pad, bsz, b_pad, k, margin_blocks,
-        rescore_rows=rescore_rows,
+        rescore_rows=rescore_rows, approx_select=approx_select,
     )
 
 
 def dense_topk_int8_checked(
     queries, matrix, m_i8, s_row, e_l2, a_l2, valid_mask, k,
     margin_blocks=64, metric="cosine", tile_n=1024, use_int8_mxu=True,
-    rescore_rows=None, interpret=False,
+    rescore_rows=None, approx_select=True, interpret=False,
 ):
     """Exactness-contract wrapper for the int8 tier: fp32 fallback when
     the certificate fails. Returns (scores, rows, used_fallback)."""
@@ -407,6 +435,6 @@ def dense_topk_int8_checked(
         queries, matrix, m_i8, s_row, e_l2, a_l2, valid_mask, k,
         margin_blocks=margin_blocks, metric=metric, tile_n=tile_n,
         use_int8_mxu=use_int8_mxu, rescore_rows=rescore_rows,
-        interpret=interpret,
+        approx_select=approx_select, interpret=interpret,
     )
     return _checked_fallback(s, r, ok, queries, matrix, valid_mask, k, metric)
