@@ -62,8 +62,13 @@ def main() -> None:
               f"int8 certified={int(np.asarray(ok8).sum())}/{b} rows_equal="
               f"{bool(np.array_equal(np.asarray(r_8), np.asarray(r_x)))}")
 
+    # NB: arrays are ARGUMENTS, not closures — closed-over device arrays
+    # bake into the jaxpr as constants and the remote-compile tunnel has
+    # to ship the whole corpus with the program (GBs at 1M rows; this is
+    # what previously "broke" the 1M A/B).
     @functools.partial(jax.jit, static_argnames=("steps", "kind"))
-    def chain(steps, kind):
+    def chain(queries, matrix, m_bf16, e_l2, a_l2, m_i8, s_row, e8, a8, valid,
+              steps, kind):
         def one(carry, _):
             q = queries + carry  # keep the stage dependent on the carry
             if kind == "tiered":
@@ -88,12 +93,13 @@ def main() -> None:
         c, _ = jax.lax.scan(one, 0.0, None, length=steps)
         return c
 
+    arrs = (queries, matrix, m_bf16, e_l2, a_l2, m_i8, s_row, e8, a8, valid)
     for kind in args.kinds.split(","):
         try:
-            float(chain(1, kind))  # compile
-            float(chain(args.iters, kind))  # warm
+            float(chain(*arrs, 1, kind))  # compile
+            float(chain(*arrs, args.iters, kind))  # warm
             t0 = time.perf_counter()
-            float(chain(args.iters, kind))
+            float(chain(*arrs, args.iters, kind))
             dt = (time.perf_counter() - t0) / args.iters
             print(f"dense[{kind:8s}]: {dt*1e3:8.3f} ms/step → {b/dt:12,.0f} q/s")
         except Exception as e:  # noqa: BLE001 — report per-kind failures

@@ -32,6 +32,7 @@ def main() -> None:
     p.add_argument("--cand", type=int, default=50)
     p.add_argument("--rescore-rows", type=int, default=None)
     p.add_argument("--stages", default="fp32,scan,tail,tiered")
+    p.add_argument("--tile", type=int, default=1024)
     args = p.parse_args()
 
     import jax
@@ -72,8 +73,119 @@ def main() -> None:
     outs0 = scan_select(qb0, m_pad, e_pad, a_pad, v_pad.astype(jnp.int32), u0, v0)
     outs0 = jax.block_until_ready(outs0)
 
+    # kernel ablation: same tiling/IO as scan_select, but the in-kernel
+    # selection reduced to a single per-block max (isolates the cost of
+    # the 13-pass top-5+argmax4 selection loop from matmul+stream)
+    from jax.experimental import pallas as pl
+
+    def _mm_kernel(q_ref, m_ref, el2_ref, al2_ref, valid_ref, uq_ref, vq_ref, o_ref):
+        s = jax.lax.dot_general(
+            m_ref[:], q_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        upper = s + el2_ref[:][:, None] * uq_ref[:][None, :]
+        upper = upper + al2_ref[:][:, None] * vq_ref[:][None, :]
+        upper = jnp.where(valid_ref[:][:, None] != 0, upper, -jnp.inf)
+        t_, b_ = upper.shape
+        o_ref[:] = jnp.max(upper.reshape(t_ // 128, 128, b_), axis=1)
+
+    def _mm_kernel_T(q_ref, m_ref, el2_ref, al2_ref, valid_ref, uq_ref, vq_ref, o_ref):
+        # queries as lhs: [B, d] x [tile, d]^T -> [B, tile]
+        s = jax.lax.dot_general(
+            q_ref[:], m_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        upper = s + el2_ref[:][None, :] * uq_ref[:][:, None]
+        upper = upper + al2_ref[:][None, :] * vq_ref[:][:, None]
+        upper = jnp.where(valid_ref[:][None, :] != 0, upper, -jnp.inf)
+        b_, t_ = upper.shape
+        o_ref[:] = jnp.max(upper.reshape(b_, t_ // 128, 128), axis=2)
+
+    def _mm_kernel_N(qT_ref, m_ref, el2_ref, al2_ref, valid_ref, uq_ref, vq_ref, o_ref):
+        # MXU-native nn form: m [tile, d] x qT [d, B] -> [tile, B]
+        s = jax.lax.dot_general(
+            m_ref[:], qT_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        upper = s + el2_ref[:][:, None] * uq_ref[:][None, :]
+        upper = upper + al2_ref[:][:, None] * vq_ref[:][None, :]
+        upper = jnp.where(valid_ref[:][:, None] != 0, upper, -jnp.inf)
+        t_, b_ = upper.shape
+        o_ref[:] = jnp.max(upper.reshape(t_ // 128, 128, b_), axis=1)
+
+    @functools.partial(jax.jit, static_argnames=("steps", "tile", "orient"))
+    def mm_chain(qb0, m_pad, e_pad, a_pad, v_pad, u0, v0, steps, tile, orient):
+        g_tile = tile // 128
+        if orient == "nn":
+            kern = pl.pallas_call(
+                _mm_kernel_N,
+                grid=(m_pad.shape[0] // tile,),
+                in_specs=[
+                    pl.BlockSpec((d, b), lambda i: (0, 0)),
+                    pl.BlockSpec((tile, d), lambda i: (i, 0)),
+                    pl.BlockSpec((tile,), lambda i: (i,)),
+                    pl.BlockSpec((tile,), lambda i: (i,)),
+                    pl.BlockSpec((tile,), lambda i: (i,)),
+                    pl.BlockSpec((b,), lambda i: (0,)),
+                    pl.BlockSpec((b,), lambda i: (0,)),
+                ],
+                out_specs=pl.BlockSpec((g_tile, b), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((m_pad.shape[0] // 128, b), jnp.float32),
+            )
+
+            def one(carry, _):
+                o = kern(qb0.T + carry.astype(jnp.bfloat16), m_pad, e_pad, a_pad,
+                         v_pad.astype(jnp.int32), u0, v0)
+                return jnp.max(o) * 1e-12, None
+
+            c, _ = jax.lax.scan(one, 0.0, None, length=steps)
+            return c
+        if orient == "rowmajor":
+            kern = pl.pallas_call(
+                _mm_kernel,
+                grid=(m_pad.shape[0] // tile,),
+                in_specs=[
+                    pl.BlockSpec((b, d), lambda i: (0, 0)),
+                    pl.BlockSpec((tile, d), lambda i: (i, 0)),
+                    pl.BlockSpec((tile,), lambda i: (i,)),
+                    pl.BlockSpec((tile,), lambda i: (i,)),
+                    pl.BlockSpec((tile,), lambda i: (i,)),
+                    pl.BlockSpec((b,), lambda i: (0,)),
+                    pl.BlockSpec((b,), lambda i: (0,)),
+                ],
+                out_specs=pl.BlockSpec((g_tile, b), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((m_pad.shape[0] // 128, b), jnp.float32),
+            )
+        else:
+            kern = pl.pallas_call(
+                _mm_kernel_T,
+                grid=(m_pad.shape[0] // tile,),
+                in_specs=[
+                    pl.BlockSpec((b, d), lambda i: (0, 0)),
+                    pl.BlockSpec((tile, d), lambda i: (i, 0)),
+                    pl.BlockSpec((tile,), lambda i: (i,)),
+                    pl.BlockSpec((tile,), lambda i: (i,)),
+                    pl.BlockSpec((tile,), lambda i: (i,)),
+                    pl.BlockSpec((b,), lambda i: (0,)),
+                    pl.BlockSpec((b,), lambda i: (0,)),
+                ],
+                out_specs=pl.BlockSpec((b, g_tile), lambda i: (0, i)),
+                out_shape=jax.ShapeDtypeStruct((b, m_pad.shape[0] // 128), jnp.float32),
+            )
+
+        def one(carry, _):
+            o = kern(qb0 + carry.astype(jnp.bfloat16), m_pad, e_pad, a_pad,
+                     v_pad.astype(jnp.int32), u0, v0)
+            return jnp.max(o) * 1e-12, None
+
+        c, _ = jax.lax.scan(one, 0.0, None, length=steps)
+        return c
+
+    # arrays as arguments, not closures (remote compile ships closure
+    # constants with the program — the corpus, at corpus scale)
     @functools.partial(jax.jit, static_argnames=("steps", "stage"))
-    def chain(steps, stage):
+    def chain(queries, matrix, valid, m_bf16, e_l2, a_l2, m_pad, e_pad,
+              a_pad, v_pad, qb0, qf, u0, v0, outs0, steps, stage):
         def one(carry, _):
             shift = (carry > 1e30).astype(jnp.float32)  # always 0, opaque
             ishift = shift.astype(jnp.int32)
@@ -95,6 +207,96 @@ def main() -> None:
                     rescore_rows=args.rescore_rows,
                 )
                 out = jnp.max(s) + jnp.sum(ok)
+            elif stage == "tsel":
+                # selection sub-stage only: block top-k + candidate build
+                v1 = outs0[0] + shift
+                kb = min(cand + 64, v1.shape[1])
+                b_scores, b_idx = jax.lax.top_k(v1, kb)
+                b_idx = jax.lax.sort(b_idx, dimension=1)
+                parts = [
+                    jnp.take_along_axis(outs0[5 + t] + ishift, b_idx, axis=1)
+                    + b_idx * 128
+                    for t in range(4)
+                ]
+                cr = jax.lax.sort(jnp.concatenate(parts, axis=1), dimension=1)
+                out = jnp.sum(cr) * 1e-9 + jnp.max(b_scores)
+            elif stage == "tgather":
+                # gather+rescore sub-stage with fixed plausible rows
+                rows = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (b, args.rescore_rows or 192), 1
+                    )
+                    * 401
+                    + ishift
+                ) % n
+                g = jnp.take(matrix, rows, axis=0)
+                ex = jax.lax.dot_general(
+                    qf, g, (((1,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                s2, _ = jax.lax.top_k(ex, cand)
+                out = jnp.max(s2)
+            elif stage == "tgather2":
+                # gather + ELEMENTWISE rescore (VPU) instead of the
+                # batched [B,R,d]x[B,d] GEMV (batch-256 matvecs on MXU)
+                rows = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (b, args.rescore_rows or 192), 1
+                    )
+                    * 401
+                    + ishift
+                ) % n
+                g = jnp.take(matrix, rows, axis=0)
+                ex = jnp.sum(g * qf[:, None, :], axis=-1)
+                s2, _ = jax.lax.top_k(ex, cand)
+                out = jnp.max(s2)
+            elif stage == "s_topk":
+                v1 = outs0[0] + shift
+                bs, bi = jax.lax.top_k(v1, min(cand + 64 + 1, v1.shape[1]))
+                out = jnp.max(bs) + jnp.sum(bi) * 1e-9
+            elif stage == "s_sort":
+                v1 = outs0[0] + shift
+                bs, bi = jax.lax.top_k(v1, min(cand + 64 + 1, v1.shape[1]))
+                bi = jax.lax.sort(bi[:, :-1], dimension=1)
+                out = jnp.max(bs) + jnp.sum(bi) * 1e-9
+            elif stage == "s_gath":
+                v1 = outs0[0] + shift
+                bs, bi = jax.lax.top_k(v1, min(cand + 64 + 1, v1.shape[1]))
+                bi = jax.lax.sort(bi[:, :-1], dimension=1)
+                acc = jnp.zeros_like(bi)
+                for t in range(4):
+                    acc = acc + jnp.take_along_axis(outs0[5 + t] + ishift, bi, axis=1)
+                out = jnp.max(bs) + jnp.sum(acc) * 1e-9
+            elif stage == "s_bigsort":
+                cr0 = (
+                    jax.lax.broadcasted_iota(jnp.int32, (b, 460), 1) * 7919 + ishift
+                ) % 100003
+                cr = jax.lax.sort(cr0, dimension=1)
+                out = jnp.sum(cr) * 1e-9
+            elif stage == "g_only":
+                rows = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (b, args.rescore_rows or 192), 1
+                    )
+                    * 401
+                    + ishift
+                ) % n
+                g = jnp.take(matrix, rows, axis=0)
+                out = jnp.sum(g[:, :, 0]) * 1e-9
+            elif stage == "tsel_lean":
+                # selection with a lean margin (kb = cand + 14)
+                v1 = outs0[0] + shift
+                kb = min(cand + 14, v1.shape[1])
+                b_scores, b_idx = jax.lax.top_k(v1, kb)
+                b_idx = jax.lax.sort(b_idx, dimension=1)
+                parts = [
+                    jnp.take_along_axis(outs0[5 + t] + ishift, b_idx, axis=1)
+                    + b_idx * 128
+                    for t in range(4)
+                ]
+                cr = jax.lax.sort(jnp.concatenate(parts, axis=1), dimension=1)
+                out = jnp.sum(cr) * 1e-9 + jnp.max(b_scores)
             else:  # tiered
                 s, _, ok = dt.dense_topk_tiered(
                     q, matrix, m_bf16, e_l2, a_l2, valid, cand,
@@ -107,10 +309,19 @@ def main() -> None:
         return c
 
     print(f"N={n:,} d={d} B={b} cand={cand} rescore_rows={args.rescore_rows}")
+    arrs = (queries, matrix, valid, m_bf16, e_l2, a_l2, m_pad, e_pad,
+            a_pad, v_pad, qb0, qf, u0, v0, outs0)
     for stage in args.stages.split(","):
-        float(chain(args.iters, stage))  # compile + warm
-        t0 = time.perf_counter()
-        float(chain(args.iters, stage))
+        if stage.startswith("k_mm"):
+            orient = {"k_mmT": "qmajor", "k_mmN": "nn"}.get(stage, "rowmajor")
+            margs = (qb0, m_pad, e_pad, a_pad, v_pad, u0, v0)
+            float(mm_chain(*margs, args.iters, args.tile, orient))
+            t0 = time.perf_counter()
+            float(mm_chain(*margs, args.iters, args.tile, orient))
+        else:
+            float(chain(*arrs, args.iters, stage))  # compile + warm
+            t0 = time.perf_counter()
+            float(chain(*arrs, args.iters, stage))
         dt_s = (time.perf_counter() - t0) / args.iters
         print(f"{stage:7s}: {dt_s*1e3:7.3f} ms/step", flush=True)
 

@@ -95,3 +95,50 @@ def test_tier_config_validation():
         VectorStoreConfig(scan_tier="int8", storage_dtype="bfloat16")
     with pytest.raises(InvalidConfigError):
         VectorStoreConfig(scan_tier="bf16", metric="euclidean")
+
+
+def test_auto_tier_engages_past_row_threshold():
+    """scan_tier="auto" stays on the fp32 path for small corpora (the
+    fused scan's fixed cost loses below the crossover) and engages the
+    bf16 tier once the corpus passes scan_tier_auto_rows — with results
+    equal to the exact path throughout."""
+    import numpy as np
+
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+    from trueno_rag_tpu.index.vector_store import VectorStore, VectorStoreConfig
+
+    rng = np.random.default_rng(5)
+    auto = VectorStore(VectorStoreConfig(dimension=32, scan_tier="auto",
+                                         scan_tier_auto_rows=64))
+    exact = VectorStore(VectorStoreConfig(dimension=32))
+
+    def add(store, i):
+        emb = np.asarray(rng.standard_normal(32), dtype=np.float32)
+        store.insert(Chunk(document_id="d", content=f"c{i}", start_offset=0,
+                           end_offset=1, metadata=ChunkMetadata(),
+                           id=chunk_id_from_int(i), embedding=emb))
+
+    rng2 = np.random.default_rng(6)
+    for i in range(40):
+        add(auto, i)
+    q = rng2.standard_normal(32).astype(np.float32)
+    auto.search(q, k=5)
+    assert auto._tier is None  # below threshold: fp32 path
+
+    # refill the exact twin with identical embeddings (replay seed 5)
+    rngA = np.random.default_rng(5)
+    for i in range(40):
+        emb = np.asarray(rngA.standard_normal(32), dtype=np.float32)
+        exact.insert(Chunk(document_id="d", content=f"c{i}", start_offset=0,
+                           end_offset=1, metadata=ChunkMetadata(),
+                           id=chunk_id_from_int(i), embedding=emb))
+    for i in range(40, 100):
+        emb = np.asarray(rng.standard_normal(32), dtype=np.float32)
+        for store in (auto, exact):
+            store.insert(Chunk(document_id="d", content=f"c{i}", start_offset=0,
+                               end_offset=1, metadata=ChunkMetadata(),
+                               id=chunk_id_from_int(i), embedding=emb.copy()))
+    a = auto.search(q, k=7)
+    b = exact.search(q, k=7)
+    assert auto._tier is not None  # above threshold: bf16 tier active
+    assert [x[0] for x in a] == [x[0] for x in b]

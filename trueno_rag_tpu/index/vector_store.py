@@ -64,9 +64,18 @@ class VectorStoreConfig:
     # upper bounds, exact-rescoring only the selected candidates —
     # results stay EXACTLY equal to the fp32 path (uncertified queries
     # fall back per-query), unlike storage_dtype="bfloat16" which is
-    # approximate. Worth it at ≥1M rows; requires float32 storage and
-    # cosine/dot metric.
+    # approximate. "auto" engages the bf16 tier once the corpus passes
+    # ``scan_tier_auto_rows`` (measured crossover on v5e: the Pallas
+    # scan carries ~1.4 ms fixed overhead, so the fp32 matmul wins
+    # below ~400k rows and the certified scan wins above — 15.5 ms vs
+    # 19.8 ms per 256-query batch at 1M, 256/256 certified). Requires
+    # float32 storage and cosine/dot metric.
     scan_tier: str = "none"
+    # Corpus size at which scan_tier="auto" switches fp32 -> bf16 tier.
+    scan_tier_auto_rows: int = 400_000
+    # Candidate-row trim for the tiered rescore (ops/dense_tiered.py
+    # rescore_rows); None rescores all 4*(k+margin) block candidates.
+    scan_rescore_rows: int | None = 192
 
     def __post_init__(self) -> None:
         if self.dimension <= 0:
@@ -77,7 +86,7 @@ class VectorStoreConfig:
             raise InvalidConfigError("initial_capacity must be positive")
         if self.storage_dtype not in ("float32", "bfloat16"):
             raise InvalidConfigError(f"unknown storage_dtype {self.storage_dtype!r}")
-        if self.scan_tier not in ("none", "bf16", "int8"):
+        if self.scan_tier not in ("none", "auto", "bf16", "int8"):
             raise InvalidConfigError(f"unknown scan_tier {self.scan_tier!r}")
         if self.scan_tier != "none":
             if self.storage_dtype != "float32":
@@ -203,11 +212,20 @@ class VectorStore:
         self._dirty = False
         self._dirty_rows = set()
 
+    def _effective_tier(self) -> str:
+        """Resolve "auto": the bf16 tier only pays past the measured
+        crossover (the fused scan's fixed invocation cost beats the
+        fp32 matmul's O(N) advantage around ~400k rows on v5e)."""
+        tier = self.config.scan_tier
+        if tier == "auto":
+            return "bf16" if self._count >= self.config.scan_tier_auto_rows else "none"
+        return tier
+
     def _refresh_tier(self, rows_j=None, updates=None) -> None:
         """Maintain the scan-tier replica. The quantization/residual math
         is row-local, so incremental mutations prepare ONLY the changed
         rows and scatter them into the replica arrays."""
-        tier = self.config.scan_tier
+        tier = self._effective_tier()
         if tier == "none":
             self._tier = None
             return
@@ -252,12 +270,13 @@ class VectorStore:
             interpret = jax.devices()[0].platform not in ("tpu", "axon")
             checked = (
                 dt.dense_topk_tiered_checked
-                if self.config.scan_tier == "bf16"
+                if self._effective_tier() == "bf16"
                 else dt.dense_topk_int8_checked
             )
             scores, rows, fell_back = checked(
                 q, self._device_matrix, *self._tier, self._device_valid,
                 k_eff, metric=self.config.metric, interpret=interpret,
+                rescore_rows=self.config.scan_rescore_rows,
             )
             if fell_back:
                 self.tier_fallbacks += 1

@@ -87,7 +87,10 @@ def _topk_select(values: jax.Array, k: int, approx: bool):
     duplicates tie)."""
     bsz, g = values.shape
     if approx:
-        _, idx = jax.lax.approx_max_k(values, k)
+        # 0.95 default recall measured 189/256 certification at 1M
+        # (misses raise the fail-closed threshold); 0.99 restores
+        # 256/256 at a fraction of exact top_k's cost
+        _, idx = jax.lax.approx_max_k(values, k, recall_target=0.99)
     else:
         _, idx = jax.lax.top_k(values, k)
     sel = jnp.zeros((bsz, g), bool).at[
