@@ -1,0 +1,205 @@
+"""Tag-filtered retrieval: registry vocabulary, device predicate
+parity, exact filtered top-k, hybrid/pipeline wiring."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from trueno_rag_tpu import Document, MockEmbedder, TagFilter, pipeline_builder
+from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+from trueno_rag_tpu.errors import InvalidConfigError, QueryError
+from trueno_rag_tpu.index.base import ChunkRegistry, IMPOSSIBLE_BIT, MAX_TAG_BITS
+from trueno_rag_tpu.ops.tags import (
+    dense_topk_tagged,
+    filter_candidates_by_tags,
+    tag_pred,
+    tag_pred_oracle,
+)
+from trueno_rag_tpu.retrieve import HybridRetriever
+
+
+def _chunk(i, content="text", emb=None, dim=16):
+    if emb is None:
+        emb = np.random.default_rng(i).standard_normal(dim).astype(np.float32)
+    return Chunk(document_id="d", content=content, start_offset=0,
+                 end_offset=len(content), metadata=ChunkMetadata(),
+                 id=chunk_id_from_int(i), embedding=emb)
+
+
+# -- registry vocabulary ------------------------------------------------------
+
+
+def test_registry_tag_vocabulary_and_masks():
+    reg = ChunkRegistry()
+    c = _chunk(1)
+    reg.add(c)
+    reg.set_tags(c.id, ["lang:en", "src:web"])
+    assert sorted(reg.tag_names_of(c.id)) == ["lang:en", "src:web"]
+    row = reg.row_of(c.id)
+    bits = reg.tags_of_row(row)
+    assert bits == (reg.bit_for("lang:en") | reg.bit_for("src:web"))
+    assert reg.bit_for("unknown", create=False) is None
+    assert reg.mask_for(["lang:en", "missing"]) is None
+    host = reg.tags_host(4)
+    assert host.dtype == np.int32 and host[row] == bits
+
+
+def test_registry_tag_vocabulary_cap():
+    reg = ChunkRegistry()
+    for i in range(MAX_TAG_BITS):
+        assert reg.bit_for(f"t{i}") == 1 << i
+    with pytest.raises(InvalidConfigError):
+        reg.bit_for("one-too-many")
+    # bit 31 stays reserved for the impossible-filter marker
+    assert all(reg.bit_for(f"t{i}", create=False) != IMPOSSIBLE_BIT
+               for i in range(MAX_TAG_BITS))
+
+
+def test_tags_reset_on_remove_and_reuse():
+    reg = ChunkRegistry()
+    c = _chunk(1)
+    reg.add(c)
+    reg.set_tags(c.id, ["a"])
+    reg.remove(c.id)
+    c2 = _chunk(2)
+    row = reg.add(c2)  # recycles the tombstoned row
+    assert reg.tags_of_row(row) == 0
+
+
+# -- device predicate vs oracle ----------------------------------------------
+
+
+def test_tag_pred_matches_oracle():
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2**31, size=64, dtype=np.int64).astype(np.int32)
+    for trial in range(20):
+        t_all, t_any, t_none = (
+            int(rng.integers(0, 16)), int(rng.integers(0, 16)), int(rng.integers(0, 16))
+        )
+        got = np.asarray(tag_pred(
+            jnp.asarray(bits), jnp.int32(t_all), jnp.int32(t_any), jnp.int32(t_none)
+        ))
+        want = [tag_pred_oracle(int(np.uint32(b)), t_all, t_any, t_none) for b in bits]
+        assert got.tolist() == want
+
+
+def test_dense_topk_tagged_is_exact_filtered_topk():
+    rng = np.random.default_rng(1)
+    n, d, bq, k = 500, 32, 4, 10
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    q = rng.standard_normal((bq, d)).astype(np.float32)
+    bits = rng.integers(0, 8, size=n).astype(np.int32)
+    valid = np.ones(n, bool)
+    t_all = np.array([1, 0, 2, 4], np.int32)
+    t_any = np.array([0, 6, 0, 0], np.int32)
+    t_none = np.array([0, 0, 1, 0], np.int32)
+    s_got, r_got = dense_topk_tagged(
+        jnp.asarray(q), jnp.asarray(m), jnp.asarray(valid), jnp.asarray(bits),
+        jnp.asarray(t_all), jnp.asarray(t_any), jnp.asarray(t_none), k,
+    )
+    from trueno_rag_tpu.ops.dense import dense_topk_oracle
+
+    for i in range(bq):
+        allow = np.array([
+            tag_pred_oracle(int(b), int(t_all[i]), int(t_any[i]), int(t_none[i]))
+            for b in bits
+        ])
+        s_ref, r_ref = dense_topk_oracle(q[i : i + 1], m, allow, k)
+        np.testing.assert_array_equal(np.asarray(r_got[i]), r_ref[0])
+
+
+def test_filter_candidates_compacts_and_orders():
+    bits = jnp.asarray(np.array([0b01, 0b10, 0b11, 0b00], np.int32))
+    rows = jnp.asarray(np.array([[2, 0, 1, 3, -1]], np.int32))
+    scores = jnp.asarray(np.array([[4.0, 3.0, 2.0, 1.0, -np.inf]], np.float32))
+    r, s = filter_candidates_by_tags(
+        rows, scores, bits,
+        jnp.asarray([0b01]), jnp.asarray([0]), jnp.asarray([0]),
+    )
+    # rows 2 (11) and 0 (01) carry bit0; order stays score desc
+    assert np.asarray(r)[0].tolist() == [2, 0, -1, -1, -1]
+    assert np.asarray(s)[0][:2].tolist() == [4.0, 3.0]
+
+
+# -- hybrid + pipeline --------------------------------------------------------
+
+
+def _tagged_retriever():
+    emb = MockEmbedder(dimension=32)
+    r = HybridRetriever(emb)
+    texts = {
+        "en": ["the quick brown fox jumps", "a lazy dog sleeps soundly"],
+        "de": ["der schnelle braune fuchs", "ein fauler hund schlaeft"],
+    }
+    i = 0
+    for lang, docs in texts.items():
+        for t in docs:
+            c = _chunk(i, content=t, emb=np.asarray(emb.embed(t)))
+            r.index(c, tags=[f"lang:{lang}", "src:test"])
+            i += 1
+    return r
+
+
+def test_hybrid_retrieve_with_tag_filter():
+    r = _tagged_retriever()
+    res = r.retrieve("quick brown fox", k=4, tag_filter=TagFilter(all=("lang:en",)))
+    assert res
+    for item in res:
+        assert "lang:en" in r.registry.tag_names_of(item.chunk.id)
+    # exclude filter
+    res = r.retrieve("fox", k=4, tag_filter=TagFilter(none=("lang:en",)))
+    for item in res:
+        assert "lang:de" in r.registry.tag_names_of(item.chunk.id)
+
+
+def test_unknown_tag_in_all_returns_empty_known_in_none_is_noop():
+    r = _tagged_retriever()
+    assert r.retrieve("fox", k=4, tag_filter=TagFilter(all=("nope",))) == []
+    res = r.retrieve("fox", k=4, tag_filter=TagFilter(none=("nope",)))
+    assert res  # unknown excluded tag excludes nothing
+
+
+def test_per_query_filters_in_one_batch():
+    r = _tagged_retriever()
+    out = r.retrieve_batch(
+        ["fox", "fox"], k=4,
+        tag_filter=[TagFilter(all=("lang:en",)), TagFilter(all=("lang:de",))],
+    )
+    assert out[0] and out[1]
+    assert all("lang:en" in r.registry.tag_names_of(x.chunk.id) for x in out[0])
+    assert all("lang:de" in r.registry.tag_names_of(x.chunk.id) for x in out[1])
+    with pytest.raises(QueryError):
+        r.retrieve_batch(["a", "b", "c"], k=2, tag_filter=[TagFilter()] * 2)
+
+
+def test_pipeline_tagged_index_and_filtered_query():
+    pipe = pipeline_builder().build()
+    pipe.index_document(Document("alpha beta gamma delta", title="one"),
+                        tags=["tenant:a"])
+    pipe.index_document(Document("alpha beta epsilon zeta", title="two"),
+                        tags=["tenant:b"])
+    res = pipe.query("alpha beta", k=4, tag_filter=TagFilter(all=("tenant:a",)))
+    assert res
+    reg = pipe.retriever.registry
+    assert all("tenant:a" in reg.tag_names_of(x.chunk.id) for x in res)
+    ctx = pipe.query_with_context("alpha beta", k=2,
+                                  tag_filter=TagFilter(all=("tenant:b",)))
+    assert all("two" == c.title for c in ctx.citations)
+
+
+def test_dense_only_and_sparse_only_filters():
+    from trueno_rag_tpu.retrieve import HybridRetrieverConfig
+
+    emb = MockEmbedder(dimension=32)
+    for use_dense, use_sparse in ((True, False), (False, True)):
+        r = HybridRetriever(
+            emb,
+            config=HybridRetrieverConfig(use_dense=use_dense, use_sparse=use_sparse),
+        )
+        for i, (t, lang) in enumerate([("alpha beta", "en"), ("alpha beta", "de")]):
+            c = _chunk(100 + i, content=t, emb=np.asarray(emb.embed(t + lang)))
+            r.index(c, tags=[f"lang:{lang}"])
+        res = r.retrieve("alpha beta", k=2, tag_filter=TagFilter(all=("lang:de",)))
+        assert len(res) == 1
+        assert "lang:de" in r.registry.tag_names_of(res[0].chunk.id)

@@ -90,6 +90,7 @@ from trueno_rag_tpu.rerank import (
     Reranker,
 )
 from trueno_rag_tpu.retrieve import (
+    TagFilter,
     DenseRetriever,
     HybridRetriever,
     HybridRetrieverConfig,
@@ -158,6 +159,7 @@ __all__ = [
     "HybridRetriever",
     "HybridRetrieverConfig",
     "RetrievalResult",
+    "TagFilter",
     "SparseRetriever",
     "CompositeReranker",
     "LexicalReranker",

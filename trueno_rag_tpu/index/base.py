@@ -7,6 +7,13 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Protocol, Sequence, Tuple, runtime_checkable
 
 from trueno_rag_tpu.chunking import Chunk
+from trueno_rag_tpu.errors import InvalidConfigError
+
+# 31 assignable tag bits; bit 31 is reserved as the "impossible filter"
+# marker (a require-all mask containing it matches no chunk, which is how
+# per-query filters naming unknown tags resolve to empty results).
+MAX_TAG_BITS = 31
+IMPOSSIBLE_BIT = 1 << 31
 
 
 class ChunkRegistry:
@@ -27,6 +34,11 @@ class ChunkRegistry:
         self._row_to_id: List[Optional[str]] = []
         self._chunks: List[Optional[Chunk]] = []
         self._free: List[int] = []
+        # metadata tags: per-row 32-bit masks + the string->bit vocabulary.
+        # Host owns strings; the device only ever sees the int masks.
+        self._tags: List[int] = []
+        self._tag_bits: Dict[str, int] = {}
+        self.tags_version = 0
 
     def __len__(self) -> int:
         return len(self._id_to_row)
@@ -47,11 +59,70 @@ class ChunkRegistry:
         if row == len(self._row_to_id):
             self._row_to_id.append(chunk.id)
             self._chunks.append(chunk)
+            self._tags.append(0)
         else:
             self._row_to_id[row] = chunk.id
             self._chunks[row] = chunk
+            self._tags[row] = 0
         self._id_to_row[chunk.id] = row
         return row
+
+    # -- metadata tags ---------------------------------------------------------
+
+    def bit_for(self, tag: str, create: bool = True) -> Optional[int]:
+        """The bit assigned to ``tag`` (auto-assigned on first use when
+        ``create``; None for unknown tags otherwise). The vocabulary is
+        capped at 32 bits so per-row masks stay one int32 on device."""
+        bit = self._tag_bits.get(tag)
+        if bit is None and create:
+            if len(self._tag_bits) >= MAX_TAG_BITS:
+                raise InvalidConfigError(
+                    f"tag vocabulary exhausted ({MAX_TAG_BITS} distinct tags)"
+                )
+            bit = 1 << len(self._tag_bits)
+            self._tag_bits[tag] = bit
+        return bit
+
+    def mask_for(self, tags: Sequence[str], create: bool = False) -> Optional[int]:
+        """OR of the tags' bits; None if any tag is unknown (and not
+        ``create``) — an unknown tag can never match a chunk."""
+        mask = 0
+        for t in tags:
+            bit = self.bit_for(t, create=create)
+            if bit is None:
+                return None
+            mask |= bit
+        return mask
+
+    def set_tags(self, chunk_id: str, tags: Sequence[str]) -> None:
+        """Replace a chunk's tags (strings auto-enter the vocabulary)."""
+        row = self._id_to_row.get(chunk_id)
+        if row is None:
+            return
+        self._tags[row] = self.mask_for(tags, create=True) or 0
+        self.tags_version += 1
+
+    def tags_of_row(self, row: int) -> int:
+        if 0 <= row < len(self._tags):
+            return self._tags[row]
+        return 0
+
+    def tag_names_of(self, chunk_id: str) -> List[str]:
+        row = self._id_to_row.get(chunk_id)
+        if row is None:
+            return []
+        bits = self._tags[row]
+        return [t for t, b in self._tag_bits.items() if bits & b]
+
+    def tags_host(self, n_rows: int):
+        """Per-row tag masks as an int32 array padded/truncated to
+        ``n_rows`` (device consumers size this to their capacity)."""
+        import numpy as np
+
+        out = np.zeros((n_rows,), dtype=np.int32)
+        upto = min(n_rows, len(self._tags))
+        out[:upto] = np.asarray(self._tags[:upto], dtype=np.int64).astype(np.int32)
+        return out
 
     def row_of(self, chunk_id: str) -> Optional[int]:
         return self._id_to_row.get(chunk_id)
@@ -77,6 +148,9 @@ class ChunkRegistry:
             return None
         self._row_to_id[row] = None
         self._chunks[row] = None
+        if self._tags[row]:
+            self._tags[row] = 0
+            self.tags_version += 1
         self._free.append(row)
         return row
 

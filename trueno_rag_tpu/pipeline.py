@@ -220,12 +220,13 @@ class RagPipeline:
 
     # -- ingest -----------------------------------------------------------------
 
-    def index_document(self, document: Document) -> int:
+    def index_document(self, document: Document, tags: Optional[Sequence[str]] = None) -> int:
         """Chunk → embed (one batched call) → index both stores.
-        Returns the number of chunks indexed (reference: pipeline.rs:333-347)."""
+        Returns the number of chunks indexed (reference: pipeline.rs:333-347).
+        ``tags`` label every chunk for tag-filtered retrieval."""
         chunks = self.chunker.chunk(document)
         self.embedder.embed_chunks(chunks)
-        self.retriever.index_batch(chunks)
+        self.retriever.index_batch(chunks, tags=tags)
         self.document_count += 1
         self.chunk_count += len(chunks)
         return len(chunks)
@@ -246,13 +247,15 @@ class RagPipeline:
 
     # -- query ------------------------------------------------------------------
 
-    def query(self, query: str, k: int = 5) -> List[RetrievalResult]:
+    def query(self, query: str, k: int = 5,
+              tag_filter=None) -> List[RetrievalResult]:
         if self.preprocessor is not None:
-            return self._query_preprocessed(query, k)
-        candidates = self.retriever.retrieve(query, k * 2)
+            return self._query_preprocessed(query, k, tag_filter=tag_filter)
+        candidates = self.retriever.retrieve(query, k * 2, tag_filter=tag_filter)
         return self.reranker.rerank(query, candidates, k)
 
-    def _query_preprocessed(self, query: str, k: int) -> List[RetrievalResult]:
+    def _query_preprocessed(self, query: str, k: int,
+                            tag_filter=None) -> List[RetrievalResult]:
         """Multi-query retrieval: preprocess into variants, retrieve all
         variants as ONE device batch, fuse the per-variant rankings by
         reciprocal rank (RRF), then rerank against the ORIGINAL query.
@@ -270,9 +273,13 @@ class RagPipeline:
         if fusion_for is not None:
             fusion = fusion_for(query)
         if fusion is not None:
-            per_variant = self.retriever.retrieve_batch(variants, k * 2, fusion=fusion)
+            per_variant = self.retriever.retrieve_batch(
+                variants, k * 2, fusion=fusion, tag_filter=tag_filter
+            )
         else:
-            per_variant = self.retriever.retrieve_batch(variants, k * 2)
+            per_variant = self.retriever.retrieve_batch(
+                variants, k * 2, tag_filter=tag_filter
+            )
         rrf_k = 60.0
         acc: dict = {}
         best: dict = {}
@@ -291,12 +298,14 @@ class RagPipeline:
             fused.append(res)
         return self.reranker.rerank(query, fused, k)
 
-    def query_batch(self, queries: Sequence[str], k: int = 5) -> List[List[RetrievalResult]]:
-        batches = self.retriever.retrieve_batch(queries, k * 2)
+    def query_batch(self, queries: Sequence[str], k: int = 5,
+                    tag_filter=None) -> List[List[RetrievalResult]]:
+        batches = self.retriever.retrieve_batch(queries, k * 2, tag_filter=tag_filter)
         return [self.reranker.rerank(q, cands, k) for q, cands in zip(queries, batches)]
 
-    def query_with_context(self, query: str, k: int = 5) -> AssembledContext:
-        return self.assembler.assemble(self.query(query, k))
+    def query_with_context(self, query: str, k: int = 5,
+                           tag_filter=None) -> AssembledContext:
+        return self.assembler.assemble(self.query(query, k, tag_filter=tag_filter))
 
     def query_with_context_batch(self, queries: Sequence[str], k: int = 5) -> List[AssembledContext]:
         return [self.assembler.assemble(results) for results in self.query_batch(queries, k)]

@@ -21,7 +21,7 @@ dispatch across queries — the unit of work the TPU actually wants.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -79,6 +79,20 @@ class HybridRetrieverConfig:
 # ---------------------------------------------------------------------------
 
 
+@dataclass(frozen=True)
+class TagFilter:
+    """Metadata filter over chunk tags (strings; see
+    :meth:`ChunkRegistry.set_tags`): results must carry ALL of ``all``,
+    at least one of ``any`` (when non-empty), and NONE of ``none``.
+    Resolution to 32-bit masks happens per dispatch; a filter naming an
+    unknown tag in ``all``/``any`` matches nothing (empty results), an
+    unknown tag in ``none`` is a no-op."""
+
+    all: Tuple[str, ...] = ()
+    any: Tuple[str, ...] = ()
+    none: Tuple[str, ...] = ()
+
+
 class HybridRetriever:
     """Owns a VectorStore + BM25Index over one shared row registry."""
 
@@ -97,7 +111,7 @@ class HybridRetriever:
 
     # -- indexing -------------------------------------------------------------
 
-    def index(self, chunk: Chunk) -> None:
+    def index(self, chunk: Chunk, tags: Optional[Sequence[str]] = None) -> None:
         """Add a chunk to both stores (reference: retrieve.rs:156-164).
         The chunk must already carry an embedding.
 
@@ -107,13 +121,18 @@ class HybridRetriever:
         the new chunk into the shared registry."""
         self.sparse_index.add(chunk)
         self.vector_store.insert(chunk)
+        if tags is not None:
+            self.registry.set_tags(chunk.id, tags)
 
-    def index_batch(self, chunks: Sequence[Chunk]) -> None:
+    def index_batch(self, chunks: Sequence[Chunk], tags: Optional[Sequence[str]] = None) -> None:
         # Bulk sparse path engages the native C++ builder (one FFI call);
         # sparse before dense for the same replacement-ordering reason
         # as index().
         self.sparse_index.add_batch(chunks)
         self.vector_store.insert_many(chunks)
+        if tags is not None:
+            for chunk in chunks:
+                self.registry.set_tags(chunk.id, tags)
 
     def remove(self, chunk_id: str) -> bool:
         """Remove from both stores and free the shared row."""
@@ -123,14 +142,80 @@ class HybridRetriever:
             self.registry.remove(chunk_id)
         return found_dense or found_sparse
 
+    # -- tag filters -----------------------------------------------------------
+
+    def _filter_masks(self, tag_filter, b: int):
+        """Resolve TagFilter(s) to three int32 mask arrays of length
+        ``b``. Unknown tags in all/any make that query's filter
+        impossible (the reserved bit-31 marker matches no chunk)."""
+        from trueno_rag_tpu.index.base import IMPOSSIBLE_BIT
+
+        filters = (
+            list(tag_filter) if isinstance(tag_filter, (list, tuple))
+            else [tag_filter] * b
+        )
+        if len(filters) != b:
+            raise QueryError(
+                f"got {len(filters)} tag filters for {b} queries"
+            )
+        t_all = np.zeros((b,), np.int64)
+        t_any = np.zeros((b,), np.int64)
+        t_none = np.zeros((b,), np.int64)
+        reg = self.registry
+        for i, f in enumerate(filters):
+            if f is None:
+                continue
+            impossible = False
+            for t in f.all:
+                bit = reg.bit_for(t, create=False)
+                if bit is None:
+                    impossible = True
+                    break
+                t_all[i] |= bit
+            if not impossible and f.any:
+                known = [reg.bit_for(t, create=False) for t in f.any]
+                known = [x for x in known if x is not None]
+                if not known:
+                    impossible = True
+                else:
+                    for x in known:
+                        t_any[i] |= x
+            for t in f.none:
+                bit = reg.bit_for(t, create=False)
+                if bit is not None:
+                    t_none[i] |= bit
+            if impossible:
+                t_all[i] = IMPOSSIBLE_BIT
+                t_any[i] = 0
+                t_none[i] = 0
+        # int64 -> int32 bit patterns (bit 31 wraps to the sign bit)
+        return (t_all.astype(np.uint32).astype(np.int32),
+                t_any.astype(np.uint32).astype(np.int32),
+                t_none.astype(np.uint32).astype(np.int32))
+
+    def _device_tag_bits(self, n_rows: int):
+        """Capacity-sized device copy of the per-row tag masks,
+        refreshed when the registry's tags change."""
+        import jax.numpy as jnp
+
+        cached = getattr(self, "_tag_cache", None)
+        version = self.registry.tags_version
+        if cached is not None and cached[0] == version and cached[1].shape[0] == n_rows:
+            return cached[1]
+        bits = jnp.asarray(self.registry.tags_host(n_rows))
+        self._tag_cache = (version, bits)
+        return bits
+
     # -- retrieval ---------------------------------------------------------------
 
     def retrieve(self, query: str, k: int,
-                 fusion: Optional[FusionStrategy] = None) -> List[RetrievalResult]:
-        return self.retrieve_batch([query], k, fusion=fusion)[0]
+                 fusion: Optional[FusionStrategy] = None,
+                 tag_filter: Optional[TagFilter] = None) -> List[RetrievalResult]:
+        return self.retrieve_batch([query], k, fusion=fusion, tag_filter=tag_filter)[0]
 
     def retrieve_batch(self, queries: Sequence[str], k: int,
-                       fusion: Optional[FusionStrategy] = None) -> List[List[RetrievalResult]]:
+                       fusion: Optional[FusionStrategy] = None,
+                       tag_filter=None) -> List[List[RetrievalResult]]:
         """Hybrid retrieval for a query batch.
 
         Candidate generation and fusion run on device over shared rows;
@@ -155,7 +240,7 @@ class HybridRetriever:
         if not use_dense and not use_sparse:
             raise QueryError("both retrieval sources disabled")
         fusion_strategy = fusion or self.config.fusion
-        if use_dense and use_sparse and self.config.fused is not False:
+        if tag_filter is None and use_dense and use_sparse and self.config.fused is not False:
             from trueno_rag_tpu.models.encoder import JaxEncoderEmbedder
 
             if isinstance(self.embedder, JaxEncoderEmbedder):
@@ -176,6 +261,14 @@ class HybridRetriever:
         if use_sparse:
             padded_queries = list(queries) + ["\0"] * (b_pad - b)
 
+        masks = None
+        if tag_filter is not None:
+            masks = self._filter_masks(tag_filter, b)
+            if b_pad != b:  # dummy padded queries: unconstrained masks
+                masks = tuple(
+                    np.pad(m, (0, b_pad - b)) for m in masks
+                )
+
         if use_dense and use_sparse:
             # one device dispatch for dense + BM25 + fusion
             from trueno_rag_tpu.ops.hybrid import (
@@ -188,7 +281,28 @@ class HybridRetriever:
             self.sparse_index._refresh_snapshot()
             snap = self.sparse_index._snap
             self.vector_store._refresh_device()
-            if snap["blocks"] is not None:
+            if snap["blocks"] is not None and masks is not None:
+                from trueno_rag_tpu.ops.tags import hybrid_query_arrays_tagged
+
+                bids, blo, bhi = self.sparse_index._gather_blocks(padded_queries)
+                dm = self.vector_store.device_matrix
+                f_rows, f_scores, d_rows, d_scores, s_rows, s_scores = (
+                    hybrid_query_arrays_tagged(
+                        jnp.asarray(qvecs),
+                        dm,
+                        self.vector_store.device_valid,
+                        self._device_tag_bits(dm.shape[0]),
+                        jnp.asarray(masks[0]), jnp.asarray(masks[1]),
+                        jnp.asarray(masks[2]),
+                        jnp.asarray(bids), jnp.asarray(blo), jnp.asarray(bhi),
+                        snap["blocks"],
+                        cand=cand,
+                        metric=self.vector_store.config.metric,
+                        fusion_kind=fusion_strategy.kind,
+                        fusion_param=fusion_strategy.device_param,
+                    )
+                )
+            elif snap["blocks"] is not None:
                 bids, blo, bhi = self.sparse_index._gather_blocks(padded_queries)
                 f_rows, f_scores, d_rows, d_scores, s_rows, s_scores = hybrid_query_arrays(
                     jnp.asarray(qvecs),
@@ -200,6 +314,11 @@ class HybridRetriever:
                     metric=self.vector_store.config.metric,
                     fusion_kind=fusion_strategy.kind,
                     fusion_param=fusion_strategy.device_param,
+                )
+            elif masks is not None:
+                raise QueryError(
+                    "tag filters are not supported on the segment BM25 path "
+                    "(corpora past the f32-exact block range)"
                 )
             else:  # rows past the f32-exact block range: segment path
                 starts, lens = self.sparse_index._gather_segments(padded_queries)
@@ -219,10 +338,39 @@ class HybridRetriever:
                     )
                 )
         elif use_dense:
-            d_scores, d_rows = self.vector_store.search_arrays(qvecs, cand)
+            if masks is not None:
+                import jax.numpy as jnp
+
+                from trueno_rag_tpu.ops.tags import dense_topk_tagged
+
+                self.vector_store._refresh_device()
+                dm = self.vector_store.device_matrix
+                d_scores, d_rows = dense_topk_tagged(
+                    jnp.asarray(qvecs), dm, self.vector_store.device_valid,
+                    self._device_tag_bits(dm.shape[0]),
+                    jnp.asarray(masks[0]), jnp.asarray(masks[1]),
+                    jnp.asarray(masks[2]),
+                    min(cand, len(self.registry)),
+                    self.vector_store.config.metric,
+                )
+            else:
+                d_scores, d_rows = self.vector_store.search_arrays(qvecs, cand)
             f_rows, f_scores = d_rows, d_scores
         else:
             s_scores, s_rows = self.sparse_index.search_arrays(padded_queries, cand)
+            if masks is not None:
+                import jax.numpy as jnp
+
+                from trueno_rag_tpu.ops.tags import filter_candidates_by_tags
+
+                bits = self._device_tag_bits(
+                    max(self.registry.capacity_rows, 1)
+                )
+                s_rows, s_scores = filter_candidates_by_tags(
+                    jnp.asarray(s_rows), jnp.asarray(s_scores), bits,
+                    jnp.asarray(masks[0]), jnp.asarray(masks[1]),
+                    jnp.asarray(masks[2]),
+                )
             f_rows, f_scores = s_rows, s_scores
 
         f_rows = np.asarray(f_rows)
