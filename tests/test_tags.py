@@ -203,3 +203,90 @@ def test_dense_only_and_sparse_only_filters():
         res = r.retrieve("alpha beta", k=2, tag_filter=TagFilter(all=("lang:de",)))
         assert len(res) == 1
         assert "lang:de" in r.registry.tag_names_of(res[0].chunk.id)
+
+
+def test_tags_round_trip_through_persistence(tmp_path):
+    """Filters must keep working after save/load — vocabulary and
+    per-row masks travel in the artifact (v1 and streaming v2)."""
+    from trueno_rag_tpu.persist import load_index, save_index, save_index_streaming
+
+    r = _tagged_retriever()
+    emb = r.embedder
+    for name, saver in (("v1", save_index), ("v2", save_index_streaming)):
+        path = str(tmp_path / f"idx_{name}.trag")
+        saver(path, r, embedder_info={"kind": "mock"})
+        loaded, _ = load_index(path, emb)
+        res = loaded.retrieve("fox", k=4, tag_filter=TagFilter(all=("lang:de",)))
+        assert res, name
+        assert all("lang:de" in loaded.registry.tag_names_of(x.chunk.id) for x in res), name
+        assert loaded.retrieve("fox", k=4, tag_filter=TagFilter(all=("missing",))) == []
+
+
+def test_serving_microbatcher_mixes_filtered_and_unfiltered():
+    """Concurrent filtered + unfiltered queries coalesce into one
+    device batch and each gets its own filter semantics."""
+    import threading
+
+    from trueno_rag_tpu.serve import MicroBatcher
+
+    r = _tagged_retriever()
+    batcher = MicroBatcher(r, max_batch=8, max_wait_ms=30.0)
+    try:
+        results = {}
+
+        def run(name, flt):
+            results[name] = batcher.query("fox", k=4, tag_filter=flt)
+
+        threads = [
+            threading.Thread(target=run, args=("en", TagFilter(all=("lang:en",)))),
+            threading.Thread(target=run, args=("de", TagFilter(all=("lang:de",)))),
+            threading.Thread(target=run, args=("open", None)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all("lang:en" in r.registry.tag_names_of(x.chunk.id) for x in results["en"])
+        assert all("lang:de" in r.registry.tag_names_of(x.chunk.id) for x in results["de"])
+        assert results["open"]  # unfiltered sees everything
+        langs = {t for x in results["open"] for t in r.registry.tag_names_of(x.chunk.id)}
+        assert "lang:en" in langs and "lang:de" in langs
+    finally:
+        batcher.shutdown()
+
+
+def test_http_api_accepts_filters():
+    import json
+    import threading
+    import urllib.request
+
+    from http.server import ThreadingHTTPServer
+
+    from trueno_rag_tpu.serve import MicroBatcher, make_handler
+
+    r = _tagged_retriever()
+    batcher = MicroBatcher(r, max_batch=4, max_wait_ms=2.0)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(batcher))
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        def post(payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/query",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                return json.loads(resp.read())
+
+        out = post({"query": "fox", "k": 4, "filter": {"all": ["lang:de"]}})
+        assert out["results"]
+        assert all("fuchs" in res["content"] or "hund" in res["content"]
+                   for res in out["results"])
+        out = post({"queries": ["fox", "fox"], "k": 4,
+                    "filters": [{"all": ["lang:en"]}, {"all": ["lang:de"]}]})
+        assert out["batches"][0] and out["batches"][1]
+    finally:
+        server.shutdown()
+        batcher.shutdown()

@@ -114,6 +114,22 @@ class ChunkRegistry:
         bits = self._tags[row]
         return [t for t, b in self._tag_bits.items() if bits & b]
 
+    def tag_state(self, ordered_ids: Sequence[str]):
+        """Serializable tag state: (vocabulary, per-chunk bits in the
+        given id order) — for index persistence."""
+        return dict(self._tag_bits), [
+            self._tags[self._id_to_row[cid]] for cid in ordered_ids
+        ]
+
+    def load_tag_state(self, vocab: Dict[str, int], bits_by_row: Sequence[int]) -> None:
+        """Restore tag state; ``bits_by_row[i]`` applies to row i (the
+        loader re-inserts chunks in saved order, so saved index == row)."""
+        self._tag_bits = {t: int(b) for t, b in vocab.items()}
+        for i, bits in enumerate(bits_by_row):
+            if i < len(self._tags):
+                self._tags[i] = int(bits)
+        self.tags_version += 1
+
     def tags_host(self, n_rows: int):
         """Per-row tag masks as an int32 array padded/truncated to
         ``n_rows`` (device consumers size this to their capacity)."""

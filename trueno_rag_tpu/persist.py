@@ -114,6 +114,11 @@ def deserialize_compressed(data: bytes) -> Any:
 # ---------------------------------------------------------------------------
 
 
+def _tag_wire(reg, ordered_ids) -> Dict[str, Any]:
+    vocab, rows = reg.tag_state(ordered_ids)
+    return {"vocab": vocab, "rows": rows}
+
+
 def _chunk_to_wire(c: Chunk) -> Dict[str, Any]:
     d = c.to_dict()
     d.pop("embedding", None)  # embeddings travel in the matrix, not per chunk
@@ -153,6 +158,7 @@ def save_index(path: str, retriever, embedder_info: Optional[Dict[str, Any]] = N
             "use_sparse": retriever.config.use_sparse,
         },
         "embedder": embedder_info or {},
+        "tags": _tag_wire(reg, reg.ids()),
     }
     blob = serialize_compressed(payload, codec)
     with open(path, "wb") as f:
@@ -206,6 +212,9 @@ def load_index(path: str, embedder, codec: Optional[Compression] = None):
     }
     bm25_state["doc_len"] = {str(row_remap[int(r)]): l for r, l in bm25_state["doc_len"].items()}
     retr.sparse_index.load_state_dict(bm25_state)
+    tags = payload.get("tags")
+    if tags:
+        retr.registry.load_tag_state(tags["vocab"], tags["rows"])
     return retr, payload.get("embedder", {})
 
 
@@ -235,6 +244,7 @@ def _index_header(retriever, embedder_info):
             "use_sparse": retriever.config.use_sparse,
         },
         "embedder": embedder_info or {},
+        "tags": _tag_wire(reg, ids),
     }
     return header, ids
 
@@ -340,6 +350,9 @@ def _load_index_streaming(f, embedder):
     }
     bm25_state["doc_len"] = {str(row_remap[int(r)]): l for r, l in bm25_state["doc_len"].items()}
     retr.sparse_index.load_state_dict(bm25_state)
+    tags = header.get("tags")
+    if tags:
+        retr.registry.load_tag_state(tags["vocab"], tags["rows"])
     return retr, header.get("embedder", {})
 
 

@@ -12,6 +12,12 @@ device program launch — the standard accelerator-serving pattern.
     POST /query   {"queries": ["...", "..."], "k":5} → {"batches": [[...]]}
     GET  /health                                      → {"status": "ok", ...}
 
+Requests may carry a tag filter — ``"filter": {"all": [...], "any":
+[...], "none": [...]}`` (single or whole batch) or ``"filters": [...]``
+(one per query) — applied on device (see docs/guide.md, tag-filtered
+retrieval). Filtered and unfiltered requests coalesce into the same
+micro-batches.
+
 Start via the CLI: ``python -m trueno_rag_tpu.cli serve --index DIR``.
 """
 
@@ -45,6 +51,7 @@ def result_to_dict(r: RetrievalResult) -> Dict[str, Any]:
 class _Pending:
     query: str
     k: int
+    tag_filter: Optional[object] = None
     event: threading.Event = field(default_factory=threading.Event)
     results: Optional[List[RetrievalResult]] = None
     error: Optional[Exception] = None
@@ -69,14 +76,15 @@ class MicroBatcher:
         self._latencies_ms: List[float] = []  # ring buffer of batch latencies
         self._lat_lock = threading.Lock()
 
-    def query(self, query: str, k: int = 5, timeout: float = 30.0) -> List[RetrievalResult]:
+    def query(self, query: str, k: int = 5, timeout: float = 30.0,
+              tag_filter=None) -> List[RetrievalResult]:
         # Validate per-item BEFORE batching: one bad query must not
         # poison every request coalesced into the same micro-batch.
         if not query or not query.strip():
             from trueno_rag_tpu.errors import QueryError
 
             raise QueryError("empty query")
-        item = _Pending(query=query, k=k)
+        item = _Pending(query=query, k=k, tag_filter=tag_filter)
         self._queue.put(item)
         if not item.event.wait(timeout):
             raise TimeoutError("query timed out in the batching queue")
@@ -104,10 +112,17 @@ class MicroBatcher:
                 except queue.Empty:
                     break
             k = max(item.k for item in batch)
+            # per-item filters ride the shared batch; all-None skips the
+            # tagged code path entirely
+            filters = None
+            if any(i.tag_filter is not None for i in batch):
+                filters = [i.tag_filter for i in batch]
             t_start = time.perf_counter()
             try:
                 with self._retriever_lock:
-                    all_results = self.retriever.retrieve_batch([i.query for i in batch], k)
+                    all_results = self.retriever.retrieve_batch(
+                        [i.query for i in batch], k, tag_filter=filters
+                    )
                 for item, results in zip(batch, all_results):
                     item.results = results[: item.k]
             except Exception as e:  # propagate to every waiter
@@ -120,11 +135,12 @@ class MicroBatcher:
                 for item in batch:
                     item.event.set()
 
-    def retrieve_batch(self, queries: List[str], k: int) -> List[List[RetrievalResult]]:
+    def retrieve_batch(self, queries: List[str], k: int,
+                       tag_filter=None) -> List[List[RetrievalResult]]:
         """Bulk retrieval sharing the worker's retriever lock (the
         retriever's lazy snapshot refresh is not thread-safe)."""
         with self._retriever_lock:
-            batches = self.retriever.retrieve_batch(queries, k)
+            batches = self.retriever.retrieve_batch(queries, k, tag_filter=tag_filter)
         self.batches_served += 1
         self.queries_served += len(queries)
         return batches
@@ -147,6 +163,19 @@ class MicroBatcher:
     def shutdown(self) -> None:
         self._stop.set()
         self._worker.join(timeout=2.0)
+
+
+def _parse_filter(spec):
+    """{"all": [...], "any": [...], "none": [...]} → TagFilter."""
+    if not spec:
+        return None
+    from trueno_rag_tpu.retrieve import TagFilter
+
+    return TagFilter(
+        all=tuple(spec.get("all", ())),
+        any=tuple(spec.get("any", ())),
+        none=tuple(spec.get("none", ())),
+    )
 
 
 def make_handler(batcher: MicroBatcher):
@@ -182,11 +211,16 @@ def make_handler(batcher: MicroBatcher):
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 k = int(payload.get("k", 5))
+                tag_filter = _parse_filter(payload.get("filter"))
                 if "queries" in payload:
-                    batches = batcher.retrieve_batch(list(payload["queries"]), k)
+                    filters = payload.get("filters")
+                    tf = [_parse_filter(f) for f in filters] if filters else tag_filter
+                    batches = batcher.retrieve_batch(list(payload["queries"]), k,
+                                                     tag_filter=tf)
                     self._send(200, {"batches": [[result_to_dict(r) for r in b] for b in batches]})
                 elif "query" in payload:
-                    results = batcher.query(str(payload["query"]), k)
+                    results = batcher.query(str(payload["query"]), k,
+                                            tag_filter=tag_filter)
                     self._send(200, {"results": [result_to_dict(r) for r in results]})
                 else:
                     self._send(400, {"error": "missing 'query' or 'queries'"})
