@@ -290,3 +290,30 @@ def test_http_api_accepts_filters():
     finally:
         server.shutdown()
         batcher.shutdown()
+
+
+def test_sharded_hybrid_tag_filter_matches_single_host():
+    """Tag filters on the 8-device sharded index must equal the
+    single-host filtered retriever exactly (global rows)."""
+    import jax
+
+    from trueno_rag_tpu.parallel.hybrid import ShardedHybridIndex
+    from trueno_rag_tpu.parallel.mesh import create_mesh
+
+    r = _tagged_retriever()
+    mesh = create_mesh()
+    idx = ShardedHybridIndex(r, mesh)
+    flt = TagFilter(all=("lang:de",))
+    sharded = idx.search("fox schnelle", k=4, tag_filter=flt)
+    single = r.retrieve("fox schnelle", k=4, tag_filter=flt)
+    assert [x.chunk.id for x in sharded] == [x.chunk.id for x in single]
+    assert sharded  # non-empty
+    # incremental refresh propagates new tags
+    import numpy as np
+
+    emb = r.embedder
+    c = _chunk(99, content="noch ein fuchs text hier", emb=np.asarray(emb.embed("noch ein fuchs text hier")))
+    r.index(c, tags=["lang:de"])
+    idx.refresh(rows=[r.registry.row_of(c.id)])
+    refreshed = idx.search("fuchs", k=6, tag_filter=flt)
+    assert any(x.chunk.id == c.id for x in refreshed)

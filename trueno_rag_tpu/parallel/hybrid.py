@@ -58,7 +58,9 @@ class ShardedHybridIndex:
             metric=store.config.metric,
             valid=store._valid,
             rows_normalized=True,  # VectorStore normalizes at insert
+            tags=self.registry.tags_host(store._host.shape[0]),
         )
+        self._tags_version_seen = self.registry.tags_version
         sparse = retriever.sparse_index
         sparse._refresh_snapshot()
         self._bm25 = sparse
@@ -91,29 +93,58 @@ class ShardedHybridIndex:
                     metric=self._store.config.metric,
                     valid=self._store._valid,
                     rows_normalized=True,
+                    tags=self.registry.tags_host(store_host.shape[0]),
                 )
+                self._tags_version_seen = self.registry.tags_version
         else:
             self.dense.update_rows(
-                rows, store_host[rows], self._store._valid[rows], rows_normalized=True
+                rows, store_host[rows], self._store._valid[rows],
+                rows_normalized=True,
+                tags=self.registry.tags_host(store_host.shape[0])[rows],
             )
+            self._tags_version_seen = self.registry.tags_version
         self._bm25._refresh_snapshot()
         self._snap = self._bm25._snap
 
-    def search_arrays(self, queries: Sequence[str], k: int) -> Tuple[jax.Array, jax.Array]:
-        """Batched hybrid search → global ``(rows, scores) [B, k]``."""
+    def search_arrays(self, queries: Sequence[str], k: int,
+                      tag_filter=None) -> Tuple[jax.Array, jax.Array]:
+        """Batched hybrid search → global ``(rows, scores) [B, k]``.
+        ``tag_filter``: a TagFilter (or one per query) — the dense
+        predicate evaluates shard-locally (no extra communication);
+        BM25 candidates filter before fusion."""
         cand = self.candidates
         qvecs = self.embedder.embed_queries(list(queries))
-        d_scores, d_rows = self.dense.search(np.asarray(qvecs, dtype=np.float32), cand)
+        masks = None
+        if tag_filter is not None:
+            from trueno_rag_tpu.retrieve import resolve_tag_filters
+
+            masks = resolve_tag_filters(self.registry, tag_filter, len(queries))
+        d_scores, d_rows = self.dense.search(
+            np.asarray(qvecs, dtype=np.float32), cand, tag_masks=masks
+        )
 
         s_scores, s_rows = self._bm25.search_arrays(list(queries), cand)
+        if masks is not None:
+            import jax.numpy as jnp
+
+            from trueno_rag_tpu.ops.tags import filter_candidates_by_tags
+
+            bits = jnp.asarray(
+                self.registry.tags_host(max(self.registry.capacity_rows, 1))
+            )
+            s_rows, s_scores = filter_candidates_by_tags(
+                jnp.asarray(s_rows), jnp.asarray(s_scores), bits,
+                jnp.asarray(masks[0]), jnp.asarray(masks[1]), jnp.asarray(masks[2]),
+            )
         f_rows, f_scores = fuse_topk(
             d_rows, d_scores, s_rows, s_scores,
             kind=self.fusion.kind, param=self.fusion.device_param,
         )
         return f_rows[:, :k], f_scores[:, :k]
 
-    def search(self, query: str, k: int) -> List[RetrievalResult]:
-        rows, scores = self.search_arrays([query], k)
+    def search(self, query: str, k: int,
+               tag_filter=None) -> List[RetrievalResult]:
+        rows, scores = self.search_arrays([query], k, tag_filter=tag_filter)
         out: List[RetrievalResult] = []
         for row, score in zip(np.asarray(rows[0]), np.asarray(scores[0])):
             if row < 0:

@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from trueno_rag_tpu.ops.dense import NEG_INF, similarity_scores
+from trueno_rag_tpu.ops.tags import tag_pred
 
 
 def sharded_dense_topk(
@@ -84,6 +85,56 @@ def sharded_dense_topk(
     return jax.jit(fn)(queries, matrix, valid_mask)
 
 
+def sharded_dense_topk_tagged(
+    queries: jax.Array,
+    matrix: jax.Array,
+    valid_mask: jax.Array,
+    tag_bits: jax.Array,  # [N] int32, sharded P(axis)
+    t_all: jax.Array,  # [B] replicated
+    t_any: jax.Array,
+    t_none: jax.Array,
+    k: int,
+    mesh: Mesh,
+    metric: str = "cosine",
+    axis: str = "data",
+) -> Tuple[jax.Array, jax.Array]:
+    """Tag-filtered sibling of :func:`sharded_dense_topk`: the filter
+    predicate evaluates on each shard's local tag slice (three bit-ops
+    fused into the local score masking), so filtering adds no
+    communication — the ICI merge still moves only k·s candidates."""
+
+    def local(q, m, v, bits, ta, ty, tn):
+        scores = similarity_scores(q, m, metric)
+        allowed = v[None, :] & tag_pred(
+            bits[None, :], ta[:, None], ty[:, None], tn[:, None]
+        )
+        masked = jnp.where(allowed, scores, NEG_INF)
+        k_local = min(k, m.shape[0])
+        s_loc, r_loc = jax.lax.top_k(masked, k_local)
+        shard = jax.lax.axis_index(axis)
+        r_glob = r_loc + shard * m.shape[0]
+        r_glob = jnp.where(jnp.isneginf(s_loc), jnp.iinfo(jnp.int32).max, r_glob)
+        s_all = jax.lax.all_gather(s_loc, axis, axis=1, tiled=True)
+        r_all = jax.lax.all_gather(r_glob, axis, axis=1, tiled=True)
+        k_out = min(k, s_all.shape[1])
+        s_top, idx = jax.lax.top_k(s_all, k_out)
+        r_top = jnp.take_along_axis(r_all, idx, axis=1)
+        r_top = jnp.where(jnp.isneginf(s_top), -1, r_top).astype(jnp.int32)
+        if k_out < k:
+            s_top = jnp.pad(s_top, ((0, 0), (0, k - k_out)), constant_values=NEG_INF)
+            r_top = jnp.pad(r_top, ((0, 0), (0, k - k_out)), constant_values=-1)
+        return s_top, r_top
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis), P(axis), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(queries, matrix, valid_mask, tag_bits, t_all, t_any, t_none)
+
+
 class ShardedVectorIndex:
     """A read-optimized, corpus-sharded dense index.
 
@@ -102,6 +153,7 @@ class ShardedVectorIndex:
         valid: Optional[np.ndarray] = None,
         axis: str = "data",
         rows_normalized: bool = False,
+        tags: Optional[np.ndarray] = None,
     ) -> None:
         matrix = np.asarray(matrix, dtype=np.float32)
         n, d = matrix.shape
@@ -125,9 +177,23 @@ class ShardedVectorIndex:
         mask_sharding = NamedSharding(mesh, P(axis))
         self.matrix = jax.device_put(matrix, row_sharding)
         self.valid = jax.device_put(v, mask_sharding)
+        t = np.zeros(n_pad, dtype=np.int32)
+        if tags is not None:
+            t[:n] = np.asarray(tags, dtype=np.int32)[:n]
+        self.tags = jax.device_put(t, mask_sharding)
 
-    def search(self, queries: np.ndarray, k: int) -> Tuple[jax.Array, jax.Array]:
+    def search(self, queries: np.ndarray, k: int,
+               tag_masks=None) -> Tuple[jax.Array, jax.Array]:
+        """``tag_masks``: optional ``(t_all, t_any, t_none)`` int32
+        arrays of length B (see ops/tags.py) for filtered search."""
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+        if tag_masks is not None:
+            return sharded_dense_topk_tagged(
+                q, self.matrix, self.valid, self.tags,
+                jnp.asarray(tag_masks[0]), jnp.asarray(tag_masks[1]),
+                jnp.asarray(tag_masks[2]),
+                k, self.mesh, self.metric, self.axis,
+            )
         return sharded_dense_topk(q, self.matrix, self.valid, k, self.mesh, self.metric, self.axis)
 
     def update_rows(
@@ -136,6 +202,7 @@ class ShardedVectorIndex:
         vectors: np.ndarray,
         valid: Optional[np.ndarray] = None,
         rows_normalized: bool = False,
+        tags: Optional[np.ndarray] = None,
     ) -> None:
         """Incremental refresh: scatter changed rows into the sharded
         matrix in place (donated buffers — no second copy of the shard).
@@ -173,4 +240,10 @@ class ShardedVectorIndex:
             self.matrix, self.valid, jnp.asarray(rows), jnp.asarray(vectors),
             jnp.asarray(v_flags),
         )
+        if tags is not None:
+            scatter_t = jax.jit(lambda t, r, u: t.at[r].set(u), donate_argnums=(0,))
+            self.tags = scatter_t(
+                self.tags, jnp.asarray(rows),
+                jnp.asarray(np.asarray(tags, dtype=np.int32)),
+            )
         self.n = max(self.n, int(rows.max()) + 1)

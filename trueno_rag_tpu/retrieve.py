@@ -93,6 +93,53 @@ class TagFilter:
     none: Tuple[str, ...] = ()
 
 
+def resolve_tag_filters(registry, tag_filter, b: int):
+    """Resolve TagFilter(s) to three int32 mask arrays of length
+    ``b``. Unknown tags in all/any make that query's filter impossible
+    (the reserved bit-31 marker matches no chunk)."""
+    from trueno_rag_tpu.index.base import IMPOSSIBLE_BIT
+
+    filters = (
+        list(tag_filter) if isinstance(tag_filter, (list, tuple))
+        else [tag_filter] * b
+    )
+    if len(filters) != b:
+        raise QueryError(f"got {len(filters)} tag filters for {b} queries")
+    t_all = np.zeros((b,), np.int64)
+    t_any = np.zeros((b,), np.int64)
+    t_none = np.zeros((b,), np.int64)
+    for i, f in enumerate(filters):
+        if f is None:
+            continue
+        impossible = False
+        for t in f.all:
+            bit = registry.bit_for(t, create=False)
+            if bit is None:
+                impossible = True
+                break
+            t_all[i] |= bit
+        if not impossible and f.any:
+            known = [registry.bit_for(t, create=False) for t in f.any]
+            known = [x for x in known if x is not None]
+            if not known:
+                impossible = True
+            else:
+                for x in known:
+                    t_any[i] |= x
+        for t in f.none:
+            bit = registry.bit_for(t, create=False)
+            if bit is not None:
+                t_none[i] |= bit
+        if impossible:
+            t_all[i] = IMPOSSIBLE_BIT
+            t_any[i] = 0
+            t_none[i] = 0
+    # int64 -> int32 bit patterns (bit 31 wraps to the sign bit)
+    return (t_all.astype(np.uint32).astype(np.int32),
+            t_any.astype(np.uint32).astype(np.int32),
+            t_none.astype(np.uint32).astype(np.int32))
+
+
 class HybridRetriever:
     """Owns a VectorStore + BM25Index over one shared row registry."""
 
@@ -145,53 +192,7 @@ class HybridRetriever:
     # -- tag filters -----------------------------------------------------------
 
     def _filter_masks(self, tag_filter, b: int):
-        """Resolve TagFilter(s) to three int32 mask arrays of length
-        ``b``. Unknown tags in all/any make that query's filter
-        impossible (the reserved bit-31 marker matches no chunk)."""
-        from trueno_rag_tpu.index.base import IMPOSSIBLE_BIT
-
-        filters = (
-            list(tag_filter) if isinstance(tag_filter, (list, tuple))
-            else [tag_filter] * b
-        )
-        if len(filters) != b:
-            raise QueryError(
-                f"got {len(filters)} tag filters for {b} queries"
-            )
-        t_all = np.zeros((b,), np.int64)
-        t_any = np.zeros((b,), np.int64)
-        t_none = np.zeros((b,), np.int64)
-        reg = self.registry
-        for i, f in enumerate(filters):
-            if f is None:
-                continue
-            impossible = False
-            for t in f.all:
-                bit = reg.bit_for(t, create=False)
-                if bit is None:
-                    impossible = True
-                    break
-                t_all[i] |= bit
-            if not impossible and f.any:
-                known = [reg.bit_for(t, create=False) for t in f.any]
-                known = [x for x in known if x is not None]
-                if not known:
-                    impossible = True
-                else:
-                    for x in known:
-                        t_any[i] |= x
-            for t in f.none:
-                bit = reg.bit_for(t, create=False)
-                if bit is not None:
-                    t_none[i] |= bit
-            if impossible:
-                t_all[i] = IMPOSSIBLE_BIT
-                t_any[i] = 0
-                t_none[i] = 0
-        # int64 -> int32 bit patterns (bit 31 wraps to the sign bit)
-        return (t_all.astype(np.uint32).astype(np.int32),
-                t_any.astype(np.uint32).astype(np.int32),
-                t_none.astype(np.uint32).astype(np.int32))
+        return resolve_tag_filters(self.registry, tag_filter, b)
 
     def _device_tag_bits(self, n_rows: int):
         """Capacity-sized device copy of the per-row tag masks,
