@@ -207,9 +207,15 @@ def bench_hybrid(n_chunks=100_000, dim=384, batch=256, k=10, cand=50, iters=30):
     args = (queries, bids, blo, bhi, blocks, matrix, valid)
     float(hybrid_chain(*args, steps=1))  # compile small
     float(hybrid_chain(*args, steps=iters))  # compile full chain
-    t0 = time.perf_counter()
-    float(hybrid_chain(*args, steps=iters))  # sync via scalar fetch
-    dt = time.perf_counter() - t0
+    # median of 3 timed repeats: the tunneled device shows 20-30%
+    # run-to-run variance (measured 51k vs 67k q/s minutes apart), and
+    # one number is recorded per round
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(hybrid_chain(*args, steps=iters))  # sync via scalar fetch
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[1]
     return batch * iters / dt
 
 

@@ -317,3 +317,44 @@ def test_sharded_hybrid_tag_filter_matches_single_host():
     idx.refresh(rows=[r.registry.row_of(c.id)])
     refreshed = idx.search("fuchs", k=6, tag_filter=flt)
     assert any(x.chunk.id == c.id for x in refreshed)
+
+
+def test_cli_index_query_with_tags(tmp_path):
+    """Black-box: index with --tags/--tag-by-dir, query with filters."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    corpus = tmp_path / "corpus"
+    (corpus / "animals").mkdir(parents=True)
+    (corpus / "tech").mkdir()
+    (corpus / "animals" / "fox.txt").write_text(
+        "The quick brown fox jumps over the lazy dog in the forest.")
+    (corpus / "tech" / "tpu.txt").write_text(
+        "Tensor processing units multiply matrices in systolic arrays.")
+    out = tmp_path / "idx"
+    env = {**os.environ, "PYTHONPATH": "/root/repo", "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run(
+        [sys.executable, "-m", "trueno_rag_tpu.cli", "index",
+         "--path", str(corpus), "--output", str(out),
+         "--tags", "corpus:test", "--tag-by-dir", "--dimension", "64"],
+        capture_output=True, text=True, env=env, timeout=180,
+    )
+    assert r.returncode == 0, r.stderr
+    q = subprocess.run(
+        [sys.executable, "-m", "trueno_rag_tpu.cli", "query", "fox matrices",
+         "--index", str(out), "--format", "json", "--filter-all", "dir:tech"],
+        capture_output=True, text=True, env=env, timeout=180,
+    )
+    assert q.returncode == 0, q.stderr
+    results = json.loads(q.stdout)
+    assert results and all("matrices" in res["content"] for res in results)
+    q2 = subprocess.run(
+        [sys.executable, "-m", "trueno_rag_tpu.cli", "query", "fox",
+         "--index", str(out), "--format", "json", "--filter-none", "dir:tech"],
+        capture_output=True, text=True, env=env, timeout=180,
+    )
+    assert q2.returncode == 0, q2.stderr
+    results2 = json.loads(q2.stdout)
+    assert results2 and all("fox" in res["content"] for res in results2)

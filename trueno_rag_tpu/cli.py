@@ -193,7 +193,20 @@ def cmd_index(args) -> int:
         .with_chunker(RecursiveChunker(chunk_size=args.chunk_size, overlap=args.chunk_overlap))
         .build()
     )
-    n_chunks = pipeline.index_documents(docs)
+    doc_tags = None
+    base_tags = [t for t in (args.tags or "").split(",") if t]
+    if base_tags or args.tag_by_dir:
+        doc_tags = []
+        root = os.path.abspath(args.path)
+        for d in docs:
+            tags = list(base_tags)
+            if args.tag_by_dir and d.source:
+                rel = os.path.relpath(os.path.abspath(d.source), root)
+                parent = os.path.dirname(rel)
+                if parent and parent != ".":
+                    tags.append(f"dir:{parent.split(os.sep)[0]}")
+            doc_tags.append(tags)
+    n_chunks = pipeline.index_documents(docs, tags=doc_tags)
     os.makedirs(args.output, exist_ok=True)
     out_path = os.path.join(args.output, "index.trag")
     info = {"type": args.embedder, "dimension": embedder.dimension, "model": args.model}
@@ -251,7 +264,15 @@ def _load(index_dir: str):
 
 def cmd_query(args) -> int:
     retr = _load(args.index)
-    results = retr.retrieve(args.query_text, args.top_k)
+    tag_filter = None
+    if args.filter_all or args.filter_any or args.filter_none:
+        from trueno_rag_tpu.retrieve import TagFilter
+
+        split = lambda v: tuple(t for t in (v or "").split(",") if t)  # noqa: E731
+        tag_filter = TagFilter(all=split(args.filter_all),
+                               any=split(args.filter_any),
+                               none=split(args.filter_none))
+    results = retr.retrieve(args.query_text, args.top_k, tag_filter=tag_filter)
     if args.format == "json":
         out = [
             {
@@ -307,6 +328,10 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--dimension", type=int, default=256)
     i.add_argument("--embedder", choices=["tfidf", "semantic"], default="tfidf")
     i.add_argument("--model", default=None, help="semantic model: mini-lm|mini-lm-l12|bge-small|bge-base")
+    i.add_argument("--tags", default=None,
+                   help="comma-separated tags applied to every document")
+    i.add_argument("--tag-by-dir", action="store_true",
+                   help="tag each document dir:<top-level subdirectory>")
     i.set_defaults(fn=cmd_index)
 
     q = sub.add_parser("query", help="query a persisted index")
@@ -314,6 +339,9 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--index", required=True, help="directory containing index.trag")
     q.add_argument("--top-k", type=int, default=5)
     q.add_argument("--format", choices=["text", "json"], default="text")
+    q.add_argument("--filter-all", default=None, help="comma-separated tags results must ALL carry")
+    q.add_argument("--filter-any", default=None, help="comma-separated tags; results need at least one")
+    q.add_argument("--filter-none", default=None, help="comma-separated tags results must NOT carry")
     q.set_defaults(fn=cmd_query)
 
     s = sub.add_parser("serve", help="serve a persisted index over HTTP (micro-batched)")

@@ -231,16 +231,33 @@ class RagPipeline:
         self.chunk_count += len(chunks)
         return len(chunks)
 
-    def index_documents(self, documents: Sequence[Document]) -> int:
+    def index_documents(self, documents: Sequence[Document],
+                        tags: Optional[Sequence[Sequence[str]]] = None) -> int:
         """Bulk ingest: chunk every document first, then embed ALL chunks
         in one batched embedder call (one big device batch instead of one
         tiny batch per document — the difference between idle and fed
-        MXUs with neural embedders), then index both stores."""
+        MXUs with neural embedders), then index both stores.
+        ``tags``: optional per-document tag lists (parallel to
+        ``documents``) for tag-filtered retrieval."""
+        if tags is not None and len(tags) != len(documents):
+            from trueno_rag_tpu.errors import InvalidConfigError
+
+            raise InvalidConfigError(
+                f"got {len(tags)} tag lists for {len(documents)} documents"
+            )
         all_chunks: List[Chunk] = []
-        for d in documents:
-            all_chunks.extend(self.chunker.chunk(d))
+        chunk_tags: List[Optional[Sequence[str]]] = []
+        for i, d in enumerate(documents):
+            doc_chunks = self.chunker.chunk(d)
+            all_chunks.extend(doc_chunks)
+            chunk_tags.extend([None if tags is None else tags[i]] * len(doc_chunks))
         self.embedder.embed_chunks(all_chunks)
         self.retriever.index_batch(all_chunks)
+        if tags is not None:
+            reg = self.retriever.registry
+            for chunk, t in zip(all_chunks, chunk_tags):
+                if t:
+                    reg.set_tags(chunk.id, t)
         self.document_count += len(documents)
         self.chunk_count += len(all_chunks)
         return len(all_chunks)
