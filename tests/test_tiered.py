@@ -152,3 +152,17 @@ def test_prepare_residuals_are_nonzero():
     _, el2, al2 = prepare_tiered(m)
     assert float(jnp.min(el2)) > 0.0
     assert float(jnp.min(al2)) > 0.0
+
+
+@pytest.mark.parametrize("bt", [1, 2, 3])
+def test_block_top_variants_keep_exactness_contract(bt):
+    """Any block_top keeps the checked wrapper exact — fewer in-block
+    candidate slots only raise the fail-closed certificate's strictness
+    (top+1 clustered true-top rows in one 128-row block)."""
+    m, q, valid = build(6000, 64, 5, seed=40 + bt)
+    mb, el2, al2 = prepare_tiered(m)
+    s_c, r_c, _ = dense_topk_tiered_checked(
+        q, m, mb, el2, al2, valid, 11, block_top=bt, rescore_rows=64, interpret=True
+    )
+    s_x, r_x = dense_topk(q, m, valid, 11, "cosine")
+    np.testing.assert_array_equal(np.asarray(r_c), np.asarray(r_x))

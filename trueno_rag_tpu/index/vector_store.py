@@ -74,8 +74,15 @@ class VectorStoreConfig:
     # Corpus size at which scan_tier="auto" switches fp32 -> bf16 tier.
     scan_tier_auto_rows: int = 400_000
     # Candidate-row trim for the tiered rescore (ops/dense_tiered.py
-    # rescore_rows); None rescores all 4*(k+margin) block candidates.
+    # rescore_rows); None rescores all block candidates.
     scan_rescore_rows: int | None = 192
+    # Per-128-row-block candidate slots in the scan kernel. 2 is the
+    # measured-best at ≥400k rows (14.1 vs 15.5 ms at 1M with top=4;
+    # in-block collisions that defeat certification are ~0.2%/query at
+    # 400k and vanish beyond); the per-query fp32 fallback covers them.
+    scan_block_top: int = 2
+    # Corpus rows per kernel grid step (8192 overflows VMEM at d=384).
+    scan_tile_n: int = 4096
 
     def __post_init__(self) -> None:
         if self.dimension <= 0:
@@ -277,6 +284,8 @@ class VectorStore:
                 q, self._device_matrix, *self._tier, self._device_valid,
                 k_eff, metric=self.config.metric, interpret=interpret,
                 rescore_rows=self.config.scan_rescore_rows,
+                block_top=self.config.scan_block_top,
+                tile_n=self.config.scan_tile_n,
             )
             if fell_back:
                 self.tier_fallbacks += 1

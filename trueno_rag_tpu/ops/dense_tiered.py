@@ -102,7 +102,7 @@ def _topk_select(values: jax.Array, k: int, approx: bool):
 
 def _select_rescore_verify(
     outs, q, matrix, valid_mask, n, n_pad, bsz, b_pad, k, margin_blocks,
-    rescore_rows=None, approx_select=True,
+    rescore_rows=None, approx_select=True, top=TOP,
 ):
     """Shared tier-2/3 tail: block selection by upper bounds, exact fp32
     rescore of the selected blocks' top-4 rows, and the strict-beat
@@ -119,8 +119,8 @@ def _select_rescore_verify(
     block → its v5 ≤ thr_in; un-rescored explicit candidate → thr_exp.
     Cuts the dominant fp32 row gather ~4-5x (measured; the tail, not
     the scan, limits the tiered path at N≈100k)."""
-    v_top = outs[: TOP + 1]  # v1..v5 [B_pad, G]
-    i_top = outs[TOP + 1 :]  # i1..i4 [B_pad, G] lanes
+    v_top = outs[: top + 1]  # v1..v_{top+1} [B_pad, G]
+    i_top = outs[top + 1 :]  # i1..i_top [B_pad, G] lanes
     g = n_pad // BLOCK
     k_req = k
 
@@ -130,17 +130,17 @@ def _select_rescore_verify(
     b_idx = jax.lax.sort(b_idx, dimension=1)
 
     # threshold from unselected rows of selected blocks
-    v5_sel = jnp.take_along_axis(v_top[TOP], b_idx, axis=1)  # [B, kb]
+    v5_sel = jnp.take_along_axis(v_top[top], b_idx, axis=1)  # [B, kb]
     thr_in = jnp.max(v5_sel, axis=1)
     threshold = jnp.maximum(thr_out, thr_in)
 
     # -- candidates: the top-4 rows of each selected block ----------------
     cand_parts, val_parts = [], []
-    for t in range(TOP):
+    for t in range(top):
         lanes = jnp.take_along_axis(i_top[t], b_idx, axis=1)  # [B, kb]
         vals = jnp.take_along_axis(v_top[t], b_idx, axis=1)
         rows_t = b_idx * BLOCK + lanes
-        slot = jax.lax.broadcasted_iota(jnp.int32, (b_pad, kb), 1) * TOP + t
+        slot = jax.lax.broadcasted_iota(jnp.int32, (b_pad, kb), 1) * top + t
         rows_t = jnp.where(jnp.isneginf(vals), _ROW_SENTINEL + slot, rows_t)
         cand_parts.append(rows_t)
         val_parts.append(vals)
@@ -209,7 +209,7 @@ def _metric_queries(queries, metric, kinds=("cosine", "dot")):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "margin_blocks", "metric", "tile_n", "rescore_rows", "approx_select", "interpret")
+    jax.jit, static_argnames=("k", "margin_blocks", "metric", "tile_n", "rescore_rows", "approx_select", "block_top", "interpret")
 )
 def dense_topk_tiered(
     queries: jax.Array,  # [B, d] f32
@@ -224,6 +224,7 @@ def dense_topk_tiered(
     tile_n: int = 1024,
     rescore_rows: int | None = None,
     approx_select: bool = True,
+    block_top: int = TOP,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """→ (scores [B,k], rows [B,k], certified [B] bool).
@@ -274,18 +275,18 @@ def dense_topk_tiered(
 
     outs = scan_select(
         qb_p, m_bf16, e_l2, a_l2, valid_mask_p.astype(jnp.int32), u_p, v_p,
-        tile_n=tile, interpret=interpret,
+        tile_n=tile, top=block_top, interpret=interpret,
     )
     return _select_rescore_verify(
         outs, q, matrix, valid_mask, n, n_pad, bsz, b_pad, k, margin_blocks,
-        rescore_rows=rescore_rows, approx_select=approx_select,
+        rescore_rows=rescore_rows, approx_select=approx_select, top=block_top,
     )
 
 
 def dense_topk_tiered_checked(
     queries, matrix, m_bf16, e_l2, a_l2, valid_mask, k,
     margin_blocks=64, metric="cosine", tile_n=1024, rescore_rows=None,
-    approx_select=True, interpret=False,
+    approx_select=True, block_top=TOP, interpret=False,
 ):
     """Exactness-contract wrapper: tiered fast path, fp32 fallback when
     the certificate fails (rare — requires an excluded row within the
@@ -295,7 +296,7 @@ def dense_topk_tiered_checked(
         queries, matrix, m_bf16, e_l2, a_l2, valid_mask, k,
         margin_blocks=margin_blocks, metric=metric, tile_n=tile_n,
         rescore_rows=rescore_rows, approx_select=approx_select,
-        interpret=interpret,
+        block_top=block_top, interpret=interpret,
     )
     return _checked_fallback(s, r, ok, queries, matrix, valid_mask, k, metric)
 
@@ -359,7 +360,7 @@ def prepare_int8(matrix: jax.Array):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "margin_blocks", "metric", "tile_n", "use_int8_mxu", "rescore_rows", "approx_select", "interpret"),
+    static_argnames=("k", "margin_blocks", "metric", "tile_n", "use_int8_mxu", "rescore_rows", "approx_select", "block_top", "interpret"),
 )
 def dense_topk_int8(
     queries: jax.Array,  # [B, d] f32
@@ -376,6 +377,7 @@ def dense_topk_int8(
     use_int8_mxu: bool = True,
     rescore_rows: int | None = None,
     approx_select: bool = True,
+    block_top: int = TOP,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """→ (scores [B,k], rows [B,k], certified [] bool) — int8 sibling of
@@ -419,18 +421,18 @@ def dense_topk_int8(
 
     outs = scan_select_int8(
         q_i8, m_i8, s_row, e_l2, a_l2, valid_p.astype(jnp.int32), t_q, u_q, v_q,
-        tile_n=tile, use_int8_mxu=use_int8_mxu, interpret=interpret,
+        tile_n=tile, use_int8_mxu=use_int8_mxu, top=block_top, interpret=interpret,
     )
     return _select_rescore_verify(
         outs, q, matrix, valid_mask, n, n_pad, bsz, b_pad, k, margin_blocks,
-        rescore_rows=rescore_rows, approx_select=approx_select,
+        rescore_rows=rescore_rows, approx_select=approx_select, top=block_top,
     )
 
 
 def dense_topk_int8_checked(
     queries, matrix, m_i8, s_row, e_l2, a_l2, valid_mask, k,
     margin_blocks=64, metric="cosine", tile_n=1024, use_int8_mxu=True,
-    rescore_rows=None, approx_select=True, interpret=False,
+    rescore_rows=None, approx_select=True, block_top=TOP, interpret=False,
 ):
     """Exactness-contract wrapper for the int8 tier: fp32 fallback when
     the certificate fails. Returns (scores, rows, used_fallback)."""
@@ -438,6 +440,6 @@ def dense_topk_int8_checked(
         queries, matrix, m_i8, s_row, e_l2, a_l2, valid_mask, k,
         margin_blocks=margin_blocks, metric=metric, tile_n=tile_n,
         use_int8_mxu=use_int8_mxu, rescore_rows=rescore_rows,
-        approx_select=approx_select, interpret=interpret,
+        approx_select=approx_select, block_top=block_top, interpret=interpret,
     )
     return _checked_fallback(s, r, ok, queries, matrix, valid_mask, k, metric)

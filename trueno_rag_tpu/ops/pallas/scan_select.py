@@ -35,14 +35,22 @@ from jax.experimental import pallas as pl
 
 NEG_INF = float("-inf")
 BLOCK = 128  # selection granularity (rows per block lane)
-TOP = 4  # candidate slots per block (+1 threshold value)
+TOP = 4  # default candidate slots per block (+1 threshold value)
 
 
 def _scan_select_kernel(q_ref, m_ref, el2_ref, al2_ref, valid_ref, uq_ref, vq_ref,
-                        *out_refs):
-    """One corpus tile: upper-bounded bf16 scores → per-block top-5
-    values + top-4 lane indices. out_refs = v1..v5 ([T/128, B] f32 each)
-    then i1..i4 ([T/128, B] int32, lane within the 128-row block).
+                        *out_refs, top: int):
+    """One corpus tile: upper-bounded bf16 scores → per-block top-
+    ``top+1`` values + top-``top`` lane indices. out_refs = v1..v_{top+1}
+    ([T/128, B] f32 each) then i1..i_top ([T/128, B] int32, lane within
+    the 128-row block).
+
+    ``top`` trades in-kernel selection passes (the VPU cost that scales
+    with N) against in-block collision risk: with ``top`` slots, only
+    ``top+1`` of the true top-k landing in ONE 128-row block defeats
+    certification (fails closed). top=2 halves the selection loop and
+    is sound down to ~400k rows (collision ~0.2%/query at k=50); top=4
+    is the conservative default.
 
     Everything runs TRANSPOSED ([rows, queries]) so per-block reductions
     go over the sublane axis and outputs write [g, B] directly — the
@@ -61,19 +69,19 @@ def _scan_select_kernel(q_ref, m_ref, el2_ref, al2_ref, valid_ref, uq_ref, vq_re
     g = tile // BLOCK
     x = upper.reshape(g, BLOCK, b)
     lane = jax.lax.broadcasted_iota(jnp.int32, (g, BLOCK, b), 1)
-    for t in range(TOP + 1):
+    for t in range(top + 1):
         v = jnp.max(x, axis=1)  # [g, B]
         out_refs[t][:] = v
-        if t < TOP:
+        if t < top:
             # manual argmax: the max lane among value-ties (candidate
             # ordering is restored later by the row-asc sort + exact
             # rescore, so which tied lane goes first is immaterial)
             amax = jnp.max(jnp.where(x == v[:, None, :], lane, -1), axis=1)
-            out_refs[TOP + 1 + t][:] = amax
+            out_refs[top + 1 + t][:] = amax
             x = jnp.where(lane == amax[:, None, :], NEG_INF, x)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_n", "top", "interpret"))
 def scan_select(
     q_bf16: jax.Array,  # [B, d] bf16 (pre-normalized for cosine)
     m_bf16: jax.Array,  # [N, d] bf16, N % tile_n == 0
@@ -83,20 +91,21 @@ def scan_select(
     u_q: jax.Array,  # [B] f32 — bound coefficient on e_l2
     v_q: jax.Array,  # [B] f32 — bound coefficient on a_l2
     tile_n: int = 1024,
+    top: int = TOP,
     interpret: bool = False,
 ) -> Tuple[jax.Array, ...]:
-    """→ (v1..v5 [B, G] f32, i1..i4 [B, G] int32), G = N/128."""
+    """→ (v1..v_{top+1} [B, G] f32, i1..i_top [B, G] int32), G = N/128."""
     b, d = q_bf16.shape
     n = m_bf16.shape[0]
     assert n % tile_n == 0 and tile_n % BLOCK == 0
     g_tile = tile_n // BLOCK
     grid = (n // tile_n,)
-    out_specs = [pl.BlockSpec((g_tile, b), lambda i: (i, 0)) for _ in range(TOP + 1)]
-    out_specs += [pl.BlockSpec((g_tile, b), lambda i: (i, 0)) for _ in range(TOP)]
-    out_shape = [jax.ShapeDtypeStruct((n // BLOCK, b), jnp.float32) for _ in range(TOP + 1)]
-    out_shape += [jax.ShapeDtypeStruct((n // BLOCK, b), jnp.int32) for _ in range(TOP)]
+    out_specs = [pl.BlockSpec((g_tile, b), lambda i: (i, 0)) for _ in range(top + 1)]
+    out_specs += [pl.BlockSpec((g_tile, b), lambda i: (i, 0)) for _ in range(top)]
+    out_shape = [jax.ShapeDtypeStruct((n // BLOCK, b), jnp.float32) for _ in range(top + 1)]
+    out_shape += [jax.ShapeDtypeStruct((n // BLOCK, b), jnp.int32) for _ in range(top)]
     kernel = pl.pallas_call(
-        _scan_select_kernel,
+        functools.partial(_scan_select_kernel, top=top),
         grid=grid,
         in_specs=[
             pl.BlockSpec((b, d), lambda i: (0, 0)),

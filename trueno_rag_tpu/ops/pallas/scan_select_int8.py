@@ -43,7 +43,7 @@ NEG_INF = float("-inf")
 
 
 def _kernel(q_ref, m_ref, sr_ref, el2_ref, al2_ref, valid_ref, tq_ref,
-            uq_ref, vq_ref, *out_refs, use_int8_mxu: bool):
+            uq_ref, vq_ref, *out_refs, use_int8_mxu: bool, top: int):
     """One corpus tile, transposed ([rows, queries]) like scan_select."""
     if use_int8_mxu:
         dot = jax.lax.dot_general(
@@ -68,16 +68,16 @@ def _kernel(q_ref, m_ref, sr_ref, el2_ref, al2_ref, valid_ref, tq_ref,
     g = tile // BLOCK
     x = upper.reshape(g, BLOCK, b)
     lane = jax.lax.broadcasted_iota(jnp.int32, (g, BLOCK, b), 1)
-    for t in range(TOP + 1):
+    for t in range(top + 1):
         v = jnp.max(x, axis=1)  # [g, B]
         out_refs[t][:] = v
-        if t < TOP:
+        if t < top:
             amax = jnp.max(jnp.where(x == v[:, None, :], lane, -1), axis=1)
-            out_refs[TOP + 1 + t][:] = amax
+            out_refs[top + 1 + t][:] = amax
             x = jnp.where(lane == amax[:, None, :], NEG_INF, x)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "use_int8_mxu", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_n", "use_int8_mxu", "top", "interpret"))
 def scan_select_int8(
     q_i8: jax.Array,  # [B, d] int8 (quantized, power-of-two scale t_q)
     m_i8: jax.Array,  # [N, d] int8, N % tile_n == 0
@@ -90,20 +90,21 @@ def scan_select_int8(
     v_q: jax.Array,  # [B] f32 — bound coefficient on a_l2
     tile_n: int = 1024,
     use_int8_mxu: bool = True,
+    top: int = TOP,
     interpret: bool = False,
 ) -> Tuple[jax.Array, ...]:
-    """→ (v1..v5 [B, G] f32, i1..i4 [B, G] int32), G = N/128."""
+    """→ (v1..v_{top+1} [B, G] f32, i1..i_top [B, G] int32), G = N/128."""
     b, d = q_i8.shape
     n = m_i8.shape[0]
     assert n % tile_n == 0 and tile_n % BLOCK == 0
     assert d * 127 * 127 < 2**24, "int dot must stay exactly representable"
     g_tile = tile_n // BLOCK
     grid = (n // tile_n,)
-    out_specs = [pl.BlockSpec((g_tile, b), lambda i: (i, 0)) for _ in range(2 * TOP + 1)]
-    out_shape = [jax.ShapeDtypeStruct((n // BLOCK, b), jnp.float32) for _ in range(TOP + 1)]
-    out_shape += [jax.ShapeDtypeStruct((n // BLOCK, b), jnp.int32) for _ in range(TOP)]
+    out_specs = [pl.BlockSpec((g_tile, b), lambda i: (i, 0)) for _ in range(2 * top + 1)]
+    out_shape = [jax.ShapeDtypeStruct((n // BLOCK, b), jnp.float32) for _ in range(top + 1)]
+    out_shape += [jax.ShapeDtypeStruct((n // BLOCK, b), jnp.int32) for _ in range(top)]
     kernel = pl.pallas_call(
-        functools.partial(_kernel, use_int8_mxu=use_int8_mxu),
+        functools.partial(_kernel, use_int8_mxu=use_int8_mxu, top=top),
         grid=grid,
         in_specs=[
             pl.BlockSpec((b, d), lambda i: (0, 0)),
