@@ -256,9 +256,9 @@ def test_pipeline_applies_intent_fusion(monkeypatch):
     seen = []
     real = p.retriever.retrieve_batch
 
-    def spy(queries, k, fusion=None):
+    def spy(queries, k, fusion=None, **kw):
         seen.append(fusion)
-        return real(queries, k, fusion=fusion)
+        return real(queries, k, fusion=fusion, **kw)
 
     monkeypatch.setattr(p.retriever, "retrieve_batch", spy)
     res = p.query("fix the broken build", k=1)  # troubleshooting intent

@@ -208,6 +208,7 @@ class RagPipeline:
         retriever: HybridRetriever,
         assembler: ContextAssembler,
         preprocessor=None,
+        dedup_threshold: Optional[float] = None,
     ) -> None:
         self.embedder = embedder
         self.reranker = reranker
@@ -215,8 +216,36 @@ class RagPipeline:
         self.retriever = retriever
         self.assembler = assembler
         self.preprocessor = preprocessor  # optional QueryPreprocessor
+        self.dedup_threshold = dedup_threshold
         self.document_count = 0
         self.chunk_count = 0
+        self.duplicates_skipped = 0
+
+    def _drop_near_duplicates(self, chunks: List[Chunk]) -> List[Chunk]:
+        """Ingest-time near-duplicate filter (one MXU pass per batch;
+        see ops/dedup.py): drops chunks whose cosine similarity to the
+        existing index or an earlier batch entry reaches the
+        threshold."""
+        if self.dedup_threshold is None or not chunks:
+            return chunks
+        import numpy as np
+
+        from trueno_rag_tpu.ops.dedup import near_duplicates
+
+        store = self.retriever.vector_store
+        emb = np.stack([np.asarray(c.embedding, dtype=np.float32) for c in chunks])
+        if len(store) > 0:
+            store._refresh_device()
+            matrix, valid = store.device_matrix, store.device_valid
+        else:
+            matrix = np.zeros((0, emb.shape[1]), np.float32)
+            valid = np.zeros((0,), bool)
+        is_dup, _, _ = near_duplicates(
+            emb, matrix, valid, threshold=self.dedup_threshold
+        )
+        is_dup = np.asarray(is_dup)
+        self.duplicates_skipped += int(is_dup.sum())
+        return [c for c, d in zip(chunks, is_dup) if not d]
 
     # -- ingest -----------------------------------------------------------------
 
@@ -226,6 +255,7 @@ class RagPipeline:
         ``tags`` label every chunk for tag-filtered retrieval."""
         chunks = self.chunker.chunk(document)
         self.embedder.embed_chunks(chunks)
+        chunks = self._drop_near_duplicates(chunks)
         self.retriever.index_batch(chunks, tags=tags)
         self.document_count += 1
         self.chunk_count += len(chunks)
@@ -252,6 +282,12 @@ class RagPipeline:
             all_chunks.extend(doc_chunks)
             chunk_tags.extend([None if tags is None else tags[i]] * len(doc_chunks))
         self.embedder.embed_chunks(all_chunks)
+        if self.dedup_threshold is not None:
+            kept = self._drop_near_duplicates(all_chunks)
+            kept_ids = {c.id for c in kept}
+            chunk_tags = [t for c, t in zip(all_chunks, chunk_tags)
+                          if c.id in kept_ids]
+            all_chunks = kept
         self.retriever.index_batch(all_chunks)
         if tags is not None:
             reg = self.retriever.registry
@@ -348,6 +384,7 @@ class RagPipelineBuilder:
         self._vector_config: Optional[VectorStoreConfig] = None
         self._assembler_config: Optional[ContextAssemblerConfig] = None
         self._preprocessor = None
+        self._dedup_threshold: Optional[float] = None
 
     def with_embedder(self, embedder: Embedder) -> "RagPipelineBuilder":
         self._embedder = embedder
@@ -383,6 +420,15 @@ class RagPipelineBuilder:
         self._preprocessor = preprocessor
         return self
 
+    def with_dedup(self, threshold: float = 0.97) -> "RagPipelineBuilder":
+        """Skip near-duplicate chunks at ingest (cosine ≥ threshold vs
+        the index or an earlier chunk of the same batch); skips count in
+        ``pipeline.duplicates_skipped``."""
+        if not (0.0 < threshold <= 1.0):
+            raise InvalidConfigError("dedup threshold must be in (0, 1]")
+        self._dedup_threshold = threshold
+        return self
+
     def build(self) -> RagPipeline:
         if self._embedder is None:
             raise InvalidConfigError("pipeline requires an embedder")
@@ -401,6 +447,7 @@ class RagPipelineBuilder:
         return RagPipeline(
             self._embedder, self._reranker, chunker, retriever, assembler,
             preprocessor=self._preprocessor,
+            dedup_threshold=self._dedup_threshold,
         )
 
 
