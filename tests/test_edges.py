@@ -104,3 +104,44 @@ def test_blockwise_topk_small_and_padded():
     assert list(r[:3]) == [1, 0, 3]
     assert np.isneginf(s[3:]).all()
     assert (r[3:] == -1).all()
+
+
+def test_dense_topk_approx_checked_matches_oracle():
+    """Certified-approx selection must equal the exact path: random
+    corpora, tombstones, and adversarial boundary ties (fail-closed)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from trueno_rag_tpu.ops.dense import (
+        dense_topk,
+        dense_topk_approx,
+        dense_topk_approx_checked,
+    )
+
+    rng = np.random.default_rng(7)
+    for n, d, bq, k in ((5000, 48, 6, 10), (1000, 32, 3, 50), (300, 16, 2, 7)):
+        m = rng.standard_normal((n, d)).astype(np.float32)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        q = rng.standard_normal((bq, d)).astype(np.float32)
+        valid = np.ones(n, bool)
+        valid[n // 7 : n // 5] = False
+        s_c, r_c, _ = dense_topk_approx_checked(
+            jnp.asarray(q), jnp.asarray(m), jnp.asarray(valid), k
+        )
+        s_x, r_x = dense_topk(jnp.asarray(q), jnp.asarray(m), jnp.asarray(valid), k)
+        np.testing.assert_array_equal(np.asarray(r_c), np.asarray(r_x))
+        np.testing.assert_allclose(np.asarray(s_c), np.asarray(s_x), rtol=0, atol=0)
+
+    # adversarial: duplicated rows create exact ties at the boundary;
+    # certification must fail rather than mis-order
+    m = rng.standard_normal((1000, 24)).astype(np.float32)
+    m[400:420] = m[0]
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    q = jnp.asarray(m[0][None, :].copy())
+    valid = jnp.ones(1000, bool)
+    s_t, r_t, ok = dense_topk_approx(q, jnp.asarray(m), valid, 5)
+    assert not bool(np.asarray(ok).all())  # ties defeat the strict certificate
+    s_c, r_c, fb = dense_topk_approx_checked(q, jnp.asarray(m), valid, 5)
+    assert fb
+    s_x, r_x = dense_topk(q, jnp.asarray(m), valid, 5)
+    np.testing.assert_array_equal(np.asarray(r_c), np.asarray(r_x))
