@@ -358,3 +358,33 @@ def test_cli_index_query_with_tags(tmp_path):
     assert q2.returncode == 0, q2.stderr
     results2 = json.loads(q2.stdout)
     assert results2 and all("fox" in res["content"] for res in results2)
+
+
+def test_fused_encoder_path_with_tag_filter_matches_staged():
+    """With a JAX encoder the filter rides the single fused program;
+    results must equal the staged (two-dispatch) filtered path."""
+    from trueno_rag_tpu.models.encoder import EncoderConfig, JaxEncoderEmbedder
+    from trueno_rag_tpu.retrieve import HybridRetrieverConfig
+
+    cfg = EncoderConfig(vocab_size=512, hidden_dim=32, num_layers=1,
+                        num_heads=2, mlp_dim=64, max_len=24)
+    emb = JaxEncoderEmbedder(config=cfg)
+    texts = [("quick brown fox jumps", "en"), ("lazy dog sleeps", "en"),
+             ("schneller brauner fuchs", "de"), ("fauler hund schlaeft", "de")]
+
+    def build(fused):
+        r = HybridRetriever(emb, config=HybridRetrieverConfig(fused=fused))
+        for i, (t, lang) in enumerate(texts):
+            c = _chunk(50 + i, content=t, emb=np.asarray(emb.embed(t)), dim=32)
+            r.index(c, tags=[f"lang:{lang}"])
+        return r
+
+    r_fused, r_staged = build(True), build(False)
+    flt = TagFilter(all=("lang:de",))
+    a = r_fused.retrieve_batch(["fox fuchs", "dog hund"], k=3, tag_filter=flt)
+    b = r_staged.retrieve_batch(["fox fuchs", "dog hund"], k=3, tag_filter=flt)
+    for qa, qb in zip(a, b):
+        assert [x.chunk.id for x in qa] == [x.chunk.id for x in qb]
+        assert qa and all(
+            "lang:de" in r_fused.registry.tag_names_of(x.chunk.id) for x in qa
+        )

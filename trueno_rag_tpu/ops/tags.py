@@ -98,6 +98,48 @@ def filter_candidates_by_tags(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("encoder_config", "cand", "k", "metric", "fusion_kind", "fusion_param"),
+)
+def fused_hybrid_query_tagged(
+    encoder_params,
+    token_ids: jax.Array,  # [B, T]
+    matrix: jax.Array,
+    valid_mask: jax.Array,
+    tag_bits: jax.Array,
+    t_all: jax.Array,
+    t_any: jax.Array,
+    t_none: jax.Array,
+    block_ids: jax.Array,
+    block_lo: jax.Array,
+    block_hi: jax.Array,
+    blocks: jax.Array,
+    encoder_config,
+    cand: int = 50,
+    k: int = 10,
+    metric: str = "cosine",
+    fusion_kind: str = "rrf",
+    fusion_param: float = 60.0,
+):
+    """Tag-filtered sibling of
+    :func:`trueno_rag_tpu.ops.hybrid.fused_hybrid_query`: encoder
+    forward + filtered dense top-c + BM25 top-c (post-filtered) +
+    fusion + final top-k in ONE XLA program."""
+    from trueno_rag_tpu.models.encoder import encoder_forward
+
+    q = encoder_forward(encoder_params, token_ids, encoder_config)
+    f_rows, f_scores, d_rows, d_scores, s_rows, s_scores = (
+        hybrid_query_arrays_tagged(
+            q, matrix, valid_mask, tag_bits, t_all, t_any, t_none,
+            block_ids, block_lo, block_hi, blocks,
+            cand=cand, metric=metric, fusion_kind=fusion_kind,
+            fusion_param=fusion_param,
+        )
+    )
+    return f_rows[:, :k], f_scores[:, :k], d_rows, d_scores, s_rows, s_scores
+
+
+@functools.partial(
     jax.jit, static_argnames=("cand", "metric", "fusion_kind", "fusion_param")
 )
 def hybrid_query_arrays_tagged(

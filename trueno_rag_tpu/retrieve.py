@@ -241,11 +241,13 @@ class HybridRetriever:
         if not use_dense and not use_sparse:
             raise QueryError("both retrieval sources disabled")
         fusion_strategy = fusion or self.config.fusion
-        if tag_filter is None and use_dense and use_sparse and self.config.fused is not False:
+        if use_dense and use_sparse and self.config.fused is not False:
             from trueno_rag_tpu.models.encoder import JaxEncoderEmbedder
 
             if isinstance(self.embedder, JaxEncoderEmbedder):
-                return self.retrieve_batch_fused(queries, k, fusion=fusion)
+                return self.retrieve_batch_fused(
+                    queries, k, fusion=fusion, tag_filter=tag_filter
+                )
             if self.config.fused is True:
                 raise QueryError("fused=True requires a JaxEncoderEmbedder")
 
@@ -412,7 +414,8 @@ class HybridRetriever:
         return maps
 
     def retrieve_batch_fused(self, queries: Sequence[str], k: int,
-                             fusion: Optional[FusionStrategy] = None) -> List[List[RetrievalResult]]:
+                             fusion: Optional[FusionStrategy] = None,
+                             tag_filter=None) -> List[List[RetrievalResult]]:
         """Fully fused query path (requires a JAX encoder embedder):
         tokenization and BM25 gather-list assembly on host, then ONE
         jitted program — encoder forward + dense scan + BM25 + fusion +
@@ -449,20 +452,47 @@ class HybridRetriever:
         bids, blo, bhi = self.sparse_index._gather_blocks(
             list(queries) + ["\0"] * (b_pad - len(queries))
         )
-        f_rows, f_scores, d_rows, d_scores, s_rows, s_scores = fused_hybrid_query(
-            emb.params,
-            jnp.asarray(token_ids),
-            self.vector_store.device_matrix,
-            self.vector_store.device_valid,
-            jnp.asarray(bids), jnp.asarray(blo), jnp.asarray(bhi),
-            snap["blocks"],
-            encoder_config=emb.encoder_config,
-            cand=self.config.candidates_per_source,
-            k=k,
-            metric=self.vector_store.config.metric,
-            fusion_kind=(fusion or self.config.fusion).kind,
-            fusion_param=(fusion or self.config.fusion).device_param,
-        )
+        if tag_filter is not None:
+            from trueno_rag_tpu.ops.tags import fused_hybrid_query_tagged
+
+            masks = self._filter_masks(tag_filter, len(queries))
+            if b_pad != len(queries):
+                masks = tuple(np.pad(m, (0, b_pad - len(queries))) for m in masks)
+            dm = self.vector_store.device_matrix
+            f_rows, f_scores, d_rows, d_scores, s_rows, s_scores = (
+                fused_hybrid_query_tagged(
+                    emb.params,
+                    jnp.asarray(token_ids),
+                    dm,
+                    self.vector_store.device_valid,
+                    self._device_tag_bits(dm.shape[0]),
+                    jnp.asarray(masks[0]), jnp.asarray(masks[1]),
+                    jnp.asarray(masks[2]),
+                    jnp.asarray(bids), jnp.asarray(blo), jnp.asarray(bhi),
+                    snap["blocks"],
+                    encoder_config=emb.encoder_config,
+                    cand=self.config.candidates_per_source,
+                    k=k,
+                    metric=self.vector_store.config.metric,
+                    fusion_kind=(fusion or self.config.fusion).kind,
+                    fusion_param=(fusion or self.config.fusion).device_param,
+                )
+            )
+        else:
+            f_rows, f_scores, d_rows, d_scores, s_rows, s_scores = fused_hybrid_query(
+                emb.params,
+                jnp.asarray(token_ids),
+                self.vector_store.device_matrix,
+                self.vector_store.device_valid,
+                jnp.asarray(bids), jnp.asarray(blo), jnp.asarray(bhi),
+                snap["blocks"],
+                encoder_config=emb.encoder_config,
+                cand=self.config.candidates_per_source,
+                k=k,
+                metric=self.vector_store.config.metric,
+                fusion_kind=(fusion or self.config.fusion).kind,
+                fusion_param=(fusion or self.config.fusion).device_param,
+            )
         f_rows = np.asarray(f_rows)
         f_scores = np.asarray(f_scores)
         d_maps = self._score_maps(d_rows, d_scores)
