@@ -143,3 +143,55 @@ def test_property_dense_store_matches_oracle(n, seed, k):
     assert [c for c, _ in got] == [c for c, _ in want]
     for (_, s1), (_, s2) in zip(got, want):
         assert s1 == pytest.approx(s2, abs=1e-5)
+
+
+@given(
+    bits=st.lists(st.integers(0, 2**31 - 1), min_size=1, max_size=40),
+    t_all=st.integers(0, 255),
+    t_any=st.integers(0, 255),
+    t_none=st.integers(0, 255),
+)
+@settings(max_examples=40, deadline=None)
+def test_tag_pred_device_equals_oracle_property(bits, t_all, t_any, t_none):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trueno_rag_tpu.ops.tags import tag_pred, tag_pred_oracle
+
+    arr = np.asarray(bits, dtype=np.int64).astype(np.int32)
+    got = np.asarray(
+        tag_pred(jnp.asarray(arr), jnp.int32(t_all), jnp.int32(t_any), jnp.int32(t_none))
+    )
+    want = [tag_pred_oracle(int(np.uint32(b)), t_all, t_any, t_none) for b in arr]
+    assert got.tolist() == want
+
+
+@given(
+    n=st.integers(2, 30),
+    m=st.integers(1, 10),
+    d=st.sampled_from([4, 8]),
+    thr=st.floats(0.5, 0.999),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=25, deadline=None)
+def test_near_duplicates_device_equals_oracle_property(n, m, d, thr, seed):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trueno_rag_tpu.ops.dedup import near_duplicates, near_duplicates_oracle
+
+    rng = np.random.default_rng(seed)
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus /= np.maximum(np.linalg.norm(corpus, axis=1, keepdims=True), 1e-9)
+    valid = rng.random(n) < 0.8
+    batch = rng.standard_normal((m, d)).astype(np.float32)
+    if m >= 2 and rng.random() < 0.5:
+        batch[-1] = batch[0]  # plant an in-batch duplicate
+    got = near_duplicates(jnp.asarray(batch), jnp.asarray(corpus),
+                          jnp.asarray(valid), threshold=float(np.float32(thr)))
+    want = near_duplicates_oracle(batch, corpus, valid, threshold=float(np.float32(thr)))
+    got_dup = np.asarray(got[0])
+    # scores within an ulp of the threshold may flip is_dup between
+    # device/host reduction orders; assert agreement away from the edge
+    margin = np.abs(want[2] - np.float32(thr)) > 1e-5
+    assert (got_dup[margin] == want[0][margin]).all()

@@ -165,3 +165,78 @@ def test_latency_stats_populated(retriever):
         assert stats["p50_ms"] > 0
     finally:
         batcher.shutdown()
+
+
+def test_hot_reload_swaps_index_without_downtime():
+    """POST /reload loads a fresh retriever and swaps it in; queries
+    before/after see the respective index states, /health reflects the
+    new chunk count, and unconfigured reload returns 501."""
+    import json
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    import numpy as np
+
+    from trueno_rag_tpu import MockEmbedder
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+    from trueno_rag_tpu.retrieve import HybridRetriever
+    from trueno_rag_tpu.serve import MicroBatcher, make_handler
+
+    emb = MockEmbedder(dimension=32)
+
+    def build(texts):
+        r = HybridRetriever(emb)
+        for i, t in enumerate(texts):
+            r.index(Chunk(document_id="d", content=t, start_offset=0,
+                          end_offset=len(t), metadata=ChunkMetadata(),
+                          id=chunk_id_from_int(i),
+                          embedding=np.asarray(emb.embed(t))))
+        return r
+
+    v1 = build(["old corpus entry about foxes"])
+    v2 = build(["old corpus entry about foxes", "brand new entry about tpus"])
+    batcher = MicroBatcher(v1, max_batch=4, max_wait_ms=2.0)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(batcher, lambda: v2))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return json.loads(resp.read())
+
+    try:
+        out = post("/query", {"query": "tpus", "k": 3})
+        assert all("tpus" not in r["content"] for r in out["results"])
+        rel = post("/reload", {})
+        assert rel["status"] == "reloaded" and rel["chunks"] == 2
+        out = post("/query", {"query": "tpus", "k": 3})
+        assert any("tpus" in r["content"] for r in out["results"])
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=10) as resp:
+            assert json.loads(resp.read())["chunks"] == 2
+    finally:
+        server.shutdown()
+        batcher.shutdown()
+
+    # unconfigured loader → 501
+    batcher2 = MicroBatcher(v1, max_batch=2, max_wait_ms=2.0)
+    server2 = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(batcher2))
+    port2 = server2.server_address[1]
+    threading.Thread(target=server2.serve_forever, daemon=True).start()
+    try:
+        import urllib.error
+
+        try:
+            post_url = f"http://127.0.0.1:{port2}/reload"
+            req = urllib.request.Request(post_url, data=b"{}",
+                                         headers={"Content-Type": "application/json"})
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError("expected HTTP 501")
+        except urllib.error.HTTPError as e:
+            assert e.code == 501
+    finally:
+        server2.shutdown()
+        batcher2.shutdown()

@@ -305,7 +305,8 @@ def cmd_serve(args) -> int:
     max_batch = "auto" if args.autotune else args.max_batch
     run_server(retr, host=args.host, port=args.port,
                max_batch=max_batch, max_wait_ms=args.max_wait_ms,
-               latency_budget_ms=args.latency_budget_ms)
+               latency_budget_ms=args.latency_budget_ms,
+               index_loader=lambda: _load(args.index))  # POST /reload re-reads
     return 0
 
 

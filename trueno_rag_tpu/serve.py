@@ -11,6 +11,7 @@ device program launch — the standard accelerator-serving pattern.
     POST /query   {"query": "...", "k": 5}           → {"results": [...]}
     POST /query   {"queries": ["...", "..."], "k":5} → {"batches": [[...]]}
     GET  /health                                      → {"status": "ok", ...}
+    POST /reload  {}                                  → hot-swap the index
 
 Requests may carry a tag filter — ``"filter": {"all": [...], "any":
 [...], "none": [...]}`` (single or whole batch) or ``"filters": [...]``
@@ -160,6 +161,14 @@ class MicroBatcher:
         pick = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))]  # noqa: E731
         return {"p50_ms": pick(0.50), "p95_ms": pick(0.95), "p99_ms": pick(0.99)}
 
+    def swap_retriever(self, retriever) -> None:
+        """Zero-downtime index swap: the in-flight batch finishes on
+        the old retriever (the lock serializes), queued and future
+        requests use the new one. Old index memory frees once its last
+        batch completes."""
+        with self._retriever_lock:
+            self.retriever = retriever
+
     def shutdown(self) -> None:
         self._stop.set()
         self._worker.join(timeout=2.0)
@@ -178,7 +187,11 @@ def _parse_filter(spec):
     )
 
 
-def make_handler(batcher: MicroBatcher):
+def make_handler(batcher: MicroBatcher, index_loader=None):
+    """``index_loader``: optional zero-arg (or path-arg) callable
+    returning a fresh retriever; enables ``POST /reload``."""
+    reload_lock = threading.Lock()
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -204,6 +217,26 @@ def make_handler(batcher: MicroBatcher):
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
+            if self.path == "/reload":
+                if index_loader is None:
+                    self._send(501, {"error": "no index loader configured"})
+                    return
+                if not reload_lock.acquire(blocking=False):
+                    self._send(409, {"error": "reload already in progress"})
+                    return
+                try:
+                    # load OUTSIDE the batcher lock: requests keep
+                    # serving on the old index during the (possibly
+                    # long) artifact load, then the swap is atomic
+                    new_retriever = index_loader()
+                    batcher.swap_retriever(new_retriever)
+                    self._send(200, {"status": "reloaded",
+                                     "chunks": len(new_retriever)})
+                except Exception as e:  # noqa: BLE001 — surface to caller
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                finally:
+                    reload_lock.release()
+                return
             if self.path != "/query":
                 self._send(404, {"error": "unknown path"})
                 return
@@ -233,7 +266,8 @@ def make_handler(batcher: MicroBatcher):
 def run_server(retriever, host: str = "127.0.0.1", port: int = 8080,
                max_batch=32, max_wait_ms: float = 5.0,
                autotune_k: int = 5,
-               latency_budget_ms: Optional[float] = None) -> None:
+               latency_budget_ms: Optional[float] = None,
+               index_loader=None) -> None:
     """Serve ``retriever`` over HTTP. ``max_batch="auto"`` calibrates
     batch size and straggler wait by measurement before accepting
     traffic (see :func:`trueno_rag_tpu.tune.autotune_serving`)."""
@@ -248,9 +282,9 @@ def run_server(retriever, host: str = "127.0.0.1", port: int = 8080,
         for p in tuned.table:
             print(f"  batch {p.batch_size:4d}: p50 {p.p50_ms:8.2f} ms  {p.qps:10,.0f} q/s")
     batcher = MicroBatcher(retriever, max_batch=int(max_batch), max_wait_ms=max_wait_ms)
-    server = ThreadingHTTPServer((host, port), make_handler(batcher))
-    print(f"serving {len(retriever)} chunks on http://{host}:{port} "
-          f"(POST /query, GET /health)")
+    server = ThreadingHTTPServer((host, port), make_handler(batcher, index_loader))
+    endpoints = "POST /query, GET /health" + (", POST /reload" if index_loader else "")
+    print(f"serving {len(retriever)} chunks on http://{host}:{port} ({endpoints})")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
