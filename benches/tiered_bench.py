@@ -71,8 +71,12 @@ def main() -> None:
               f"int8 certified={int(np.asarray(ok8).sum())}/{b} rows_equal="
               f"{bool(np.array_equal(np.asarray(r_8), np.asarray(r_x)))}")
 
+    # arrays as arguments, not closures: closed-over device arrays bake
+    # into the jaxpr as constants and remote compile ships the corpus
     @functools.partial(jax.jit, static_argnames=("steps", "dense_kind"))
-    def hybrid_chain(steps, dense_kind):
+    def hybrid_chain(queries, matrix, m_bf16, e_l2, a_l2, m_i8, s_row,
+                     e8_l2, a8_l2, valid, bids, blo, bhi, blocks,
+                     steps, dense_kind):
         def one(carry, _):
             q = queries + carry
             shift = (carry > 1e30).astype(jnp.int32)
@@ -103,10 +107,12 @@ def main() -> None:
 
     import os
     kinds = os.environ.get("TB_KINDS", "fp32,tiered").split(",")
+    arrs = (queries, matrix, m_bf16, e_l2, a_l2, m_i8, s_row, e8_l2, a8_l2,
+            valid, bids, blo, bhi, blocks)
     for kind in kinds:
-        float(hybrid_chain(args.iters, kind))  # compile + warm
+        float(hybrid_chain(*arrs, args.iters, kind))  # compile + warm
         t0 = time.perf_counter()
-        float(hybrid_chain(args.iters, kind))
+        float(hybrid_chain(*arrs, args.iters, kind))
         dt = (time.perf_counter() - t0) / args.iters
         print(f"hybrid[{kind:6s}]: {dt*1e3:7.3f} ms/step → {b/dt:10,.0f} q/s")
 

@@ -79,3 +79,28 @@ def test_builder_rejects_bad_threshold():
         pipeline_builder().with_dedup(0.0)
     with pytest.raises(InvalidConfigError):
         pipeline_builder().with_dedup(1.5)
+
+
+def test_dedup_correct_with_dot_metric_unnormalized_rows():
+    """Regression (review): with metric='dot' the store keeps raw rows;
+    dedup must normalize them for its cosine check — a large-norm
+    non-duplicate row must NOT swallow incoming chunks, and a true
+    duplicate must still be caught."""
+    import numpy as np
+
+    from trueno_rag_tpu import Document, MockEmbedder, RagPipelineBuilder
+    from trueno_rag_tpu.index.vector_store import VectorStoreConfig
+    from trueno_rag_tpu.rerank import NoOpReranker
+
+    emb = MockEmbedder(dimension=32)
+    pipe = (RagPipelineBuilder().with_embedder(emb).with_reranker(NoOpReranker())
+            .with_vector_config(VectorStoreConfig(dimension=32, metric="dot"))
+            .with_dedup(0.97).build())
+    n1 = pipe.index_document(Document("first document about foxes and hounds"))
+    assert n1 > 0
+    # distinct content: must NOT be flagged (raw rows would inflate sims)
+    n2 = pipe.index_document(Document("totally different topic entirely here"))
+    assert n2 > 0 and pipe.duplicates_skipped == 0
+    # true duplicate still detected
+    n3 = pipe.index_document(Document("first document about foxes and hounds"))
+    assert n3 == 0 and pipe.duplicates_skipped == n1

@@ -240,3 +240,54 @@ def test_hot_reload_swaps_index_without_downtime():
     finally:
         server2.shutdown()
         batcher2.shutdown()
+
+
+def test_one_bad_item_does_not_poison_the_microbatch():
+    """Regression (review): a failing item in a coalesced batch must
+    error alone; co-batched requests still get results."""
+    import threading
+
+    import numpy as np
+
+    from trueno_rag_tpu import MockEmbedder
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+    from trueno_rag_tpu.errors import QueryError
+    from trueno_rag_tpu.retrieve import HybridRetriever
+    from trueno_rag_tpu.serve import MicroBatcher
+
+    emb = MockEmbedder(dimension=16)
+    r = HybridRetriever(emb)
+    for i in range(3):
+        t = f"document number {i} content"
+        r.index(Chunk(document_id="d", content=t, start_offset=0, end_offset=len(t),
+                      metadata=ChunkMetadata(), id=chunk_id_from_int(i),
+                      embedding=np.asarray(emb.embed(t))))
+
+    real = r.retrieve_batch
+
+    def sabotaged(queries, k, fusion=None, tag_filter=None):
+        if len(queries) > 1:  # only the coalesced call explodes
+            raise QueryError("batch-level failure")
+        return real(queries, k, fusion=fusion, tag_filter=tag_filter)
+
+    r.retrieve_batch = sabotaged
+    batcher = MicroBatcher(r, max_batch=4, max_wait_ms=40.0)
+    try:
+        results, errors = {}, {}
+
+        def run(name):
+            try:
+                results[name] = batcher.query("document content", k=2)
+            except Exception as e:  # noqa: BLE001
+                errors[name] = e
+
+        threads = [threading.Thread(target=run, args=(f"q{i}",)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # coalesced call failed, but each item recovered individually
+        assert not errors, errors
+        assert all(results[f"q{i}"] for i in range(3))
+    finally:
+        batcher.shutdown()

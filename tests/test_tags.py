@@ -334,7 +334,8 @@ def test_cli_index_query_with_tags(tmp_path):
     (corpus / "tech" / "tpu.txt").write_text(
         "Tensor processing units multiply matrices in systolic arrays.")
     out = tmp_path / "idx"
-    env = {**os.environ, "PYTHONPATH": "/root/repo", "JAX_PLATFORMS": "cpu"}
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo_root, "JAX_PLATFORMS": "cpu"}
     r = subprocess.run(
         [sys.executable, "-m", "trueno_rag_tpu.cli", "index",
          "--path", str(corpus), "--output", str(out),

@@ -235,3 +235,22 @@ def test_fit_rejects_unknown_pair_kind_and_metric():
     with pytest.raises(InvalidConfigError):
         fit(state, tx, CFG, tok, chunks, steps=1, eval_every=1,
             eval_queries=4, select_metric="recall@999")
+
+
+def test_fit_raises_taxonomy_error_on_probe_free_corpus():
+    """Regression (review): single-sentence corpora cannot build ICT
+    probes; fit must raise InvalidConfigError, not crash in concatenate."""
+    from trueno_rag_tpu.errors import InvalidConfigError
+    from trueno_rag_tpu.models.encoder import HashTokenizer
+    from trueno_rag_tpu.train.loop import EvalSet, evaluate_retrieval, fit
+
+    chunks = _corpus_chunks(4)
+    for c in chunks:
+        c.content = "single sentence only"
+    state, tx = create_train_state(jax.random.PRNGKey(0), CFG, learning_rate=1e-3)
+    tok = HashTokenizer(CFG.vocab_size, CFG.max_len)
+    with pytest.raises(InvalidConfigError):
+        fit(state, tx, CFG, tok, chunks, steps=1, eval_every=1, eval_queries=4)
+    with pytest.raises(InvalidConfigError):
+        evaluate_retrieval(state.params, CFG, tok, ["text"],
+                           EvalSet(queries=[], relevant=[]), k=3)

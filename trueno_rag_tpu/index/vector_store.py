@@ -95,6 +95,14 @@ class VectorStoreConfig:
             raise InvalidConfigError(f"unknown storage_dtype {self.storage_dtype!r}")
         if self.scan_tier not in ("none", "auto", "bf16", "int8"):
             raise InvalidConfigError(f"unknown scan_tier {self.scan_tier!r}")
+        if self.scan_tile_n <= 0 or self.scan_tile_n % 128 != 0:
+            raise InvalidConfigError("scan_tile_n must be a positive multiple of 128")
+        if self.scan_block_top < 1:
+            raise InvalidConfigError("scan_block_top must be >= 1")
+        if self.scan_rescore_rows is not None and self.scan_rescore_rows < 1:
+            raise InvalidConfigError("scan_rescore_rows must be None or >= 1")
+        if self.scan_tier_auto_rows < 0:
+            raise InvalidConfigError("scan_tier_auto_rows must be >= 0")
         if self.scan_tier != "none":
             if self.storage_dtype != "float32":
                 raise InvalidConfigError(

@@ -29,26 +29,32 @@ import numpy as np
 NEG_INF = float("-inf")
 
 
-@functools.partial(jax.jit, static_argnames=("threshold",))
+@functools.partial(jax.jit, static_argnames=("threshold", "rows_normalized"))
 def near_duplicates(
     embeddings: jax.Array,  # [M, d] f32 (rows need not be normalized)
-    matrix: jax.Array,  # [N, d] corpus (cosine rows pre-normalized; N may be 0)
+    matrix: jax.Array,  # [N, d] corpus (N may be 0)
     valid_mask: jax.Array,  # [N] bool
     threshold: float = 0.97,
+    rows_normalized: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """→ ``(is_dup [M] bool, dup_of [M] int32, score [M] f32)``.
 
     ``dup_of`` is the corpus ROW of the duplicate (or ``-(j+2)`` when
     the duplicate is batch entry j — callers map it back; -1 = not a
-    duplicate). Cosine similarity; the incoming embeddings are
-    normalized here, corpus rows are assumed pre-normalized (the
-    VectorStore invariant)."""
+    duplicate). Similarity is COSINE regardless of the store's scoring
+    metric (duplication is about content direction, not magnitude):
+    incoming embeddings normalize here; pass
+    ``rows_normalized=False`` when the corpus rows are raw (the
+    VectorStore only pre-normalizes under the cosine metric)."""
     m = embeddings.shape[0]
     norms = jnp.linalg.norm(embeddings, axis=1, keepdims=True)
     e = embeddings / jnp.where(norms == 0.0, 1.0, norms)
 
     # vs existing corpus
     if matrix.shape[0] > 0:
+        if not rows_normalized:
+            mn = jnp.linalg.norm(matrix, axis=1, keepdims=True)
+            matrix = matrix / jnp.where(mn == 0.0, 1.0, mn)
         sim_c = jnp.dot(e, matrix.T, preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
         sim_c = jnp.where(valid_mask[None, :], sim_c, NEG_INF)
@@ -76,12 +82,16 @@ def near_duplicates(
     return is_dup, dup_of, score
 
 
-def near_duplicates_oracle(embeddings, matrix, valid_mask, threshold=0.97):
+def near_duplicates_oracle(embeddings, matrix, valid_mask, threshold=0.97,
+                           rows_normalized=True):
     """Scalar NumPy oracle (same earlier-entry-wins semantics)."""
     e = np.asarray(embeddings, np.float32).copy()
     norms = np.linalg.norm(e, axis=1, keepdims=True)
     e = e / np.where(norms == 0.0, 1.0, norms)
     mat = np.asarray(matrix, np.float32)
+    if not rows_normalized and len(mat):
+        mn = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(mn == 0.0, 1.0, mn)
     valid = np.asarray(valid_mask, bool)
     m = len(e)
     is_dup = np.zeros(m, bool)

@@ -171,6 +171,16 @@ def blockwise_topk_approx(scores: jax.Array, k: int, block: int = 128):
     else:
         flat_idx = jnp.broadcast_to(jnp.arange(nb * block)[None, :], (b, nb * block))
         thr2 = jnp.full((b,), NEG_INF)
+    # defensive dedup (mirrors ops/dense_tiered's tail): if the
+    # selector ever returned a duplicate index, the repeat must not
+    # occupy a second top-k slot — sentinel it to (-inf, -1); the
+    # resulting short result fails the strict certificate and falls
+    # back to the exact path
+    sorted_idx = jax.lax.sort(flat_idx, dimension=1)
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), sorted_idx[:, 1:] == sorted_idx[:, :-1]], axis=1
+    )
+    has_dup = jnp.any(dup_sorted, axis=1, keepdims=True)
     top_scores = jnp.take_along_axis(cand, flat_idx, axis=1)
     blk = jnp.take_along_axis(bidx, flat_idx // block, axis=1)
     rows = (blk * block + flat_idx % block).astype(jnp.int32)
@@ -180,10 +190,18 @@ def blockwise_topk_approx(scores: jax.Array, k: int, block: int = 128):
     _, _, rows, top_scores = jax.lax.sort(
         (key1, rows, rows, top_scores), num_keys=2
     )
+    # post-sort: equal adjacent rows are the duplicates — sentinel them
+    dup_rows = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), (rows[:, 1:] == rows[:, :-1]) & has_dup], axis=1
+    )
+    top_scores = jnp.where(dup_rows, NEG_INF, top_scores)
     rows = jnp.where(jnp.isneginf(top_scores), -1, rows)
     threshold = jnp.maximum(thr1, thr2)
     kth = top_scores[:, k_eff - 1]
-    certified = (kth > threshold) | jnp.isneginf(threshold)
+    # any detected duplicate voids the certificate outright: the
+    # sentinel leaves a (-inf, -1) hole mid-array, so the result is
+    # both short and mis-ordered — checked callers re-run it exactly
+    certified = ((kth > threshold) | jnp.isneginf(threshold)) & ~has_dup[:, 0]
     if k_eff < k:
         top_scores = jnp.pad(top_scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
         rows = jnp.pad(rows, ((0, 0), (0, k - k_eff)), constant_values=-1)

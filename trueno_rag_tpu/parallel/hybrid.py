@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import List, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
@@ -95,6 +96,7 @@ class ShardedHybridIndex:
                     rows_normalized=True,
                     tags=self.registry.tags_host(store_host.shape[0]),
                 )
+                self._rep_tags = None
                 self._tags_version_seen = self.registry.tags_version
         else:
             self.dense.update_rows(
@@ -102,9 +104,41 @@ class ShardedHybridIndex:
                 rows_normalized=True,
                 tags=self.registry.tags_host(store_host.shape[0])[rows],
             )
+            self._rep_tags = None
             self._tags_version_seen = self.registry.tags_version
         self._bm25._refresh_snapshot()
         self._snap = self._bm25._snap
+
+    def _refresh_tags_if_stale(self) -> None:
+        """Tag edits since the last build/refresh re-upload the tag
+        arrays ONCE (version-keyed); filtered searches never ship the
+        O(N) masks per batch."""
+        if self.registry.tags_version == self._tags_version_seen:
+            return
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_pad = self.dense.matrix.shape[0]
+        t = self.registry.tags_host(n_pad)
+        self.dense.tags = jax.device_put(
+            t, NamedSharding(self.mesh, P(self.dense.axis))
+        )
+        self._rep_tags = None
+        self._tags_version_seen = self.registry.tags_version
+
+    def _replicated_tags(self):
+        """Replicated per-row tag bits for the BM25 candidate filter
+        (cached; candidates carry GLOBAL rows so a replicated copy is
+        the cheap correct layout for the [B, cand] gather)."""
+        cached = getattr(self, "_rep_tags", None)
+        if cached is not None:
+            return cached
+        import numpy as np
+
+        self._rep_tags = jnp.asarray(
+            self.registry.tags_host(max(self.registry.capacity_rows, 1))
+        )
+        return self._rep_tags
 
     def search_arrays(self, queries: Sequence[str], k: int,
                       tag_filter=None) -> Tuple[jax.Array, jax.Array]:
@@ -118,6 +152,7 @@ class ShardedHybridIndex:
         if tag_filter is not None:
             from trueno_rag_tpu.retrieve import resolve_tag_filters
 
+            self._refresh_tags_if_stale()
             masks = resolve_tag_filters(self.registry, tag_filter, len(queries))
         d_scores, d_rows = self.dense.search(
             np.asarray(qvecs, dtype=np.float32), cand, tag_masks=masks
@@ -125,15 +160,10 @@ class ShardedHybridIndex:
 
         s_scores, s_rows = self._bm25.search_arrays(list(queries), cand)
         if masks is not None:
-            import jax.numpy as jnp
-
             from trueno_rag_tpu.ops.tags import filter_candidates_by_tags
 
-            bits = jnp.asarray(
-                self.registry.tags_host(max(self.registry.capacity_rows, 1))
-            )
             s_rows, s_scores = filter_candidates_by_tags(
-                jnp.asarray(s_rows), jnp.asarray(s_scores), bits,
+                jnp.asarray(s_rows), jnp.asarray(s_scores), self._replicated_tags(),
                 jnp.asarray(masks[0]), jnp.asarray(masks[1]), jnp.asarray(masks[2]),
             )
         f_rows, f_scores = fuse_topk(

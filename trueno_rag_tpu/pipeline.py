@@ -240,8 +240,11 @@ class RagPipeline:
         else:
             matrix = np.zeros((0, emb.shape[1]), np.float32)
             valid = np.zeros((0,), bool)
+        from trueno_rag_tpu.index.vector_store import DistanceMetric
+
         is_dup, _, _ = near_duplicates(
-            emb, matrix, valid, threshold=self.dedup_threshold
+            emb, matrix, valid, threshold=self.dedup_threshold,
+            rows_normalized=(store.config.metric == DistanceMetric.COSINE),
         )
         is_dup = np.asarray(is_dup)
         self.duplicates_skipped += int(is_dup.sum())

@@ -126,9 +126,20 @@ class MicroBatcher:
                     )
                 for item, results in zip(batch, all_results):
                     item.results = results[: item.k]
-            except Exception as e:  # propagate to every waiter
+            except Exception:
+                # one bad item must not poison the whole coalesced
+                # batch (e.g. a filter unsupported on this index): fall
+                # back to per-item retrieval so only the offender errors
                 for item in batch:
-                    item.error = e
+                    try:
+                        with self._retriever_lock:
+                            item.results = self.retriever.retrieve_batch(
+                                [item.query], item.k,
+                                tag_filter=[item.tag_filter]
+                                if item.tag_filter is not None else None,
+                            )[0]
+                    except Exception as e:  # noqa: BLE001
+                        item.error = e
             finally:
                 self._record_latency((time.perf_counter() - t_start) * 1e3)
                 self.batches_served += 1

@@ -92,6 +92,13 @@ def evaluate_retrieval(
     encode_batch: int = 64,
 ) -> Dict[str, float]:
     """Encode corpus + probes, exact dense top-k, fleet metrics → means."""
+    if not evalset.queries or not chunk_texts:
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(
+            "evaluation needs a non-empty corpus and at least one probe "
+            "query (ICT probes require chunks with >= 2 sentences)"
+        )
     matrix = _encode_texts(params, config, tokenizer, chunk_texts, encode_batch)
     qvecs = _encode_texts(params, config, tokenizer, evalset.queries, encode_batch)
     valid = jnp.ones((matrix.shape[0],), bool)
@@ -156,6 +163,15 @@ def fit(
     )
     stream = batcher.batches(pair_fn(chunks, rng))
     evalset = build_ict_evalset(chunks, eval_queries, seed=seed + 1)
+    if not evalset.queries:
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(
+            "no evaluation probes could be built: the corpus has no "
+            "chunks with >= 2 sentences (ICT needs a sentence to hold "
+            "out); use longer chunks or pair_kind='crop' with a custom "
+            "EvalSet via evaluate_retrieval"
+        )
     chunk_texts = [c.content for c in chunks]
     step_fn = jax.jit(
         functools.partial(train_step, tx=tx, config=config, temperature=temperature)
