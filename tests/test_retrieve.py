@@ -335,3 +335,58 @@ def test_auto_fused_routing():
     bad.index_batch(bad_chunks)
     with pytest.raises(QueryError):
         bad.retrieve("fox", 2)
+
+
+def test_mmr_reranker_diversifies_and_respects_lambda():
+    """MMR must demote near-duplicate candidates below a less-relevant
+    but diverse one; lambda_=1.0 reduces to pure relevance order."""
+    import numpy as np
+
+    from trueno_rag_tpu import MMRReranker
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+    from trueno_rag_tpu.errors import InvalidConfigError
+    from trueno_rag_tpu.retrieve import RetrievalResult
+
+    def cand(i, emb, score):
+        c = Chunk(document_id="d", content=f"c{i}", start_offset=0, end_offset=2,
+                  metadata=ChunkMetadata(), id=chunk_id_from_int(i),
+                  embedding=np.asarray(emb, dtype=np.float32))
+        return RetrievalResult(chunk=c, fused_score=score)
+
+    # candidates 0 and 1 are near-identical; 2 is orthogonal, lower score
+    a = [1.0, 0.0, 0.0]
+    a2 = [0.999, 0.04, 0.0]
+    b = [0.0, 1.0, 0.0]
+    cands = [cand(0, a, 1.0), cand(1, a2, 0.95), cand(2, b, 0.5)]
+
+    out = MMRReranker(lambda_=0.5).rerank("q", cands, top_k=3)
+    ids = [r.chunk.id for r in out]
+    assert ids[0] == chunk_id_from_int(0)  # most relevant first
+    assert ids[1] == chunk_id_from_int(2)  # diverse beats the near-dup
+    assert ids[2] == chunk_id_from_int(1)
+
+    out_rel = MMRReranker(lambda_=1.0).rerank("q", cands, top_k=3)
+    assert [r.chunk.id for r in out_rel] == [chunk_id_from_int(i) for i in (0, 1, 2)]
+
+    assert MMRReranker().rerank("q", [], top_k=3) == []
+    with pytest.raises(InvalidConfigError):
+        MMRReranker(lambda_=1.5)
+
+    # missing embeddings degrade gracefully (zero redundancy)
+    no_emb = [RetrievalResult(chunk=Chunk(
+        document_id="d", content="x", start_offset=0, end_offset=1,
+        metadata=ChunkMetadata(), id=chunk_id_from_int(9)), fused_score=0.3)]
+    assert MMRReranker(lambda_=0.5).rerank("q", no_emb, top_k=1)
+
+
+def test_mmr_in_pipeline():
+    from trueno_rag_tpu import Document, MMRReranker, MockEmbedder, RagPipelineBuilder
+
+    pipe = (RagPipelineBuilder().with_embedder(MockEmbedder(64))
+            .with_reranker(MMRReranker(lambda_=0.7)).build())
+    pipe.index_document(Document("the quick brown fox jumps over the dog"))
+    pipe.index_document(Document("the quick brown fox jumps over a dog"))
+    pipe.index_document(Document("tensor units multiply matrices quickly"))
+    res = pipe.query("quick fox matrices", k=3)
+    assert len(res) == 3
+    assert all(r.rerank_score is not None for r in res)

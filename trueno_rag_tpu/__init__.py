@@ -85,6 +85,7 @@ from trueno_rag_tpu.pipeline import (
 from trueno_rag_tpu.rerank import (
     CompositeReranker,
     LexicalReranker,
+    MMRReranker,
     MockCrossEncoderReranker,
     NoOpReranker,
     Reranker,
@@ -163,6 +164,7 @@ __all__ = [
     "SparseRetriever",
     "CompositeReranker",
     "LexicalReranker",
+    "MMRReranker",
     "MockCrossEncoderReranker",
     "NoOpReranker",
     "Reranker",

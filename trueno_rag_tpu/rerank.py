@@ -142,3 +142,78 @@ class CompositeReranker:
                 acc[res.chunk.id] = acc.get(res.chunk.id, 0.0) + w * (res.rerank_score or 0.0)
         scored = [_clone_with_score(r, acc[r.chunk.id]) for r in candidates]
         return _sort_desc(scored)[:top_k]
+
+
+@dataclass
+class MMRReranker:
+    """Maximal Marginal Relevance: diversity-aware candidate selection.
+
+    Greedy selection maximizing ``lambda_ * relevance - (1 - lambda_) *
+    max_similarity_to_already_selected`` — the classic remedy for result
+    lists full of near-identical chunks (complements ingest dedup, which
+    only removes NEAR-duplicates; MMR also spreads topically clustered
+    results). Relevance is each candidate's ``best_score()``, min-max
+    normalized; redundancy is cosine over the chunks' stored embeddings
+    (candidates without embeddings contribute zero redundancy). The
+    candidate sets reaching rerankers are tiny (2k), so this runs as a
+    NumPy greedy loop — no device dispatch. Beyond the reference
+    (rerank.rs has no diversity notion).
+
+    ``lambda_=1.0`` reduces to pure relevance ordering; ``0.0`` to pure
+    diversity.
+    """
+
+    lambda_: float = 0.7
+
+    def __post_init__(self) -> None:
+        if not (0.0 <= self.lambda_ <= 1.0):
+            from trueno_rag_tpu.errors import InvalidConfigError
+
+            raise InvalidConfigError("MMR lambda_ must be in [0, 1]")
+
+    def rerank(
+        self, query: str, candidates: Sequence[RetrievalResult], top_k: int
+    ) -> List[RetrievalResult]:
+        import numpy as np
+
+        cands = list(candidates)
+        if not cands:
+            return []
+        rel = np.asarray([r.best_score() for r in cands], dtype=np.float32)
+        lo, hi = float(rel.min()), float(rel.max())
+        rel = (rel - lo) / (hi - lo) if hi > lo else np.ones_like(rel)
+
+        dim = next(
+            (len(r.chunk.embedding) for r in cands if r.chunk.embedding is not None),
+            0,
+        )
+        embs = np.zeros((len(cands), dim or 1), dtype=np.float32)
+        have = np.zeros(len(cands), dtype=bool)
+        for i, r in enumerate(cands):
+            e = r.chunk.embedding
+            if e is not None and dim and len(e) == dim:
+                v = np.asarray(e, dtype=np.float32)
+                n = float(np.linalg.norm(v))
+                if n > 0:
+                    embs[i] = v / n
+                    have[i] = True
+        sims = embs @ embs.T  # cosine between candidates (0 where absent)
+
+        selected: List[int] = []
+        remaining = set(range(len(cands)))
+        while remaining and len(selected) < top_k:
+            best_i, best_val = -1, -np.inf
+            for i in sorted(remaining):  # sorted: deterministic tie-break
+                redundancy = (
+                    max((float(sims[i, j]) for j in selected if have[i] and have[j]),
+                        default=0.0)
+                    if selected
+                    else 0.0
+                )
+                val = self.lambda_ * float(rel[i]) - (1.0 - self.lambda_) * redundancy
+                if val > best_val:
+                    best_i, best_val = i, val
+            selected.append(best_i)
+            remaining.discard(best_i)
+            cands[best_i] = _clone_with_score(cands[best_i], float(best_val))
+        return [cands[i] for i in selected]
