@@ -78,8 +78,13 @@ def one_round(seed: int) -> None:
         FusionStrategy.union(),
         FusionStrategy.intersection(),
     ])
-    reranker = rng.choice([NoOpReranker(), LexicalReranker(), MockCrossEncoderReranker()])
-    pipe = (
+    from trueno_rag_tpu import MMRReranker
+
+    reranker = rng.choice([
+        NoOpReranker(), LexicalReranker(), MockCrossEncoderReranker(),
+        MMRReranker(lambda_=rng.random()),
+    ])
+    builder = (
         RagPipelineBuilder()
         .with_embedder(embedder)
         .with_reranker(reranker)
@@ -88,10 +93,45 @@ def one_round(seed: int) -> None:
         .with_retriever_config(
             HybridRetrieverConfig(candidates_per_source=rng.randint(1, 60), fusion=fusion)
         )
-        .build()
     )
-    pipe.index_documents(docs)
+    use_dedup = rng.random() < 0.3
+    if use_dedup:
+        builder = builder.with_dedup(rng.uniform(0.9, 0.999))
+    pipe = builder.build()
+    tag_pool = ["lang:en", "lang:de", "tenant:a", "tenant:b", "src:web"]
+    use_tags = rng.random() < 0.5
+    if use_tags:
+        doc_tags = [rng.sample(tag_pool, rng.randint(0, 3)) for _ in docs]
+        pipe.index_documents(docs, tags=doc_tags)
+    else:
+        pipe.index_documents(docs)
+    if use_dedup:
+        # re-ingesting the same documents must index zero new chunks
+        before = len(pipe.retriever.registry)
+        n_again = pipe.index_document(docs[0])
+        assert n_again == 0, (seed, "re-ingested doc not deduped")
+        assert len(pipe.retriever.registry) == before
     doc_by_id = {d.id: d for d in docs}
+
+    if use_tags:
+        from trueno_rag_tpu import TagFilter
+
+        reg = pipe.retriever.registry
+        for _ in range(2):
+            f = TagFilter(
+                all=tuple(rng.sample(tag_pool, rng.randint(0, 2))),
+                none=tuple(rng.sample(tag_pool, rng.randint(0, 1))),
+            )
+            fq = " ".join(rng.choices(WORDS, k=3))
+            res_f = pipe.query(fq, rng.randint(1, 8), tag_filter=f)
+            for r in res_f:
+                names = set(reg.tag_names_of(r.chunk.id))
+                assert set(f.all) <= names, (seed, "filter all violated")
+                assert not (set(f.none) & names), (seed, "filter none violated")
+            # determinism: identical call returns identical ids
+            res_f2 = pipe.query(fq, len(res_f) or 1, tag_filter=f)
+            assert [r.chunk.id for r in res_f] == [r.chunk.id for r in res_f2][: len(res_f)], (
+                seed, "filtered query nondeterministic")
 
     queries = [" ".join(rng.choices(WORDS, k=rng.randint(1, 6))) for _ in range(rng.randint(1, 5))]
     k = rng.randint(1, 12)
