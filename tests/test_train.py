@@ -254,3 +254,28 @@ def test_fit_raises_taxonomy_error_on_probe_free_corpus():
     with pytest.raises(InvalidConfigError):
         evaluate_retrieval(state.params, CFG, tok, ["text"],
                            EvalSet(queries=[], relevant=[]), k=3)
+
+
+def test_remat_matches_non_remat_gradients():
+    """config.remat must not change numerics — same loss, near-equal
+    grads (it only changes WHEN activations are computed)."""
+    import dataclasses
+
+    from trueno_rag_tpu.train.contrastive import contrastive_loss
+
+    cfg = CFG
+    cfg_r = dataclasses.replace(CFG, remat=True)
+    state, _ = create_train_state(jax.random.PRNGKey(0), cfg, learning_rate=1e-3)
+    q, d = _batch(3)
+
+    def loss_of(c):
+        def f(p):
+            return contrastive_loss(p, q, d, c)[0]
+        return jax.value_and_grad(f)(state.params)
+
+    l0, g0 = loss_of(cfg)
+    l1, g1 = loss_of(cfg_r)
+    assert float(l0) == pytest.approx(float(l1), rel=1e-6)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                                   rtol=2e-3, atol=2e-5)
