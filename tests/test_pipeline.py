@@ -178,3 +178,33 @@ def test_query_with_context_batch():
     assert len(ctxs) == 2
     assert all(c.chunks for c in ctxs)
     assert "Rust" in ctxs[0].citation_list()
+
+
+def test_citation_snippets_pick_best_matching_sentence():
+    """query_with_context attaches the sentence sharing the most query
+    terms to each citation; assembly without a query leaves it None."""
+    from trueno_rag_tpu import Document, pipeline_builder
+
+    pipe = pipeline_builder().build()
+    pipe.index_document(Document(
+        "Irrelevant opening sentence here. Systolic arrays multiply "
+        "matrices efficiently. A closing remark follows.", title="doc"))
+    ctx = pipe.query_with_context("systolic arrays multiply", k=1)
+    assert ctx.citations
+    snip = ctx.citations[0].snippet
+    assert snip is not None and "Systolic arrays multiply" in snip
+    assert "Irrelevant opening" not in snip
+    # direct assembly without a query → no snippet
+    results = pipe.query("systolic arrays", k=1)
+    ctx2 = pipe.assembler.assemble(results)
+    assert ctx2.citations and ctx2.citations[0].snippet is None
+
+
+def test_snippet_clips_long_sentences():
+    from trueno_rag_tpu.pipeline import _best_snippet
+
+    long_sent = "word " * 100 + "needle appears here finally."
+    out = _best_snippet("needle", long_sent + " Short other sentence.", max_chars=60)
+    assert out is not None and len(out) <= 60
+    assert _best_snippet("", "content here.") is None
+    assert _best_snippet("zzz", "no match at all.") is None

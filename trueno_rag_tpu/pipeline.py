@@ -47,6 +47,34 @@ class Citation:
     title: Optional[str] = None
     url: Optional[str] = None
     page: Optional[int] = None
+    # Best-matching sentence of the cited chunk for the query that
+    # produced this context (None when assembly ran without a query).
+    # Beyond the reference: its Citation carries no snippet
+    # (pipeline.rs:16-30).
+    snippet: Optional[str] = None
+
+
+def _best_snippet(query: str, content: str, max_chars: int = 240) -> Optional[str]:
+    """The sentence of ``content`` sharing the most query terms (ties:
+    earliest), clipped to ``max_chars`` — host string work, no device
+    involvement."""
+    from trueno_rag_tpu.chunking import split_sentences
+    from trueno_rag_tpu.text import tokenize_simple
+
+    terms = set(tokenize_simple(query))
+    if not terms:
+        return None
+    best, best_hits = None, 0
+    for s0, e0 in split_sentences(content):
+        sent = content[s0:e0].strip()
+        if not sent:
+            continue
+        hits = len(terms & set(tokenize_simple(sent)))
+        if hits > best_hits:
+            best, best_hits = sent, hits
+    if best is None:
+        return None
+    return best if len(best) <= max_chars else best[: max_chars - 1] + "…"
 
 
 @dataclass
@@ -116,7 +144,8 @@ class ContextAssembler:
     def __init__(self, config: Optional[ContextAssemblerConfig] = None) -> None:
         self.config = config or ContextAssemblerConfig()
 
-    def assemble(self, results: Sequence[RetrievalResult]) -> AssembledContext:
+    def assemble(self, results: Sequence[RetrievalResult],
+                 query: Optional[str] = None) -> AssembledContext:
         ordered = self._order(results)
         ctx = AssembledContext()
         citation_ids: Dict[str, int] = {}  # chunk_id -> citation id
@@ -137,6 +166,8 @@ class ContextAssembler:
                             chunk_id=chunk.id,
                             title=chunk.metadata.title,
                             page=chunk.metadata.page,
+                            snippet=_best_snippet(query, chunk.content)
+                            if query else None,
                         )
                     )
             else:
@@ -361,10 +392,15 @@ class RagPipeline:
 
     def query_with_context(self, query: str, k: int = 5,
                            tag_filter=None) -> AssembledContext:
-        return self.assembler.assemble(self.query(query, k, tag_filter=tag_filter))
+        return self.assembler.assemble(
+            self.query(query, k, tag_filter=tag_filter), query=query
+        )
 
     def query_with_context_batch(self, queries: Sequence[str], k: int = 5) -> List[AssembledContext]:
-        return [self.assembler.assemble(results) for results in self.query_batch(queries, k)]
+        return [
+            self.assembler.assemble(results, query=q)
+            for q, results in zip(queries, self.query_batch(queries, k))
+        ]
 
 
 # ---------------------------------------------------------------------------
