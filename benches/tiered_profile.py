@@ -251,6 +251,55 @@ def main() -> None:
                 ex = jnp.sum(g * qf[:, None, :], axis=-1)
                 s2, _ = jax.lax.top_k(ex, cand)
                 out = jnp.max(s2)
+            elif stage == "g_sorted":
+                # locality-ordered gather + broadcast-q elementwise
+                # rescore + tiny score scatter-back
+                R = args.rescore_rows or 192
+                rows = (
+                    jax.lax.broadcasted_iota(jnp.int32, (b, R), 1) * 401 + ishift
+                ) % n
+                flat = rows.reshape(-1)
+                order = jnp.argsort(flat)
+                sorted_rows = jnp.take(flat, order)
+                g = jnp.take(matrix, sorted_rows, axis=0)  # sequential-ish
+                owner = order // R  # originating query of each sorted row
+                qrows = jnp.take(qf, owner, axis=0)  # [B*R, d] from a 256-row table
+                sc = jnp.sum(g * qrows, axis=-1)  # [B*R]
+                ex = jnp.zeros((b * R,), jnp.float32).at[order].set(sc).reshape(b, R)
+                s2, _ = jax.lax.top_k(ex, cand)
+                out = jnp.max(s2)
+            elif stage == "s_raw":
+                # approx_max_k alone, no threshold machinery
+                v1 = outs0[0] + shift
+                vals, idx = jax.lax.approx_max_k(v1, min(cand + 64, v1.shape[1]),
+                                                 recall_target=0.99)
+                out = jnp.max(vals) + jnp.sum(idx) * 1e-9
+            elif stage == "s_scatter":
+                # the masked-max threshold alone (fixed indices)
+                v1 = outs0[0] + shift
+                kb2 = min(cand + 64, v1.shape[1])
+                idx = (jax.lax.broadcasted_iota(jnp.int32, (b, kb2), 1) * 67 + ishift) % v1.shape[1]
+                sel = jnp.zeros(v1.shape, bool).at[
+                    jnp.arange(b)[:, None], idx
+                ].set(True)
+                thr = jnp.max(jnp.where(sel, -jnp.inf, v1), axis=1)
+                out = jnp.max(thr)
+            elif stage == "s_approx95":
+                # cheaper selector setting: recall 0.95 with margin 256
+                v1 = outs0[0] + shift
+                kb = min(cand + 256, v1.shape[1])
+                _, idx = jax.lax.approx_max_k(v1, kb, recall_target=0.95)
+                sel = jnp.zeros(v1.shape, bool).at[
+                    jnp.arange(v1.shape[0])[:, None], idx
+                ].set(True)
+                thr = jnp.max(jnp.where(sel, -jnp.inf, v1), axis=1)
+                out = jnp.max(thr) + jnp.sum(idx) * 1e-9
+            elif stage == "s_approx":
+                # the production selector: approx_max_k + masked-max
+                # threshold on [B, G]
+                v1 = outs0[0] + shift
+                idx, thr = dt._topk_select(v1, min(cand + 64, v1.shape[1]), True)
+                out = jnp.max(thr) + jnp.sum(idx) * 1e-9
             elif stage == "s_topk":
                 v1 = outs0[0] + shift
                 bs, bi = jax.lax.top_k(v1, min(cand + 64 + 1, v1.shape[1]))

@@ -89,15 +89,32 @@ def _topk_select(values: jax.Array, k: int, approx: bool):
     if approx:
         # 0.95 default recall measured 189/256 certification at 1M
         # (misses raise the fail-closed threshold); 0.99 restores
-        # 256/256 at a fraction of exact top_k's cost
-        _, idx = jax.lax.approx_max_k(values, k, recall_target=0.99)
-    else:
-        _, idx = jax.lax.top_k(values, k)
-    sel = jnp.zeros((bsz, g), bool).at[
-        jnp.arange(bsz)[:, None], idx
-    ].set(True)
-    threshold = jnp.max(jnp.where(sel, NEG_INF, values), axis=1)
-    return idx, threshold
+        # 256/256 at a fraction of exact top_k's cost.
+        vals, idx = jax.lax.approx_max_k(values, k, recall_target=0.99)
+        # Scatter-free exclusion bound (a [B, G] boolean scatter lowers
+        # to a SORT on TPU — measured ~6 ms at G=7813): with
+        # vmin = min(selected), if EXACTLY k entries of the row are
+        # >= vmin and the selected indices are distinct, the selected
+        # set IS {v >= vmin}, so max(unselected) = max(v < vmin) — three
+        # elementwise passes. Any other situation (approx missed a
+        # >= vmin entry, boundary tie, duplicate index) fails closed
+        # via a +inf threshold.
+        vmin = jnp.min(vals, axis=1)  # [B]
+        ge = values >= vmin[:, None]
+        count = jnp.sum(ge, axis=1)
+        idx_sorted = jax.lax.sort(idx, dimension=1)
+        has_dup = jnp.any(idx_sorted[:, 1:] == idx_sorted[:, :-1], axis=1)
+        thr_exact = jnp.max(jnp.where(ge, NEG_INF, values), axis=1)
+        sound = (count == k) & ~has_dup
+        threshold = jnp.where(sound, thr_exact, jnp.inf)
+        return idx, threshold
+    # exact selection: the (k+1)-th sorted value bounds every
+    # unselected entry (no scatter needed)
+    kk = min(k + 1, g)
+    vals, idx = jax.lax.top_k(values, kk)
+    if kk > k:
+        return idx[:, :k], vals[:, k]
+    return idx, jnp.full((bsz,), NEG_INF)
 
 
 def _select_rescore_verify(
