@@ -166,3 +166,28 @@ def test_block_top_variants_keep_exactness_contract(bt):
     )
     s_x, r_x = dense_topk(q, m, valid, 11, "cosine")
     np.testing.assert_array_equal(np.asarray(r_c), np.asarray(r_x))
+
+
+def test_topk_select_threshold_bounds_all_unselected():
+    """Soundness property of the scatter-free selector: for every row,
+    either threshold == +inf (failed closed) or threshold >= every
+    value NOT in the selected index set — in both exact and approx
+    modes, including tie-heavy inputs."""
+    from trueno_rag_tpu.ops.dense_tiered import _topk_select
+
+    rng = np.random.default_rng(11)
+    for trial in range(8):
+        b, g, k = 5, 64, 7
+        vals = rng.standard_normal((b, g)).astype(np.float32)
+        if trial % 2:  # inject heavy exact ties
+            vals[:, : g // 2] = np.round(vals[:, : g // 2] * 4) / 4
+        for approx in (False, True):
+            idx, thr = _topk_select(jnp.asarray(vals), k, approx)
+            idx = np.asarray(idx)
+            thr = np.asarray(thr)
+            for row in range(b):
+                if np.isposinf(thr[row]):
+                    continue  # failed closed — always sound
+                unsel = np.setdiff1d(np.arange(g), idx[row])
+                assert vals[row, unsel].max() <= thr[row] + 1e-7, (
+                    trial, approx, row)
