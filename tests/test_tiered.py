@@ -191,3 +191,41 @@ def test_topk_select_threshold_bounds_all_unselected():
                 unsel = np.setdiff1d(np.arange(g), idx[row])
                 assert vals[row, unsel].max() <= thr[row] + 1e-7, (
                     trial, approx, row)
+
+
+def test_truncated_candidates_fail_closed():
+    """ADVICE r1 (high): when the candidate width block_top*kb is
+    smaller than k_req, the tier can only return a truncated result —
+    it must NOT certify while excluded rows may exist (threshold >
+    -inf), or the checked wrapper would skip the fp32 fallback and
+    break the exactness contract.
+
+    Construction: 256 rows in 2 blocks (tile_n=256), two dominant rows
+    per block and everything else orthogonal to the query, so the
+    4-candidate truncated result decisively beats the in-block
+    threshold — exactly the shape that certified pre-fix."""
+    rng = np.random.default_rng(7)
+    d = 32
+    q = rng.standard_normal((1, d)).astype(np.float32)
+    qn = (q / np.linalg.norm(q))[0]
+    m = rng.standard_normal((256, d)).astype(np.float32)
+    m -= np.outer(m @ qn, qn)  # orthogonal to the query
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    for r, c in ((0, 0.99), (1, 0.98), (128, 0.97), (129, 0.96)):
+        orth = m[r].copy()
+        m[r] = c * qn + np.sqrt(1.0 - c * c) * orth
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    mj, qj, vj = jnp.asarray(m), jnp.asarray(q), jnp.asarray(np.ones(256, bool))
+    mb, el2, al2 = prepare_tiered(mj)
+    k = 12
+    s_t, r_t, ok = dense_topk_tiered(
+        qj, mj, mb, el2, al2, vj, k, tile_n=256, block_top=2, interpret=True
+    )
+    assert int((np.asarray(r_t) >= 0).sum()) < k, "construction must truncate"
+    assert not bool(np.asarray(ok).any()), "truncated result must not certify"
+    s_c, r_c, _ = dense_topk_tiered_checked(
+        qj, mj, mb, el2, al2, vj, k, tile_n=256, block_top=2, interpret=True
+    )
+    s_x, r_x = dense_topk(qj, mj, vj, k, "cosine")
+    np.testing.assert_array_equal(np.asarray(r_c), np.asarray(r_x))
+    np.testing.assert_allclose(np.asarray(s_c), np.asarray(s_x), atol=2e-6, rtol=2e-6)

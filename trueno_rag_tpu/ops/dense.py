@@ -160,6 +160,11 @@ def blockwise_topk_approx(scores: jax.Array, k: int, block: int = 128):
         bidx = jnp.broadcast_to(jnp.arange(g)[None, :], (b, g))
         thr1 = jnp.full((b,), NEG_INF)
     bidx = jax.lax.sort(bidx, dimension=1)
+    # defensive: approx_max_k returning the same BLOCK twice would let one
+    # row occupy two certified slots with distinct flat indices (the
+    # flat-index dedup below can't see it) — void the certificate instead,
+    # mirroring the fail-closed posture of dense_tiered._topk_select
+    has_block_dup = jnp.any(bidx[:, 1:] == bidx[:, :-1], axis=1, keepdims=True)
     cand = jnp.take_along_axis(sb, bidx[:, :, None], axis=1).reshape(b, nb * block)
     k_eff = min(k, nb * block)
     if k_eff < nb * block:
@@ -201,7 +206,11 @@ def blockwise_topk_approx(scores: jax.Array, k: int, block: int = 128):
     # any detected duplicate voids the certificate outright: the
     # sentinel leaves a (-inf, -1) hole mid-array, so the result is
     # both short and mis-ordered — checked callers re-run it exactly
-    certified = ((kth > threshold) | jnp.isneginf(threshold)) & ~has_dup[:, 0]
+    certified = (
+        ((kth > threshold) | jnp.isneginf(threshold))
+        & ~has_dup[:, 0]
+        & ~has_block_dup[:, 0]
+    )
     if k_eff < k:
         top_scores = jnp.pad(top_scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
         rows = jnp.pad(rows, ((0, 0), (0, k - k_eff)), constant_values=-1)

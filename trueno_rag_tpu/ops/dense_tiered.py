@@ -211,6 +211,14 @@ def _select_rescore_verify(
     # -- verify: k-th exact must STRICTLY beat every excluded upper -------
     kth = top_s[:, min(k, k_req) - 1]
     per_q = (kth > threshold) | jnp.isneginf(threshold)
+    if k < k_req:
+        # Candidate width < k_req: the returned set is truncated, so the
+        # "kth beats threshold" proof is about the width-th row, not the
+        # k_req-th. Only certify when the threshold is -inf — i.e. NO
+        # excluded row exists anywhere (every valid row was rescored), so
+        # a short result is provably the complete valid set. Otherwise
+        # fail closed and let the checked wrapper take the fp32 path.
+        per_q = per_q & jnp.isneginf(threshold)
     return top_s[:bsz], top_r[:bsz], per_q[:bsz]
 
 
@@ -383,7 +391,7 @@ def dense_topk_int8(
     queries: jax.Array,  # [B, d] f32
     matrix: jax.Array,  # [N, d] f32 (cosine rows pre-normalized)
     m_i8: jax.Array,  # [N, d] int8 scan copy
-    s_row: jax.Array,  # [N] f32 — power-of-two row scales
+    s_row: jax.Array,  # [N] f32 — tightest symmetric (amax/127) row scales
     e_l2: jax.Array,  # [N] f32
     a_l2: jax.Array,  # [N] f32
     valid_mask: jax.Array,  # [N] bool
@@ -397,7 +405,7 @@ def dense_topk_int8(
     block_top: int = TOP,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """→ (scores [B,k], rows [B,k], certified [] bool) — int8 sibling of
+    """→ (scores [B,k], rows [B,k], certified [B] bool) — int8 sibling of
     :func:`dense_topk_tiered`; same exactness contract."""
     q = _metric_queries(queries, metric)
     n, d = matrix.shape

@@ -59,7 +59,8 @@ def _kernel(q_ref, m_ref, sr_ref, el2_ref, al2_ref, valid_ref, tq_ref,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # bit-identical: int8 values exact in bf16, sums < 2^24 in f32
-    # exact dequantization: power-of-two scales
+    # dequantization: tightest symmetric (amax/127) scales; the two f32
+    # scale multiplies round (~2^-24 rel), covered by the v_q arith term
     upper = dot * sr_ref[:][:, None] * tq_ref[:][None, :]
     upper = upper + el2_ref[:][:, None] * uq_ref[:][None, :]
     upper = upper + al2_ref[:][:, None] * vq_ref[:][None, :]
@@ -79,13 +80,13 @@ def _kernel(q_ref, m_ref, sr_ref, el2_ref, al2_ref, valid_ref, tq_ref,
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "use_int8_mxu", "top", "interpret"))
 def scan_select_int8(
-    q_i8: jax.Array,  # [B, d] int8 (quantized, power-of-two scale t_q)
+    q_i8: jax.Array,  # [B, d] int8 (quantized, symmetric amax/127 scale t_q)
     m_i8: jax.Array,  # [N, d] int8, N % tile_n == 0
-    s_row: jax.Array,  # [N] f32 — power-of-two per-row scales
+    s_row: jax.Array,  # [N] f32 — tightest symmetric (amax/127) row scales
     e_l2: jax.Array,  # [N] f32 — ‖row − s_i·row_i8‖₂
     a_l2: jax.Array,  # [N] f32 — ‖s_i·row_i8‖₂
     valid_i32: jax.Array,  # [N] int32 (0/1)
-    t_q: jax.Array,  # [B] f32 — power-of-two per-query scales
+    t_q: jax.Array,  # [B] f32 — tightest symmetric (amax/127) query scales
     u_q: jax.Array,  # [B] f32 — bound coefficient on e_l2
     v_q: jax.Array,  # [B] f32 — bound coefficient on a_l2
     tile_n: int = 1024,
