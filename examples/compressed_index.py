@@ -1,7 +1,7 @@
 """Compressed index persistence round-trip.
 
 Mirrors the reference's examples/compressed_index.rs (bincode+LZ4/ZSTD
-there; msgpack+zstd/zlib here, and the dense matrix persists too —
+there; msgpack+zstd/lz4/zlib here, and the dense matrix persists too —
 the reference defers VectorStore persistence, compressed.rs:9-10).
 
 Run: PYTHONPATH=. python examples/compressed_index.py
@@ -30,7 +30,10 @@ def main() -> None:
         retriever.index_batch(chunks)
 
     with tempfile.TemporaryDirectory() as tmp:
-        for codec in (Compression.ZSTD, Compression.ZLIB):
+        codecs = [Compression.ZSTD, Compression.ZLIB]
+        if Compression.LZ4.is_available:
+            codecs.append(Compression.LZ4)
+        for codec in codecs:
             path = os.path.join(tmp, f"index-{codec.value}.trag")
             stats = save_index(path, retriever, codec=codec)
             ratio = stats["raw_bytes_estimate"] / max(stats["compressed_bytes"], 1)

@@ -202,3 +202,70 @@ def test_streaming_truncated_artifact_rejected(tmp_path):
     open(path, "wb").write(blob[: len(blob) - 40])  # chop into the last frame
     with pytest.raises((SerializationError, Exception)):
         load_index(path, emb)
+
+
+# ---------------------------------------------------------------------------
+# LZ4 codec (reference: compressed.rs:13-65 via lz4_flex; bound to the
+# system liblz4 through ctypes, same prepend-size wire format)
+# ---------------------------------------------------------------------------
+
+
+def _lz4_live():
+    from trueno_rag_tpu import _lz4
+
+    return _lz4.available()
+
+
+@pytest.mark.skipif(not _lz4_live(), reason="liblz4 not present in image")
+def test_lz4_roundtrip_and_framing():
+    data = b"the quick brown fox " * 500
+    comp = Compression.LZ4.compress(data)
+    assert len(comp) < len(data)  # ~3-4x on text per the reference's book
+    # lz4_flex compress_prepend_size framing: u32-LE raw length first
+    assert int.from_bytes(comp[:4], "little") == len(data)
+    assert Compression.LZ4.decompress(comp) == data
+    # empty contract matches the reference (compressed.rs empty-input test)
+    assert Compression.LZ4.compress(b"") == b""
+    assert Compression.LZ4.decompress(b"") == b""
+
+
+@pytest.mark.skipif(not _lz4_live(), reason="liblz4 not present in image")
+def test_lz4_error_taxonomy():
+    with pytest.raises(SerializationError):
+        Compression.LZ4.decompress(b"\x01")  # truncated size prefix
+    with pytest.raises(SerializationError):
+        # declared size 64 but the block stream is garbage
+        Compression.LZ4.decompress((64).to_bytes(4, "little") + b"\xff\xff\xff\xff")
+    good = Compression.LZ4.compress(b"x" * 100)
+    bad = (200).to_bytes(4, "little") + good[4:]  # size-prefix lie
+    with pytest.raises(SerializationError):
+        Compression.LZ4.decompress(bad)
+
+
+@pytest.mark.skipif(not _lz4_live(), reason="liblz4 not present in image")
+def test_lz4_incompressible_roundtrip():
+    import os as _os
+
+    data = _os.urandom(4096)  # random bytes: LZ4 must still round-trip
+    assert Compression.LZ4.decompress(Compression.LZ4.compress(data)) == data
+
+
+@pytest.mark.skipif(not _lz4_live(), reason="liblz4 not present in image")
+def test_index_roundtrip_lz4(tmp_path):
+    emb = TfIdfEmbedder(32).fit(CORPUS)
+    retr = HybridRetriever(emb)
+    for i, t in enumerate(CORPUS):
+        retr.index(mk_chunk(i, t, 32, emb))
+    path = str(tmp_path / "idx.lz4.trag")
+    save_index(path, retr, codec=Compression.LZ4)
+    retr2, _ = load_index(path, emb)
+    q = CORPUS[0][:30]
+    r1 = [(r.chunk.id, round(r.best_score(), 5)) for r in retr.retrieve(q, 3)]
+    r2 = [(r.chunk.id, round(r.best_score(), 5)) for r in retr2.retrieve(q, 3)]
+    assert r1 == r2
+
+
+def test_lz4_availability_probe_is_graceful():
+    # is_available never raises, whatever the image ships
+    assert Compression.LZ4.is_available in (True, False)
+    assert Compression.ZLIB.is_available is True

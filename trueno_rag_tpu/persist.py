@@ -11,8 +11,9 @@ compressed.rs:9-10).
 Design: one artifact = msgpack payload (chunks, BM25 state, config,
 embedder identity) with the embedding matrix as raw float32 bytes,
 wrapped in a codec frame ``MAGIC | codec | compressed-payload``.
-Codecs: ``zstd`` (default, ~4-6x on index data) and ``zlib`` (stdlib
-fallback; this image has no lz4). Model checkpoints use safetensors.
+Codecs: ``zstd`` (default, ~4-6x on index data), ``lz4`` (system
+liblz4 via ctypes, lz4_flex-compatible framing, probed at runtime) and
+``zlib`` (stdlib fallback). Model checkpoints use safetensors.
 """
 
 from __future__ import annotations
@@ -44,12 +45,15 @@ MAGIC2 = b"TRAGv2\x00"  # streaming container: header + framed matrix
 class Compression(str, enum.Enum):
     """Codec selection (reference: Compression::{Lz4, Zstd},
     compressed.rs:13-65). Zstd is the default like the reference's
-    production recommendation; Zlib replaces LZ4 as the fast stdlib
-    codec in this environment."""
+    production recommendation; LZ4 binds the system liblz4 via ctypes
+    in the reference's exact lz4_flex prepend-size wire format
+    (trueno_rag_tpu/_lz4.py) and is probed at runtime; Zlib is the
+    always-available stdlib fallback."""
 
     NONE = "none"
     ZLIB = "zlib"
     ZSTD = "zstd"
+    LZ4 = "lz4"
 
     def compress(self, data: bytes, level: Optional[int] = None) -> bytes:
         if not data:
@@ -58,6 +62,10 @@ class Compression(str, enum.Enum):
             return data
         if self is Compression.ZLIB:
             return zlib.compress(data, level if level is not None else 6)
+        if self is Compression.LZ4:
+            from trueno_rag_tpu import _lz4
+
+            return _lz4.compress(data)
         if self is Compression.ZSTD:
             if not _HAS_ZSTD:
                 raise SerializationError("zstandard not available")
@@ -71,11 +79,25 @@ class Compression(str, enum.Enum):
             return data
         if self is Compression.ZLIB:
             return zlib.decompress(data)
+        if self is Compression.LZ4:
+            from trueno_rag_tpu import _lz4
+
+            return _lz4.decompress(data)
         if self is Compression.ZSTD:
             if not _HAS_ZSTD:
                 raise SerializationError("zstandard not available")
             return _zstd.ZstdDecompressor().decompress(data)
         raise SerializationError(f"unknown codec {self}")
+
+    @property
+    def is_available(self) -> bool:
+        if self is Compression.LZ4:
+            from trueno_rag_tpu import _lz4
+
+            return _lz4.available()
+        if self is Compression.ZSTD:
+            return _HAS_ZSTD
+        return True
 
 
 def default_compression() -> Compression:
