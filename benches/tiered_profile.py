@@ -33,6 +33,7 @@ def main() -> None:
     p.add_argument("--rescore-rows", type=int, default=None)
     p.add_argument("--stages", default="fp32,scan,tail,tiered")
     p.add_argument("--tile", type=int, default=1024)
+    p.add_argument("--tile2", type=int, default=2048, help="scan_select_v2 grid tile")
     args = p.parse_args()
 
     import jax
@@ -62,6 +63,19 @@ def main() -> None:
     else:
         m_pad, e_pad, a_pad, v_pad = m_bf16, e_l2, a_l2, valid
 
+    # v2 kernel padding (tile2 multiple)
+    t2 = args.tile2
+    n_pad2 = max(-(-n // t2) * t2, t2)
+    if n_pad2 != n:
+        m_pad2 = jnp.pad(m_bf16, ((0, n_pad2 - n), (0, 0)))
+        e_pad2 = jnp.pad(e_l2, (0, n_pad2 - n))
+        a_pad2 = jnp.pad(a_l2, (0, n_pad2 - n))
+        v_pad2 = jnp.pad(valid, (0, n_pad2 - n), constant_values=False)
+    else:
+        m_pad2, e_pad2, a_pad2, v_pad2 = m_bf16, e_l2, a_l2, valid
+
+    from trueno_rag_tpu.ops.pallas.scan_select_v2 import scan_select_v2
+
     qn = jnp.linalg.norm(queries, axis=-1, keepdims=True)
     qf = queries / jnp.where(qn == 0.0, 1.0, qn)
     qb0 = qf.astype(jnp.bfloat16)
@@ -72,6 +86,9 @@ def main() -> None:
     v0 = (f_l2 + d * 2.0**-23 * b_l2) * 1.0001 + 1e-7
     outs0 = scan_select(qb0, m_pad, e_pad, a_pad, v_pad.astype(jnp.int32), u0, v0)
     outs0 = jax.block_until_ready(outs0)
+    outs20 = scan_select_v2(qb0, m_pad2, e_pad2, a_pad2, v_pad2.astype(jnp.int32),
+                            u0, v0, tile_n=args.tile2)
+    outs20 = jax.block_until_ready(outs20)
 
     # kernel ablation: same tiling/IO as scan_select, but the in-kernel
     # selection reduced to a single per-block max (isolates the cost of
@@ -185,7 +202,8 @@ def main() -> None:
     # constants with the program — the corpus, at corpus scale)
     @functools.partial(jax.jit, static_argnames=("steps", "stage"))
     def chain(queries, matrix, valid, m_bf16, e_l2, a_l2, m_pad, e_pad,
-              a_pad, v_pad, qb0, qf, u0, v0, outs0, steps, stage):
+              a_pad, v_pad, m_pad2, e_pad2, a_pad2, v_pad2, qb0, qf, u0,
+              v0, outs0, outs20, steps, stage):
         def one(carry, _):
             shift = (carry > 1e30).astype(jnp.float32)  # always 0, opaque
             ishift = shift.astype(jnp.int32)
@@ -346,6 +364,58 @@ def main() -> None:
                 ]
                 cr = jax.lax.sort(jnp.concatenate(parts, axis=1), dimension=1)
                 out = jnp.sum(cr) * 1e-9 + jnp.max(b_scores)
+            elif stage == "tail2":
+                outs = (outs20[0] + shift, outs20[1] + ishift)
+                s, _, ok = dt._select_rescore_verify_tiles(
+                    outs, qf, matrix, valid, n, b, b, cand, 16,
+                    args.rescore_rows, True, 8,
+                )
+                out = jnp.max(s) + jnp.sum(ok)
+            elif stage == "t2sel":
+                # tile selection + packed candidate fetch, no trim/gather
+                t_top = 8
+                v_pack = outs20[0] + shift
+                r_pack = outs20[1] + ishift
+                kb = min(cand + 16, v_pack.shape[2])
+                t_idx, thr_out = dt._topk_select(v_pack[:, 0, :], kb, True)
+                t_idx = jax.lax.sort(t_idx, dimension=1)
+                vg = jnp.take_along_axis(v_pack, t_idx[:, None, :], axis=2)
+                rg = jnp.take_along_axis(r_pack, t_idx[:, None, :], axis=2)
+                out = jnp.max(thr_out) + jnp.sum(vg) * 1e-9 + jnp.sum(rg) * 1e-9
+            elif stage == "t2approx":
+                # the tile selector alone on [B, G']
+                v1 = outs20[0][:, 0, :] + shift
+                idx, thr = dt._topk_select(v1, min(cand + 16, v1.shape[1]), True)
+                out = jnp.max(thr) + jnp.sum(idx) * 1e-9
+            elif stage == "t2gath":
+                # the two packed take_along gathers alone (fixed indices)
+                g2 = outs20[0].shape[2]
+                kb = min(cand + 16, g2)
+                idx = (jax.lax.broadcasted_iota(jnp.int32, (b, kb), 1) * 13 + ishift) % g2
+                vg = jnp.take_along_axis(outs20[0] + shift, idx[:, None, :], axis=2)
+                rg = jnp.take_along_axis(outs20[1] + ishift, idx[:, None, :], axis=2)
+                out = jnp.sum(vg) * 1e-9 + jnp.sum(rg.astype(jnp.float32)) * 1e-9
+            elif stage == "t2trim":
+                # the trim's certified top-R over the candidate width
+                t_top = 8
+                kb = min(cand + 16, outs20[0].shape[2])
+                width = t_top * kb
+                cv = (jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
+                      .astype(jnp.float32) * 0.001 + shift)
+                v_idx, thr_exp = dt._topk_select(cv, args.rescore_rows or 192, True)
+                out = jnp.max(thr_exp) + jnp.sum(v_idx) * 1e-9
+            elif stage == "scan2":
+                outs = scan_select_v2(
+                    qb0 + shift.astype(jnp.bfloat16), m_pad2, e_pad2, a_pad2,
+                    v_pad2.astype(jnp.int32), u0, v0, tile_n=args.tile2,
+                )
+                out = jnp.max(outs[0])
+            elif stage == "tiered2":
+                s, _, ok = dt.dense_topk_tiered2(
+                    q, matrix, m_bf16, e_l2, a_l2, valid, cand,
+                    rescore_rows=args.rescore_rows, tile_n=args.tile2,
+                )
+                out = jnp.max(s) + jnp.sum(ok)
             else:  # tiered
                 s, _, ok = dt.dense_topk_tiered(
                     q, matrix, m_bf16, e_l2, a_l2, valid, cand,
@@ -359,7 +429,8 @@ def main() -> None:
 
     print(f"N={n:,} d={d} B={b} cand={cand} rescore_rows={args.rescore_rows}")
     arrs = (queries, matrix, valid, m_bf16, e_l2, a_l2, m_pad, e_pad,
-            a_pad, v_pad, qb0, qf, u0, v0, outs0)
+            a_pad, v_pad, m_pad2, e_pad2, a_pad2, v_pad2, qb0, qf, u0,
+            v0, outs0, outs20)
     for stage in args.stages.split(","):
         if stage.startswith("k_mm"):
             orient = {"k_mmT": "qmajor", "k_mmN": "nn"}.get(stage, "rowmajor")

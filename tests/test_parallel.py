@@ -129,7 +129,14 @@ def test_dp_matches_single_device_loss():
 
 def test_sharded_hybrid_matches_single_host():
     """ShardedHybridIndex over 8 shards must return the same ranking as
-    the single-host HybridRetriever for every fusion strategy."""
+    the single-host HybridRetriever for every fusion strategy.
+
+    Uses sparse_mode="replicated": the replicated sparse arrays are the
+    single-host arrays, so rankings are BIT-identical even on this
+    deliberately tie-heavy template corpus. The sharded sparse layout
+    changes f32 summation order (~1 ulp), which permutes mathematically
+    tied scores — its contract is asserted by
+    test_sharded_sparse_hybrid_rank_parity."""
     from trueno_rag_tpu.embed import TfIdfEmbedder
     from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
     from trueno_rag_tpu.fusion import FusionStrategy
@@ -154,7 +161,8 @@ def test_sharded_hybrid_matches_single_host():
     mesh = create_mesh(data=8, model=1)
     for fusion in [FusionStrategy.rrf(), FusionStrategy.linear(0.5), FusionStrategy.dbsf()]:
         retr.config.fusion = fusion
-        sharded = ShardedHybridIndex(retr, mesh, fusion=fusion, candidates_per_source=20)
+        sharded = ShardedHybridIndex(retr, mesh, fusion=fusion, candidates_per_source=20,
+                                     sparse_mode="replicated")
         retr.config.candidates_per_source = 20
         for q in ["foxes retrieval", "data ranking", "document systems"]:
             single = retr.retrieve(q, 8)
@@ -189,7 +197,11 @@ def test_sharded_hybrid_incremental_refresh():
     retr = HybridRetriever(emb)
     retr.index_batch([mk(i, t) for i, t in enumerate(corpus)])
     mesh = create_mesh(data=8, model=1)
-    sharded = ShardedHybridIndex(retr, mesh, candidates_per_source=16)
+    # replicated sparse: this test pins BIT-exact parity with the
+    # single host on a template-tied corpus (the sharded layout permutes
+    # summation-jitter ties; its contract has its own tests below)
+    sharded = ShardedHybridIndex(retr, mesh, candidates_per_source=16,
+                                 sparse_mode="replicated")
     retr.config.candidates_per_source = 16
 
     # mutate: replace row 4's content, add a new chunk, remove chunk 7
@@ -205,7 +217,8 @@ def test_sharded_hybrid_incremental_refresh():
     changed.append(row7)
 
     sharded.refresh(rows=changed)
-    rebuilt = ShardedHybridIndex(retr, mesh, candidates_per_source=16)
+    rebuilt = ShardedHybridIndex(retr, mesh, candidates_per_source=16,
+                                 sparse_mode="replicated")
     for q in ["lions indexing", "graphs search", "updated document"]:
         inc = sharded.search(q, 6)
         scratch = rebuilt.search(q, 6)
@@ -219,3 +232,122 @@ def test_sharded_hybrid_incremental_refresh():
     sharded.refresh(rows=[retr.registry.row_of(big.id)])
     got = [r.chunk.id for r in sharded.search("overflow lions", 4)]
     assert big.id in got
+
+
+def _bm25_corpus(n, emb_dim=32):
+    from trueno_rag_tpu.embed import TfIdfEmbedder
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+    from trueno_rag_tpu.retrieve import HybridRetriever
+
+    corpus = [
+        f"item {i} about {'whales' if i % 5 == 0 else 'tensors'} plus "
+        f"{'storage' if i % 2 == 0 else 'compute'} details number{i % 7}"
+        for i in range(n)
+    ]
+    emb = TfIdfEmbedder(emb_dim).fit(corpus)
+    retr = HybridRetriever(emb)
+    chunks = []
+    for i, t in enumerate(corpus):
+        c = Chunk(document_id="d", content=t, start_offset=0, end_offset=len(t),
+                  metadata=ChunkMetadata(), id=chunk_id_from_int(i))
+        c.set_embedding(emb.embed_document(t))
+        chunks.append(c)
+    retr.index_batch(chunks)
+    return retr
+
+
+def assert_rank_parity(rows_a, scores_a, rows_b, scores_b, tol=1e-5):
+    """Ranking equivalence modulo f32 summation-order jitter: scores
+    positionally allclose, and rows may permute only WITHIN groups of
+    scores tied to within ``tol`` (different gather layouts sum a doc's
+    term contributions in different tree shapes — ~1 ulp — which is the
+    same noise class as the device-vs-host-oracle gap). The trailing
+    group is skipped when it touches the k cut (a tie straddling the
+    boundary legitimately truncates differently)."""
+    a, b = np.asarray(rows_a), np.asarray(rows_b)
+    sa, sb = np.asarray(scores_a), np.asarray(scores_b)
+    assert ((a >= 0) == (b >= 0)).all()
+    np.testing.assert_allclose(
+        np.where(np.isneginf(sa), 0, sa), np.where(np.isneginf(sb), 0, sb),
+        rtol=tol, atol=tol,
+    )
+    k = int((a >= 0).sum())
+    lo = 0
+    while lo < k:
+        hi = lo + 1
+        while hi < k and abs(sa[hi] - sa[hi - 1]) <= tol * max(1.0, abs(sa[lo])):
+            hi += 1
+        if hi >= k and lo > 0:
+            break  # tie group truncated by the k cut — membership may differ
+        assert set(a[lo:hi]) == set(b[lo:hi]), (lo, hi, a[lo:hi], b[lo:hi])
+        lo = hi
+
+
+@pytest.mark.parametrize("n", [40, 5, 130])
+def test_sharded_bm25_matches_single_host(n):
+    """Document-sharded BM25 matches the single-host block path: global
+    df/avgdl bake into the per-posting contributions at build, every
+    document's postings live on one shard, and the k*s ICI merge keeps
+    (score desc, row asc) — up to permutations within summation-jitter
+    tie groups (see assert_rank_parity). n=5 exercises empty shards
+    (fewer docs than chips)."""
+    from trueno_rag_tpu.parallel.sparse import ShardedBM25
+
+    retr = _bm25_corpus(n)
+    mesh = create_mesh(data=8, model=1)
+    sb = ShardedBM25(retr.sparse_index, mesh)
+    for q in ["whales storage", "tensors compute details", "number3 item", "zzz absent"]:
+        s1, r1 = retr.sparse_index.search_arrays([q], min(10, n))
+        s2, r2 = sb.search_arrays([q], min(10, n))
+        assert_rank_parity(r1[0], s1[0], r2[0], s2[0])
+
+
+def test_sharded_sparse_hybrid_rank_parity():
+    """Hybrid serving with the sharded sparse layout matches the
+    single-host retriever exactly on a corpus whose scores are distinct
+    beyond the jitter band (each doc carries unique low-df terms)."""
+    from trueno_rag_tpu.embed import TfIdfEmbedder
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+    from trueno_rag_tpu.parallel.hybrid import ShardedHybridIndex
+    from trueno_rag_tpu.retrieve import HybridRetriever
+
+    rng = np.random.default_rng(9)
+    vocab = [f"tok{j}" for j in range(120)]
+    # every doc: a unique token-set sample with a distinct-ish length, so
+    # matched BM25 scores differ by far more than the ~1 ulp summation
+    # jitter — rankings must then be exactly equal
+    corpus = [
+        " ".join(rng.choice(vocab, size=5 + (i * 3) % 29, replace=False))
+        for i in range(48)
+    ]
+    emb = TfIdfEmbedder(32).fit(corpus)
+    retr = HybridRetriever(emb)
+    chunks = []
+    for i, t in enumerate(corpus):
+        c = Chunk(document_id="d", content=t, start_offset=0, end_offset=len(t),
+                  metadata=ChunkMetadata(), id=chunk_id_from_int(i))
+        c.set_embedding(emb.embed_document(t))
+        chunks.append(c)
+    retr.index_batch(chunks)
+    mesh = create_mesh(data=8, model=1)
+    retr.config.candidates_per_source = 16
+    sh = ShardedHybridIndex(retr, mesh, candidates_per_source=16, sparse_mode="sharded")
+    for q in ["tok3 tok40 tok77", "tok10 tok11 tok95", "tok50 tok1 tok62"]:
+        single = retr.retrieve(q, 6)
+        multi = sh.search(q, 6)
+        assert [r.chunk.id for r in multi] == [r.chunk.id for r in single], q
+
+
+def test_sharded_bm25_memory_is_sharded():
+    """The per-shard block tables must hold ~total/s postings (the 10M
+    north-star budget depends on it), not a replicated copy."""
+    from trueno_rag_tpu.parallel.sparse import ShardedBM25
+
+    retr = _bm25_corpus(128)
+    mesh = create_mesh(data=8, model=1)
+    sb = ShardedBM25(retr.sparse_index, mesh)
+    assert sb.total_postings > 0
+    # max shard holds far less than the whole corpus' postings
+    assert sb.max_shard_postings <= sb.total_postings / 2
+    # device layout: leading axis sharded over the mesh
+    assert sb.blocks.shape[0] == 8

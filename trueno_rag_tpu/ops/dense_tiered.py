@@ -139,7 +139,6 @@ def _select_rescore_verify(
     v_top = outs[: top + 1]  # v1..v_{top+1} [B_pad, G]
     i_top = outs[top + 1 :]  # i1..i_top [B_pad, G] lanes
     g = n_pad // BLOCK
-    k_req = k
 
     # -- tier 2: block selection by v1 ------------------------------------
     kb = min(k + margin_blocks, g)
@@ -162,6 +161,22 @@ def _select_rescore_verify(
         cand_parts.append(rows_t)
         val_parts.append(vals)
     cand_rows = jnp.concatenate(cand_parts, axis=1)  # [B, 4·kb]
+    cand_vals = jnp.concatenate(val_parts, axis=1)
+    return _trim_rescore_verify(
+        cand_rows, cand_vals, threshold, q, matrix, valid_mask, n, bsz,
+        b_pad, k, rescore_rows, approx_select,
+    )
+
+
+def _trim_rescore_verify(
+    cand_rows, cand_vals, threshold, q, matrix, valid_mask, n, bsz, b_pad,
+    k_req, rescore_rows, approx_select,
+):
+    """Common certificate tail: optional trim of the explicit candidate
+    set, exact fp32 rescore, deterministic (score desc, row asc) top-k
+    and the strict-beat verification. ``cand_rows`` must already map
+    -inf candidates to distinct ``_ROW_SENTINEL`` slots."""
+    k = k_req
 
     # -- optional global row trim before the fp32 gather ------------------
     width = cand_rows.shape[1]
@@ -170,7 +185,6 @@ def _select_rescore_verify(
         # result set (the (k)-th *returned* score would not be the true
         # k-th) — clamp so the proof stays about the full top-k
         rescore_rows = max(rescore_rows, k_req)
-        cand_vals = jnp.concatenate(val_parts, axis=1)  # [B, 4·kb] uppers
         if rescore_rows < width:
             # the masked max over un-rescored explicit candidates joins
             # the certificate threshold: none of them can beat it
@@ -322,6 +336,128 @@ def dense_topk_tiered_checked(
         margin_blocks=margin_blocks, metric=metric, tile_n=tile_n,
         rescore_rows=rescore_rows, approx_select=approx_select,
         block_top=block_top, interpret=interpret,
+    )
+    return _checked_fallback(s, r, ok, queries, matrix, valid_mask, k, metric)
+
+
+def _select_rescore_verify_tiles(
+    outs, q, matrix, valid_mask, n, bsz, b_pad, k, margin_tiles,
+    rescore_rows, approx_select, t_top,
+):
+    """v2 tail: tile selection over the scan_select_v2 outputs. ``outs``
+    = (v_pack [B_pad, T+1, G'], r_pack [B_pad, T, G']) — packed so the
+    per-tile candidate fetch is TWO gathers (each [B, kb]-from-[B, G']
+    gather measured ~0.25 ms of pure latency at 1M; the v1 tail's many
+    small gathers were most of its 10.8 ms). Rows are already GLOBAL
+    (no lane arithmetic); G' = N/1024 is 8x smaller than v1's block
+    grid, shrinking the selection top-k by the same factor."""
+    v_pack, r_pack = outs
+    g = v_pack.shape[2]
+
+    kb = min(k + margin_tiles, g)
+    t_idx, thr_out = _topk_select(v_pack[:, 0, :], kb, approx_select)
+    t_idx = jax.lax.sort(t_idx, dimension=1)
+    # flat 2D take_along (one gather per packed array) — the broadcast
+    # [B, 1, kb] index form lowered to a ~1.2 ms/array gather at 1M,
+    # the flattened form is the same op class as a plain [B, kb] gather
+    cv = t_top + 1
+    fiv = (jnp.arange(cv, dtype=jnp.int32)[None, :, None] * g + t_idx[:, None, :]).reshape(b_pad, cv * kb)
+    vg = jnp.take_along_axis(v_pack.reshape(b_pad, cv * g), fiv, axis=1).reshape(b_pad, cv, kb)
+    fir = (jnp.arange(t_top, dtype=jnp.int32)[None, :, None] * g + t_idx[:, None, :]).reshape(b_pad, t_top * kb)
+    rg = jnp.take_along_axis(r_pack.reshape(b_pad, t_top * g), fir, axis=1).reshape(b_pad, t_top, kb)
+    thr_in = jnp.max(vg[:, t_top, :], axis=1)
+    threshold = jnp.maximum(thr_out, thr_in)
+
+    cand_vals = vg[:, :t_top, :].reshape(b_pad, t_top * kb)
+    cand_rows = rg.reshape(b_pad, t_top * kb)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (b_pad, t_top * kb), 1)
+    cand_rows = jnp.where(jnp.isneginf(cand_vals), _ROW_SENTINEL + slot, cand_rows)
+    return _trim_rescore_verify(
+        cand_rows, cand_vals, threshold, q, matrix, valid_mask, n, bsz,
+        b_pad, k, rescore_rows, approx_select,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "margin_tiles", "metric", "tile_n", "rescore_rows", "approx_select", "t_top", "interpret"),
+)
+def dense_topk_tiered2(
+    queries: jax.Array,  # [B, d] f32
+    matrix: jax.Array,  # [N, d] f32 (cosine rows pre-normalized)
+    m_bf16: jax.Array,  # [N, d] bf16 scan copy
+    e_l2: jax.Array,  # [N] f32 — ‖row − bf16(row)‖₂
+    a_l2: jax.Array,  # [N] f32 — ‖bf16(row)‖₂
+    valid_mask: jax.Array,  # [N] bool
+    k: int,
+    # margin 16 certified only 180/256 at 1M (the exclusion threshold
+    # sits at the (k+margin+1)-th tile max, and random-corpus order
+    # statistics there are closer than the bf16 bound width); 32 is the
+    # measured floor for 256/256
+    margin_tiles: int = 32,
+    metric: str = "cosine",
+    tile_n: int = 2048,
+    rescore_rows: int | None = 192,
+    approx_select: bool = True,
+    t_top: int = 8,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Streaming-select v2 (scan_select_v2 kernel): same exactness
+    contract as :func:`dense_topk_tiered`, with the per-128-block side
+    arrays replaced by per-1024-row-tile candidate rows emitted directly
+    by the kernel. → (scores [B,k], rows [B,k], certified [B] bool)."""
+    from trueno_rag_tpu.ops.pallas.scan_select_v2 import SEL, scan_select_v2
+
+    q = _metric_queries(queries, metric)
+    n, d = matrix.shape
+    bsz = q.shape[0]
+
+    # -- bound coefficients (identical derivation to the v1 path) ---------
+    qb = q.astype(jnp.bfloat16)
+    f = q - jax.lax.optimization_barrier(qb).astype(jnp.float32)
+    b_l2 = jnp.linalg.norm(qb.astype(jnp.float32), axis=1)
+    f_l2 = jnp.linalg.norm(f, axis=1)
+    acc_eps = jnp.float32(d) * jnp.float32(2.0**-23)
+    u_q = (b_l2 + f_l2) * _BOUND_SLACK + _BOUND_EPS
+    v_q = (f_l2 + acc_eps * b_l2) * _BOUND_SLACK + _BOUND_EPS
+
+    # -- pad to kernel-friendly shapes ------------------------------------
+    b_pad = max(8, -(-bsz // 8) * 8)
+    tile = max(tile_n, SEL)
+    n_pad = max(-(-n // tile) * tile, tile)
+    qb_p = jnp.pad(qb, ((0, b_pad - bsz), (0, 0))) if b_pad != bsz else qb
+    u_p = jnp.pad(u_q, (0, b_pad - bsz)) if b_pad != bsz else u_q
+    v_p = jnp.pad(v_q, (0, b_pad - bsz)) if b_pad != bsz else v_q
+    if n_pad != n:
+        m_bf16 = jnp.pad(m_bf16, ((0, n_pad - n), (0, 0)))
+        e_l2 = jnp.pad(e_l2, (0, n_pad - n))
+        a_l2 = jnp.pad(a_l2, (0, n_pad - n))
+        valid_p = jnp.pad(valid_mask, (0, n_pad - n), constant_values=False)
+    else:
+        valid_p = valid_mask
+
+    outs = scan_select_v2(
+        qb_p, m_bf16, e_l2, a_l2, valid_p.astype(jnp.int32), u_p, v_p,
+        tile_n=tile, t_top=t_top, interpret=interpret,
+    )
+    return _select_rescore_verify_tiles(
+        outs, q, matrix, valid_mask, n, bsz, b_pad, k, margin_tiles,
+        rescore_rows, approx_select, t_top,
+    )
+
+
+def dense_topk_tiered2_checked(
+    queries, matrix, m_bf16, e_l2, a_l2, valid_mask, k,
+    margin_tiles=32, metric="cosine", tile_n=2048, rescore_rows=192,
+    approx_select=True, t_top=8, interpret=False,
+):
+    """Exactness-contract wrapper for the v2 kernel: fp32 fallback when
+    the certificate fails. Returns (scores, rows, used_fallback)."""
+    s, r, ok = dense_topk_tiered2(
+        queries, matrix, m_bf16, e_l2, a_l2, valid_mask, k,
+        margin_tiles=margin_tiles, metric=metric, tile_n=tile_n,
+        rescore_rows=rescore_rows, approx_select=approx_select,
+        t_top=t_top, interpret=interpret,
     )
     return _checked_fallback(s, r, ok, queries, matrix, valid_mask, k, metric)
 

@@ -1,19 +1,27 @@
-"""Pod-scale hybrid serving: sharded dense + replicated sparse + fusion.
+"""Pod-scale hybrid serving: sharded dense + sharded sparse + fusion.
 
 The BASELINE.json north star: a hybrid (dense+BM25) index whose memory
-footprint is dominated by the ``[N, d]`` embedding matrix, sharded
-row-wise across the mesh so an N-chunk corpus needs only ``N/s`` rows of
-HBM per chip. The BM25 side is ~16 bytes/posting vs ~4·d bytes/chunk
-dense (~100x smaller at 384-d), and its candidate-space scoring is
-corpus-size-independent, so its arrays replicate.
+footprint scales as total/s per chip on BOTH sides. The ``[N, d]``
+embedding matrix shards row-wise; the BM25 postings shard by DOCUMENT
+over the same contiguous row partition (parallel/sparse.py) — at the
+10M-chunk north star with ~100 postings/chunk, a replicated block table
+would be ~8 GB on every chip (4x the dense shard; VERDICT r1 weak #2),
+while the document shard is total/s with scores bit-identical to the
+single-host path (global df/avgdl baked into contributions at build).
 
-Query plan (one jitted program per batch):
+Query plan (one jitted program per source per batch):
 
   dense:   replicated queries → per-shard MXU scan → local top-k →
            ICI all-gather merge (exact)
-  sparse:  candidate-space BM25 over replicated postings
+  sparse:  per-shard BM25 block-gather over the shard's own postings →
+           local top-k → the same k·s ICI merge (exact)
   fuse:    any of the six strategies over the two padded candidate sets
   output:  global (rows, scores) top-k
+
+``sparse_mode="replicated"`` keeps the round-1 layout (single-host
+snapshot arrays) — the right call for small corpora where one chip's
+worth of postings is trivial and per-shard slot compilation costs more
+than it saves.
 
 Built once from a :class:`~trueno_rag_tpu.retrieve.HybridRetriever`
 snapshot (or artifacts); serving-oriented and immutable — mutate the
@@ -32,6 +40,7 @@ from jax.sharding import Mesh
 from trueno_rag_tpu.fusion import FusionStrategy
 from trueno_rag_tpu.ops.fusion import fuse_topk
 from trueno_rag_tpu.parallel.sharded import ShardedVectorIndex
+from trueno_rag_tpu.parallel.sparse import ShardedBM25
 from trueno_rag_tpu.retrieve import RetrievalResult
 
 
@@ -44,12 +53,18 @@ class ShardedHybridIndex:
         mesh: Mesh,
         fusion: Optional[FusionStrategy] = None,
         candidates_per_source: Optional[int] = None,
+        sparse_mode: str = "sharded",
     ) -> None:
+        if sparse_mode not in ("sharded", "replicated"):
+            from trueno_rag_tpu.errors import InvalidConfigError
+
+            raise InvalidConfigError(f"unknown sparse_mode {sparse_mode!r}")
         self.mesh = mesh
         self.registry = retriever.registry
         self.embedder = retriever.embedder
         self.fusion = fusion or retriever.config.fusion
         self.candidates = candidates_per_source or retriever.config.candidates_per_source
+        self.sparse_mode = sparse_mode
 
         store = retriever.vector_store
         self._store = store
@@ -66,6 +81,9 @@ class ShardedHybridIndex:
         sparse._refresh_snapshot()
         self._bm25 = sparse
         self._snap = sparse._snap
+        self.sparse = (
+            ShardedBM25(sparse, mesh) if sparse_mode == "sharded" else None
+        )
 
     def refresh(self, rows: Optional[Sequence[int]] = None) -> None:
         """Propagate retriever mutations to the sharded replicas.
@@ -108,6 +126,8 @@ class ShardedHybridIndex:
             self._tags_version_seen = self.registry.tags_version
         self._bm25._refresh_snapshot()
         self._snap = self._bm25._snap
+        if self.sparse_mode == "sharded":
+            self.sparse = ShardedBM25(self._bm25, self.mesh)
 
     def _refresh_tags_if_stale(self) -> None:
         """Tag edits since the last build/refresh re-upload the tag
@@ -158,7 +178,10 @@ class ShardedHybridIndex:
             np.asarray(qvecs, dtype=np.float32), cand, tag_masks=masks
         )
 
-        s_scores, s_rows = self._bm25.search_arrays(list(queries), cand)
+        if self.sparse is not None:
+            s_scores, s_rows = self.sparse.search_arrays(list(queries), cand)
+        else:
+            s_scores, s_rows = self._bm25.search_arrays(list(queries), cand)
         if masks is not None:
             from trueno_rag_tpu.ops.tags import filter_candidates_by_tags
 
