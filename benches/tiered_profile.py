@@ -34,6 +34,7 @@ def main() -> None:
     p.add_argument("--stages", default="fp32,scan,tail,tiered")
     p.add_argument("--tile", type=int, default=1024)
     p.add_argument("--tile2", type=int, default=2048, help="scan_select_v2 grid tile")
+    p.add_argument("--margin2", type=int, default=32, help="v2 margin_tiles")
     args = p.parse_args()
 
     import jax
@@ -367,7 +368,7 @@ def main() -> None:
             elif stage == "tail2":
                 outs = (outs20[0] + shift, outs20[1] + ishift)
                 s, _, ok = dt._select_rescore_verify_tiles(
-                    outs, qf, matrix, valid, n, b, b, cand, 16,
+                    outs, qf, matrix, valid, n, b, b, cand, args.margin2,
                     args.rescore_rows, True, 8,
                 )
                 out = jnp.max(s) + jnp.sum(ok)
@@ -376,7 +377,7 @@ def main() -> None:
                 t_top = 8
                 v_pack = outs20[0] + shift
                 r_pack = outs20[1] + ishift
-                kb = min(cand + 16, v_pack.shape[2])
+                kb = min(cand + args.margin2, v_pack.shape[2])
                 t_idx, thr_out = dt._topk_select(v_pack[:, 0, :], kb, True)
                 t_idx = jax.lax.sort(t_idx, dimension=1)
                 vg = jnp.take_along_axis(v_pack, t_idx[:, None, :], axis=2)
@@ -385,12 +386,30 @@ def main() -> None:
             elif stage == "t2approx":
                 # the tile selector alone on [B, G']
                 v1 = outs20[0][:, 0, :] + shift
-                idx, thr = dt._topk_select(v1, min(cand + 16, v1.shape[1]), True)
+                idx, thr = dt._topk_select(v1, min(cand + args.margin2, v1.shape[1]), True)
                 out = jnp.max(thr) + jnp.sum(idx) * 1e-9
+            elif stage == "t2approx_x":
+                # exact top_k variant of the tile selector
+                v1 = outs20[0][:, 0, :] + shift
+                idx, thr = dt._topk_select(v1, min(cand + args.margin2, v1.shape[1]), False)
+                out = jnp.max(thr) + jnp.sum(idx) * 1e-9
+            elif stage == "t2trim_sort":
+                # descending single-key sort as the trim (exact, gives
+                # the (R+1)-th value as the threshold for free)
+                t_top = 8
+                kb = min(cand + args.margin2, outs20[0].shape[2])
+                width = t_top * kb
+                cv = (jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
+                      .astype(jnp.float32) * 0.001 + shift)
+                rr0 = (jax.lax.broadcasted_iota(jnp.int32, (b, width), 1) * 17 + ishift)
+                _, rr_sorted, cv_sorted = jax.lax.sort(
+                    (-cv, rr0, cv), num_keys=1)
+                R = args.rescore_rows or 192
+                out = jnp.sum(rr_sorted[:, :R]) * 1e-9 + jnp.max(cv_sorted[:, R])
             elif stage == "t2gath":
                 # the two packed take_along gathers alone (fixed indices)
                 g2 = outs20[0].shape[2]
-                kb = min(cand + 16, g2)
+                kb = min(cand + args.margin2, g2)
                 idx = (jax.lax.broadcasted_iota(jnp.int32, (b, kb), 1) * 13 + ishift) % g2
                 vg = jnp.take_along_axis(outs20[0] + shift, idx[:, None, :], axis=2)
                 rg = jnp.take_along_axis(outs20[1] + ishift, idx[:, None, :], axis=2)
@@ -398,7 +417,7 @@ def main() -> None:
             elif stage == "t2trim":
                 # the trim's certified top-R over the candidate width
                 t_top = 8
-                kb = min(cand + 16, outs20[0].shape[2])
+                kb = min(cand + args.margin2, outs20[0].shape[2])
                 width = t_top * kb
                 cv = (jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
                       .astype(jnp.float32) * 0.001 + shift)

@@ -251,3 +251,14 @@ class NemotronEmbedder(Embedder):
 
         params, _ = load_params(path)
         return cls(config=config, params=params, **kw)
+
+    @classmethod
+    def from_gguf(cls, path: str, config: Optional[NemotronConfig] = None, **kw) -> "NemotronEmbedder":
+        """Load the reference's GGUF model artifacts directly (reference:
+        embed.rs:690-723 via realizar::gguf; here models/gguf.py —
+        F32/F16/Q8_0/Q4_0/Q4_1 tensors, llama tensor-name mapping,
+        missing-file/bad-magic error taxonomy)."""
+        from trueno_rag_tpu.models.gguf import load_nemotron_gguf
+
+        params, cfg = load_nemotron_gguf(path, config)
+        return cls(config=cfg, params=params, **kw)
