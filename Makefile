@@ -32,4 +32,11 @@ microbench:
 	PYTHONPATH=.:$$PYTHONPATH $(PY) benches/micro.py
 
 lint:
-	$(PY) -m compileall -q trueno_rag_tpu tests examples bench.py __graft_entry__.py
+	$(PY) -m compileall -q trueno_rag_tpu tests benches examples tools bench.py __graft_entry__.py
+	$(PY) tools/lint.py
+
+bench-compile:
+	@# mirror of the reference CI's `cargo bench --no-run`: benches must
+	@# at least parse/compile even when no device time is spent
+	$(PY) -m compileall -q benches bench.py
+	@echo "benches compile OK"

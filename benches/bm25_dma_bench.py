@@ -76,7 +76,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from bench import build_synthetic_bm25, make_query_segments
+    from bench import build_synthetic_bm25
     from benches.device_profile import chain_timed
     from trueno_rag_tpu.ops.bm25 import SEGMENT_LEN, bm25_topk_segments, pack_postings
     from trueno_rag_tpu.ops.pallas.bm25_fetch import bm25_topk_dma

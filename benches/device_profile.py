@@ -19,7 +19,6 @@ import argparse
 import functools
 import time
 
-import numpy as np
 
 
 def chain_timed(body, iters=20):

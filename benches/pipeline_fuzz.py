@@ -22,7 +22,6 @@ import random
 import sys
 import tempfile
 
-import numpy as np
 
 WORDS = (
     "fox dog data model index query chunk vector sparse dense tpu matrix "

@@ -3,7 +3,6 @@ transformers (no network), export it, and assert our JAX encoder
 reproduces its hidden states / pooled embeddings numerically."""
 
 import json
-import os
 
 import numpy as np
 import pytest

@@ -6,7 +6,6 @@ import numpy as np
 import pytest
 
 from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
-from trueno_rag_tpu.embed import MockEmbedder
 from trueno_rag_tpu.errors import DimensionMismatchError, VectorStoreError
 from trueno_rag_tpu.index import BM25Index, ChunkRegistry, VectorStore, VectorStoreConfig
 from trueno_rag_tpu.ops.dense import dense_topk, dense_topk_oracle

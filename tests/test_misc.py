@@ -89,7 +89,6 @@ def test_device_metrics_f1_hitrate():
 
 
 def test_sharded_euclidean_matches_oracle():
-    import jax
     import jax.numpy as jnp
 
     from trueno_rag_tpu.ops.dense import dense_topk_oracle

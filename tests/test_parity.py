@@ -9,7 +9,6 @@ import pytest
 from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
 from trueno_rag_tpu.embed import MockEmbedder, cosine_similarity
 from trueno_rag_tpu.fusion import FusionStrategy
-from trueno_rag_tpu.metrics import recall_at_k
 from trueno_rag_tpu.retrieve import HybridRetriever, HybridRetrieverConfig
 
 WORDS = [

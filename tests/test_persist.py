@@ -2,7 +2,6 @@
 round-trips, empty-input contract, BM25 score preservation to 1e-5
 through a save/load cycle; extended to the full hybrid artifact)."""
 
-import numpy as np
 import pytest
 
 from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int

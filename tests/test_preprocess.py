@@ -8,7 +8,6 @@ from trueno_rag_tpu.preprocess import (
     ChainedPreprocessor,
     HydePreprocessor,
     KeywordExpander,
-    MockHypotheticalGenerator,
     MultiQueryPreprocessor,
     PassthroughPreprocessor,
     QueryAnalyzer,

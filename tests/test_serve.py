@@ -3,7 +3,6 @@
 
 import json
 import threading
-import time
 import urllib.request
 from http.server import ThreadingHTTPServer
 

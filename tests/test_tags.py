@@ -295,7 +295,6 @@ def test_http_api_accepts_filters():
 def test_sharded_hybrid_tag_filter_matches_single_host():
     """Tag filters on the 8-device sharded index must equal the
     single-host filtered retriever exactly (global rows)."""
-    import jax
 
     from trueno_rag_tpu.parallel.hybrid import ShardedHybridIndex
     from trueno_rag_tpu.parallel.mesh import create_mesh

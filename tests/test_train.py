@@ -11,7 +11,6 @@ import jax.numpy as jnp
 from trueno_rag_tpu.models.encoder import EncoderConfig
 from trueno_rag_tpu.train.checkpoint import load_train_state, save_train_state
 from trueno_rag_tpu.train.contrastive import (
-    TrainState,
     contrastive_loss,
     create_train_state,
     train_step,

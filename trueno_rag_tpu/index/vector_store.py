@@ -21,7 +21,7 @@ raises :class:`DimensionMismatchError` (index.rs:359-375).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from trueno_rag_tpu.models.encoder import (
-    CLS_ID,
     PAD_ID,
     SEP_ID,
     EncoderConfig,

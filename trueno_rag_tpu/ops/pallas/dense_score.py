@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 try:  # pltpu import works everywhere; Mosaic lowering only on TPU
     from jax.experimental.pallas import tpu as pltpu
 
-    _HAS_PLTPU = True
+    _HAS_PLTPU = pltpu is not None
 except ImportError:  # pragma: no cover
     _HAS_PLTPU = False
 

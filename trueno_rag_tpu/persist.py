@@ -19,8 +19,6 @@ liblz4 via ctypes, lz4_flex-compatible framing, probed at runtime) and
 from __future__ import annotations
 
 import enum
-import io
-import json
 import os
 import zlib
 from typing import Any, Dict, Optional, Tuple
