@@ -5,7 +5,7 @@ Our chunkers guarantee a stronger invariant too: content is an exact
 document substring at [start_offset, end_offset)."""
 
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from trueno_rag_tpu import (
     Document,
@@ -199,6 +199,11 @@ def test_strategy_roundtrip_and_build():
     ),
     chunk_size=st.integers(min_value=16, max_value=256),
 )
+# pinned: multi-byte chars around split points (byte-vs-char offset
+# bugs), separator-only tails, and repeated separators
+@example(text="caf\u00e9 " * 40, chunk_size=16)
+@example(text="a\n\n\n\nb\n\n\n\nc", chunk_size=16)
+@example(text="\u4f60\u597d\u4e16\u754c\u3002" * 30, chunk_size=20)
 def test_property_recursive_exact_substrings(text, chunk_size):
     doc = Document(text)
     ch = RecursiveChunker(chunk_size=chunk_size, overlap=min(8, chunk_size - 1))

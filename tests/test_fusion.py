@@ -5,7 +5,7 @@ randomized candidate lists, and determinism/subset proptest invariants
 
 import numpy as np
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from trueno_rag_tpu.fusion import FusionStrategy
 from trueno_rag_tpu.errors import InvalidConfigError
@@ -157,6 +157,12 @@ def test_device_matches_host(kind, param, host):
     dense=st.lists(st.tuples(st.integers(0, 15), st.floats(0, 10, allow_nan=False, width=32)), max_size=6, unique_by=lambda t: t[0]),
     sparse=st.lists(st.tuples(st.integers(0, 15), st.floats(0, 10, allow_nan=False, width=32)), max_size=6, unique_by=lambda t: t[0]),
 )
+# pinned edges: all-equal scores exercise the min-max all-equal -> 1.0
+# contract (fusion.rs:183-202) and sigma=0 z-scores -> 0.0
+# (fusion.rs:204-224); one-empty-list exercises the union rank offset
+@example(dense=[(1, 2.0), (2, 2.0), (3, 2.0)], sparse=[(2, 5.0)])
+@example(dense=[(4, 1.0)], sparse=[(7, 3.0), (8, 3.0)])
+@example(dense=[], sparse=[(0, 0.0)])
 def test_property_fusion_invariants(dense, sparse):
     dense = sorted(dense, key=lambda kv: (-kv[1], kv[0]))
     sparse = sorted(sparse, key=lambda kv: (-kv[1], kv[0]))

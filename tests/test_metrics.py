@@ -3,7 +3,7 @@ bounded-metrics proptest invariants (metrics.rs:515-570), including the
 checked-in NDCG duplicate-id regression (proptest-regressions/metrics.txt)."""
 
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from trueno_rag_tpu.chunking import chunk_id_from_int as cid
 from trueno_rag_tpu.metrics import (
@@ -93,6 +93,14 @@ def test_aggregate_empty():
     relevant=st.sets(st.integers(0, 30), max_size=15),
     k=st.integers(0, 40),
 )
+# pinned regressions (the reference commits the equivalent proptest
+# seed, proptest-regressions/metrics.txt): a duplicated retrieved id
+# must not push NDCG above 1.0 (metrics.rs:103-116 dedup fix) ...
+@example(retrieved=[0, 0], relevant={0}, k=2)
+@example(retrieved=[3, 3, 3, 1], relevant={3, 1}, k=4)
+# ... and the k=0 / empty-relevant / empty-retrieved boundaries
+@example(retrieved=[1, 2], relevant=set(), k=0)
+@example(retrieved=[], relevant={5}, k=3)
 def test_property_all_metrics_bounded(retrieved, relevant, k):
     r = [cid(i) for i in retrieved]
     rel = {cid(i) for i in relevant}
