@@ -35,6 +35,12 @@ lint:
 	$(PY) -m compileall -q trueno_rag_tpu tests benches examples tools bench.py __graft_entry__.py
 	$(PY) tools/lint.py
 
+ref-baseline:
+	@# measured reference-equivalent baseline (C++ port of the
+	@# reference's scalar algorithms; see benches/reference_native/)
+	g++ -O2 -std=c++17 -o /tmp/ref_equiv benches/reference_native/ref_equiv.cpp
+	/tmp/ref_equiv
+
 bench-compile:
 	@# mirror of the reference CI's `cargo bench --no-run`: benches must
 	@# at least parse/compile even when no device time is spent

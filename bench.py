@@ -9,11 +9,17 @@ CSR postings, ~6M postings), batched queries running the full device
 program: dense cosine top-50 + BM25 scatter top-50 + RRF fusion + final
 top-10.
 
-Baseline: the reference publishes one illustrative number for this
-path — "query top-10 ~1.25 ms" on a 1 000-chunk index (BASELINE.md,
-book/src/advanced/performance.md:91) ⇒ 800 QPS. vs_baseline = our QPS /
-800, with our corpus 100x larger — a conservative comparison in the
-reference's favor.
+Baseline: MEASURED, same corpus shape, via the reference-equivalent
+native baseline (benches/reference_native/ref_equiv.cpp — a faithful
+C++ port of the reference's scalar algorithms, -O2 single thread,
+matching its HashMap layouts and loop structure; `make ref-baseline`
+reproduces). On this host, 100k chunks x 384-d, 60-token docs:
+10.7 hybrid queries/s and 11.9k build chunks/s (at a 2k prefix — the
+reference's per-add avgdl recompute is O(N), so its build rate only
+degrades from there; index.rs:157-164). The reference's book also
+publishes an illustrative 1.25 ms top-10 on a 1k-chunk index
+(=> 800 QPS, performance.md:91); that figure is reported as
+vs_published_1k for continuity with round 1.
 
 The corpus is generated on-device (no host transfer); BM25 postings are
 synthesized directly as CSR arrays with a realistic Zipf-ish shape.
@@ -26,7 +32,10 @@ import time
 
 import numpy as np
 
-BASELINE_QPS = 800.0  # reference: 1.25 ms / top-10 query (1k chunks, CPU)
+# measured 2026-08-17 via `make ref-baseline` (see module docstring)
+MEASURED_REF_QPS = 10.7  # ref-equivalent hybrid queries/s at 100k x 384
+MEASURED_REF_BUILD = 11_900.0  # ref-equivalent build chunks/s (2k prefix)
+PUBLISHED_1K_QPS = 800.0  # book figure: 1.25 ms / top-10 query (1k chunks)
 
 
 def build_synthetic_bm25(n_chunks: int, vocab: int, avg_len: int, seed: int = 0):
@@ -293,12 +302,16 @@ def main():
                            "error": f"{first_error!r} / {second_error!r}"})
             print(json.dumps(result))
             return
-    result.update({"value": round(qps, 1), "vs_baseline": round(qps / BASELINE_QPS, 2)})
+    result.update({
+        "value": round(qps, 1),
+        # measured same-corpus head-to-head (see module docstring)
+        "vs_baseline": round(qps / MEASURED_REF_QPS, 1),
+        "vs_published_1k": round(qps / PUBLISHED_1K_QPS, 2),
+    })
     try:
         build = bench_index_build()
-        # reference comparable: bm25 criterion bench, 1000 chunks/46.1 ms
         result["index_build_chunks_per_s"] = round(build, 1)
-        result["index_build_vs_baseline"] = round(build / (1000 / 0.0461), 2)
+        result["index_build_vs_baseline"] = round(build / MEASURED_REF_BUILD, 2)
     except Exception as e:  # noqa: BLE001 — the primary metric still prints
         result["index_build_error"] = repr(e)
     print(json.dumps(result))
