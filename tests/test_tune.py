@@ -90,7 +90,7 @@ def test_run_server_auto_wires_tuned_values(retriever, monkeypatch):
         captured["max_wait_ms"] = max_wait_ms
         return real_batcher(retr, max_batch=max_batch, max_wait_ms=max_wait_ms)
 
-    monkeypatch.setattr(serve_mod, "ThreadingHTTPServer", FakeServer)
+    monkeypatch.setattr(serve_mod, "RagHTTPServer", FakeServer)
     monkeypatch.setattr(serve_mod, "MicroBatcher", spy_batcher)
     import trueno_rag_tpu.tune as tune_mod
 

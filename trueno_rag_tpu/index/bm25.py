@@ -326,7 +326,10 @@ class BM25Index:
                     segs.append((s, min(SEGMENT_LEN, hi - s)))
             per_query.append(segs)
             max_segs = max(max_segs, len(segs))
-        S = bucket_len(max_segs, minimum=2)
+        # floor 64: slot-count buckets are jit compile keys — a low floor
+        # meant live serving batches kept hitting fresh (batch, S) shapes
+        # and paying multi-second compiles mid-traffic (serve_bench p99)
+        S = bucket_len(max_segs, minimum=64)
         B = len(queries)
         starts = np.full((B, S), sentinel, dtype=np.int32)
         lens = np.zeros((B, S), dtype=np.int32)
@@ -364,7 +367,7 @@ class BM25Index:
                     )
             per_query.append(slots)
             max_slots = max(max_slots, len(slots))
-        S = bucket_len(max_slots, minimum=2)
+        S = bucket_len(max_slots, minimum=64)  # compile-key floor, see above
         B = len(queries)
         bids = np.full((B, S), sentinel, dtype=np.int32)
         lo = np.zeros((B, S), dtype=np.int32)

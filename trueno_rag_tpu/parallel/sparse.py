@@ -143,7 +143,7 @@ class ShardedBM25:
                         )
                 per[i].append(slots)
                 max_slots = max(max_slots, len(slots))
-        S = bucket_len(max_slots, minimum=2)
+        S = bucket_len(max_slots, minimum=64)  # compile-key floor (index/bm25.py)
         B = len(queries)
         bids = np.zeros((s, B, S), dtype=np.int32)
         lo = np.zeros((s, B, S), dtype=np.int32)

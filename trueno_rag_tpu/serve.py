@@ -204,6 +204,17 @@ def make_handler(batcher: MicroBatcher, index_loader=None):
     reload_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: connection-per-request clients stampede
+        # the serial accept loop — measured 2.4 s SYN-retransmit p99
+        # spikes at 32+ concurrent clients (serve_bench); responses
+        # already carry Content-Length, which persistence requires
+        protocol_version = "HTTP/1.1"
+        # a HANDLER attribute (StreamRequestHandler.setup), not a server
+        # one: without it, Nagle + delayed ACK adds a flat ~40-50 ms to
+        # every keep-alive round trip (measured: 52 ms p50 at conc=1
+        # with a 5 ms device batch)
+        disable_nagle_algorithm = True
+
         def log_message(self, fmt, *args):  # quiet
             pass
 
@@ -274,11 +285,52 @@ def make_handler(batcher: MicroBatcher, index_loader=None):
     return Handler
 
 
+class RagHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer hardened for benchmark-level concurrency.
+
+    The stock defaults collapse under load (measured, serve_bench):
+    ``request_queue_size=5`` overflows the listen backlog at ~32
+    concurrent connections (clients see connection resets), and Nagle
+    delays small responses. Thread-per-connection remains — the GIL, not
+    thread count, is the scaling wall (numbers in docs/deployment.md).
+    """
+
+    daemon_threads = True
+    request_queue_size = 1024
+
+
+def prewarm(retriever, max_batch: int, k: int = 10,
+            sample_queries: Optional[List[str]] = None) -> None:
+    """Compile the jit buckets BEFORE accepting traffic.
+
+    retrieve_batch buckets two shape dimensions: batch size (powers of
+    two) and the BM25 gather width (bucket_len of the batch's posting
+    slots — driven by how many/which terms the queries hit). Each
+    bucket combination jit-compiles on first use (seconds); without
+    pre-warming those compiles land on live requests — measured as
+    multi-second p99 outliers in serve_bench. Warm with
+    ``sample_queries`` drawn from real traffic or the corpus (the
+    autotuner does the same with corpus-sampled calibration queries); a
+    generic fallback covers only the narrow-gather buckets."""
+    if not sample_queries:
+        sample_queries = ["warmup query terms retrieval index search engine"]
+    b = 1
+    while True:
+        # rotate through the sample pool so several gather-width buckets
+        # compile per batch size, not just one
+        for off in (0, b, 3 * b):
+            qs = [sample_queries[(off + i) % len(sample_queries)] for i in range(b)]
+            retriever.retrieve_batch(qs, k)
+        if b >= max_batch:
+            break
+        b *= 2
+
+
 def run_server(retriever, host: str = "127.0.0.1", port: int = 8080,
                max_batch=32, max_wait_ms: float = 5.0,
                autotune_k: int = 5,
                latency_budget_ms: Optional[float] = None,
-               index_loader=None) -> None:
+               index_loader=None, warm: bool = True) -> None:
     """Serve ``retriever`` over HTTP. ``max_batch="auto"`` calibrates
     batch size and straggler wait by measurement before accepting
     traffic (see :func:`trueno_rag_tpu.tune.autotune_serving`)."""
@@ -292,8 +344,10 @@ def run_server(retriever, host: str = "127.0.0.1", port: int = 8080,
         print(f"autotuned: max_batch={max_batch} max_wait_ms={max_wait_ms:.2f}")
         for p in tuned.table:
             print(f"  batch {p.batch_size:4d}: p50 {p.p50_ms:8.2f} ms  {p.qps:10,.0f} q/s")
+    if warm:
+        prewarm(retriever, int(max_batch), k=autotune_k)
     batcher = MicroBatcher(retriever, max_batch=int(max_batch), max_wait_ms=max_wait_ms)
-    server = ThreadingHTTPServer((host, port), make_handler(batcher, index_loader))
+    server = RagHTTPServer((host, port), make_handler(batcher, index_loader))
     endpoints = "POST /query, GET /health" + (", POST /reload" if index_loader else "")
     print(f"serving {len(retriever)} chunks on http://{host}:{port} ({endpoints})")
     try:
