@@ -37,6 +37,7 @@ def main() -> None:
     from trueno_rag_tpu.ops.dense_tiered import (
         dense_topk_int8,
         dense_topk_tiered,
+        dense_topk_tiered2,
         prepare_int8,
         prepare_tiered,
     )
@@ -66,10 +67,17 @@ def main() -> None:
             rescore_rows=args.rescore_rows,
         )
         s_x, r_x = dense_topk(queries, matrix, valid, cand, "cosine")
+        s_2, r_2, ok2 = dense_topk_tiered2(
+            queries, matrix, m_bf16, e_l2, a_l2, valid, cand,
+            rescore_rows=args.rescore_rows or 96,
+        )
+        ok2m = np.asarray(ok2).astype(bool)
         print(f"N={n:,}: bf16 certified={int(np.asarray(ok).sum())}/{b} rows_equal="
               f"{bool(np.array_equal(np.asarray(r_t), np.asarray(r_x)))} | "
               f"int8 certified={int(np.asarray(ok8).sum())}/{b} rows_equal="
-              f"{bool(np.array_equal(np.asarray(r_8), np.asarray(r_x)))}")
+              f"{bool(np.array_equal(np.asarray(r_8), np.asarray(r_x)))} | "
+              f"tile(v2) certified={int(ok2m.sum())}/{b} certified_rows_equal="
+              f"{bool(np.array_equal(np.asarray(r_2)[ok2m], np.asarray(r_x)[ok2m]))}")
 
     # arrays as arguments, not closures: closed-over device arrays bake
     # into the jaxpr as constants and remote compile ships the corpus
@@ -80,7 +88,12 @@ def main() -> None:
         def one(carry, _):
             q = queries + carry
             shift = (carry > 1e30).astype(jnp.int32)
-            if dense_kind == "tiered":
+            if dense_kind == "tiered2":
+                d_s, d_r, ok = dense_topk_tiered2(
+                    q, matrix, m_bf16, e_l2, a_l2, valid, cand,
+                    rescore_rows=args.rescore_rows or 96,
+                )
+            elif dense_kind == "tiered":
                 d_s, d_r, ok = dense_topk_tiered(
                     q, matrix, m_bf16, e_l2, a_l2, valid, cand,
                     rescore_rows=args.rescore_rows,
@@ -106,7 +119,7 @@ def main() -> None:
         return c
 
     import os
-    kinds = os.environ.get("TB_KINDS", "fp32,tiered").split(",")
+    kinds = os.environ.get("TB_KINDS", "fp32,tiered,tiered2").split(",")
     arrs = (queries, matrix, m_bf16, e_l2, a_l2, m_i8, s_row, e8_l2, a8_l2,
             valid, bids, blo, bhi, blocks)
     for kind in kinds:

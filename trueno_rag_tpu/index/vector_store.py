@@ -74,12 +74,33 @@ class VectorStoreConfig:
     # Corpus size at which scan_tier="auto" switches fp32 -> bf16 tier.
     scan_tier_auto_rows: int = 400_000
     # Candidate-row trim for the tiered rescore (ops/dense_tiered.py
-    # rescore_rows); None rescores all block candidates.
-    scan_rescore_rows: int | None = 192
-    # Per-128-row-block candidate slots in the scan kernel. 2 is the
-    # measured-best at ≥400k rows (14.1 vs 15.5 ms at 1M with top=4;
-    # in-block collisions that defeat certification are ~0.2%/query at
-    # 400k and vanish beyond); the per-query fp32 fallback covers them.
+    # rescore_rows); None rescores all block candidates. 96 is the
+    # measured best at 1M for both kernels: the exclusion threshold is
+    # governed by the selection margin (rank k+margin+1), so trimming
+    # to 96 explicit rows (threshold rank 97) is certification-neutral
+    # while cutting the scattered fp32 gather in half (8.8 vs 9.5 ms
+    # e2e with the tile kernel).
+    scan_rescore_rows: int | None = 96
+    # Scan kernel generation: "tile" = scan_select_v2 (per-1024-row-tile
+    # candidate rows emitted in-kernel; 8x smaller selection grid,
+    # measured 8.4 vs 9.8 ms at 1M/B=256/k=50, 256/256 certified) or
+    # "block" = the per-128-block v1 kernel (also used by the int8
+    # tier, which has no tile variant).
+    scan_kernel: str = "tile"
+    # Tile kernel: candidate rows kept per 1024-row tile. 3 measured
+    # fastest at k<=64 (8.23 ms); 4 is the default — collisions that
+    # defeat certification (> t_top of the true top candidates in one
+    # tile) grow with k, and the fp32 fallback covers the remainder.
+    scan_t_top: int = 4
+    # Tile kernel: selected tiles beyond k. 32 is the measured floor
+    # for 256/256 certification at 1M (16 certified only 180/256: the
+    # (k+margin+1)-th tile-max threshold lands within the bf16 bound
+    # width of the k-th score).
+    scan_margin_tiles: int = 32
+    # Per-128-row-block candidate slots in the v1 (block) kernel. 2 is
+    # the measured-best at >=400k rows; in-block collisions that defeat
+    # certification are ~0.2%/query at 400k and vanish beyond; the
+    # per-query fp32 fallback covers them.
     scan_block_top: int = 2
     # Corpus rows per kernel grid step (8192 overflows VMEM at d=384).
     scan_tile_n: int = 4096
@@ -99,6 +120,15 @@ class VectorStoreConfig:
             raise InvalidConfigError("scan_tile_n must be a positive multiple of 128")
         if self.scan_block_top < 1:
             raise InvalidConfigError("scan_block_top must be >= 1")
+        if self.scan_kernel not in ("tile", "block"):
+            raise InvalidConfigError(f"unknown scan_kernel {self.scan_kernel!r}")
+        if self.scan_t_top < 1:
+            raise InvalidConfigError("scan_t_top must be >= 1")
+        if self.scan_margin_tiles < 0:
+            raise InvalidConfigError("scan_margin_tiles must be >= 0")
+        if self.scan_kernel == "tile" and self.scan_tile_n % 1024 != 0:
+            raise InvalidConfigError(
+                "scan_kernel='tile' needs scan_tile_n to be a multiple of 1024")
         if self.scan_rescore_rows is not None and self.scan_rescore_rows < 1:
             raise InvalidConfigError("scan_rescore_rows must be None or >= 1")
         if self.scan_tier_auto_rows < 0:
@@ -283,18 +313,28 @@ class VectorStore:
 
             # Pallas TPU kernels need interpret mode off-TPU (tests/CPU)
             interpret = jax.devices()[0].platform not in ("tpu", "axon")
-            checked = (
-                dt.dense_topk_tiered_checked
-                if self._effective_tier() == "bf16"
-                else dt.dense_topk_int8_checked
-            )
-            scores, rows, fell_back = checked(
-                q, self._device_matrix, *self._tier, self._device_valid,
-                k_eff, metric=self.config.metric, interpret=interpret,
-                rescore_rows=self.config.scan_rescore_rows,
-                block_top=self.config.scan_block_top,
-                tile_n=self.config.scan_tile_n,
-            )
+            if self._effective_tier() == "bf16" and self.config.scan_kernel == "tile":
+                scores, rows, fell_back = dt.dense_topk_tiered2_checked(
+                    q, self._device_matrix, *self._tier, self._device_valid,
+                    k_eff, metric=self.config.metric, interpret=interpret,
+                    rescore_rows=self.config.scan_rescore_rows,
+                    t_top=self.config.scan_t_top,
+                    margin_tiles=self.config.scan_margin_tiles,
+                    tile_n=self.config.scan_tile_n,
+                )
+            else:
+                checked = (
+                    dt.dense_topk_tiered_checked
+                    if self._effective_tier() == "bf16"
+                    else dt.dense_topk_int8_checked
+                )
+                scores, rows, fell_back = checked(
+                    q, self._device_matrix, *self._tier, self._device_valid,
+                    k_eff, metric=self.config.metric, interpret=interpret,
+                    rescore_rows=self.config.scan_rescore_rows,
+                    block_top=self.config.scan_block_top,
+                    tile_n=self.config.scan_tile_n,
+                )
             if fell_back:
                 self.tier_fallbacks += 1
             return scores, rows

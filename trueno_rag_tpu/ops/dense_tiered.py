@@ -397,9 +397,11 @@ def dense_topk_tiered2(
     margin_tiles: int = 32,
     metric: str = "cosine",
     tile_n: int = 2048,
-    rescore_rows: int | None = 192,
+    rescore_rows: int | None = 96,
     approx_select: bool = True,
-    t_top: int = 8,
+    # 3 is the measured-fastest at k<=64 (8.2 ms at 1M); 4 default for
+    # headroom at larger k (certification fails closed either way)
+    t_top: int = 4,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Streaming-select v2 (scan_select_v2 kernel): same exactness
@@ -448,8 +450,8 @@ def dense_topk_tiered2(
 
 def dense_topk_tiered2_checked(
     queries, matrix, m_bf16, e_l2, a_l2, valid_mask, k,
-    margin_tiles=32, metric="cosine", tile_n=2048, rescore_rows=192,
-    approx_select=True, t_top=8, interpret=False,
+    margin_tiles=32, metric="cosine", tile_n=2048, rescore_rows=96,
+    approx_select=True, t_top=4, interpret=False,
 ):
     """Exactness-contract wrapper for the v2 kernel: fp32 fallback when
     the certificate fails. Returns (scores, rows, used_fallback)."""
