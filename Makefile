@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test test-fast bench examples lint dryrun
+.PHONY: test test-fast bench examples lint dryrun quality
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -34,6 +34,13 @@ microbench:
 lint:
 	$(PY) -m compileall -q trueno_rag_tpu tests benches examples tools bench.py __graft_entry__.py
 	$(PY) tools/lint.py
+
+quality:
+	@# reproduces QUALITY.md: trains the encoder on a cross-lexical
+	@# synthetic corpus and scores retrieval vs the hash/untrained
+	@# baselines (CPU, ~7 min; asserts trained > baseline + 0.2)
+	PYTHONPATH=.:$$PYTHONPATH PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+		$(PY) -u tools/quality_eval.py
 
 ref-baseline:
 	@# measured reference-equivalent baseline (C++ port of the

@@ -221,6 +221,35 @@ def test_fit_eval_driven_selection(tmp_path):
     assert np.isfinite(re_scores["recall@5"])
 
 
+def test_fit_uses_supplied_heldout_evalset_and_corpus():
+    """Regression (quality_eval round 2): fit()'s self-ICT probes are
+    exact substrings of their chunk, so an untrained bag-of-words-ish
+    encoder saturates them at step 0 and best-state selection never
+    leaves the initialization. A caller-supplied held-out evalset +
+    eval corpus must drive selection instead."""
+    from trueno_rag_tpu.models.encoder import HashTokenizer
+    from trueno_rag_tpu.train.loop import EvalSet, fit
+
+    chunks = _corpus_chunks(10)
+    eval_corpus = ["held out doc about alpha", "held out doc about beta"]
+    es = EvalSet(queries=["alpha", "beta"], relevant=[[0], [1]])
+    state, tx = create_train_state(jax.random.PRNGKey(0), CFG, learning_rate=1e-3)
+    tok = HashTokenizer(CFG.vocab_size, CFG.max_len)
+    res = fit(
+        state, tx, CFG, tok, chunks,
+        steps=2, batch_size=8, eval_every=2, k=2,
+        select_metric="recall@2", evalset=es, eval_corpus=eval_corpus,
+        seed=0,
+    )
+    # history evaluated against the 2-doc held-out corpus: recall is over
+    # the supplied relevant rows, and every eval ran (baseline + step 2).
+    assert len(res.history) == 2
+    for h in res.history:
+        assert 0.0 <= h["recall@2"] <= 1.0
+    # k was clamped to the 2-row eval corpus, not the 10-chunk train set
+    assert res.best_metric == max(h["recall@2"] for h in res.history)
+
+
 def test_fit_rejects_unknown_pair_kind_and_metric():
     from trueno_rag_tpu.errors import InvalidConfigError
     from trueno_rag_tpu.models.encoder import HashTokenizer

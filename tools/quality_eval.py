@@ -1,0 +1,158 @@
+"""Retrieval-quality evaluation: trained encoder vs the untrained and
+hash baselines (QUALITY.md's reproducing script).
+
+The reference's embedder story is pretrained models producing
+semantically meaningful vectors (reference: embed.rs:419-532 fastembed
+ONNX download). This image ships no pretrained checkpoints and has no
+egress, so semantic capability is demonstrated the only honest way
+available: TRAIN the JAX encoder with the in-repo contrastive loop on
+a corpus whose structure is learnable but invisible to lexical
+matching, and measure retrieval with the device metrics evaluator.
+
+Corpus construction — the eval REQUIRES cross-lexical generalization:
+- each topic's vocabulary splits into halves A and B;
+- TRAINING docs mix A+B sentences (ICT pairs link the halves through
+  co-occurrence);
+- the INDEXED eval corpus uses A words ONLY; eval queries use B words
+  ONLY, relevant = the indexed docs of the query's topic.
+A query shares ZERO tokens with every relevant document, so any
+bag-of-lexical-features model — the hash MockEmbedder, or an untrained
+encoder whose random word vectors only match on shared tokens — sits
+at chance. Only an encoder that has LEARNED that A- and B-words of a
+topic co-occur can bridge the gap; that is what contrastive training
+provides, and what this table demonstrates.
+
+Run: PYTHONPATH=.:$PYTHONPATH PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+       python -u tools/quality_eval.py          (or: make quality)
+"""
+
+from __future__ import annotations
+
+import random
+
+
+def build_corpus(n_topics=32, train_docs=8, index_docs=4, half_words=15,
+                 sent_words=6, sents_per_doc=3, queries_per_topic=3,
+                 val_queries_per_topic=2, seed=0):
+    """Returns (train_chunks, index_chunks, val EvalSet, test EvalSet).
+
+    Validation and test probes are built the same way (B-word queries
+    against the A-word index) from independent draws — fit() uses the
+    validation set for best-state selection; the test set is only ever
+    scored, never selected on.
+    """
+    from trueno_rag_tpu.chunking import Chunk
+    from trueno_rag_tpu.train.loop import EvalSet
+
+    rng = random.Random(seed)
+
+    def mk_chunk(topic, words_pool, n_sents):
+        sents = [
+            " ".join(rng.sample(words_pool, sent_words)) + "."
+            for _ in range(n_sents)
+        ]
+        text = " ".join(sents)
+        return Chunk(document_id=f"topic{topic}", content=text,
+                     start_offset=0, end_offset=len(text))
+
+    train_chunks, index_chunks = [], []
+    test = EvalSet(queries=[], relevant=[])
+    val = EvalSet(queries=[], relevant=[])
+    for t in range(n_topics):
+        a = [f"t{t:02d}a{j:02d}" for j in range(half_words)]
+        b = [f"t{t:02d}b{j:02d}" for j in range(half_words)]
+        for _ in range(train_docs):
+            train_chunks.append(mk_chunk(t, a + b, sents_per_doc))
+        rows = []
+        for _ in range(index_docs):
+            rows.append(len(index_chunks))
+            index_chunks.append(mk_chunk(t, a, sents_per_doc))
+        for dst, n in ((test, queries_per_topic), (val, val_queries_per_topic)):
+            for _ in range(n):
+                dst.queries.append(" ".join(rng.sample(b, sent_words)))
+                dst.relevant.append(list(rows))
+    return train_chunks, index_chunks, val, test
+
+
+def eval_embedder(embed_fn, chunk_texts, evalset, k=10):
+    """Generic evaluation: any texts->[N,d] encoder against the probes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trueno_rag_tpu.ops.dense import dense_topk
+    from trueno_rag_tpu.ops.metrics import batched_metrics
+
+    matrix = jnp.asarray(np.asarray(embed_fn(chunk_texts), dtype=np.float32))
+    qvecs = jnp.asarray(np.asarray(embed_fn(evalset.queries), dtype=np.float32))
+    valid = jnp.ones((matrix.shape[0],), bool)
+    _, rows = dense_topk(qvecs, matrix, valid, k, "cosine")
+    width = max(len(r) for r in evalset.relevant)
+    rel = np.full((len(evalset.relevant), width), -1, np.int32)
+    for i, r in enumerate(evalset.relevant):
+        rel[i, : len(r)] = r
+    per_q = batched_metrics(rows, jnp.asarray(rel), k_values=(1, 5, k))
+    return {name: float(jnp.mean(v)) for name, v in per_q.items()}
+
+
+def main() -> None:
+    import functools
+
+    import jax
+
+    from trueno_rag_tpu.embed import MockEmbedder
+    from trueno_rag_tpu.models.encoder import EncoderConfig, HashTokenizer
+    from trueno_rag_tpu.train.contrastive import create_train_state
+    from trueno_rag_tpu.train.loop import _encode_texts, fit
+
+    train_chunks, index_chunks, valset, evalset = build_corpus()
+    texts = [c.content for c in index_chunks]
+    print(f"train corpus: {len(train_chunks)} chunks; eval index: "
+          f"{len(texts)} chunks; {len(evalset.queries)} zero-overlap test "
+          f"probes (+{len(valset.queries)} validation)")
+
+    config = EncoderConfig(
+        vocab_size=4096, hidden_dim=128, num_layers=2, num_heads=4,
+        mlp_dim=256, max_len=32,
+    )
+    tokenizer = HashTokenizer(config.vocab_size, config.max_len)
+
+    results = []
+
+    def record(name, m):
+        results.append((name, m))
+        print(f"{name:24s} recall@10={m['recall@10']:.3f} "
+              f"ndcg@10={m['ndcg@10']:.3f} mrr={m['mrr']:.3f}")
+
+    mock = MockEmbedder(dimension=128)
+    record("hash (MockEmbedder)", eval_embedder(mock.embed_batch, texts, evalset))
+
+    state, tx = create_train_state(jax.random.PRNGKey(0), config)
+
+    def enc(params):
+        return functools.partial(_encode_texts, params, config, tokenizer)
+
+    record("encoder, untrained", eval_embedder(enc(state.params), texts, evalset))
+
+    # Best-state selection runs on the held-out VALIDATION task (the
+    # same cross-lexical construction, independent query draws): the
+    # default self-ICT probes are exact substrings, which an untrained
+    # encoder saturates at step 0 — selection would never leave the
+    # initialization (measured: trained == untrained row, round 2).
+    result = fit(
+        state, tx, config, tokenizer, train_chunks,
+        steps=1200, batch_size=32, max_len=32, eval_every=200,
+        k=10, seed=3, evalset=valset, eval_corpus=texts,
+        log=lambda msg: print("  " + msg),
+    )
+    record("encoder, trained (ICT)",
+           eval_embedder(enc(result.state.params), texts, evalset))
+
+    trained = results[-1][1]["recall@10"]
+    baseline = max(results[0][1]["recall@10"], results[1][1]["recall@10"])
+    assert trained > baseline + 0.2, (
+        f"training failed to beat the baselines: {trained} vs {baseline}")
+    print(f"\ntrained beats best baseline by {trained - baseline:+.3f} recall@10")
+
+
+if __name__ == "__main__":
+    main()

@@ -139,6 +139,8 @@ def fit(
     checkpoint_dir: Optional[str] = None,
     seed: int = 0,
     log: Optional[Callable[[str], None]] = None,
+    evalset: Optional[EvalSet] = None,
+    eval_corpus: Optional[Sequence[str]] = None,
 ) -> FitResult:
     """Train with periodic retrieval evaluation; keep the best state.
 
@@ -147,6 +149,16 @@ def fit(
     ``checkpoint_dir`` is set, the best state is saved to
     ``<checkpoint_dir>/best`` as it improves (orbax, resumable with
     :func:`trueno_rag_tpu.train.checkpoint.load_train_state`).
+
+    ``evalset``/``eval_corpus`` supply a held-out validation retrieval
+    task (probes + the texts they retrieve against; ``eval_corpus``
+    defaults to the training chunks). Supply one whenever the training
+    corpus admits trivial lexical retrieval: the default self-ICT
+    probes are exact substrings of their positive chunk, so any
+    bag-of-words-ish encoder — including an UNTRAINED one with random
+    word vectors — can saturate them at step 0, and best-state
+    selection would then never leave the initialization (this is a
+    measured failure mode, see tools/quality_eval.py).
 
     Returns a :class:`FitResult` whose ``state`` is the BEST-evaluating
     state seen (not necessarily the last) — eval-driven selection, the
@@ -162,7 +174,8 @@ def fit(
         tokenizer, batch_size=batch_size, max_len=max_len or config.max_len
     )
     stream = batcher.batches(pair_fn(chunks, rng))
-    evalset = build_ict_evalset(chunks, eval_queries, seed=seed + 1)
+    if evalset is None:
+        evalset = build_ict_evalset(chunks, eval_queries, seed=seed + 1)
     if not evalset.queries:
         from trueno_rag_tpu.errors import InvalidConfigError
 
@@ -172,7 +185,9 @@ def fit(
             "out); use longer chunks or pair_kind='crop' with a custom "
             "EvalSet via evaluate_retrieval"
         )
-    chunk_texts = [c.content for c in chunks]
+    chunk_texts = list(eval_corpus) if eval_corpus is not None else [
+        c.content for c in chunks
+    ]
     step_fn = jax.jit(
         functools.partial(train_step, tx=tx, config=config, temperature=temperature)
     )
