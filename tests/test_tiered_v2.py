@@ -1,0 +1,244 @@
+"""Streaming-select v2 tiers: the bf16/int8 tile kernels share the v1
+exactness contract (checked wrappers ALWAYS match the fp32 oracle), and
+the compact tier (int8 scan + certified bf16 rescore, no fp32 matrix)
+must never certify a wrong top-k SET — reference semantics
+index.rs:386-412."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from trueno_rag_tpu.ops.dense import dense_topk
+from trueno_rag_tpu.ops.dense_tiered import (
+    dense_topk_compact,
+    dense_topk_int8_tiered2,
+    dense_topk_int8_tiered2_checked,
+    dense_topk_tiered2,
+    dense_topk_tiered2_checked,
+    prepare_int8,
+    prepare_tiered,
+)
+
+
+def build(n, d, bq, seed, invalidate=True):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    q = rng.standard_normal((bq, d)).astype(np.float32)
+    valid = np.ones(n, bool)
+    if invalidate:
+        valid[n // 10 : n // 8] = False
+    return jnp.asarray(m), jnp.asarray(q), jnp.asarray(valid)
+
+
+def compact_pack(m):
+    mb, bf_e, bf_a = prepare_tiered(m)
+    mi, s, i8_e, i8_a = prepare_int8(m)
+    return mb, bf_e, bf_a, mi, s, i8_e, i8_a
+
+
+# -- exact-contract tile kernels (bf16 + int8) ------------------------------
+
+
+@pytest.mark.parametrize(
+    "n,d,bq,k", [(5000, 64, 7, 10), (20000, 384, 4, 50), (300, 32, 3, 7)]
+)
+def test_tiered2_checked_matches_oracle(n, d, bq, k):
+    m, q, valid = build(n, d, bq, seed=n)
+    mb, el2, al2 = prepare_tiered(m)
+    s_c, r_c, _ = dense_topk_tiered2_checked(
+        q, m, mb, el2, al2, valid, k, tile_n=1024, interpret=True
+    )
+    s_x, r_x = dense_topk(q, m, valid, k, "cosine")
+    np.testing.assert_array_equal(np.asarray(r_c), np.asarray(r_x))
+    np.testing.assert_allclose(np.asarray(s_c), np.asarray(s_x), atol=2e-6, rtol=2e-6)
+
+
+@pytest.mark.parametrize(
+    "n,d,bq,k", [(5000, 64, 7, 10), (20000, 384, 4, 50), (300, 32, 3, 7)]
+)
+def test_int8_tiered2_checked_matches_oracle(n, d, bq, k):
+    m, q, valid = build(n, d, bq, seed=n + 1)
+    mi, s, el2, al2 = prepare_int8(m)
+    s_c, r_c, _ = dense_topk_int8_tiered2_checked(
+        q, m, mi, s, el2, al2, valid, k, tile_n=1024, use_int8_mxu=False,
+        interpret=True,
+    )
+    s_x, r_x = dense_topk(q, m, valid, k, "cosine")
+    np.testing.assert_array_equal(np.asarray(r_c), np.asarray(r_x))
+    np.testing.assert_allclose(np.asarray(s_c), np.asarray(s_x), atol=2e-6, rtol=2e-6)
+
+
+def test_int8_tiered2_mxu_paths_bit_identical():
+    m, q, valid = build(4096, 128, 5, seed=11)
+    mi, s, el2, al2 = prepare_int8(m)
+    a = dense_topk_int8_tiered2(
+        q, m, mi, s, el2, al2, valid, 9, tile_n=1024, use_int8_mxu=True,
+        interpret=True,
+    )
+    b = dense_topk_int8_tiered2(
+        q, m, mi, s, el2, al2, valid, 9, tile_n=1024, use_int8_mxu=False,
+        interpret=True,
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_tiered2_certified_results_are_exact():
+    for seed in range(4):
+        m, q, valid = build(8192, 96, 6, seed)
+        mb, el2, al2 = prepare_tiered(m)
+        s_t, r_t, ok = dense_topk_tiered2(
+            q, m, mb, el2, al2, valid, 12, tile_n=1024, interpret=True
+        )
+        ok_np = np.asarray(ok)
+        if not ok_np.any():
+            continue
+        s_x, r_x = dense_topk(q, m, valid, 12, "cosine")
+        np.testing.assert_array_equal(
+            np.asarray(r_t)[ok_np], np.asarray(r_x)[ok_np]
+        )
+
+
+# -- compact tier: certified SET semantics ----------------------------------
+
+
+def planted(n, d, bq, k, seed):
+    """Corpus with ``k`` well-separated planted neighbors per query
+    (cosine ~0.96-0.99 vs ~0.5 background max at d=64) spread across
+    selection tiles — certification must succeed and the top-k SET is
+    unambiguous."""
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((bq, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    expected = []
+    stride = max(n // k - 13, 1)
+    for b in range(bq):
+        rows = [(17 + b + i * stride) % n for i in range(k)]
+        assert len(set(rows)) == k
+        for j, row in enumerate(rows):
+            u = rng.standard_normal(d).astype(np.float32)
+            u /= np.linalg.norm(u)
+            m[row] = q[b] + (0.1 + 0.05 * j) * u  # cosine ~0.995..0.96
+        expected.append(rows)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return jnp.asarray(m), jnp.asarray(q), expected
+
+
+def test_compact_planted_certifies_and_matches_set():
+    n, d, bq, k = 4096, 64, 4, 5
+    m, q, expected = planted(n, d, bq, k, seed=2)
+    valid = jnp.ones(n, bool)
+    s_c, r_c, ok = dense_topk_compact(
+        q, *compact_pack(m), valid, k, tile_n=1024, use_int8_mxu=False,
+        interpret=True,
+    )
+    assert bool(np.asarray(ok).all()), "well-separated corpus must certify"
+    s_x, r_x = dense_topk(q, m, valid, k, "cosine")
+    for b in range(bq):
+        assert set(np.asarray(r_c)[b].tolist()) == set(np.asarray(r_x)[b].tolist())
+        assert set(np.asarray(r_c)[b].tolist()) == set(expected[b])
+    # scores are bf16-rescored: close, not exact
+    order = np.argsort(np.asarray(r_c), axis=1)
+    oracle_order = np.argsort(np.asarray(r_x), axis=1)
+    np.testing.assert_allclose(
+        np.take_along_axis(np.asarray(s_c), order, 1),
+        np.take_along_axis(np.asarray(s_x), oracle_order, 1),
+        atol=5e-3,
+    )
+
+
+def test_compact_certificate_never_lies():
+    """Random corpus at a tile count where certification is partial
+    (measured ~5/8 at n=32k, d=32, k=10): every certified query must be
+    the exact fp32 top-k SET; uncertified ones carry no claim."""
+    any_ok = False
+    for seed in range(3):
+        m, q, valid = build(32768, 32, 8, seed, invalidate=(seed % 2 == 0))
+        s_c, r_c, ok = dense_topk_compact(
+            q, *compact_pack(m), valid, 10, tile_n=1024, use_int8_mxu=False,
+            interpret=True,
+        )
+        ok_np = np.asarray(ok)
+        if not ok_np.any():
+            continue
+        any_ok = True
+        _, r_x = dense_topk(q, m, valid, 10, "cosine")
+        for b in np.flatnonzero(ok_np):
+            assert set(np.asarray(r_c)[b].tolist()) == set(
+                np.asarray(r_x)[b].tolist()
+            ), f"certified wrong set (seed={seed}, q={b})"
+    assert any_ok, "test vacuous: nothing certified across seeds"
+
+
+def test_compact_exact_ties_fail_closed():
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((2048, 32)).astype(np.float32)
+    m[500:521] = m[0]  # 21 exact copies straddle any k=5 boundary
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    q = jnp.asarray(m[0][None, :].copy())
+    m = jnp.asarray(m)
+    valid = jnp.ones(2048, bool)
+    _, _, ok = dense_topk_compact(
+        q, *compact_pack(m), valid, 5, tile_n=1024, use_int8_mxu=False,
+        interpret=True,
+    )
+    assert not bool(np.asarray(ok).any())
+
+
+def test_compact_trim_path_certified_sets_exact():
+    """rescore_rows=60 < the 128-candidate width triggers the explicit
+    trim (thr_exp joins the certificate) — certified sets stay exact."""
+    m, q, valid = build(32768, 32, 8, seed=7)
+    s_c, r_c, ok = dense_topk_compact(
+        q, *compact_pack(m), valid, 10, tile_n=1024, rescore_rows=60,
+        use_int8_mxu=False, interpret=True,
+    )
+    ok_np = np.asarray(ok)
+    assert ok_np.any(), "trim test vacuous: nothing certified"
+    _, r_x = dense_topk(q, m, valid, 10, "cosine")
+    for b in np.flatnonzero(ok_np):
+        assert set(np.asarray(r_c)[b].tolist()) == set(np.asarray(r_x)[b].tolist())
+
+
+def test_compact_dot_metric():
+    m, q, _ = build(4096, 64, 3, seed=5)
+    # un-normalize rows so dot != cosine
+    rng = np.random.default_rng(5)
+    m = jnp.asarray(np.asarray(m) * rng.uniform(0.5, 2.0, (4096, 1)).astype(np.float32))
+    valid = jnp.ones(4096, bool)
+    s_c, r_c, ok = dense_topk_compact(
+        q, *compact_pack(m), valid, 8, metric="dot", tile_n=1024,
+        use_int8_mxu=False, interpret=True,
+    )
+    ok_np = np.asarray(ok)
+    _, r_x = dense_topk(q, m, valid, 8, "dot")
+    for b in np.flatnonzero(ok_np):
+        assert set(np.asarray(r_c)[b].tolist()) == set(np.asarray(r_x)[b].tolist())
+
+
+def test_compact_invalid_rows_never_returned():
+    m, q, valid = build(4096, 64, 6, seed=13)
+    valid_np = np.asarray(valid)
+    r_c = np.asarray(
+        dense_topk_compact(
+            q, *compact_pack(m), valid, 20, tile_n=1024, use_int8_mxu=False,
+            interpret=True,
+        )[1]
+    )
+    for row in r_c.ravel():
+        assert row == -1 or valid_np[row]
+
+
+def test_compact_short_corpus_truncation():
+    """k beyond the candidate width: only certify when provably nothing
+    was excluded; rows pad with -1."""
+    m, q, valid = build(300, 32, 3, seed=21, invalidate=False)
+    s_c, r_c, ok = dense_topk_compact(
+        q, *compact_pack(m), valid, 40, tile_n=1024, use_int8_mxu=False,
+        interpret=True,
+    )
+    assert r_c.shape == (3, 40)
+    # n=300 > width=t_top*1 tile: excluded rows exist, must not certify
+    assert not bool(np.asarray(ok).any())

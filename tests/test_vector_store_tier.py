@@ -142,3 +142,114 @@ def test_auto_tier_engages_past_row_threshold():
     b = exact.search(q, k=7)
     assert auto._tier is not None  # above threshold: bf16 tier active
     assert [x[0] for x in a] == [x[0] for x in b]
+
+
+# -- compact tier (no fp32 device matrix) -----------------------------------
+
+
+def test_compact_store_matches_fp32_rows_exactly():
+    """Compact stores keep no fp32 matrix in device memory; returned
+    ROWS must still match the fp32 store exactly (certified set proof,
+    or the f64 host patch for uncertified queries)."""
+    rng = np.random.default_rng(21)
+    dim = 48
+    chunks = [mk_chunk(i, dim, rng) for i in range(900)]
+    plain = VectorStore(VectorStoreConfig(dimension=dim))
+    compact = VectorStore(VectorStoreConfig(dimension=dim, scan_tier="compact"))
+    for s in (plain, compact):
+        s.insert_many(chunks)
+    for seed in range(4):
+        q = np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
+        got, want = compact.search(q, 7), plain.search(q, 7)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        np.testing.assert_allclose(
+            [g[1] for g in got], [w[1] for w in want], atol=5e-3
+        )
+    assert compact._device_matrix is None  # the memory contract
+
+
+def test_compact_store_device_matrix_raises():
+    rng = np.random.default_rng(2)
+    store = VectorStore(VectorStoreConfig(dimension=16, scan_tier="compact"))
+    store.insert_many([mk_chunk(i, 16, rng) for i in range(50)])
+    with pytest.raises(InvalidConfigError):
+        _ = store.device_matrix
+
+
+def test_compact_incremental_updates_track_fresh_prepare():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(4)
+    dim = 32
+    chunks = [mk_chunk(i, dim, rng) for i in range(300)]
+    store = VectorStore(VectorStoreConfig(dimension=dim, scan_tier="compact"))
+    store.insert_many(chunks)
+    store._refresh_device()
+    assert store._tier is not None and len(store._tier) == 7
+    for i in (5, 17, 100):
+        store.insert(mk_chunk(i, dim, rng))
+    store.remove("c42")
+    store._refresh_device()
+    from trueno_rag_tpu.ops import dense_tiered as dt
+
+    host = jnp.asarray(store._host)
+    fresh = dt.prepare_tiered(host) + dt.prepare_int8(host)
+    for got, want in zip(store._tier, fresh):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_compact_fallback_none_counts_uncertified():
+    rng = np.random.default_rng(7)
+    dim = 24
+    chunks = [mk_chunk(i, dim, rng) for i in range(400)]
+    # exact duplicates straddle every boundary: certification must fail
+    for j in range(300, 330):
+        chunks[j].embedding = list(chunks[0].embedding)
+    store = VectorStore(
+        VectorStoreConfig(dimension=dim, scan_tier="compact", compact_fallback="none")
+    )
+    store.insert_many(chunks)
+    q = np.asarray(chunks[0].embedding, dtype=np.float32)
+    res = store.search(q, 10)
+    assert store.compact_uncertified >= 1
+    # best-effort rows are still real, valid chunks
+    assert all(cid is not None for cid, _ in res)
+
+
+def test_compact_host_patch_exact_on_ties():
+    """30 exact duplicates force the certificate closed; the f64 host
+    patch must deliver the same rows/order as the fp32 store."""
+    rng = np.random.default_rng(8)
+    dim = 24
+    chunks = [mk_chunk(i, dim, rng) for i in range(400)]
+    for j in range(300, 330):
+        chunks[j].embedding = list(chunks[0].embedding)
+    plain = VectorStore(VectorStoreConfig(dimension=dim))
+    compact = VectorStore(VectorStoreConfig(dimension=dim, scan_tier="compact"))
+    for s in (plain, compact):
+        s.insert_many(chunks)
+    q = np.asarray(chunks[0].embedding, dtype=np.float32)
+    got, want = compact.search(q, 10), plain.search(q, 10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert compact.tier_fallbacks >= 1
+
+
+def test_compact_slab_prepare_matches_single_shot():
+    """compact_prep_rows smaller than the corpus: slab-wise replica
+    build must equal the one-shot prepare bit-for-bit."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    dim = 16
+    chunks = [mk_chunk(i, dim, rng) for i in range(3000)]
+    store = VectorStore(
+        VectorStoreConfig(dimension=dim, scan_tier="compact", compact_prep_rows=1024)
+    )
+    store.insert_many(chunks)
+    store._refresh_device()
+    from trueno_rag_tpu.ops import dense_tiered as dt
+
+    host = jnp.asarray(store._host)
+    fresh = dt.prepare_tiered(host) + dt.prepare_int8(host)
+    for got, want in zip(store._tier, fresh):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

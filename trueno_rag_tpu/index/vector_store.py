@@ -73,6 +73,26 @@ class VectorStoreConfig:
     scan_tier: str = "none"
     # Corpus size at which scan_tier="auto" switches fp32 -> bf16 tier.
     scan_tier_auto_rows: int = 400_000
+    # scan_tier="compact": int8 tile scan + CERTIFIED bf16 rescore with
+    # NO fp32 matrix in HBM (ops/dense_tiered.dense_topk_compact) —
+    # 3 B/element instead of 4+2, the single-chip answer to corpora the
+    # fp32 tiers cannot hold (10M×384 ≈ 11.5 GB vs 15 GB fp32 alone on
+    # a 16 GB v5e). Certified queries return the PROVABLY exact top-k
+    # SET (scores bf16-rescored, ≤ ~1e-3); uncertified queries are
+    # patched from the host fp32 matrix per ``compact_fallback``. The
+    # fused hybrid/tagged one-dispatch paths need the fp32 device
+    # matrix and therefore reject compact stores.
+    #
+    # Host fp32 rows feed the replica build in slabs of
+    # ``compact_prep_rows`` so the transient fp32 upload stays bounded
+    # (1M rows × 384 ≈ 1.5 GB) instead of materializing the whole
+    # matrix on device.
+    compact_prep_rows: int = 1 << 20
+    # "host": re-run uncertified queries on the host fp32 matrix with
+    # float64 accumulation (true-score top-k — the same order the
+    # certificate proves for certified queries); "none": return the
+    # best-effort device result and only count it (compact_uncertified).
+    compact_fallback: str = "host"
     # Candidate-row trim for the tiered rescore (ops/dense_tiered.py
     # rescore_rows); None rescores all block candidates. 96 is the
     # measured best at 1M for both kernels: the exclusion threshold is
@@ -114,8 +134,14 @@ class VectorStoreConfig:
             raise InvalidConfigError("initial_capacity must be positive")
         if self.storage_dtype not in ("float32", "bfloat16"):
             raise InvalidConfigError(f"unknown storage_dtype {self.storage_dtype!r}")
-        if self.scan_tier not in ("none", "auto", "bf16", "int8"):
+        if self.scan_tier not in ("none", "auto", "bf16", "int8", "compact"):
             raise InvalidConfigError(f"unknown scan_tier {self.scan_tier!r}")
+        if self.compact_fallback not in ("host", "none"):
+            raise InvalidConfigError(
+                f"unknown compact_fallback {self.compact_fallback!r}"
+            )
+        if self.compact_prep_rows < 1024:
+            raise InvalidConfigError("compact_prep_rows must be >= 1024")
         if self.scan_tile_n <= 0 or self.scan_tile_n % 128 != 0:
             raise InvalidConfigError("scan_tile_n must be a positive multiple of 128")
         if self.scan_block_top < 1:
@@ -164,6 +190,7 @@ class VectorStore:
         self._count = 0
         self._tier = None  # scan-tier replica arrays (lazily prepared)
         self.tier_fallbacks = 0  # queries re-run on fp32 (observability)
+        self.compact_uncertified = 0  # compact-tier queries past the certificate
 
     # -- mutation ------------------------------------------------------------
 
@@ -226,6 +253,9 @@ class VectorStore:
     # -- device state ----------------------------------------------------------
 
     def _refresh_device(self) -> None:
+        if self._effective_tier() == "compact":
+            self._refresh_device_compact()
+            return
         if not self._dirty and self._device_matrix is not None:
             return
         dtype16 = self.config.storage_dtype == "bfloat16"
@@ -254,6 +284,45 @@ class VectorStore:
             self._device_matrix = matrix
             self._device_valid = jnp.asarray(self._valid)
             self._refresh_tier()
+        self._dirty = False
+        self._dirty_rows = set()
+
+    def _refresh_device_compact(self) -> None:
+        """Compact tier: the fp32 matrix NEVER resides in HBM. The
+        replicas (bf16 rescore + int8 scan copies with their residual
+        norms) build slab-wise from host rows; mutations scatter only
+        the changed rows' re-prepared replicas."""
+        if not self._dirty and self._tier is not None:
+            return
+        from trueno_rag_tpu.ops import dense_tiered as dt
+
+        self._device_matrix = None  # the whole point of this tier
+        if (
+            self._tier is not None
+            and self._dirty_rows  # bounded, non-empty row set
+            and self._tier[0].shape[0] == self._host.shape[0]
+        ):
+            rows = np.fromiter(self._dirty_rows, dtype=np.int32)
+            updates = jnp.asarray(self._host[rows])
+            rows_j = jnp.asarray(rows)
+            parts = dt.prepare_tiered(updates) + dt.prepare_int8(updates)
+            self._tier = tuple(
+                full.at[rows_j].set(part) for full, part in zip(self._tier, parts)
+            )
+            self._device_valid = self._device_valid.at[rows_j].set(
+                jnp.asarray(self._valid[rows])
+            )
+        else:
+            slabs = []
+            step = self.config.compact_prep_rows
+            for lo in range(0, self._host.shape[0], step):
+                m = jnp.asarray(self._host[lo : lo + step])
+                slabs.append(dt.prepare_tiered(m) + dt.prepare_int8(m))
+            self._tier = tuple(
+                part[0] if len(part) == 1 else jnp.concatenate(part, axis=0)
+                for part in zip(*slabs)
+            )
+            self._device_valid = jnp.asarray(self._valid)
         self._dirty = False
         self._dirty_rows = set()
 
@@ -288,6 +357,12 @@ class VectorStore:
     @property
     def device_matrix(self) -> jnp.ndarray:
         """The ``[capacity, d]`` device matrix (cosine rows normalized)."""
+        if self._effective_tier() == "compact":
+            raise InvalidConfigError(
+                "scan_tier='compact' holds no fp32 device matrix (that is "
+                "its memory contract); the fused hybrid/tagged paths need "
+                "scan_tier='bf16'/'int8' or a sharded deployment"
+            )
         self._refresh_device()
         return self._device_matrix
 
@@ -313,6 +388,25 @@ class VectorStore:
 
             # Pallas TPU kernels need interpret mode off-TPU (tests/CPU)
             interpret = jax.devices()[0].platform not in ("tpu", "axon")
+            if self._effective_tier() == "compact":
+                scores, rows, ok = dt.dense_topk_compact(
+                    q, *self._tier, self._device_valid, k_eff,
+                    metric=self.config.metric, interpret=interpret,
+                    rescore_rows=self.config.scan_rescore_rows,
+                    t_top=self.config.scan_t_top,
+                    margin_tiles=self.config.scan_margin_tiles,
+                    tile_n=self.config.scan_tile_n,
+                )
+                ok_np = np.asarray(ok)
+                if not ok_np.all():
+                    self.compact_uncertified += int((~ok_np).sum())
+                    if self.config.compact_fallback == "host":
+                        scores, rows = self._host_exact_patch(
+                            np.asarray(q), np.asarray(scores),
+                            np.asarray(rows), ok_np, k_eff,
+                        )
+                        self.tier_fallbacks += 1
+                return jnp.asarray(scores), jnp.asarray(rows)
             if self._effective_tier() == "bf16" and self.config.scan_kernel == "tile":
                 scores, rows, fell_back = dt.dense_topk_tiered2_checked(
                     q, self._device_matrix, *self._tier, self._device_valid,
@@ -339,6 +433,42 @@ class VectorStore:
                 self.tier_fallbacks += 1
             return scores, rows
         scores, rows = dense_topk(q, self._device_matrix, self._device_valid, k_eff, self.config.metric)
+        return scores, rows
+
+    def _host_exact_patch(self, q, scores, rows, ok_np, k):
+        """Re-run uncertified compact-tier queries on the HOST fp32
+        matrix with float64 accumulation — true-score top-k with the
+        (score desc, row asc) tie rule, the same ordering the device
+        certificate proves for certified queries. Streams the matrix in
+        ``compact_prep_rows`` slabs so no f64 copy materializes."""
+        bad = np.flatnonzero(~ok_np)
+        qs = q[bad].astype(np.float64)
+        if self.config.metric == DistanceMetric.COSINE:
+            norms = np.linalg.norm(qs, axis=1, keepdims=True)
+            qs = qs / np.where(norms == 0.0, 1.0, norms)
+        step = self.config.compact_prep_rows
+        best_s = np.full((len(bad), k), -np.inf)
+        best_r = np.full((len(bad), k), -1, dtype=np.int64)
+        for lo in range(0, self._host.shape[0], step):
+            slab = self._host[lo : lo + step]
+            vmask = self._valid[lo : lo + step]
+            s = slab.astype(np.float64) @ qs.T  # [rows, B] f64 accumulation
+            s[~vmask] = -np.inf
+            r = np.arange(lo, lo + slab.shape[0], dtype=np.int64)
+            cat_s = np.concatenate([best_s, s.T], axis=1)
+            cat_r = np.concatenate([best_r, np.broadcast_to(r, (len(bad), len(r)))], axis=1)
+            # merge with (score desc, row asc): row asc is the natural
+            # order of ties under a stable sort on -score alone only
+            # within each slab, so sort on both keys explicitly
+            order = np.lexsort((cat_r, -cat_s), axis=-1)
+            take = order[:, :k]
+            best_s = np.take_along_axis(cat_s, take, axis=1)
+            best_r = np.take_along_axis(cat_r, take, axis=1)
+        best_r[np.isneginf(best_s)] = -1
+        scores = scores.copy()
+        rows = rows.copy()
+        scores[bad] = best_s.astype(np.float32)
+        rows[bad] = best_r.astype(rows.dtype)
         return scores, rows
 
     def search(self, query: Sequence[float], k: int) -> List[Tuple[str, float]]:

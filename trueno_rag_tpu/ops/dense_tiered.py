@@ -340,17 +340,15 @@ def dense_topk_tiered_checked(
     return _checked_fallback(s, r, ok, queries, matrix, valid_mask, k, metric)
 
 
-def _select_rescore_verify_tiles(
-    outs, q, matrix, valid_mask, n, bsz, b_pad, k, margin_tiles,
-    rescore_rows, approx_select, t_top,
-):
-    """v2 tail: tile selection over the scan_select_v2 outputs. ``outs``
-    = (v_pack [B_pad, T+1, G'], r_pack [B_pad, T, G']) — packed so the
-    per-tile candidate fetch is TWO gathers (each [B, kb]-from-[B, G']
-    gather measured ~0.25 ms of pure latency at 1M; the v1 tail's many
-    small gathers were most of its 10.8 ms). Rows are already GLOBAL
-    (no lane arithmetic); G' = N/1024 is 8x smaller than v1's block
-    grid, shrinking the selection top-k by the same factor."""
+def _tile_candidates(outs, b_pad, k, margin_tiles, approx_select, t_top):
+    """Tile selection over the scan_select(+int8)_v2 packed outputs →
+    (cand_rows, cand_vals, threshold). ``outs`` = (v_pack [B_pad, T+1,
+    G'], r_pack [B_pad, T, G']) — packed so the per-tile candidate
+    fetch is TWO gathers (each [B, kb]-from-[B, G'] gather measured
+    ~0.25 ms of pure latency at 1M; the v1 tail's many small gathers
+    were most of its 10.8 ms). Rows are already GLOBAL (no lane
+    arithmetic); G' = N/1024 is 8x smaller than v1's block grid,
+    shrinking the selection top-k by the same factor."""
     v_pack, r_pack = outs
     g = v_pack.shape[2]
 
@@ -372,6 +370,18 @@ def _select_rescore_verify_tiles(
     cand_rows = rg.reshape(b_pad, t_top * kb)
     slot = jax.lax.broadcasted_iota(jnp.int32, (b_pad, t_top * kb), 1)
     cand_rows = jnp.where(jnp.isneginf(cand_vals), _ROW_SENTINEL + slot, cand_rows)
+    return cand_rows, cand_vals, threshold
+
+
+def _select_rescore_verify_tiles(
+    outs, q, matrix, valid_mask, n, bsz, b_pad, k, margin_tiles,
+    rescore_rows, approx_select, t_top,
+):
+    """v2 tail: tile selection + exact fp32 rescore + strict-beat
+    certificate (see :func:`_tile_candidates`)."""
+    cand_rows, cand_vals, threshold = _tile_candidates(
+        outs, b_pad, k, margin_tiles, approx_select, t_top
+    )
     return _trim_rescore_verify(
         cand_rows, cand_vals, threshold, q, matrix, valid_mask, n, bsz,
         b_pad, k, rescore_rows, approx_select,
@@ -606,3 +616,279 @@ def dense_topk_int8_checked(
         approx_select=approx_select, block_top=block_top, interpret=interpret,
     )
     return _checked_fallback(s, r, ok, queries, matrix, valid_mask, k, metric)
+
+
+# ---------------------------------------------------------------------------
+# int8 tile kernel (v2): the scan_select_int8 path with the per-1024-row
+# tile tail — at 10M rows the v1 block grid is G=78k (nine [G, B] side
+# arrays, a [B, 78k] selection top-k); the tile grid is 8x smaller.
+# ---------------------------------------------------------------------------
+
+
+def _int8_query_bounds(q: jax.Array):
+    """Quantize the query batch (tightest symmetric amax/127) and build
+    the rank-1 bound coefficients of the int8 error model (see
+    dense_topk_int8 / scan_select_int8.py): the integer dot is exact,
+    so the bound carries the row residual (e_l2·u_q), the query
+    residual against the dequantized rows (a_l2·v_q) and the ~2⁻²⁴
+    scale-multiply rounding folded into v_q."""
+    t_amax = jnp.max(jnp.abs(q), axis=1)
+    t_q = jnp.where(t_amax == 0.0, 1.0, t_amax / 127.0)
+    q_i8 = jnp.clip(jnp.round(q / t_q[:, None]), -127, 127).astype(jnp.int8)
+    b_vec = q_i8.astype(jnp.float32) * t_q[:, None]
+    f = q - b_vec
+    b_l2 = jnp.linalg.norm(b_vec, axis=1)
+    f_l2 = jnp.linalg.norm(f, axis=1)
+    u_q = (b_l2 + f_l2) * _BOUND_SLACK + _BOUND_EPS
+    v_q = (f_l2 + jnp.float32(4e-7) * b_l2) * _BOUND_SLACK + _BOUND_EPS
+    return q_i8, t_q, u_q, v_q
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "margin_tiles", "metric", "tile_n", "use_int8_mxu", "rescore_rows", "approx_select", "t_top", "interpret"),
+)
+def dense_topk_int8_tiered2(
+    queries: jax.Array,  # [B, d] f32
+    matrix: jax.Array,  # [N, d] f32 (cosine rows pre-normalized)
+    m_i8: jax.Array,  # [N, d] int8 scan copy (prepare_int8)
+    s_row: jax.Array,  # [N] f32 — tightest symmetric (amax/127) row scales
+    e_l2: jax.Array,  # [N] f32
+    a_l2: jax.Array,  # [N] f32
+    valid_mask: jax.Array,  # [N] bool
+    k: int,
+    margin_tiles: int = 32,
+    metric: str = "cosine",
+    tile_n: int = 2048,
+    use_int8_mxu: bool = True,
+    rescore_rows: int | None = 96,
+    approx_select: bool = True,
+    t_top: int = 4,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """int8 scan through the v2 tile kernel + exact fp32 rescore — the
+    int8 sibling of :func:`dense_topk_tiered2`, same exactness contract.
+    → (scores [B,k], rows [B,k], certified [B] bool)."""
+    from trueno_rag_tpu.ops.pallas.scan_select_v2 import SEL, scan_select_int8_v2
+
+    q = _metric_queries(queries, metric)
+    n, d = matrix.shape
+    bsz = q.shape[0]
+    q_i8, t_q, u_q, v_q = _int8_query_bounds(q)
+
+    b_pad = max(8, -(-bsz // 8) * 8)
+    tile = max(tile_n, SEL)
+    n_pad = max(-(-n // tile) * tile, tile)
+    if b_pad != bsz:
+        q_i8 = jnp.pad(q_i8, ((0, b_pad - bsz), (0, 0)))
+        t_q = jnp.pad(t_q, (0, b_pad - bsz), constant_values=1.0)
+        u_q = jnp.pad(u_q, (0, b_pad - bsz))
+        v_q = jnp.pad(v_q, (0, b_pad - bsz))
+    if n_pad != n:
+        m_i8 = jnp.pad(m_i8, ((0, n_pad - n), (0, 0)))
+        s_row = jnp.pad(s_row, (0, n_pad - n), constant_values=1.0)
+        e_l2 = jnp.pad(e_l2, (0, n_pad - n))
+        a_l2 = jnp.pad(a_l2, (0, n_pad - n))
+        valid_p = jnp.pad(valid_mask, (0, n_pad - n), constant_values=False)
+    else:
+        valid_p = valid_mask
+
+    outs = scan_select_int8_v2(
+        q_i8, m_i8, s_row, e_l2, a_l2, valid_p.astype(jnp.int32), t_q,
+        u_q, v_q, tile_n=tile, t_top=t_top, use_int8_mxu=use_int8_mxu,
+        interpret=interpret,
+    )
+    return _select_rescore_verify_tiles(
+        outs, q, matrix, valid_mask, n, bsz, b_pad, k, margin_tiles,
+        rescore_rows, approx_select, t_top,
+    )
+
+
+def dense_topk_int8_tiered2_checked(
+    queries, matrix, m_i8, s_row, e_l2, a_l2, valid_mask, k,
+    margin_tiles=32, metric="cosine", tile_n=2048, use_int8_mxu=True,
+    rescore_rows=96, approx_select=True, t_top=4, interpret=False,
+):
+    """Exactness-contract wrapper for the int8 tile kernel: fp32
+    fallback when the certificate fails. Returns (scores, rows,
+    used_fallback)."""
+    s, r, ok = dense_topk_int8_tiered2(
+        queries, matrix, m_i8, s_row, e_l2, a_l2, valid_mask, k,
+        margin_tiles=margin_tiles, metric=metric, tile_n=tile_n,
+        use_int8_mxu=use_int8_mxu, rescore_rows=rescore_rows,
+        approx_select=approx_select, t_top=t_top, interpret=interpret,
+    )
+    return _checked_fallback(s, r, ok, queries, matrix, valid_mask, k, metric)
+
+
+# ---------------------------------------------------------------------------
+# Compact tier: int8 scan + CERTIFIED bf16 rescore — no fp32 matrix.
+#
+# The exact tiers above need the fp32 matrix resident for the rescore:
+# at 10M rows × d=384 that is 15 GB — more than a v5e chip's HBM by
+# itself. The compact tier stores only the int8 scan copy (1 B/elem)
+# and a bf16 rescore copy (2 B/elem): 11.5 GB at 10M — ten million
+# chunks served from ONE chip. The price is the contract: the returned
+# top-k ROW SET is still *provably* the exact fp32 top-k set (interval
+# certificate, fail-closed flag), but scores — and the order within the
+# set — come from the bf16 rescore (≤ ~1e-3 relative error; the
+# certificate proves every selected row truly beats every excluded row,
+# not the ordering among the k selected).
+# ---------------------------------------------------------------------------
+
+
+def _trim_rescore_verify_compact(
+    cand_rows, cand_vals, threshold, q, m_bf16, bf_e_l2, bf_a_l2,
+    valid_mask, n, bsz, b_pad, k_req, rescore_rows, approx_select,
+):
+    """Compact-tier tail: bf16 rescore with per-candidate interval
+    bounds and the SET certificate.
+
+    True score s_j = (A_j + E_j)·q with A = f32(bf16 row); the rescore
+    computes r_j = A_j·q (HIGHEST, f32 accumulation), so
+    |s_j − r_j| ≤ ‖E_j‖‖q‖ + d·2⁻²³·‖A_j‖‖q‖ (+slack) = err_j — exact
+    pack-time norms, query-time ‖q‖. Set certificate per query:
+        min over selected (r_i − err_i)
+          > max(threshold, max over unselected candidates (r_j + err_j))
+    ⇒ every selected row's TRUE score strictly beats every excluded
+    row's TRUE score ⇒ the selected set IS the fp32 top-k set. All
+    failure modes (selector miss, dup rows, boundary tie, short width)
+    only raise the right-hand side — fail-closed like the exact tiers."""
+    d = q.shape[1]
+    k = k_req
+    width = cand_rows.shape[1]
+    if rescore_rows is not None and rescore_rows < width:
+        rescore_rows = max(rescore_rows, k_req)
+        if rescore_rows < width:
+            v_idx, thr_exp = _topk_select(cand_vals, rescore_rows, approx_select)
+            threshold = jnp.maximum(threshold, thr_exp)
+            cand_rows = jnp.take_along_axis(cand_rows, v_idx, axis=1)
+    cand_rows = jax.lax.sort(cand_rows, dimension=1)  # row-asc tie order
+    dup = jnp.concatenate(
+        [jnp.zeros((b_pad, 1), bool), cand_rows[:, 1:] == cand_rows[:, :-1]],
+        axis=1,
+    )
+    slot_w = jax.lax.broadcasted_iota(jnp.int32, cand_rows.shape, 1)
+    cand_rows = jnp.where(dup, _ROW_SENTINEL + slot_w, cand_rows)
+
+    # -- bf16 rescore + per-candidate interval ----------------------------
+    safe_rows = jnp.minimum(cand_rows, n - 1)
+    gathered = jnp.take(m_bf16, safe_rows, axis=0).astype(jnp.float32)
+    q_p = q if bsz == b_pad else jnp.pad(q, ((0, b_pad - bsz), (0, 0)))
+    r = jax.lax.dot_general(
+        q_p, gathered, (((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, width]
+    q_norm = jnp.linalg.norm(q_p, axis=1)  # [B] (1.0 for cosine)
+    acc_eps = jnp.float32(d) * jnp.float32(2.0**-23)
+    e_g = jnp.take(bf_e_l2, safe_rows, axis=0)
+    a_g = jnp.take(bf_a_l2, safe_rows, axis=0)
+    err = ((e_g + acc_eps * a_g) * q_norm[:, None]) * _BOUND_SLACK + _BOUND_EPS
+    live = (cand_rows < n) & jnp.take(valid_mask, safe_rows, axis=0)
+    r = jnp.where(live, r, NEG_INF)
+    err = jnp.where(live, err, 0.0)
+
+    # -- top-k by rescored value (ties: lowest row, rows sorted asc) ------
+    k = min(k_req, width)
+    top_s, idx = jax.lax.top_k(r, k)
+    top_r = jnp.take_along_axis(cand_rows, idx, axis=1).astype(jnp.int32)
+    top_err = jnp.take_along_axis(err, idx, axis=1)
+    top_r = jnp.where(jnp.isneginf(top_s), -1, top_r)
+
+    # -- SET certificate ---------------------------------------------------
+    # selected lower bounds (empty slots -inf → certificate demands an
+    # empty exclusion set, the truncation rule below)
+    sel_lower = jnp.min(jnp.where(jnp.isneginf(top_s), jnp.inf, top_s - top_err), axis=1)
+    sel_lower = jnp.where(jnp.isinf(sel_lower), NEG_INF, sel_lower)  # all-empty
+    # excluded-candidate upper bounds, scatter-free (_topk_select's
+    # count trick): selected-by-r = {r >= vmin} only when exactly k
+    # entries tie-free reach vmin; otherwise fail closed
+    vmin = top_s[:, k - 1]
+    ge = r >= vmin[:, None]
+    count = jnp.sum(ge, axis=1)
+    excl_upper = jnp.max(jnp.where(ge, NEG_INF, r + err), axis=1)
+    excl_upper = jnp.where(count == k, excl_upper, jnp.inf)
+    rhs = jnp.maximum(threshold, excl_upper)
+    per_q = (sel_lower > rhs) | jnp.isneginf(rhs)
+    if k < k_req:
+        # truncated width: only certify when provably nothing was excluded
+        per_q = per_q & jnp.isneginf(rhs)
+        top_s = jnp.pad(top_s, ((0, 0), (0, k_req - k)), constant_values=NEG_INF)
+        top_r = jnp.pad(top_r, ((0, 0), (0, k_req - k)), constant_values=-1)
+    return top_s[:bsz], top_r[:bsz], per_q[:bsz]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "margin_tiles", "metric", "tile_n", "use_int8_mxu", "rescore_rows", "approx_select", "t_top", "interpret"),
+)
+def dense_topk_compact(
+    queries: jax.Array,  # [B, d] f32
+    m_bf16: jax.Array,  # [N, d] bf16 rescore copy (prepare_tiered)
+    bf_e_l2: jax.Array,  # [N] f32 — ‖row − bf16(row)‖₂
+    bf_a_l2: jax.Array,  # [N] f32 — ‖bf16(row)‖₂
+    m_i8: jax.Array,  # [N, d] int8 scan copy (prepare_int8)
+    s_row: jax.Array,  # [N] f32
+    i8_e_l2: jax.Array,  # [N] f32
+    i8_a_l2: jax.Array,  # [N] f32
+    valid_mask: jax.Array,  # [N] bool
+    k: int,
+    margin_tiles: int = 32,
+    metric: str = "cosine",
+    tile_n: int = 2048,
+    use_int8_mxu: bool = True,
+    rescore_rows: int | None = 96,
+    approx_select: bool = True,
+    t_top: int = 4,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Compact tier: int8 tile scan + certified bf16 rescore, **no fp32
+    matrix** → (scores [B,k] bf16-rescored, rows [B,k],
+    set_certified [B] bool).
+
+    Where ``set_certified[i]`` is True, query i's k rows are PROVABLY
+    the exact fp32 top-k SET (reference semantics index.rs:386-412);
+    scores/order within the set are bf16-rescored (≤ ~1e-3). There is
+    no exact fallback at this storage footprint — uncertified queries
+    are best-effort and flagged; callers needing them exact re-run with
+    a larger ``margin_tiles``/``rescore_rows`` or on a sharded fp32
+    deployment. The int8 scan-side quantization NEVER affects certified
+    results (candidate proposal only); the bf16 bound governs the
+    certificate width."""
+    from trueno_rag_tpu.ops.pallas.scan_select_v2 import SEL, scan_select_int8_v2
+
+    q = _metric_queries(queries, metric)
+    n = m_bf16.shape[0]
+    bsz = q.shape[0]
+    q_i8, t_q, u_q, v_q = _int8_query_bounds(q)
+
+    b_pad = max(8, -(-bsz // 8) * 8)
+    tile = max(tile_n, SEL)
+    n_pad = max(-(-n // tile) * tile, tile)
+    if b_pad != bsz:
+        q_i8 = jnp.pad(q_i8, ((0, b_pad - bsz), (0, 0)))
+        t_q = jnp.pad(t_q, (0, b_pad - bsz), constant_values=1.0)
+        u_q = jnp.pad(u_q, (0, b_pad - bsz))
+        v_q = jnp.pad(v_q, (0, b_pad - bsz))
+    if n_pad != n:
+        m_i8_p = jnp.pad(m_i8, ((0, n_pad - n), (0, 0)))
+        s_row_p = jnp.pad(s_row, (0, n_pad - n), constant_values=1.0)
+        e_p = jnp.pad(i8_e_l2, (0, n_pad - n))
+        a_p = jnp.pad(i8_a_l2, (0, n_pad - n))
+        valid_p = jnp.pad(valid_mask, (0, n_pad - n), constant_values=False)
+    else:
+        m_i8_p, s_row_p, e_p, a_p, valid_p = m_i8, s_row, i8_e_l2, i8_a_l2, valid_mask
+
+    outs = scan_select_int8_v2(
+        q_i8, m_i8_p, s_row_p, e_p, a_p, valid_p.astype(jnp.int32), t_q,
+        u_q, v_q, tile_n=tile, t_top=t_top, use_int8_mxu=use_int8_mxu,
+        interpret=interpret,
+    )
+    cand_rows, cand_vals, threshold = _tile_candidates(
+        outs, b_pad, k, margin_tiles, approx_select, t_top
+    )
+    return _trim_rescore_verify_compact(
+        cand_rows, cand_vals, threshold, q, m_bf16, bf_e_l2, bf_a_l2,
+        valid_mask, n, bsz, b_pad, k, rescore_rows, approx_select,
+    )

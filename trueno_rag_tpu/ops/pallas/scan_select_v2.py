@@ -35,6 +35,10 @@ index.rs:386-412): every corpus row is covered by exactly one of
 Failure modes (top+1 block collisions, >T tile collisions, selector
 misses, boundary ties) only RAISE thresholds — certification fails
 closed to the fp32 path, never certifies a wrong result.
+
+:func:`scan_select_int8_v2` is the int8 sibling (same packed outputs,
+same tournament; exactly-dequantized scores per scan_select_int8.py's
+error model) — the scan half of the 10M-rows-on-one-chip compact tier.
 """
 
 from __future__ import annotations
@@ -52,31 +56,18 @@ SEL = 1024  # selection tile (rows per emitted candidate set)
 TILE_T = 8  # default candidate rows kept per selection tile
 
 
-def _scan_select_v2_kernel(
-    q_ref, m_ref, el2_ref, al2_ref, valid_ref, uq_ref, vq_ref,
-    *out_refs, t_top: int, tile_n: int,
-):
-    """One corpus tile of ``tile_n`` rows = ``tile_n // SEL`` selection
-    tiles. out_refs = vals_0..vals_{t_top-1} ([S, B] f32), rows_0..
-    rows_{t_top-1} ([S, B] int32 GLOBAL), thr ([S, B] f32).
+def _tile_tournament(upper, base, t_top, v_ref, r_ref):
+    """Steps 1-3 shared by the bf16 and int8 tile kernels: per-block
+    top-2 (+ v3 bound on unseen rows), per-SEL-tile tournament over the
+    2·(SEL/BLOCK) block candidates, packed emission.
 
-    Transposed layout ([rows, queries]) throughout — reductions run on
-    the sublane axis and outputs write [S, B] directly (the [B, S]
-    orientation needs in-kernel transposes, measured ~3x slower than
-    the matmul in v1's development)."""
-    s = jax.lax.dot_general(
-        m_ref[:],
-        q_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [tile_n, B] — bf16 in, f32 accumulation on the MXU
-    upper = s + el2_ref[:][:, None] * uq_ref[:][None, :]
-    upper = upper + al2_ref[:][:, None] * vq_ref[:][None, :]
-    upper = jnp.where(valid_ref[:][:, None] != 0, upper, NEG_INF)
+    ``upper [tile_n, B]`` is the rigorous per-row upper bound (already
+    -inf-masked for invalid rows); ``base`` is the tile's first global
+    row. Writes ``v_ref [1, n_sel, T+1, B]`` (candidate values +
+    channel T = thr) and ``r_ref [1, n_sel, T, B]`` (GLOBAL rows)."""
     tile, b = upper.shape
     n_sel = tile // SEL
     g = tile // BLOCK
-    base = pl.program_id(0) * tile_n
 
     # -- per-block top-2 (+ v3 = bound on the block's unseen rows) -------
     x = upper.reshape(g, BLOCK, b)
@@ -101,7 +92,6 @@ def _scan_select_v2_kernel(
         [cand_r[0].reshape(n_sel, bpt, b), cand_r[1].reshape(n_sel, bpt, b)], axis=1
     )
     slot = jax.lax.broadcasted_iota(jnp.int32, (n_sel, 2 * bpt, b), 1)
-    v_ref, r_ref = out_refs  # [1, n_sel, T+1, B] f32 / [1, n_sel, T, B] i32
     for t in range(t_top):
         v = jnp.max(pool_v, axis=1)  # [n_sel, B]
         smax = jnp.max(jnp.where(pool_v == v[:, None, :], slot, -1), axis=1)
@@ -116,6 +106,60 @@ def _scan_select_v2_kernel(
     thr_pool = jnp.max(pool_v, axis=1)  # (T+1)-th candidate value
     thr_blocks = jnp.max(v3.reshape(n_sel, bpt, b), axis=1)
     v_ref[0, :, t_top, :] = jnp.maximum(thr_pool, thr_blocks)
+
+
+def _scan_select_v2_kernel(
+    q_ref, m_ref, el2_ref, al2_ref, valid_ref, uq_ref, vq_ref,
+    *out_refs, t_top: int, tile_n: int,
+):
+    """One corpus tile of ``tile_n`` rows = ``tile_n // SEL`` selection
+    tiles. out_refs = (v_pack [1, S, T+1, B] f32, r_pack [1, S, T, B]
+    int32 GLOBAL rows).
+
+    Transposed layout ([rows, queries]) throughout — reductions run on
+    the sublane axis and outputs write [S, B] directly (the [B, S]
+    orientation needs in-kernel transposes, measured ~3x slower than
+    the matmul in v1's development)."""
+    s = jax.lax.dot_general(
+        m_ref[:],
+        q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [tile_n, B] — bf16 in, f32 accumulation on the MXU
+    upper = s + el2_ref[:][:, None] * uq_ref[:][None, :]
+    upper = upper + al2_ref[:][:, None] * vq_ref[:][None, :]
+    upper = jnp.where(valid_ref[:][:, None] != 0, upper, NEG_INF)
+    v_ref, r_ref = out_refs
+    _tile_tournament(upper, pl.program_id(0) * tile_n, t_top, v_ref, r_ref)
+
+
+def _scan_select_int8_v2_kernel(
+    q_ref, m_ref, sr_ref, el2_ref, al2_ref, valid_ref, tq_ref, uq_ref,
+    vq_ref, *out_refs, t_top: int, tile_n: int, use_int8_mxu: bool,
+):
+    """int8 sibling: exactly-dequantized approximate scores (the integer
+    dot is EXACT for d·127² < 2²⁴ — see scan_select_int8.py's error
+    model) + the same rank-1 bound, then the shared tile tournament."""
+    if use_int8_mxu:
+        dot = jax.lax.dot_general(
+            m_ref[:],
+            q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)  # exact: |dot| < 2^24
+    else:
+        dot = jax.lax.dot_general(
+            m_ref[:].astype(jnp.bfloat16),
+            q_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # bit-identical: int8 values exact in bf16, sums < 2^24 in f32
+    upper = dot * sr_ref[:][:, None] * tq_ref[:][None, :]
+    upper = upper + el2_ref[:][:, None] * uq_ref[:][None, :]
+    upper = upper + al2_ref[:][:, None] * vq_ref[:][None, :]
+    upper = jnp.where(valid_ref[:][:, None] != 0, upper, NEG_INF)
+    v_ref, r_ref = out_refs
+    _tile_tournament(upper, pl.program_id(0) * tile_n, t_top, v_ref, r_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "t_top", "interpret"))
@@ -166,6 +210,68 @@ def scan_select_v2(
     )
     v_pack, r_pack = kernel(q_bf16, m_bf16, e_l2, a_l2, valid_i32, u_q, v_q)
     # [steps, s_tile, C, B] -> [B, C, G']
+    v_pack = v_pack.reshape(n_sel, t_top + 1, b).transpose(2, 1, 0)
+    r_pack = r_pack.reshape(n_sel, t_top, b).transpose(2, 1, 0)
+    return v_pack, r_pack
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_n", "t_top", "use_int8_mxu", "interpret")
+)
+def scan_select_int8_v2(
+    q_i8: jax.Array,  # [B, d] int8 (symmetric amax/127 scale t_q)
+    m_i8: jax.Array,  # [N, d] int8, N % tile_n == 0
+    s_row: jax.Array,  # [N] f32 — tightest symmetric (amax/127) row scales
+    e_l2: jax.Array,  # [N] f32 — ‖row − s_i·row_i8‖₂
+    a_l2: jax.Array,  # [N] f32 — ‖s_i·row_i8‖₂
+    valid_i32: jax.Array,  # [N] int32 (0/1)
+    t_q: jax.Array,  # [B] f32 — query scales
+    u_q: jax.Array,  # [B] f32 — bound coefficient on e_l2
+    v_q: jax.Array,  # [B] f32 — bound coefficient on a_l2
+    tile_n: int = 2048,
+    t_top: int = TILE_T,
+    use_int8_mxu: bool = True,
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """int8 tile kernel → same packed outputs as :func:`scan_select_v2`:
+    (v_pack [B, T+1, G'] f32, r_pack [B, T, G'] int32), G' = N / SEL."""
+    b, d = q_i8.shape
+    n = m_i8.shape[0]
+    assert n % tile_n == 0 and tile_n % SEL == 0
+    assert d * 127 * 127 < 2**24, "int dot must stay exactly representable"
+    s_tile = tile_n // SEL
+    n_sel = n // SEL
+    steps = n // tile_n
+    kernel = pl.pallas_call(
+        functools.partial(
+            _scan_select_int8_v2_kernel, t_top=t_top, tile_n=tile_n,
+            use_int8_mxu=use_int8_mxu,
+        ),
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i: (0, 0)),
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0)),
+            pl.BlockSpec((tile_n,), lambda i: (i,)),
+            pl.BlockSpec((tile_n,), lambda i: (i,)),
+            pl.BlockSpec((tile_n,), lambda i: (i,)),
+            pl.BlockSpec((tile_n,), lambda i: (i,)),
+            pl.BlockSpec((b,), lambda i: (0,)),
+            pl.BlockSpec((b,), lambda i: (0,)),
+            pl.BlockSpec((b,), lambda i: (0,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, s_tile, t_top + 1, b), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, s_tile, t_top, b), lambda i: (i, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((steps, s_tile, t_top + 1, b), jnp.float32),
+            jax.ShapeDtypeStruct((steps, s_tile, t_top, b), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+    v_pack, r_pack = kernel(
+        q_i8, m_i8, s_row, e_l2, a_l2, valid_i32, t_q, u_q, v_q
+    )
     v_pack = v_pack.reshape(n_sel, t_top + 1, b).transpose(2, 1, 0)
     r_pack = r_pack.reshape(n_sel, t_top, b).transpose(2, 1, 0)
     return v_pack, r_pack
