@@ -1,6 +1,6 @@
 """Streaming-select v2 tiers: the bf16/int8 tile kernels share the v1
 exactness contract (checked wrappers ALWAYS match the fp32 oracle), and
-the compact tier (int8 scan + certified bf16 rescore, no fp32 matrix)
+the compact tiers (bf16-only or int8-scan storage, no fp32 matrix)
 must never certify a wrong top-k SET — reference semantics
 index.rs:386-412."""
 
@@ -11,11 +11,14 @@ import jax.numpy as jnp
 from trueno_rag_tpu.ops.dense import dense_topk
 from trueno_rag_tpu.ops.dense_tiered import (
     dense_topk_compact,
+    dense_topk_compact_bf16,
+    dense_topk_compact_bf16r,
     dense_topk_int8_tiered2,
     dense_topk_int8_tiered2_checked,
     dense_topk_tiered2,
     dense_topk_tiered2_checked,
     prepare_int8,
+    prepare_residual,
     prepare_tiered,
 )
 
@@ -35,6 +38,22 @@ def compact_pack(m):
     mb, bf_e, bf_a = prepare_tiered(m)
     mi, s, i8_e, i8_a = prepare_int8(m)
     return mb, bf_e, bf_a, mi, s, i8_e, i8_a
+
+
+def compact_call(layout, q, m, valid, k, **kw):
+    """Dispatch over the compact storage layouts (same contract)."""
+    if layout == "int8":
+        return dense_topk_compact(
+            q, *compact_pack(m), valid, k, use_int8_mxu=False, **kw
+        )
+    if layout == "bf16r":
+        return dense_topk_compact_bf16r(
+            q, *(prepare_tiered(m) + prepare_residual(m)), valid, k, **kw
+        )
+    return dense_topk_compact_bf16(q, *prepare_tiered(m), valid, k, **kw)
+
+
+COMPACT_LAYOUTS = ("int8", "bf16", "bf16r")
 
 
 # -- exact-contract tile kernels (bf16 + int8) ------------------------------
@@ -126,13 +145,13 @@ def planted(n, d, bq, k, seed):
     return jnp.asarray(m), jnp.asarray(q), expected
 
 
-def test_compact_planted_certifies_and_matches_set():
+@pytest.mark.parametrize("layout", COMPACT_LAYOUTS)
+def test_compact_planted_certifies_and_matches_set(layout):
     n, d, bq, k = 4096, 64, 4, 5
     m, q, expected = planted(n, d, bq, k, seed=2)
     valid = jnp.ones(n, bool)
-    s_c, r_c, ok = dense_topk_compact(
-        q, *compact_pack(m), valid, k, tile_n=1024, use_int8_mxu=False,
-        interpret=True,
+    s_c, r_c, ok = compact_call(
+        layout, q, m, valid, k, tile_n=1024, interpret=True,
     )
     assert bool(np.asarray(ok).all()), "well-separated corpus must certify"
     s_x, r_x = dense_topk(q, m, valid, k, "cosine")
@@ -149,16 +168,16 @@ def test_compact_planted_certifies_and_matches_set():
     )
 
 
-def test_compact_certificate_never_lies():
+@pytest.mark.parametrize("layout", COMPACT_LAYOUTS)
+def test_compact_certificate_never_lies(layout):
     """Random corpus at a tile count where certification is partial
     (measured ~5/8 at n=32k, d=32, k=10): every certified query must be
     the exact fp32 top-k SET; uncertified ones carry no claim."""
     any_ok = False
     for seed in range(3):
         m, q, valid = build(32768, 32, 8, seed, invalidate=(seed % 2 == 0))
-        s_c, r_c, ok = dense_topk_compact(
-            q, *compact_pack(m), valid, 10, tile_n=1024, use_int8_mxu=False,
-            interpret=True,
+        s_c, r_c, ok = compact_call(
+            layout, q, m, valid, 10, tile_n=1024, interpret=True,
         )
         ok_np = np.asarray(ok)
         if not ok_np.any():
@@ -172,7 +191,8 @@ def test_compact_certificate_never_lies():
     assert any_ok, "test vacuous: nothing certified across seeds"
 
 
-def test_compact_exact_ties_fail_closed():
+@pytest.mark.parametrize("layout", COMPACT_LAYOUTS)
+def test_compact_exact_ties_fail_closed(layout):
     rng = np.random.default_rng(3)
     m = rng.standard_normal((2048, 32)).astype(np.float32)
     m[500:521] = m[0]  # 21 exact copies straddle any k=5 boundary
@@ -180,20 +200,17 @@ def test_compact_exact_ties_fail_closed():
     q = jnp.asarray(m[0][None, :].copy())
     m = jnp.asarray(m)
     valid = jnp.ones(2048, bool)
-    _, _, ok = dense_topk_compact(
-        q, *compact_pack(m), valid, 5, tile_n=1024, use_int8_mxu=False,
-        interpret=True,
-    )
+    _, _, ok = compact_call(layout, q, m, valid, 5, tile_n=1024, interpret=True)
     assert not bool(np.asarray(ok).any())
 
 
-def test_compact_trim_path_certified_sets_exact():
+@pytest.mark.parametrize("layout", COMPACT_LAYOUTS)
+def test_compact_trim_path_certified_sets_exact(layout):
     """rescore_rows=60 < the 128-candidate width triggers the explicit
     trim (thr_exp joins the certificate) — certified sets stay exact."""
     m, q, valid = build(32768, 32, 8, seed=7)
-    s_c, r_c, ok = dense_topk_compact(
-        q, *compact_pack(m), valid, 10, tile_n=1024, rescore_rows=60,
-        use_int8_mxu=False, interpret=True,
+    s_c, r_c, ok = compact_call(
+        layout, q, m, valid, 10, tile_n=1024, rescore_rows=60, interpret=True,
     )
     ok_np = np.asarray(ok)
     assert ok_np.any(), "trim test vacuous: nothing certified"
@@ -202,15 +219,15 @@ def test_compact_trim_path_certified_sets_exact():
         assert set(np.asarray(r_c)[b].tolist()) == set(np.asarray(r_x)[b].tolist())
 
 
-def test_compact_dot_metric():
+@pytest.mark.parametrize("layout", COMPACT_LAYOUTS)
+def test_compact_dot_metric(layout):
     m, q, _ = build(4096, 64, 3, seed=5)
     # un-normalize rows so dot != cosine
     rng = np.random.default_rng(5)
     m = jnp.asarray(np.asarray(m) * rng.uniform(0.5, 2.0, (4096, 1)).astype(np.float32))
     valid = jnp.ones(4096, bool)
-    s_c, r_c, ok = dense_topk_compact(
-        q, *compact_pack(m), valid, 8, metric="dot", tile_n=1024,
-        use_int8_mxu=False, interpret=True,
+    s_c, r_c, ok = compact_call(
+        layout, q, m, valid, 8, metric="dot", tile_n=1024, interpret=True,
     )
     ok_np = np.asarray(ok)
     _, r_x = dense_topk(q, m, valid, 8, "dot")
@@ -218,27 +235,96 @@ def test_compact_dot_metric():
         assert set(np.asarray(r_c)[b].tolist()) == set(np.asarray(r_x)[b].tolist())
 
 
-def test_compact_invalid_rows_never_returned():
+@pytest.mark.parametrize("layout", COMPACT_LAYOUTS)
+def test_compact_invalid_rows_never_returned(layout):
     m, q, valid = build(4096, 64, 6, seed=13)
     valid_np = np.asarray(valid)
     r_c = np.asarray(
-        dense_topk_compact(
-            q, *compact_pack(m), valid, 20, tile_n=1024, use_int8_mxu=False,
-            interpret=True,
-        )[1]
+        compact_call(layout, q, m, valid, 20, tile_n=1024, interpret=True)[1]
     )
     for row in r_c.ravel():
         assert row == -1 or valid_np[row]
 
 
-def test_compact_short_corpus_truncation():
+@pytest.mark.parametrize("layout", COMPACT_LAYOUTS)
+def test_compact_short_corpus_truncation(layout):
     """k beyond the candidate width: only certify when provably nothing
     was excluded; rows pad with -1."""
     m, q, valid = build(300, 32, 3, seed=21, invalidate=False)
-    s_c, r_c, ok = dense_topk_compact(
-        q, *compact_pack(m), valid, 40, tile_n=1024, use_int8_mxu=False,
-        interpret=True,
-    )
+    s_c, r_c, ok = compact_call(layout, q, m, valid, 40, tile_n=1024, interpret=True)
     assert r_c.shape == (3, 40)
     # n=300 > width=t_top*1 tile: excluded rows exist, must not certify
     assert not bool(np.asarray(ok).any())
+
+
+# -- inline-cast scan layout (f32 matrix feeds the kernel directly) ---------
+
+
+def test_tiered2_inline_cast_bit_identical_to_replica():
+    """m_bf16=None streams the fp32 matrix through the kernel, casting
+    to bf16 in VMEM — the same round-to-nearest-even as prepare_tiered,
+    so scores, rows, and certificates must be bit-identical to the
+    replica layout (and the checked path stays oracle-exact)."""
+    m, q, valid = build(8192, 96, 6, seed=31)
+    mb, el2, al2 = prepare_tiered(m)
+    a = dense_topk_tiered2(q, m, mb, el2, al2, valid, 12, tile_n=1024, interpret=True)
+    b = dense_topk_tiered2(q, m, None, el2, al2, valid, 12, tile_n=1024, interpret=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_tiered2_checked_inline_matches_oracle():
+    m, q, valid = build(5000, 64, 7, seed=41)
+    _, el2, al2 = prepare_tiered(m)
+    s_c, r_c, _ = dense_topk_tiered2_checked(
+        q, m, None, el2, al2, valid, 10, tile_n=1024, interpret=True
+    )
+    s_x, r_x = dense_topk(q, m, valid, 10, "cosine")
+    np.testing.assert_array_equal(np.asarray(r_c), np.asarray(r_x))
+    np.testing.assert_allclose(np.asarray(s_c), np.asarray(s_x), atol=2e-6, rtol=2e-6)
+
+
+def test_compact_bf16r_resolves_gaps_bf16_cannot():
+    """Plant a rank-k boundary gap between the two rescore intervals
+    (~2e-5 for the residual-corrected layout, ~1.7e-3 for bf16-only,
+    measured at d=384): bf16-only must fail closed, bf16r must certify
+    — and its certified sets must match the fp32 oracle."""
+    rng = np.random.default_rng(97)
+    n, d, bq, k = 8192, 384, 4, 8
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    q = rng.standard_normal((bq, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    # planted neighbors at cosine 0.9, 0.9-gap, 0.9-2*gap, ... with
+    # gap = 4e-4: each successive pair (incl. the k/k+1 boundary) is
+    # separated by ~4e-4 — far above 2e-5, far below 1.7e-3.
+    gap = 4e-4
+    used = set()
+    for b in range(bq):
+        for i in range(k + 4):
+            # spread across 1024-row selection units: the kernel keeps
+            # t_top=4 candidates per unit, so piling plants into one
+            # unit is a (correctly fail-closed) selector miss
+            row = (31 + b * 97 + i * 661) % n
+            assert row not in used
+            used.add(row)
+            target = 0.9 - gap * i
+            u = rng.standard_normal(d).astype(np.float32)
+            u -= (u @ q[b]) * q[b]
+            u /= np.linalg.norm(u)
+            m[row] = target * q[b] + np.sqrt(1.0 - target * target) * u
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    m, q = jnp.asarray(m), jnp.asarray(q)
+    valid = jnp.ones(n, bool)
+    _, _, ok_b = dense_topk_compact_bf16(
+        q, *prepare_tiered(m), valid, k, tile_n=1024, interpret=True
+    )
+    s_r, r_r, ok_r = dense_topk_compact_bf16r(
+        q, *(prepare_tiered(m) + prepare_residual(m)), valid, k,
+        tile_n=1024, interpret=True,
+    )
+    assert not bool(np.asarray(ok_b).any()), "bf16 interval cannot resolve 4e-4"
+    assert bool(np.asarray(ok_r).all()), "bf16r interval must resolve 4e-4"
+    _, r_x = dense_topk(q, m, valid, k, "cosine")
+    for b in range(bq):
+        assert set(np.asarray(r_r)[b].tolist()) == set(np.asarray(r_x)[b].tolist())

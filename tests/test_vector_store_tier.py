@@ -147,15 +147,19 @@ def test_auto_tier_engages_past_row_threshold():
 # -- compact tier (no fp32 device matrix) -----------------------------------
 
 
-def test_compact_store_matches_fp32_rows_exactly():
+@pytest.mark.parametrize("layout", ["bf16r", "bf16", "int8"])
+def test_compact_store_matches_fp32_rows_exactly(layout):
     """Compact stores keep no fp32 matrix in device memory; returned
     ROWS must still match the fp32 store exactly (certified set proof,
-    or the f64 host patch for uncertified queries)."""
+    or the f64 host patch for uncertified queries) — under either
+    storage layout (compact_scan)."""
     rng = np.random.default_rng(21)
     dim = 48
     chunks = [mk_chunk(i, dim, rng) for i in range(900)]
     plain = VectorStore(VectorStoreConfig(dimension=dim))
-    compact = VectorStore(VectorStoreConfig(dimension=dim, scan_tier="compact"))
+    compact = VectorStore(
+        VectorStoreConfig(dimension=dim, scan_tier="compact", compact_scan=layout)
+    )
     for s in (plain, compact):
         s.insert_many(chunks)
     for seed in range(4):
@@ -176,16 +180,20 @@ def test_compact_store_device_matrix_raises():
         _ = store.device_matrix
 
 
-def test_compact_incremental_updates_track_fresh_prepare():
+@pytest.mark.parametrize("layout", ["bf16r", "bf16", "int8"])
+def test_compact_incremental_updates_track_fresh_prepare(layout):
     import jax.numpy as jnp
 
     rng = np.random.default_rng(4)
     dim = 32
     chunks = [mk_chunk(i, dim, rng) for i in range(300)]
-    store = VectorStore(VectorStoreConfig(dimension=dim, scan_tier="compact"))
+    store = VectorStore(
+        VectorStoreConfig(dimension=dim, scan_tier="compact", compact_scan=layout)
+    )
     store.insert_many(chunks)
     store._refresh_device()
-    assert store._tier is not None and len(store._tier) == 7
+    assert store._tier is not None
+    assert len(store._tier) == {"bf16": 3, "bf16r": 6, "int8": 7}[layout]
     for i in (5, 17, 100):
         store.insert(mk_chunk(i, dim, rng))
     store.remove("c42")
@@ -193,7 +201,11 @@ def test_compact_incremental_updates_track_fresh_prepare():
     from trueno_rag_tpu.ops import dense_tiered as dt
 
     host = jnp.asarray(store._host)
-    fresh = dt.prepare_tiered(host) + dt.prepare_int8(host)
+    fresh = dt.prepare_tiered(host)
+    if layout == "bf16r":
+        fresh = fresh + dt.prepare_residual(host)
+    elif layout == "int8":
+        fresh = fresh + dt.prepare_int8(host)
     for got, want in zip(store._tier, fresh):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
@@ -250,6 +262,7 @@ def test_compact_slab_prepare_matches_single_shot():
     from trueno_rag_tpu.ops import dense_tiered as dt
 
     host = jnp.asarray(store._host)
-    fresh = dt.prepare_tiered(host) + dt.prepare_int8(host)
+    fresh = dt.prepare_tiered(host) + dt.prepare_residual(host)
+    assert len(store._tier) == len(fresh)
     for got, want in zip(store._tier, fresh):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -73,21 +73,34 @@ class VectorStoreConfig:
     scan_tier: str = "none"
     # Corpus size at which scan_tier="auto" switches fp32 -> bf16 tier.
     scan_tier_auto_rows: int = 400_000
-    # scan_tier="compact": int8 tile scan + CERTIFIED bf16 rescore with
-    # NO fp32 matrix in HBM (ops/dense_tiered.dense_topk_compact) —
-    # 3 B/element instead of 4+2, the single-chip answer to corpora the
-    # fp32 tiers cannot hold (10M×384 ≈ 11.5 GB vs 15 GB fp32 alone on
-    # a 16 GB v5e). Certified queries return the PROVABLY exact top-k
-    # SET (scores bf16-rescored, ≤ ~1e-3); uncertified queries are
-    # patched from the host fp32 matrix per ``compact_fallback``. The
-    # fused hybrid/tagged one-dispatch paths need the fp32 device
-    # matrix and therefore reject compact stores.
+    # scan_tier="compact": certified top-k SETS with NO fp32 matrix in
+    # HBM — the single-chip answer to corpora the fp32 tiers cannot
+    # hold (10M×384 is 15 GB fp32 alone on a 16 GB v5e). Certified
+    # queries return the PROVABLY exact top-k SET by true scores
+    # (scores bf16-rescored, ≤ ~1e-3); uncertified queries are patched
+    # from the host fp32 matrix per ``compact_fallback``. The fused
+    # hybrid/tagged one-dispatch paths need the fp32 device matrix and
+    # therefore reject compact stores.
     #
     # Host fp32 rows feed the replica build in slabs of
     # ``compact_prep_rows`` so the transient fp32 upload stays bounded
     # (1M rows × 384 ≈ 1.5 GB) instead of materializing the whole
     # matrix on device.
     compact_prep_rows: int = 1 << 20
+    # Compact-tier storage layout (see ops/dense_tiered.py's compact
+    # header for the measured interval/gap analysis):
+    # - "bf16r" (default): bf16 scan+rescore copy + int8 residual
+    #   correction — 3 B/element (11.5 GB at 10M×384), certificate
+    #   interval ~2e-5; certifies the large majority even of random
+    #   corpora at 1M (dense_topk_compact_bf16r).
+    # - "bf16": ONE bf16 array — 2 B/element (7.7 GB at 10M×384),
+    #   interval ~1.7e-3; certifies only well-separated corpora
+    #   (dense_topk_compact_bf16). The minimum-memory option.
+    # - "int8": int8 scan copy + bf16 rescore copy, 3 B/element —
+    #   halves scan stream bytes but keeps the ~1.7e-3 rescore
+    #   interval; strictly worse certification than "bf16r" at equal
+    #   footprint (dense_topk_compact).
+    compact_scan: str = "bf16r"
     # "host": re-run uncertified queries on the host fp32 matrix with
     # float64 accumulation (true-score top-k — the same order the
     # certificate proves for certified queries); "none": return the
@@ -142,6 +155,8 @@ class VectorStoreConfig:
             )
         if self.compact_prep_rows < 1024:
             raise InvalidConfigError("compact_prep_rows must be >= 1024")
+        if self.compact_scan not in ("bf16r", "bf16", "int8"):
+            raise InvalidConfigError(f"unknown compact_scan {self.compact_scan!r}")
         if self.scan_tile_n <= 0 or self.scan_tile_n % 128 != 0:
             raise InvalidConfigError("scan_tile_n must be a positive multiple of 128")
         if self.scan_block_top < 1:
@@ -289,12 +304,21 @@ class VectorStore:
 
     def _refresh_device_compact(self) -> None:
         """Compact tier: the fp32 matrix NEVER resides in HBM. The
-        replicas (bf16 rescore + int8 scan copies with their residual
-        norms) build slab-wise from host rows; mutations scatter only
-        the changed rows' re-prepared replicas."""
+        replicas (bf16 scan+rescore copy, plus the int8 scan copy under
+        ``compact_scan="int8"``, with their residual norms) build
+        slab-wise from host rows; mutations scatter only the changed
+        rows' re-prepared replicas."""
         if not self._dirty and self._tier is not None:
             return
         from trueno_rag_tpu.ops import dense_tiered as dt
+
+        def prep(m):
+            parts = dt.prepare_tiered(m)
+            if self.config.compact_scan == "bf16r":
+                parts = parts + dt.prepare_residual(m)
+            elif self.config.compact_scan == "int8":
+                parts = parts + dt.prepare_int8(m)
+            return parts
 
         self._device_matrix = None  # the whole point of this tier
         if (
@@ -305,7 +329,7 @@ class VectorStore:
             rows = np.fromiter(self._dirty_rows, dtype=np.int32)
             updates = jnp.asarray(self._host[rows])
             rows_j = jnp.asarray(rows)
-            parts = dt.prepare_tiered(updates) + dt.prepare_int8(updates)
+            parts = prep(updates)
             self._tier = tuple(
                 full.at[rows_j].set(part) for full, part in zip(self._tier, parts)
             )
@@ -317,7 +341,7 @@ class VectorStore:
             step = self.config.compact_prep_rows
             for lo in range(0, self._host.shape[0], step):
                 m = jnp.asarray(self._host[lo : lo + step])
-                slabs.append(dt.prepare_tiered(m) + dt.prepare_int8(m))
+                slabs.append(prep(m))
             self._tier = tuple(
                 part[0] if len(part) == 1 else jnp.concatenate(part, axis=0)
                 for part in zip(*slabs)
@@ -389,7 +413,12 @@ class VectorStore:
             # Pallas TPU kernels need interpret mode off-TPU (tests/CPU)
             interpret = jax.devices()[0].platform not in ("tpu", "axon")
             if self._effective_tier() == "compact":
-                scores, rows, ok = dt.dense_topk_compact(
+                compact = {
+                    "bf16r": dt.dense_topk_compact_bf16r,
+                    "bf16": dt.dense_topk_compact_bf16,
+                    "int8": dt.dense_topk_compact,
+                }[self.config.compact_scan]
+                scores, rows, ok = compact(
                     q, *self._tier, self._device_valid, k_eff,
                     metric=self.config.metric, interpret=interpret,
                     rescore_rows=self.config.scan_rescore_rows,

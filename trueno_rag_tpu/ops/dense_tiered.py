@@ -395,7 +395,11 @@ def _select_rescore_verify_tiles(
 def dense_topk_tiered2(
     queries: jax.Array,  # [B, d] f32
     matrix: jax.Array,  # [N, d] f32 (cosine rows pre-normalized)
-    m_bf16: jax.Array,  # [N, d] bf16 scan copy
+    m_bf16: jax.Array | None,  # [N, d] bf16 scan copy; None = inline-cast
+    #   layout: the scan reads ``matrix`` directly and casts to bf16 in
+    #   VMEM (scan_select_v2 kernel) — identical scores/certificates
+    #   (same round-to-nearest-even), no 2 B/elem replica in HBM, scan
+    #   streams 2x the bytes. e_l2/a_l2 are still prepare_tiered's.
     e_l2: jax.Array,  # [N] f32 — ‖row − bf16(row)‖₂
     a_l2: jax.Array,  # [N] f32 — ‖bf16(row)‖₂
     valid_mask: jax.Array,  # [N] bool
@@ -440,8 +444,9 @@ def dense_topk_tiered2(
     qb_p = jnp.pad(qb, ((0, b_pad - bsz), (0, 0))) if b_pad != bsz else qb
     u_p = jnp.pad(u_q, (0, b_pad - bsz)) if b_pad != bsz else u_q
     v_p = jnp.pad(v_q, (0, b_pad - bsz)) if b_pad != bsz else v_q
+    scan_m = matrix if m_bf16 is None else m_bf16
     if n_pad != n:
-        m_bf16 = jnp.pad(m_bf16, ((0, n_pad - n), (0, 0)))
+        scan_m = jnp.pad(scan_m, ((0, n_pad - n), (0, 0)))
         e_l2 = jnp.pad(e_l2, (0, n_pad - n))
         a_l2 = jnp.pad(a_l2, (0, n_pad - n))
         valid_p = jnp.pad(valid_mask, (0, n_pad - n), constant_values=False)
@@ -449,7 +454,7 @@ def dense_topk_tiered2(
         valid_p = valid_mask
 
     outs = scan_select_v2(
-        qb_p, m_bf16, e_l2, a_l2, valid_p.astype(jnp.int32), u_p, v_p,
+        qb_p, scan_m, e_l2, a_l2, valid_p.astype(jnp.int32), u_p, v_p,
         tile_n=tile, t_top=t_top, interpret=interpret,
     )
     return _select_rescore_verify_tiles(
@@ -722,24 +727,227 @@ def dense_topk_int8_tiered2_checked(
 
 
 # ---------------------------------------------------------------------------
-# Compact tier: int8 scan + CERTIFIED bf16 rescore — no fp32 matrix.
+# Compact tiers: CERTIFIED top-k SETS with no fp32 matrix on device.
 #
 # The exact tiers above need the fp32 matrix resident for the rescore:
 # at 10M rows × d=384 that is 15 GB — more than a v5e chip's HBM by
-# itself. The compact tier stores only the int8 scan copy (1 B/elem)
-# and a bf16 rescore copy (2 B/elem): 11.5 GB at 10M — ten million
-# chunks served from ONE chip. The price is the contract: the returned
-# top-k ROW SET is still *provably* the exact fp32 top-k set (interval
-# certificate, fail-closed flag), but scores — and the order within the
-# set — come from the bf16 rescore (≤ ~1e-3 relative error; the
-# certificate proves every selected row truly beats every excluded row,
-# not the ordering among the k selected).
+# itself. The compact tiers drop it. The contract changes accordingly:
+# the returned top-k ROW SET is still *provably* the exact top-k set
+# by TRUE (real-arithmetic) scores (interval certificate, fail-closed
+# flag), but scores — and the order within the set — come from the
+# bf16 rescore (≤ ~1e-3 absolute; the certificate proves every selected
+# row truly beats every excluded row, not the ordering among the k).
+#
+# What limits certification here is NOT the scan threshold (margin_tiles
+# puts it far below the k-th score, same as the exact tiers) but the
+# RESCORE interval: with the fp32 matrix gone, true scores are known
+# only to ± the stored-copy residual, and the SET certificate needs the
+# true-score gap at rank k to exceed the interval width. Measured at
+# 1M×384 random (B=256): gap at rank 50 is median 7.6e-4 / p5 6.0e-5 /
+# min 2e-7, while the bf16 residual norm is ~1.7e-3 — so a bf16-only
+# rescore certifies 0/256 there (measured), and an int8-quantized
+# CORRECTION of that residual (‖E − Ê‖ ≈ 2e-5, 86x tighter) plus a
+# pairwise-tree rescore (the MXU dot's (d−1)u accumulation bound would
+# otherwise dominate: 153/256) certifies 227/256 — at an unchanged
+# ~8.9 ms/step. Real corpora separate relevant rows far more than
+# random ones; these numbers are the worst case.
+#
+# Three storage layouts:
+# - :func:`dense_topk_compact_bf16r` — bf16 scan+rescore copy + int8
+#   residual correction: 3 B/elem (11.5 GB at 10M×384), rescore
+#   interval ~2e-5. The default (best certification per byte).
+# - :func:`dense_topk_compact_bf16` — ONE bf16 array, 2 B/elem
+#   (7.7 GB at 10M×384); rescore interval ~1.7e-3 certifies only
+#   well-separated corpora. The minimum-memory option.
+# - :func:`dense_topk_compact` — int8 scan copy + bf16 rescore copy
+#   (3 B/elem): the scan streams 2x fewer bytes than bf16r but the
+#   rescore interval is the same ~1.7e-3 — strictly worse certification
+#   than bf16r at equal footprint; kept for corpora with wide gaps
+#   where scan bandwidth dominates.
 # ---------------------------------------------------------------------------
+
+
+@jax.jit
+def prepare_residual(matrix: jax.Array):
+    """Pack the int8 residual correction for the bf16r compact layout.
+
+    Returns (r_i8 [N,d] int8, r_scale [N] f32, e2_l2 [N] f32): the
+    bf16 residual E_i = M_i − bf16(M_i) quantized with the tightest
+    symmetric scale (amax/127), plus the norm of what remains,
+    e2_l2 = ‖E_i − scale_i·r_i8_i‖₂ — the rescore interval half-width.
+    Measured at d=384 unit rows: e2_l2 ≈ 2e-5 vs e_l2 ≈ 1.7e-3 (86x).
+
+    Same folding hazard as :func:`prepare_tiered`: both the bf16 value
+    and the quantized residual pass through optimization barriers so
+    XLA cannot reconstruct (and fold away) the exact residual chain on
+    TPU."""
+    a = jax.lax.optimization_barrier(matrix.astype(jnp.bfloat16)).astype(jnp.float32)
+    e = matrix - a
+    amax = jnp.max(jnp.abs(e), axis=1)
+    scale = jnp.where(amax > 0.0, amax / 127.0, 1.0)
+    r_i8 = jnp.round(e / scale[:, None]).astype(jnp.int8)
+    r_f = jax.lax.optimization_barrier(r_i8).astype(jnp.float32) * scale[:, None]
+    e2 = e - r_f
+    e2_l2 = jnp.sqrt(jnp.sum(e2 * e2, axis=1))
+    return r_i8, scale, e2_l2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "margin_tiles", "metric", "tile_n", "rescore_rows", "approx_select", "t_top", "interpret"),
+)
+def dense_topk_compact_bf16r(
+    queries: jax.Array,  # [B, d] f32
+    m_bf16: jax.Array,  # [N, d] bf16 scan+rescore copy (prepare_tiered)
+    e_l2: jax.Array,  # [N] f32 — ‖row − bf16(row)‖₂
+    a_l2: jax.Array,  # [N] f32 — ‖bf16(row)‖₂
+    r_i8: jax.Array,  # [N, d] int8 residual correction (prepare_residual)
+    r_scale: jax.Array,  # [N] f32
+    e2_l2: jax.Array,  # [N] f32 — ‖residual − correction‖₂
+    valid_mask: jax.Array,  # [N] bool
+    k: int,
+    margin_tiles: int = 32,
+    metric: str = "cosine",
+    tile_n: int = 2048,
+    rescore_rows: int | None = 96,
+    approx_select: bool = True,
+    t_top: int = 4,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Compact tier with int8 residual correction — 3 B/element, the
+    certification-per-byte sweet spot → (scores [B,k]
+    residual-corrected, rows [B,k], set_certified [B] bool).
+
+    The scan is the same bf16 scan_select_v2 pass as the bf16 layout;
+    the rescore adds the dequantized int8 residual, shrinking the
+    true-score interval from ~e_l2 (~1.7e-3) to ~e2_l2 (~2e-5) — below
+    the measured p5 rank-50 gap at 1M×384 random, so the SET
+    certificate fires where the bf16-only layout cannot. Certified
+    queries return the PROVABLY exact top-k SET by true scores
+    (index.rs:386-412 semantics); scores/order are corrected-rescore
+    values (±~2e-5). Uncertified queries are best-effort and flagged."""
+    from trueno_rag_tpu.ops.pallas.scan_select_v2 import SEL, scan_select_v2
+
+    q = _metric_queries(queries, metric)
+    n, d = m_bf16.shape
+    bsz = q.shape[0]
+
+    qb = q.astype(jnp.bfloat16)
+    f = q - jax.lax.optimization_barrier(qb).astype(jnp.float32)
+    b_l2 = jnp.linalg.norm(qb.astype(jnp.float32), axis=1)
+    f_l2 = jnp.linalg.norm(f, axis=1)
+    acc_eps = jnp.float32(d) * jnp.float32(2.0**-23)
+    u_q = (b_l2 + f_l2) * _BOUND_SLACK + _BOUND_EPS
+    v_q = (f_l2 + acc_eps * b_l2) * _BOUND_SLACK + _BOUND_EPS
+
+    b_pad = max(8, -(-bsz // 8) * 8)
+    tile = max(tile_n, SEL)
+    n_pad = max(-(-n // tile) * tile, tile)
+    qb_p = jnp.pad(qb, ((0, b_pad - bsz), (0, 0))) if b_pad != bsz else qb
+    u_p = jnp.pad(u_q, (0, b_pad - bsz)) if b_pad != bsz else u_q
+    v_p = jnp.pad(v_q, (0, b_pad - bsz)) if b_pad != bsz else v_q
+    if n_pad != n:
+        m_p = jnp.pad(m_bf16, ((0, n_pad - n), (0, 0)))
+        e_p = jnp.pad(e_l2, (0, n_pad - n))
+        a_p = jnp.pad(a_l2, (0, n_pad - n))
+        valid_p = jnp.pad(valid_mask, (0, n_pad - n), constant_values=False)
+    else:
+        m_p, e_p, a_p, valid_p = m_bf16, e_l2, a_l2, valid_mask
+
+    outs = scan_select_v2(
+        qb_p, m_p, e_p, a_p, valid_p.astype(jnp.int32), u_p, v_p,
+        tile_n=tile, t_top=t_top, interpret=interpret,
+    )
+    cand_rows, cand_vals, threshold = _tile_candidates(
+        outs, b_pad, k, margin_tiles, approx_select, t_top
+    )
+    return _trim_rescore_verify_compact(
+        cand_rows, cand_vals, threshold, q, m_bf16, e_l2, a_l2,
+        valid_mask, n, bsz, b_pad, k, rescore_rows, approx_select,
+        residual=(r_i8, r_scale, e2_l2),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "margin_tiles", "metric", "tile_n", "rescore_rows", "approx_select", "t_top", "interpret"),
+)
+def dense_topk_compact_bf16(
+    queries: jax.Array,  # [B, d] f32
+    m_bf16: jax.Array,  # [N, d] bf16 — the ONLY matrix copy (prepare_tiered)
+    e_l2: jax.Array,  # [N] f32 — ‖row − bf16(row)‖₂
+    a_l2: jax.Array,  # [N] f32 — ‖bf16(row)‖₂
+    valid_mask: jax.Array,  # [N] bool
+    k: int,
+    margin_tiles: int = 32,
+    metric: str = "cosine",
+    tile_n: int = 2048,
+    rescore_rows: int | None = 96,
+    approx_select: bool = True,
+    t_top: int = 4,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Compact tier, bf16-only storage: the scan_select_v2 pass and the
+    certified rescore read the SAME bf16 array — 2 B/element total, no
+    fp32 matrix → (scores [B,k] bf16-rescored, rows [B,k],
+    set_certified [B] bool).
+
+    Where ``set_certified[i]`` is True, query i's k rows are PROVABLY
+    the exact top-k SET by true scores (reference semantics
+    index.rs:386-412); scores/order within the set are bf16-rescored
+    (HIGHEST f32 accumulation over f32(bf16 rows), ≤ ~1e-3). The
+    certificate interval IS that ~1.7e-3 residual: corpora whose
+    rank-k gap sits below it fail closed (measured 0/256 at 1M×384
+    random — use :func:`dense_topk_compact_bf16r` there). No device
+    fp32 fallback exists at this footprint — uncertified queries are
+    best-effort and flagged (VectorStore patches them from the host
+    matrix)."""
+    from trueno_rag_tpu.ops.pallas.scan_select_v2 import SEL, scan_select_v2
+
+    q = _metric_queries(queries, metric)
+    n, d = m_bf16.shape
+    bsz = q.shape[0]
+
+    # -- bound coefficients (identical derivation to dense_topk_tiered2) --
+    qb = q.astype(jnp.bfloat16)
+    f = q - jax.lax.optimization_barrier(qb).astype(jnp.float32)
+    b_l2 = jnp.linalg.norm(qb.astype(jnp.float32), axis=1)
+    f_l2 = jnp.linalg.norm(f, axis=1)
+    acc_eps = jnp.float32(d) * jnp.float32(2.0**-23)
+    u_q = (b_l2 + f_l2) * _BOUND_SLACK + _BOUND_EPS
+    v_q = (f_l2 + acc_eps * b_l2) * _BOUND_SLACK + _BOUND_EPS
+
+    b_pad = max(8, -(-bsz // 8) * 8)
+    tile = max(tile_n, SEL)
+    n_pad = max(-(-n // tile) * tile, tile)
+    qb_p = jnp.pad(qb, ((0, b_pad - bsz), (0, 0))) if b_pad != bsz else qb
+    u_p = jnp.pad(u_q, (0, b_pad - bsz)) if b_pad != bsz else u_q
+    v_p = jnp.pad(v_q, (0, b_pad - bsz)) if b_pad != bsz else v_q
+    if n_pad != n:
+        m_p = jnp.pad(m_bf16, ((0, n_pad - n), (0, 0)))
+        e_p = jnp.pad(e_l2, (0, n_pad - n))
+        a_p = jnp.pad(a_l2, (0, n_pad - n))
+        valid_p = jnp.pad(valid_mask, (0, n_pad - n), constant_values=False)
+    else:
+        m_p, e_p, a_p, valid_p = m_bf16, e_l2, a_l2, valid_mask
+
+    outs = scan_select_v2(
+        qb_p, m_p, e_p, a_p, valid_p.astype(jnp.int32), u_p, v_p,
+        tile_n=tile, t_top=t_top, interpret=interpret,
+    )
+    cand_rows, cand_vals, threshold = _tile_candidates(
+        outs, b_pad, k, margin_tiles, approx_select, t_top
+    )
+    return _trim_rescore_verify_compact(
+        cand_rows, cand_vals, threshold, q, m_bf16, e_l2, a_l2,
+        valid_mask, n, bsz, b_pad, k, rescore_rows, approx_select,
+    )
 
 
 def _trim_rescore_verify_compact(
     cand_rows, cand_vals, threshold, q, m_bf16, bf_e_l2, bf_a_l2,
     valid_mask, n, bsz, b_pad, k_req, rescore_rows, approx_select,
+    residual=None,
 ):
     """Compact-tier tail: bf16 rescore with per-candidate interval
     bounds and the SET certificate.
@@ -747,7 +955,12 @@ def _trim_rescore_verify_compact(
     True score s_j = (A_j + E_j)·q with A = f32(bf16 row); the rescore
     computes r_j = A_j·q (HIGHEST, f32 accumulation), so
     |s_j − r_j| ≤ ‖E_j‖‖q‖ + d·2⁻²³·‖A_j‖‖q‖ (+slack) = err_j — exact
-    pack-time norms, query-time ‖q‖. Set certificate per query:
+    pack-time norms, query-time ‖q‖. With ``residual`` (the bf16r
+    layout: prepare_residual's int8 quantization Ê of E), the rescore
+    adds the dequantized correction, r_j = (A_j + s_j·Ê_j)·q, and the
+    interval shrinks to the UN-quantized remainder:
+    |s_j − r_j| ≤ ‖E_j − s_j·Ê_j‖‖q‖ + d·2⁻²³·(‖A_j‖ + ‖E_j‖)‖q‖.
+    Set certificate per query:
         min over selected (r_i − err_i)
           > max(threshold, max over unselected candidates (r_j + err_j))
     ⇒ every selected row's TRUE score strictly beats every excluded
@@ -775,16 +988,52 @@ def _trim_rescore_verify_compact(
     safe_rows = jnp.minimum(cand_rows, n - 1)
     gathered = jnp.take(m_bf16, safe_rows, axis=0).astype(jnp.float32)
     q_p = q if bsz == b_pad else jnp.pad(q, ((0, b_pad - bsz), (0, 0)))
-    r = jax.lax.dot_general(
-        q_p, gathered, (((1,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [B, width]
     q_norm = jnp.linalg.norm(q_p, axis=1)  # [B] (1.0 for cosine)
     acc_eps = jnp.float32(d) * jnp.float32(2.0**-23)
     e_g = jnp.take(bf_e_l2, safe_rows, axis=0)
     a_g = jnp.take(bf_a_l2, safe_rows, axis=0)
-    err = ((e_g + acc_eps * a_g) * q_norm[:, None]) * _BOUND_SLACK + _BOUND_EPS
+    if residual is None:
+        r = jax.lax.dot_general(
+            q_p, gathered, (((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [B, width]
+        err = ((e_g + acc_eps * a_g) * q_norm[:, None]) * _BOUND_SLACK + _BOUND_EPS
+    else:
+        # The MXU dot's accumulation order is implementation-defined, so
+        # its rigorous rounding bound is (d−1)·2⁻²³·‖A‖‖q‖ ≈ 4.6e-5 at
+        # d=384 — BIGGER than the ~2e-5 residual the int8 correction
+        # leaves (measured: it capped certification at 153/256 on 1M
+        # random). Compute the main dot as an explicit pairwise tree on
+        # the VPU instead: one RN rounding per level, ⌈log2 d⌉+1 levels
+        # (products + ⌈log2 d⌉ adds) ⇒ bound ~1.2e-6 and the interval
+        # collapses to ~e2_l2. The tensor is [B, width, d] (small).
+        r_i8, r_scale, e2_l2 = residual
+        corr = jnp.take(r_i8, safe_rows, axis=0).astype(jnp.float32)
+        s_g = jnp.take(r_scale, safe_rows, axis=0)
+        prod = q_p[:, None, :] * gathered  # [B, width, d], one RN round
+        levels = 1
+        while prod.shape[-1] > 1:
+            dd = prod.shape[-1]
+            if dd % 2:
+                prod = jnp.pad(prod, ((0, 0), (0, 0), (0, 1)))
+                dd += 1
+            prod = prod.reshape(prod.shape[0], prod.shape[1], dd // 2, 2)
+            prod = prod[..., 0] + prod[..., 1]  # one RN round per level
+            levels += 1
+        # correction dot on the MXU: its (d−1)u bound scales with the
+        # RESIDUAL magnitude (‖s·Ê‖ ≤ e_g + e2_g ≈ 1.7e-3), ~8e-8; the
+        # final add contributes one more level on ‖A‖.
+        r = prod[..., 0] + s_g * jax.lax.dot_general(
+            q_p, corr, (((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        e2_g = jnp.take(e2_l2, safe_rows, axis=0)
+        tree_eps = jnp.float32(levels + 1) * jnp.float32(2.0**-23)
+        err = (
+            (e2_g + tree_eps * a_g + acc_eps * (e_g + e2_g)) * q_norm[:, None]
+        ) * _BOUND_SLACK + _BOUND_EPS
     live = (cand_rows < n) & jnp.take(valid_mask, safe_rows, axis=0)
     r = jnp.where(live, r, NEG_INF)
     err = jnp.where(live, err, 0.0)

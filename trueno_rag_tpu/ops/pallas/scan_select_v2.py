@@ -119,9 +119,19 @@ def _scan_select_v2_kernel(
     Transposed layout ([rows, queries]) throughout — reductions run on
     the sublane axis and outputs write [S, B] directly (the [B, S]
     orientation needs in-kernel transposes, measured ~3x slower than
-    the matmul in v1's development)."""
+    the matmul in v1's development).
+
+    ``m_ref`` may be bf16 (the replica layout, 2 B/elem extra HBM) or
+    f32 (the inline-cast layout: ONE fp32 array serves scan and exact
+    rescore — the cast to bf16 happens here in VMEM, trading scan
+    stream bytes for 2 B/elem of storage). Both produce bit-identical
+    scores: the in-kernel astype is the same round-to-nearest-even as
+    prepare_tiered's."""
+    m = m_ref[:]
+    if m.dtype != jnp.bfloat16:
+        m = m.astype(jnp.bfloat16)
     s = jax.lax.dot_general(
-        m_ref[:],
+        m,
         q_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -165,7 +175,8 @@ def _scan_select_int8_v2_kernel(
 @functools.partial(jax.jit, static_argnames=("tile_n", "t_top", "interpret"))
 def scan_select_v2(
     q_bf16: jax.Array,  # [B, d] bf16 (pre-normalized for cosine)
-    m_bf16: jax.Array,  # [N, d] bf16, N % tile_n == 0
+    m_bf16: jax.Array,  # [N, d] bf16 — or f32 for the inline-cast
+    #   layout (cast to bf16 in VMEM; bit-identical scores, no replica)
     e_l2: jax.Array,  # [N] f32
     a_l2: jax.Array,  # [N] f32
     valid_i32: jax.Array,  # [N] int32 (0/1)
