@@ -53,6 +53,9 @@ def main() -> None:
     p.add_argument("--requests", type=int, default=2000)
     p.add_argument("--k", type=int, default=5)
     p.add_argument("--max-batch", type=int, default=64)
+    p.add_argument("--workers", type=int, default=0,
+                   help="HTTP front-end worker processes (0 = classic "
+                        "single-process server)")
     args = p.parse_args()
 
     import numpy as np
@@ -75,11 +78,20 @@ def main() -> None:
     print(f"device-side ceiling (retrieve_batch B={args.max_batch}): {ceiling:,.0f} q/s")
 
     batcher = MicroBatcher(retr, max_batch=args.max_batch, max_wait_ms=2.0)
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-    server = RagHTTPServer(("127.0.0.1", port), make_handler(batcher))
-    threading.Thread(target=server.serve_forever, daemon=True).start()
+    mp_server = None
+    if args.workers:
+        from trueno_rag_tpu.serve import MultiProcessServer
+
+        mp_server = MultiProcessServer(batcher, "127.0.0.1", 0, args.workers)
+        port = mp_server.port
+        server = None
+        print(f"{args.workers} front-end worker processes (SO_REUSEPORT)")
+    else:
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        server = RagHTTPServer(("127.0.0.1", port), make_handler(batcher))
+        threading.Thread(target=server.serve_forever, daemon=True).start()
     url = f"http://127.0.0.1:{port}/query"
 
     # Clients are separate PROCESSES: in-process client threads would
@@ -113,7 +125,10 @@ def main() -> None:
             flush=True,
         )
 
-    server.shutdown()
+    if mp_server is not None:
+        mp_server.stop()
+    else:
+        server.shutdown()
     batcher.shutdown()
 
 

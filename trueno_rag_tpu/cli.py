@@ -306,6 +306,7 @@ def cmd_serve(args) -> int:
     run_server(retr, host=args.host, port=args.port,
                max_batch=max_batch, max_wait_ms=args.max_wait_ms,
                latency_budget_ms=args.latency_budget_ms,
+               workers=args.workers,
                index_loader=lambda: _load(args.index))  # POST /reload re-reads
     return 0
 
@@ -355,6 +356,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="calibrate max-batch/max-wait by measurement at startup")
     s.add_argument("--latency-budget-ms", type=float, default=None,
                    help="with --autotune: exclude batch sizes whose p50 exceeds this")
+    s.add_argument("--workers", type=int, default=0,
+                   help="HTTP front-end worker processes (SO_REUSEPORT); "
+                        "0 = serve HTTP from this process")
     s.set_defaults(fn=cmd_serve)
     return p
 

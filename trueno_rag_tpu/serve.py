@@ -20,12 +20,19 @@ retrieval). Filtered and unfiltered requests coalesce into the same
 micro-batches.
 
 Start via the CLI: ``python -m trueno_rag_tpu.cli serve --index DIR``.
+
+``--workers N`` scales the HTTP front end past the single-process GIL
+ceiling: N stdlib-only worker processes share the port via
+SO_REUSEPORT and forward framed requests over a unix socket to this
+device-owning process (see :mod:`trueno_rag_tpu.serve_worker` and the
+measured table in docs/deployment.md).
 """
 
 from __future__ import annotations
 
 import json
 import queue
+import socket
 import threading
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -46,6 +53,24 @@ def result_to_dict(r: RetrievalResult) -> Dict[str, Any]:
         "title": r.chunk.metadata.title,
         "content": r.chunk.content,
     }
+
+
+def result_to_tuple(r: RetrievalResult) -> tuple:
+    """Compact row for the worker IPC: same values as
+    :func:`result_to_dict` in ``serve_worker.RESULT_FIELDS`` order.
+    The worker process zips the fields back into dicts and pays the
+    json.dumps cost there, off this process's GIL."""
+    return (
+        r.best_score(),
+        r.dense_score,
+        r.sparse_score,
+        r.fused_score,
+        r.rerank_score,
+        r.chunk.id,
+        r.chunk.document_id,
+        r.chunk.metadata.title,
+        r.chunk.content,
+    )
 
 
 @dataclass
@@ -299,6 +324,195 @@ class RagHTTPServer(ThreadingHTTPServer):
     request_queue_size = 1024
 
 
+class DeviceIPCServer:
+    """Unix-socket side of multi-process serving (the device process).
+
+    Accepts framed requests from :mod:`serve_worker` HTTP workers and
+    answers from the shared :class:`MicroBatcher`. One thread per
+    worker connection; workers hold one persistent connection per HTTP
+    handler thread, so IPC concurrency mirrors HTTP concurrency and
+    the batcher coalesces across all workers exactly as it does across
+    threads in single-process mode."""
+
+    def __init__(self, batcher: MicroBatcher, sock_path: str,
+                 index_loader=None) -> None:
+        self.batcher = batcher
+        self.sock_path = sock_path
+        self._index_loader = index_loader
+        self._reload_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._conns: set = set()
+        self._conns_lock = threading.Lock()
+        self._listener = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self._listener.bind(sock_path)
+        self._listener.listen(256)
+        self._accept_thread = threading.Thread(target=self._accept_loop,
+                                               daemon=True)
+        self._accept_thread.start()
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._listener.accept()
+            except OSError:
+                return  # listener closed
+            with self._conns_lock:
+                self._conns.add(conn)
+            threading.Thread(target=self._serve_conn, args=(conn,),
+                             daemon=True).start()
+
+    def _serve_conn(self, conn) -> None:
+        from trueno_rag_tpu.serve_worker import recv_msg, send_msg
+
+        try:
+            while True:
+                frame = recv_msg(conn)
+                if frame is None:
+                    return
+                send_msg(conn, self._handle(frame))
+        except (ConnectionError, OSError):
+            return  # worker went away; its requests die with it
+        finally:
+            with self._conns_lock:
+                self._conns.discard(conn)
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def _handle(self, frame) -> tuple:
+        try:
+            op = frame[0]
+            if op == "query":
+                _, q, k, fspec = frame
+                results = self.batcher.query(q, int(k),
+                                             tag_filter=_parse_filter(fspec))
+                return ("ok", [result_to_tuple(r) for r in results])
+            if op == "batch":
+                _, queries, k, filters, one_filter = frame
+                tf = ([_parse_filter(f) for f in filters] if filters
+                      else _parse_filter(one_filter))
+                batches = self.batcher.retrieve_batch(list(queries), int(k),
+                                                      tag_filter=tf)
+                return ("ok", [[result_to_tuple(r) for r in b] for b in batches])
+            if op == "health":
+                return ("ok", {
+                    "status": "ok",
+                    "chunks": len(self.batcher.retriever),
+                    "batches_served": self.batcher.batches_served,
+                    "queries_served": self.batcher.queries_served,
+                    **self.batcher.latency_stats(),
+                })
+            if op == "reload":
+                return self._reload()
+            return ("err", 400, f"unknown op {op!r}")
+        except Exception as e:  # noqa: BLE001 — JSON error responses
+            return ("err", 400, f"{type(e).__name__}: {e}")
+
+    def _reload(self) -> tuple:
+        if self._index_loader is None:
+            return ("err", 501, "no index loader configured")
+        if not self._reload_lock.acquire(blocking=False):
+            return ("err", 409, "reload already in progress")
+        try:
+            # load OUTSIDE the batcher lock (same zero-downtime contract
+            # as the single-process handler)
+            new_retriever = self._index_loader()
+            self.batcher.swap_retriever(new_retriever)
+            return ("ok", {"status": "reloaded", "chunks": len(new_retriever)})
+        except Exception as e:  # noqa: BLE001 — surface to caller
+            return ("err", 500, f"{type(e).__name__}: {e}")
+        finally:
+            self._reload_lock.release()
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            self._listener.close()
+        except OSError:
+            pass
+        # break every live connection — including the workers' lifeline
+        # connections, whose EOF tells them to exit (serve_worker's
+        # watchdog), so a close() tears the whole topology down even if
+        # nobody terminates the worker processes explicitly
+        with self._conns_lock:
+            conns = list(self._conns)
+            self._conns.clear()
+        for c in conns:
+            try:
+                c.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                c.close()
+            except OSError:
+                pass
+
+
+class MultiProcessServer:
+    """``workers`` HTTP front-end processes + this device process.
+
+    Workers run ``serve_worker.py`` as standalone scripts (fresh
+    interpreters that never import the package, hence never JAX — a
+    TPU chip belongs to one process) and bind the same TCP port with
+    SO_REUSEPORT; the kernel load-balances accepted connections.
+    Measured motivation and numbers: docs/deployment.md (the GIL caps
+    a single front end at ~60% of even a CPU device ceiling)."""
+
+    def __init__(self, batcher: MicroBatcher, host: str, port: int,
+                 workers: int, index_loader=None) -> None:
+        import subprocess
+        import sys
+        import tempfile
+        from pathlib import Path
+
+        if port == 0:
+            # workers must agree on one port; claim a free one up front
+            with socket.socket() as probe:
+                probe.bind((host, 0))
+                port = probe.getsockname()[1]
+        self.host, self.port = host, port
+        self.batcher = batcher
+        self._tmpdir = tempfile.TemporaryDirectory(prefix="trag-ipc-")
+        import os
+
+        os.chmod(self._tmpdir.name, 0o700)  # pickle IPC: owner-only
+        self.sock_path = str(Path(self._tmpdir.name) / "device.sock")
+        self.ipc = DeviceIPCServer(batcher, self.sock_path, index_loader)
+        script = Path(__file__).with_name("serve_worker.py")
+        self.procs = [
+            subprocess.Popen(
+                [sys.executable, "-u", str(script), "--host", host,
+                 "--port", str(port), "--sock", self.sock_path],
+                stdout=subprocess.PIPE, text=True,
+            )
+            for _ in range(workers)
+        ]
+        for p in self.procs:
+            line = p.stdout.readline()  # blocks until "worker ready"
+            if "ready" not in line:
+                self.stop()
+                raise RuntimeError(
+                    f"serve worker failed to start (exit {p.poll()})")
+
+    def poll_dead(self) -> list:
+        return [p for p in self.procs if p.poll() is not None]
+
+    def stop(self) -> None:
+        for p in self.procs:
+            if p.poll() is None:
+                p.terminate()
+        for p in self.procs:
+            try:
+                p.wait(timeout=5)
+            except Exception:  # noqa: BLE001 — last resort
+                p.kill()
+            if p.stdout is not None:
+                p.stdout.close()
+        self.ipc.close()
+        self._tmpdir.cleanup()
+
+
 def prewarm(retriever, max_batch: int, k: int = 10,
             sample_queries: Optional[List[str]] = None) -> None:
     """Compile the jit buckets BEFORE accepting traffic.
@@ -330,10 +544,15 @@ def run_server(retriever, host: str = "127.0.0.1", port: int = 8080,
                max_batch=32, max_wait_ms: float = 5.0,
                autotune_k: int = 5,
                latency_budget_ms: Optional[float] = None,
-               index_loader=None, warm: bool = True) -> None:
+               index_loader=None, warm: bool = True,
+               workers: int = 0) -> None:
     """Serve ``retriever`` over HTTP. ``max_batch="auto"`` calibrates
     batch size and straggler wait by measurement before accepting
-    traffic (see :func:`trueno_rag_tpu.tune.autotune_serving`)."""
+    traffic (see :func:`trueno_rag_tpu.tune.autotune_serving`).
+    ``workers=N`` spawns N HTTP front-end processes on the same port
+    (SO_REUSEPORT) forwarding to this device-owning process — the GIL
+    caps a single front end well below the device ceiling (measured
+    table: docs/deployment.md)."""
     if max_batch == "auto":
         from trueno_rag_tpu.tune import autotune_serving
 
@@ -347,8 +566,38 @@ def run_server(retriever, host: str = "127.0.0.1", port: int = 8080,
     if warm:
         prewarm(retriever, int(max_batch), k=autotune_k)
     batcher = MicroBatcher(retriever, max_batch=int(max_batch), max_wait_ms=max_wait_ms)
-    server = RagHTTPServer((host, port), make_handler(batcher, index_loader))
     endpoints = "POST /query, GET /health" + (", POST /reload" if index_loader else "")
+    if workers:
+        import signal
+        import time as time_mod
+
+        # SIGTERM must unwind to the finally below so workers are
+        # reaped promptly (their lifeline watchdog is the backstop for
+        # kills this handler can't catch)
+        def _sigterm(*_):
+            raise SystemExit(0)
+
+        signal.signal(signal.SIGTERM, _sigterm)
+        mp_server = MultiProcessServer(batcher, host, port, workers,
+                                       index_loader)
+        print(f"serving {len(retriever)} chunks on "
+              f"http://{host}:{mp_server.port} ({endpoints}) "
+              f"[{workers} worker processes]")
+        try:
+            while True:
+                time_mod.sleep(1.0)
+                dead = mp_server.poll_dead()
+                if dead:
+                    raise RuntimeError(
+                        f"{len(dead)} serve worker(s) exited "
+                        f"(codes {[p.poll() for p in dead]})")
+        except KeyboardInterrupt:
+            pass
+        finally:
+            mp_server.stop()
+            batcher.shutdown()
+        return
+    server = RagHTTPServer((host, port), make_handler(batcher, index_loader))
     print(f"serving {len(retriever)} chunks on http://{host}:{port} ({endpoints})")
     try:
         server.serve_forever()
