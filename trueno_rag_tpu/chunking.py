@@ -25,7 +25,9 @@ chunk.rs:130-147 notes in SURVEY §2.2).
 
 from __future__ import annotations
 
+import os
 import re
+import threading
 import uuid
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Protocol, Sequence, Tuple, runtime_checkable
@@ -40,9 +42,32 @@ from trueno_rag_tpu.errors import EmptyDocumentError, InvalidConfigError
 # ---------------------------------------------------------------------------
 
 
+_ID_LOCK = threading.Lock()
+_ID_BUF = b""
+_ID_POS = 0
+
+
 def new_chunk_id() -> str:
-    """Fresh random chunk id (uuid4 string)."""
-    return str(uuid.uuid4())
+    """Fresh random chunk id (uuid4 string).
+
+    Equivalent to ``str(uuid.uuid4())`` but ~4x faster: ``uuid.uuid4``
+    costs ~8 µs (an os.urandom syscall plus UUID-object construction),
+    which at bulk-ingest scale was the single largest Python line in
+    the build profile (0.5 s of a 1.9 s 50k-chunk ingest). This pulls
+    16 random bytes from a refilled 64 KiB urandom buffer, sets the
+    RFC 4122 version/variant bits, and formats the string directly —
+    output is a valid v4 UUID string, parseable by ``uuid.UUID``."""
+    global _ID_BUF, _ID_POS
+    with _ID_LOCK:
+        if _ID_POS >= len(_ID_BUF):
+            _ID_BUF = os.urandom(16 * 4096)
+            _ID_POS = 0
+        b = bytearray(_ID_BUF[_ID_POS:_ID_POS + 16])
+        _ID_POS += 16
+    b[6] = (b[6] & 0x0F) | 0x40  # version 4
+    b[8] = (b[8] & 0x3F) | 0x80  # RFC 4122 variant
+    h = b.hex()
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
 
 
 def chunk_id_from_int(n: int) -> str:

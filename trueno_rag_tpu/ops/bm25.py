@@ -101,15 +101,18 @@ def pack_posting_blocks(
     denom = tfs32 + k1f * (np.float32(1.0) - bf + bf * dl32 / av)
     contrib = idf32 * tfs32 * (k1f + np.float32(1.0)) / np.maximum(denom, np.float32(1e-9))
     # The block after the last posting is the sentinel target for padded
-    # slots (always masked, so its contents never matter).
+    # slots (always masked, so its contents never matter). Write the two
+    # lanes straight into the table (np.stack of flat intermediates cost
+    # ~0.5 s at 3M postings on a 1-core box — two avoidable full copies).
     nb = p // BLOCK_LEN + 1
-    flat_rows = np.zeros(nb * BLOCK_LEN, dtype=np.float32)
-    flat_rows[:p] = rows.astype(np.float32)
-    flat_contrib = np.zeros(nb * BLOCK_LEN, dtype=np.float32)
-    flat_contrib[:p] = contrib
-    table = np.stack(
-        [flat_rows.reshape(nb, BLOCK_LEN), flat_contrib.reshape(nb, BLOCK_LEN)], axis=1
-    )
+    table = np.zeros((nb, 2, BLOCK_LEN), dtype=np.float32)
+    fb, rem = divmod(p, BLOCK_LEN)
+    if fb:
+        table[:fb, 0, :] = rows[: fb * BLOCK_LEN].astype(np.float32).reshape(fb, BLOCK_LEN)
+        table[:fb, 1, :] = contrib[: fb * BLOCK_LEN].reshape(fb, BLOCK_LEN)
+    if rem:
+        table[fb, 0, :rem] = rows[fb * BLOCK_LEN:].astype(np.float32)
+        table[fb, 1, :rem] = contrib[fb * BLOCK_LEN:]
     return jnp.asarray(table)
 
 
