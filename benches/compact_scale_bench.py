@@ -44,6 +44,13 @@ def main() -> None:
     p.add_argument("--check", action="store_true",
                    help="verify certified sets vs the fp32 oracle "
                         "(needs the fp32 matrix resident: <= ~2.5M)")
+    p.add_argument("--hybrid", action="store_true",
+                   help="full hybrid: compact dense + device-synthesized "
+                        "BM25 block table + RRF + top-10 — the 10M "
+                        "north-star workload on ONE chip")
+    p.add_argument("--cand", type=int, default=50)
+    p.add_argument("--topk", type=int, default=10)
+    p.add_argument("--vocab", type=int, default=50_000)
     args = p.parse_args()
 
     import jax
@@ -71,6 +78,28 @@ def main() -> None:
     @functools.partial(jax.jit, donate_argnums=(0,))
     def set_slab(dest, slab, lo):
         return jax.lax.dynamic_update_slice(dest, slab, (lo,) + (0,) * (dest.ndim - 1))
+
+    sparse = None
+    if args.hybrid:
+        # Build the BM25 structures FIRST: synthesizing ~170M postings
+        # at 10M chunks peaks several GB of transients, which OOM next
+        # to the ~12 GB of resident replicas but fit fine in an empty
+        # HBM (the kept block table is only ~1.3 GB).
+        import os
+        import sys
+
+        import jax as _jax
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from hybrid_scale_bench import build_bm25_device, query_blocks_from_indptr
+
+        blocks, indptr = build_bm25_device(n, args.vocab, avg_len=64)
+        bids, blo, bhi = query_blocks_from_indptr(indptr, b, terms_per_query=6)
+        sparse = (jnp.asarray(bids), jnp.asarray(blo), jnp.asarray(bhi), blocks)
+        _jax.block_until_ready(blocks)
+        print(f"BM25 block table: {blocks.nbytes/2**30:.2f} GiB "
+              f"({int(indptr[-1]):,} postings); slots/query={bids.shape[1]}",
+              flush=True)
 
     t0 = time.perf_counter()
     parts = [
@@ -135,23 +164,71 @@ def main() -> None:
         assert not bad, f"certified sets differ from oracle: queries {bad}"
         print(f"oracle check: all {int(ok_np.sum())} certified sets exact",
               flush=True)
+        if args.hybrid:
+            # The compact contract certifies the dense SET, not the
+            # order within it; RRF fuses by RANK, so a within-set swap
+            # can perturb the fused list. Report how often the fused
+            # top-k matches the fp32-dense hybrid exactly.
+            from trueno_rag_tpu.ops.bm25 import bm25_topk_blocks
+            from trueno_rag_tpu.ops.fusion import fuse_topk
+
+            s_s, s_r = bm25_topk_blocks(sparse[0], sparse[1], sparse[2],
+                                        sparse[3], k=k)
+            fr_c, _ = fuse_topk(r_c, s_c, s_r, s_s, kind="rrf", param=60.0)
+            fr_x, _ = fuse_topk(r_x, s_x, s_r, s_s, kind="rrf", param=60.0)
+            fc = np.asarray(fr_c)[:, : args.topk]
+            fx = np.asarray(fr_x)[:, : args.topk]
+            same = sum(
+                1 for q in np.flatnonzero(ok_np)
+                if (fc[q] == fx[q]).all()
+            )
+            print(f"fused top-{args.topk} identical to fp32 hybrid: "
+                  f"{same}/{int(ok_np.sum())} certified queries", flush=True)
 
     # -- timing: dependency-chained scan, one scalar out -------------------
-    @functools.partial(jax.jit, static_argnames=("steps",))
-    def chain(queries, *rest, steps):
-        *mats, valid = rest
+    if args.hybrid:
+        from trueno_rag_tpu.ops.bm25 import bm25_topk_blocks
+        from trueno_rag_tpu.ops.fusion import fuse_topk
 
-        def one(carry, _):
-            q = queries + carry
-            s, r, ok = compact(
-                q, *mats, valid, k, tile_n=args.tile_n,
-            )
-            return (jnp.max(s) + jnp.sum(ok).astype(jnp.float32)) * 1e-12, None
+        @functools.partial(jax.jit, static_argnames=("steps",))
+        def chain(queries, bids, blo, bhi, blocks, *rest, steps):
+            *mats, valid = rest
 
-        c, _ = jax.lax.scan(one, 0.0, None, length=steps)
-        return c
+            def one(carry, _):
+                q = queries + carry
+                shift = (carry > 1e30).astype(jnp.int32)
+                d_s, d_r, ok = compact(
+                    q, *mats, valid, args.cand, tile_n=args.tile_n,
+                )
+                s_s, s_r = bm25_topk_blocks(bids + shift, blo, bhi, blocks,
+                                            k=args.cand)
+                f_r, f_s = fuse_topk(d_r, d_s, s_r, s_s, kind="rrf", param=60.0)
+                top = jax.lax.top_k(f_s, args.topk)[0]
+                return (jnp.max(top) + jnp.sum(ok).astype(jnp.float32)) * 1e-12, None
 
-    arrs = (queries, *parts, valid)
+            c, _ = jax.lax.scan(one, 0.0, None, length=steps)
+            return c
+
+        arrs = (queries, *sparse[:3], sparse[3], *parts, valid)
+        label = f"hybrid-compact[{args.scan}]"
+    else:
+        @functools.partial(jax.jit, static_argnames=("steps",))
+        def chain(queries, *rest, steps):
+            *mats, valid = rest
+
+            def one(carry, _):
+                q = queries + carry
+                s, r, ok = compact(
+                    q, *mats, valid, k, tile_n=args.tile_n,
+                )
+                return (jnp.max(s) + jnp.sum(ok).astype(jnp.float32)) * 1e-12, None
+
+            c, _ = jax.lax.scan(one, 0.0, None, length=steps)
+            return c
+
+        arrs = (queries, *parts, valid)
+        label = f"compact[{args.scan}]"
+
     float(chain(*arrs, steps=args.iters))  # compile + warm
     ts = []
     for _ in range(3):
@@ -161,7 +238,7 @@ def main() -> None:
     dt = sorted(ts)[1] / args.iters
     scan_bytes = 1 if args.scan == "int8" else 2
     bw = n * d * scan_bytes / dt / 2**30
-    print(f"compact[{args.scan}] @ {n:,}: {dt*1e3:8.3f} ms/step -> "
+    print(f"{label} @ {n:,}: {dt*1e3:8.3f} ms/step -> "
           f"{b/dt:10,.0f} q/s (scan stream {bw:,.0f} GiB/s)", flush=True)
 
 
