@@ -1,0 +1,139 @@
+"""Sharded compact tier on the 8-virtual-CPU-device mesh: the global
+set certificate composed from per-shard scans must be sound (certified
+sets exactly equal the true top-k sets) and fail closed on planted
+boundary ties. No fp32 matrix exists on any device in this path."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from trueno_rag_tpu.ops.dense_tiered import prepare_residual, prepare_tiered
+from trueno_rag_tpu.parallel.compact import ShardedCompactIndex, sharded_compact_topk
+from trueno_rag_tpu.parallel.mesh import create_mesh
+
+
+def _oracle_sets(queries, matrix, valid, k, metric="cosine"):
+    """True-score (float64) top-k row sets + scores, (desc, row-asc)."""
+    q = np.asarray(queries, dtype=np.float64)
+    if metric == "cosine":
+        norms = np.linalg.norm(q, axis=1, keepdims=True)
+        q = q / np.where(norms == 0.0, 1.0, norms)
+    scores = q @ np.asarray(matrix, dtype=np.float64).T
+    scores[:, ~valid] = -np.inf
+    order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return order
+
+
+def _sharded_parts(matrix, valid, mesh):
+    mb, el, al = prepare_tiered(jnp.asarray(matrix))
+    ri, rs, e2 = prepare_residual(jnp.asarray(matrix))
+    row = NamedSharding(mesh, P("data", None))
+    vec = NamedSharding(mesh, P("data"))
+    return (
+        jax.device_put(mb, row), jax.device_put(el, vec),
+        jax.device_put(al, vec), jax.device_put(ri, row),
+        jax.device_put(rs, vec), jax.device_put(e2, vec),
+        jax.device_put(jnp.asarray(valid), vec),
+    )
+
+
+@pytest.mark.parametrize("metric", ["cosine", "dot"])
+def test_sharded_compact_certified_sets_exact(metric):
+    rng = np.random.default_rng(0)
+    # 1024 rows/shard = 8 tiles of 128 -> 32 candidate slots per shard
+    # (t_top=4) for k=10; a one-tile shard would truncate and fail closed
+    n, d, b, k = 8192, 64, 16, 10
+    matrix = rng.standard_normal((n, d)).astype(np.float32)
+    if metric == "cosine":
+        matrix /= np.linalg.norm(matrix, axis=1, keepdims=True)
+    queries = rng.standard_normal((b, d)).astype(np.float32)
+    valid = np.ones(n, dtype=bool)
+    valid[50:80] = False
+
+    mesh = create_mesh(data=8, model=1)
+    parts = _sharded_parts(matrix, valid, mesh)
+    s, r, ok = sharded_compact_topk(
+        jnp.asarray(queries), *parts, k, mesh, metric=metric,
+        tile_n=128, interpret=True,
+    )
+    s, r, ok = np.asarray(s), np.asarray(r), np.asarray(ok).astype(bool)
+    # at d=64 random (large gaps) the certificate should mostly fire
+    assert ok.sum() >= b // 2, f"only {ok.sum()}/{b} certified"
+    oracle = _oracle_sets(queries, matrix, valid, k, metric)
+    for i in np.flatnonzero(ok):
+        assert set(r[i].tolist()) == set(oracle[i].tolist()), f"query {i}"
+        assert (r[i] >= 0).all() and (r[i] < n).all()
+        # scores within the corrected-rescore interval of truth
+        # (loose sanity bound; the certificate itself is the proof)
+        assert np.all(np.diff(s[i]) <= 1e-6)
+
+
+def test_sharded_compact_fails_closed_on_boundary_tie():
+    """Plant an exact duplicate row pair straddling the k boundary in
+    DIFFERENT shards: the true rank-k/k+1 scores tie exactly, so no
+    interval certificate can separate them — those queries must not
+    certify (soundness would otherwise be violated arbitrarily)."""
+    rng = np.random.default_rng(1)
+    n, d, k = 512, 32, 3
+    matrix = rng.standard_normal((n, d)).astype(np.float32)
+    matrix /= np.linalg.norm(matrix, axis=1, keepdims=True)
+    q = rng.standard_normal((1, d)).astype(np.float32)
+    qn = q / np.linalg.norm(q)
+    # craft rows: top-3 distinct, rank 3 and 4 identical (shards 0 and 7)
+    base = qn[0]
+    matrix[0] = base  # score 1.0
+    matrix[1] = 0.99 * base + 0.01 * matrix[1]; matrix[1] /= np.linalg.norm(matrix[1])
+    tie = 0.95 * base + 0.05 * matrix[2]; tie /= np.linalg.norm(tie)
+    matrix[2] = tie
+    matrix[448] = tie  # same vector, different shard (448 // 64 == 7)
+    valid = np.ones(n, dtype=bool)
+
+    mesh = create_mesh(data=8, model=1)
+    parts = _sharded_parts(matrix, valid, mesh)
+    s, r, ok = sharded_compact_topk(
+        jnp.asarray(q), *parts, k, mesh, tile_n=64, interpret=True,
+    )
+    assert not bool(np.asarray(ok)[0]), "tie at the k boundary must fail closed"
+
+
+def test_sharded_compact_index_host_patch_and_counters():
+    rng = np.random.default_rng(2)
+    n, d, b, k = 700, 48, 8, 7  # n % 8 != 0: padding rows must not surface
+    matrix = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((b, d)).astype(np.float32)
+
+    mesh = create_mesh(data=8, model=1)
+    idx = ShardedCompactIndex(matrix, mesh, tile_n=64)
+    s, r, ok = idx.search(queries, k)
+    s, r, ok = np.asarray(s), np.asarray(r), np.asarray(ok).astype(bool)
+    assert ok.all()  # host patch covers any certificate miss
+    assert (r >= 0).all() and (r < n).all()
+    oracle = _oracle_sets(queries, matrix / np.linalg.norm(matrix, axis=1, keepdims=True),
+                          np.ones(n, bool), k)
+    for i in range(b):
+        assert set(r[i].tolist()) == set(oracle[i].tolist()), f"query {i}"
+
+    # without the host matrix: flags surface, counter still counts
+    idx2 = ShardedCompactIndex(matrix, mesh, tile_n=64, keep_host=False)
+    s2, r2, ok2 = idx2.search(queries, k)
+    ok2 = np.asarray(ok2).astype(bool)
+    for i in np.flatnonzero(ok2):
+        assert set(np.asarray(r2)[i].tolist()) == set(oracle[i].tolist())
+    assert idx2.uncertified == int((~ok2).sum())
+
+
+def test_sharded_compact_memory_is_3_bytes_per_element():
+    """The contract that justifies the tier: per-shard bytes ≈ 3·(N/s)·d
+    (bf16 + int8) plus O(N/s) vectors — no fp32 [N,d] anywhere."""
+    rng = np.random.default_rng(3)
+    n, d = 1024, 64
+    matrix = rng.standard_normal((n, d)).astype(np.float32)
+    mesh = create_mesh(data=8, model=1)
+    idx = ShardedCompactIndex(matrix, mesh, keep_host=False)
+    big = [a for a in (idx.m_bf16, idx.r_i8)]
+    assert sum(a.nbytes for a in big) == 3 * n * d
+    aux = sum(a.nbytes for a in (idx.e_l2, idx.a_l2, idx.r_scale, idx.e2_l2,
+                                 idx.valid))
+    assert aux <= n * 4 * 5

@@ -794,7 +794,7 @@ def prepare_residual(matrix: jax.Array):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "margin_tiles", "metric", "tile_n", "rescore_rows", "approx_select", "t_top", "interpret"),
+    static_argnames=("k", "margin_tiles", "metric", "tile_n", "rescore_rows", "approx_select", "t_top", "interpret", "return_bounds"),
 )
 def dense_topk_compact_bf16r(
     queries: jax.Array,  # [B, d] f32
@@ -813,10 +813,18 @@ def dense_topk_compact_bf16r(
     approx_select: bool = True,
     t_top: int = 4,
     interpret: bool = False,
+    return_bounds: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Compact tier with int8 residual correction — 3 B/element, the
     certification-per-byte sweet spot → (scores [B,k]
     residual-corrected, rows [B,k], set_certified [B] bool).
+
+    ``return_bounds=True`` additionally returns per-candidate interval
+    half-widths ``err [B,k]`` and the exclusion upper bound ``rhs [B]``
+    (max possible TRUE score of any non-returned row, +inf when any
+    local failure mode fired) — the pieces the sharded composition in
+    ``parallel/compact.py`` needs to build a GLOBAL set certificate
+    from per-shard scans.
 
     The scan is the same bf16 scan_select_v2 pass as the bf16 layout;
     the rescore adds the dequantized int8 residual, shrinking the
@@ -864,7 +872,7 @@ def dense_topk_compact_bf16r(
     return _trim_rescore_verify_compact(
         cand_rows, cand_vals, threshold, q, m_bf16, e_l2, a_l2,
         valid_mask, n, bsz, b_pad, k, rescore_rows, approx_select,
-        residual=(r_i8, r_scale, e2_l2),
+        residual=(r_i8, r_scale, e2_l2), return_bounds=return_bounds,
     )
 
 
@@ -947,7 +955,7 @@ def dense_topk_compact_bf16(
 def _trim_rescore_verify_compact(
     cand_rows, cand_vals, threshold, q, m_bf16, bf_e_l2, bf_a_l2,
     valid_mask, n, bsz, b_pad, k_req, rescore_rows, approx_select,
-    residual=None,
+    residual=None, return_bounds=False,
 ):
     """Compact-tier tail: bf16 rescore with per-candidate interval
     bounds and the SET certificate.
@@ -1065,6 +1073,15 @@ def _trim_rescore_verify_compact(
         per_q = per_q & jnp.isneginf(rhs)
         top_s = jnp.pad(top_s, ((0, 0), (0, k_req - k)), constant_values=NEG_INF)
         top_r = jnp.pad(top_r, ((0, 0), (0, k_req - k)), constant_values=-1)
+        top_err = jnp.pad(top_err, ((0, 0), (0, k_req - k)), constant_values=0.0)
+    if return_bounds:
+        # For cross-shard composition (parallel/compact.py): per-
+        # candidate interval half-widths plus the exclusion upper bound
+        # — the max TRUE score any non-returned local row could have.
+        # Note rhs already folds every local failure mode (selector
+        # miss, dup, tie, short width) into +inf, so a shard whose own
+        # set is uncertified still composes fail-closed globally.
+        return top_s[:bsz], top_r[:bsz], per_q[:bsz], top_err[:bsz], rhs[:bsz]
     return top_s[:bsz], top_r[:bsz], per_q[:bsz]
 
 

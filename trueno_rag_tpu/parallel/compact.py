@@ -1,0 +1,231 @@
+"""Corpus-sharded COMPACT dense retrieval: certified top-k SETS over a
+mesh with no fp32 matrix on any chip.
+
+The single-chip compact tier (ops/dense_tiered.py, compact header)
+serves ~10M chunks from one v5e in ~11.5 GB of bf16+int8 replicas.
+Sharding the replicas row-wise over the mesh's ``data`` axis multiplies
+that: a v5e-8 holds ~80M chunks at 3 B/element — or 10M in ~1.5 GB per
+chip — while queries stay one program with an ICI merge.
+
+Certificate composition (the part that is NOT just the dense sharding
+of parallel/sharded.py): each shard's compact scan returns, besides its
+local top-k candidates with residual-corrected scores, (a) per-candidate
+interval half-widths ``err`` — |true − rescored| bounds — and (b) an
+exclusion upper bound ``rhs`` — the max TRUE score any non-returned
+local row could have, +inf if any local failure mode fired
+(``return_bounds=True`` on :func:`dense_topk_compact_bf16r`). After the
+k·s all-gather, the global set certificate per query is
+
+    min over selected (s_i − err_i)
+      > max( max over shards rhs_shard,
+             max over unselected gathered (s_j + err_j) )
+
+⇒ every selected row's true score strictly beats every excluded row's
+— whether that row was another shard candidate or never left its
+shard. A shard whose own set is uncertified composes fail-closed (its
+rhs is +inf), so no local flag needs trusting. Ties fail closed, like
+every certificate in this codebase.
+
+Exactness contract: where ``certified[i]`` is True the returned row set
+IS the global fp32 top-k set (reference semantics, index.rs:386-412);
+scores and order within the set are corrected-rescore values (±~2e-5).
+
+Communication per query batch: ``s·k`` candidates × 16 B
+(score, row, err) + ``s`` rhs scalars — still independent of N.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from trueno_rag_tpu.ops.dense import NEG_INF
+from trueno_rag_tpu.ops.dense_tiered import (
+    dense_topk_compact_bf16r,
+    prepare_residual,
+    prepare_tiered,
+)
+
+
+def sharded_compact_topk(
+    queries: jax.Array,  # [B, d] f32, replicated
+    m_bf16: jax.Array,  # [N, d] bf16, sharded P(axis, None)
+    e_l2: jax.Array,  # [N] f32, sharded P(axis)
+    a_l2: jax.Array,  # [N] f32
+    r_i8: jax.Array,  # [N, d] int8
+    r_scale: jax.Array,  # [N] f32
+    e2_l2: jax.Array,  # [N] f32
+    valid_mask: jax.Array,  # [N] bool
+    k: int,
+    mesh: Mesh,
+    metric: str = "cosine",
+    axis: str = "data",
+    tile_n: int = 2048,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Certified-set top-k over row-sharded compact (bf16r) replicas.
+
+    Returns ``(scores [B,k], rows [B,k] global ids, certified [B])``.
+    """
+
+    def local(q, mb, el, al, ri, rs, e2, v):
+        s, r, _ok, err, rhs = dense_topk_compact_bf16r(
+            q, mb, el, al, ri, rs, e2, v, k, metric=metric, tile_n=tile_n,
+            interpret=interpret, return_bounds=True,
+        )
+        local_n = mb.shape[0]
+        shard = jax.lax.axis_index(axis)
+        r_glob = jnp.where(r >= 0, r + shard * local_n, jnp.iinfo(jnp.int32).max)
+        # merge: k candidates per shard + each shard's exclusion bound.
+        # Shard-axis concatenation preserves global row-ascending order,
+        # so lax.top_k's earlier-position tie preference keeps the
+        # (score desc, row asc) total order.
+        s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)  # [B, k*s]
+        r_all = jax.lax.all_gather(r_glob, axis, axis=1, tiled=True)
+        e_all = jax.lax.all_gather(err, axis, axis=1, tiled=True)
+        rhs_all = jax.lax.all_gather(rhs[:, None], axis, axis=1, tiled=True)
+        shard_bound = jnp.max(rhs_all, axis=1)  # [B]
+
+        k_out = min(k, s_all.shape[1])
+        s_top, idx = jax.lax.top_k(s_all, k_out)
+        r_top = jnp.take_along_axis(r_all, idx, axis=1)
+        e_top = jnp.take_along_axis(e_all, idx, axis=1)
+
+        # global SET certificate (same structure as the single-chip
+        # tail; scatter-free count-based selection identification)
+        sel_lower = jnp.min(
+            jnp.where(jnp.isneginf(s_top), jnp.inf, s_top - e_top), axis=1
+        )
+        sel_lower = jnp.where(jnp.isinf(sel_lower), NEG_INF, sel_lower)
+        vmin = s_top[:, k_out - 1]
+        ge = s_all >= vmin[:, None]
+        count = jnp.sum(ge, axis=1)
+        excl_upper = jnp.max(jnp.where(ge, NEG_INF, s_all + e_all), axis=1)
+        excl_upper = jnp.where(count == k_out, excl_upper, jnp.inf)
+        rhs_g = jnp.maximum(shard_bound, excl_upper)
+        ok = (sel_lower > rhs_g) | jnp.isneginf(rhs_g)
+
+        r_out = jnp.where(jnp.isneginf(s_top), -1, r_top).astype(jnp.int32)
+        if k_out < k:
+            s_top = jnp.pad(s_top, ((0, 0), (0, k - k_out)), constant_values=NEG_INF)
+            r_out = jnp.pad(r_out, ((0, 0), (0, k - k_out)), constant_values=-1)
+        return s_top, r_out, ok
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis), P(axis), P(axis, None),
+                  P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        # outputs ARE replicated (identical all-gather + certificate on
+        # every shard); inference can't see through axis_index
+        check_vma=False,
+    )
+    return jax.jit(fn)(queries, m_bf16, e_l2, a_l2, r_i8, r_scale, e2_l2,
+                       valid_mask)
+
+
+class ShardedCompactIndex:
+    """Read-optimized sharded compact index: per-chip memory is
+    3 bytes/element of the shard — no fp32 matrix anywhere on device.
+
+    ``keep_host=True`` (default) retains the host fp32 matrix and
+    patches uncertified queries with an exact host top-k (float64
+    accumulation — the same true-score order the certificate proves for
+    certified queries), mirroring the single-chip VectorStore's
+    ``compact_fallback="host"``. Pass False to drop it (10M×384 fp32 is
+    15 GB of host RAM) and serve best-effort flagged results instead.
+    """
+
+    def __init__(
+        self,
+        matrix: np.ndarray,
+        mesh: Mesh,
+        metric: str = "cosine",
+        valid: Optional[np.ndarray] = None,
+        axis: str = "data",
+        rows_normalized: bool = False,
+        tile_n: int = 2048,
+        keep_host: bool = True,
+        interpret: Optional[bool] = None,
+    ) -> None:
+        matrix = np.asarray(matrix, dtype=np.float32)
+        n, d = matrix.shape
+        self.n, self.metric, self.mesh, self.axis = n, metric, mesh, axis
+        self.tile_n = tile_n
+        if interpret is None:  # Pallas needs interpret mode off-TPU
+            interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        self.interpret = interpret
+        s = mesh.shape[axis]
+        n_pad = ((n + s - 1) // s) * s
+        if metric == "cosine" and not rows_normalized:
+            norms = np.linalg.norm(matrix, axis=1, keepdims=True)
+            matrix = matrix / np.where(norms == 0.0, 1.0, norms)
+        if n_pad != n:
+            matrix = np.pad(matrix, ((0, n_pad - n), (0, 0)))
+        if metric not in ("cosine", "dot"):
+            raise ValueError("compact sharding supports cosine/dot metrics")
+        v = np.zeros(n_pad, dtype=bool)
+        v[:n] = True if valid is None else np.asarray(valid, dtype=bool)[:n]
+        self._host = matrix[:n] if keep_host else None
+        self._valid_host = v[:n]
+
+        # Replica prep is row-wise independent, so preparing globally
+        # and sharding after is equivalent to per-shard prep. (On a real
+        # pod, prepare per host-slab and device_put each shard to avoid
+        # materializing the fp32 matrix on one device.)
+        mb, el, al = prepare_tiered(jnp.asarray(matrix))
+        ri, rs, e2 = prepare_residual(jnp.asarray(matrix))
+        row_sh = NamedSharding(mesh, P(axis, None))
+        vec_sh = NamedSharding(mesh, P(axis))
+        self.m_bf16 = jax.device_put(mb, row_sh)
+        self.e_l2 = jax.device_put(el, vec_sh)
+        self.a_l2 = jax.device_put(al, vec_sh)
+        self.r_i8 = jax.device_put(ri, row_sh)
+        self.r_scale = jax.device_put(rs, vec_sh)
+        self.e2_l2 = jax.device_put(e2, vec_sh)
+        self.valid = jax.device_put(jnp.asarray(v), vec_sh)
+        self.uncertified = 0  # observability counter
+
+    def search(self, queries: np.ndarray, k: int):
+        """→ ``(scores [B,k], rows [B,k], certified [B])``; with a host
+        matrix, uncertified queries are patched exactly and reported
+        certified=True in the returned flag's companion counter."""
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+        s, r, ok = sharded_compact_topk(
+            q, self.m_bf16, self.e_l2, self.a_l2, self.r_i8, self.r_scale,
+            self.e2_l2, self.valid, k, self.mesh, self.metric, self.axis,
+            self.tile_n, self.interpret,
+        )
+        ok_np = np.asarray(ok).astype(bool)
+        misses = int((~ok_np).sum())
+        self.uncertified += misses
+        if misses and self._host is not None:
+            # exact host patch: float64 accumulation, (score desc, row
+            # asc) ties — the same true-score order the certificate
+            # proves for certified queries (mirrors
+            # VectorStore._host_exact_patch)
+            s_np, r_np = np.asarray(s).copy(), np.asarray(r).copy()
+            qn = np.asarray(q, dtype=np.float64)
+            if self.metric == "cosine":
+                norms = np.linalg.norm(qn, axis=1, keepdims=True)
+                qn = qn / np.where(norms == 0.0, 1.0, norms)
+            for i in np.flatnonzero(~ok_np):
+                scores = self._host.astype(np.float64) @ qn[i]
+                scores[~self._valid_host] = -np.inf
+                order = np.argsort(-scores, kind="stable")[:k]
+                live = np.isfinite(scores[order])
+                r_np[i, : len(order)] = np.where(live, order, -1)
+                s_np[i, : len(order)] = np.where(
+                    live, scores[order], NEG_INF
+                ).astype(np.float32)
+                if len(order) < k:
+                    r_np[i, len(order):] = -1
+                    s_np[i, len(order):] = NEG_INF
+            return jnp.asarray(s_np), jnp.asarray(r_np), jnp.ones_like(ok)
+        return s, r, ok
