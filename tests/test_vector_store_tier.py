@@ -266,3 +266,60 @@ def test_compact_slab_prepare_matches_single_shot():
     assert len(store._tier) == len(fresh)
     for got, want in zip(store._tier, fresh):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+# -- staged hybrid through the retriever (compact store) ---------------------
+
+
+def _hybrid_pair(tier):
+    """Two identically-loaded HybridRetrievers: default store vs ``tier``."""
+    from trueno_rag_tpu.embed import TfIdfEmbedder
+    from trueno_rag_tpu.retrieve import HybridRetriever
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i:03d}" for i in range(300)]
+    texts = [
+        " ".join(rng.choice(words, size=12, replace=False)) for _ in range(400)
+    ]
+    emb = TfIdfEmbedder(48).fit(texts)
+    out = []
+    for cfg in (VectorStoreConfig(dimension=48),
+                VectorStoreConfig(dimension=48, scan_tier=tier)):
+        retr = HybridRetriever(emb, vector_config=cfg)
+        chunks = []
+        for i, t in enumerate(texts):
+            c = Chunk(id=f"c{i}", document_id="d0", content=t,
+                      start_offset=0, end_offset=len(t),
+                      metadata=ChunkMetadata())
+            c.set_embedding(emb.embed_document(t))
+            chunks.append(c)
+        retr.index_batch(chunks)
+        out.append(retr)
+    return out, texts
+
+
+def test_compact_store_serves_staged_hybrid():
+    """scan_tier='compact' must serve hybrid queries through the public
+    retriever (staged: compact dense + BM25 + device fusion) with the
+    same results as a fp32 store — this exact path was broken before
+    the staged branch existed (device_matrix raised)."""
+    (plain, compact), texts = _hybrid_pair("compact")
+    assert compact.vector_store.is_compact
+    queries = [texts[3][:30], texts[50][:40], "w001 w002 w003"]
+    for q in queries:
+        want = [r.chunk.id for r in plain.retrieve(q, 5)]
+        got = [r.chunk.id for r in compact.retrieve(q, 5)]
+        assert got == want, q
+    # four-score model intact on the staged path
+    r = compact.retrieve(queries[0], 3)[0]
+    assert r.dense_score is not None and r.sparse_score is not None
+    assert r.fused_score is not None
+
+
+def test_compact_store_rejects_tag_filters():
+    from trueno_rag_tpu.errors import QueryError
+    from trueno_rag_tpu.retrieve import TagFilter
+
+    (_, compact), texts = _hybrid_pair("compact")
+    with pytest.raises(QueryError):
+        compact.retrieve(texts[0][:20], 3, tag_filter=TagFilter(all=["x"]))

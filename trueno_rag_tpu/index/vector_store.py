@@ -78,9 +78,11 @@ class VectorStoreConfig:
     # hold (10M×384 is 15 GB fp32 alone on a 16 GB v5e). Certified
     # queries return the PROVABLY exact top-k SET by true scores
     # (scores bf16-rescored, ≤ ~1e-3); uncertified queries are patched
-    # from the host fp32 matrix per ``compact_fallback``. The fused
-    # hybrid/tagged one-dispatch paths need the fp32 device matrix and
-    # therefore reject compact stores.
+    # from the host fp32 matrix per ``compact_fallback``. Hybrid
+    # retrieval runs STAGED (compact dense scan + BM25 + device fusion
+    # — HybridRetriever.retrieve_batch switches automatically); only
+    # tag filters and the encoder-fused one-program path still need a
+    # fp32 device matrix and reject compact stores.
     #
     # Host fp32 rows feed the replica build in slabs of
     # ``compact_prep_rows`` so the transient fp32 upload stays bounded
@@ -398,6 +400,14 @@ class VectorStore:
             return "bf16" if self._count >= self.config.scan_tier_auto_rows else "none"
         return tier
 
+    @property
+    def is_compact(self) -> bool:
+        """True when this store holds no fp32 device matrix (compact
+        tier) — callers that need ``device_matrix`` (the one-dispatch
+        fused hybrid / tag-filtered programs) must take a staged path
+        instead."""
+        return self._effective_tier() == "compact"
+
     def _refresh_tier(self, rows_j=None, updates=None) -> None:
         """Maintain the scan-tier replica. The quantization/residual math
         is row-local, so incremental mutations prepare ONLY the changed
@@ -423,8 +433,10 @@ class VectorStore:
         if self._effective_tier() == "compact":
             raise InvalidConfigError(
                 "scan_tier='compact' holds no fp32 device matrix (that is "
-                "its memory contract); the fused hybrid/tagged paths need "
-                "scan_tier='bf16'/'int8' or a sharded deployment"
+                "its memory contract); tag filters and the encoder-fused "
+                "one-program path need scan_tier='bf16'/'int8' or a "
+                "sharded deployment (plain hybrid queries run staged "
+                "automatically)"
             )
         self._refresh_device()
         return self._device_matrix

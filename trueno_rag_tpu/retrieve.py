@@ -245,10 +245,20 @@ class HybridRetriever:
             from trueno_rag_tpu.models.encoder import JaxEncoderEmbedder
 
             if isinstance(self.embedder, JaxEncoderEmbedder):
-                return self.retrieve_batch_fused(
-                    queries, k, fusion=fusion, tag_filter=tag_filter
-                )
-            if self.config.fused is True:
+                if not self.vector_store.is_compact:
+                    return self.retrieve_batch_fused(
+                        queries, k, fusion=fusion, tag_filter=tag_filter
+                    )
+                if self.config.fused is True:
+                    # explicit request, impossible contract — surface it
+                    raise QueryError(
+                        "fused=True needs the fp32 device matrix; "
+                        "scan_tier='compact' serves the staged path "
+                        "(leave fused=None)"
+                    )
+                # fused=None (auto) + compact store: fall through to the
+                # staged compact hybrid below
+            elif self.config.fused is True:
                 raise QueryError("fused=True requires a JaxEncoderEmbedder")
 
         b = len(queries)
@@ -272,7 +282,32 @@ class HybridRetriever:
                     np.pad(m, (0, b_pad - b)) for m in masks
                 )
 
-        if use_dense and use_sparse:
+        if use_dense and use_sparse and self.vector_store.is_compact:
+            # Compact store: no fp32 matrix on device, so the
+            # one-dispatch hybrid program can't run; stage it — compact
+            # certified-set dense scan (host-patched per
+            # compact_fallback) + BM25 + device fusion on the candidate
+            # arrays. One extra dispatch, same results (RRF is
+            # rank-based, so a within-certified-set order swap can
+            # perturb fusion only when fallback="none").
+            import jax.numpy as jnp
+
+            from trueno_rag_tpu.ops.fusion import fuse_topk
+
+            if masks is not None:
+                raise QueryError(
+                    "tag filters need a fp32 device matrix or the "
+                    "bf16/int8 tiers; scan_tier='compact' serves "
+                    "unfiltered queries only"
+                )
+            d_scores, d_rows = self.vector_store.search_arrays(qvecs, cand)
+            s_scores, s_rows = self.sparse_index.search_arrays(padded_queries, cand)
+            f_rows, f_scores = fuse_topk(
+                jnp.asarray(d_rows), jnp.asarray(d_scores),
+                jnp.asarray(s_rows), jnp.asarray(s_scores),
+                kind=fusion_strategy.kind, param=fusion_strategy.device_param,
+            )
+        elif use_dense and use_sparse:
             # one device dispatch for dense + BM25 + fusion
             from trueno_rag_tpu.ops.hybrid import (
                 hybrid_query_arrays,
@@ -342,6 +377,12 @@ class HybridRetriever:
                 )
         elif use_dense:
             if masks is not None:
+                if self.vector_store.is_compact:
+                    raise QueryError(
+                        "tag filters need a fp32 device matrix or the "
+                        "bf16/int8 tiers; scan_tier='compact' serves "
+                        "unfiltered queries only"
+                    )
                 import jax.numpy as jnp
 
                 from trueno_rag_tpu.ops.tags import dense_topk_tagged
