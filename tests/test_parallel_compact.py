@@ -137,3 +137,62 @@ def test_sharded_compact_memory_is_3_bytes_per_element():
     aux = sum(a.nbytes for a in (idx.e_l2, idx.a_l2, idx.r_scale, idx.e2_l2,
                                  idx.valid))
     assert aux <= n * 4 * 5
+
+
+def test_sharded_hybrid_compact_dense_matches_single_host():
+    """ShardedHybridIndex(dense_mode='compact') — compact dense shards
+    + document-sharded BM25 + fusion — must rank like the single-host
+    HybridRetriever (the host patch makes uncertified dense queries
+    exact; certified sets are exact by proof). Dense embeddings are
+    MockEmbedder hash vectors — continuous scores, no exact-zero tie
+    groups: sparse TfIdf vectors give many docs dense score exactly 0.0
+    and the corrected rescore breaks those mathematical ties in a
+    different (equally valid) order, which rank-based RRF then amplifies
+    — the documented certified-SET-not-order contract."""
+    rng = np.random.default_rng(7)
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+    from trueno_rag_tpu.embed import MockEmbedder
+    from trueno_rag_tpu.errors import QueryError
+    from trueno_rag_tpu.parallel.hybrid import ShardedHybridIndex
+    from trueno_rag_tpu.retrieve import HybridRetriever, TagFilter
+
+    words = [f"term{i:03d}" for i in range(200)]
+    corpus = [
+        " ".join(rng.choice(words, size=10, replace=False)) for _ in range(96)
+    ]
+    emb = MockEmbedder(dimension=32)
+    retr = HybridRetriever(emb)
+    retr.config.candidates_per_source = 12
+    chunks = []
+    for i, t in enumerate(corpus):
+        c = Chunk(document_id="d", content=t, start_offset=0, end_offset=len(t),
+                  metadata=ChunkMetadata(), id=chunk_id_from_int(i))
+        c.set_embedding(emb.embed_document(t))
+        chunks.append(c)
+    retr.index_batch(chunks)
+
+    mesh = create_mesh(data=8, model=1)
+    # sparse_mode="replicated" for BIT-parity: the document-sharded
+    # sparse layout permutes mathematically tied BM25 scores (summation
+    # order), which is asserted separately by
+    # test_parallel.test_sharded_sparse_hybrid_rank_parity
+    sharded = ShardedHybridIndex(retr, mesh, candidates_per_source=12,
+                                 dense_mode="compact",
+                                 sparse_mode="replicated")
+    for q in [corpus[5][:40], "term003 term077 term150"]:
+        single = [r.chunk.id for r in retr.retrieve(q, 5)]
+        multi = [r.chunk.id for r in sharded.search(q, 5)]
+        assert multi == single, q
+    with pytest.raises(QueryError):
+        sharded.search(corpus[0][:20], 3, tag_filter=TagFilter(all=["x"]))
+    # refresh path: mutate a chunk, rebuild, parity again
+    new = Chunk(document_id="d", content="term001 term002 term005 fresh words",
+                start_offset=0, end_offset=35, metadata=ChunkMetadata(),
+                id=chunk_id_from_int(500))
+    new.set_embedding(emb.embed_document(new.content))
+    retr.index(new)
+    sharded.refresh(rows=[retr.registry.row_of(new.id)])
+    q = "term001 term002 term005"
+    single = [r.chunk.id for r in retr.retrieve(q, 5)]
+    multi = [r.chunk.id for r in sharded.search(q, 5)]
+    assert multi == single

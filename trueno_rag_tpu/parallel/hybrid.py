@@ -54,11 +54,17 @@ class ShardedHybridIndex:
         fusion: Optional[FusionStrategy] = None,
         candidates_per_source: Optional[int] = None,
         sparse_mode: str = "sharded",
+        dense_mode: str = "fp32",
     ) -> None:
         if sparse_mode not in ("sharded", "replicated"):
             from trueno_rag_tpu.errors import InvalidConfigError
 
             raise InvalidConfigError(f"unknown sparse_mode {sparse_mode!r}")
+        if dense_mode not in ("fp32", "compact"):
+            from trueno_rag_tpu.errors import InvalidConfigError
+
+            raise InvalidConfigError(f"unknown dense_mode {dense_mode!r}")
+        self.dense_mode = dense_mode
         self.mesh = mesh
         self.registry = retriever.registry
         self.embedder = retriever.embedder
@@ -68,14 +74,7 @@ class ShardedHybridIndex:
 
         store = retriever.vector_store
         self._store = store
-        self.dense = ShardedVectorIndex(
-            store._host,
-            mesh,
-            metric=store.config.metric,
-            valid=store._valid,
-            rows_normalized=True,  # VectorStore normalizes at insert
-            tags=self.registry.tags_host(store._host.shape[0]),
-        )
+        self.dense = self._build_dense()
         self._tags_version_seen = self.registry.tags_version
         sparse = retriever.sparse_index
         sparse._refresh_snapshot()
@@ -83,6 +82,29 @@ class ShardedHybridIndex:
         self._snap = sparse._snap
         self.sparse = (
             ShardedBM25(sparse, mesh) if sparse_mode == "sharded" else None
+        )
+
+    def _build_dense(self):
+        store = self._store
+        if self.dense_mode == "compact":
+            # 3 B/element per chip, certified-set global merge; no tag
+            # masks (they need the fp32 scan) — see parallel/compact.py
+            from trueno_rag_tpu.parallel.compact import ShardedCompactIndex
+
+            return ShardedCompactIndex(
+                store._host,
+                self.mesh,
+                metric=store.config.metric,
+                valid=store._valid,
+                rows_normalized=True,  # VectorStore normalizes at insert
+            )
+        return ShardedVectorIndex(
+            store._host,
+            self.mesh,
+            metric=store.config.metric,
+            valid=store._valid,
+            rows_normalized=True,  # VectorStore normalizes at insert
+            tags=self.registry.tags_host(store._host.shape[0]),
         )
 
     def refresh(self, rows: Optional[Sequence[int]] = None) -> None:
@@ -100,7 +122,15 @@ class ShardedHybridIndex:
         store_host = self._store._host
         if rows is not None:
             rows = np.asarray(sorted(set(int(r) for r in rows)), dtype=np.int32)
-        if (
+        if self.dense_mode == "compact":
+            # replica prep is row-local so a scatter path is possible,
+            # but the read-optimized compact shards just rebuild (the
+            # mutable store is the single-chip VectorStore)
+            if rows is None or rows.size:
+                self.dense = self._build_dense()
+                self._rep_tags = None
+                self._tags_version_seen = self.registry.tags_version
+        elif (
             rows is None
             or rows.size == 0
             or (rows.size and int(rows.max()) >= self.dense.matrix.shape[0])
@@ -167,6 +197,13 @@ class ShardedHybridIndex:
         predicate evaluates shard-locally (no extra communication);
         BM25 candidates filter before fusion."""
         cand = self.candidates
+        if tag_filter is not None and self.dense_mode == "compact":
+            from trueno_rag_tpu.errors import QueryError
+
+            raise QueryError(
+                "tag filters need the fp32 dense shards; "
+                "dense_mode='compact' serves unfiltered queries only"
+            )
         qvecs = self.embedder.embed_queries(list(queries))
         masks = None
         if tag_filter is not None:
@@ -174,9 +211,14 @@ class ShardedHybridIndex:
 
             self._refresh_tags_if_stale()
             masks = resolve_tag_filters(self.registry, tag_filter, len(queries))
-        d_scores, d_rows = self.dense.search(
-            np.asarray(qvecs, dtype=np.float32), cand, tag_masks=masks
-        )
+        if self.dense_mode == "compact":
+            d_scores, d_rows, _ok = self.dense.search(
+                np.asarray(qvecs, dtype=np.float32), cand
+            )  # host patch covers uncertified per keep_host
+        else:
+            d_scores, d_rows = self.dense.search(
+                np.asarray(qvecs, dtype=np.float32), cand, tag_masks=masks
+            )
 
         if self.sparse is not None:
             s_scores, s_rows = self.sparse.search_arrays(list(queries), cand)
