@@ -152,7 +152,6 @@ def test_sharded_hybrid_compact_dense_matches_single_host():
     rng = np.random.default_rng(7)
     from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
     from trueno_rag_tpu.embed import MockEmbedder
-    from trueno_rag_tpu.errors import QueryError
     from trueno_rag_tpu.parallel.hybrid import ShardedHybridIndex
     from trueno_rag_tpu.retrieve import HybridRetriever, TagFilter
 
@@ -183,8 +182,6 @@ def test_sharded_hybrid_compact_dense_matches_single_host():
         single = [r.chunk.id for r in retr.retrieve(q, 5)]
         multi = [r.chunk.id for r in sharded.search(q, 5)]
         assert multi == single, q
-    with pytest.raises(QueryError):
-        sharded.search(corpus[0][:20], 3, tag_filter=TagFilter(all=["x"]))
     # refresh path: mutate a chunk, rebuild, parity again
     new = Chunk(document_id="d", content="term001 term002 term005 fresh words",
                 start_offset=0, end_offset=35, metadata=ChunkMetadata(),
@@ -196,3 +193,54 @@ def test_sharded_hybrid_compact_dense_matches_single_host():
     single = [r.chunk.id for r in retr.retrieve(q, 5)]
     multi = [r.chunk.id for r in sharded.search(q, 5)]
     assert multi == single
+
+
+def test_sharded_compact_tag_filters_match_single_host():
+    """Tag filters on compact dense shards: the predicate evaluates
+    shard-locally inside each scan kernel, the composed certificate
+    proves exact filtered sets, and the filter-aware host patch covers
+    the rest — full hybrid results must equal the single-host tagged
+    path. Also exercises the short-result rule (a filter allowing fewer
+    than k rows corpus-wide) and tag refresh via version key."""
+    rng = np.random.default_rng(9)
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+    from trueno_rag_tpu.embed import MockEmbedder
+    from trueno_rag_tpu.parallel.hybrid import ShardedHybridIndex
+    from trueno_rag_tpu.retrieve import HybridRetriever, TagFilter
+
+    words = [f"term{i:03d}" for i in range(200)]
+    emb = MockEmbedder(dimension=32)
+    retr = HybridRetriever(emb)
+    retr.config.candidates_per_source = 12
+    for i in range(120):
+        t = " ".join(rng.choice(words, size=10, replace=False))
+        c = Chunk(document_id="d", content=t, start_offset=0,
+                  end_offset=len(t), metadata=ChunkMetadata(),
+                  id=chunk_id_from_int(i))
+        c.set_embedding(emb.embed_document(t))
+        retr.index(c, tags=["en" if i % 2 else "fr", f"tenant{i % 3}"])
+
+    mesh = create_mesh(data=8, model=1)
+    sharded = ShardedHybridIndex(retr, mesh, candidates_per_source=12,
+                                 dense_mode="compact",
+                                 sparse_mode="replicated")
+    filters = [TagFilter(all=["en"]), TagFilter(none=["fr"]),
+               TagFilter(any=["tenant0", "tenant2"]),
+               TagFilter(all=["en"], none=["tenant1"])]
+    for f in filters:
+        for q in ["term001 term050 term099", "term120 term007"]:
+            single = [r.chunk.id for r in retr.retrieve(q, 5, tag_filter=f)]
+            multi = [r.chunk.id for r in sharded.search(q, 5, tag_filter=f)]
+            assert multi == single, (f, q)
+
+    # tag-only mutation picked up by the version key (no refresh(rows))
+    retr.registry.set_tags(chunk_id_from_int(7), ["rare"])
+    before = sharded.dense.uncertified
+    f = TagFilter(all=["rare"])
+    single = [r.chunk.id for r in retr.retrieve("term001", 5, tag_filter=f)]
+    multi = [r.chunk.id for r in sharded.search("term001", 5, tag_filter=f)]
+    assert multi == single and len(multi) == 1
+    # allowed set {1 row} < k certifies via the short-result rule: the
+    # single allowed row's shard emits it, every other shard's bound is
+    # -inf — no host patch needed
+    assert sharded.dense.uncertified == before

@@ -109,6 +109,57 @@ def test_dense_topk_tagged_is_exact_filtered_topk():
         np.testing.assert_array_equal(np.asarray(r_got[i]), r_ref[0])
 
 
+def test_compact_tagged_scan_certified_sets_are_exact_filtered():
+    """Tags through the compact scan kernel (masking BEFORE selection):
+    certified queries must return exactly the filtered oracle top-k SET,
+    no disallowed row may ever appear (certified or not), and a query
+    whose allowed set is smaller than k certifies a short result."""
+    from trueno_rag_tpu.ops.dense_tiered import (
+        dense_topk_compact_bf16r, prepare_residual, prepare_tiered)
+
+    rng = np.random.default_rng(2)
+    n, d, bq, k = 4096, 32, 12, 10
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    q = rng.standard_normal((bq, d)).astype(np.float32)
+    bits = rng.integers(0, 8, size=n).astype(np.int32)
+    bits[100] |= 8  # exactly one row carries bit3
+    valid = np.ones(n, bool)
+    t_all = np.zeros(bq, np.int32)
+    t_any = np.zeros(bq, np.int32)
+    t_none = np.zeros(bq, np.int32)
+    t_all[0], t_none[1], t_any[2] = 1, 2, 6
+    t_all[3] = 8  # allowed set = {100} < k: the short-result rule
+    mb, el, al = prepare_tiered(jnp.asarray(m))
+    ri, rs, e2 = prepare_residual(jnp.asarray(m))
+    s, r, ok = dense_topk_compact_bf16r(
+        jnp.asarray(q), mb, el, al, ri, rs, e2, jnp.asarray(valid), k,
+        interpret=True,
+        tags=(jnp.asarray(bits), jnp.asarray(t_all), jnp.asarray(t_any),
+              jnp.asarray(t_none)),
+    )
+    s, r, ok = np.asarray(s), np.asarray(r), np.asarray(ok)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    scores = m.astype(np.float64) @ qn.T.astype(np.float64)
+    n_cert = 0
+    for i in range(bq):
+        allow = np.array([
+            tag_pred_oracle(int(b), int(t_all[i]), int(t_any[i]), int(t_none[i]))
+            for b in bits
+        ])
+        got = [int(x) for x in r[i] if x >= 0]
+        assert all(allow[row] for row in got), i  # no leak, ever
+        masked = np.where(allow, scores[:, i], -np.inf)
+        want = set(np.argsort(-masked, kind="stable")[: min(k, allow.sum())])
+        if ok[i]:
+            n_cert += 1
+            assert set(got) == want, i
+    assert n_cert > 0
+    # the short-result query returns exactly its one allowed row
+    assert [int(x) for x in r[3] if x >= 0] == [100]
+    assert ok[3], "allowed set smaller than k should certify (short rule)"
+
+
 def test_filter_candidates_compacts_and_orders():
     bits = jnp.asarray(np.array([0b01, 0b10, 0b11, 0b00], np.int32))
     rows = jnp.asarray(np.array([[2, 0, 1, 3, -1]], np.int32))

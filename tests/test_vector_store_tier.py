@@ -316,10 +316,60 @@ def test_compact_store_serves_staged_hybrid():
     assert r.fused_score is not None
 
 
-def test_compact_store_rejects_tag_filters():
-    from trueno_rag_tpu.errors import QueryError
+def test_compact_store_tag_filters_match_fp32():
+    """Tag filters on the compact tier ride the scan kernel (certified
+    exact-filtered sets; filter-aware host patch) — results must equal
+    the fp32 tagged path for hybrid AND dense-only retrieval. This
+    replaced the round-2-era QueryError rejection."""
     from trueno_rag_tpu.retrieve import TagFilter
 
-    (_, compact), texts = _hybrid_pair("compact")
-    with pytest.raises(QueryError):
-        compact.retrieve(texts[0][:20], 3, tag_filter=TagFilter(all=["x"]))
+    (plain, compact), texts = _hybrid_pair("compact")
+    for retr in (plain, compact):
+        for i, t in enumerate(texts):
+            retr.registry.set_tags(
+                f"c{i}", ["en" if i % 2 else "fr", f"tenant{i % 3}"]
+            )
+    filters = [
+        TagFilter(all=["en"]),
+        TagFilter(any=["tenant0", "tenant2"]),
+        TagFilter(none=["fr"]),
+        TagFilter(all=["en"], none=["tenant1"]),
+    ]
+    queries = [texts[3][:30], "w001 w002 w003"]
+    for f in filters:
+        for q in queries:
+            want = [r.chunk.id for r in plain.retrieve(q, 5, tag_filter=f)]
+            got = [r.chunk.id for r in compact.retrieve(q, 5, tag_filter=f)]
+            assert got == want, (f, q)
+    # dense-only route through the compact tagged kernel
+    plain.config.use_sparse = False
+    compact.config.use_sparse = False
+    for f in filters:
+        want = [r.chunk.id for r in plain.retrieve(queries[0], 5, tag_filter=f)]
+        got = [r.chunk.id for r in compact.retrieve(queries[0], 5, tag_filter=f)]
+        assert got == want, f
+    # every returned chunk actually passes its filter
+    for r in compact.retrieve(queries[0], 5, tag_filter=TagFilter(all=["en"])):
+        assert "en" in compact.registry.tag_names_of(r.chunk.id)
+
+
+def test_compact_tag_filter_smaller_than_k_certifies_short_result():
+    """A filter allowing fewer than k rows returns exactly those rows.
+    The short-result certificate rule (threshold == -inf when the whole
+    allowed set is among the candidates) lets such queries certify
+    instead of always failing the count trick; either way results are
+    exact via the filter-aware host patch."""
+    from trueno_rag_tpu.retrieve import TagFilter
+
+    (plain, compact), texts = _hybrid_pair("compact")
+    for retr in (plain, compact):
+        retr.config.use_sparse = False
+        for i in (7, 11, 123):
+            retr.registry.set_tags(f"c{i}", ["rare"])
+    f = TagFilter(all=["rare"])
+    want = [r.chunk.id for r in plain.retrieve(texts[7][:25], 10, tag_filter=f)]
+    got = [r.chunk.id for r in compact.retrieve(texts[7][:25], 10, tag_filter=f)]
+    assert got == want and len(got) == 3
+    # impossible filter -> empty, never an error
+    assert compact.retrieve(texts[0][:20], 5,
+                            tag_filter=TagFilter(all=["nope"])) == []

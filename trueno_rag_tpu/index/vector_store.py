@@ -80,9 +80,10 @@ class VectorStoreConfig:
     # (scores bf16-rescored, ≤ ~1e-3); uncertified queries are patched
     # from the host fp32 matrix per ``compact_fallback``. Hybrid
     # retrieval runs STAGED (compact dense scan + BM25 + device fusion
-    # — HybridRetriever.retrieve_batch switches automatically); only
-    # tag filters and the encoder-fused one-program path still need a
-    # fp32 device matrix and reject compact stores.
+    # — HybridRetriever.retrieve_batch switches automatically), and tag
+    # filters ride the scan kernel (certified exact-FILTERED sets;
+    # filter-aware host patch); only the encoder-fused one-program path
+    # still needs a fp32 device matrix and rejects compact stores.
     #
     # Host fp32 rows feed the replica build in slabs of
     # ``compact_prep_rows`` so the transient fp32 upload stays bounded
@@ -404,8 +405,8 @@ class VectorStore:
     def is_compact(self) -> bool:
         """True when this store holds no fp32 device matrix (compact
         tier) — callers that need ``device_matrix`` (the one-dispatch
-        fused hybrid / tag-filtered programs) must take a staged path
-        instead."""
+        encoder-fused programs) must take a staged path instead; hybrid
+        and tag-filtered queries stage automatically."""
         return self._effective_tier() == "compact"
 
     def _refresh_tier(self, rows_j=None, updates=None) -> None:
@@ -433,10 +434,9 @@ class VectorStore:
         if self._effective_tier() == "compact":
             raise InvalidConfigError(
                 "scan_tier='compact' holds no fp32 device matrix (that is "
-                "its memory contract); tag filters and the encoder-fused "
-                "one-program path need scan_tier='bf16'/'int8' or a "
-                "sharded deployment (plain hybrid queries run staged "
-                "automatically)"
+                "its memory contract); the encoder-fused one-program path "
+                "needs scan_tier='bf16'/'int8' or a sharded deployment "
+                "(hybrid and tag-filtered queries run staged automatically)"
             )
         self._refresh_device()
         return self._device_matrix
@@ -448,14 +448,29 @@ class VectorStore:
 
     # -- queries -----------------------------------------------------------------
 
-    def search_arrays(self, queries: np.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def search_arrays(
+        self, queries: np.ndarray, k: int, tag_masks=None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Device-level search: ``[B, d]`` queries → ``(scores, rows) [B, k]``.
-        Stays on device; use from the fused one-program query path."""
+        Stays on device; use from the fused one-program query path.
+
+        ``tag_masks`` = per-query ``(t_all [B], t_any [B], t_none [B])``
+        int32 filter words (see :func:`trueno_rag_tpu.retrieve.resolve_tag_filters`)
+        — supported on the COMPACT tier only, where the filter rides the
+        scan kernel (certified exact-filtered sets; uncertified queries
+        patch from the filtered host matrix). The fp32/bf16/int8 tiers
+        route tag filters through :func:`trueno_rag_tpu.ops.tags.dense_topk_tagged`
+        in the retriever instead."""
         self._refresh_device()
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
         if q.shape[-1] != self.config.dimension:
             raise DimensionMismatchError(self.config.dimension, int(q.shape[-1]))
         k_eff = min(k, self._host.shape[0])
+        if tag_masks is not None and self._effective_tier() != "compact":
+            raise InvalidConfigError(
+                "search_arrays(tag_masks=...) is the compact-tier filtered "
+                "path; other tiers filter via ops.tags.dense_topk_tagged"
+            )
         if self._tier is not None:
             import jax
 
@@ -469,6 +484,14 @@ class VectorStore:
                     "bf16": dt.dense_topk_compact_bf16,
                     "int8": dt.dense_topk_compact,
                 }[self.config.compact_scan]
+                tags = None
+                if tag_masks is not None:
+                    tags = (
+                        self._device_tag_bits(),
+                        jnp.asarray(np.asarray(tag_masks[0], np.int32)),
+                        jnp.asarray(np.asarray(tag_masks[1], np.int32)),
+                        jnp.asarray(np.asarray(tag_masks[2], np.int32)),
+                    )
                 scores, rows, ok = compact(
                     q, *self._tier, self._device_valid, k_eff,
                     metric=self.config.metric, interpret=interpret,
@@ -476,6 +499,7 @@ class VectorStore:
                     t_top=self.config.scan_t_top,
                     margin_tiles=self.config.scan_margin_tiles,
                     tile_n=self.config.scan_tile_n,
+                    tags=tags,
                 )
                 ok_np = np.asarray(ok)
                 if not ok_np.all():
@@ -484,6 +508,7 @@ class VectorStore:
                         scores, rows = self._host_exact_patch(
                             np.asarray(q), np.asarray(scores),
                             np.asarray(rows), ok_np, k_eff,
+                            tag_masks=tag_masks,
                         )
                         self.tier_fallbacks += 1
                 return jnp.asarray(scores), jnp.asarray(rows)
@@ -515,13 +540,34 @@ class VectorStore:
         scores, rows = dense_topk(q, self._device_matrix, self._device_valid, k_eff, self.config.metric)
         return scores, rows
 
-    def _host_exact_patch(self, q, scores, rows, ok_np, k):
+    def _device_tag_bits(self) -> jnp.ndarray:
+        """Capacity-sized device copy of the registry's per-row tag
+        words, cached against the registry's tags_version (compact-tier
+        filtered search streams it through the scan kernel)."""
+        cached = getattr(self, "_tag_bits_cache", None)
+        version = self.registry.tags_version
+        n = self._host.shape[0]
+        if cached is not None and cached[0] == version and cached[1].shape[0] == n:
+            return cached[1]
+        bits = jnp.asarray(self.registry.tags_host(n))
+        self._tag_bits_cache = (version, bits)
+        return bits
+
+    def _host_exact_patch(self, q, scores, rows, ok_np, k, tag_masks=None):
         """Re-run uncertified compact-tier queries on the HOST fp32
         matrix with float64 accumulation — true-score top-k with the
         (score desc, row asc) tie rule, the same ordering the device
         certificate proves for certified queries. Streams the matrix in
-        ``compact_prep_rows`` slabs so no f64 copy materializes."""
+        ``compact_prep_rows`` slabs so no f64 copy materializes.
+        ``tag_masks`` applies the same per-query filter the device scan
+        enforced, so patched results stay exact FILTERED top-k."""
         bad = np.flatnonzero(~ok_np)
+        tag_bits = None
+        if tag_masks is not None:  # predicate semantics: ops/tags.py::tag_pred
+            tag_bits = self.registry.tags_host(self._host.shape[0])
+            t_all = np.asarray(tag_masks[0], np.int32)[bad]
+            t_any = np.asarray(tag_masks[1], np.int32)[bad]
+            t_none = np.asarray(tag_masks[2], np.int32)[bad]
         qs = q[bad].astype(np.float64)
         if self.config.metric == DistanceMetric.COSINE:
             norms = np.linalg.norm(qs, axis=1, keepdims=True)
@@ -534,6 +580,12 @@ class VectorStore:
             vmask = self._valid[lo : lo + step]
             s = slab.astype(np.float64) @ qs.T  # [rows, B] f64 accumulation
             s[~vmask] = -np.inf
+            if tag_bits is not None:
+                bits = tag_bits[lo : lo + step][:, None]  # [rows, 1]
+                allowed = (bits & t_all[None]) == t_all[None]
+                allowed &= (t_any[None] == 0) | ((bits & t_any[None]) != 0)
+                allowed &= (bits & t_none[None]) == 0
+                s[~allowed] = -np.inf
             r = np.arange(lo, lo + slab.shape[0], dtype=np.int64)
             cat_s = np.concatenate([best_s, s.T], axis=1)
             cat_r = np.concatenate([best_r, np.broadcast_to(r, (len(bad), len(r)))], axis=1)

@@ -767,6 +767,22 @@ def dense_topk_int8_tiered2_checked(
 # ---------------------------------------------------------------------------
 
 
+def _pad_tags(tags, n, n_pad, bsz, b_pad):
+    """Pad the tag-filter arrays to the kernel's row/batch padding:
+    padded rows get tag word 0 (they are invalid anyway), padded
+    queries get all-zero filter words (unconstrained)."""
+    if tags is None:
+        return None
+    tag_bits, t_all, t_any, t_none = (jnp.asarray(t, jnp.int32) for t in tags)
+    if n_pad != n:
+        tag_bits = jnp.pad(tag_bits, (0, n_pad - n))
+    if b_pad != bsz:
+        t_all = jnp.pad(t_all, (0, b_pad - bsz))
+        t_any = jnp.pad(t_any, (0, b_pad - bsz))
+        t_none = jnp.pad(t_none, (0, b_pad - bsz))
+    return (tag_bits, t_all, t_any, t_none)
+
+
 @jax.jit
 def prepare_residual(matrix: jax.Array):
     """Pack the int8 residual correction for the bf16r compact layout.
@@ -814,10 +830,18 @@ def dense_topk_compact_bf16r(
     t_top: int = 4,
     interpret: bool = False,
     return_bounds: bool = False,
+    tags: Tuple[jax.Array, ...] | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Compact tier with int8 residual correction — 3 B/element, the
     certification-per-byte sweet spot → (scores [B,k]
     residual-corrected, rows [B,k], set_certified [B] bool).
+
+    ``tags`` = (tag_bits [N] i32, t_all [B] i32, t_any [B] i32,
+    t_none [B] i32): disallowed (row, query) pairs mask to -inf inside
+    the scan kernel, so candidates, thresholds, and the certificate all
+    range over ALLOWED rows only — a certified query's set is provably
+    the exact top-k among rows passing its filter (the same contract as
+    ops/tags.py::dense_topk_tagged, at compact storage).
 
     ``return_bounds=True`` additionally returns per-candidate interval
     half-widths ``err [B,k]`` and the exclusion upper bound ``rhs [B]``
@@ -865,6 +889,7 @@ def dense_topk_compact_bf16r(
     outs = scan_select_v2(
         qb_p, m_p, e_p, a_p, valid_p.astype(jnp.int32), u_p, v_p,
         tile_n=tile, t_top=t_top, interpret=interpret,
+        tags=_pad_tags(tags, n, n_pad, bsz, b_pad),
     )
     cand_rows, cand_vals, threshold = _tile_candidates(
         outs, b_pad, k, margin_tiles, approx_select, t_top
@@ -873,6 +898,7 @@ def dense_topk_compact_bf16r(
         cand_rows, cand_vals, threshold, q, m_bf16, e_l2, a_l2,
         valid_mask, n, bsz, b_pad, k, rescore_rows, approx_select,
         residual=(r_i8, r_scale, e2_l2), return_bounds=return_bounds,
+        tags=tags,
     )
 
 
@@ -894,11 +920,13 @@ def dense_topk_compact_bf16(
     approx_select: bool = True,
     t_top: int = 4,
     interpret: bool = False,
+    tags: Tuple[jax.Array, ...] | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Compact tier, bf16-only storage: the scan_select_v2 pass and the
     certified rescore read the SAME bf16 array — 2 B/element total, no
     fp32 matrix → (scores [B,k] bf16-rescored, rows [B,k],
-    set_certified [B] bool).
+    set_certified [B] bool). ``tags`` filters exactly as in
+    :func:`dense_topk_compact_bf16r`.
 
     Where ``set_certified[i]`` is True, query i's k rows are PROVABLY
     the exact top-k SET by true scores (reference semantics
@@ -942,6 +970,7 @@ def dense_topk_compact_bf16(
     outs = scan_select_v2(
         qb_p, m_p, e_p, a_p, valid_p.astype(jnp.int32), u_p, v_p,
         tile_n=tile, t_top=t_top, interpret=interpret,
+        tags=_pad_tags(tags, n, n_pad, bsz, b_pad),
     )
     cand_rows, cand_vals, threshold = _tile_candidates(
         outs, b_pad, k, margin_tiles, approx_select, t_top
@@ -949,13 +978,14 @@ def dense_topk_compact_bf16(
     return _trim_rescore_verify_compact(
         cand_rows, cand_vals, threshold, q, m_bf16, e_l2, a_l2,
         valid_mask, n, bsz, b_pad, k, rescore_rows, approx_select,
+        tags=tags,
     )
 
 
 def _trim_rescore_verify_compact(
     cand_rows, cand_vals, threshold, q, m_bf16, bf_e_l2, bf_a_l2,
     valid_mask, n, bsz, b_pad, k_req, rescore_rows, approx_select,
-    residual=None, return_bounds=False,
+    residual=None, return_bounds=False, tags=None,
 ):
     """Compact-tier tail: bf16 rescore with per-candidate interval
     bounds and the SET certificate.
@@ -1043,6 +1073,21 @@ def _trim_rescore_verify_compact(
             (e2_g + tree_eps * a_g + acc_eps * (e_g + e2_g)) * q_norm[:, None]
         ) * _BOUND_SLACK + _BOUND_EPS
     live = (cand_rows < n) & jnp.take(valid_mask, safe_rows, axis=0)
+    if tags is not None:
+        # Defensive re-check (the kernel already masked disallowed rows
+        # so no candidate should fail it): a disallowed row surviving a
+        # kernel bug scores -inf here and can never certify — the same
+        # fail-closed posture as the dup-row sentinel above.
+        from trueno_rag_tpu.ops.tags import tag_pred
+
+        tag_bits, t_all, t_any, t_none = (jnp.asarray(t, jnp.int32) for t in tags)
+        t_all_p = jnp.pad(t_all, (0, b_pad - bsz)) if b_pad != bsz else t_all
+        t_any_p = jnp.pad(t_any, (0, b_pad - bsz)) if b_pad != bsz else t_any
+        t_none_p = jnp.pad(t_none, (0, b_pad - bsz)) if b_pad != bsz else t_none
+        live = live & tag_pred(
+            jnp.take(tag_bits, safe_rows, axis=0),
+            t_all_p[:, None], t_any_p[:, None], t_none_p[:, None],
+        )
     r = jnp.where(live, r, NEG_INF)
     err = jnp.where(live, err, 0.0)
 
@@ -1066,8 +1111,21 @@ def _trim_rescore_verify_compact(
     count = jnp.sum(ge, axis=1)
     excl_upper = jnp.max(jnp.where(ge, NEG_INF, r + err), axis=1)
     excl_upper = jnp.where(count == k, excl_upper, jnp.inf)
-    rhs = jnp.maximum(threshold, excl_upper)
-    per_q = (sel_lower > rhs) | jnp.isneginf(rhs)
+    # SHORT results (fewer live candidates than k — an empty or
+    # near-empty allowed set under a selective tag filter, or a tiny
+    # shard): every live candidate is selected, so no CANDIDATE is
+    # excluded and the count trick (which sees vmin=-inf ⇒ count=width)
+    # must not fire. The result is provably complete iff no
+    # non-candidate allowed row can exist, i.e. threshold == -inf.
+    # This keeps per-shard rhs finite in the sharded composition
+    # (parallel/compact.py) instead of poisoning the global certificate
+    # with +inf whenever one shard's allowed set is small.
+    n_live = jnp.sum(~jnp.isneginf(r), axis=1)
+    short = n_live < k
+    rhs = jnp.where(short, threshold, jnp.maximum(threshold, excl_upper))
+    per_q = jnp.where(
+        short, jnp.isneginf(rhs), (sel_lower > rhs) | jnp.isneginf(rhs)
+    )
     if k < k_req:
         # truncated width: only certify when provably nothing was excluded
         per_q = per_q & jnp.isneginf(rhs)
@@ -1108,10 +1166,12 @@ def dense_topk_compact(
     approx_select: bool = True,
     t_top: int = 4,
     interpret: bool = False,
+    tags: Tuple[jax.Array, ...] | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Compact tier: int8 tile scan + certified bf16 rescore, **no fp32
     matrix** → (scores [B,k] bf16-rescored, rows [B,k],
-    set_certified [B] bool).
+    set_certified [B] bool). ``tags`` filters exactly as in
+    :func:`dense_topk_compact_bf16r`.
 
     Where ``set_certified[i]`` is True, query i's k rows are PROVABLY
     the exact fp32 top-k SET (reference semantics index.rs:386-412);
@@ -1149,7 +1209,7 @@ def dense_topk_compact(
     outs = scan_select_int8_v2(
         q_i8, m_i8_p, s_row_p, e_p, a_p, valid_p.astype(jnp.int32), t_q,
         u_q, v_q, tile_n=tile, t_top=t_top, use_int8_mxu=use_int8_mxu,
-        interpret=interpret,
+        interpret=interpret, tags=_pad_tags(tags, n, n_pad, bsz, b_pad),
     )
     cand_rows, cand_vals, threshold = _tile_candidates(
         outs, b_pad, k, margin_tiles, approx_select, t_top
@@ -1157,4 +1217,5 @@ def dense_topk_compact(
     return _trim_rescore_verify_compact(
         cand_rows, cand_vals, threshold, q, m_bf16, bf_e_l2, bf_a_l2,
         valid_mask, n, bsz, b_pad, k, rescore_rows, approx_select,
+        tags=tags,
     )

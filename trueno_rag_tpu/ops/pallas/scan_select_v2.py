@@ -108,13 +108,30 @@ def _tile_tournament(upper, base, t_top, v_ref, r_ref):
     v_ref[0, :, t_top, :] = jnp.maximum(thr_pool, thr_blocks)
 
 
+def _tag_ok(tags_ref, tall_ref, tany_ref, tnone_ref):
+    """Per-(row, query) tag predicate inside the kernel: ``[tile_n, B]``
+    bool from the tile's ``[tile_n]`` int32 tag words and the ``[B]``
+    all/any/none filter words (semantics of ops/tags.py::tag_pred).
+    Three VPU bit-ops per element — masking happens BEFORE selection,
+    so the certificate downstream proves the exact top-k set AMONG
+    ALLOWED ROWS (the filtered-search contract)."""
+    t = tags_ref[:][:, None]
+    t_all = tall_ref[:][None, :]
+    t_any = tany_ref[:][None, :]
+    ok = (t & t_all) == t_all
+    ok = ok & ((t_any == 0) | ((t & t_any) != 0))
+    return ok & ((t & tnone_ref[:][None, :]) == 0)
+
+
 def _scan_select_v2_kernel(
     q_ref, m_ref, el2_ref, al2_ref, valid_ref, uq_ref, vq_ref,
-    *out_refs, t_top: int, tile_n: int,
+    *rest, t_top: int, tile_n: int, has_tags: bool,
 ):
     """One corpus tile of ``tile_n`` rows = ``tile_n // SEL`` selection
     tiles. out_refs = (v_pack [1, S, T+1, B] f32, r_pack [1, S, T, B]
-    int32 GLOBAL rows).
+    int32 GLOBAL rows). With ``has_tags``, four extra refs precede the
+    outputs (tags [tile_n] i32; t_all/t_any/t_none [B] i32) and
+    disallowed (row, query) pairs mask to -inf before selection.
 
     Transposed layout ([rows, queries]) throughout — reductions run on
     the sublane axis and outputs write [S, B] directly (the [B, S]
@@ -127,6 +144,7 @@ def _scan_select_v2_kernel(
     stream bytes for 2 B/elem of storage). Both produce bit-identical
     scores: the in-kernel astype is the same round-to-nearest-even as
     prepare_tiered's."""
+    tag_refs, out_refs = (rest[:4], rest[4:]) if has_tags else ((), rest)
     m = m_ref[:]
     if m.dtype != jnp.bfloat16:
         m = m.astype(jnp.bfloat16)
@@ -138,18 +156,23 @@ def _scan_select_v2_kernel(
     )  # [tile_n, B] — bf16 in, f32 accumulation on the MXU
     upper = s + el2_ref[:][:, None] * uq_ref[:][None, :]
     upper = upper + al2_ref[:][:, None] * vq_ref[:][None, :]
-    upper = jnp.where(valid_ref[:][:, None] != 0, upper, NEG_INF)
+    allowed = valid_ref[:][:, None] != 0
+    if has_tags:
+        allowed = allowed & _tag_ok(*tag_refs)
+    upper = jnp.where(allowed, upper, NEG_INF)
     v_ref, r_ref = out_refs
     _tile_tournament(upper, pl.program_id(0) * tile_n, t_top, v_ref, r_ref)
 
 
 def _scan_select_int8_v2_kernel(
     q_ref, m_ref, sr_ref, el2_ref, al2_ref, valid_ref, tq_ref, uq_ref,
-    vq_ref, *out_refs, t_top: int, tile_n: int, use_int8_mxu: bool,
+    vq_ref, *rest, t_top: int, tile_n: int, use_int8_mxu: bool,
+    has_tags: bool,
 ):
     """int8 sibling: exactly-dequantized approximate scores (the integer
     dot is EXACT for d·127² < 2²⁴ — see scan_select_int8.py's error
     model) + the same rank-1 bound, then the shared tile tournament."""
+    tag_refs, out_refs = (rest[:4], rest[4:]) if has_tags else ((), rest)
     if use_int8_mxu:
         dot = jax.lax.dot_general(
             m_ref[:],
@@ -167,7 +190,10 @@ def _scan_select_int8_v2_kernel(
     upper = dot * sr_ref[:][:, None] * tq_ref[:][None, :]
     upper = upper + el2_ref[:][:, None] * uq_ref[:][None, :]
     upper = upper + al2_ref[:][:, None] * vq_ref[:][None, :]
-    upper = jnp.where(valid_ref[:][:, None] != 0, upper, NEG_INF)
+    allowed = valid_ref[:][:, None] != 0
+    if has_tags:
+        allowed = allowed & _tag_ok(*tag_refs)
+    upper = jnp.where(allowed, upper, NEG_INF)
     v_ref, r_ref = out_refs
     _tile_tournament(upper, pl.program_id(0) * tile_n, t_top, v_ref, r_ref)
 
@@ -185,9 +211,15 @@ def scan_select_v2(
     tile_n: int = 2048,
     t_top: int = TILE_T,
     interpret: bool = False,
+    tags: Tuple[jax.Array, ...] | None = None,
 ) -> Tuple[jax.Array, ...]:
     """→ (v_pack [B, T+1, G'] f32 — values + thr channel, r_pack
-    [B, T, G'] int32 global rows), G' = N / SEL."""
+    [B, T, G'] int32 global rows), G' = N / SEL.
+
+    ``tags`` = (tag_bits [N] i32, t_all [B] i32, t_any [B] i32,
+    t_none [B] i32) masks disallowed (row, query) pairs to -inf BEFORE
+    selection, making the emitted candidates/thresholds an exact
+    filtered search (ops/tags.py predicate semantics)."""
     b, d = q_bf16.shape
     n = m_bf16.shape[0]
     assert n % tile_n == 0 and tile_n % SEL == 0
@@ -203,23 +235,34 @@ def scan_select_v2(
         jax.ShapeDtypeStruct((steps, s_tile, t_top + 1, b), jnp.float32),
         jax.ShapeDtypeStruct((steps, s_tile, t_top, b), jnp.int32),
     ]
+    in_specs = [
+        pl.BlockSpec((b, d), lambda i: (0, 0)),
+        pl.BlockSpec((tile_n, d), lambda i: (i, 0)),
+        pl.BlockSpec((tile_n,), lambda i: (i,)),
+        pl.BlockSpec((tile_n,), lambda i: (i,)),
+        pl.BlockSpec((tile_n,), lambda i: (i,)),
+        pl.BlockSpec((b,), lambda i: (0,)),
+        pl.BlockSpec((b,), lambda i: (0,)),
+    ]
+    args = [q_bf16, m_bf16, e_l2, a_l2, valid_i32, u_q, v_q]
+    if tags is not None:
+        in_specs += [
+            pl.BlockSpec((tile_n,), lambda i: (i,)),
+            pl.BlockSpec((b,), lambda i: (0,)),
+            pl.BlockSpec((b,), lambda i: (0,)),
+            pl.BlockSpec((b,), lambda i: (0,)),
+        ]
+        args += list(tags)
     kernel = pl.pallas_call(
-        functools.partial(_scan_select_v2_kernel, t_top=t_top, tile_n=tile_n),
+        functools.partial(_scan_select_v2_kernel, t_top=t_top, tile_n=tile_n,
+                          has_tags=tags is not None),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((b, d), lambda i: (0, 0)),
-            pl.BlockSpec((tile_n, d), lambda i: (i, 0)),
-            pl.BlockSpec((tile_n,), lambda i: (i,)),
-            pl.BlockSpec((tile_n,), lambda i: (i,)),
-            pl.BlockSpec((tile_n,), lambda i: (i,)),
-            pl.BlockSpec((b,), lambda i: (0,)),
-            pl.BlockSpec((b,), lambda i: (0,)),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )
-    v_pack, r_pack = kernel(q_bf16, m_bf16, e_l2, a_l2, valid_i32, u_q, v_q)
+    v_pack, r_pack = kernel(*args)
     # [steps, s_tile, C, B] -> [B, C, G']
     v_pack = v_pack.reshape(n_sel, t_top + 1, b).transpose(2, 1, 0)
     r_pack = r_pack.reshape(n_sel, t_top, b).transpose(2, 1, 0)
@@ -243,9 +286,11 @@ def scan_select_int8_v2(
     t_top: int = TILE_T,
     use_int8_mxu: bool = True,
     interpret: bool = False,
+    tags: Tuple[jax.Array, ...] | None = None,
 ) -> Tuple[jax.Array, ...]:
     """int8 tile kernel → same packed outputs as :func:`scan_select_v2`:
-    (v_pack [B, T+1, G'] f32, r_pack [B, T, G'] int32), G' = N / SEL."""
+    (v_pack [B, T+1, G'] f32, r_pack [B, T, G'] int32), G' = N / SEL.
+    ``tags`` filters exactly as in :func:`scan_select_v2`."""
     b, d = q_i8.shape
     n = m_i8.shape[0]
     assert n % tile_n == 0 and tile_n % SEL == 0
@@ -253,23 +298,33 @@ def scan_select_int8_v2(
     s_tile = tile_n // SEL
     n_sel = n // SEL
     steps = n // tile_n
+    in_specs = [
+        pl.BlockSpec((b, d), lambda i: (0, 0)),
+        pl.BlockSpec((tile_n, d), lambda i: (i, 0)),
+        pl.BlockSpec((tile_n,), lambda i: (i,)),
+        pl.BlockSpec((tile_n,), lambda i: (i,)),
+        pl.BlockSpec((tile_n,), lambda i: (i,)),
+        pl.BlockSpec((tile_n,), lambda i: (i,)),
+        pl.BlockSpec((b,), lambda i: (0,)),
+        pl.BlockSpec((b,), lambda i: (0,)),
+        pl.BlockSpec((b,), lambda i: (0,)),
+    ]
+    args = [q_i8, m_i8, s_row, e_l2, a_l2, valid_i32, t_q, u_q, v_q]
+    if tags is not None:
+        in_specs += [
+            pl.BlockSpec((tile_n,), lambda i: (i,)),
+            pl.BlockSpec((b,), lambda i: (0,)),
+            pl.BlockSpec((b,), lambda i: (0,)),
+            pl.BlockSpec((b,), lambda i: (0,)),
+        ]
+        args += list(tags)
     kernel = pl.pallas_call(
         functools.partial(
             _scan_select_int8_v2_kernel, t_top=t_top, tile_n=tile_n,
-            use_int8_mxu=use_int8_mxu,
+            use_int8_mxu=use_int8_mxu, has_tags=tags is not None,
         ),
         grid=(steps,),
-        in_specs=[
-            pl.BlockSpec((b, d), lambda i: (0, 0)),
-            pl.BlockSpec((tile_n, d), lambda i: (i, 0)),
-            pl.BlockSpec((tile_n,), lambda i: (i,)),
-            pl.BlockSpec((tile_n,), lambda i: (i,)),
-            pl.BlockSpec((tile_n,), lambda i: (i,)),
-            pl.BlockSpec((tile_n,), lambda i: (i,)),
-            pl.BlockSpec((b,), lambda i: (0,)),
-            pl.BlockSpec((b,), lambda i: (0,)),
-            pl.BlockSpec((b,), lambda i: (0,)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, s_tile, t_top + 1, b), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((1, s_tile, t_top, b), lambda i: (i, 0, 0, 0)),
@@ -280,9 +335,7 @@ def scan_select_int8_v2(
         ],
         interpret=interpret,
     )
-    v_pack, r_pack = kernel(
-        q_i8, m_i8, s_row, e_l2, a_l2, valid_i32, t_q, u_q, v_q
-    )
+    v_pack, r_pack = kernel(*args)
     v_pack = v_pack.reshape(n_sel, t_top + 1, b).transpose(2, 1, 0)
     r_pack = r_pack.reshape(n_sel, t_top, b).transpose(2, 1, 0)
     return v_pack, r_pack

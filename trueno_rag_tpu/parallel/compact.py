@@ -67,16 +67,24 @@ def sharded_compact_topk(
     axis: str = "data",
     tile_n: int = 2048,
     interpret: bool = False,
+    tags: Optional[Tuple[jax.Array, ...]] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Certified-set top-k over row-sharded compact (bf16r) replicas.
 
     Returns ``(scores [B,k], rows [B,k] global ids, certified [B])``.
+
+    ``tags`` = (tag_bits [N] i32 — sharded with the rows, t_all [B],
+    t_any [B], t_none [B] — replicated): the filter predicate evaluates
+    shard-locally inside each scan kernel (no extra communication), and
+    the composed global certificate proves the exact top-k set AMONG
+    ALLOWED rows — disallowed rows are -inf on both sides of the bound.
     """
 
-    def local(q, mb, el, al, ri, rs, e2, v):
+    def local(q, mb, el, al, ri, rs, e2, v, *tag_args):
         s, r, _ok, err, rhs = dense_topk_compact_bf16r(
             q, mb, el, al, ri, rs, e2, v, k, metric=metric, tile_n=tile_n,
             interpret=interpret, return_bounds=True,
+            tags=tag_args if tag_args else None,
         )
         local_n = mb.shape[0]
         shard = jax.lax.axis_index(axis)
@@ -107,8 +115,20 @@ def sharded_compact_topk(
         count = jnp.sum(ge, axis=1)
         excl_upper = jnp.max(jnp.where(ge, NEG_INF, s_all + e_all), axis=1)
         excl_upper = jnp.where(count == k_out, excl_upper, jnp.inf)
-        rhs_g = jnp.maximum(shard_bound, excl_upper)
-        ok = (sel_lower > rhs_g) | jnp.isneginf(rhs_g)
+        # SHORT results (global live candidates < k — e.g. a selective
+        # tag filter allowing fewer than k rows corpus-wide): every live
+        # candidate is selected, so no gathered candidate is excluded;
+        # complete iff no shard can hold an unreturned allowed row
+        # (shard_bound == -inf). Mirrors the single-chip short rule in
+        # ops/dense_tiered._trim_rescore_verify_compact.
+        n_live = jnp.sum(~jnp.isneginf(s_all), axis=1)
+        short = n_live < k_out
+        rhs_g = jnp.where(
+            short, shard_bound, jnp.maximum(shard_bound, excl_upper)
+        )
+        ok = jnp.where(
+            short, jnp.isneginf(rhs_g), (sel_lower > rhs_g) | jnp.isneginf(rhs_g)
+        )
 
         r_out = jnp.where(jnp.isneginf(s_top), -1, r_top).astype(jnp.int32)
         if k_out < k:
@@ -116,18 +136,22 @@ def sharded_compact_topk(
             r_out = jnp.pad(r_out, ((0, 0), (0, k - k_out)), constant_values=-1)
         return s_top, r_out, ok
 
+    in_specs = [P(), P(axis, None), P(axis), P(axis), P(axis, None),
+                P(axis), P(axis), P(axis)]
+    args = [queries, m_bf16, e_l2, a_l2, r_i8, r_scale, e2_l2, valid_mask]
+    if tags is not None:
+        in_specs += [P(axis), P(), P(), P()]
+        args += list(tags)
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis), P(axis), P(axis, None),
-                  P(axis), P(axis), P(axis)),
+        in_specs=tuple(in_specs),
         out_specs=(P(), P(), P()),
         # outputs ARE replicated (identical all-gather + certificate on
         # every shard); inference can't see through axis_index
         check_vma=False,
     )
-    return jax.jit(fn)(queries, m_bf16, e_l2, a_l2, r_i8, r_scale, e2_l2,
-                       valid_mask)
+    return jax.jit(fn)(*args)
 
 
 class ShardedCompactIndex:
@@ -153,6 +177,7 @@ class ShardedCompactIndex:
         tile_n: int = 2048,
         keep_host: bool = True,
         interpret: Optional[bool] = None,
+        tags: Optional[np.ndarray] = None,
     ) -> None:
         matrix = np.asarray(matrix, dtype=np.float32)
         n, d = matrix.shape
@@ -190,17 +215,48 @@ class ShardedCompactIndex:
         self.r_scale = jax.device_put(rs, vec_sh)
         self.e2_l2 = jax.device_put(e2, vec_sh)
         self.valid = jax.device_put(jnp.asarray(v), vec_sh)
+        self._tags_host = None
+        self.tags = None
+        if tags is not None:
+            self.set_tags(tags)
         self.uncertified = 0  # observability counter
 
-    def search(self, queries: np.ndarray, k: int):
+    def set_tags(self, tags: np.ndarray) -> None:
+        """(Re-)upload the per-row tag words, sharded with the rows —
+        called at build and on registry tag edits (version-keyed by the
+        owner, e.g. ShardedHybridIndex._refresh_tags_if_stale)."""
+        t = np.zeros(self.valid.shape[0], dtype=np.int32)
+        t[: min(self.n, len(tags))] = np.asarray(tags, np.int32)[: self.n]
+        self._tags_host = t[: self.n]
+        self.tags = jax.device_put(
+            jnp.asarray(t), NamedSharding(self.mesh, P(self.axis))
+        )
+
+    def search(self, queries: np.ndarray, k: int, tag_masks=None):
         """→ ``(scores [B,k], rows [B,k], certified [B])``; with a host
         matrix, uncertified queries are patched exactly and reported
-        certified=True in the returned flag's companion counter."""
+        certified=True in the returned flag's companion counter.
+
+        ``tag_masks`` = per-query ``(t_all, t_any, t_none)`` int32 words
+        (requires :meth:`set_tags`): the filter evaluates shard-locally
+        inside the scan; certified queries return the provably exact
+        top-k set among allowed rows, and the host patch applies the
+        same filter."""
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+        tags = None
+        if tag_masks is not None:
+            if self.tags is None:
+                raise ValueError("tag_masks given but no tags were set")
+            tags = (
+                self.tags,
+                jnp.asarray(np.asarray(tag_masks[0], np.int32)),
+                jnp.asarray(np.asarray(tag_masks[1], np.int32)),
+                jnp.asarray(np.asarray(tag_masks[2], np.int32)),
+            )
         s, r, ok = sharded_compact_topk(
             q, self.m_bf16, self.e_l2, self.a_l2, self.r_i8, self.r_scale,
             self.e2_l2, self.valid, k, self.mesh, self.metric, self.axis,
-            self.tile_n, self.interpret,
+            self.tile_n, self.interpret, tags=tags,
         )
         ok_np = np.asarray(ok).astype(bool)
         misses = int((~ok_np).sum())
@@ -218,6 +274,15 @@ class ShardedCompactIndex:
             for i in np.flatnonzero(~ok_np):
                 scores = self._host.astype(np.float64) @ qn[i]
                 scores[~self._valid_host] = -np.inf
+                if tag_masks is not None:
+                    bits = self._tags_host
+                    t_all = int(np.asarray(tag_masks[0])[i])
+                    t_any = int(np.asarray(tag_masks[1])[i])
+                    t_none = int(np.asarray(tag_masks[2])[i])
+                    allowed = (bits & t_all) == t_all
+                    allowed &= (t_any == 0) | ((bits & t_any) != 0)
+                    allowed &= (bits & t_none) == 0
+                    scores[~allowed] = -np.inf
                 order = np.argsort(-scores, kind="stable")[:k]
                 live = np.isfinite(scores[order])
                 r_np[i, : len(order)] = np.where(live, order, -1)

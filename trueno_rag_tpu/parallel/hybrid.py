@@ -87,8 +87,8 @@ class ShardedHybridIndex:
     def _build_dense(self):
         store = self._store
         if self.dense_mode == "compact":
-            # 3 B/element per chip, certified-set global merge; no tag
-            # masks (they need the fp32 scan) — see parallel/compact.py
+            # 3 B/element per chip, certified-set global merge; tag
+            # filters ride the scan kernel — see parallel/compact.py
             from trueno_rag_tpu.parallel.compact import ShardedCompactIndex
 
             return ShardedCompactIndex(
@@ -97,6 +97,7 @@ class ShardedHybridIndex:
                 metric=store.config.metric,
                 valid=store._valid,
                 rows_normalized=True,  # VectorStore normalizes at insert
+                tags=self.registry.tags_host(store._host.shape[0]),
             )
         return ShardedVectorIndex(
             store._host,
@@ -168,11 +169,16 @@ class ShardedHybridIndex:
         import numpy as np
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        n_pad = self.dense.matrix.shape[0]
-        t = self.registry.tags_host(n_pad)
-        self.dense.tags = jax.device_put(
-            t, NamedSharding(self.mesh, P(self.dense.axis))
-        )
+        if self.dense_mode == "compact":
+            self.dense.set_tags(
+                self.registry.tags_host(self._store._host.shape[0])
+            )
+        else:
+            n_pad = self.dense.matrix.shape[0]
+            t = self.registry.tags_host(n_pad)
+            self.dense.tags = jax.device_put(
+                t, NamedSharding(self.mesh, P(self.dense.axis))
+            )
         self._rep_tags = None
         self._tags_version_seen = self.registry.tags_version
 
@@ -197,13 +203,6 @@ class ShardedHybridIndex:
         predicate evaluates shard-locally (no extra communication);
         BM25 candidates filter before fusion."""
         cand = self.candidates
-        if tag_filter is not None and self.dense_mode == "compact":
-            from trueno_rag_tpu.errors import QueryError
-
-            raise QueryError(
-                "tag filters need the fp32 dense shards; "
-                "dense_mode='compact' serves unfiltered queries only"
-            )
         qvecs = self.embedder.embed_queries(list(queries))
         masks = None
         if tag_filter is not None:
@@ -213,7 +212,7 @@ class ShardedHybridIndex:
             masks = resolve_tag_filters(self.registry, tag_filter, len(queries))
         if self.dense_mode == "compact":
             d_scores, d_rows, _ok = self.dense.search(
-                np.asarray(qvecs, dtype=np.float32), cand
+                np.asarray(qvecs, dtype=np.float32), cand, tag_masks=masks
             )  # host patch covers uncertified per keep_host
         else:
             d_scores, d_rows = self.dense.search(

@@ -294,14 +294,22 @@ class HybridRetriever:
 
             from trueno_rag_tpu.ops.fusion import fuse_topk
 
-            if masks is not None:
-                raise QueryError(
-                    "tag filters need a fp32 device matrix or the "
-                    "bf16/int8 tiers; scan_tier='compact' serves "
-                    "unfiltered queries only"
-                )
-            d_scores, d_rows = self.vector_store.search_arrays(qvecs, cand)
+            d_scores, d_rows = self.vector_store.search_arrays(
+                qvecs, cand, tag_masks=masks
+            )
             s_scores, s_rows = self.sparse_index.search_arrays(padded_queries, cand)
+            if masks is not None:
+                # BM25 candidates filter post-top-k, same contract as the
+                # tagged one-dispatch path (ops/tags.py) — slots spent on
+                # disallowed rows are not refilled
+                from trueno_rag_tpu.ops.tags import filter_candidates_by_tags
+
+                bits = self.vector_store._device_tag_bits()
+                s_rows, s_scores = filter_candidates_by_tags(
+                    jnp.asarray(s_rows), jnp.asarray(s_scores), bits,
+                    jnp.asarray(masks[0]), jnp.asarray(masks[1]),
+                    jnp.asarray(masks[2]),
+                )
             f_rows, f_scores = fuse_topk(
                 jnp.asarray(d_rows), jnp.asarray(d_scores),
                 jnp.asarray(s_rows), jnp.asarray(s_scores),
@@ -376,13 +384,13 @@ class HybridRetriever:
                     )
                 )
         elif use_dense:
-            if masks is not None:
-                if self.vector_store.is_compact:
-                    raise QueryError(
-                        "tag filters need a fp32 device matrix or the "
-                        "bf16/int8 tiers; scan_tier='compact' serves "
-                        "unfiltered queries only"
-                    )
+            if masks is not None and self.vector_store.is_compact:
+                # the filter rides the compact scan kernel (certified
+                # exact-filtered sets; the host patch is filter-aware)
+                d_scores, d_rows = self.vector_store.search_arrays(
+                    qvecs, cand, tag_masks=masks
+                )
+            elif masks is not None:
                 import jax.numpy as jnp
 
                 from trueno_rag_tpu.ops.tags import dense_topk_tagged
