@@ -97,6 +97,25 @@ def test_index_single_file_and_json_output(corpus_dir, tmp_path):
     assert "content" in data[0] and "score" in data[0]
 
 
+def test_query_scan_tier_flag_matches_default(corpus_dir, tmp_path):
+    """--scan-tier compact loads the artifact into a compact store
+    (certified sets + filter-aware host patch) — query results must
+    match the default fp32 load."""
+    out = tmp_path / "idx_tier"
+    r = run_cli("index", "--path", str(corpus_dir), "--output", str(out))
+    assert r.returncode == 0, r.stderr
+
+    base = run_cli("query", "systolic array matrix", "--index", str(out),
+                   "--format", "json")
+    tier = run_cli("query", "systolic array matrix", "--index", str(out),
+                   "--format", "json", "--scan-tier", "compact")
+    assert base.returncode == 0 and tier.returncode == 0, tier.stderr
+    b, t = json.loads(base.stdout), json.loads(tier.stdout)
+    assert [x["content"] for x in b] == [x["content"] for x in t]
+    assert [x["score"] for x in b] == pytest.approx([x["score"] for x in t],
+                                                    abs=1e-5)
+
+
 def test_index_nonexistent_path_fails(tmp_path):
     r = run_cli("index", "--path", str(tmp_path / "nope"), "--output", str(tmp_path / "o"))
     assert r.returncode != 0

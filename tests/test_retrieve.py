@@ -337,6 +337,34 @@ def test_auto_fused_routing():
         bad.retrieve("fox", 2)
 
 
+def test_auto_routing_prefers_staged_tier_over_fused_program():
+    """fused=None + an ENGAGED scan tier: the one-program fused path
+    would scan the fp32 matrix, which the tier exists to avoid — auto
+    must take the staged tiered hybrid, with results identical to the
+    explicit fused program (the tier's exactness contract)."""
+    from trueno_rag_tpu.index.vector_store import VectorStoreConfig
+    from trueno_rag_tpu.models.encoder import EncoderConfig, JaxEncoderEmbedder
+
+    emb = JaxEncoderEmbedder(config=EncoderConfig.tiny())
+    retr = HybridRetriever(
+        emb,
+        config=HybridRetrieverConfig(candidates_per_source=8),
+        vector_config=VectorStoreConfig(
+            dimension=emb.dimension, scan_tier="bf16", scan_kernel="tile"
+        ),
+    )
+    chunks = [mk_chunk(i, t) for i, t in enumerate(CORPUS)]
+    emb.embed_chunks(chunks)
+    retr.index_batch(chunks)
+    auto = retr.retrieve_batch(["fox forests"], 3)
+    explicit = retr.retrieve_batch_fused(["fox forests"], 3)
+    assert [r.chunk.id for r in auto[0]] == [r.chunk.id for r in explicit[0]]
+    # explicit fused=True still honors the request on a tiered store
+    retr.config.fused = True
+    forced = retr.retrieve_batch(["fox forests"], 3)
+    assert [r.chunk.id for r in forced[0]] == [r.chunk.id for r in explicit[0]]
+
+
 def test_mmr_reranker_diversifies_and_respects_lambda():
     """MMR must demote near-duplicate candidates below a less-relevant
     but diverse one; lambda_=1.0 reduces to pure relevance order."""

@@ -316,6 +316,30 @@ def test_compact_store_serves_staged_hybrid():
     assert r.fused_score is not None
 
 
+def test_bf16_tile_tier_stages_hybrid_and_filters_exactly():
+    """An ENGAGED bf16 tile tier stages the hybrid (certified scan +
+    BM25 + fusion) and carries tag filters inside the scan kernel —
+    results (ids AND scores) must be identical to the fp32 one-dispatch
+    path: the exact tiers' contract is bit-exactness, unlike compact's
+    certified-set contract."""
+    from trueno_rag_tpu.retrieve import TagFilter
+
+    (plain, tiered), texts = _hybrid_pair("bf16")
+    assert tiered.vector_store.supports_tagged_scan
+    for retr in (plain, tiered):
+        for i in range(0, len(texts), 2):
+            retr.registry.set_tags(f"c{i}", ["even"])
+    for f in (None, TagFilter(all=["even"]), TagFilter(none=["even"])):
+        for q in [texts[3][:30], "w001 w002 w003"]:
+            want = plain.retrieve(q, 5, tag_filter=f)
+            got = tiered.retrieve(q, 5, tag_filter=f)
+            assert [r.chunk.id for r in got] == [r.chunk.id for r in want], (f, q)
+            for w, g in zip(want, got):
+                # rescore accumulates HIGHEST fp32 over gathered rows;
+                # order can differ from the full matmul by ~1 ulp
+                assert g.best_score() == pytest.approx(w.best_score(), abs=1e-5)
+
+
 def test_compact_store_tag_filters_match_fp32():
     """Tag filters on the compact tier ride the scan kernel (certified
     exact-filtered sets; filter-aware host patch) — results must equal

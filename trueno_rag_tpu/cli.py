@@ -227,7 +227,7 @@ def cmd_index(args) -> int:
     return 0
 
 
-def _load(index_dir: str):
+def _load(index_dir: str, scan_tier=None):
     from trueno_rag_tpu.embed import TfIdfEmbedder
     from trueno_rag_tpu.persist import deserialize_compressed
 
@@ -258,12 +258,12 @@ def _load(index_dir: str):
         embedder = _build_embedder("semantic", info.get("dimension", 384), info.get("model"), info.get("seed", 0))
     from trueno_rag_tpu.persist import load_index
 
-    retr, _ = load_index(path, embedder)
+    retr, _ = load_index(path, embedder, scan_tier=scan_tier)
     return retr
 
 
 def cmd_query(args) -> int:
-    retr = _load(args.index)
+    retr = _load(args.index, scan_tier=args.scan_tier)
     tag_filter = None
     if args.filter_all or args.filter_any or args.filter_none:
         from trueno_rag_tpu.retrieve import TagFilter
@@ -301,13 +301,14 @@ def cmd_query(args) -> int:
 def cmd_serve(args) -> int:
     from trueno_rag_tpu.serve import run_server
 
-    retr = _load(args.index)
+    retr = _load(args.index, scan_tier=args.scan_tier)
     max_batch = "auto" if args.autotune else args.max_batch
     run_server(retr, host=args.host, port=args.port,
                max_batch=max_batch, max_wait_ms=args.max_wait_ms,
                latency_budget_ms=args.latency_budget_ms,
                workers=args.workers,
-               index_loader=lambda: _load(args.index))  # POST /reload re-reads
+               # POST /reload re-reads with the same tier
+               index_loader=lambda: _load(args.index, scan_tier=args.scan_tier))
     return 0
 
 
@@ -344,6 +345,12 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--filter-all", default=None, help="comma-separated tags results must ALL carry")
     q.add_argument("--filter-any", default=None, help="comma-separated tags; results need at least one")
     q.add_argument("--filter-none", default=None, help="comma-separated tags results must NOT carry")
+    q.add_argument("--scan-tier", choices=["none", "auto", "bf16", "int8", "compact"],
+                   default=None,
+                   help="dense scan tier for the loaded store (default fp32; "
+                        "'auto' engages the certified bf16 tier past ~400k rows, "
+                        "'compact' serves multi-million-chunk indexes without a "
+                        "fp32 matrix in HBM)")
     q.set_defaults(fn=cmd_query)
 
     s = sub.add_parser("serve", help="serve a persisted index over HTTP (micro-batched)")
@@ -356,6 +363,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="calibrate max-batch/max-wait by measurement at startup")
     s.add_argument("--latency-budget-ms", type=float, default=None,
                    help="with --autotune: exclude batch sizes whose p50 exceeds this")
+    s.add_argument("--scan-tier", choices=["none", "auto", "bf16", "int8", "compact"],
+                   default="auto",
+                   help="dense scan tier for serving (default 'auto': fp32 below "
+                        "~400k rows, certified bf16 tier past it; 'compact' for "
+                        "indexes whose fp32 matrix exceeds HBM)")
     s.add_argument("--workers", type=int, default=0,
                    help="HTTP front-end worker processes (SO_REUSEPORT); "
                         "0 = serve HTTP from this process")

@@ -402,6 +402,17 @@ class VectorStore:
         return tier
 
     @property
+    def supports_tagged_scan(self) -> bool:
+        """True when :meth:`search_arrays` accepts ``tag_masks`` — the
+        filter predicate rides the scan kernel (compact tier, or the
+        bf16 tile tier). The retriever uses this to keep filtered
+        queries on the fast tier instead of the full fp32 tagged scan."""
+        tier = self._effective_tier()
+        return tier == "compact" or (
+            tier == "bf16" and self.config.scan_kernel == "tile"
+        )
+
+    @property
     def is_compact(self) -> bool:
         """True when this store holds no fp32 device matrix (compact
         tier) — callers that need ``device_matrix`` (the one-dispatch
@@ -456,20 +467,23 @@ class VectorStore:
 
         ``tag_masks`` = per-query ``(t_all [B], t_any [B], t_none [B])``
         int32 filter words (see :func:`trueno_rag_tpu.retrieve.resolve_tag_filters`)
-        — supported on the COMPACT tier only, where the filter rides the
-        scan kernel (certified exact-filtered sets; uncertified queries
-        patch from the filtered host matrix). The fp32/bf16/int8 tiers
-        route tag filters through :func:`trueno_rag_tpu.ops.tags.dense_topk_tagged`
-        in the retriever instead."""
+        — supported where the filter rides the scan kernel: the COMPACT
+        tier (certified exact-filtered sets; filter-aware host patch)
+        and the bf16 TILE tier (exact filtered results; uncertified
+        queries fall back to the tagged fp32 scan per query). Other
+        configurations route tag filters through
+        :func:`trueno_rag_tpu.ops.tags.dense_topk_tagged` in the
+        retriever instead (see :attr:`supports_tagged_scan`)."""
         self._refresh_device()
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
         if q.shape[-1] != self.config.dimension:
             raise DimensionMismatchError(self.config.dimension, int(q.shape[-1]))
         k_eff = min(k, self._host.shape[0])
-        if tag_masks is not None and self._effective_tier() != "compact":
+        if tag_masks is not None and not self.supports_tagged_scan:
             raise InvalidConfigError(
-                "search_arrays(tag_masks=...) is the compact-tier filtered "
-                "path; other tiers filter via ops.tags.dense_topk_tagged"
+                "search_arrays(tag_masks=...) rides the scan kernel — "
+                "compact tier or bf16 tile tier only; other tiers filter "
+                "via ops.tags.dense_topk_tagged"
             )
         if self._tier is not None:
             import jax
@@ -513,6 +527,14 @@ class VectorStore:
                         self.tier_fallbacks += 1
                 return jnp.asarray(scores), jnp.asarray(rows)
             if self._effective_tier() == "bf16" and self.config.scan_kernel == "tile":
+                tags = None
+                if tag_masks is not None:
+                    tags = (
+                        self._device_tag_bits(),
+                        jnp.asarray(np.asarray(tag_masks[0], np.int32)),
+                        jnp.asarray(np.asarray(tag_masks[1], np.int32)),
+                        jnp.asarray(np.asarray(tag_masks[2], np.int32)),
+                    )
                 scores, rows, fell_back = dt.dense_topk_tiered2_checked(
                     q, self._device_matrix, *self._tier, self._device_valid,
                     k_eff, metric=self.config.metric, interpret=interpret,
@@ -520,6 +542,7 @@ class VectorStore:
                     t_top=self.config.scan_t_top,
                     margin_tiles=self.config.scan_margin_tiles,
                     tile_n=self.config.scan_tile_n,
+                    tags=tags,
                 )
             else:
                 checked = (

@@ -170,12 +170,14 @@ def _select_rescore_verify(
 
 def _trim_rescore_verify(
     cand_rows, cand_vals, threshold, q, matrix, valid_mask, n, bsz, b_pad,
-    k_req, rescore_rows, approx_select,
+    k_req, rescore_rows, approx_select, tags=None,
 ):
     """Common certificate tail: optional trim of the explicit candidate
     set, exact fp32 rescore, deterministic (score desc, row asc) top-k
     and the strict-beat verification. ``cand_rows`` must already map
-    -inf candidates to distinct ``_ROW_SENTINEL`` slots."""
+    -inf candidates to distinct ``_ROW_SENTINEL`` slots. ``tags`` adds
+    a defensive re-check of the filter predicate on the gathered
+    candidates (the scan kernel already masked disallowed rows)."""
     k = k_req
 
     # -- optional global row trim before the fp32 gather ------------------
@@ -213,6 +215,19 @@ def _trim_rescore_verify(
         precision=jax.lax.Precision.HIGHEST,
     )  # [B, 4·kb]
     live = (cand_rows < n) & jnp.take(valid_mask, safe_rows, axis=0)
+    if tags is not None:
+        # fail-closed re-check, same posture as the dup sentinel: a
+        # disallowed row surviving a kernel bug rescores -inf
+        from trueno_rag_tpu.ops.tags import tag_pred
+
+        tag_bits, t_all, t_any, t_none = (jnp.asarray(t, jnp.int32) for t in tags)
+        t_all_p = jnp.pad(t_all, (0, b_pad - bsz)) if b_pad != bsz else t_all
+        t_any_p = jnp.pad(t_any, (0, b_pad - bsz)) if b_pad != bsz else t_any
+        t_none_p = jnp.pad(t_none, (0, b_pad - bsz)) if b_pad != bsz else t_none
+        live = live & tag_pred(
+            jnp.take(tag_bits, safe_rows, axis=0),
+            t_all_p[:, None], t_any_p[:, None], t_none_p[:, None],
+        )
     exact = jnp.where(live, exact, NEG_INF)
     k = min(k_req, cand_rows.shape[1])
     top_s, idx = jax.lax.top_k(exact, k)
@@ -375,7 +390,7 @@ def _tile_candidates(outs, b_pad, k, margin_tiles, approx_select, t_top):
 
 def _select_rescore_verify_tiles(
     outs, q, matrix, valid_mask, n, bsz, b_pad, k, margin_tiles,
-    rescore_rows, approx_select, t_top,
+    rescore_rows, approx_select, t_top, tags=None,
 ):
     """v2 tail: tile selection + exact fp32 rescore + strict-beat
     certificate (see :func:`_tile_candidates`)."""
@@ -384,7 +399,7 @@ def _select_rescore_verify_tiles(
     )
     return _trim_rescore_verify(
         cand_rows, cand_vals, threshold, q, matrix, valid_mask, n, bsz,
-        b_pad, k, rescore_rows, approx_select,
+        b_pad, k, rescore_rows, approx_select, tags=tags,
     )
 
 
@@ -417,11 +432,18 @@ def dense_topk_tiered2(
     # headroom at larger k (certification fails closed either way)
     t_top: int = 4,
     interpret: bool = False,
+    tags: Tuple[jax.Array, ...] | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Streaming-select v2 (scan_select_v2 kernel): same exactness
     contract as :func:`dense_topk_tiered`, with the per-128-block side
     arrays replaced by per-1024-row-tile candidate rows emitted directly
-    by the kernel. → (scores [B,k], rows [B,k], certified [B] bool)."""
+    by the kernel. → (scores [B,k], rows [B,k], certified [B] bool).
+
+    ``tags`` = (tag_bits [N] i32, t_all/t_any/t_none [B] i32) masks
+    disallowed (row, query) pairs inside the scan, so a certified query
+    is the provably exact fp32 top-k AMONG ALLOWED ROWS — the filtered
+    search stays on the fast tier instead of the full fp32 tagged scan
+    (uncertified queries fall back per-query in the checked wrapper)."""
     from trueno_rag_tpu.ops.pallas.scan_select_v2 import SEL, scan_select_v2
 
     q = _metric_queries(queries, metric)
@@ -456,34 +478,39 @@ def dense_topk_tiered2(
     outs = scan_select_v2(
         qb_p, scan_m, e_l2, a_l2, valid_p.astype(jnp.int32), u_p, v_p,
         tile_n=tile, t_top=t_top, interpret=interpret,
+        tags=_pad_tags(tags, n, n_pad, bsz, b_pad),
     )
     return _select_rescore_verify_tiles(
         outs, q, matrix, valid_mask, n, bsz, b_pad, k, margin_tiles,
-        rescore_rows, approx_select, t_top,
+        rescore_rows, approx_select, t_top, tags=tags,
     )
 
 
 def dense_topk_tiered2_checked(
     queries, matrix, m_bf16, e_l2, a_l2, valid_mask, k,
     margin_tiles=32, metric="cosine", tile_n=2048, rescore_rows=96,
-    approx_select=True, t_top=4, interpret=False,
+    approx_select=True, t_top=4, interpret=False, tags=None,
 ):
     """Exactness-contract wrapper for the v2 kernel: fp32 fallback when
-    the certificate fails. Returns (scores, rows, used_fallback)."""
+    the certificate fails (the tag-filtered fp32 scan when ``tags`` is
+    given). Returns (scores, rows, used_fallback)."""
     s, r, ok = dense_topk_tiered2(
         queries, matrix, m_bf16, e_l2, a_l2, valid_mask, k,
         margin_tiles=margin_tiles, metric=metric, tile_n=tile_n,
         rescore_rows=rescore_rows, approx_select=approx_select,
-        t_top=t_top, interpret=interpret,
+        t_top=t_top, interpret=interpret, tags=tags,
     )
-    return _checked_fallback(s, r, ok, queries, matrix, valid_mask, k, metric)
+    return _checked_fallback(s, r, ok, queries, matrix, valid_mask, k, metric,
+                             tags=tags)
 
 
-def _checked_fallback(s, r, ok, queries, matrix, valid_mask, k, metric):
-    """Re-run ONLY uncertified queries on the exact fp32 path and patch
-    their rows in. The failing subset is bucketed to a power of two
-    (repeating its first query) so serving compiles O(log B) fallback
-    programs, not one per failure pattern."""
+def _checked_fallback(s, r, ok, queries, matrix, valid_mask, k, metric,
+                      tags=None):
+    """Re-run ONLY uncertified queries on the exact fp32 path (the
+    tagged fp32 scan when ``tags`` is given) and patch their rows in.
+    The failing subset is bucketed to a power of two (repeating its
+    first query) so serving compiles O(log B) fallback programs, not
+    one per failure pattern."""
     import numpy as np
 
     ok_np = np.asarray(ok)
@@ -495,7 +522,18 @@ def _checked_fallback(s, r, ok, queries, matrix, valid_mask, k, metric):
         bucket *= 2
     sel = np.concatenate([bad, np.full(bucket - len(bad), bad[0], np.int64)])
     fb_q = jnp.asarray(np.asarray(queries)[sel])
-    fb_s, fb_r = dense_topk(fb_q, matrix, valid_mask, min(k, matrix.shape[0]), metric)
+    if tags is not None:
+        from trueno_rag_tpu.ops.tags import dense_topk_tagged
+
+        tag_bits, t_all, t_any, t_none = (jnp.asarray(t, jnp.int32) for t in tags)
+        sel_j = jnp.asarray(sel)
+        fb_s, fb_r = dense_topk_tagged(
+            fb_q, matrix, valid_mask, tag_bits,
+            jnp.take(t_all, sel_j), jnp.take(t_any, sel_j),
+            jnp.take(t_none, sel_j), min(k, matrix.shape[0]), metric,
+        )
+    else:
+        fb_s, fb_r = dense_topk(fb_q, matrix, valid_mask, min(k, matrix.shape[0]), metric)
     if fb_s.shape[1] < k:
         pad = k - fb_s.shape[1]
         fb_s = jnp.pad(fb_s, ((0, 0), (0, pad)), constant_values=NEG_INF)

@@ -187,10 +187,25 @@ def save_index(path: str, retriever, embedder_info: Optional[Dict[str, Any]] = N
     return {"compressed_bytes": len(blob), "raw_bytes_estimate": raw, "chunks": len(chunks)}
 
 
-def load_index(path: str, embedder, codec: Optional[Compression] = None):
+def _loaded_vector_config(dimension: int, scan_tier: Optional[str]):
+    """VectorStoreConfig for a loaded artifact: ``scan_tier`` engages a
+    reduced-precision certified tier on the rebuilt store (serve a
+    multi-million-chunk artifact with `"auto"`/`"bf16"`/`"compact"`
+    without touching code — the CLI's ``--scan-tier``)."""
+    if scan_tier is None:
+        return None
+    from trueno_rag_tpu.index.vector_store import VectorStoreConfig
+
+    return VectorStoreConfig(dimension=dimension, scan_tier=scan_tier)
+
+
+def load_index(path: str, embedder, codec: Optional[Compression] = None,
+               scan_tier: Optional[str] = None):
     """Rebuild a HybridRetriever from a saved artifact. ``embedder`` is
     supplied by the caller (embedder identity travels in the artifact's
-    ``embedder`` dict for the CLI to reconstruct — main.rs:442-477)."""
+    ``embedder`` dict for the CLI to reconstruct — main.rs:442-477).
+    ``scan_tier`` configures the rebuilt VectorStore's scan tier
+    (default fp32)."""
     from trueno_rag_tpu.fusion import FusionStrategy
     from trueno_rag_tpu.retrieve import HybridRetriever, HybridRetrieverConfig
 
@@ -201,7 +216,7 @@ def load_index(path: str, embedder, codec: Optional[Compression] = None):
     with open(path, "rb") as f:
         magic = f.read(len(MAGIC2))
         if magic == MAGIC2:  # v2 streaming container
-            return _load_index_streaming(f, embedder)
+            return _load_index_streaming(f, embedder, scan_tier=scan_tier)
         payload = deserialize_compressed(magic + f.read())
     if payload.get("format") != "trueno-rag-tpu-index":
         raise SerializationError("not a trueno-rag-tpu index artifact")
@@ -213,7 +228,10 @@ def load_index(path: str, embedder, codec: Optional[Compression] = None):
         use_dense=rcfg["use_dense"],
         use_sparse=rcfg["use_sparse"],
     )
-    retr = HybridRetriever(embedder, config=config)
+    retr = HybridRetriever(
+        embedder, config=config,
+        vector_config=_loaded_vector_config(payload["dimension"], scan_tier),
+    )
     dim = payload["dimension"]
     n = len(payload["chunks"])
     matrix = np.frombuffer(payload["embeddings_raw"], dtype=np.float32).reshape(n, dim)
@@ -320,7 +338,7 @@ def save_index_streaming(
     }
 
 
-def _load_index_streaming(f, embedder):
+def _load_index_streaming(f, embedder, scan_tier: Optional[str] = None):
     """Resume after MAGIC2: codec id, compressed header, matrix frames."""
     from trueno_rag_tpu.fusion import FusionStrategy
     from trueno_rag_tpu.retrieve import HybridRetriever, HybridRetrieverConfig
@@ -345,8 +363,11 @@ def _load_index_streaming(f, embedder):
         use_dense=rcfg["use_dense"],
         use_sparse=rcfg["use_sparse"],
     )
-    retr = HybridRetriever(embedder, config=config)
     dim = header["dimension"]
+    retr = HybridRetriever(
+        embedder, config=config,
+        vector_config=_loaded_vector_config(dim, scan_tier),
+    )
     n = header["n_rows"]
     loaded = 0
     chunk_dicts = header["chunks"]
