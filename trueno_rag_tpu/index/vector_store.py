@@ -117,11 +117,11 @@ class VectorStoreConfig:
     # while cutting the scattered fp32 gather in half (8.8 vs 9.5 ms
     # e2e with the tile kernel).
     scan_rescore_rows: int | None = 96
-    # Scan kernel generation: "tile" = scan_select_v2 (per-1024-row-tile
-    # candidate rows emitted in-kernel; 8x smaller selection grid,
-    # measured 8.4 vs 9.8 ms at 1M/B=256/k=50, 256/256 certified) or
-    # "block" = the per-128-block v1 kernel (also used by the int8
-    # tier, which has no tile variant).
+    # Scan kernel generation: "tile" = the v2 tile kernels
+    # (scan_select_v2 / scan_select_int8_v2: per-1024-row-tile candidate
+    # rows emitted in-kernel; 8x smaller selection grid, measured 8.4 vs
+    # 9.8 ms at 1M/B=256/k=50, 256/256 certified) or "block" = the
+    # per-128-block v1 kernels.
     scan_kernel: str = "tile"
     # Tile kernel: candidate rows kept per 1024-row tile. 3 measured
     # fastest at k<=64 (8.23 ms); 4 is the default — collisions that
@@ -543,6 +543,15 @@ class VectorStore:
                     margin_tiles=self.config.scan_margin_tiles,
                     tile_n=self.config.scan_tile_n,
                     tags=tags,
+                )
+            elif self._effective_tier() == "int8" and self.config.scan_kernel == "tile":
+                scores, rows, fell_back = dt.dense_topk_int8_tiered2_checked(
+                    q, self._device_matrix, *self._tier, self._device_valid,
+                    k_eff, metric=self.config.metric, interpret=interpret,
+                    rescore_rows=self.config.scan_rescore_rows,
+                    t_top=self.config.scan_t_top,
+                    margin_tiles=self.config.scan_margin_tiles,
+                    tile_n=self.config.scan_tile_n,
                 )
             else:
                 checked = (
