@@ -67,6 +67,35 @@ class ChunkRegistry:
         self._id_to_row[chunk.id] = row
         return row
 
+    def add_batch(self, chunks: Sequence[Chunk]) -> List[int]:
+        """Bulk :meth:`add`; returns the rows in order.
+
+        Fast paths for the two ingest-dominant cases — all ids new
+        (bulk list extends, one dict update) and all ids existing (the
+        second index of a HybridRetriever ingest re-registering the
+        same batch: chunk swaps only). Mixed batches, intra-batch
+        duplicate ids, and recycling from tombstoned rows fall back to
+        per-chunk :meth:`add` (identical semantics). Measured: the
+        per-chunk call pair was ~0.4 s of a 100k-chunk build."""
+        ids = [c.id for c in chunks]
+        id_to_row = self._id_to_row
+        if not self._free and len(set(ids)) == len(ids):
+            rows = [id_to_row.get(i) for i in ids]
+            if all(r is None for r in rows):
+                base = len(self._row_to_id)
+                out = list(range(base, base + len(chunks)))
+                self._row_to_id.extend(ids)
+                self._chunks.extend(chunks)
+                self._tags.extend([0] * len(chunks))
+                id_to_row.update(zip(ids, out))
+                return out
+            if all(r is not None for r in rows):
+                store = self._chunks
+                for r, c in zip(rows, chunks):
+                    store[r] = c
+                return rows
+        return [self.add(c) for c in chunks]
+
     # -- metadata tags ---------------------------------------------------------
 
     def bit_for(self, tag: str, create: bool = True) -> Optional[int]:

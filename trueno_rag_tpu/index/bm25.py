@@ -142,7 +142,7 @@ class BM25Index:
                 for cid in ids
             )
             if clean:
-                rows = [self.registry.add(c) for c in chunks]
+                rows = self.registry.add_batch(chunks)
                 counts = self._native_builder.add_batch(rows, [c.content for c in chunks])
                 for r, n in zip(rows, counts):
                     self._doc_len[r] = int(n)
