@@ -51,6 +51,10 @@ def main() -> None:
     p.add_argument("--cand", type=int, default=50)
     p.add_argument("--topk", type=int, default=10)
     p.add_argument("--vocab", type=int, default=50_000)
+    p.add_argument("--tags", action="store_true",
+                   help="tag-filtered queries: 3 random tag bits per row, "
+                        "filter = require bit0 (~50%% of rows allowed); the "
+                        "predicate rides the scan kernel")
     args = p.parse_args()
 
     import jax
@@ -148,14 +152,30 @@ def main() -> None:
     valid = jnp.ones((n,), bool)
     queries = jax.random.normal(jax.random.PRNGKey(777), (b, d), jnp.float32)
 
+    tags = None
+    if args.tags:
+        tag_bits = jax.random.randint(
+            jax.random.PRNGKey(99), (n,), 0, 8, jnp.int32
+        )
+        tags = (
+            tag_bits,
+            jnp.full((b,), 1, jnp.int32),  # require bit0: ~50% allowed
+            jnp.zeros((b,), jnp.int32),
+            jnp.zeros((b,), jnp.int32),
+        )
+
     # -- certification count + (optionally) oracle set check ---------------
     s_c, r_c, ok = compact(
-        queries, *parts, valid, k, tile_n=args.tile_n,
+        queries, *parts, valid, k, tile_n=args.tile_n, tags=tags,
     )
     ok_np = np.asarray(ok).astype(bool)
     print(f"certified: {int(ok_np.sum())}/{b}", flush=True)
     if args.check:
-        s_x, r_x = dense_topk(queries, fp32, valid, k, "cosine")
+        # with --tags the oracle scans allowed rows only (the filter is
+        # identical for every query in this bench, so it folds into the
+        # validity mask)
+        oracle_valid = valid if tags is None else valid & ((tags[0] & 1) != 0)
+        s_x, r_x = dense_topk(queries, fp32, oracle_valid, k, "cosine")
         r_cn, r_xn = np.asarray(r_c), np.asarray(r_x)
         bad = [
             int(q) for q in np.flatnonzero(ok_np)
@@ -191,14 +211,14 @@ def main() -> None:
         from trueno_rag_tpu.ops.fusion import fuse_topk
 
         @functools.partial(jax.jit, static_argnames=("steps",))
-        def chain(queries, bids, blo, bhi, blocks, *rest, steps):
+        def chain(queries, bids, blo, bhi, blocks, tags, *rest, steps):
             *mats, valid = rest
 
             def one(carry, _):
                 q = queries + carry
                 shift = (carry > 1e30).astype(jnp.int32)
                 d_s, d_r, ok = compact(
-                    q, *mats, valid, args.cand, tile_n=args.tile_n,
+                    q, *mats, valid, args.cand, tile_n=args.tile_n, tags=tags,
                 )
                 s_s, s_r = bm25_topk_blocks(bids + shift, blo, bhi, blocks,
                                             k=args.cand)
@@ -209,25 +229,25 @@ def main() -> None:
             c, _ = jax.lax.scan(one, 0.0, None, length=steps)
             return c
 
-        arrs = (queries, *sparse[:3], sparse[3], *parts, valid)
-        label = f"hybrid-compact[{args.scan}]"
+        arrs = (queries, *sparse[:3], sparse[3], tags, *parts, valid)
+        label = f"hybrid-compact[{args.scan}{'+tags' if args.tags else ''}]"
     else:
         @functools.partial(jax.jit, static_argnames=("steps",))
-        def chain(queries, *rest, steps):
+        def chain(queries, tags, *rest, steps):
             *mats, valid = rest
 
             def one(carry, _):
                 q = queries + carry
                 s, r, ok = compact(
-                    q, *mats, valid, k, tile_n=args.tile_n,
+                    q, *mats, valid, k, tile_n=args.tile_n, tags=tags,
                 )
                 return (jnp.max(s) + jnp.sum(ok).astype(jnp.float32)) * 1e-12, None
 
             c, _ = jax.lax.scan(one, 0.0, None, length=steps)
             return c
 
-        arrs = (queries, *parts, valid)
-        label = f"compact[{args.scan}]"
+        arrs = (queries, tags, *parts, valid)
+        label = f"compact[{args.scan}{'+tags' if args.tags else ''}]"
 
     float(chain(*arrs, steps=args.iters))  # compile + warm
     ts = []

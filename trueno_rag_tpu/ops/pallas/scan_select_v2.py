@@ -108,19 +108,23 @@ def _tile_tournament(upper, base, t_top, v_ref, r_ref):
     v_ref[0, :, t_top, :] = jnp.maximum(thr_pool, thr_blocks)
 
 
-def _tag_ok(tags_ref, tall_ref, tany_ref, tnone_ref):
-    """Per-(row, query) tag predicate inside the kernel: ``[tile_n, B]``
-    bool from the tile's ``[tile_n]`` int32 tag words and the ``[B]``
-    all/any/none filter words (semantics of ops/tags.py::tag_pred).
-    Three VPU bit-ops per element — masking happens BEFORE selection,
-    so the certificate downstream proves the exact top-k set AMONG
-    ALLOWED ROWS (the filtered-search contract)."""
+def _apply_tags(upper, tags_ref, tall_ref, tany_ref, tnone_ref):
+    """Mask ``upper [tile_n, B]`` to -inf where the tile's rows fail the
+    per-query tag predicate (semantics of ops/tags.py::tag_pred).
+    Masking happens BEFORE selection, so the certificate downstream
+    proves the exact top-k set AMONG ALLOWED ROWS (the filtered-search
+    contract).
+
+    Applied as three sequential wheres rather than one fused boolean so
+    at most ONE [tile_n, B] int32 temporary is live at a time — the
+    fused form overflowed the 16 MB scoped-VMEM stack by ~1.5 MB at
+    tile_n=4096, B=256 (three bit-op intermediates live at once)."""
     t = tags_ref[:][:, None]
     t_all = tall_ref[:][None, :]
+    upper = jnp.where((t & t_all) == t_all, upper, NEG_INF)
     t_any = tany_ref[:][None, :]
-    ok = (t & t_all) == t_all
-    ok = ok & ((t_any == 0) | ((t & t_any) != 0))
-    return ok & ((t & tnone_ref[:][None, :]) == 0)
+    upper = jnp.where((t_any == 0) | ((t & t_any) != 0), upper, NEG_INF)
+    return jnp.where((t & tnone_ref[:][None, :]) == 0, upper, NEG_INF)
 
 
 def _scan_select_v2_kernel(
@@ -156,10 +160,9 @@ def _scan_select_v2_kernel(
     )  # [tile_n, B] — bf16 in, f32 accumulation on the MXU
     upper = s + el2_ref[:][:, None] * uq_ref[:][None, :]
     upper = upper + al2_ref[:][:, None] * vq_ref[:][None, :]
-    allowed = valid_ref[:][:, None] != 0
+    upper = jnp.where(valid_ref[:][:, None] != 0, upper, NEG_INF)
     if has_tags:
-        allowed = allowed & _tag_ok(*tag_refs)
-    upper = jnp.where(allowed, upper, NEG_INF)
+        upper = _apply_tags(upper, *tag_refs)
     v_ref, r_ref = out_refs
     _tile_tournament(upper, pl.program_id(0) * tile_n, t_top, v_ref, r_ref)
 
@@ -190,10 +193,9 @@ def _scan_select_int8_v2_kernel(
     upper = dot * sr_ref[:][:, None] * tq_ref[:][None, :]
     upper = upper + el2_ref[:][:, None] * uq_ref[:][None, :]
     upper = upper + al2_ref[:][:, None] * vq_ref[:][None, :]
-    allowed = valid_ref[:][:, None] != 0
+    upper = jnp.where(valid_ref[:][:, None] != 0, upper, NEG_INF)
     if has_tags:
-        allowed = allowed & _tag_ok(*tag_refs)
-    upper = jnp.where(allowed, upper, NEG_INF)
+        upper = _apply_tags(upper, *tag_refs)
     v_ref, r_ref = out_refs
     _tile_tournament(upper, pl.program_id(0) * tile_n, t_top, v_ref, r_ref)
 
