@@ -108,6 +108,104 @@ class ShardedHybridIndex:
             tags=self.registry.tags_host(store._host.shape[0]),
         )
 
+    @classmethod
+    def from_shard_builds(
+        cls,
+        embedder,
+        dense_blocks: Sequence[np.ndarray],
+        sparse_builds: Sequence[object],
+        mesh: Mesh,
+        chunks_per_shard: Optional[Sequence[Sequence[object]]] = None,
+        fusion: Optional[FusionStrategy] = None,
+        candidates_per_source: Optional[int] = None,
+        axis: str = "data",
+        k1: float = 1.2,
+        b: float = 0.75,
+        rows_normalized: bool = False,
+        stopwords=None,
+        min_token_len: int = 2,
+    ) -> "ShardedHybridIndex":
+        """Multi-host ingest: assemble the serving index from per-host
+        artifacts — shard ``i`` contributes its embedding block
+        ``dense_blocks[i]`` ([n_i, d] f32), its BM25
+        :class:`~trueno_rag_tpu.parallel.ingest.ShardBuild` (or
+        ``to_payload()`` dict), and optionally its chunk objects. The
+        full corpus (matrix OR postings) never exists on one host; see
+        parallel/ingest.py for the build/merge contract.
+
+        Row space: shard ``i``'s documents occupy global rows
+        ``[i·rps, i·rps + n_i)`` with ``rps = max n_i`` — every shard
+        except the last must be full so registry rows stay dense
+        (chunk metadata is host-small; a per-host registry service is
+        the real-pod variant). The result is a read-optimized serving
+        artifact: mutate by rebuilding from new shard builds
+        (:meth:`refresh` raises).
+        """
+        from trueno_rag_tpu.errors import InvalidConfigError
+        from trueno_rag_tpu.index.base import ChunkRegistry
+        from trueno_rag_tpu.retrieve import HybridRetrieverConfig
+
+        s = mesh.shape[axis]
+        if len(dense_blocks) != s or len(sparse_builds) != s:
+            raise InvalidConfigError(
+                f"need exactly {s} dense blocks and sparse builds for a "
+                f"{s}-shard '{axis}' axis"
+            )
+        dense_blocks = [np.asarray(blk, dtype=np.float32) for blk in dense_blocks]
+        sizes = [blk.shape[0] for blk in dense_blocks]
+        rps = max(sizes)
+        for i, n_i in enumerate(sizes[:-1]):
+            if n_i != rps:
+                raise InvalidConfigError(
+                    f"shard {i} has {n_i} rows but shard capacity is {rps}; "
+                    "only the LAST shard may be partial (registry rows must "
+                    "stay dense)"
+                )
+
+        cfg = HybridRetrieverConfig()
+        self = cls.__new__(cls)
+        self.dense_mode = "fp32"
+        self.sparse_mode = "sharded"
+        self.mesh = mesh
+        self.embedder = embedder
+        self.fusion = fusion or cfg.fusion
+        self.candidates = candidates_per_source or cfg.candidates_per_source
+        self._store = None
+        self._bm25 = None
+        self._snap = None
+        self._rep_tags = None
+
+        self.registry = ChunkRegistry()
+        if chunks_per_shard is not None:
+            if len(chunks_per_shard) != s:
+                raise InvalidConfigError(
+                    f"got {len(chunks_per_shard)} chunk lists for {s} shards"
+                )
+            for i, (cs, n_i) in enumerate(zip(chunks_per_shard, sizes)):
+                if len(cs) != n_i:
+                    raise InvalidConfigError(
+                        f"shard {i} has {len(cs)} chunks but {n_i} dense rows"
+                    )
+            flat = [c for cs in chunks_per_shard for c in cs]
+            self.registry.add_batch(flat)
+
+        tags_host = self.registry.tags_host(max(rps * s, 1))
+        self.dense = ShardedVectorIndex.from_shard_matrices(
+            dense_blocks,
+            mesh,
+            metric="cosine",
+            axis=axis,
+            rows_normalized=rows_normalized,
+            tags=[tags_host[i * rps : i * rps + n_i] for i, n_i in enumerate(sizes)],
+        )
+        self.sparse = ShardedBM25.from_shard_builds(
+            sparse_builds, mesh, axis=axis, k1=k1, b=b,
+            stopwords=stopwords, min_token_len=min_token_len,
+            rows_per_shard=rps,
+        )
+        self._tags_version_seen = self.registry.tags_version
+        return self
+
     def refresh(self, rows: Optional[Sequence[int]] = None) -> None:
         """Propagate retriever mutations to the sharded replicas.
 
@@ -120,6 +218,13 @@ class ShardedHybridIndex:
         the dense matrix (8 B/posting) and its CSR layout shifts
         globally on any posting change.
         """
+        if self._store is None:
+            from trueno_rag_tpu.errors import InvalidConfigError
+
+            raise InvalidConfigError(
+                "this index was assembled from shard builds (multi-host "
+                "ingest) and is immutable — rebuild from new shard builds"
+            )
         store_host = self._store._host
         if rows is not None:
             rows = np.asarray(sorted(set(int(r) for r in rows)), dtype=np.int32)

@@ -182,6 +182,77 @@ class ShardedVectorIndex:
             t[:n] = np.asarray(tags, dtype=np.int32)[:n]
         self.tags = jax.device_put(t, mask_sharding)
 
+    @classmethod
+    def from_shard_matrices(
+        cls,
+        blocks,
+        mesh: Mesh,
+        metric: str = "cosine",
+        valids=None,
+        axis: str = "data",
+        rows_normalized: bool = False,
+        tags=None,
+    ) -> "ShardedVectorIndex":
+        """Multi-host ingest: build the sharded index from per-host row
+        blocks — the full ``[N, d]`` matrix never exists on one host.
+
+        ``blocks[i]`` is shard ``i``'s ``[rps_i, d]`` f32 rows (owning
+        global rows ``[i·rps, i·rps + rps_i)`` with ``rps = max rps_i``;
+        shorter blocks pad with invalid rows). Each block normalizes
+        (unless ``rows_normalized``) and device_puts straight onto its
+        shard's devices via
+        :func:`~trueno_rag_tpu.parallel.ingest.assemble_row_sharded` —
+        peak host memory is one block. ``valids``/``tags`` are optional
+        per-shard ``[rps_i]`` masks/int32 words (host-tiny; assembled
+        the same way). Search results are identical to constructing
+        from the concatenated matrix (parity-asserted in
+        tests/test_multihost_ingest.py).
+        """
+        from trueno_rag_tpu.errors import InvalidConfigError
+        from trueno_rag_tpu.parallel.ingest import assemble_row_sharded
+
+        s = mesh.shape[axis]
+        if len(blocks) != s:
+            raise InvalidConfigError(
+                f"got {len(blocks)} shard blocks for a {s}-shard '{axis}' axis"
+            )
+        blocks = [np.asarray(blk, dtype=np.float32) for blk in blocks]
+        d = blocks[0].shape[1]
+        rps = max(blk.shape[0] for blk in blocks)
+        n = sum(blk.shape[0] for blk in blocks)
+        norm_blocks, valid_blocks, tag_blocks = [], [], []
+        for i, blk in enumerate(blocks):
+            if blk.shape[1] != d:
+                raise InvalidConfigError(
+                    f"shard {i} has dimension {blk.shape[1]}, expected {d}"
+                )
+            n_i = blk.shape[0]
+            if metric == "cosine" and not rows_normalized:
+                norms = np.linalg.norm(blk, axis=1, keepdims=True)
+                blk = blk / np.where(norms == 0.0, 1.0, norms)
+            if n_i < rps:
+                blk = np.pad(blk, ((0, rps - n_i), (0, 0)))
+            norm_blocks.append(blk)
+            v = np.zeros(rps, dtype=bool)
+            v[:n_i] = (
+                True if valids is None else np.asarray(valids[i], dtype=bool)[:n_i]
+            )
+            valid_blocks.append(v)
+            t = np.zeros(rps, dtype=np.int32)
+            if tags is not None:
+                t[:n_i] = np.asarray(tags[i], dtype=np.int32)[:n_i]
+            tag_blocks.append(t)
+
+        self = cls.__new__(cls)
+        self.n = n
+        self.metric = metric
+        self.mesh = mesh
+        self.axis = axis
+        self.matrix = assemble_row_sharded(norm_blocks, mesh, axis)
+        self.valid = assemble_row_sharded(valid_blocks, mesh, axis)
+        self.tags = assemble_row_sharded(tag_blocks, mesh, axis)
+        return self
+
     def search(self, queries: np.ndarray, k: int,
                tag_masks=None) -> Tuple[jax.Array, jax.Array]:
         """``tag_masks``: optional ``(t_all, t_any, t_none)`` int32

@@ -47,6 +47,7 @@ from trueno_rag_tpu.ops.bm25 import (
     bucket_len,
     pack_posting_blocks,
 )
+from trueno_rag_tpu.parallel.ingest import assemble_row_sharded
 
 NEG_INF = float("-inf")
 _INT_MAX = np.iinfo(np.int32).max
@@ -107,15 +108,127 @@ class ShardedBM25:
                     )
                 )
             )
-        nb_max = max(t.shape[0] for t in tables)
-        stacked = np.zeros((s, nb_max, 2, BLOCK_LEN), dtype=np.float32)
-        for i, t in enumerate(tables):
-            stacked[i, : t.shape[0]] = t
-        self.blocks = jax.device_put(
-            stacked, NamedSharding(mesh, P(axis, None, None, None))
-        )
+        self._place_tables(tables)
         self.total_postings = int(len(rows))
+
+    def _place_tables(self, tables: List[np.ndarray]) -> None:
+        """Pad the per-shard block tables to a common block count and
+        place each straight onto its shard's devices (the full stacked
+        array is never materialized on the host — the multi-host ingest
+        path feeds tables that in aggregate would not fit one host)."""
+        nb_max = max(t.shape[0] for t in tables)
+        padded = []
+        for t in tables:
+            if t.shape[0] < nb_max:
+                t = np.concatenate(
+                    [t, np.zeros((nb_max - t.shape[0], 2, BLOCK_LEN), np.float32)]
+                )
+            padded.append(t[None])  # leading shard dim of 1
+        self.blocks = assemble_row_sharded(padded, self.mesh, self.axis)
         self.max_shard_postings = int(max((ip[-1] for ip in self.indptrs), default=0))
+
+    @classmethod
+    def from_shard_builds(
+        cls,
+        builds: Sequence[object],
+        mesh: Mesh,
+        axis: str = "data",
+        k1: float = 1.2,
+        b: float = 0.75,
+        stopwords=None,
+        min_token_len: int = 2,
+        rows_per_shard: int | None = None,
+    ) -> "ShardedBM25":
+        """Multi-host ingest: assemble the sharded index from per-host
+        :class:`~trueno_rag_tpu.parallel.ingest.ShardBuild`s (or their
+        ``to_payload()`` dicts as shipped over DCN/disk) — the global
+        postings never exist on one host.
+
+        ``builds[i]`` owns global rows ``[i·rps, i·rps + builds[i].n_rows)``
+        with ``rps = rows_per_shard or max(n_rows)``; global df/avgdl/idf
+        come from :func:`~trueno_rag_tpu.parallel.ingest.merge_shard_stats`,
+        so scores are bit-identical to a single-host build split over
+        the same partition (parity-asserted in
+        tests/test_multihost_ingest.py; a DIFFERENT rps regroups XLA's
+        f32 slot reduction and scores can move by ~1 ulp).
+        ``k1``/``b``/tokenizer settings must match across shards and this
+        call — they are baked into the packed contributions.
+        """
+        import functools as _functools
+
+        from trueno_rag_tpu.errors import InvalidConfigError
+        from trueno_rag_tpu.parallel.ingest import ShardBuild, merge_shard_stats
+        from trueno_rag_tpu.text import STOPWORDS, tokenize
+
+        builds = [
+            ShardBuild.from_payload(bd) if isinstance(bd, dict) else bd
+            for bd in builds
+        ]
+        s = mesh.shape[axis]
+        if len(builds) != s:
+            raise InvalidConfigError(
+                f"got {len(builds)} shard builds for a {s}-shard '{axis}' axis"
+            )
+        rps = rows_per_shard or max((bd.n_rows for bd in builds), default=1)
+        for i, bd in enumerate(builds):
+            if bd.n_rows > rps:
+                raise InvalidConfigError(
+                    f"shard {i} has n_rows={bd.n_rows} > rows_per_shard={rps}"
+                )
+
+        terms, vocab, idf, _n_docs, avgdl = merge_shard_stats(builds)
+        g = len(terms)
+
+        self = cls.__new__(cls)
+        self.mesh, self.axis = mesh, axis
+        self._k1, self._b = float(k1), float(b)
+        self.vocab = vocab
+        self._tokenize = _functools.partial(
+            tokenize,
+            stopwords=STOPWORDS if stopwords is None else stopwords,
+            min_len=min_token_len,
+        )
+        self.n_shards = s
+        self.rows_per_shard = rps
+        self.indptrs = []
+        tables: List[np.ndarray] = []
+        total = 0
+        for bd in builds:
+            # local term ids -> global, postings re-grouped by global id
+            # (stable sort keeps the row-ascending order within a term)
+            n_local_terms = len(bd.terms)
+            local_counts = np.maximum(np.diff(bd.indptr), 0)
+            term_of = np.repeat(np.arange(n_local_terms, dtype=np.int64), local_counts)
+            if len(term_of) != len(bd.rows):  # degenerate empty-index shapes
+                term_of = np.zeros(len(bd.rows), dtype=np.int64)
+            if n_local_terms:
+                gid_of_local = np.asarray(
+                    [vocab[t] for t in bd.terms], dtype=np.int64
+                )
+                to_g = gid_of_local[term_of]
+            else:
+                to_g = np.zeros(len(bd.rows), dtype=np.int64)
+            order = np.argsort(to_g, kind="stable")
+            r_s = np.asarray(bd.rows, dtype=np.int32)[order]
+            tf_s = np.asarray(bd.tfs, dtype=np.float32)[order]
+            to_s = to_g[order]
+            counts = np.bincount(to_s, minlength=g) if g else np.zeros(0, np.int64)
+            ip = np.zeros(g + 1, dtype=np.int64)
+            np.cumsum(counts, out=ip[1:])
+            self.indptrs.append(ip)
+            dl = np.zeros(rps, dtype=np.float32)
+            dl[: min(len(bd.doc_len), rps)] = bd.doc_len[:rps]
+            tables.append(
+                np.asarray(
+                    pack_posting_blocks(
+                        r_s, tf_s, dl, idf, to_s, avgdl, k1=k1, b=b
+                    )
+                )
+            )
+            total += len(r_s)
+        self._place_tables(tables)
+        self.total_postings = total
+        return self
 
     # -- query compilation (host) -----------------------------------------
 
