@@ -1,0 +1,183 @@
+"""Cluster-pruned certified tier: pruning must never cost exactness —
+certified queries return the PROVABLY exact top-k set over the FULL
+corpus even though only the probed tile union was scanned; pruning
+misses fail the certificate (fail-closed), never drop rows silently."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from trueno_rag_tpu.ops.clustered import (
+    apply_cluster_order,
+    dense_topk_compact_bf16r_clustered,
+    prepare_clustered,
+)
+from trueno_rag_tpu.ops.dense import dense_topk
+from trueno_rag_tpu.ops.dense_tiered import prepare_residual, prepare_tiered
+
+TILE = 1024  # == the kernel's SEL floor; smallest legal tile
+
+
+def _blob_corpus(n=16_000, d=32, blobs=24, seed=0, sigma=0.15, balanced=False):
+    """Mixture of Gaussians on the sphere — the clustered structure real
+    embedding corpora have (and the reason pruning pays).
+
+    ``balanced=True`` gives every blob exactly ``n // blobs`` rows (so a
+    blob fits one tile and k-means can recover a tight radius);
+    ``sigma`` trades intra-blob rank gaps (certifiability) against
+    cluster tightness (pruning bound quality)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((blobs, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    if balanced:
+        which = np.repeat(np.arange(blobs), n // blobs)[:n]
+    else:
+        which = rng.integers(0, blobs, size=n)
+    m = centers[which] + sigma * rng.standard_normal((n, d)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return m.astype(np.float32), centers
+
+
+def _layout(m, order):
+    mp = apply_cluster_order(m, order, fill=0).astype(np.float32)
+    valid = np.asarray(order >= 0)
+    parts = prepare_tiered(jnp.asarray(mp)) + prepare_residual(jnp.asarray(mp))
+    return mp, parts, jnp.asarray(valid)
+
+
+def _run(m, queries, k, probe, order, cent, radii, tags=None, **kw):
+    _, parts, valid = _layout(m, order)
+    return dense_topk_compact_bf16r_clustered(
+        jnp.asarray(queries), *parts, valid, k,
+        jnp.asarray(cent), jnp.asarray(radii), probe_tiles=probe,
+        row_map=jnp.asarray(order), tile_n=TILE, interpret=True,
+        return_stats=True, tags=tags, **kw,
+    )
+
+
+def test_certified_sets_exact_and_pruned():
+    """The serving pattern pruning exists for: topical blobs (one per
+    tile — coherent clusters, tight radii, real exclusion margins) with
+    a handful of PLANTED highly-relevant rows per topic whose scores
+    clear the blob mass by far more than the scan interval — every
+    query should certify while scanning a fraction of the tiles."""
+    n, d, blobs, k, planted = 16_000, 128, 16, 5, 5
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((blobs, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    which = np.repeat(np.arange(blobs), n // blobs)
+    m = centers[which] + 0.05 * rng.standard_normal((n, d)).astype(np.float32)
+    # plant `planted` near-duplicates of each center as its true top-k
+    for bidx in range(blobs):
+        rows = np.flatnonzero(which == bidx)[:planted]
+        m[rows] = centers[bidx] + 0.01 * rng.standard_normal((planted, d)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    m = m.astype(np.float32)
+
+    order, cent, radii = prepare_clustered(m, tile_n=TILE, iters=8, sample=8192)
+    t = len(radii)
+    assert t == 16 and (order >= -1).all()
+    # every original row appears exactly once
+    present = order[order >= 0]
+    assert len(np.unique(present)) == len(present) == n
+    assert np.median(radii) < 0.8, f"k-means failed to recover blobs: {radii}"
+
+    queries = centers[:4].astype(np.float32)
+    probe = 4
+    s, r, ok, n_scanned = _run(m, queries, k, probe, order, cent, radii)
+    ok = np.asarray(ok).astype(bool)
+    r = np.asarray(r)
+    assert int(n_scanned) <= min(t, 4 * probe)
+    assert int(n_scanned) < t, "pruning scanned everything"
+    assert ok.all(), f"expected full certification, got {ok}"
+
+    sx, rx = dense_topk(jnp.asarray(queries), jnp.asarray(m),
+                        jnp.ones(m.shape[0], bool), k, "cosine")
+    rx = np.asarray(rx)
+    for i in np.flatnonzero(ok):
+        assert set(r[i].tolist()) == set(rx[i].tolist()), f"query {i}"
+
+
+def test_fail_closed_on_tight_probe():
+    """probe_tiles=1 starves the probe set: whatever certifies must
+    still be exact (the unscanned-tile bound joins the threshold)."""
+    m, centers = _blob_corpus(seed=3)
+    order, cent, radii = prepare_clustered(m, tile_n=TILE, iters=4, sample=4096)
+    rng = np.random.default_rng(4)
+    # adversarial queries BETWEEN blobs: their top-k straddles tiles
+    queries = rng.standard_normal((4, m.shape[1])).astype(np.float32)
+    s, r, ok, _ = _run(m, queries, 5, 1, order, cent, radii)
+    ok = np.asarray(ok).astype(bool)
+    r = np.asarray(r)
+    sx, rx = dense_topk(jnp.asarray(queries), jnp.asarray(m),
+                        jnp.ones(m.shape[0], bool), 5, "cosine")
+    rx = np.asarray(rx)
+    for i in np.flatnonzero(ok):
+        assert set(r[i].tolist()) == set(rx[i].tolist())
+
+
+def test_holes_never_surface():
+    m, centers = _blob_corpus(n=15_500)  # 16 tiles with 884 holes
+    order, cent, radii = prepare_clustered(m, tile_n=TILE, iters=4, sample=4096)
+    assert (order == -1).sum() == 16 * TILE - 15_500
+    queries = centers[:2].astype(np.float32)
+    s, r, ok, _ = _run(m, queries, 5, 3, order, cent, radii)
+    r = np.asarray(r)
+    assert r.max() < 15_500 and (r[r >= 0] >= 0).all()
+    sx, rx = dense_topk(jnp.asarray(queries), jnp.asarray(m),
+                        jnp.ones(m.shape[0], bool), 5, "cosine")
+    rx = np.asarray(rx)
+    for i in np.flatnonzero(np.asarray(ok).astype(bool)):
+        assert set(r[i].tolist()) == set(np.asarray(rx)[i].tolist())
+
+
+def test_tag_filter_rides_pruned_scan():
+    m, centers = _blob_corpus(seed=7)
+    order, cent, radii = prepare_clustered(m, tile_n=TILE, iters=4, sample=4096)
+    n = m.shape[0]
+    rng = np.random.default_rng(8)
+    tag_bits = rng.integers(0, 4, size=n).astype(np.int32)
+    tag_perm = apply_cluster_order(tag_bits, order, fill=0)
+    b = 3
+    queries = centers[:b].astype(np.float32)
+    tags = (
+        jnp.asarray(tag_perm),
+        jnp.full((b,), 1, jnp.int32),  # require bit0
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+    )
+    s, r, ok, _ = _run(m, queries, 5, 4, order, cent, radii, tags=tags)
+    ok = np.asarray(ok).astype(bool)
+    r = np.asarray(r)
+    allowed = (tag_bits & 1) != 0
+    for i in range(b):
+        rows = [x for x in r[i].tolist() if x >= 0]
+        assert all(allowed[x] for x in rows), "filter leaked"
+    sx, rx = dense_topk(jnp.asarray(queries), jnp.asarray(m),
+                        jnp.asarray(allowed), 5, "cosine")
+    rx = np.asarray(rx)
+    for i in np.flatnonzero(ok):
+        assert set(r[i].tolist()) == set(rx[i].tolist())
+
+
+def test_full_probe_equals_compact_tier():
+    """probe_tiles=T disables pruning: results must match the plain
+    compact tier on the same layout (same kernel, same tail)."""
+    from trueno_rag_tpu.ops.dense_tiered import dense_topk_compact_bf16r
+
+    m, centers = _blob_corpus(seed=11)
+    order, cent, radii = prepare_clustered(m, tile_n=TILE, iters=4, sample=4096)
+    mp, parts, valid = _layout(m, order)
+    queries = jnp.asarray(centers[:2].astype(np.float32))
+    s1, r1, ok1, n_sc = _run(m, np.asarray(queries), 5, 16, order, cent, radii)
+    assert int(n_sc) == 16
+    s2, r2, ok2 = dense_topk_compact_bf16r(
+        queries, *parts, valid, 5, tile_n=TILE, interpret=True, t_top=8,
+    )
+    # translate the compact tier's clustered-layout rows for comparison
+    r2 = np.asarray(r2)
+    r2t = np.where(r2 >= 0, order[np.clip(r2, 0, len(order) - 1)], r2)
+    np.testing.assert_array_equal(np.asarray(r1), r2t)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+    # pruning with full probe can only ADD -inf bounds nothing: same certs
+    np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))

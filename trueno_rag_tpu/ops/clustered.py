@@ -1,0 +1,376 @@
+"""Cluster-pruned certified dense tier: scan only the tiles that can
+matter, keep the exact-set certificate.
+
+The compact tiers stream the WHOLE corpus per batch — right for large
+batches (the stream amortizes over B), wrong for latency: at 10M×384
+a single query pays the full ~12 GB scan. Real embedding corpora are
+strongly clustered, so almost every tile provably cannot contain a
+top-k row. This module makes that a certificate:
+
+- **Build** (:func:`prepare_clustered`): balanced k-means over the
+  stored f32 rows assigns every row to one of ``T = N/tile_n``
+  clusters of capacity ``tile_n``; the returned ``order`` permutes
+  rows so cluster ``c`` IS storage tile ``c``. Per tile it returns the
+  f32 centroid ``µ_c`` and a sound radius
+  ``R_c ≥ max_{x∈c} ‖x − µ_c‖₂`` (computed in f64 over the exact f32
+  values, widened by the same slack used everywhere else).
+- **Query** (:func:`dense_topk_compact_bf16r_clustered`): by
+  Cauchy-Schwarz every row of tile c satisfies
+  ``q·x = q·µ_c + q·(x − µ_c) ≤ q·µ_c + ‖q‖·R_c = U_c`` —
+  one tiny [B, T] matmul upper-bounds every tile. Each query probes
+  its top-``probe_tiles`` tiles by ``U``; the batch union of probed
+  tiles is gathered (XLA tile gather — contiguous copies, not row
+  gathers) and scanned with the SAME scan_select_v2 kernel and
+  rescore/certify tail as the compact tier. The unscanned tiles'
+  ``max U_c`` joins the exclusion threshold, so a certified query's
+  set is PROVABLY the exact top-k over the FULL corpus (reference
+  semantics index.rs:386-412): if the pruning could have cut a true
+  top-k row, the certificate fails closed instead.
+
+Batch economics: the scan touches ``|union| ≤ B·probe_tiles`` tiles,
+so pruning pays when ``B·probe_tiles ≪ T`` — the latency-critical
+small-batch regime (the full-stream compact tier remains the
+large-batch throughput path). Tag filters compose exactly as in the
+compact tier (the predicate rides the kernel; ``U`` stays a valid
+upper bound for any filtered subset, so pruning remains fail-closed).
+
+This XLA path copies the union once (gather) and scans the copy
+(~3x the selected bytes vs a perfect selective-DMA kernel — a
+scalar-prefetch Pallas variant can cut that once measurable on
+hardware); at 10%-selectivity it is still ~3x less HBM traffic than
+the full stream.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from trueno_rag_tpu.ops.dense import NEG_INF
+from trueno_rag_tpu.ops.dense_tiered import (
+    _BOUND_EPS,
+    _BOUND_SLACK,
+    _metric_queries,
+    _pad_tags,
+    _tile_candidates,
+    _trim_rescore_verify_compact,
+)
+
+
+# ---------------------------------------------------------------------------
+# Build: balanced k-means → tile permutation + certified tile bounds
+# ---------------------------------------------------------------------------
+
+
+def prepare_clustered(
+    matrix,
+    tile_n: int = 4096,
+    metric: str = "cosine",
+    iters: int = 8,
+    sample: int = 65_536,
+    seed: int = 0,
+    alternatives: int = 8,
+    slab: int = 1 << 18,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Cluster the corpus into ``T = ceil(N/tile_n)`` balanced tiles →
+    ``(order [T·tile_n] int32, centroids [T, d] f32, radii [T] f32)``.
+
+    ``order[i]`` is the ORIGINAL row stored at permuted position ``i``
+    (``-1`` = hole; tiles are capacity-``tile_n``, the last members of
+    underfull clusters are holes). Apply with
+    :func:`apply_cluster_order` to every per-row array (matrix, norms,
+    valid, tags), then hand the permuted arrays to the clustered query
+    op. ``radii`` are sound against the exact f32 row/centroid values
+    (f64 evaluation, slack-widened), so the query-side tile bound is a
+    true upper bound — certification never depends on k-means quality,
+    only pruning efficiency does.
+
+    Lloyd's runs on a ``sample`` (device matmuls); the full assignment
+    is device-scored in ``slab``-row slices; the balancing pass is a
+    host greedy fill over rows ordered by assignment confidence
+    (build-time, one pass). For ``metric="cosine"`` rows are expected
+    pre-normalized (VectorStore normalizes at insert), matching the
+    score space the bound lives in.
+    """
+    m = np.asarray(matrix, dtype=np.float32)
+    n, d = m.shape
+    t = -(-n // tile_n)
+    rng = np.random.default_rng(seed)
+
+    # --- Lloyd's on a sample (device matmuls, host argmax) ---------------
+    s_idx = rng.choice(n, size=min(sample, n), replace=False)
+    s_rows = m[s_idx]
+    # farthest-first init: random (and even kmeans++ sampled) init
+    # routinely seeds two centers in one clump and leaves another clump
+    # unclaimed, which Lloyd's never recovers from — one stray row then
+    # blows that tile's radius to the inter-clump distance and kills
+    # its pruning bound (measured: median radius 1.2 vs ~0.5). The
+    # farthest-first traversal provably picks one seed per clump when
+    # clumps are separated; Lloyd's then refines.
+    cent = np.zeros((t, d), dtype=np.float32)
+    cent[0] = s_rows[rng.integers(len(s_rows))]
+    d2 = ((s_rows - cent[0]) ** 2).sum(axis=1)
+    for c in range(1, t):
+        cent[c] = s_rows[int(np.argmax(d2))]
+        d2 = np.minimum(d2, ((s_rows - cent[c]) ** 2).sum(axis=1))
+    for _ in range(max(iters, 1)):
+        # Euclidean assignment: argmin ‖x − µ‖² == argmax (x·µ − ‖µ‖²/2).
+        # Plain dot is norm-biased (a tight blob's mean has a larger
+        # norm and swallows everything) and never recovers the blobs.
+        scores = np.asarray(jnp.asarray(s_rows) @ jnp.asarray(cent).T)
+        scores = scores - 0.5 * (cent * cent).sum(axis=1)[None, :]
+        assign = scores.argmax(axis=1)
+        for c in range(t):
+            members = s_rows[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+
+    # --- full assignment with alternatives (device-scored slabs) ---------
+    n_alt = min(alternatives, t)
+    top_alt = np.zeros((n, n_alt), dtype=np.int32)
+    top_val = np.zeros((n, n_alt), dtype=np.float32)
+    cent_j = jnp.asarray(cent)
+    half_norm2 = 0.5 * (cent * cent).sum(axis=1)
+    for lo in range(0, n, slab):
+        sc = np.asarray(jnp.asarray(m[lo : lo + slab]) @ cent_j.T) - half_norm2[None, :]
+        part = np.argpartition(-sc, n_alt - 1, axis=1)[:, :n_alt]
+        vals = np.take_along_axis(sc, part, axis=1)
+        o = np.argsort(-vals, axis=1, kind="stable")
+        top_alt[lo : lo + slab] = np.take_along_axis(part, o, axis=1)
+        top_val[lo : lo + slab] = np.take_along_axis(vals, o, axis=1)
+
+    # --- balanced greedy fill: most-confident rows claim first -----------
+    margin = top_val[:, 0] - (top_val[:, 1] if n_alt > 1 else 0.0)
+    visit = np.argsort(-margin, kind="stable")
+    space = np.full(t, tile_n, dtype=np.int64)
+    space[-1] = tile_n  # capacities are uniform; holes absorb shortfall
+    members: list[list[int]] = [[] for _ in range(t)]
+    overflow: list[int] = []
+    for r in visit:
+        for c in top_alt[r]:
+            if space[c] > 0:
+                members[c].append(int(r))
+                space[c] -= 1
+                break
+        else:
+            overflow.append(int(r))
+    if overflow:  # all alternatives full: any cluster with space
+        open_c = np.flatnonzero(space > 0)
+        oi = 0
+        for r in overflow:
+            while space[open_c[oi]] == 0:
+                oi += 1
+            members[open_c[oi]].append(r)
+            space[open_c[oi]] -= 1
+
+    # --- final layout + SOUND per-tile bounds over the f32 values --------
+    # Within a tile, members arrive in CONFIDENCE order, so a cluster's
+    # most-central rows — exactly the rows a centered query ranks top —
+    # would sit ADJACENT. The scan kernel keeps only the top-2 rows per
+    # 128-row block (scan_select_v2._tile_tournament), so adjacency
+    # would cap the emitted candidates at 2 and fail the certificate
+    # whenever >2 of the true top-k share a block. Interleaving members
+    # across the tile's blocks (member j -> block j mod nb) spreads any
+    # k consecutive-confidence rows one-per-block — the concentrated
+    # case certifies instead of failing closed.
+    from trueno_rag_tpu.ops.pallas.scan_select_v2 import BLOCK
+
+    nb = max(tile_n // BLOCK, 1)
+    order = np.full(t * tile_n, -1, dtype=np.int32)
+    centroids = np.zeros((t, d), dtype=np.float32)
+    radii = np.zeros(t, dtype=np.float32)
+    for c in range(t):
+        rows = np.asarray(members[c], dtype=np.int32)
+        j = np.arange(len(rows))
+        pos = (j % nb) * BLOCK + j // nb
+        order[c * tile_n + pos] = rows
+        if len(rows) == 0:
+            continue
+        mu64 = m[rows].astype(np.float64).mean(axis=0)
+        centroids[c] = mu64.astype(np.float32)
+        diff = m[rows].astype(np.float64) - centroids[c].astype(np.float64)
+        r_max = float(np.sqrt((diff * diff).sum(axis=1)).max())
+        radii[c] = np.float32(r_max * _BOUND_SLACK + _BOUND_EPS)
+    return order, centroids, radii
+
+
+def apply_cluster_order(arr, order: np.ndarray, fill=0):
+    """Permute a per-row host array into the clustered layout:
+    ``out[i] = arr[order[i]]`` with ``fill`` at holes. Works for ``[N]``
+    and ``[N, d]`` arrays; returns ``[len(order), ...]``."""
+    arr = np.asarray(arr)
+    out_shape = (len(order),) + arr.shape[1:]
+    out = np.full(out_shape, fill, dtype=arr.dtype)
+    present = order >= 0
+    out[present] = arr[order[present]]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Query: probe → gather union → certified scan over the union
+# ---------------------------------------------------------------------------
+
+
+import functools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "probe_tiles", "margin_tiles", "metric", "tile_n",
+        "rescore_rows", "approx_select", "t_top", "interpret",
+        "return_stats",
+    ),
+)
+def dense_topk_compact_bf16r_clustered(
+    queries: jax.Array,  # [B, d] f32
+    m_bf16: jax.Array,  # [N, d] bf16, CLUSTERED layout (apply_cluster_order)
+    e_l2: jax.Array,  # [N] f32
+    a_l2: jax.Array,  # [N] f32
+    r_i8: jax.Array,  # [N, d] int8 residual correction
+    r_scale: jax.Array,  # [N] f32
+    e2_l2: jax.Array,  # [N] f32
+    valid_mask: jax.Array,  # [N] bool (holes False)
+    k: int,
+    centroids: jax.Array,  # [T, d] f32 (prepare_clustered)
+    radii: jax.Array,  # [T] f32
+    probe_tiles: int = 16,
+    row_map: Optional[jax.Array] = None,  # [N] int32 = prepare's `order`
+    margin_tiles: int = 32,
+    metric: str = "cosine",
+    tile_n: int = 4096,
+    rescore_rows: int | None = None,
+    approx_select: bool = True,
+    t_top: int = 8,
+    interpret: bool = False,
+    tags: Tuple[jax.Array, ...] | None = None,
+    return_stats: bool = False,
+):
+    """Cluster-pruned compact tier (bf16 + int8 residual, 3 B/element)
+    → (scores [B, k], rows [B, k], set_certified [B] bool).
+
+    Scans only the batch union of each query's ``probe_tiles`` best
+    tiles by the certified bound ``U_c = q·µ_c + ‖q‖·R_c``; the max
+    ``U`` over UNSCANNED tiles joins the exclusion threshold, so
+    ``set_certified`` keeps the full-corpus exact-set contract — a
+    pruning miss fails the certificate, never silently drops a row
+    (fail-closed, like every tier). ``row_map`` (the build's ``order``)
+    translates returned rows back to original ids; scores/rows/tags/
+    valid must all be in the clustered layout. ``tags`` filters as in
+    :func:`~trueno_rag_tpu.ops.dense_tiered.dense_topk_compact_bf16r`.
+    ``return_stats`` appends the number of scanned tiles (traced i32).
+
+    ``t_top`` defaults to the kernel's full 8 (not the compact tier's
+    4): clustered corpora CONCENTRATE the top-k — when more than
+    ``t_top`` of the true top-k sit in one 1024-row selection tile the
+    unemitted ones can never become candidates and the certificate
+    (correctly) fails closed, so keep ``t_top ≥ k``.
+
+    ``rescore_rows`` defaults to None (no trim), unlike the compact
+    tier's 96: when the batch probes fewer unique tiles than the
+    ``B·probe_tiles`` budget, the padded union slots flood the
+    candidate list with -inf sentinels, and a trim whose boundary
+    lands in that mass ALWAYS fails closed (+inf threshold — the
+    approx-select count trick cannot prove exclusion across a -inf
+    tie). The trim exists to cut the 1M-scale [B=256] gather; the
+    pruned union's candidate width (≤ t_top·(k+margin_tiles)) is small
+    in the latency regime this tier serves, so skipping it costs ~0.
+    """
+    from trueno_rag_tpu.ops.pallas.scan_select_v2 import SEL, scan_select_v2
+
+    q = _metric_queries(queries, metric)
+    n, d = m_bf16.shape
+    bsz = q.shape[0]
+    tile = max(tile_n, SEL)
+    assert n % tile == 0, "clustered layout must be tile-aligned (use prepare_clustered's order)"
+    t = n // tile
+    assert centroids.shape[0] == t and radii.shape[0] == t
+
+    # -- certified per-tile upper bounds (one tiny [B, T] matmul) ---------
+    qn = jnp.linalg.norm(q, axis=1)
+    s_c = jax.lax.dot_general(
+        q, centroids, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, T]
+    acc_eps = jnp.float32(d) * jnp.float32(2.0**-23)
+    spread = qn[:, None] * radii[None, :]
+    u = s_c + spread
+    u = u + (jnp.abs(s_c) + spread + acc_eps * qn[:, None]) * jnp.float32(
+        _BOUND_SLACK - 1.0
+    ) + jnp.float32(_BOUND_EPS)
+    tile_live = valid_mask.reshape(t, tile).any(axis=1)
+    u = jnp.where(tile_live[None, :], u, NEG_INF)
+
+    # -- probe set: per-query top-p, batch union, static budget -----------
+    p = min(probe_tiles, t)
+    _, top_tiles = jax.lax.top_k(u, p)  # [B, p]
+    budget = min(t, bsz * p)
+    sel = jnp.unique(top_tiles.reshape(-1), size=budget, fill_value=t)  # sorted
+    sel_ok = sel < t
+    ids = jnp.minimum(sel, t - 1)
+    # scatter-free membership (sel is sorted): a [B, T] scatter lowers
+    # to a device sort (CLAUDE.md lore) — searchsorted is O(T log Tb)
+    pos = jnp.searchsorted(sel, jnp.arange(t, dtype=sel.dtype))
+    scanned = (pos < budget) & (sel[jnp.minimum(pos, budget - 1)] == jnp.arange(t))
+    unscanned_bound = jnp.max(
+        jnp.where(scanned[None, :], NEG_INF, u), axis=1
+    )  # [B]; -inf when everything is scanned
+
+    # -- gather the union (contiguous tile copies) and scan it ------------
+    m_sel = m_bf16.reshape(t, tile, d)[ids].reshape(budget * tile, d)
+    e_sel = e_l2.reshape(t, tile)[ids].reshape(-1)
+    a_sel = a_l2.reshape(t, tile)[ids].reshape(-1)
+    valid_sel = (valid_mask.reshape(t, tile)[ids] & sel_ok[:, None]).reshape(-1)
+    tags_sel = None
+    if tags is not None:
+        tags_sel = (tags[0].reshape(t, tile)[ids].reshape(-1),) + tuple(tags[1:])
+
+    qb = q.astype(jnp.bfloat16)
+    f = q - jax.lax.optimization_barrier(qb).astype(jnp.float32)
+    b_l2 = jnp.linalg.norm(qb.astype(jnp.float32), axis=1)
+    f_l2 = jnp.linalg.norm(f, axis=1)
+    u_q = (b_l2 + f_l2) * _BOUND_SLACK + _BOUND_EPS
+    v_q = (f_l2 + acc_eps * b_l2) * _BOUND_SLACK + _BOUND_EPS
+
+    b_pad = max(8, -(-bsz // 8) * 8)
+    qb_p = jnp.pad(qb, ((0, b_pad - bsz), (0, 0))) if b_pad != bsz else qb
+    u_p = jnp.pad(u_q, (0, b_pad - bsz)) if b_pad != bsz else u_q
+    v_p = jnp.pad(v_q, (0, b_pad - bsz)) if b_pad != bsz else v_q
+
+    outs = scan_select_v2(
+        qb_p, m_sel, e_sel, a_sel, valid_sel.astype(jnp.int32), u_p, v_p,
+        tile_n=tile, t_top=t_top, interpret=interpret,
+        tags=_pad_tags(tags_sel, budget * tile, budget * tile, bsz, b_pad),
+    )
+    cand_rows, cand_vals, threshold = _tile_candidates(
+        outs, b_pad, k, margin_tiles, approx_select, t_top
+    )
+
+    # positional (union-local) rows -> clustered-layout global rows
+    real = cand_rows < budget * tile
+    safe = jnp.clip(cand_rows, 0, budget * tile - 1)
+    glob = ids[safe // tile] * tile + (safe % tile)
+    cand_rows = jnp.where(real, glob.astype(cand_rows.dtype), cand_rows)
+
+    # pruned tiles join the exclusion threshold: certify only when the
+    # kth rescored lower bound beats what ANY unscanned tile could hold
+    ub = unscanned_bound
+    if b_pad != bsz:
+        ub = jnp.pad(ub, (0, b_pad - bsz), constant_values=NEG_INF)
+    threshold = jnp.maximum(threshold, ub)
+
+    scores, rows, certified = _trim_rescore_verify_compact(
+        cand_rows, cand_vals, threshold, q, m_bf16, e_l2, a_l2,
+        valid_mask, n, bsz, b_pad, k, rescore_rows, approx_select,
+        residual=(r_i8, r_scale, e2_l2), tags=tags,
+    )
+    if row_map is not None:
+        safe_r = jnp.clip(rows, 0, n - 1)
+        rows = jnp.where(rows >= 0, row_map[safe_r].astype(rows.dtype), rows)
+    if return_stats:
+        return scores, rows, certified, jnp.sum(sel_ok.astype(jnp.int32))
+    return scores, rows, certified

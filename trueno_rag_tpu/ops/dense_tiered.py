@@ -84,7 +84,14 @@ def _topk_select(values: jax.Array, k: int, approx: bool):
     RAISES the threshold and the caller's certificate fails closed
     rather than certifying a wrong result. Exact mode keeps the same
     masked-max threshold (equal to the (k+1)-th value, but tighter when
-    duplicates tie)."""
+    duplicates tie).
+
+    Caveat for callers: if the selection boundary lands inside a mass
+    of -inf entries (e.g. trimming a candidate list padded with -inf
+    sentinels), the count trick can never prove exclusion across the
+    tie and the threshold is ALWAYS +inf — correct but useless. Don't
+    trim across -inf padding (see ops/clustered.py's rescore_rows
+    note)."""
     bsz, g = values.shape
     if approx:
         # 0.95 default recall measured 189/256 certification at 1M
