@@ -160,6 +160,32 @@ def test_tag_filter_rides_pruned_scan():
         assert set(r[i].tolist()) == set(rx[i].tolist())
 
 
+def test_dma_fetch_matches_gather():
+    """The scalar-prefetch selective-DMA scan and the XLA gather-then-
+    scan must be interchangeable: same rows, scores, certificates —
+    with and without tag filters."""
+    m, centers = _blob_corpus(seed=13)
+    order, cent, radii = prepare_clustered(m, tile_n=TILE, iters=4, sample=4096)
+    n = m.shape[0]
+    rng = np.random.default_rng(14)
+    tag_bits = apply_cluster_order(
+        rng.integers(0, 4, size=n).astype(np.int32), order, fill=0
+    )
+    queries = centers[:3].astype(np.float32)
+    b = queries.shape[0]
+    tags = (
+        jnp.asarray(tag_bits),
+        jnp.full((b,), 1, jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+    )
+    for tg in (None, tags):
+        g = _run(m, queries, 5, 3, order, cent, radii, tags=tg, fetch="gather")
+        d_ = _run(m, queries, 5, 3, order, cent, radii, tags=tg, fetch="dma")
+        for a, bb in zip(g, d_):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+
 def test_full_probe_equals_compact_tier():
     """probe_tiles=T disables pruning: results must match the plain
     compact tier on the same layout (same kernel, same tail)."""

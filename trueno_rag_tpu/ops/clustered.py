@@ -223,7 +223,7 @@ import functools
     static_argnames=(
         "k", "probe_tiles", "margin_tiles", "metric", "tile_n",
         "rescore_rows", "approx_select", "t_top", "interpret",
-        "return_stats",
+        "return_stats", "fetch",
     ),
 )
 def dense_topk_compact_bf16r_clustered(
@@ -249,6 +249,7 @@ def dense_topk_compact_bf16r_clustered(
     interpret: bool = False,
     tags: Tuple[jax.Array, ...] | None = None,
     return_stats: bool = False,
+    fetch: str = "gather",
 ):
     """Cluster-pruned compact tier (bf16 + int8 residual, 3 B/element)
     → (scores [B, k], rows [B, k], set_certified [B] bool).
@@ -279,8 +280,25 @@ def dense_topk_compact_bf16r_clustered(
     tie). The trim exists to cut the 1M-scale [B=256] gather; the
     pruned union's candidate width (≤ t_top·(k+margin_tiles)) is small
     in the latency regime this tier serves, so skipping it costs ~0.
+
+    ``fetch`` picks the union-scan mechanism: ``"gather"`` copies the
+    selected tiles with an XLA gather and scans the copy (~3x the
+    selected bytes of HBM traffic; no custom-kernel risk), ``"dma"``
+    scans the selected tiles in place via the scalar-prefetch kernel
+    (:func:`~trueno_rag_tpu.ops.pallas.scan_select_v2.scan_select_v2_indirect`
+    — exactly 1x the selected bytes). Same results either way
+    (parity-tested).
     """
-    from trueno_rag_tpu.ops.pallas.scan_select_v2 import SEL, scan_select_v2
+    from trueno_rag_tpu.ops.pallas.scan_select_v2 import (
+        SEL,
+        scan_select_v2,
+        scan_select_v2_indirect,
+    )
+
+    if fetch not in ("gather", "dma"):
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(f"unknown fetch mode {fetch!r}")
 
     q = _metric_queries(queries, metric)
     n, d = m_bf16.shape
@@ -320,15 +338,6 @@ def dense_topk_compact_bf16r_clustered(
         jnp.where(scanned[None, :], NEG_INF, u), axis=1
     )  # [B]; -inf when everything is scanned
 
-    # -- gather the union (contiguous tile copies) and scan it ------------
-    m_sel = m_bf16.reshape(t, tile, d)[ids].reshape(budget * tile, d)
-    e_sel = e_l2.reshape(t, tile)[ids].reshape(-1)
-    a_sel = a_l2.reshape(t, tile)[ids].reshape(-1)
-    valid_sel = (valid_mask.reshape(t, tile)[ids] & sel_ok[:, None]).reshape(-1)
-    tags_sel = None
-    if tags is not None:
-        tags_sel = (tags[0].reshape(t, tile)[ids].reshape(-1),) + tuple(tags[1:])
-
     qb = q.astype(jnp.bfloat16)
     f = q - jax.lax.optimization_barrier(qb).astype(jnp.float32)
     b_l2 = jnp.linalg.norm(qb.astype(jnp.float32), axis=1)
@@ -341,20 +350,39 @@ def dense_topk_compact_bf16r_clustered(
     u_p = jnp.pad(u_q, (0, b_pad - bsz)) if b_pad != bsz else u_q
     v_p = jnp.pad(v_q, (0, b_pad - bsz)) if b_pad != bsz else v_q
 
-    outs = scan_select_v2(
-        qb_p, m_sel, e_sel, a_sel, valid_sel.astype(jnp.int32), u_p, v_p,
-        tile_n=tile, t_top=t_top, interpret=interpret,
-        tags=_pad_tags(tags_sel, budget * tile, budget * tile, bsz, b_pad),
-    )
-    cand_rows, cand_vals, threshold = _tile_candidates(
-        outs, b_pad, k, margin_tiles, approx_select, t_top
-    )
-
-    # positional (union-local) rows -> clustered-layout global rows
-    real = cand_rows < budget * tile
-    safe = jnp.clip(cand_rows, 0, budget * tile - 1)
-    glob = ids[safe // tile] * tile + (safe % tile)
-    cand_rows = jnp.where(real, glob.astype(cand_rows.dtype), cand_rows)
+    if fetch == "dma":
+        # scalar-prefetch kernel scans the selected tiles IN PLACE —
+        # HBM traffic = exactly the union's bytes; rows come out global
+        outs = scan_select_v2_indirect(
+            qb_p, m_bf16, e_l2, a_l2, valid_mask.astype(jnp.int32),
+            u_p, v_p, sel, tile_n=tile, t_top=t_top, interpret=interpret,
+            tags=_pad_tags(tags, n, n, bsz, b_pad),
+        )
+        cand_rows, cand_vals, threshold = _tile_candidates(
+            outs, b_pad, k, margin_tiles, approx_select, t_top
+        )
+    else:
+        # gather the union (contiguous tile copies) and scan the copy
+        m_sel = m_bf16.reshape(t, tile, d)[ids].reshape(budget * tile, d)
+        e_sel = e_l2.reshape(t, tile)[ids].reshape(-1)
+        a_sel = a_l2.reshape(t, tile)[ids].reshape(-1)
+        valid_sel = (valid_mask.reshape(t, tile)[ids] & sel_ok[:, None]).reshape(-1)
+        tags_sel = None
+        if tags is not None:
+            tags_sel = (tags[0].reshape(t, tile)[ids].reshape(-1),) + tuple(tags[1:])
+        outs = scan_select_v2(
+            qb_p, m_sel, e_sel, a_sel, valid_sel.astype(jnp.int32), u_p, v_p,
+            tile_n=tile, t_top=t_top, interpret=interpret,
+            tags=_pad_tags(tags_sel, budget * tile, budget * tile, bsz, b_pad),
+        )
+        cand_rows, cand_vals, threshold = _tile_candidates(
+            outs, b_pad, k, margin_tiles, approx_select, t_top
+        )
+        # positional (union-local) rows -> clustered-layout global rows
+        real = cand_rows < budget * tile
+        safe = jnp.clip(cand_rows, 0, budget * tile - 1)
+        glob = ids[safe // tile] * tile + (safe % tile)
+        cand_rows = jnp.where(real, glob.astype(cand_rows.dtype), cand_rows)
 
     # pruned tiles join the exclusion threshold: certify only when the
     # kth rescored lower bound beats what ANY unscanned tile could hold

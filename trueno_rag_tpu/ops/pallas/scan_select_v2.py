@@ -271,6 +271,123 @@ def scan_select_v2(
     return v_pack, r_pack
 
 
+def _scan_select_v2_indirect_kernel(
+    sel_ref, q_ref, m_ref, el2_ref, al2_ref, valid_ref, uq_ref, vq_ref,
+    *rest, t_top: int, tile_n: int, n_tiles: int, has_tags: bool,
+):
+    """Tile-indirect sibling of :func:`_scan_select_v2_kernel`: grid
+    step ``i`` scans corpus tile ``sel_ref[i]`` (scalar-prefetched), so
+    ONLY the selected tiles' bytes ever leave HBM — the selective-fetch
+    mechanism the cluster-pruned tier needs (the XLA gather variant
+    copies the union first: ~3x the selected bytes). Pad slots carry
+    ``sel_ref[i] >= n_tiles``; their block index clamps (the DMA must
+    stay in bounds) and every row masks to -inf. Emitted rows are
+    GLOBAL (= sel_ref[i]·tile_n + offset) — no positional translation."""
+    tag_refs, out_refs = (rest[:4], rest[4:]) if has_tags else ((), rest)
+    sel = sel_ref[pl.program_id(0)]
+    ok = sel < n_tiles
+    m = m_ref[:]
+    if m.dtype != jnp.bfloat16:
+        m = m.astype(jnp.bfloat16)
+    s = jax.lax.dot_general(
+        m, q_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    upper = s + el2_ref[:][:, None] * uq_ref[:][None, :]
+    upper = upper + al2_ref[:][:, None] * vq_ref[:][None, :]
+    upper = jnp.where(valid_ref[:][:, None] != 0, upper, NEG_INF)
+    if has_tags:
+        upper = _apply_tags(upper, *tag_refs)
+    upper = jnp.where(ok, upper, NEG_INF)
+    v_ref, r_ref = out_refs
+    _tile_tournament(upper, sel * tile_n, t_top, v_ref, r_ref)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_n", "t_top", "interpret")
+)
+def scan_select_v2_indirect(
+    q_bf16: jax.Array,  # [B, d] bf16 (pre-normalized for cosine)
+    m_bf16: jax.Array,  # [N, d] bf16 (or f32 for the inline-cast layout)
+    e_l2: jax.Array,  # [N] f32
+    a_l2: jax.Array,  # [N] f32
+    valid_i32: jax.Array,  # [N] int32 (0/1)
+    u_q: jax.Array,  # [B] f32
+    v_q: jax.Array,  # [B] f32
+    tile_ids: jax.Array,  # [G] int32 — corpus tiles to scan; >= N/tile_n pads
+    tile_n: int = 2048,
+    t_top: int = TILE_T,
+    interpret: bool = False,
+    tags: Tuple[jax.Array, ...] | None = None,
+) -> Tuple[jax.Array, ...]:
+    """Selective-fetch scan: like :func:`scan_select_v2` but over the
+    ``len(tile_ids)`` corpus tiles named by ``tile_ids`` — HBM traffic
+    is exactly the selected tiles' bytes (scalar-prefetch DMA), vs 3x
+    for gather-then-scan. → (v_pack [B, T+1, G·tile_n/SEL] f32, r_pack
+    [B, T, G·tile_n/SEL] int32 GLOBAL rows); pad slots emit -inf/-junk
+    rows that the tail's sentinel handling drops. ``tags`` as in
+    :func:`scan_select_v2`."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, d = q_bf16.shape
+    n = m_bf16.shape[0]
+    assert n % tile_n == 0 and tile_n % SEL == 0
+    n_tiles = n // tile_n
+    s_tile = tile_n // SEL
+    budget = tile_ids.shape[0]
+
+    def tile_map(i, sel):
+        return (jnp.minimum(sel[i], n_tiles - 1), 0)
+
+    def tile_map1(i, sel):
+        return (jnp.minimum(sel[i], n_tiles - 1),)
+
+    in_specs = [
+        pl.BlockSpec((b, d), lambda i, sel: (0, 0)),
+        pl.BlockSpec((tile_n, d), tile_map),
+        pl.BlockSpec((tile_n,), tile_map1),
+        pl.BlockSpec((tile_n,), tile_map1),
+        pl.BlockSpec((tile_n,), tile_map1),
+        pl.BlockSpec((b,), lambda i, sel: (0,)),
+        pl.BlockSpec((b,), lambda i, sel: (0,)),
+    ]
+    args = [q_bf16, m_bf16, e_l2, a_l2, valid_i32, u_q, v_q]
+    if tags is not None:
+        in_specs += [
+            pl.BlockSpec((tile_n,), tile_map1),
+            pl.BlockSpec((b,), lambda i, sel: (0,)),
+            pl.BlockSpec((b,), lambda i, sel: (0,)),
+            pl.BlockSpec((b,), lambda i, sel: (0,)),
+        ]
+        args += list(tags)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(budget,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, s_tile, t_top + 1, b), lambda i, sel: (i, 0, 0, 0)),
+            pl.BlockSpec((1, s_tile, t_top, b), lambda i, sel: (i, 0, 0, 0)),
+        ],
+    )
+    kernel = pl.pallas_call(
+        functools.partial(
+            _scan_select_v2_indirect_kernel, t_top=t_top, tile_n=tile_n,
+            n_tiles=n_tiles, has_tags=tags is not None,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((budget, s_tile, t_top + 1, b), jnp.float32),
+            jax.ShapeDtypeStruct((budget, s_tile, t_top, b), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+    v_pack, r_pack = kernel(tile_ids.astype(jnp.int32), *args)
+    g_sel = budget * s_tile
+    v_pack = v_pack.reshape(g_sel, t_top + 1, b).transpose(2, 1, 0)
+    r_pack = r_pack.reshape(g_sel, t_top, b).transpose(2, 1, 0)
+    return v_pack, r_pack
+
+
 @functools.partial(
     jax.jit, static_argnames=("tile_n", "t_top", "use_int8_mxu", "interpret")
 )
