@@ -397,3 +397,130 @@ def test_compact_tag_filter_smaller_than_k_certifies_short_result():
     # impossible filter -> empty, never an error
     assert compact.retrieve(texts[0][:20], 5,
                             tag_filter=TagFilter(all=["nope"])) == []
+
+
+# -- clustered tier (ops/clustered.py as a product feature) ----------------
+
+
+def _blob_chunks(n=6144, dim=48, blobs=6, rng=None):
+    """Balanced blob corpus as chunks (the structure the pruning bound
+    needs); returns (chunks, centers)."""
+    rng = rng or np.random.default_rng(0)
+    centers = rng.standard_normal((blobs, dim)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    which = np.repeat(np.arange(blobs), n // blobs)[:n]
+    m = centers[which] + 0.05 * rng.standard_normal((n, dim)).astype(np.float32)
+    chunks = []
+    for i in range(n):
+        c = mk_chunk(i, dim, rng)
+        c.embedding = m[i].tolist()
+        chunks.append(c)
+    return chunks, centers
+
+
+def _clustered_cfg(dim, **kw):
+    return VectorStoreConfig(
+        dimension=dim, scan_tier="clustered", scan_tile_n=1024,
+        cluster_probe_tiles=2, **kw,
+    )
+
+
+def test_clustered_store_matches_fp32_store():
+    rng = np.random.default_rng(21)
+    dim = 48
+    chunks, centers = _blob_chunks(dim=dim, rng=rng)
+    plain = VectorStore(VectorStoreConfig(dimension=dim))
+    clustered = VectorStore(_clustered_cfg(dim))
+    for s in (plain, clustered):
+        s.insert_many(chunks)
+    # certified or host-patched, results must be EXACT either way
+    for q in [centers[0], centers[3],
+              rng.standard_normal(dim).astype(np.float32)]:
+        got, want = clustered.search(q, 7), plain.search(q, 7)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        np.testing.assert_allclose(
+            [g[1] for g in got], [w[1] for w in want], rtol=2e-6, atol=2e-6
+        )
+    assert clustered._device_matrix is None  # no fp32 in HBM
+    assert clustered._cluster is not None
+
+
+def test_clustered_store_device_matrix_raises():
+    store = VectorStore(_clustered_cfg(16))
+    with pytest.raises(InvalidConfigError):
+        _ = store.device_matrix
+
+
+def test_clustered_mutation_reclusters():
+    rng = np.random.default_rng(22)
+    dim = 32
+    chunks, centers = _blob_chunks(n=4096, dim=dim, blobs=4, rng=rng)
+    store = VectorStore(_clustered_cfg(dim))
+    plain = VectorStore(VectorStoreConfig(dimension=dim))
+    store.insert_many(chunks)
+    plain.insert_many(chunks)
+    q = centers[1].astype(np.float32)
+    first = store.search(q, 5)
+    assert [g[0] for g in first] == [w[0] for w in plain.search(q, 5)]
+    v1 = store._cluster_version
+    # replace a far-away chunk with the exact query -> must become top-1
+    winner = mk_chunk(7, dim, rng)  # id c7 (blob 0)
+    winner.embedding = q.tolist()
+    store.insert(winner)
+    plain.insert(winner)
+    got = store.search(q, 5)
+    assert got[0][0] == "c7"
+    assert [g[0] for g in got] == [w[0] for w in plain.search(q, 5)]
+    assert store._cluster_version == v1 + 1  # re-clustered, not stale
+    # removal keeps parity too
+    store.remove(got[1][0])
+    plain.remove(got[1][0])
+    assert [g[0] for g in store.search(q, 5)] == [
+        w[0] for w in plain.search(q, 5)
+    ]
+
+
+def test_clustered_tag_filters_match_fp32():
+    """The filter predicate rides the pruned scan kernel (permuted tag
+    bits); results must equal the fp32 tagged oracle exactly."""
+    import jax.numpy as jnp
+
+    from trueno_rag_tpu.ops.tags import dense_topk_tagged
+
+    rng = np.random.default_rng(23)
+    dim = 48
+    chunks, centers = _blob_chunks(dim=dim, rng=rng)
+    plain = VectorStore(VectorStoreConfig(dimension=dim))
+    clustered = VectorStore(_clustered_cfg(dim))
+    for s in (plain, clustered):
+        s.insert_many(chunks)
+        for i in range(len(chunks)):
+            s.registry.set_tags(f"c{i}", ["even" if i % 2 == 0 else "odd"])
+    for bit_all, bit_none in ((1, 0), (0, 1)):  # all=["even"], none=["even"]
+        masks = (
+            np.asarray([bit_all], np.int32),
+            np.zeros(1, np.int32),
+            np.asarray([bit_none], np.int32),
+        )
+        for q in (centers[0], centers[4]):
+            sc, rc = clustered.search_arrays(q[None, :], 7, tag_masks=masks)
+            sp, rp = dense_topk_tagged(
+                jnp.asarray(q[None, :], jnp.float32), plain.device_matrix,
+                plain.device_valid,
+                jnp.asarray(plain.registry.tags_host(plain._host.shape[0])),
+                jnp.asarray(masks[0]), jnp.asarray(masks[1]),
+                jnp.asarray(masks[2]), 7, plain.config.metric,
+            )
+            np.testing.assert_array_equal(np.asarray(rc), np.asarray(rp))
+            np.testing.assert_allclose(
+                np.asarray(sc), np.asarray(sp), rtol=2e-6, atol=2e-6
+            )
+
+
+def test_clustered_config_validation():
+    with pytest.raises(InvalidConfigError):
+        VectorStoreConfig(dimension=8, scan_tier="clustered",
+                          cluster_fetch="bogus")
+    with pytest.raises(InvalidConfigError):
+        VectorStoreConfig(dimension=8, scan_tier="clustered",
+                          cluster_probe_tiles=0)

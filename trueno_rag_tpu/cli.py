@@ -345,7 +345,7 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--filter-all", default=None, help="comma-separated tags results must ALL carry")
     q.add_argument("--filter-any", default=None, help="comma-separated tags; results need at least one")
     q.add_argument("--filter-none", default=None, help="comma-separated tags results must NOT carry")
-    q.add_argument("--scan-tier", choices=["none", "auto", "bf16", "int8", "compact"],
+    q.add_argument("--scan-tier", choices=["none", "auto", "bf16", "int8", "compact", "clustered"],
                    default=None,
                    help="dense scan tier for the loaded store (default fp32; "
                         "'auto' engages the certified bf16 tier past ~400k rows, "
@@ -363,7 +363,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="calibrate max-batch/max-wait by measurement at startup")
     s.add_argument("--latency-budget-ms", type=float, default=None,
                    help="with --autotune: exclude batch sizes whose p50 exceeds this")
-    s.add_argument("--scan-tier", choices=["none", "auto", "bf16", "int8", "compact"],
+    s.add_argument("--scan-tier", choices=["none", "auto", "bf16", "int8", "compact", "clustered"],
                    default="auto",
                    help="dense scan tier for serving (default 'auto': fp32 below "
                         "~400k rows, certified bf16 tier past it; 'compact' for "

@@ -140,6 +140,22 @@ class VectorStoreConfig:
     scan_block_top: int = 2
     # Corpus rows per kernel grid step (8192 overflows VMEM at d=384).
     scan_tile_n: int = 4096
+    # scan_tier="clustered": the compact bf16r layout REORDERED by
+    # balanced k-means so each storage tile is a cluster with a sound
+    # centroid+radius bound (ops/clustered.py). Small-batch queries
+    # scan only the probed tile union and the unscanned tiles' max
+    # bound joins the exclusion threshold — certified sets keep the
+    # full-corpus exact contract; uncertified queries host-patch per
+    # compact_fallback. The latency tier for interactive serving on
+    # clustered (i.e. real) corpora; the streaming tiers remain the
+    # large-batch throughput path. Read-optimized: ANY mutation
+    # re-clusters on the next query (host k-means — seconds at 1M).
+    cluster_probe_tiles: int = 16
+    # "gather" scans an XLA copy of the union (~3x its bytes, no
+    # custom-kernel risk); "dma" scans the selected tiles in place via
+    # the scalar-prefetch kernel (exactly the union's bytes).
+    cluster_fetch: str = "gather"
+    cluster_kmeans_iters: int = 8
 
     def __post_init__(self) -> None:
         if self.dimension <= 0:
@@ -150,8 +166,12 @@ class VectorStoreConfig:
             raise InvalidConfigError("initial_capacity must be positive")
         if self.storage_dtype not in ("float32", "bfloat16"):
             raise InvalidConfigError(f"unknown storage_dtype {self.storage_dtype!r}")
-        if self.scan_tier not in ("none", "auto", "bf16", "int8", "compact"):
+        if self.scan_tier not in ("none", "auto", "bf16", "int8", "compact", "clustered"):
             raise InvalidConfigError(f"unknown scan_tier {self.scan_tier!r}")
+        if self.cluster_fetch not in ("gather", "dma"):
+            raise InvalidConfigError(f"unknown cluster_fetch {self.cluster_fetch!r}")
+        if self.cluster_probe_tiles < 1:
+            raise InvalidConfigError("cluster_probe_tiles must be >= 1")
         if self.compact_fallback not in ("host", "none"):
             raise InvalidConfigError(
                 f"unknown compact_fallback {self.compact_fallback!r}"
@@ -207,6 +227,7 @@ class VectorStore:
         self._dirty_rows: set = set()  # None-tracking: full re-upload when unbounded
         self._count = 0
         self._tier = None  # scan-tier replica arrays (lazily prepared)
+        self._cluster = None  # clustered tier: (order, order_j, cent_j, radii_j)
         self.tier_fallbacks = 0  # queries re-run on fp32 (observability)
         self.compact_uncertified = 0  # compact-tier queries past the certificate
 
@@ -325,6 +346,9 @@ class VectorStore:
         if self._effective_tier() == "compact":
             self._refresh_device_compact()
             return
+        if self._effective_tier() == "clustered":
+            self._refresh_device_clustered()
+            return
         if not self._dirty and self._device_matrix is not None:
             return
         dtype16 = self.config.storage_dtype == "bfloat16"
@@ -404,6 +428,43 @@ class VectorStore:
         self._dirty = False
         self._dirty_rows = set()
 
+    def _refresh_device_clustered(self) -> None:
+        """Clustered tier: the compact bf16r replicas in the balanced-
+        k-means layout, plus per-tile centroid/radius bounds
+        (ops/clustered.py). The permutation couples every row to its
+        cluster, so ANY mutation re-clusters and rebuilds (host k-means
+        + slab prep — the read-optimized trade this tier makes; the
+        mutable-corpus tiers are compact/bf16)."""
+        if not self._dirty and self._tier is not None and self._cluster is not None:
+            return
+        from trueno_rag_tpu.ops import clustered as cl
+        from trueno_rag_tpu.ops import dense_tiered as dt
+
+        tile = max(self.config.scan_tile_n, 1024)
+        order, cent, radii = cl.prepare_clustered(
+            self._host, tile_n=tile, metric=self.config.metric,
+            iters=self.config.cluster_kmeans_iters,
+        )
+        mp = cl.apply_cluster_order(self._host, order)
+        vp = cl.apply_cluster_order(self._valid, order, fill=False)
+        self._device_matrix = None  # no fp32 in HBM (compact contract)
+        slabs = []
+        step = self.config.compact_prep_rows
+        for lo in range(0, mp.shape[0], step):
+            m = jnp.asarray(mp[lo : lo + step])
+            slabs.append(dt.prepare_tiered(m) + dt.prepare_residual(m))
+        self._tier = tuple(
+            part[0] if len(part) == 1 else jnp.concatenate(part, axis=0)
+            for part in zip(*slabs)
+        )
+        self._device_valid = jnp.asarray(vp)
+        self._cluster = (
+            order, jnp.asarray(order), jnp.asarray(cent), jnp.asarray(radii)
+        )
+        self._cluster_version = getattr(self, "_cluster_version", 0) + 1
+        self._dirty = False
+        self._dirty_rows = set()
+
     def _effective_tier(self) -> str:
         """Resolve "auto": the bf16 tier only pays past the measured
         crossover (the fused scan's fixed invocation cost beats the
@@ -416,21 +477,21 @@ class VectorStore:
     @property
     def supports_tagged_scan(self) -> bool:
         """True when :meth:`search_arrays` accepts ``tag_masks`` — the
-        filter predicate rides the scan kernel (compact tier, or the
-        bf16 tile tier). The retriever uses this to keep filtered
+        filter predicate rides the scan kernel (compact/clustered tier,
+        or the bf16 tile tier). The retriever uses this to keep filtered
         queries on the fast tier instead of the full fp32 tagged scan."""
         tier = self._effective_tier()
-        return tier == "compact" or (
+        return tier in ("compact", "clustered") or (
             tier == "bf16" and self.config.scan_kernel == "tile"
         )
 
     @property
     def is_compact(self) -> bool:
-        """True when this store holds no fp32 device matrix (compact
-        tier) — callers that need ``device_matrix`` (the one-dispatch
-        encoder-fused programs) must take a staged path instead; hybrid
-        and tag-filtered queries stage automatically."""
-        return self._effective_tier() == "compact"
+        """True when this store holds no fp32 device matrix (compact or
+        clustered tier) — callers that need ``device_matrix`` (the
+        one-dispatch encoder-fused programs) must take a staged path
+        instead; hybrid and tag-filtered queries stage automatically."""
+        return self._effective_tier() in ("compact", "clustered")
 
     def _refresh_tier(self, rows_j=None, updates=None) -> None:
         """Maintain the scan-tier replica. The quantization/residual math
@@ -454,12 +515,13 @@ class VectorStore:
     @property
     def device_matrix(self) -> jnp.ndarray:
         """The ``[capacity, d]`` device matrix (cosine rows normalized)."""
-        if self._effective_tier() == "compact":
+        if self.is_compact:
             raise InvalidConfigError(
-                "scan_tier='compact' holds no fp32 device matrix (that is "
-                "its memory contract); the encoder-fused one-program path "
-                "needs scan_tier='bf16'/'int8' or a sharded deployment "
-                "(hybrid and tag-filtered queries run staged automatically)"
+                f"scan_tier={self._effective_tier()!r} holds no fp32 device "
+                "matrix (that is its memory contract); the encoder-fused "
+                "one-program path needs scan_tier='bf16'/'int8' or a sharded "
+                "deployment (hybrid and tag-filtered queries run staged "
+                "automatically)"
             )
         self._refresh_device()
         return self._device_matrix
@@ -504,6 +566,42 @@ class VectorStore:
 
             # Pallas TPU kernels need interpret mode off-TPU (tests/CPU)
             interpret = jax.devices()[0].platform not in ("tpu", "axon")
+            if self._effective_tier() == "clustered":
+                from trueno_rag_tpu.ops import clustered as cl
+
+                order_np, order_j, cent_j, radii_j = self._cluster
+                tags = None
+                if tag_masks is not None:
+                    tags = (
+                        self._device_tag_bits_clustered(order_np),
+                        jnp.asarray(np.asarray(tag_masks[0], np.int32)),
+                        jnp.asarray(np.asarray(tag_masks[1], np.int32)),
+                        jnp.asarray(np.asarray(tag_masks[2], np.int32)),
+                    )
+                scores, rows, ok = cl.dense_topk_compact_bf16r_clustered(
+                    q, *self._tier, self._device_valid, k_eff,
+                    cent_j, radii_j,
+                    probe_tiles=self.config.cluster_probe_tiles,
+                    row_map=order_j,  # results in ORIGINAL row ids
+                    metric=self.config.metric, interpret=interpret,
+                    # concentrated top-k needs t_top >= k (ops/clustered.py)
+                    t_top=max(self.config.scan_t_top, 8),
+                    margin_tiles=self.config.scan_margin_tiles,
+                    tile_n=max(self.config.scan_tile_n, 1024),
+                    fetch=self.config.cluster_fetch,
+                    tags=tags,
+                )
+                ok_np = np.asarray(ok)
+                if not ok_np.all():
+                    self.compact_uncertified += int((~ok_np).sum())
+                    if self.config.compact_fallback == "host":
+                        scores, rows = self._host_exact_patch(
+                            np.asarray(q), np.asarray(scores),
+                            np.asarray(rows), ok_np, k_eff,
+                            tag_masks=tag_masks,
+                        )
+                        self.tier_fallbacks += 1
+                return jnp.asarray(scores), jnp.asarray(rows)
             if self._effective_tier() == "compact":
                 compact = {
                     "bf16r": dt.dense_topk_compact_bf16r,
@@ -595,6 +693,24 @@ class VectorStore:
             return cached[1]
         bits = jnp.asarray(self.registry.tags_host(n))
         self._tag_bits_cache = (version, bits)
+        return bits
+
+    def _device_tag_bits_clustered(self, order: np.ndarray) -> jnp.ndarray:
+        """Clustered-layout device copy of the registry's tag words
+        (the kernel streams PERMUTED rows, so the bits permute too);
+        cached against (tags_version, cluster build)."""
+        from trueno_rag_tpu.ops.clustered import apply_cluster_order
+
+        version = (self.registry.tags_version,
+                   getattr(self, "_cluster_version", 0))
+        cached = getattr(self, "_tag_bits_clustered_cache", None)
+        if cached is not None and cached[0] == version:
+            return cached[1]
+        bits = apply_cluster_order(
+            self.registry.tags_host(self._host.shape[0]), order, fill=0
+        )
+        bits = jnp.asarray(bits)
+        self._tag_bits_clustered_cache = (version, bits)
         return bits
 
     def _host_exact_patch(self, q, scores, rows, ok_np, k, tag_masks=None):
