@@ -270,3 +270,44 @@ def test_shard_count_mismatch_raises(mesh):
         )
     with pytest.raises(InvalidConfigError):
         assemble_row_sharded([np.zeros((2, 2), np.float32)], mesh, "data")
+
+
+# -- property: random corpora, random shard splits, exact parity -----------
+
+from hypothesis import example, given, settings, strategies as st
+
+_WORD = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "fox", "data", "index", "rank",
+     "query", "model", "tpu", "chip", "shard", "merge", "vocab"]
+)
+_DOC = st.lists(_WORD, min_size=1, max_size=15).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@example(docs=["alpha"] * 9, q="alpha", k=3)  # all-identical: full ties
+@example(docs=["alpha beta", "gamma"], q="delta", k=5)  # OOV query
+@given(
+    docs=st.lists(_DOC, min_size=1, max_size=40),
+    q=st.lists(_WORD, min_size=1, max_size=4).map(" ".join),
+    k=st.integers(1, 12),
+)
+def test_property_multihost_merge_parity(mesh, docs, q, k):
+    """Any corpus, any contiguous equal-capacity split: the merged
+    shard-local builds score bit-identically to the single-host build
+    over the same partition (statistics are sums; idf recipe shared)."""
+    rps = -(-len(docs) // S)
+    single = _single_host_sharded(docs, mesh)
+    builds = [build_shard(docs[i * rps : (i + 1) * rps], n_rows=rps)
+              for i in range(S)]
+    multi = ShardedBM25.from_shard_builds(builds, mesh, rows_per_shard=rps)
+    s1, r1 = single.search_arrays([q], k)
+    s2, r2 = multi.search_arrays([q], k)
+    s1n, s2n = np.asarray(s1), np.asarray(s2)
+    np.testing.assert_array_equal(s1n, s2n)
+    # rows may only differ among EXACTLY tied scores
+    r1n, r2n = np.asarray(r1)[0], np.asarray(r2)[0]
+    for j in range(k):
+        if r1n[j] != r2n[j]:
+            assert s1n[0][j] == s2n[0][j]
+            tied = s1n[0] == s1n[0][j]
+            assert tied.sum() > 1
