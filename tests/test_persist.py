@@ -268,3 +268,75 @@ def test_lz4_availability_probe_is_graceful():
     # is_available never raises, whatever the image ships
     assert Compression.LZ4.is_available in (True, False)
     assert Compression.ZLIB.is_available is True
+
+
+def test_clustered_index_roundtrip_skips_reclustering(tmp_path):
+    """A clustered store's k-means layout persists with the artifact:
+    loading with scan_tier='clustered' consumes it (no re-clustering)
+    and serves identical results; any post-load mutation discards the
+    preset (stale radii would be unsound bounds)."""
+    import numpy as np
+
+    from trueno_rag_tpu.embed import MockEmbedder
+    from trueno_rag_tpu.index.vector_store import VectorStoreConfig
+    from trueno_rag_tpu.ops import clustered as cl
+    from trueno_rag_tpu.persist import load_index, save_index
+    from trueno_rag_tpu.retrieve import HybridRetriever
+
+    rng = np.random.default_rng(31)
+    dim, n, blobs = 32, 4096, 4
+    centers = rng.standard_normal((blobs, dim)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    which = np.repeat(np.arange(blobs), n // blobs)
+    m = centers[which] + 0.05 * rng.standard_normal((n, dim)).astype(np.float32)
+
+    emb = MockEmbedder(dimension=dim)
+    retr = HybridRetriever(
+        emb,
+        vector_config=VectorStoreConfig(
+            dimension=dim, scan_tier="clustered", scan_tile_n=1024,
+            cluster_probe_tiles=2,
+        ),
+    )
+    chunks = []
+    for i in range(n):
+        c = Chunk(document_id="d", content=f"doc {i} words here",
+                  start_offset=0, end_offset=5, metadata=ChunkMetadata(),
+                  id=chunk_id_from_int(i))
+        c.set_embedding(m[i])
+        chunks.append(c)
+    retr.index_batch(chunks)
+    q = centers[1].astype(np.float32)
+    want = retr.vector_store.search(q, 5)  # triggers the clustered build
+    assert retr.vector_store._cluster is not None
+
+    path = str(tmp_path / "clustered.trag")
+    save_index(path, retr)
+
+    # loading must CONSUME the persisted layout, never re-cluster
+    def boom(*a, **k):
+        raise AssertionError("re-clustered despite persisted layout")
+
+    orig = cl.prepare_clustered
+    cl.prepare_clustered = boom
+    try:
+        loaded, _ = load_index(path, emb, scan_tier="clustered")
+        got = loaded.vector_store.search(q, 5)
+    finally:
+        cl.prepare_clustered = orig
+    assert [g[0] for g in got] == [w[0] for w in want]
+    np.testing.assert_allclose(
+        [g[1] for g in got], [w[1] for w in want], rtol=2e-6, atol=2e-6
+    )
+
+    # a mutation after load discards the preset -> normal re-cluster
+    loaded2, _ = load_index(path, emb, scan_tier="clustered")
+    assert loaded2.vector_store._cluster_preset is not None
+    extra = Chunk(document_id="d", content="new", start_offset=0,
+                  end_offset=3, metadata=ChunkMetadata(),
+                  id=chunk_id_from_int(99_999))
+    extra.set_embedding(q)  # make it the clear top-1
+    loaded2.vector_store.insert(extra)
+    assert loaded2.vector_store._cluster_preset is None
+    got2 = loaded2.vector_store.search(q, 5)
+    assert got2[0][0] == chunk_id_from_int(99_999)

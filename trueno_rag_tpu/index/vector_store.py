@@ -228,6 +228,10 @@ class VectorStore:
         self._count = 0
         self._tier = None  # scan-tier replica arrays (lazily prepared)
         self._cluster = None  # clustered tier: (order, order_j, cent_j, radii_j)
+        # persisted clustering (persist.py): consumed by the FIRST
+        # clustered build, discarded by ANY mutation — stale radii would
+        # be unsound bounds, so the guard is absolute
+        self._cluster_preset = None
         self.tier_fallbacks = 0  # queries re-run on fp32 (observability)
         self.compact_uncertified = 0  # compact-tier queries past the certificate
 
@@ -320,6 +324,7 @@ class VectorStore:
 
     def _mark_dirty(self, row: int) -> None:
         self._dirty = True
+        self._cluster_preset = None  # mutated rows void persisted radii
         if self._dirty_rows is not None:
             self._dirty_rows.add(row)
             # beyond ~5% of capacity a full upload is cheaper than scatter
@@ -441,10 +446,20 @@ class VectorStore:
         from trueno_rag_tpu.ops import dense_tiered as dt
 
         tile = max(self.config.scan_tile_n, 1024)
-        order, cent, radii = cl.prepare_clustered(
-            self._host, tile_n=tile, metric=self.config.metric,
-            iters=self.config.cluster_kmeans_iters,
-        )
+        preset = self._cluster_preset
+        self._cluster_preset = None
+        if preset is not None and preset.get("tile") == tile:
+            # a persisted clustering for EXACTLY this host state (any
+            # mutation since load cleared it via _mark_dirty) and this
+            # tile size — skips the k-means on load
+            order = np.asarray(preset["order"], dtype=np.int32)
+            cent = np.asarray(preset["centroids"], dtype=np.float32)
+            radii = np.asarray(preset["radii"], dtype=np.float32)
+        else:
+            order, cent, radii = cl.prepare_clustered(
+                self._host, tile_n=tile, metric=self.config.metric,
+                iters=self.config.cluster_kmeans_iters,
+            )
         mp = cl.apply_cluster_order(self._host, order)
         vp = cl.apply_cluster_order(self._valid, order, fill=False)
         self._device_matrix = None  # no fp32 in HBM (compact contract)

@@ -180,6 +180,26 @@ def save_index(path: str, retriever, embedder_info: Optional[Dict[str, Any]] = N
         "embedder": embedder_info or {},
         "tags": _tag_wire(reg, reg.ids()),
     }
+    if getattr(store, "_cluster", None) is not None:
+        # Clustered tier (ops/clustered.py): persist the k-means layout
+        # so a load with scan_tier="clustered" skips re-clustering.
+        # `order` entries are STORE rows; the artifact re-inserts chunks
+        # in saved order (saved index i -> loaded row i), so remap store
+        # row -> saved index. Tombstoned/hole entries become -1.
+        saved_of_row = {row: i for i, row in enumerate(rows)}
+        order = np.asarray(store._cluster[0])
+        order_saved = np.asarray(
+            [saved_of_row.get(int(r), -1) if r >= 0 else -1 for r in order],
+            dtype=np.int32,
+        )
+        cent_j, radii_j = store._cluster[2], store._cluster[3]
+        payload["cluster"] = {
+            "tile": int(order.shape[0] // len(np.asarray(radii_j))),
+            "order": order_saved.tobytes(),
+            "centroids": np.asarray(cent_j, dtype=np.float32).tobytes(),
+            "centroids_dim": int(np.asarray(cent_j).shape[1]),
+            "radii": np.asarray(radii_j, dtype=np.float32).tobytes(),
+        }
     blob = serialize_compressed(payload, codec)
     with open(path, "wb") as f:
         f.write(blob)
@@ -253,6 +273,26 @@ def load_index(path: str, embedder, codec: Optional[Compression] = None,
     tags = payload.get("tags")
     if tags:
         retr.registry.load_tag_state(tags["vocab"], tags["rows"])
+    cluster = payload.get("cluster")
+    if cluster and scan_tier == "clustered":
+        # saved index i == loaded row i (sequential inserts above), so
+        # the saved order IS the loaded order; installed AFTER inserts
+        # (each insert clears the preset via _mark_dirty)
+        d = cluster["centroids_dim"]
+        # adopt the artifact's tile size — the layout is tile-coupled
+        # and the preset only consumes on an exact tile match
+        retr.vector_store.config.scan_tile_n = max(
+            int(cluster["tile"]),
+            128,  # config floor; prepare tiles are >= the kernel's 1024
+        )
+        retr.vector_store._cluster_preset = {
+            "tile": int(cluster["tile"]),
+            "order": np.frombuffer(cluster["order"], dtype=np.int32),
+            "centroids": np.frombuffer(
+                cluster["centroids"], dtype=np.float32
+            ).reshape(-1, d),
+            "radii": np.frombuffer(cluster["radii"], dtype=np.float32),
+        }
     return retr, payload.get("embedder", {})
 
 
