@@ -93,6 +93,9 @@ def test_http_health(server):
         data = json.loads(resp.read())
     assert data["status"] == "ok"
     assert data["chunks"] == 4
+    # tier observability: which scan tier serves, certificate misses
+    assert data["scan_tier"] in ("none", "bf16", "int8", "compact", "clustered")
+    assert data["tier_fallbacks"] == 0 and data["uncertified_queries"] == 0
 
 
 def test_http_single_query(server):

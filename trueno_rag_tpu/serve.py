@@ -210,6 +210,19 @@ class MicroBatcher:
         self._worker.join(timeout=2.0)
 
 
+
+def _tier_stats(retriever) -> Dict[str, object]:
+    """Scan-tier observability for /health: which tier serves, how many
+    queries fell past its certificate (host-patched or fp32 re-run)."""
+    store = getattr(retriever, "vector_store", None)
+    if store is None:
+        return {}
+    return {
+        "scan_tier": store._effective_tier(),
+        "tier_fallbacks": int(store.tier_fallbacks),
+        "uncertified_queries": int(store.compact_uncertified),
+    }
+
 def _parse_filter(spec):
     """{"all": [...], "any": [...], "none": [...]} → TagFilter."""
     if not spec:
@@ -259,6 +272,7 @@ def make_handler(batcher: MicroBatcher, index_loader=None):
                     "batches_served": batcher.batches_served,
                     "queries_served": batcher.queries_served,
                     **batcher.latency_stats(),
+                    **_tier_stats(batcher.retriever),
                 })
             else:
                 self._send(404, {"error": "unknown path"})
@@ -402,6 +416,7 @@ class DeviceIPCServer:
                     "batches_served": self.batcher.batches_served,
                     "queries_served": self.batcher.queries_served,
                     **self.batcher.latency_stats(),
+                    **_tier_stats(self.batcher.retriever),
                 })
             if op == "reload":
                 return self._reload()
