@@ -223,7 +223,7 @@ import functools
     static_argnames=(
         "k", "probe_tiles", "margin_tiles", "metric", "tile_n",
         "rescore_rows", "approx_select", "t_top", "interpret",
-        "return_stats", "fetch",
+        "return_stats", "fetch", "return_bounds",
     ),
 )
 def dense_topk_compact_bf16r_clustered(
@@ -250,6 +250,7 @@ def dense_topk_compact_bf16r_clustered(
     tags: Tuple[jax.Array, ...] | None = None,
     return_stats: bool = False,
     fetch: str = "gather",
+    return_bounds: bool = False,
 ):
     """Cluster-pruned compact tier (bf16 + int8 residual, 3 B/element)
     → (scores [B, k], rows [B, k], set_certified [B] bool).
@@ -263,7 +264,12 @@ def dense_topk_compact_bf16r_clustered(
     translates returned rows back to original ids; scores/rows/tags/
     valid must all be in the clustered layout. ``tags`` filters as in
     :func:`~trueno_rag_tpu.ops.dense_tiered.dense_topk_compact_bf16r`.
-    ``return_stats`` appends the number of scanned tiles (traced i32).
+    ``return_stats`` appends the number of scanned tiles (traced i32);
+    ``return_bounds`` additionally returns per-candidate interval
+    half-widths ``err [B, k]`` and the exclusion upper bound ``rhs [B]``
+    — the pruned-tile bound is already folded into ``rhs``, so the
+    sharded composition (parallel/clustered.py) can build a GLOBAL
+    certificate from per-shard pruned scans.
 
     ``t_top`` defaults to the kernel's full 8 (not the compact tier's
     4): clustered corpora CONCENTRATE the top-k — when more than
@@ -391,14 +397,18 @@ def dense_topk_compact_bf16r_clustered(
         ub = jnp.pad(ub, (0, b_pad - bsz), constant_values=NEG_INF)
     threshold = jnp.maximum(threshold, ub)
 
-    scores, rows, certified = _trim_rescore_verify_compact(
+    out = _trim_rescore_verify_compact(
         cand_rows, cand_vals, threshold, q, m_bf16, e_l2, a_l2,
         valid_mask, n, bsz, b_pad, k, rescore_rows, approx_select,
         residual=(r_i8, r_scale, e2_l2), tags=tags,
+        return_bounds=return_bounds,
     )
+    scores, rows, certified = out[:3]
     if row_map is not None:
         safe_r = jnp.clip(rows, 0, n - 1)
         rows = jnp.where(rows >= 0, row_map[safe_r].astype(rows.dtype), rows)
+    extra = out[3:] if return_bounds else ()  # (err [B,k], rhs [B])
     if return_stats:
-        return scores, rows, certified, jnp.sum(sel_ok.astype(jnp.int32))
-    return scores, rows, certified
+        return (scores, rows, certified, *extra,
+                jnp.sum(sel_ok.astype(jnp.int32)))
+    return (scores, rows, certified, *extra)

@@ -1,0 +1,276 @@
+"""Corpus-sharded CLUSTER-PRUNED dense retrieval: certified top-k SETS
+over a mesh where each shard scans only the tiles that can matter.
+
+Composes the two certified mechanisms this codebase already has:
+
+- per shard, the cluster-pruned tier (ops/clustered.py) scans the
+  probed tile union of ITS rows and returns bounded candidates plus an
+  exclusion bound ``rhs`` that already folds the unscanned-tile bound
+  (max ``U_c`` over that shard's pruned tiles);
+- across shards, the bounded-candidate merge of the sharded compact
+  tier (parallel/compact.py::merge_bounded_candidates) composes the
+  global SET certificate from the k·s gathered candidates and the
+  per-shard ``rhs`` maxima.
+
+So a certified query's set is PROVABLY the exact top-k over the FULL
+corpus even though every chip scanned only a few of its tiles — a
+pruning miss anywhere raises that shard's ``rhs`` and the global
+certificate fails closed (host patch covers it, as everywhere).
+
+The latency composition for pods: per-chip work drops from the full
+shard stream (N/s rows) to the probed union (≤ B·probe_tiles tiles),
+while the merge stays the same k·s ICI all-gather. Clustering is
+per-shard (each shard k-means its OWN rows), which is exactly what
+multi-host ingest produces naturally.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from trueno_rag_tpu.ops.clustered import (
+    apply_cluster_order,
+    dense_topk_compact_bf16r_clustered,
+    prepare_clustered,
+)
+from trueno_rag_tpu.ops.dense import NEG_INF
+from trueno_rag_tpu.ops.dense_tiered import prepare_residual, prepare_tiered
+from trueno_rag_tpu.parallel.compact import merge_bounded_candidates
+
+_INT_MAX = np.iinfo(np.int32).max
+
+
+def sharded_clustered_topk(
+    queries: jax.Array,  # [B, d] f32, replicated
+    m_bf16: jax.Array,  # [s·Np, d] bf16, CLUSTERED per shard, P(axis, None)
+    e_l2: jax.Array,  # [s·Np] f32, P(axis)
+    a_l2: jax.Array,
+    r_i8: jax.Array,  # [s·Np, d] int8, P(axis, None)
+    r_scale: jax.Array,
+    e2_l2: jax.Array,
+    valid_mask: jax.Array,  # [s·Np] bool (holes False), P(axis)
+    centroids: jax.Array,  # [s, T, d] f32, P(axis, None, None)
+    radii: jax.Array,  # [s, T] f32, P(axis, None)
+    row_map: jax.Array,  # [s·Np] int32 shard-LOCAL original rows, P(axis)
+    rows_per_shard: int,
+    k: int,
+    mesh: Mesh,
+    probe_tiles: int = 16,
+    metric: str = "cosine",
+    axis: str = "data",
+    tile_n: int = 4096,
+    fetch: str = "gather",
+    interpret: bool = False,
+    tags: Optional[Tuple[jax.Array, ...]] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Certified-set top-k over row-sharded, per-shard-clustered compact
+    replicas → ``(scores [B,k], rows [B,k] GLOBAL original ids,
+    certified [B])``. ``tags``: tag_bits [s·Np] in the CLUSTERED layout
+    (sharded) + replicated [B] filter words — predicate evaluates
+    inside each shard's pruned scan."""
+
+    def local(q, mb, el, al, ri, rs, e2, v, cent, rad, rmap, *tag_args):
+        s, r, _ok, err, rhs = dense_topk_compact_bf16r_clustered(
+            q, mb, el, al, ri, rs, e2, v, k, cent[0], rad[0],
+            probe_tiles=probe_tiles, row_map=rmap, metric=metric,
+            tile_n=tile_n, fetch=fetch, interpret=interpret,
+            tags=tag_args if tag_args else None, return_bounds=True,
+        )
+        shard = jax.lax.axis_index(axis)
+        r_glob = jnp.where(r >= 0, r + shard * rows_per_shard, _INT_MAX)
+        return merge_bounded_candidates(s, r_glob, err, rhs, k, axis)
+
+    in_specs = [P(), P(axis, None), P(axis), P(axis), P(axis, None),
+                P(axis), P(axis), P(axis), P(axis, None, None),
+                P(axis, None), P(axis)]
+    args = [queries, m_bf16, e_l2, a_l2, r_i8, r_scale, e2_l2, valid_mask,
+            centroids, radii, row_map]
+    if tags is not None:
+        in_specs += [P(axis), P(), P(), P()]
+        args += list(tags)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(), P(), P()),
+        # outputs ARE replicated (identical all-gather + certificate on
+        # every shard); inference can't see through axis_index
+        check_vma=False,
+    )
+    return jax.jit(fn)(*args)
+
+
+class ShardedClusteredIndex:
+    """Read-optimized sharded cluster-pruned index: per-chip memory is
+    3 B/element of the shard AND per-chip scan work is the probed tile
+    union, not the whole shard. Per-shard k-means at build; the global
+    exact-set certificate composes from per-shard pruned bounds.
+
+    ``keep_host=True`` retains the host fp32 matrix and patches
+    uncertified queries exactly (float64 accumulation), mirroring
+    ShardedCompactIndex."""
+
+    def __init__(
+        self,
+        matrix: np.ndarray,
+        mesh: Mesh,
+        metric: str = "cosine",
+        valid: Optional[np.ndarray] = None,
+        axis: str = "data",
+        rows_normalized: bool = False,
+        tile_n: int = 4096,
+        probe_tiles: int = 16,
+        fetch: str = "gather",
+        kmeans_iters: int = 8,
+        keep_host: bool = True,
+        interpret: Optional[bool] = None,
+        tags: Optional[np.ndarray] = None,
+    ) -> None:
+        matrix = np.asarray(matrix, dtype=np.float32)
+        n, d = matrix.shape
+        self.n, self.metric, self.mesh, self.axis = n, metric, mesh, axis
+        self.tile_n = max(tile_n, 1024)
+        self.probe_tiles = probe_tiles
+        self.fetch = fetch
+        if interpret is None:  # Pallas needs interpret mode off-TPU
+            interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        self.interpret = interpret
+        if metric not in ("cosine", "dot"):
+            raise ValueError("clustered sharding supports cosine/dot metrics")
+        s = mesh.shape[axis]
+        self.rows_per_shard = rps = -(-n // s)
+        if metric == "cosine" and not rows_normalized:
+            norms = np.linalg.norm(matrix, axis=1, keepdims=True)
+            matrix = matrix / np.where(norms == 0.0, 1.0, norms)
+        v_host = np.zeros(n, dtype=bool)
+        v_host[:] = True if valid is None else np.asarray(valid, dtype=bool)[:n]
+        self._host = matrix if keep_host else None
+        self._valid_host = v_host
+        self._tags_host = None
+
+        # --- per-shard clustering + permuted replica blocks --------------
+        # (each shard k-means only ITS rows — the layout multi-host
+        # ingest produces; on a real pod each host runs its own prepare)
+        mb_b, el_b, al_b, ri_b, rs_b, e2_b = [], [], [], [], [], []
+        v_b, rm_b, cent_b, rad_b = [], [], [], []
+        t_shard = -(-rps // self.tile_n)
+        for i in range(s):
+            lo, hi = i * rps, min((i + 1) * rps, n)
+            block = matrix[lo:hi]
+            if block.shape[0] < rps:  # equalize shard row spaces
+                block = np.pad(block, ((0, rps - block.shape[0]), (0, 0)))
+            bv = np.zeros(rps, dtype=bool)
+            bv[: hi - lo] = v_host[lo:hi]
+            order, cent, rad = prepare_clustered(
+                block, tile_n=self.tile_n, metric=metric, iters=kmeans_iters,
+                seed=i,
+            )
+            mp = apply_cluster_order(block, order)
+            vp = apply_cluster_order(bv, order, fill=False)
+            mj = jnp.asarray(mp)
+            parts = prepare_tiered(mj) + prepare_residual(mj)
+            mb_b.append(np.asarray(parts[0]))
+            el_b.append(np.asarray(parts[1]))
+            al_b.append(np.asarray(parts[2]))
+            ri_b.append(np.asarray(parts[3]))
+            rs_b.append(np.asarray(parts[4]))
+            e2_b.append(np.asarray(parts[5]))
+            v_b.append(vp)
+            rm_b.append(order.astype(np.int32))  # shard-LOCAL original rows
+            cent_b.append(cent)
+            rad_b.append(rad)
+            assert len(order) == t_shard * self.tile_n
+
+        from trueno_rag_tpu.parallel.ingest import assemble_row_sharded
+
+        self.m_bf16 = assemble_row_sharded(mb_b, mesh, axis)
+        self.e_l2 = assemble_row_sharded(el_b, mesh, axis)
+        self.a_l2 = assemble_row_sharded(al_b, mesh, axis)
+        self.r_i8 = assemble_row_sharded(ri_b, mesh, axis)
+        self.r_scale = assemble_row_sharded(rs_b, mesh, axis)
+        self.e2_l2 = assemble_row_sharded(e2_b, mesh, axis)
+        self.valid = assemble_row_sharded(v_b, mesh, axis)
+        self.row_map = assemble_row_sharded(rm_b, mesh, axis)
+        self.centroids = assemble_row_sharded(
+            [c[None] for c in cent_b], mesh, axis
+        )
+        self.radii = assemble_row_sharded([r[None] for r in rad_b], mesh, axis)
+        self._orders = rm_b  # host copies (tag permutation on set_tags)
+        self.tags = None
+        if tags is not None:
+            self.set_tags(tags)
+        self.uncertified = 0  # observability counter
+
+    def set_tags(self, tags: np.ndarray) -> None:
+        """(Re-)upload per-row tag words, permuted into each shard's
+        clustered layout and sharded with the rows."""
+        from trueno_rag_tpu.parallel.ingest import assemble_row_sharded
+
+        t = np.zeros(self.rows_per_shard * self.mesh.shape[self.axis],
+                     dtype=np.int32)
+        t[: min(self.n, len(tags))] = np.asarray(tags, np.int32)[: self.n]
+        self._tags_host = t[: self.n]
+        rps = self.rows_per_shard
+        blocks = [
+            apply_cluster_order(t[i * rps : (i + 1) * rps], order, fill=0)
+            for i, order in enumerate(self._orders)
+        ]
+        self.tags = assemble_row_sharded(blocks, self.mesh, self.axis)
+
+    def search(self, queries: np.ndarray, k: int, tag_masks=None):
+        """→ ``(scores [B,k], rows [B,k] global ids, certified [B])``;
+        with a host matrix, uncertified queries patch exactly."""
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+        tags = None
+        if tag_masks is not None:
+            if self.tags is None:
+                raise ValueError("tag_masks given but no tags were set")
+            tags = (
+                self.tags,
+                jnp.asarray(np.asarray(tag_masks[0], np.int32)),
+                jnp.asarray(np.asarray(tag_masks[1], np.int32)),
+                jnp.asarray(np.asarray(tag_masks[2], np.int32)),
+            )
+        s, r, ok = sharded_clustered_topk(
+            q, self.m_bf16, self.e_l2, self.a_l2, self.r_i8, self.r_scale,
+            self.e2_l2, self.valid, self.centroids, self.radii, self.row_map,
+            self.rows_per_shard, k, self.mesh, self.probe_tiles, self.metric,
+            self.axis, self.tile_n, self.fetch, self.interpret, tags=tags,
+        )
+        ok_np = np.asarray(ok).astype(bool)
+        misses = int((~ok_np).sum())
+        self.uncertified += misses
+        if misses and self._host is not None:
+            # exact host patch (float64 accumulation, score desc/row asc
+            # ties) — identical to ShardedCompactIndex.search's
+            s_np, r_np = np.asarray(s).copy(), np.asarray(r).copy()
+            qn = np.asarray(q, dtype=np.float64)
+            if self.metric == "cosine":
+                norms = np.linalg.norm(qn, axis=1, keepdims=True)
+                qn = qn / np.where(norms == 0.0, 1.0, norms)
+            for i in np.flatnonzero(~ok_np):
+                scores = self._host.astype(np.float64) @ qn[i]
+                scores[~self._valid_host] = -np.inf
+                if tag_masks is not None:
+                    bits = self._tags_host
+                    t_all = int(np.asarray(tag_masks[0])[i])
+                    t_any = int(np.asarray(tag_masks[1])[i])
+                    t_none = int(np.asarray(tag_masks[2])[i])
+                    allowed = (bits & t_all) == t_all
+                    allowed &= (t_any == 0) | ((bits & t_any) != 0)
+                    allowed &= (bits & t_none) == 0
+                    scores[~allowed] = -np.inf
+                order = np.argsort(-scores, kind="stable")[:k]
+                live = np.isfinite(scores[order])
+                r_np[i, : len(order)] = np.where(live, order, -1)
+                s_np[i, : len(order)] = np.where(
+                    live, scores[order], NEG_INF
+                ).astype(np.float32)
+            return jnp.asarray(s_np), jnp.asarray(r_np), jnp.ones_like(ok)
+        return s, r, ok

@@ -52,6 +52,60 @@ from trueno_rag_tpu.ops.dense_tiered import (
 )
 
 
+def merge_bounded_candidates(s, r_glob, err, rhs, k: int, axis: str):
+    """Inside shard_map: merge each shard's k bounded candidates and
+    exclusion bound into the global top-k + composed SET certificate →
+    ``(scores [B,k], rows [B,k] int32, certified [B])``.
+
+    ``r_glob`` must be GLOBAL row ids with INT32_MAX for empty slots.
+    Shard-axis concatenation preserves global row-ascending order, so
+    lax.top_k's earlier-position tie preference keeps the (score desc,
+    row asc) total order. Shared by the compact and clustered sharded
+    tiers (each shard's ``rhs`` already folds its own failure modes —
+    and, for clustered, its pruned-tile bound — so composition needs no
+    per-tier knowledge)."""
+    s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)  # [B, k*s]
+    r_all = jax.lax.all_gather(r_glob, axis, axis=1, tiled=True)
+    e_all = jax.lax.all_gather(err, axis, axis=1, tiled=True)
+    rhs_all = jax.lax.all_gather(rhs[:, None], axis, axis=1, tiled=True)
+    shard_bound = jnp.max(rhs_all, axis=1)  # [B]
+
+    k_out = min(k, s_all.shape[1])
+    s_top, idx = jax.lax.top_k(s_all, k_out)
+    r_top = jnp.take_along_axis(r_all, idx, axis=1)
+    e_top = jnp.take_along_axis(e_all, idx, axis=1)
+
+    # global SET certificate (same structure as the single-chip tail;
+    # scatter-free count-based selection identification)
+    sel_lower = jnp.min(
+        jnp.where(jnp.isneginf(s_top), jnp.inf, s_top - e_top), axis=1
+    )
+    sel_lower = jnp.where(jnp.isinf(sel_lower), NEG_INF, sel_lower)
+    vmin = s_top[:, k_out - 1]
+    ge = s_all >= vmin[:, None]
+    count = jnp.sum(ge, axis=1)
+    excl_upper = jnp.max(jnp.where(ge, NEG_INF, s_all + e_all), axis=1)
+    excl_upper = jnp.where(count == k_out, excl_upper, jnp.inf)
+    # SHORT results (global live candidates < k — e.g. a selective tag
+    # filter allowing fewer than k rows corpus-wide): every live
+    # candidate is selected, so no gathered candidate is excluded;
+    # complete iff no shard can hold an unreturned allowed row
+    # (shard_bound == -inf). Mirrors the single-chip short rule in
+    # ops/dense_tiered._trim_rescore_verify_compact.
+    n_live = jnp.sum(~jnp.isneginf(s_all), axis=1)
+    short = n_live < k_out
+    rhs_g = jnp.where(short, shard_bound, jnp.maximum(shard_bound, excl_upper))
+    ok = jnp.where(
+        short, jnp.isneginf(rhs_g), (sel_lower > rhs_g) | jnp.isneginf(rhs_g)
+    )
+
+    r_out = jnp.where(jnp.isneginf(s_top), -1, r_top).astype(jnp.int32)
+    if k_out < k:
+        s_top = jnp.pad(s_top, ((0, 0), (0, k - k_out)), constant_values=NEG_INF)
+        r_out = jnp.pad(r_out, ((0, 0), (0, k - k_out)), constant_values=-1)
+    return s_top, r_out, ok
+
+
 def sharded_compact_topk(
     queries: jax.Array,  # [B, d] f32, replicated
     m_bf16: jax.Array,  # [N, d] bf16, sharded P(axis, None)
@@ -89,52 +143,7 @@ def sharded_compact_topk(
         local_n = mb.shape[0]
         shard = jax.lax.axis_index(axis)
         r_glob = jnp.where(r >= 0, r + shard * local_n, jnp.iinfo(jnp.int32).max)
-        # merge: k candidates per shard + each shard's exclusion bound.
-        # Shard-axis concatenation preserves global row-ascending order,
-        # so lax.top_k's earlier-position tie preference keeps the
-        # (score desc, row asc) total order.
-        s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)  # [B, k*s]
-        r_all = jax.lax.all_gather(r_glob, axis, axis=1, tiled=True)
-        e_all = jax.lax.all_gather(err, axis, axis=1, tiled=True)
-        rhs_all = jax.lax.all_gather(rhs[:, None], axis, axis=1, tiled=True)
-        shard_bound = jnp.max(rhs_all, axis=1)  # [B]
-
-        k_out = min(k, s_all.shape[1])
-        s_top, idx = jax.lax.top_k(s_all, k_out)
-        r_top = jnp.take_along_axis(r_all, idx, axis=1)
-        e_top = jnp.take_along_axis(e_all, idx, axis=1)
-
-        # global SET certificate (same structure as the single-chip
-        # tail; scatter-free count-based selection identification)
-        sel_lower = jnp.min(
-            jnp.where(jnp.isneginf(s_top), jnp.inf, s_top - e_top), axis=1
-        )
-        sel_lower = jnp.where(jnp.isinf(sel_lower), NEG_INF, sel_lower)
-        vmin = s_top[:, k_out - 1]
-        ge = s_all >= vmin[:, None]
-        count = jnp.sum(ge, axis=1)
-        excl_upper = jnp.max(jnp.where(ge, NEG_INF, s_all + e_all), axis=1)
-        excl_upper = jnp.where(count == k_out, excl_upper, jnp.inf)
-        # SHORT results (global live candidates < k — e.g. a selective
-        # tag filter allowing fewer than k rows corpus-wide): every live
-        # candidate is selected, so no gathered candidate is excluded;
-        # complete iff no shard can hold an unreturned allowed row
-        # (shard_bound == -inf). Mirrors the single-chip short rule in
-        # ops/dense_tiered._trim_rescore_verify_compact.
-        n_live = jnp.sum(~jnp.isneginf(s_all), axis=1)
-        short = n_live < k_out
-        rhs_g = jnp.where(
-            short, shard_bound, jnp.maximum(shard_bound, excl_upper)
-        )
-        ok = jnp.where(
-            short, jnp.isneginf(rhs_g), (sel_lower > rhs_g) | jnp.isneginf(rhs_g)
-        )
-
-        r_out = jnp.where(jnp.isneginf(s_top), -1, r_top).astype(jnp.int32)
-        if k_out < k:
-            s_top = jnp.pad(s_top, ((0, 0), (0, k - k_out)), constant_values=NEG_INF)
-            r_out = jnp.pad(r_out, ((0, 0), (0, k - k_out)), constant_values=-1)
-        return s_top, r_out, ok
+        return merge_bounded_candidates(s, r_glob, err, rhs, k, axis)
 
     in_specs = [P(), P(axis, None), P(axis), P(axis), P(axis, None),
                 P(axis), P(axis), P(axis)]
