@@ -121,3 +121,52 @@ def test_sharded_clustered_matches_sharded_compact(mesh):
     assert both.any()
     for i in np.flatnonzero(both):
         assert set(r1n[i].tolist()) == set(r2n[i].tolist())
+
+
+def test_hybrid_dense_mode_clustered(mesh):
+    """ShardedHybridIndex(dense_mode='clustered'): pruned dense shards +
+    BM25 + fusion must match the single-host retriever (host patch
+    keeps the dense candidates exact)."""
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+    from trueno_rag_tpu.embed import MockEmbedder
+    from trueno_rag_tpu.index.vector_store import VectorStoreConfig
+    from trueno_rag_tpu.parallel.hybrid import ShardedHybridIndex
+    from trueno_rag_tpu.retrieve import HybridRetriever, TagFilter
+
+    rng = np.random.default_rng(12)
+    n, dim, blobs = 8192, 48, 8
+    centers = rng.standard_normal((blobs, dim)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    which = np.repeat(np.arange(blobs), n // blobs)
+    m = centers[which] + 0.05 * rng.standard_normal((n, dim)).astype(np.float32)
+
+    emb = MockEmbedder(dimension=dim)
+    retr = HybridRetriever(
+        emb,
+        vector_config=VectorStoreConfig(
+            dimension=dim, scan_tile_n=1024, cluster_probe_tiles=2,
+        ),
+    )
+    retr.config.candidates_per_source = 12
+    chunks = []
+    for i in range(n):
+        c = Chunk(document_id="d", content=f"topic{which[i]} item {i} data",
+                  start_offset=0, end_offset=5, metadata=ChunkMetadata(),
+                  id=chunk_id_from_int(i))
+        c.set_embedding(m[i])
+        chunks.append(c)
+    retr.index_batch(chunks)
+    for i in range(0, n, 2):
+        retr.registry.set_tags(chunks[i].id, ["even"])
+
+    hybrid = ShardedHybridIndex(
+        retr, mesh, candidates_per_source=12,
+        dense_mode="clustered", sparse_mode="replicated",
+    )
+    q = "topic3 item data"
+    want = [r.chunk.id for r in retr.retrieve(q, 5)]
+    got = [r.chunk.id for r in hybrid.search(q, 5)]
+    assert got == want
+    wf = [r.chunk.id for r in retr.retrieve(q, 5, tag_filter=TagFilter(all=["even"]))]
+    gf = [r.chunk.id for r in hybrid.search(q, 5, tag_filter=TagFilter(all=["even"]))]
+    assert gf == wf

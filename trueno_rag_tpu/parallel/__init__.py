@@ -12,6 +12,8 @@ The reference is strictly single-process with zero parallelism
   BASELINE.json).
 """
 
+from trueno_rag_tpu.parallel.clustered import ShardedClusteredIndex
+from trueno_rag_tpu.parallel.compact import ShardedCompactIndex
 from trueno_rag_tpu.parallel.hybrid import ShardedHybridIndex
 from trueno_rag_tpu.parallel.mesh import create_mesh, encoder_param_specs
 from trueno_rag_tpu.parallel.sharded import ShardedVectorIndex, sharded_dense_topk
@@ -22,4 +24,6 @@ __all__ = [
     "sharded_dense_topk",
     "ShardedVectorIndex",
     "ShardedHybridIndex",
+    "ShardedCompactIndex",
+    "ShardedClusteredIndex",
 ]

@@ -60,7 +60,7 @@ class ShardedHybridIndex:
             from trueno_rag_tpu.errors import InvalidConfigError
 
             raise InvalidConfigError(f"unknown sparse_mode {sparse_mode!r}")
-        if dense_mode not in ("fp32", "compact"):
+        if dense_mode not in ("fp32", "compact", "clustered"):
             from trueno_rag_tpu.errors import InvalidConfigError
 
             raise InvalidConfigError(f"unknown dense_mode {dense_mode!r}")
@@ -97,6 +97,22 @@ class ShardedHybridIndex:
                 metric=store.config.metric,
                 valid=store._valid,
                 rows_normalized=True,  # VectorStore normalizes at insert
+                tags=self.registry.tags_host(store._host.shape[0]),
+            )
+        if self.dense_mode == "clustered":
+            # per-shard cluster-pruned scans + the same composed global
+            # certificate — the pod latency tier (parallel/clustered.py)
+            from trueno_rag_tpu.parallel.clustered import ShardedClusteredIndex
+
+            return ShardedClusteredIndex(
+                store._host,
+                self.mesh,
+                metric=store.config.metric,
+                valid=store._valid,
+                rows_normalized=True,
+                tile_n=max(store.config.scan_tile_n, 1024),
+                probe_tiles=store.config.cluster_probe_tiles,
+                fetch=store.config.cluster_fetch,
                 tags=self.registry.tags_host(store._host.shape[0]),
             )
         return ShardedVectorIndex(
@@ -228,10 +244,11 @@ class ShardedHybridIndex:
         store_host = self._store._host
         if rows is not None:
             rows = np.asarray(sorted(set(int(r) for r in rows)), dtype=np.int32)
-        if self.dense_mode == "compact":
-            # replica prep is row-local so a scatter path is possible,
-            # but the read-optimized compact shards just rebuild (the
-            # mutable store is the single-chip VectorStore)
+        if self.dense_mode in ("compact", "clustered"):
+            # replica prep is row-local so a scatter path is possible
+            # (and clustered layouts couple rows to clusters), but the
+            # read-optimized shards just rebuild (the mutable store is
+            # the single-chip VectorStore)
             if rows is None or rows.size:
                 self.dense = self._build_dense()
                 self._rep_tags = None
@@ -274,7 +291,7 @@ class ShardedHybridIndex:
         import numpy as np
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        if self.dense_mode == "compact":
+        if self.dense_mode in ("compact", "clustered"):
             self.dense.set_tags(
                 self.registry.tags_host(self._store._host.shape[0])
             )
@@ -315,7 +332,7 @@ class ShardedHybridIndex:
 
             self._refresh_tags_if_stale()
             masks = resolve_tag_filters(self.registry, tag_filter, len(queries))
-        if self.dense_mode == "compact":
+        if self.dense_mode in ("compact", "clustered"):
             d_scores, d_rows, _ok = self.dense.search(
                 np.asarray(qvecs, dtype=np.float32), cand, tag_masks=masks
             )  # host patch covers uncertified per keep_host
