@@ -103,3 +103,50 @@ def test_run_server_auto_wires_tuned_values(retriever, monkeypatch):
     serve_mod.run_server(retriever, port=0, max_batch="auto")
     assert captured["max_batch"] == 16
     assert captured["max_wait_ms"] == 2.5
+
+
+def test_autotune_sweeps_probe_tiles_on_clustered_store():
+    """Clustered stores also tune the probe budget; the winner is
+    installed on the live config and the table is reported. Results
+    stay exact at every candidate (host patch), so the knob is
+    semantics-preserving like the others."""
+    import numpy as np
+
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+    from trueno_rag_tpu.index.vector_store import VectorStoreConfig
+
+    rng = np.random.default_rng(41)
+    dim, n = 32, 4096
+    centers = rng.standard_normal((4, dim)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    m = centers[np.repeat(np.arange(4), n // 4)] + 0.05 * rng.standard_normal(
+        (n, dim)
+    ).astype(np.float32)
+    emb = MockEmbedder(dimension=dim)
+    r = HybridRetriever(
+        emb,
+        vector_config=VectorStoreConfig(
+            dimension=dim, scan_tier="clustered", scan_tile_n=1024,
+            cluster_probe_tiles=2,
+        ),
+    )
+    chunks = []
+    for i in range(n):
+        c = Chunk(document_id="d", content=f"term{i % 37} item {i}",
+                  start_offset=0, end_offset=4, metadata=ChunkMetadata(),
+                  id=chunk_id_from_int(i))
+        c.set_embedding(m[i])
+        chunks.append(c)
+    r.index_batch(chunks)
+
+    res = autotune_serving(r, k=3, batch_sizes=(1, 2), iters=1,
+                           probe_tiles=(1, 2, 4))
+    assert res.probe_tiles in (1, 2, 4)
+    assert len(res.probe_table) == 3
+    assert r.vector_store.config.cluster_probe_tiles == res.probe_tiles
+    assert "probe_table" in res.as_dict()
+
+
+def test_autotune_skips_probe_sweep_on_plain_store(retriever):
+    res = autotune_serving(retriever, k=3, batch_sizes=(1, 2), iters=1)
+    assert res.probe_tiles is None and res.probe_table == []

@@ -37,15 +37,26 @@ class BatchPoint:
 
 
 @dataclass
+class ProbePoint:
+    """One clustered-tier probe-budget measurement."""
+
+    probe_tiles: int
+    p50_ms: float
+    qps: float
+
+
+@dataclass
 class TuneResult:
     """Chosen serving parameters plus the full measurement table."""
 
     max_batch: int
     max_wait_ms: float
     table: List[BatchPoint] = field(default_factory=list)
+    probe_tiles: Optional[int] = None  # clustered stores only
+    probe_table: List[ProbePoint] = field(default_factory=list)
 
     def as_dict(self) -> dict:
-        return {
+        out = {
             "max_batch": self.max_batch,
             "max_wait_ms": round(self.max_wait_ms, 3),
             "table": [
@@ -53,6 +64,14 @@ class TuneResult:
                 for p in self.table
             ],
         }
+        if self.probe_tiles is not None:
+            out["probe_tiles"] = self.probe_tiles
+            out["probe_table"] = [
+                {"probe": p.probe_tiles, "p50_ms": round(p.p50_ms, 3),
+                 "qps": round(p.qps, 1)}
+                for p in self.probe_table
+            ]
+        return out
 
 
 def calibration_queries(retriever, n: int, seed: int = 0, terms_per_query: int = 4) -> List[str]:
@@ -100,6 +119,7 @@ def autotune_serving(
     iters: int = 5,
     latency_budget_ms: Optional[float] = None,
     seed: int = 0,
+    probe_tiles: Optional[Sequence[int]] = None,
 ) -> TuneResult:
     """Calibrate micro-batching for ``retriever`` by measurement.
 
@@ -136,8 +156,38 @@ def autotune_serving(
         if not feasible:  # nothing fits the budget: least-bad point
             feasible = [min(table, key=lambda p: p.p50_ms)]
     best = max(feasible, key=lambda p: (p.qps, -p.batch_size))
-    return TuneResult(
+    result = TuneResult(
         max_batch=best.batch_size,
         max_wait_ms=0.3 * best.p50_ms,
         table=table,
     )
+
+    # -- clustered stores: sweep the probe budget at the chosen batch ----
+    # probe_tiles trades scan work against certification rate (misses
+    # host-patch — results stay EXACT either way, so this knob is
+    # semantics-preserving like the others; the patch cost shows up in
+    # the measured wall latency, which is exactly why measuring picks
+    # the right value for the live corpus)
+    store = getattr(retriever, "vector_store", None)
+    tier = getattr(store, "_effective_tier", lambda: "")() if store else ""
+    if tier == "clustered":
+        candidates = probe_tiles or (4, 8, 16, 32, 64)
+        ptable: List[ProbePoint] = []
+        original = store.config.cluster_probe_tiles
+        try:
+            for p in sorted(set(int(x) for x in candidates)):
+                if p < 1:
+                    raise ValueError(f"probe_tiles must be >= 1, got {p}")
+                store.config.cluster_probe_tiles = p
+                t = _measure(retriever, queries[: best.batch_size], k, iters)
+                ptable.append(ProbePoint(probe_tiles=p, p50_ms=t * 1e3, qps=best.batch_size / t))
+        except BaseException:
+            store.config.cluster_probe_tiles = original
+            raise
+        # prefer the LARGER probe on a throughput tie: more queries
+        # certify on-device, fewer ride the host patch
+        win = max(ptable, key=lambda x: (x.qps, x.probe_tiles))
+        store.config.cluster_probe_tiles = win.probe_tiles
+        result.probe_tiles = win.probe_tiles
+        result.probe_table = ptable
+    return result
