@@ -326,7 +326,7 @@ def main():
         # context for round-over-round comparison when the chip is
         # unavailable: the last TPU measurement of this same workload
         # (round 1 driver bench, BENCH_r01.json)
-        result["last_tpu_value"] = 66_899.2
+        result["last_tpu_value"] = 66_899.0
     try:
         qps = bench_hybrid(iters=5 if on_cpu else 30)
     except Exception as first_error:  # noqa: BLE001 — report, don't die
