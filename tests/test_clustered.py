@@ -207,3 +207,62 @@ def test_full_probe_equals_compact_tier():
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
     # pruning with full probe can only ADD -inf bounds nothing: same certs
     np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+
+
+# -- property: certification is fail-closed on ARBITRARY data --------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    structure=st.sampled_from(["blobs", "random", "duplicates"]),
+    probe=st.integers(1, 4),
+    k=st.integers(1, 8),
+)
+def test_property_certified_always_exact(seed, structure, probe, k):
+    """Whatever the data (clustered, structureless, or pathological
+    duplicate-heavy), whatever the probe budget: a certified query's
+    set must equal the fp32 oracle's. Uncertified is always allowed —
+    never a wrong certificate."""
+    rng = np.random.default_rng(seed)
+    n, d = 3 * TILE, 24
+    if structure == "blobs":
+        centers = rng.standard_normal((3, d)).astype(np.float32)
+        m = centers[np.repeat(np.arange(3), n // 3)] + 0.1 * rng.standard_normal(
+            (n, d)
+        ).astype(np.float32)
+    elif structure == "random":
+        m = rng.standard_normal((n, d)).astype(np.float32)
+    else:  # heavy exact duplicates: ties everywhere
+        base = rng.standard_normal((64, d)).astype(np.float32)
+        m = base[rng.integers(0, 64, size=n)]
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    m = (m / np.where(norms == 0, 1.0, norms)).astype(np.float32)
+
+    order, cent, radii = prepare_clustered(m, tile_n=TILE, iters=3, sample=2048,
+                                           seed=seed)
+    queries = m[rng.integers(0, n, size=2)] + 0.01 * rng.standard_normal(
+        (2, d)
+    ).astype(np.float32)
+    s, r, ok, _ = _run(m, queries, k, probe, order, cent, radii)
+    ok = np.asarray(ok).astype(bool)
+    if not ok.any():
+        return  # fail-closed is always acceptable
+    r = np.asarray(r)
+    q = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sc = q.astype(np.float64) @ m.astype(np.float64).T
+    for i in np.flatnonzero(ok):
+        got = set(x for x in r[i].tolist() if x >= 0)
+        # certified set semantics: every selected row's true score must
+        # strictly beat every excluded row's (ties must fail closed),
+        # which equals "top-k set" whenever scores are distinct at the
+        # boundary — check the set-dominance form to stay tie-robust
+        if not got:
+            continue
+        worst_in = min(sc[i][list(got)])
+        rest = np.delete(sc[i], list(got))
+        assert worst_in > rest.max() - 1e-12, (
+            f"certified set not dominant (seed={seed}, {structure})"
+        )
