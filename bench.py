@@ -281,47 +281,17 @@ def bench_index_build(n_chunks=100_000, dim=384, seed=0):
     return n_chunks / best
 
 
-def _tpu_responds(timeout_s: float = 180.0) -> bool:
-    """Pre-flight the tunneled TPU in a SUBPROCESS with a hard timeout.
-
-    A wedged device claim (e.g. a dead session still holding the
-    single-chip grant) makes the first ``jax.devices()`` block FOREVER
-    inside the claim loop — a hang, not an exception, so the try/except
-    fallback in main() never fires and the whole bench deadlocks. A
-    child process can be killed; the parent then routes to CPU before
-    ever touching jax. Generous timeout: a healthy first contact over
-    the tunnel is ~20-40 s."""
-    import subprocess
-    import sys
-
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.devices(); print('ok')"],
-            timeout=timeout_s, capture_output=True, text=True,
-        )
-        return proc.returncode == 0 and "ok" in proc.stdout
-    except (subprocess.TimeoutExpired, OSError):
-        return False
-
-
-def _force_cpu():
-    import jax
-    from jax.extend.backend import clear_backends
-
-    clear_backends()
-    jax.config.update("jax_platforms", "cpu")
-
-
 def main():
     # The driver needs ONE JSON line no matter what; the tunneled TPU
     # backend occasionally fails to initialize (or hangs on a wedged
     # grant — see _tpu_responds), so fall back to CPU (marked) rather
     # than crash or deadlock without output.
+    from trueno_rag_tpu.utils.preflight import force_cpu, tpu_preflight
+
     result = {"metric": "hybrid_query_qps_100k_chunks", "unit": "queries/s"}
-    on_cpu = not _tpu_responds()
+    on_cpu = not tpu_preflight()
     if on_cpu:
-        _force_cpu()
+        force_cpu()
         result["note"] = "TPU unresponsive at init (pre-flight timeout); CPU fallback"
         # context for round-over-round comparison when the chip is
         # unavailable: the last TPU measurement of this same workload
@@ -331,7 +301,7 @@ def main():
         qps = bench_hybrid(iters=5 if on_cpu else 30)
     except Exception as first_error:  # noqa: BLE001 — report, don't die
         try:
-            _force_cpu()
+            force_cpu()
             qps = bench_hybrid(iters=5)
             result["note"] = f"TPU unavailable ({type(first_error).__name__}); CPU fallback"
         except Exception as second_error:  # noqa: BLE001
@@ -339,6 +309,9 @@ def main():
                            "error": f"{first_error!r} / {second_error!r}"})
             print(json.dumps(result))
             return
+    import jax
+
+    result["platform"] = jax.default_backend()
     result.update({
         "value": round(qps, 1),
         # measured same-corpus head-to-head (see module docstring)

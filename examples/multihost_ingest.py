@@ -4,7 +4,7 @@ statistics and assembles the serving index without the corpus ever
 existing on one machine. Runnable without hardware on a virtual
 8-device CPU mesh.
 
-Run: PYTHONPATH=. PALLAS_AXON_POOL_IPS= python examples/multihost_ingest.py
+Run: PYTHONPATH=.:$PYTHONPATH PALLAS_AXON_POOL_IPS= python examples/multihost_ingest.py
 """
 
 import jax

@@ -524,3 +524,107 @@ def test_clustered_config_validation():
     with pytest.raises(InvalidConfigError):
         VectorStoreConfig(dimension=8, scan_tier="clustered",
                           cluster_probe_tiles=0)
+
+
+def test_clustered_to_compact_tier_switch_rebuilds():
+    """Regression (review r2): switching scan_tier from 'clustered' to
+    'compact' on a live store must NOT reuse the cluster-PERMUTED
+    replica arrays — the compact path has no row translation and would
+    return permuted ids as if they were original rows."""
+    rng = np.random.default_rng(51)
+    dim = 32
+    chunks, centers = _blob_chunks(n=4096, dim=dim, blobs=4, rng=rng)
+    store = VectorStore(_clustered_cfg(dim))
+    plain = VectorStore(VectorStoreConfig(dimension=dim))
+    store.insert_many(chunks)
+    plain.insert_many(chunks)
+    q = centers[2].astype(np.float32)
+    want = [g[0] for g in plain.search(q, 5)]
+    assert [g[0] for g in store.search(q, 5)] == want  # clustered build
+    store.config.scan_tier = "compact"
+    got = [g[0] for g in store.search(q, 5)]
+    assert got == want, "compact path served the clustered layout"
+    # and back again, plus a fp32-tier switch for good measure
+    store.config.scan_tier = "clustered"
+    assert [g[0] for g in store.search(q, 5)] == want
+    store.config.scan_tier = "bf16"
+    assert [g[0] for g in store.search(q, 5)] == want
+
+
+def test_save_while_dirty_never_persists_stale_clustering(tmp_path=None):
+    """Regression (review r1): saving a clustered store AFTER a mutation
+    (dirty, _cluster stale) must not persist the stale layout — a load
+    consuming it would miss the mutated rows while still certifying."""
+    import tempfile
+
+    from trueno_rag_tpu.embed import MockEmbedder
+    from trueno_rag_tpu.persist import load_index, save_index
+    from trueno_rag_tpu.retrieve import HybridRetriever
+
+    rng = np.random.default_rng(52)
+    dim = 32
+    chunks, centers = _blob_chunks(n=4096, dim=dim, blobs=4, rng=rng)
+    emb = MockEmbedder(dimension=dim)
+    retr = HybridRetriever(emb, vector_config=_clustered_cfg(dim))
+    for c in chunks:
+        c.content = f"doc {c.id}"
+    retr.index_batch(chunks)
+    q = centers[1].astype(np.float32)
+    retr.vector_store.search(q, 5)  # builds _cluster
+
+    # mutate: a new chunk that is the clear top-1 for q
+    winner = mk_chunk(99_999, dim, rng)
+    winner.embedding = q.tolist()
+    retr.vector_store.insert(winner)
+    retr.sparse_index.add(winner)
+    assert retr.vector_store._dirty  # stale _cluster + dirty store
+
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/dirty.trag"
+        save_index(path, retr)
+        loaded, _ = load_index(path, emb, scan_tier="clustered")
+        # the stale layout must NOT have been persisted...
+        assert loaded.vector_store._cluster_preset is None
+        # ...and the loaded (re-clustered) store must surface the winner
+        got = loaded.vector_store.search(q, 5)
+        assert got[0][0] == winner.id
+
+
+def test_clustered_certifies_at_hybrid_candidate_width():
+    """Regression (review r3): the hybrid retriever stages with
+    candidates_per_source (12 default) > the old fixed t_top of 8, which
+    made certification fail on exactly the concentrated corpora the
+    tier targets. t_top now follows the request (kernel cap 16)."""
+    rng = np.random.default_rng(53)
+    # blob size 900 < tile capacity 1024: blobs exactly AT capacity can
+    # overflow a boundary row into a far tile, blowing that tile's
+    # radius and (correctly, fail-closed) blocking certification
+    dim, n, blobs, planted = 64, 5400, 6, 12
+    centers = rng.standard_normal((blobs, dim)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    which = np.repeat(np.arange(blobs), n // blobs)
+    m = centers[which] + 0.05 * rng.standard_normal((n, dim)).astype(np.float32)
+    for b in range(blobs):
+        rows = np.flatnonzero(which == b)[:planted]
+        m[rows] = centers[b] + 0.01 * rng.standard_normal(
+            (planted, dim)
+        ).astype(np.float32)
+    chunks = []
+    for i in range(n):
+        c = mk_chunk(i, dim, rng)
+        c.embedding = m[i].tolist()
+        chunks.append(c)
+    store = VectorStore(_clustered_cfg(dim, compact_fallback="none"))
+    store.insert_many(chunks)
+    q = np.stack([centers[0], centers[3]]).astype(np.float32)
+    s, r = store.search_arrays(q, 12)  # the hybrid staging width
+    assert store.compact_uncertified == 0, (
+        "k=12 failed certification on the tier's own serving pattern"
+    )
+    # exactness of the certified sets
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sc = qn.astype(np.float64) @ np.asarray(store._host[:n], np.float64).T
+    rx = np.argsort(-sc, axis=1, kind="stable")[:, :12]
+    rn = np.asarray(r)
+    for i in range(2):
+        assert set(rn[i].tolist()) == set(rx[i].tolist())

@@ -227,6 +227,11 @@ class VectorStore:
         self._dirty_rows: set = set()  # None-tracking: full re-upload when unbounded
         self._count = 0
         self._tier = None  # scan-tier replica arrays (lazily prepared)
+        # which tier's LAYOUT the replica arrays are in: a config
+        # scan_tier switch (e.g. clustered -> compact) must rebuild —
+        # reusing a cluster-PERMUTED _tier under the compact path would
+        # return permuted row ids as if they were original rows
+        self._tier_built_for = None
         self._cluster = None  # clustered tier: (order, order_j, cent_j, radii_j)
         # persisted clustering (persist.py): consumed by the FIRST
         # clustered build, discarded by ANY mutation — stale radii would
@@ -354,7 +359,11 @@ class VectorStore:
         if self._effective_tier() == "clustered":
             self._refresh_device_clustered()
             return
-        if not self._dirty and self._device_matrix is not None:
+        if (
+            not self._dirty
+            and self._device_matrix is not None
+            and self._tier_built_for == self._effective_tier()
+        ):
             return
         dtype16 = self.config.storage_dtype == "bfloat16"
         if (
@@ -391,7 +400,11 @@ class VectorStore:
         ``compact_scan="int8"``, with their residual norms) build
         slab-wise from host rows; mutations scatter only the changed
         rows' re-prepared replicas."""
-        if not self._dirty and self._tier is not None:
+        if (
+            not self._dirty
+            and self._tier is not None
+            and self._tier_built_for == "compact"
+        ):
             return
         from trueno_rag_tpu.ops import dense_tiered as dt
 
@@ -404,8 +417,10 @@ class VectorStore:
             return parts
 
         self._device_matrix = None  # the whole point of this tier
+        self._cluster = None  # compact layout is ROW order, not clustered
         if (
             self._tier is not None
+            and self._tier_built_for == "compact"
             and self._dirty_rows  # bounded, non-empty row set
             and self._tier[0].shape[0] == self._host.shape[0]
         ):
@@ -430,6 +445,7 @@ class VectorStore:
                 for part in zip(*slabs)
             )
             self._device_valid = jnp.asarray(self._valid)
+        self._tier_built_for = "compact"
         self._dirty = False
         self._dirty_rows = set()
 
@@ -440,7 +456,12 @@ class VectorStore:
         cluster, so ANY mutation re-clusters and rebuilds (host k-means
         + slab prep — the read-optimized trade this tier makes; the
         mutable-corpus tiers are compact/bf16)."""
-        if not self._dirty and self._tier is not None and self._cluster is not None:
+        if (
+            not self._dirty
+            and self._tier is not None
+            and self._cluster is not None
+            and self._tier_built_for == "clustered"
+        ):
             return
         from trueno_rag_tpu.ops import clustered as cl
         from trueno_rag_tpu.ops import dense_tiered as dt
@@ -459,6 +480,7 @@ class VectorStore:
             order, cent, radii = cl.prepare_clustered(
                 self._host, tile_n=tile, metric=self.config.metric,
                 iters=self.config.cluster_kmeans_iters,
+                valid=self._valid,  # capacity padding must not join tiles
             )
         mp = cl.apply_cluster_order(self._host, order)
         vp = cl.apply_cluster_order(self._valid, order, fill=False)
@@ -477,6 +499,7 @@ class VectorStore:
             order, jnp.asarray(order), jnp.asarray(cent), jnp.asarray(radii)
         )
         self._cluster_version = getattr(self, "_cluster_version", 0) + 1
+        self._tier_built_for = "clustered"
         self._dirty = False
         self._dirty_rows = set()
 
@@ -513,13 +536,17 @@ class VectorStore:
         is row-local, so incremental mutations prepare ONLY the changed
         rows and scatter them into the replica arrays."""
         tier = self._effective_tier()
+        self._tier_built_for = tier
         if tier == "none":
             self._tier = None
             return
         from trueno_rag_tpu.ops import dense_tiered as dt
 
         prepare = dt.prepare_tiered if tier == "bf16" else dt.prepare_int8
-        if rows_j is None or self._tier is None:
+        if rows_j is None or self._tier is None or self._cluster is not None:
+            # full prepare (also after a layout switch away from
+            # clustered: a permuted replica cannot be scatter-updated)
+            self._cluster = None
             self._tier = prepare(self._device_matrix)
             return
         parts = prepare(updates)
@@ -599,8 +626,16 @@ class VectorStore:
                     probe_tiles=self.config.cluster_probe_tiles,
                     row_map=order_j,  # results in ORIGINAL row ids
                     metric=self.config.metric, interpret=interpret,
-                    # concentrated top-k needs t_top >= k (ops/clustered.py)
-                    t_top=max(self.config.scan_t_top, 8),
+                    # concentrated top-k needs t_top >= k
+                    # (ops/clustered.py) — and the hybrid retriever
+                    # stages with candidates_per_source (12 default), so
+                    # size t_top to the REQUEST, not a constant, or
+                    # certification fails on exactly the concentrated
+                    # corpora this tier targets and every query pays the
+                    # host patch. The kernel's per-SEL-tile pool is 16
+                    # (2 per 128-block × 8 blocks): k > 16 concentrated
+                    # in one tile cannot certify (host patch covers).
+                    t_top=min(max(self.config.scan_t_top, 8, k_eff), 16),
                     margin_tiles=self.config.scan_margin_tiles,
                     tile_n=max(self.config.scan_tile_n, 1024),
                     fetch=self.config.cluster_fetch,

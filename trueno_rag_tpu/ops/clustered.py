@@ -75,6 +75,7 @@ def prepare_clustered(
     seed: int = 0,
     alternatives: int = 8,
     slab: int = 1 << 18,
+    valid: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Cluster the corpus into ``T = ceil(N/tile_n)`` balanced tiles →
     ``(order [T·tile_n] int32, centroids [T, d] f32, radii [T] f32)``.
@@ -97,7 +98,31 @@ def prepare_clustered(
     score space the bound lives in.
     """
     m = np.asarray(matrix, dtype=np.float32)
+    if valid is not None:
+        # Cluster ONLY live rows: a capacity-padded store's zero rows
+        # sit ~unit distance from every normalized row, so letting them
+        # into a tile blows its radius to ~1 and kills that tile's
+        # pruning bound (measured: radii 1.2-1.35 on pure blobs).
+        # Invalid rows become holes; `order` still indexes the ORIGINAL
+        # row space.
+        keep = np.flatnonzero(np.asarray(valid, bool))
+        if len(keep) < m.shape[0]:
+            sub_order, centroids, radii = prepare_clustered(
+                m[keep], tile_n=tile_n, metric=metric, iters=iters,
+                sample=sample, seed=seed, alternatives=alternatives,
+                slab=slab,
+            )
+            order = np.where(
+                sub_order >= 0,
+                keep[np.clip(sub_order, 0, len(keep) - 1)],
+                -1,
+            ).astype(np.int32)
+            return order, centroids, radii
     n, d = m.shape
+    if n == 0:
+        return (np.full(tile_n, -1, np.int32),
+                np.zeros((1, m.shape[1]), np.float32),
+                np.zeros(1, np.float32))
     t = -(-n // tile_n)
     rng = np.random.default_rng(seed)
 
@@ -146,8 +171,8 @@ def prepare_clustered(
     # --- balanced greedy fill: most-confident rows claim first -----------
     margin = top_val[:, 0] - (top_val[:, 1] if n_alt > 1 else 0.0)
     visit = np.argsort(-margin, kind="stable")
-    space = np.full(t, tile_n, dtype=np.int64)
-    space[-1] = tile_n  # capacities are uniform; holes absorb shortfall
+    space = np.full(t, tile_n, dtype=np.int64)  # uniform capacities;
+    # underfull clusters leave holes that absorb any shortfall
     members: list[list[int]] = [[] for _ in range(t)]
     overflow: list[int] = []
     for r in visit:
@@ -168,15 +193,17 @@ def prepare_clustered(
             space[open_c[oi]] -= 1
 
     # --- final layout + SOUND per-tile bounds over the f32 values --------
-    # Within a tile, members arrive in CONFIDENCE order, so a cluster's
-    # most-central rows — exactly the rows a centered query ranks top —
-    # would sit ADJACENT. The scan kernel keeps only the top-2 rows per
-    # 128-row block (scan_select_v2._tile_tournament), so adjacency
-    # would cap the emitted candidates at 2 and fail the certificate
-    # whenever >2 of the true top-k share a block. Interleaving members
-    # across the tile's blocks (member j -> block j mod nb) spreads any
-    # k consecutive-confidence rows one-per-block — the concentrated
-    # case certifies instead of failing closed.
+    # The scan kernel keeps only the top-2 rows per 128-row block
+    # (scan_select_v2._tile_tournament), so any layout that puts >2 of a
+    # query's true top-k in one block caps the emitted candidates and
+    # fails the certificate. A query's concentrated top rows are
+    # MUTUALLY near, hence have near-equal centroid scores — sorting
+    # members by centroid score and interleaving by RANK (member j ->
+    # block j mod nb) sends score-adjacent rows to distinct blocks.
+    # (The greedy-visit margin order does NOT have this property —
+    # measured: three planted near-duplicates of one centroid landed in
+    # one block at ranks 60-150 and correctly but needlessly failed the
+    # certificate.)
     from trueno_rag_tpu.ops.pallas.scan_select_v2 import BLOCK
 
     nb = max(tile_n // BLOCK, 1)
@@ -185,13 +212,15 @@ def prepare_clustered(
     radii = np.zeros(t, dtype=np.float32)
     for c in range(t):
         rows = np.asarray(members[c], dtype=np.int32)
-        j = np.arange(len(rows))
-        pos = (j % nb) * BLOCK + j // nb
-        order[c * tile_n + pos] = rows
         if len(rows) == 0:
             continue
         mu64 = m[rows].astype(np.float64).mean(axis=0)
         centroids[c] = mu64.astype(np.float32)
+        cscore = m[rows].astype(np.float64) @ mu64
+        rows = rows[np.argsort(-cscore, kind="stable")]
+        j = np.arange(len(rows))
+        pos = (j % nb) * BLOCK + j // nb
+        order[c * tile_n + pos] = rows
         diff = m[rows].astype(np.float64) - centroids[c].astype(np.float64)
         r_max = float(np.sqrt((diff * diff).sum(axis=1)).max())
         radii[c] = np.float32(r_max * _BOUND_SLACK + _BOUND_EPS)

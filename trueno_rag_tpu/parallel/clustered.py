@@ -39,7 +39,6 @@ from trueno_rag_tpu.ops.clustered import (
     dense_topk_compact_bf16r_clustered,
     prepare_clustered,
 )
-from trueno_rag_tpu.ops.dense import NEG_INF
 from trueno_rag_tpu.ops.dense_tiered import prepare_residual, prepare_tiered
 from trueno_rag_tpu.parallel.compact import merge_bounded_candidates
 
@@ -80,6 +79,9 @@ def sharded_clustered_topk(
             q, mb, el, al, ri, rs, e2, v, k, cent[0], rad[0],
             probe_tiles=probe_tiles, row_map=rmap, metric=metric,
             tile_n=tile_n, fetch=fetch, interpret=interpret,
+            # concentrated top-k needs t_top >= k; kernel pool caps at
+            # 16 (2 per 128-block x 8 blocks) — see ops/clustered.py
+            t_top=min(max(8, k), 16),
             tags=tag_args if tag_args else None, return_bounds=True,
         )
         shard = jax.lax.axis_index(axis)
@@ -142,7 +144,11 @@ class ShardedClusteredIndex:
             interpret = jax.devices()[0].platform not in ("tpu", "axon")
         self.interpret = interpret
         if metric not in ("cosine", "dot"):
-            raise ValueError("clustered sharding supports cosine/dot metrics")
+            from trueno_rag_tpu.errors import InvalidConfigError
+
+            raise InvalidConfigError(
+                "clustered sharding supports cosine/dot metrics"
+            )
         s = mesh.shape[axis]
         self.rows_per_shard = rps = -(-n // s)
         if metric == "cosine" and not rows_normalized:
@@ -169,7 +175,7 @@ class ShardedClusteredIndex:
             bv[: hi - lo] = v_host[lo:hi]
             order, cent, rad = prepare_clustered(
                 block, tile_n=self.tile_n, metric=metric, iters=kmeans_iters,
-                seed=i,
+                seed=i, valid=bv,  # shard padding must not join tiles
             )
             mp = apply_cluster_order(block, order)
             vp = apply_cluster_order(bv, order, fill=False)
@@ -230,7 +236,9 @@ class ShardedClusteredIndex:
         tags = None
         if tag_masks is not None:
             if self.tags is None:
-                raise ValueError("tag_masks given but no tags were set")
+                from trueno_rag_tpu.errors import InvalidConfigError
+
+                raise InvalidConfigError("tag_masks given but no tags were set")
             tags = (
                 self.tags,
                 jnp.asarray(np.asarray(tag_masks[0], np.int32)),
@@ -247,30 +255,11 @@ class ShardedClusteredIndex:
         misses = int((~ok_np).sum())
         self.uncertified += misses
         if misses and self._host is not None:
-            # exact host patch (float64 accumulation, score desc/row asc
-            # ties) — identical to ShardedCompactIndex.search's
-            s_np, r_np = np.asarray(s).copy(), np.asarray(r).copy()
-            qn = np.asarray(q, dtype=np.float64)
-            if self.metric == "cosine":
-                norms = np.linalg.norm(qn, axis=1, keepdims=True)
-                qn = qn / np.where(norms == 0.0, 1.0, norms)
-            for i in np.flatnonzero(~ok_np):
-                scores = self._host.astype(np.float64) @ qn[i]
-                scores[~self._valid_host] = -np.inf
-                if tag_masks is not None:
-                    bits = self._tags_host
-                    t_all = int(np.asarray(tag_masks[0])[i])
-                    t_any = int(np.asarray(tag_masks[1])[i])
-                    t_none = int(np.asarray(tag_masks[2])[i])
-                    allowed = (bits & t_all) == t_all
-                    allowed &= (t_any == 0) | ((bits & t_any) != 0)
-                    allowed &= (bits & t_none) == 0
-                    scores[~allowed] = -np.inf
-                order = np.argsort(-scores, kind="stable")[:k]
-                live = np.isfinite(scores[order])
-                r_np[i, : len(order)] = np.where(live, order, -1)
-                s_np[i, : len(order)] = np.where(
-                    live, scores[order], NEG_INF
-                ).astype(np.float32)
-            return jnp.asarray(s_np), jnp.asarray(r_np), jnp.ones_like(ok)
+            from trueno_rag_tpu.parallel.compact import host_exact_patch
+
+            s_p, r_p = host_exact_patch(
+                self._host, self._valid_host, self._tags_host, self.metric,
+                q, s, r, ok_np, k, tag_masks=tag_masks,
+            )
+            return s_p, r_p, jnp.ones_like(ok)
         return s, r, ok

@@ -106,6 +106,53 @@ def merge_bounded_candidates(s, r_glob, err, rhs, k: int, axis: str):
     return s_top, r_out, ok
 
 
+def host_exact_patch(
+    host: np.ndarray,  # [n, d] f32 original-order rows
+    valid_host: np.ndarray,  # [n] bool
+    tags_host,  # [n] int32 or None
+    metric: str,
+    q,  # [B, d] (device or host)
+    s,  # [B, k] device scores
+    r,  # [B, k] device rows (GLOBAL original ids)
+    ok_np: np.ndarray,  # [B] bool — False entries get patched
+    k: int,
+    tag_masks=None,
+):
+    """Exact host re-run for uncertified queries: float64 accumulation,
+    (score desc, row asc) ties — the same true-score order the
+    certificate proves for certified queries (mirrors
+    VectorStore._host_exact_patch). Shared by the compact and clustered
+    sharded indexes. → (scores, rows) jnp arrays with the bad entries
+    replaced."""
+    s_np, r_np = np.asarray(s).copy(), np.asarray(r).copy()
+    qn = np.asarray(q, dtype=np.float64)
+    if metric == "cosine":
+        norms = np.linalg.norm(qn, axis=1, keepdims=True)
+        qn = qn / np.where(norms == 0.0, 1.0, norms)
+    for i in np.flatnonzero(~ok_np):
+        scores = host.astype(np.float64) @ qn[i]
+        scores[~valid_host] = -np.inf
+        if tag_masks is not None:
+            bits = tags_host
+            t_all = int(np.asarray(tag_masks[0])[i])
+            t_any = int(np.asarray(tag_masks[1])[i])
+            t_none = int(np.asarray(tag_masks[2])[i])
+            allowed = (bits & t_all) == t_all
+            allowed &= (t_any == 0) | ((bits & t_any) != 0)
+            allowed &= (bits & t_none) == 0
+            scores[~allowed] = -np.inf
+        order = np.argsort(-scores, kind="stable")[:k]
+        live = np.isfinite(scores[order])
+        r_np[i, : len(order)] = np.where(live, order, -1)
+        s_np[i, : len(order)] = np.where(
+            live, scores[order], NEG_INF
+        ).astype(np.float32)
+        if len(order) < k:
+            r_np[i, len(order):] = -1
+            s_np[i, len(order):] = NEG_INF
+    return jnp.asarray(s_np), jnp.asarray(r_np)
+
+
 def sharded_compact_topk(
     queries: jax.Array,  # [B, d] f32, replicated
     m_bf16: jax.Array,  # [N, d] bf16, sharded P(axis, None)
@@ -203,7 +250,9 @@ class ShardedCompactIndex:
         if n_pad != n:
             matrix = np.pad(matrix, ((0, n_pad - n), (0, 0)))
         if metric not in ("cosine", "dot"):
-            raise ValueError("compact sharding supports cosine/dot metrics")
+            from trueno_rag_tpu.errors import InvalidConfigError
+
+            raise InvalidConfigError("compact sharding supports cosine/dot metrics")
         v = np.zeros(n_pad, dtype=bool)
         v[:n] = True if valid is None else np.asarray(valid, dtype=bool)[:n]
         self._host = matrix[:n] if keep_host else None
@@ -255,7 +304,9 @@ class ShardedCompactIndex:
         tags = None
         if tag_masks is not None:
             if self.tags is None:
-                raise ValueError("tag_masks given but no tags were set")
+                from trueno_rag_tpu.errors import InvalidConfigError
+
+                raise InvalidConfigError("tag_masks given but no tags were set")
             tags = (
                 self.tags,
                 jnp.asarray(np.asarray(tag_masks[0], np.int32)),
@@ -271,35 +322,9 @@ class ShardedCompactIndex:
         misses = int((~ok_np).sum())
         self.uncertified += misses
         if misses and self._host is not None:
-            # exact host patch: float64 accumulation, (score desc, row
-            # asc) ties — the same true-score order the certificate
-            # proves for certified queries (mirrors
-            # VectorStore._host_exact_patch)
-            s_np, r_np = np.asarray(s).copy(), np.asarray(r).copy()
-            qn = np.asarray(q, dtype=np.float64)
-            if self.metric == "cosine":
-                norms = np.linalg.norm(qn, axis=1, keepdims=True)
-                qn = qn / np.where(norms == 0.0, 1.0, norms)
-            for i in np.flatnonzero(~ok_np):
-                scores = self._host.astype(np.float64) @ qn[i]
-                scores[~self._valid_host] = -np.inf
-                if tag_masks is not None:
-                    bits = self._tags_host
-                    t_all = int(np.asarray(tag_masks[0])[i])
-                    t_any = int(np.asarray(tag_masks[1])[i])
-                    t_none = int(np.asarray(tag_masks[2])[i])
-                    allowed = (bits & t_all) == t_all
-                    allowed &= (t_any == 0) | ((bits & t_any) != 0)
-                    allowed &= (bits & t_none) == 0
-                    scores[~allowed] = -np.inf
-                order = np.argsort(-scores, kind="stable")[:k]
-                live = np.isfinite(scores[order])
-                r_np[i, : len(order)] = np.where(live, order, -1)
-                s_np[i, : len(order)] = np.where(
-                    live, scores[order], NEG_INF
-                ).astype(np.float32)
-                if len(order) < k:
-                    r_np[i, len(order):] = -1
-                    s_np[i, len(order):] = NEG_INF
-            return jnp.asarray(s_np), jnp.asarray(r_np), jnp.ones_like(ok)
+            s_p, r_p = host_exact_patch(
+                self._host, self._valid_host, self._tags_host, self.metric,
+                q, s, r, ok_np, k, tag_masks=tag_masks,
+            )
+            return s_p, r_p, jnp.ones_like(ok)
         return s, r, ok

@@ -180,9 +180,15 @@ def save_index(path: str, retriever, embedder_info: Optional[Dict[str, Any]] = N
         "embedder": embedder_info or {},
         "tags": _tag_wire(reg, reg.ids()),
     }
-    if getattr(store, "_cluster", None) is not None:
+    if getattr(store, "_cluster", None) is not None and not store._dirty:
         # Clustered tier (ops/clustered.py): persist the k-means layout
         # so a load with scan_tier="clustered" skips re-clustering.
+        # ONLY when the store is clean — a mutation since the last
+        # clustered build leaves `_cluster` describing stale rows, and
+        # a load consuming it would scan against unsound radii / miss
+        # the mutated rows entirely while still certifying (the same
+        # reason _mark_dirty voids the in-memory preset). Dirty stores
+        # save without the layout; the loader re-clusters.
         # `order` entries are STORE rows; the artifact re-inserts chunks
         # in saved order (saved index i -> loaded row i), so remap store
         # row -> saved index. Tombstoned/hole entries become -1.

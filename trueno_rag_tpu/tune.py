@@ -177,7 +177,11 @@ def autotune_serving(
         try:
             for p in sorted(set(int(x) for x in candidates)):
                 if p < 1:
-                    raise ValueError(f"probe_tiles must be >= 1, got {p}")
+                    from trueno_rag_tpu.errors import InvalidConfigError
+
+                    raise InvalidConfigError(
+                        f"probe_tiles must be >= 1, got {p}"
+                    )
                 store.config.cluster_probe_tiles = p
                 t = _measure(retriever, queries[: best.batch_size], k, iters)
                 ptable.append(ProbePoint(probe_tiles=p, p50_ms=t * 1e3, qps=best.batch_size / t))
