@@ -15,7 +15,6 @@ Run: PYTHONPATH=.:$PYTHONPATH PALLAS_AXON_POOL_IPS= python examples/clustered_se
 import numpy as np
 
 from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
-from trueno_rag_tpu.embed import MockEmbedder
 from trueno_rag_tpu.index import VectorStore, VectorStoreConfig
 
 TOPICS = ["volcanoes", "tpu kernels", "deep sea", "medieval trade"]
