@@ -293,3 +293,32 @@ def test_one_bad_item_does_not_poison_the_microbatch():
         assert all(results[f"q{i}"] for i in range(3))
     finally:
         batcher.shutdown()
+
+
+def test_unknown_filter_key_fails_closed(server):
+    """A typo'd filter key must be a 400, never a silent no-op filter
+    that returns documents the caller meant to exclude."""
+    status, data = _post(server + "/query",
+                         {"query": "fox", "k": 2, "filter": {"anyof": ["x"]}})
+    assert status == 400
+    assert "anyof" in data["error"]
+
+
+def test_bulk_queries_slice_to_max_batch(server):
+    """Bulk requests larger than max_batch split into tuned-size device
+    dispatches (no giant jit bucket, lock released between slices) with
+    results in order."""
+    qs = [f"fox number {i}" for i in range(23)]  # > max_batch=8 fixture
+    status, data = _post(server + "/query", {"queries": qs, "k": 1})
+    assert status == 200
+    assert len(data["batches"]) == 23
+
+
+def test_status_mapping():
+    from trueno_rag_tpu.errors import QueryError
+    from trueno_rag_tpu.serve import _status_for
+
+    assert _status_for(TimeoutError("queue")) == 503
+    assert _status_for(QueryError("bad")) == 400
+    assert _status_for(ValueError("bad")) == 400
+    assert _status_for(RuntimeError("device wedged")) == 500

@@ -60,9 +60,11 @@ def test_autotune_latency_budget_filters(retriever):
 
 
 def test_autotune_rejects_bad_inputs(retriever):
-    with pytest.raises(ValueError):
+    from trueno_rag_tpu.errors import InvalidConfigError
+
+    with pytest.raises(InvalidConfigError):
         autotune_serving(retriever, batch_sizes=())
-    with pytest.raises(ValueError):
+    with pytest.raises(InvalidConfigError):
         autotune_serving(retriever, batch_sizes=(0,), iters=1)
 
 

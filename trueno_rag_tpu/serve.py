@@ -81,6 +81,7 @@ class _Pending:
     event: threading.Event = field(default_factory=threading.Event)
     results: Optional[List[RetrievalResult]] = None
     error: Optional[Exception] = None
+    cancelled: bool = False  # set by a timed-out caller; never dispatched
 
 
 class MicroBatcher:
@@ -101,6 +102,7 @@ class MicroBatcher:
         self.queries_served = 0
         self._latencies_ms: List[float] = []  # ring buffer of batch latencies
         self._lat_lock = threading.Lock()
+        self._stats_lock = threading.Lock()  # served counters (multi-thread)
 
     def query(self, query: str, k: int = 5, timeout: float = 30.0,
               tag_filter=None) -> List[RetrievalResult]:
@@ -113,6 +115,12 @@ class MicroBatcher:
         item = _Pending(query=query, k=k, tag_filter=tag_filter)
         self._queue.put(item)
         if not item.event.wait(timeout):
+            # mark dead so the worker skips it: under sustained overload
+            # an unbounded queue otherwise degrades into the device
+            # answering only requests nobody is waiting for (congestion
+            # collapse). Benign race: an item already mid-dispatch just
+            # completes unobserved.
+            item.cancelled = True
             raise TimeoutError("query timed out in the batching queue")
         if item.error is not None:
             raise item.error
@@ -137,6 +145,9 @@ class MicroBatcher:
                     batch.append(self._queue.get(timeout=remaining))
                 except queue.Empty:
                     break
+            batch = [i for i in batch if not i.cancelled]
+            if not batch:
+                continue
             k = max(item.k for item in batch)
             # per-item filters ride the shared batch; all-None skips the
             # tagged code path entirely
@@ -167,20 +178,38 @@ class MicroBatcher:
                         item.error = e
             finally:
                 self._record_latency((time.perf_counter() - t_start) * 1e3)
-                self.batches_served += 1
-                self.queries_served += len(batch)
+                with self._stats_lock:
+                    self.batches_served += 1
+                    self.queries_served += len(batch)
                 for item in batch:
                     item.event.set()
 
     def retrieve_batch(self, queries: List[str], k: int,
                        tag_filter=None) -> List[List[RetrievalResult]]:
         """Bulk retrieval sharing the worker's retriever lock (the
-        retriever's lazy snapshot refresh is not thread-safe)."""
-        with self._retriever_lock:
-            batches = self.retriever.retrieve_batch(queries, k, tag_filter=tag_filter)
-        self.batches_served += 1
-        self.queries_served += len(queries)
-        return batches
+        retriever's lazy snapshot refresh is not thread-safe).
+
+        Sliced to ``max_batch`` per device dispatch: an unbounded bulk
+        request would otherwise pad to a giant power-of-two jit bucket
+        (fresh multi-second compile, possible device OOM) and hold the
+        lock for the whole call, starving every coalesced single-query
+        request past its timeout. Slicing keeps device batches inside
+        the tuned envelope and releases the lock between slices."""
+        out: List[List[RetrievalResult]] = []
+        is_list = isinstance(tag_filter, (list, tuple))
+        for lo in range(0, len(queries), self.max_batch):
+            sl = slice(lo, lo + self.max_batch)
+            tf = list(tag_filter[sl]) if is_list else tag_filter
+            if is_list and all(f is None for f in tf):
+                tf = None
+            with self._retriever_lock:
+                out.extend(self.retriever.retrieve_batch(
+                    queries[sl], k, tag_filter=tf
+                ))
+            with self._stats_lock:
+                self.batches_served += 1
+                self.queries_served += len(queries[sl])
+        return out
 
     def _record_latency(self, ms: float) -> None:
         with self._lat_lock:
@@ -223,12 +252,36 @@ def _tier_stats(retriever) -> Dict[str, object]:
         "uncertified_queries": int(store.compact_uncertified),
     }
 
+def _status_for(exc: Exception) -> int:
+    """HTTP status for a failed request: client errors are 4xx, queue
+    saturation/timeouts are 503 (retryable elsewhere), anything else is
+    a 500 — so load balancers fail over on overload instead of treating
+    every server-side failure as the client's fault."""
+    from trueno_rag_tpu.errors import RagError
+
+    if isinstance(exc, TimeoutError):
+        return 503
+    if isinstance(exc, (RagError, KeyError, TypeError, ValueError)):
+        return 400
+    return 500
+
+
 def _parse_filter(spec):
-    """{"all": [...], "any": [...], "none": [...]} → TagFilter."""
+    """{"all": [...], "any": [...], "none": [...]} → TagFilter.
+
+    FAIL-CLOSED on unknown keys: a typo like {"anyof": [...]} must not
+    silently become an unconstrained filter that leaks every tenant's
+    documents — it is rejected as a client error instead."""
     if not spec:
         return None
+    from trueno_rag_tpu.errors import QueryError
     from trueno_rag_tpu.retrieve import TagFilter
 
+    unknown = set(spec) - {"all", "any", "none"}
+    if unknown:
+        raise QueryError(
+            f"unknown filter key(s) {sorted(unknown)}; expected all/any/none"
+        )
     return TagFilter(
         all=tuple(spec.get("all", ())),
         any=tuple(spec.get("any", ())),
@@ -319,7 +372,7 @@ def make_handler(batcher: MicroBatcher, index_loader=None):
                 else:
                     self._send(400, {"error": "missing 'query' or 'queries'"})
             except Exception as e:  # noqa: BLE001 — JSON error responses
-                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                self._send(_status_for(e), {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
 
@@ -422,7 +475,7 @@ class DeviceIPCServer:
                 return self._reload()
             return ("err", 400, f"unknown op {op!r}")
         except Exception as e:  # noqa: BLE001 — JSON error responses
-            return ("err", 400, f"{type(e).__name__}: {e}")
+            return ("err", _status_for(e), f"{type(e).__name__}: {e}")
 
     def _reload(self) -> tuple:
         if self._index_loader is None:
@@ -579,7 +632,13 @@ def run_server(retriever, host: str = "127.0.0.1", port: int = 8080,
         for p in tuned.table:
             print(f"  batch {p.batch_size:4d}: p50 {p.p50_ms:8.2f} ms  {p.qps:10,.0f} q/s")
     if warm:
-        prewarm(retriever, int(max_batch), k=autotune_k)
+        # corpus-sampled warm queries compile the wide-gather buckets a
+        # generic string never reaches (their first compiles otherwise
+        # land on live traffic as multi-second p99 outliers)
+        from trueno_rag_tpu.tune import calibration_queries
+
+        prewarm(retriever, int(max_batch), k=autotune_k,
+                sample_queries=calibration_queries(retriever, 16))
     batcher = MicroBatcher(retriever, max_batch=int(max_batch), max_wait_ms=max_wait_ms)
     endpoints = "POST /query, GET /health" + (", POST /reload" if index_loader else "")
     if workers:
@@ -592,7 +651,13 @@ def run_server(retriever, host: str = "127.0.0.1", port: int = 8080,
         def _sigterm(*_):
             raise SystemExit(0)
 
-        signal.signal(signal.SIGTERM, _sigterm)
+        try:
+            signal.signal(signal.SIGTERM, _sigterm)
+        except ValueError:
+            # signal handlers only install on the main thread; embedded
+            # callers running run_server on a worker thread keep the
+            # lifeline watchdog as the reaping backstop
+            pass
         mp_server = MultiProcessServer(batcher, host, port, workers,
                                        index_loader)
         print(f"serving {len(retriever)} chunks on "

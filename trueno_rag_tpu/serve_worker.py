@@ -102,7 +102,14 @@ def _worker_main(host: str, port: int, sock_path: str) -> None:
 
     def device_call(frame):
         """Send one frame on this thread's persistent connection,
-        reconnecting once if the device process recycled it."""
+        reconnecting once if the device process recycled it.
+
+        Retries only IDEMPOTENT ops: a broken connection does not say
+        whether the device already executed the frame, so re-sending a
+        reload would run the (possibly minutes-long, state-changing)
+        index load twice back-to-back. Queries/health re-execute
+        harmlessly (results are pure; only the served counters move)."""
+        retriable = frame[0] in ("query", "batch", "health")
         conn = getattr(tls, "conn", None)
         for attempt in (0, 1):
             try:
@@ -121,7 +128,7 @@ def _worker_main(host: str, port: int, sock_path: str) -> None:
                 except Exception:  # noqa: BLE001 — already broken
                     pass
                 tls.conn = conn = None
-                if attempt:
+                if attempt or not retriable:
                     raise
         raise ConnectionError("unreachable")
 

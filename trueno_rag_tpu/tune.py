@@ -140,13 +140,15 @@ def autotune_serving(
     third of the compute it saves costs more latency than it buys
     throughput.
     """
+    from trueno_rag_tpu.errors import InvalidConfigError
+
     if not batch_sizes:
-        raise ValueError("batch_sizes must be non-empty")
+        raise InvalidConfigError("batch_sizes must be non-empty")
     queries = calibration_queries(retriever, max(batch_sizes), seed=seed)
     table: List[BatchPoint] = []
     for bsz in sorted(set(int(b) for b in batch_sizes)):
         if bsz <= 0:
-            raise ValueError(f"batch size must be positive, got {bsz}")
+            raise InvalidConfigError(f"batch size must be positive, got {bsz}")
         t = _measure(retriever, queries[:bsz], k, iters)
         table.append(BatchPoint(batch_size=bsz, p50_ms=t * 1e3, qps=bsz / t))
 
@@ -177,8 +179,6 @@ def autotune_serving(
         try:
             for p in sorted(set(int(x) for x in candidates)):
                 if p < 1:
-                    from trueno_rag_tpu.errors import InvalidConfigError
-
                     raise InvalidConfigError(
                         f"probe_tiles must be >= 1, got {p}"
                     )
@@ -188,10 +188,21 @@ def autotune_serving(
         except BaseException:
             store.config.cluster_probe_tiles = original
             raise
+        # the sweep honors the same latency budget as the batch table,
+        # and the straggler wait re-derives from the WINNING point —
+        # otherwise the sweep could install a probe whose p50 violates
+        # the caller's budget while max_wait_ms stays pinned to the
+        # stale pre-sweep latency
+        pfeasible = ptable
+        if latency_budget_ms is not None:
+            pfeasible = [x for x in ptable if x.p50_ms <= latency_budget_ms]
+            if not pfeasible:
+                pfeasible = [min(ptable, key=lambda x: x.p50_ms)]
         # prefer the LARGER probe on a throughput tie: more queries
         # certify on-device, fewer ride the host patch
-        win = max(ptable, key=lambda x: (x.qps, x.probe_tiles))
+        win = max(pfeasible, key=lambda x: (x.qps, x.probe_tiles))
         store.config.cluster_probe_tiles = win.probe_tiles
         result.probe_tiles = win.probe_tiles
         result.probe_table = ptable
+        result.max_wait_ms = 0.3 * win.p50_ms
     return result
