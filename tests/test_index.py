@@ -374,3 +374,38 @@ def test_bm25_blocks_fallback_past_f32_rows(monkeypatch):
     assert idx._snap["blocks"] is None and idx._snap["packed"] is not None
     host = idx.search_host("alpha beta", 3)
     assert [r[0] for r in res] == [h[0] for h in host]
+
+
+def test_custom_stopwords_survive_persistence_roundtrip():
+    """Regression (review r3): the stopword set is part of the
+    tokenization contract — a reloaded index must strip the SAME terms
+    it indexed, or scores silently diverge."""
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+    from trueno_rag_tpu.index import BM25Index
+
+    idx = BM25Index(stopwords=frozenset(), use_native=False)  # index 'the'
+    idx.add(Chunk(document_id="d", content="the the quick fox", start_offset=0,
+                  end_offset=17, metadata=ChunkMetadata(), id=chunk_id_from_int(1)))
+    before = idx.search("the", 3)
+    assert before, "'the' must be searchable with empty stopwords"
+
+    blob = idx.to_compressed_bytes()
+    loaded = BM25Index.from_compressed_bytes(blob, registry=idx.registry)
+    assert loaded.search("the", 3) == before
+    assert loaded.stopwords == frozenset()
+
+
+def test_use_native_true_raises_when_unavailable(monkeypatch):
+    """Regression (review r3): an explicit use_native=True must not
+    silently degrade to the Python ingest path."""
+    import trueno_rag_tpu.native as native
+    from trueno_rag_tpu.errors import InvalidConfigError
+    from trueno_rag_tpu.index import BM25Index
+
+    monkeypatch.setattr(native, "native_available", lambda: False)
+    monkeypatch.setattr(native, "native_build_error", lambda: "simulated")
+    with pytest.raises(InvalidConfigError):
+        BM25Index(use_native=True)
+    # auto-detect still degrades gracefully
+    idx = BM25Index()
+    assert idx._native_builder is None

@@ -418,3 +418,40 @@ def test_mmr_in_pipeline():
     res = pipe.query("quick fox matrices", k=3)
     assert len(res) == 3
     assert all(r.rerank_score is not None for r in res)
+
+
+def test_index_is_atomic_on_bad_embedding():
+    """Regression (review r3): a chunk that fails dense validation must
+    not leave BM25 postings behind (a half-indexed ghost that sparse
+    retrieval serves)."""
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+    from trueno_rag_tpu.embed import MockEmbedder
+    from trueno_rag_tpu.errors import VectorStoreError
+    from trueno_rag_tpu.retrieve import HybridRetriever
+
+    retr = HybridRetriever(MockEmbedder(dimension=8))
+    bad = Chunk(document_id="d", content="ghost entry terms", start_offset=0,
+                end_offset=5, metadata=ChunkMetadata(), id=chunk_id_from_int(7))
+    with pytest.raises(VectorStoreError):
+        retr.index(bad)  # no embedding
+    assert len(retr) == 0
+    assert retr.sparse_index.search("ghost", 3) == []
+    with pytest.raises(VectorStoreError):
+        retr.index_batch([bad])
+    assert retr.sparse_index.search("ghost", 3) == []
+
+
+def test_fused_true_with_disabled_source_raises():
+    """Regression (review r3): the explicit-fused contract raises
+    loudly everywhere; a disabled source must not silently degrade it
+    to the staged path."""
+    from trueno_rag_tpu.embed import MockEmbedder
+    from trueno_rag_tpu.errors import QueryError
+    from trueno_rag_tpu.retrieve import HybridRetriever, HybridRetrieverConfig
+
+    retr = HybridRetriever(
+        MockEmbedder(dimension=8),
+        config=HybridRetrieverConfig(fused=True, use_sparse=False),
+    )
+    with pytest.raises(QueryError):
+        retr.retrieve_batch(["q"], 3)

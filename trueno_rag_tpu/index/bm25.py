@@ -72,6 +72,16 @@ class BM25Index:
                     self._native_builder = NativeBM25Builder(
                         min_token_len=min_token_len, stopwords=stopwords
                     )
+                elif use_native is True:
+                    # an explicit demand must not silently degrade to
+                    # the O(n)-Python ingest path
+                    from trueno_rag_tpu.errors import InvalidConfigError
+                    from trueno_rag_tpu.native import native_build_error
+
+                    raise InvalidConfigError(
+                        f"use_native=True but the native builder is "
+                        f"unavailable: {native_build_error()}"
+                    )
             except Exception:
                 if use_native is True:
                     raise
@@ -461,6 +471,11 @@ class BM25Index:
             "k1": self.k1,
             "b": self.b,
             "min_token_len": self.min_token_len,
+            # the stopword set is part of the index's tokenization
+            # contract: without it a reloaded index strips different
+            # terms from queries/removals than it indexed (silently
+            # wrong scores, stale postings on replacement)
+            "stopwords": sorted(self.stopwords),
             "postings": {t: {str(r): tf for r, tf in p.items()} for t, p in self._postings.items()},
             "doc_len": {str(r): l for r, l in self._doc_len.items()},
             "total_len": self._total_len,
@@ -486,6 +501,8 @@ class BM25Index:
         self.k1 = float(d["k1"])
         self.b = float(d["b"])
         self.min_token_len = int(d.get("min_token_len", 2))
+        if "stopwords" in d:  # absent in pre-round-2 artifacts: keep current
+            self.stopwords = frozenset(d["stopwords"])
         self._postings = {
             t: {int(r): int(tf) for r, tf in p.items()} for t, p in d["postings"].items()
         }

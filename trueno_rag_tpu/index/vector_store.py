@@ -242,12 +242,20 @@ class VectorStore:
 
     # -- mutation ------------------------------------------------------------
 
-    def insert(self, chunk: Chunk) -> None:
+    def validate_chunk(self, chunk: Chunk) -> None:
+        """Raise exactly what :meth:`insert` would, WITHOUT mutating
+        anything — callers that write to several stores (the hybrid
+        retriever's BM25-then-dense order) validate first so a bad
+        chunk fails atomically instead of half-indexing."""
         if chunk.embedding is None:
             raise VectorStoreError(f"chunk {chunk.id} has no embedding")
         emb = np.asarray(chunk.embedding, dtype=np.float32)
         if emb.shape != (self.config.dimension,):
             raise DimensionMismatchError(self.config.dimension, int(emb.shape[-1]) if emb.ndim else 0)
+
+    def insert(self, chunk: Chunk) -> None:
+        self.validate_chunk(chunk)
+        emb = np.asarray(chunk.embedding, dtype=np.float32)
         row = self.registry.add(chunk)
         self._ensure_capacity(row + 1)
         if self.config.metric == DistanceMetric.COSINE:

@@ -21,6 +21,14 @@ Scoring math matches the reference exactly (index.rs:136-154):
 ``idf = ln((N - df + 0.5) / (df + 0.5) + 1)`` and
 ``tf_norm = tf * (k1 + 1) / (tf + k1 * (1 - b + b * len/avglen))``;
 only candidates with score > 0 are returned (index.rs:231).
+
+Precision note: the candidate tail sums equal-row runs as an f32
+cumsum DIFFERENCE across the whole candidate panel, so a row's score
+carries rounding proportional to the panel's cumulative contribution
+mass (~mass·2⁻²³), not just its own few terms — near-ties inside that
+envelope can order differently from the per-row host oracle on very
+heavy panels (the parity tests use rel=1e-4 accordingly; exact ties
+are already unordered in the reference, index.rs:231-243).
 """
 
 from __future__ import annotations
@@ -92,7 +100,11 @@ def pack_posting_blocks(
     rows = np.asarray(rows, dtype=np.int32)
     p = len(rows)
     if p and int(rows.max()) >= MAX_BLOCK_ROWS:
-        raise ValueError("row ids exceed f32-exact range; use the segment path")
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(
+            "row ids exceed f32-exact range; use the segment path"
+        )
     tfs32 = np.asarray(tfs, dtype=np.float32)
     dl32 = np.asarray(doc_len, dtype=np.float32)[rows]
     idf32 = np.asarray(idf, dtype=np.float32)[np.asarray(term_of_posting, dtype=np.int64)]
@@ -200,9 +212,15 @@ def pack_postings(rows, tfs, doc_len, idf, term_of_posting) -> "jnp.ndarray":
     import numpy as np
 
     rows = np.asarray(rows, dtype=np.int32)
-    # SEGMENT_LEN rows of padding so segment slices never read OOB; the
-    # padding's row bits decode to int32 max-sentinel with zero tf.
+    # SEGMENT_LEN rows of padding so segment slices never read OOB. The
+    # padding's row bits are WRITTEN as the int32 max-sentinel (zeros
+    # would bitcast to real row 0) — seg_lens always mask padding lanes
+    # today, but the sentinel makes the invariant true rather than
+    # merely documented.
     packed = np.zeros((len(rows) + SEGMENT_LEN, 4), dtype=np.float32)
+    packed[len(rows):, 0] = np.full(
+        SEGMENT_LEN, np.iinfo(np.int32).max, np.int32
+    ).view(np.float32)
     packed[: len(rows), 0] = rows.view(np.float32)
     packed[: len(rows), 1] = np.asarray(tfs, dtype=np.float32)
     packed[: len(rows), 2] = np.asarray(doc_len, dtype=np.float32)[rows]

@@ -84,9 +84,11 @@ class TagFilter:
     """Metadata filter over chunk tags (strings; see
     :meth:`ChunkRegistry.set_tags`): results must carry ALL of ``all``,
     at least one of ``any`` (when non-empty), and NONE of ``none``.
-    Resolution to 32-bit masks happens per dispatch; a filter naming an
-    unknown tag in ``all``/``any`` matches nothing (empty results), an
-    unknown tag in ``none`` is a no-op."""
+    Resolution to 32-bit masks happens per dispatch; an unknown tag in
+    ``all`` matches nothing (empty results); an unknown tag in ``any``
+    matches nothing itself but KNOWN alternatives still match (only an
+    all-unknown ``any`` empties the results); an unknown tag in
+    ``none`` is a no-op."""
 
     all: Tuple[str, ...] = ()
     any: Tuple[str, ...] = ()
@@ -95,8 +97,11 @@ class TagFilter:
 
 def resolve_tag_filters(registry, tag_filter, b: int):
     """Resolve TagFilter(s) to three int32 mask arrays of length
-    ``b``. Unknown tags in all/any make that query's filter impossible
-    (the reserved bit-31 marker matches no chunk)."""
+    ``b``. Unknown-tag semantics (OR/AND-consistent): an unknown tag in
+    ``all`` makes the filter impossible (the reserved bit-31 marker
+    matches no chunk); an unknown tag in ``any`` simply matches nothing
+    — the KNOWN alternatives still match — and only an all-unknown
+    ``any`` is impossible; unknown tags in ``none`` exclude nothing."""
     from trueno_rag_tpu.index.base import IMPOSSIBLE_BIT
 
     filters = (
@@ -165,7 +170,10 @@ class HybridRetriever:
         Order matters: the sparse index goes FIRST — replacing an
         existing chunk id requires re-tokenizing the OLD content to
         clear its postings, and inserting into the vector store swaps
-        the new chunk into the shared registry."""
+        the new chunk into the shared registry. The embedding is
+        validated BEFORE either store mutates, so a bad chunk fails
+        atomically instead of leaving a BM25-only half-index."""
+        self.vector_store.validate_chunk(chunk)
         self.sparse_index.add(chunk)
         self.vector_store.insert(chunk)
         if tags is not None:
@@ -174,7 +182,9 @@ class HybridRetriever:
     def index_batch(self, chunks: Sequence[Chunk], tags: Optional[Sequence[str]] = None) -> None:
         # Bulk sparse path engages the native C++ builder (one FFI call);
         # sparse before dense for the same replacement-ordering reason
-        # as index().
+        # as index(); validation first for the same atomicity reason.
+        for chunk in chunks:
+            self.vector_store.validate_chunk(chunk)
         self.sparse_index.add_batch(chunks)
         self.vector_store.insert_many(chunks)
         if tags is not None:
@@ -195,17 +205,12 @@ class HybridRetriever:
         return resolve_tag_filters(self.registry, tag_filter, b)
 
     def _device_tag_bits(self, n_rows: int):
-        """Capacity-sized device copy of the per-row tag masks,
-        refreshed when the registry's tags change."""
-        import jax.numpy as jnp
-
-        cached = getattr(self, "_tag_cache", None)
-        version = self.registry.tags_version
-        if cached is not None and cached[0] == version and cached[1].shape[0] == n_rows:
-            return cached[1]
-        bits = jnp.asarray(self.registry.tags_host(n_rows))
-        self._tag_cache = (version, bits)
-        return bits
+        """Capacity-sized device copy of the per-row tag masks —
+        delegated to the vector store's version-keyed cache (one host
+        build + one upload per tags edit, not two; the store's capacity
+        equals every call site's n_rows by construction)."""
+        del n_rows  # the store's capacity IS the row space
+        return self.vector_store._device_tag_bits()
 
     # -- retrieval ---------------------------------------------------------------
 
@@ -233,13 +238,22 @@ class HybridRetriever:
             return []
         if any(not q.strip() for q in queries):
             raise QueryError("empty query")
-        if len(self.registry) == 0:
-            return [[] for _ in queries]
-        cand = self.config.candidates_per_source
         use_dense = self.config.use_dense
         use_sparse = self.config.use_sparse
         if not use_dense and not use_sparse:
             raise QueryError("both retrieval sources disabled")
+        if self.config.fused is True and not (use_dense and use_sparse):
+            # the explicit-fused contract raises loudly everywhere else
+            # (non-JAX embedder, compact store) — a disabled source must
+            # not silently degrade it to the staged path; config errors
+            # surface regardless of corpus state
+            raise QueryError(
+                "fused=True requires BOTH sources (use_dense and "
+                "use_sparse); disable fused or enable the source"
+            )
+        if len(self.registry) == 0:
+            return [[] for _ in queries]
+        cand = self.config.candidates_per_source
         fusion_strategy = fusion or self.config.fusion
         if use_dense and use_sparse and self.config.fused is not False:
             from trueno_rag_tpu.models.encoder import JaxEncoderEmbedder
@@ -262,7 +276,15 @@ class HybridRetriever:
                 # or compact) the staged tiered hybrid below is faster
                 # (the certified scan beats the fp32 matmul by ~2.4x at
                 # 1M) with identical results.
-                if self.vector_store._effective_tier() == "none":
+                self.sparse_index._refresh_snapshot()
+                if (
+                    self.vector_store._effective_tier() == "none"
+                    and self.sparse_index._snap["blocks"] is not None
+                ):
+                    # auto only: when the corpus outgrew the block-table
+                    # BM25 layout (>= 2**24 rows), the staged path below
+                    # serves the query instead of raising the explicit
+                    # fused=True contract error
                     return self.retrieve_batch_fused(
                         queries, k, fusion=fusion, tag_filter=tag_filter
                     )
