@@ -208,3 +208,79 @@ def test_snippet_clips_long_sentences():
     assert out is not None and len(out) <= 60
     assert _best_snippet("", "content here.") is None
     assert _best_snippet("zzz", "no match at all.") is None
+
+
+TEXTS = [
+    "retrieval search over dense and sparse indexes",
+    "token budget context assembly for language models",
+    "tensor processing units multiply large matrices",
+    "document chunking with exact offsets",
+]
+
+
+def test_query_batch_matches_single_with_preprocessor():
+    """Regression (review r3): the batch path must run the SAME
+    preprocessing as the single path — switching to query_batch for
+    throughput must never change rankings."""
+    from trueno_rag_tpu.preprocess import KeywordExpander, MultiQueryPreprocessor
+
+    emb = TfIdfEmbedder(32).fit(TEXTS)
+    pipe = (RagPipelineBuilder().with_embedder(emb)
+            .with_reranker(NoOpReranker())
+            .with_preprocessor(MultiQueryPreprocessor(KeywordExpander()))
+            .build())
+    pipe.index_documents([Document(t) for t in TEXTS])
+    qs = ["retrieval search", "token budget"]
+    single = [[r.chunk.id for r in pipe.query(q, 3)] for q in qs]
+    batch = [[r.chunk.id for r in b] for b in pipe.query_batch(qs, 3)]
+    assert batch == single
+
+
+def test_index_documents_rejects_flat_tag_strings():
+    """Regression (review r3): ['news', 'sports'] must fail closed —
+    iterating the string would register per-CHARACTER tags."""
+    from trueno_rag_tpu.errors import InvalidConfigError
+
+    emb = TfIdfEmbedder(16).fit(TEXTS)
+    pipe = (RagPipelineBuilder().with_embedder(emb)
+            .with_reranker(NoOpReranker()).build())
+    with pytest.raises(InvalidConfigError):
+        pipe.index_documents([Document(TEXTS[0]), Document(TEXTS[1])],
+                             tags=["news", "sports"])
+    assert pipe.chunk_count == 0  # nothing half-ingested
+
+
+def test_builder_does_not_mutate_caller_config():
+    """Regression (review r3): with_fusion must not rewrite the fusion
+    of a HybridRetrieverConfig the caller still holds."""
+    from trueno_rag_tpu.fusion import FusionStrategy
+    from trueno_rag_tpu.retrieve import HybridRetrieverConfig
+
+    cfg = HybridRetrieverConfig(fusion=FusionStrategy.linear(0.5))
+    emb = TfIdfEmbedder(16).fit(TEXTS)
+    (RagPipelineBuilder().with_embedder(emb).with_reranker(NoOpReranker())
+     .with_retriever_config(cfg).with_fusion(FusionStrategy.rrf()).build())
+    assert cfg.fusion.kind == "linear"
+
+
+def test_chunk_ids_differ_across_fork():
+    """Regression (review r3): the pre-drawn randomness buffer must
+    reset in forked children or parallel ingest workers emit identical
+    'random' chunk ids."""
+    import os as _os
+
+    if not hasattr(_os, "fork"):
+        pytest.skip("no fork on this platform")
+    from trueno_rag_tpu.chunking import new_chunk_id
+
+    new_chunk_id()  # fill the parent's buffer
+    r, w = _os.pipe()
+    pid = _os.fork()
+    if pid == 0:  # child
+        _os.write(w, new_chunk_id().encode())
+        _os._exit(0)
+    _os.waitpid(pid, 0)
+    child_id = _os.read(r, 64).decode()
+    _os.close(r); _os.close(w)
+    parent_id = new_chunk_id()
+    assert child_id != parent_id

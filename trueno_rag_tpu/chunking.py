@@ -47,6 +47,19 @@ _ID_BUF = b""
 _ID_POS = 0
 
 
+def _reset_id_buffer() -> None:
+    """Drop the pre-drawn randomness after fork: a child inheriting the
+    parent's buffer would emit IDENTICAL "random" chunk ids (uuid4 reads
+    urandom per call and never has this failure mode)."""
+    global _ID_BUF, _ID_POS
+    _ID_BUF = b""
+    _ID_POS = 0
+
+
+if hasattr(os, "register_at_fork"):  # not on Windows
+    os.register_at_fork(after_in_child=_reset_id_buffer)
+
+
 def new_chunk_id() -> str:
     """Fresh random chunk id (uuid4 string).
 

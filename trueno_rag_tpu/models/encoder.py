@@ -156,7 +156,13 @@ def _block(x: jax.Array, mask: jax.Array, lp: Dict[str, jax.Array], num_heads: i
     """Post-LN transformer block (BERT/MiniLM convention)."""
     attn = _attention(x, mask, lp, num_heads)
     x = _layer_norm(x + attn, lp["ln1_scale"], lp["ln1_bias"])
-    hdn = jax.nn.gelu(jnp.dot(x, lp["mlp_w1"].astype(x.dtype)) + lp["mlp_b1"].astype(x.dtype))
+    # exact (erf) GELU: BERT/MiniLM/BGE checkpoints use it, and the
+    # default tanh approximation drifts ~1e-3 per activation — enough to
+    # flip near-tie rankings under REAL loaded weights
+    hdn = jax.nn.gelu(
+        jnp.dot(x, lp["mlp_w1"].astype(x.dtype)) + lp["mlp_b1"].astype(x.dtype),
+        approximate=False,
+    )
     out = jnp.dot(hdn, lp["mlp_w2"].astype(x.dtype)) + lp["mlp_b2"].astype(x.dtype)
     return _layer_norm(x + out, lp["ln2_scale"], lp["ln2_bias"])
 
@@ -261,6 +267,11 @@ class HashTokenizer:
         self._cache: Dict[str, int] = {}
 
     def _word_id(self, w: str) -> int:
+        if len(self._cache) > 262_144:
+            # long-lived serving over ID/URL-heavy corpora would grow
+            # the word cache without bound; the recompute it saves is
+            # ~1 µs, so dropping it wholesale is cheaper than an LRU
+            self._cache.clear()
         cached = self._cache.get(w)
         if cached is None:
             digest = hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest()
@@ -321,14 +332,30 @@ class JaxEncoderEmbedder(Embedder):
     ) -> None:
         super().__init__(embedding_config)
         self.encoder_config = config or EncoderConfig.minilm_l6()
-        if embedding_config is not None and embedding_config.pooling.value != self.encoder_config.pooling:
-            # an explicitly-passed EmbeddingConfig carries the pooling
-            # choice (reference semantics: pooling lives on EmbeddingConfig)
+        if embedding_config is not None:
+            # an explicitly-passed EmbeddingConfig carries the pooling /
+            # normalize / truncation choices (reference semantics: they
+            # live on EmbeddingConfig). Only NON-DEFAULT fields override
+            # the encoder config, so an explicit EncoderConfig(pooling=
+            # "cls") survives an EmbeddingConfig passed for its prefixes.
             import dataclasses
 
-            self.encoder_config = dataclasses.replace(
-                self.encoder_config, pooling=embedding_config.pooling.value
-            )
+            from trueno_rag_tpu.embed import EmbeddingConfig as _EC
+
+            defaults = _EC()
+            updates = {}
+            if embedding_config.pooling != defaults.pooling:
+                updates["pooling"] = embedding_config.pooling.value
+            if embedding_config.normalize != defaults.normalize:
+                updates["normalize"] = embedding_config.normalize
+            if embedding_config.max_length != defaults.max_length:
+                updates["max_len"] = min(
+                    embedding_config.max_length, self.encoder_config.max_len
+                )
+            if updates:
+                self.encoder_config = dataclasses.replace(
+                    self.encoder_config, **updates
+                )
         self.params = params if params is not None else init_encoder_params(
             jax.random.PRNGKey(seed), self.encoder_config
         )

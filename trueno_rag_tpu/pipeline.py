@@ -303,12 +303,21 @@ class RagPipeline:
         MXUs with neural embedders), then index both stores.
         ``tags``: optional per-document tag lists (parallel to
         ``documents``) for tag-filtered retrieval."""
-        if tags is not None and len(tags) != len(documents):
-            from trueno_rag_tpu.errors import InvalidConfigError
-
-            raise InvalidConfigError(
-                f"got {len(tags)} tag lists for {len(documents)} documents"
-            )
+        if tags is not None:
+            if len(tags) != len(documents):
+                raise InvalidConfigError(
+                    f"got {len(tags)} tag lists for {len(documents)} documents"
+                )
+            if any(isinstance(t, str) for t in tags):
+                # a flat ['news', 'sports'] mirrors the SINGULAR
+                # index_document signature but means per-DOCUMENT tag
+                # LISTS here; iterating a string would register each
+                # CHARACTER as a tag (silently wrong filters, possible
+                # vocabulary exhaustion mid-ingest) — fail closed
+                raise InvalidConfigError(
+                    "tags must be one tag LIST per document, e.g. "
+                    "[['news'], ['sports']] — got a flat string entry"
+                )
         all_chunks: List[Chunk] = []
         chunk_tags: List[Optional[Sequence[str]]] = []
         for i, d in enumerate(documents):
@@ -387,6 +396,20 @@ class RagPipeline:
 
     def query_batch(self, queries: Sequence[str], k: int = 5,
                     tag_filter=None) -> List[List[RetrievalResult]]:
+        """Batched :meth:`query` — SAME results per query as the single
+        path, including the configured preprocessor (variants of every
+        query flatten into one device batch; per-query RRF fuses them),
+        so switching to the batch API for throughput never changes
+        rankings."""
+        if self.preprocessor is not None:
+            return [
+                self._query_preprocessed(
+                    q, k,
+                    tag_filter=tag_filter[i]
+                    if isinstance(tag_filter, (list, tuple)) else tag_filter,
+                )
+                for i, q in enumerate(queries)
+            ]
         batches = self.retriever.retrieve_batch(queries, k * 2, tag_filter=tag_filter)
         return [self.reranker.rerank(q, cands, k) for q, cands in zip(queries, batches)]
 
@@ -396,10 +419,13 @@ class RagPipeline:
             self.query(query, k, tag_filter=tag_filter), query=query
         )
 
-    def query_with_context_batch(self, queries: Sequence[str], k: int = 5) -> List[AssembledContext]:
+    def query_with_context_batch(self, queries: Sequence[str], k: int = 5,
+                                 tag_filter=None) -> List[AssembledContext]:
         return [
             self.assembler.assemble(results, query=q)
-            for q, results in zip(queries, self.query_batch(queries, k))
+            for q, results in zip(
+                queries, self.query_batch(queries, k, tag_filter=tag_filter)
+            )
         ]
 
 
@@ -476,7 +502,11 @@ class RagPipelineBuilder:
         chunker = self._chunker or RecursiveChunker(chunk_size=512, overlap=50)
         retr_cfg = self._retriever_config or HybridRetrieverConfig()
         if self._fusion is not None:
-            retr_cfg.fusion = self._fusion
+            # replace, don't mutate: the caller's config object may be
+            # shared with other pipelines (or reused to build another)
+            import dataclasses
+
+            retr_cfg = dataclasses.replace(retr_cfg, fusion=self._fusion)
         retriever = HybridRetriever(
             self._embedder,
             config=retr_cfg,
