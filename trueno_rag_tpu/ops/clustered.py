@@ -54,6 +54,7 @@ from trueno_rag_tpu.ops.dense import NEG_INF
 from trueno_rag_tpu.ops.dense_tiered import (
     _BOUND_EPS,
     _BOUND_SLACK,
+    _bf16_query_bounds,
     _metric_queries,
     _pad_tags,
     _tile_candidates,
@@ -93,9 +94,14 @@ def prepare_clustered(
     Lloyd's runs on a ``sample`` (device matmuls); the full assignment
     is device-scored in ``slab``-row slices; the balancing pass is a
     host greedy fill over rows ordered by assignment confidence
-    (build-time, one pass). For ``metric="cosine"`` rows are expected
-    pre-normalized (VectorStore normalizes at insert), matching the
-    score space the bound lives in.
+    (build-time, one pass).
+
+    ``metric`` documents the score space the caller queries in; the
+    CLUSTERING itself is always Euclidean k-means (for cosine the rows
+    are pre-normalized — VectorStore normalizes at insert — so
+    Euclidean and angular clustering coincide; for raw dot-metric
+    corpora the bound stays SOUND regardless — it only uses true
+    centroid/radius geometry — but pruning selectivity may be poorer).
     """
     m = np.asarray(matrix, dtype=np.float32)
     if valid is not None:
@@ -106,6 +112,11 @@ def prepare_clustered(
         # Invalid rows become holes; `order` still indexes the ORIGINAL
         # row space.
         keep = np.flatnonzero(np.asarray(valid, bool))
+        if len(keep) == 0:
+            # every row invalid (e.g. a fully-deleted store): all holes
+            return (np.full(tile_n, -1, np.int32),
+                    np.zeros((1, m.shape[1]), np.float32),
+                    np.zeros(1, np.float32))
         if len(keep) < m.shape[0]:
             sub_order, centroids, radii = prepare_clustered(
                 m[keep], tile_n=tile_n, metric=metric, iters=iters,
@@ -273,7 +284,7 @@ def dense_topk_compact_bf16r_clustered(
     metric: str = "cosine",
     tile_n: int = 4096,
     rescore_rows: int | None = None,
-    approx_select: bool = True,
+    approx_select: bool = False,
     t_top: int = 8,
     interpret: bool = False,
     tags: Tuple[jax.Array, ...] | None = None,
@@ -306,15 +317,17 @@ def dense_topk_compact_bf16r_clustered(
     unemitted ones can never become candidates and the certificate
     (correctly) fails closed, so keep ``t_top ≥ k``.
 
-    ``rescore_rows`` defaults to None (no trim), unlike the compact
-    tier's 96: when the batch probes fewer unique tiles than the
-    ``B·probe_tiles`` budget, the padded union slots flood the
-    candidate list with -inf sentinels, and a trim whose boundary
-    lands in that mass ALWAYS fails closed (+inf threshold — the
-    approx-select count trick cannot prove exclusion across a -inf
-    tie). The trim exists to cut the 1M-scale [B=256] gather; the
-    pruned union's candidate width (≤ t_top·(k+margin_tiles)) is small
-    in the latency regime this tier serves, so skipping it costs ~0.
+    ``rescore_rows`` defaults to None (no trim) and ``approx_select``
+    to False (exact tile selection), both unlike the compact tier: when
+    the batch probes fewer unique tiles than the ``B·probe_tiles``
+    budget, the padded union slots flood the candidate columns with
+    -inf sentinels, and the approx-select count trick ALWAYS fails
+    closed across a -inf selection boundary (+inf threshold — every
+    query host-patches despite a perfect scan). Exact top_k handles
+    -inf columns soundly, and both knobs govern arrays sized by the
+    pruned union (small in the latency regime this tier serves), so
+    the exact forms cost ~0 where approx paid off at the 1M full-scan
+    scale.
 
     ``fetch`` picks the union-scan mechanism: ``"gather"`` copies the
     selected tiles with an XLA gather and scans the copy (~3x the
@@ -344,15 +357,24 @@ def dense_topk_compact_bf16r_clustered(
     assert centroids.shape[0] == t and radii.shape[0] == t
 
     # -- certified per-tile upper bounds (one tiny [B, T] matmul) ---------
+    # true q·x ≤ q·µ + ‖q‖R  (Cauchy-Schwarz) and the f32 dot satisfies
+    # fl(q·µ) ≥ q·µ − acc_eps·‖q‖‖µ‖, so the accumulation term must be
+    # added at FULL strength with the ‖µ‖ factor (review r3: scaling it
+    # by (_BOUND_SLACK−1)=1e-4 under-covered near-orthogonal centroids
+    # — a certified WRONG set was constructible). The multiplicative
+    # slack then covers the rounding of these few additions themselves,
+    # exactly like the sibling bounds in dense_tiered.py.
     qn = jnp.linalg.norm(q, axis=1)
+    mu_n = jnp.linalg.norm(centroids, axis=1)  # [T]
     s_c = jax.lax.dot_general(
         q, centroids, (((1,), (1,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
     )  # [B, T]
     acc_eps = jnp.float32(d) * jnp.float32(2.0**-23)
     spread = qn[:, None] * radii[None, :]
-    u = s_c + spread
-    u = u + (jnp.abs(s_c) + spread + acc_eps * qn[:, None]) * jnp.float32(
+    dot_err = acc_eps * qn[:, None] * mu_n[None, :]
+    u = s_c + spread + dot_err
+    u = u + (jnp.abs(s_c) + spread + dot_err) * jnp.float32(
         _BOUND_SLACK - 1.0
     ) + jnp.float32(_BOUND_EPS)
     tile_live = valid_mask.reshape(t, tile).any(axis=1)
@@ -373,12 +395,7 @@ def dense_topk_compact_bf16r_clustered(
         jnp.where(scanned[None, :], NEG_INF, u), axis=1
     )  # [B]; -inf when everything is scanned
 
-    qb = q.astype(jnp.bfloat16)
-    f = q - jax.lax.optimization_barrier(qb).astype(jnp.float32)
-    b_l2 = jnp.linalg.norm(qb.astype(jnp.float32), axis=1)
-    f_l2 = jnp.linalg.norm(f, axis=1)
-    u_q = (b_l2 + f_l2) * _BOUND_SLACK + _BOUND_EPS
-    v_q = (f_l2 + acc_eps * b_l2) * _BOUND_SLACK + _BOUND_EPS
+    qb, u_q, v_q = _bf16_query_bounds(q)
 
     b_pad = max(8, -(-bsz // 8) * 8)
     qb_p = jnp.pad(qb, ((0, b_pad - bsz), (0, 0))) if b_pad != bsz else qb

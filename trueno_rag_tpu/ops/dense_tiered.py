@@ -72,6 +72,27 @@ def prepare_tiered(matrix: jax.Array):
     return m_bf16, e_l2, a_l2
 
 
+def _bf16_query_bounds(q: jax.Array):
+    """Quantize the query batch to bf16 and build the rank-1 bound
+    coefficients of the bf16 error model → (qb [B,d] bf16, u_q [B],
+    v_q [B]) with bound = e_l2·u_q + a_l2·v_q. The barrier prevents XLA
+    from folding f32(bf16(q)) back to q, which would zero the
+    query-side residual on TPU (see prepare_tiered). acc_eps covers the
+    MXU's f32 accumulation rounding (d·2⁻²³ per unit ‖A‖‖b‖); slack
+    inflates both coefficients and the flat eps rides v_q (a_l2 is 0
+    only for all-zero rows, whose score is 0). CERTIFICATE-CRITICAL and
+    shared by every bf16 tier — fix bound math HERE, once."""
+    d = q.shape[1]
+    qb = q.astype(jnp.bfloat16)
+    f = q - jax.lax.optimization_barrier(qb).astype(jnp.float32)
+    b_l2 = jnp.linalg.norm(qb.astype(jnp.float32), axis=1)
+    f_l2 = jnp.linalg.norm(f, axis=1)
+    acc_eps = jnp.float32(d) * jnp.float32(2.0**-23)
+    u_q = (b_l2 + f_l2) * _BOUND_SLACK + _BOUND_EPS
+    v_q = (f_l2 + acc_eps * b_l2) * _BOUND_SLACK + _BOUND_EPS
+    return qb, u_q, v_q
+
+
 def _topk_select(values: jax.Array, k: int, approx: bool):
     """Select ~top-k indices of ``values [B, G]`` plus a RIGOROUS
     per-row upper bound on every non-selected entry (the masked max).
@@ -299,23 +320,8 @@ def dense_topk_tiered(
     n, d = matrix.shape
     bsz = q.shape[0]
 
-    # -- bound coefficients (rank-1 per query) ----------------------------
-    qb = q.astype(jnp.bfloat16)
-    # barrier: prevents XLA from folding bf16→f32(bf16(q)) back to q,
-    # which would zero the query-side residual on TPU (see prepare_tiered)
-    f = q - jax.lax.optimization_barrier(qb).astype(jnp.float32)
-    b_l2 = jnp.linalg.norm(qb.astype(jnp.float32), axis=1)  # [B]
-    f_l2 = jnp.linalg.norm(f, axis=1)  # [B]
-    acc_eps = jnp.float32(d) * jnp.float32(2.0**-23)
-    # bound = e_l2·u_q + a_l2·v_q  (slack folded into the coefficients;
-    # eps added to u_q's partner term via v_q would scale with a_l2, so
-    # add it through u_q only when e_l2 can be 0 — instead fold a flat
-    # eps by inflating both coefficients and adding eps to u on a 1-row
-    # basis is wrong; use explicit +eps on the upper inside the kernel?
-    # Simplest rigorous form: inflate coefficients and add eps to v_q's
-    # unit — a_l2 ≥ 0 may be 0 only for all-zero rows whose score is 0.)
-    u_q = (b_l2 + f_l2) * _BOUND_SLACK + _BOUND_EPS
-    v_q = (f_l2 + acc_eps * b_l2) * _BOUND_SLACK + _BOUND_EPS
+    # -- bound coefficients (rank-1 per query; shared derivation) ---------
+    qb, u_q, v_q = _bf16_query_bounds(q)
 
     # -- pad to kernel-friendly shapes ------------------------------------
     b_pad = max(8, -(-bsz // 8) * 8)
@@ -457,14 +463,7 @@ def dense_topk_tiered2(
     n, d = matrix.shape
     bsz = q.shape[0]
 
-    # -- bound coefficients (identical derivation to the v1 path) ---------
-    qb = q.astype(jnp.bfloat16)
-    f = q - jax.lax.optimization_barrier(qb).astype(jnp.float32)
-    b_l2 = jnp.linalg.norm(qb.astype(jnp.float32), axis=1)
-    f_l2 = jnp.linalg.norm(f, axis=1)
-    acc_eps = jnp.float32(d) * jnp.float32(2.0**-23)
-    u_q = (b_l2 + f_l2) * _BOUND_SLACK + _BOUND_EPS
-    v_q = (f_l2 + acc_eps * b_l2) * _BOUND_SLACK + _BOUND_EPS
+    qb, u_q, v_q = _bf16_query_bounds(q)
 
     # -- pad to kernel-friendly shapes ------------------------------------
     b_pad = max(8, -(-bsz // 8) * 8)
@@ -609,20 +608,9 @@ def dense_topk_int8(
     n, d = matrix.shape
     bsz = q.shape[0]
 
-    # -- query quantization (tightest symmetric scale) ---------------------
-    t_amax = jnp.max(jnp.abs(q), axis=1)
-    t_q = jnp.where(t_amax == 0.0, 1.0, t_amax / 127.0)
-    q_i8 = jnp.clip(jnp.round(q / t_q[:, None]), -127, 127).astype(jnp.int8)
-    b_vec = q_i8.astype(jnp.float32) * t_q[:, None]
-    f = q - b_vec
-    b_l2 = jnp.linalg.norm(b_vec, axis=1)  # [B]
-    f_l2 = jnp.linalg.norm(f, axis=1)  # [B]
-    # |m·q − A·b| ≤ ‖E‖(‖b‖+‖f‖) + ‖A‖‖f‖ + arith, where the integer dot
-    # is exact (< 2²⁴) and only the two f32 scale multiplies round:
-    # arith ≤ ~2.4e-7·‖A‖‖b‖ (plus the measured-residual rounding gap,
-    # covered by the same coefficient; bound test verifies vs float64).
-    u_q = (b_l2 + f_l2) * _BOUND_SLACK + _BOUND_EPS
-    v_q = (f_l2 + jnp.float32(4e-7) * b_l2) * _BOUND_SLACK + _BOUND_EPS
+    # -- query quantization + bound coefficients (shared derivation;
+    # error model documented on _int8_query_bounds) -----------------------
+    q_i8, t_q, u_q, v_q = _int8_query_bounds(q)
 
     # -- pad to kernel-friendly shapes ------------------------------------
     b_pad = max(8, -(-bsz // 8) * 8)
@@ -909,13 +897,7 @@ def dense_topk_compact_bf16r(
     n, d = m_bf16.shape
     bsz = q.shape[0]
 
-    qb = q.astype(jnp.bfloat16)
-    f = q - jax.lax.optimization_barrier(qb).astype(jnp.float32)
-    b_l2 = jnp.linalg.norm(qb.astype(jnp.float32), axis=1)
-    f_l2 = jnp.linalg.norm(f, axis=1)
-    acc_eps = jnp.float32(d) * jnp.float32(2.0**-23)
-    u_q = (b_l2 + f_l2) * _BOUND_SLACK + _BOUND_EPS
-    v_q = (f_l2 + acc_eps * b_l2) * _BOUND_SLACK + _BOUND_EPS
+    qb, u_q, v_q = _bf16_query_bounds(q)
 
     b_pad = max(8, -(-bsz // 8) * 8)
     tile = max(tile_n, SEL)
@@ -990,13 +972,7 @@ def dense_topk_compact_bf16(
     bsz = q.shape[0]
 
     # -- bound coefficients (identical derivation to dense_topk_tiered2) --
-    qb = q.astype(jnp.bfloat16)
-    f = q - jax.lax.optimization_barrier(qb).astype(jnp.float32)
-    b_l2 = jnp.linalg.norm(qb.astype(jnp.float32), axis=1)
-    f_l2 = jnp.linalg.norm(f, axis=1)
-    acc_eps = jnp.float32(d) * jnp.float32(2.0**-23)
-    u_q = (b_l2 + f_l2) * _BOUND_SLACK + _BOUND_EPS
-    v_q = (f_l2 + acc_eps * b_l2) * _BOUND_SLACK + _BOUND_EPS
+    qb, u_q, v_q = _bf16_query_bounds(q)
 
     b_pad = max(8, -(-bsz // 8) * 8)
     tile = max(tile_n, SEL)
