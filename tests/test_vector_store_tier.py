@@ -595,16 +595,6 @@ def test_clustered_certifies_at_hybrid_candidate_width():
     candidates_per_source (12 default) > the old fixed t_top of 8, which
     made certification fail on exactly the concentrated corpora the
     tier targets. t_top now follows the request (kernel cap 16)."""
-    # A full-suite XLA CPU compiler segfault reproduced twice at exactly
-    # this test (jax compiler.py backend_compile_and_load) with ~500
-    # programs already compiled this session; standalone and tail-chunk
-    # runs pass. Dropping the accumulated executables before compiling
-    # this (large, t_top=12) program avoids whatever compile-state
-    # accumulation triggers it. Box has 125 GB free — not memory.
-    import jax
-
-    jax.clear_caches()
-
     rng = np.random.default_rng(53)
     # blob size 900 < tile capacity 1024: blobs exactly AT capacity can
     # overflow a boundary row into a far tile, blowing that tile's

@@ -26,6 +26,8 @@ multi-host ingest produces naturally.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional, Tuple
 
 import jax
@@ -74,6 +76,23 @@ def sharded_clustered_topk(
     (sharded) + replicated [B] filter words — predicate evaluates
     inside each shard's pruned scan."""
 
+    args = [queries, m_bf16, e_l2, a_l2, r_i8, r_scale, e2_l2, valid_mask,
+            centroids, radii, row_map]
+    if tags is not None:
+        args += list(tags)
+    return _sharded_clustered_fn(
+        mesh, axis, k, rows_per_shard, probe_tiles, metric, tile_n, fetch,
+        interpret, tags is not None,
+    )(*args)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_clustered_fn(mesh, axis, k, rows_per_shard, probe_tiles,
+                          metric, tile_n, fetch, interpret, has_tags):
+    """One jitted program per static config — a fresh shard_map+jit per
+    call would retrace and RECOMPILE every search batch (same fix as
+    the dense/BM25/compact sharded paths)."""
+
     def local(q, mb, el, al, ri, rs, e2, v, cent, rad, rmap, *tag_args):
         s, r, _ok, err, rhs = dense_topk_compact_bf16r_clustered(
             q, mb, el, al, ri, rs, e2, v, k, cent[0], rad[0],
@@ -91,11 +110,8 @@ def sharded_clustered_topk(
     in_specs = [P(), P(axis, None), P(axis), P(axis), P(axis, None),
                 P(axis), P(axis), P(axis), P(axis, None, None),
                 P(axis, None), P(axis)]
-    args = [queries, m_bf16, e_l2, a_l2, r_i8, r_scale, e2_l2, valid_mask,
-            centroids, radii, row_map]
-    if tags is not None:
+    if has_tags:
         in_specs += [P(axis), P(), P(), P()]
-        args += list(tags)
     fn = shard_map(
         local,
         mesh=mesh,
@@ -105,7 +121,7 @@ def sharded_clustered_topk(
         # every shard); inference can't see through axis_index
         check_vma=False,
     )
-    return jax.jit(fn)(*args)
+    return jax.jit(fn)
 
 
 class ShardedClusteredIndex:

@@ -36,6 +36,8 @@ Communication per query batch: ``s·k`` candidates × 16 B
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional, Tuple
 
 import jax
@@ -181,6 +183,20 @@ def sharded_compact_topk(
     ALLOWED rows — disallowed rows are -inf on both sides of the bound.
     """
 
+    args = [queries, m_bf16, e_l2, a_l2, r_i8, r_scale, e2_l2, valid_mask]
+    if tags is not None:
+        args += list(tags)
+    return _sharded_compact_fn(
+        mesh, axis, k, metric, tile_n, interpret, tags is not None
+    )(*args)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_compact_fn(mesh, axis, k, metric, tile_n, interpret, has_tags):
+    """One jitted program per static config — a fresh shard_map+jit per
+    call would retrace and RECOMPILE every search batch (same fix as
+    sparse.py's _sharded_bm25_fn / sharded.py's _sharded_dense_fn)."""
+
     def local(q, mb, el, al, ri, rs, e2, v, *tag_args):
         s, r, _ok, err, rhs = dense_topk_compact_bf16r(
             q, mb, el, al, ri, rs, e2, v, k, metric=metric, tile_n=tile_n,
@@ -194,10 +210,8 @@ def sharded_compact_topk(
 
     in_specs = [P(), P(axis, None), P(axis), P(axis), P(axis, None),
                 P(axis), P(axis), P(axis)]
-    args = [queries, m_bf16, e_l2, a_l2, r_i8, r_scale, e2_l2, valid_mask]
-    if tags is not None:
+    if has_tags:
         in_specs += [P(axis), P(), P(), P()]
-        args += list(tags)
     fn = shard_map(
         local,
         mesh=mesh,
@@ -207,7 +221,7 @@ def sharded_compact_topk(
         # every shard); inference can't see through axis_index
         check_vma=False,
     )
-    return jax.jit(fn)(*args)
+    return jax.jit(fn)
 
 
 class ShardedCompactIndex:

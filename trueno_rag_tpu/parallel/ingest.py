@@ -76,11 +76,17 @@ class ShardBuild:
         DCN/disk wire form): arrays ship as raw little-endian bytes
         with an explicit dtype, like persist.py's matrix frames."""
         return {
+            "version": 1,
+            # explicit little-endian dtypes: a future dtype change or a
+            # big-endian producer must fail loudly on load, not parse
+            # into garbage postings
+            "dtypes": {"indptr": "<i8", "rows": "<i4", "tfs": "<f4",
+                       "doc_len": "<f4"},
             "terms": list(self.terms),
-            "indptr": np.ascontiguousarray(self.indptr, dtype=np.int64).tobytes(),
-            "rows": np.ascontiguousarray(self.rows, dtype=np.int32).tobytes(),
-            "tfs": np.ascontiguousarray(self.tfs, dtype=np.float32).tobytes(),
-            "doc_len": np.ascontiguousarray(self.doc_len, dtype=np.float32).tobytes(),
+            "indptr": np.ascontiguousarray(self.indptr, dtype="<i8").tobytes(),
+            "rows": np.ascontiguousarray(self.rows, dtype="<i4").tobytes(),
+            "tfs": np.ascontiguousarray(self.tfs, dtype="<f4").tobytes(),
+            "doc_len": np.ascontiguousarray(self.doc_len, dtype="<f4").tobytes(),
             "n_docs": int(self.n_docs),
             "total_len": int(self.total_len),
             "n_rows": int(self.n_rows),
@@ -88,6 +94,17 @@ class ShardBuild:
 
     @classmethod
     def from_payload(cls, payload: Dict[str, object]) -> "ShardBuild":
+        from trueno_rag_tpu.errors import SerializationError
+
+        expected = {"indptr": "<i8", "rows": "<i4", "tfs": "<f4",
+                    "doc_len": "<f4"}
+        declared = payload.get("dtypes", expected)
+        if dict(declared) != expected:
+            raise SerializationError(
+                f"ShardBuild payload declares dtypes {declared}, "
+                f"this build expects {expected}"
+            )
+
         def arr(key: str, dtype) -> np.ndarray:
             v = payload[key]
             if isinstance(v, (bytes, bytearray)):
@@ -96,10 +113,10 @@ class ShardBuild:
 
         return cls(
             terms=list(payload["terms"]),
-            indptr=arr("indptr", np.int64),
-            rows=arr("rows", np.int32),
-            tfs=arr("tfs", np.float32),
-            doc_len=arr("doc_len", np.float32),
+            indptr=arr("indptr", "<i8"),
+            rows=arr("rows", "<i4"),
+            tfs=arr("tfs", "<f4"),
+            doc_len=arr("doc_len", "<f4"),
             n_docs=int(payload["n_docs"]),
             total_len=int(payload["total_len"]),
             n_rows=int(payload["n_rows"]),
@@ -141,7 +158,9 @@ def build_shard(
             if use_native is True:
                 raise
     if use_native is True and native is None:
-        raise RuntimeError("native builder requested but unavailable")
+        raise InvalidConfigError(
+            "use_native=True but the native builder is unavailable"
+        )
 
     if native is not None:
         counts = (
@@ -217,6 +236,12 @@ def assemble_row_sharded(blocks: Sequence[np.ndarray], mesh, axis: str):
             f"got {len(blocks)} shard blocks for a {s}-shard '{axis}' axis"
         )
     bshape = blocks[0].shape
+    if bshape[0] == 0:
+        raise InvalidConfigError(
+            "shard blocks have zero rows — build the index after the "
+            "first documents arrive (an empty sharded index has no "
+            "row space to partition)"
+        )
     for blk in blocks:
         if blk.shape != bshape:
             raise InvalidConfigError(

@@ -51,38 +51,7 @@ def sharded_dense_topk(
 
     Returns ``(scores [B,k], rows [B,k])`` with *global* row ids.
     """
-
-    def local(q, m, v):
-        # m: [N/s, d] local shard; q replicated
-        scores = similarity_scores(q, m, metric)
-        masked = jnp.where(v[None, :], scores, NEG_INF)
-        k_local = min(k, m.shape[0])
-        s_loc, r_loc = jax.lax.top_k(masked, k_local)
-        shard = jax.lax.axis_index(axis)
-        r_glob = r_loc + shard * m.shape[0]
-        r_glob = jnp.where(jnp.isneginf(s_loc), jnp.iinfo(jnp.int32).max, r_glob)
-        # merge: gather candidates from all shards (k*s per query), re-select
-        s_all = jax.lax.all_gather(s_loc, axis, axis=1, tiled=True)  # [B, k*s]
-        r_all = jax.lax.all_gather(r_glob, axis, axis=1, tiled=True)
-        k_out = min(k, s_all.shape[1])
-        s_top, idx = jax.lax.top_k(s_all, k_out)
-        r_top = jnp.take_along_axis(r_all, idx, axis=1)
-        r_top = jnp.where(jnp.isneginf(s_top), -1, r_top).astype(jnp.int32)
-        if k_out < k:
-            s_top = jnp.pad(s_top, ((0, 0), (0, k - k_out)), constant_values=NEG_INF)
-            r_top = jnp.pad(r_top, ((0, 0), (0, k - k_out)), constant_values=-1)
-        return s_top, r_top
-
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis)),
-        out_specs=(P(), P()),
-        # outputs ARE replicated (identical all-gather + top_k everywhere);
-        # the varying-mesh-axes inference can't see through axis_index
-        check_vma=False,
-    )
-    return jax.jit(fn)(queries, matrix, valid_mask)
+    return _sharded_dense_fn(mesh, axis, k, metric)(queries, matrix, valid_mask)
 
 
 def sharded_dense_topk_tagged(
@@ -102,6 +71,68 @@ def sharded_dense_topk_tagged(
     predicate evaluates on each shard's local tag slice (three bit-ops
     fused into the local score masking), so filtering adds no
     communication — the ICI merge still moves only k·s candidates."""
+    return _sharded_dense_tagged_fn(mesh, axis, k, metric)(
+        queries, matrix, valid_mask, tag_bits, t_all, t_any, t_none
+    )
+
+def merge_local_topk(s_loc, r_glob, k: int, axis: str):
+    """Inside shard_map: merge each shard's local top-k into the global
+    top-k over the k·s ICI all-gather → ``(scores [B,k], rows [B,k]
+    int32, -1 invalid)``. ``r_glob`` must carry GLOBAL row ids with
+    INT32_MAX in empty slots. Shard-axis concatenation preserves global
+    row-ascending order, so lax.top_k's earlier-position tie preference
+    keeps the (score desc, row asc) total order. Shared by the dense,
+    tagged, and BM25 sharded paths (the bounded-candidate variant lives
+    in parallel/compact.py::merge_bounded_candidates)."""
+    s_all = jax.lax.all_gather(s_loc, axis, axis=1, tiled=True)  # [B, k*s]
+    r_all = jax.lax.all_gather(r_glob, axis, axis=1, tiled=True)
+    k_out = min(k, s_all.shape[1])
+    s_top, idx = jax.lax.top_k(s_all, k_out)
+    r_top = jnp.take_along_axis(r_all, idx, axis=1)
+    r_top = jnp.where(jnp.isneginf(s_top), -1, r_top).astype(jnp.int32)
+    if k_out < k:
+        s_top = jnp.pad(s_top, ((0, 0), (0, k - k_out)), constant_values=NEG_INF)
+        r_top = jnp.pad(r_top, ((0, 0), (0, k - k_out)), constant_values=-1)
+    return s_top, r_top
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_dense_fn(mesh, axis, k, metric):
+    """One jitted program per (mesh, axis, k, metric) — a fresh
+    shard_map+jit per call retraces and RECOMPILES every search batch
+    (seconds on the tunneled device; same fix as sparse.py's
+    _sharded_bm25_fn)."""
+
+    def local(q, m, v):
+        # m: [N/s, d] local shard; q replicated
+        scores = similarity_scores(q, m, metric)
+        masked = jnp.where(v[None, :], scores, NEG_INF)
+        k_local = min(k, m.shape[0])
+        s_loc, r_loc = jax.lax.top_k(masked, k_local)
+        shard = jax.lax.axis_index(axis)
+        r_glob = r_loc + shard * m.shape[0]
+        r_glob = jnp.where(jnp.isneginf(s_loc), jnp.iinfo(jnp.int32).max, r_glob)
+        return merge_local_topk(s_loc, r_glob, k, axis)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis)),
+        out_specs=(P(), P()),
+        # outputs ARE replicated (identical all-gather + top_k everywhere);
+        # the varying-mesh-axes inference can't see through axis_index
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_dense_tagged_fn(mesh, axis, k, metric):
+    """Tag-filtered sibling of :func:`_sharded_dense_fn` (same caching
+    rationale)."""
 
     def local(q, m, v, bits, ta, ty, tn):
         scores = similarity_scores(q, m, metric)
@@ -114,16 +145,7 @@ def sharded_dense_topk_tagged(
         shard = jax.lax.axis_index(axis)
         r_glob = r_loc + shard * m.shape[0]
         r_glob = jnp.where(jnp.isneginf(s_loc), jnp.iinfo(jnp.int32).max, r_glob)
-        s_all = jax.lax.all_gather(s_loc, axis, axis=1, tiled=True)
-        r_all = jax.lax.all_gather(r_glob, axis, axis=1, tiled=True)
-        k_out = min(k, s_all.shape[1])
-        s_top, idx = jax.lax.top_k(s_all, k_out)
-        r_top = jnp.take_along_axis(r_all, idx, axis=1)
-        r_top = jnp.where(jnp.isneginf(s_top), -1, r_top).astype(jnp.int32)
-        if k_out < k:
-            s_top = jnp.pad(s_top, ((0, 0), (0, k - k_out)), constant_values=NEG_INF)
-            r_top = jnp.pad(r_top, ((0, 0), (0, k - k_out)), constant_values=-1)
-        return s_top, r_top
+        return merge_local_topk(s_loc, r_glob, k, axis)
 
     fn = shard_map(
         local,
@@ -132,7 +154,17 @@ def sharded_dense_topk_tagged(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(fn)(queries, matrix, valid_mask, tag_bits, t_all, t_any, t_none)
+    return jax.jit(fn)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_rows(m, vmask, r, u, vf):
+    return m.at[r].set(u), vmask.at[r].set(vf)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_tags(t, r, u):
+    return t.at[r].set(u)
 
 
 class ShardedVectorIndex:
@@ -290,7 +322,9 @@ class ShardedVectorIndex:
             return
         n_pad = self.matrix.shape[0]
         if int(rows.max()) >= n_pad:
-            raise ValueError(
+            from trueno_rag_tpu.errors import InvalidConfigError
+
+            raise InvalidConfigError(
                 f"row {int(rows.max())} exceeds sharded capacity {n_pad}; rebuild"
             )
         if self.metric == "cosine" and not rows_normalized:
@@ -302,18 +336,15 @@ class ShardedVectorIndex:
             else np.asarray(valid, dtype=bool)
         )
 
-        # donate so the (potentially huge) sharded buffers update in place
-        scatter_d = jax.jit(
-            lambda m, vmask, r, u, vf: (m.at[r].set(u), vmask.at[r].set(vf)),
-            donate_argnums=(0, 1),
-        )
-        self.matrix, self.valid = scatter_d(
+        # donate so the (potentially huge) sharded buffers update in
+        # place; MODULE-LEVEL jitted scatters — a fresh jit(lambda) per
+        # call would recompile both scatters on every incremental refresh
+        self.matrix, self.valid = _scatter_rows(
             self.matrix, self.valid, jnp.asarray(rows), jnp.asarray(vectors),
             jnp.asarray(v_flags),
         )
         if tags is not None:
-            scatter_t = jax.jit(lambda t, r, u: t.at[r].set(u), donate_argnums=(0,))
-            self.tags = scatter_t(
+            self.tags = _scatter_tags(
                 self.tags, jnp.asarray(rows),
                 jnp.asarray(np.asarray(tags, dtype=np.int32)),
             )

@@ -169,11 +169,23 @@ class ShardedBM25:
             raise InvalidConfigError(
                 f"got {len(builds)} shard builds for a {s}-shard '{axis}' axis"
             )
-        rps = rows_per_shard or max((bd.n_rows for bd in builds), default=1)
+        rps = (max((bd.n_rows for bd in builds), default=1)
+               if rows_per_shard is None else rows_per_shard)
+        if rps < 1:
+            raise InvalidConfigError(f"rows_per_shard must be >= 1, got {rps}")
         for i, bd in enumerate(builds):
             if bd.n_rows > rps:
                 raise InvalidConfigError(
                     f"shard {i} has n_rows={bd.n_rows} > rows_per_shard={rps}"
+                )
+            if len(bd.rows) and int(np.max(bd.rows)) >= bd.n_rows:
+                # a malformed wire payload would otherwise score those
+                # postings with doc_len=0 (silently wrong) or crash deep
+                # inside the block packer
+                raise InvalidConfigError(
+                    f"shard {i} has a posting row "
+                    f"{int(np.max(bd.rows))} >= n_rows={bd.n_rows} "
+                    "(corrupt ShardBuild payload?)"
                 )
 
         terms, vocab, idf, _n_docs, avgdl = merge_shard_stats(builds)
@@ -294,19 +306,12 @@ def _sharded_bm25_fn(mesh, axis, k, rps):
     call would retrace every search."""
 
     def local(bi, l, h, blk):
+        from trueno_rag_tpu.parallel.sharded import merge_local_topk
+
         s_loc, r_loc = bm25_topk_blocks(bi[0], l[0], h[0], blk[0], k=k)
         shard = jax.lax.axis_index(axis)
         r_glob = jnp.where(r_loc >= 0, r_loc + shard * rps, _INT_MAX)
-        s_all = jax.lax.all_gather(s_loc, axis, axis=1, tiled=True)  # [B, k*s]
-        r_all = jax.lax.all_gather(r_glob, axis, axis=1, tiled=True)
-        k_out = min(k, s_all.shape[1])
-        s_top, idx = jax.lax.top_k(s_all, k_out)
-        r_top = jnp.take_along_axis(r_all, idx, axis=1)
-        r_top = jnp.where(jnp.isneginf(s_top), -1, r_top).astype(jnp.int32)
-        if k_out < k:
-            s_top = jnp.pad(s_top, ((0, 0), (0, k - k_out)), constant_values=NEG_INF)
-            r_top = jnp.pad(r_top, ((0, 0), (0, k - k_out)), constant_values=-1)
-        return s_top, r_top
+        return merge_local_topk(s_loc, r_glob, k, axis)
 
     fn = shard_map(
         local,
