@@ -4,7 +4,7 @@ semantics, similarity function contracts (embed.rs:310-342,1754-1790)."""
 
 import numpy as np
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from trueno_rag_tpu import Document
 from trueno_rag_tpu.chunking import RecursiveChunker
@@ -122,6 +122,7 @@ def test_property_mock_dimension_and_norm(text, dim):
 
 
 @settings(max_examples=30, deadline=None)
+@example(vec=[0.0, 4.060484892852498e-22])  # denormal norm: f32 divide drifted
 @given(
     vec=st.lists(st.floats(-10, 10, allow_nan=False), min_size=2, max_size=64),
 )

@@ -173,3 +173,13 @@ def test_property_fusion_invariants(dense, sparse):
         assert fused == strat.fuse(dense, sparse)  # deterministic
     inter = FusionStrategy.intersection().fuse(dense, sparse)
     assert {i for i, _ in inter} == ({i for i, _ in dense} & {i for i, _ in sparse})
+
+
+def test_linear_alpha_fallback_matches_device_param():
+    """Regression (review r3): host fuse() accepted 'alpha' for linear
+    but device_param ignored it — host and device fused with different
+    weights."""
+    from trueno_rag_tpu.fusion import FusionStrategy
+
+    f = FusionStrategy.from_dict({"kind": "linear", "params": {"alpha": 0.8}})
+    assert f.device_param == pytest.approx(0.8)

@@ -340,3 +340,107 @@ def test_clustered_index_roundtrip_skips_reclustering(tmp_path):
     assert loaded2.vector_store._cluster_preset is None
     got2 = loaded2.vector_store.search(q, 5)
     assert got2[0][0] == chunk_id_from_int(99_999)
+
+
+def _tiny_retriever(metric="cosine", prefixes=False):
+    import numpy as np
+
+    from trueno_rag_tpu.embed import EmbeddingConfig, TfIdfEmbedder
+    from trueno_rag_tpu.index.vector_store import VectorStoreConfig
+    from trueno_rag_tpu.retrieve import HybridRetriever
+
+    texts = [f"doc number {i} about topic{i % 3}" for i in range(12)]
+    cfg = EmbeddingConfig(query_prefix="q: ", document_prefix="d: ") if prefixes else None
+    emb = TfIdfEmbedder(16, config=cfg).fit(texts)
+    retr = HybridRetriever(
+        emb, vector_config=VectorStoreConfig(dimension=16, metric=metric)
+    )
+    for i, t in enumerate(texts):
+        c = Chunk(document_id="d", content=t, start_offset=0, end_offset=len(t),
+                  metadata=ChunkMetadata(), id=chunk_id_from_int(i))
+        c.set_embedding(np.asarray(emb.embed_document(t)) * (2.0 if metric == "dot" else 1.0))
+        retr.index(c)
+    return retr, emb
+
+
+def test_read_index_info_both_formats(tmp_path):
+    """Regression (review r3): the CLI peeks embedder identity before
+    constructing the embedder; that peek must read BOTH artifact
+    formats (the v2 streaming container is what `index` itself writes
+    past 50k chunks — it failed with 'bad magic' before)."""
+    from trueno_rag_tpu.persist import (read_index_info, save_index,
+                                        save_index_streaming)
+
+    retr, emb = _tiny_retriever()
+    info = {"type": "tfidf", "dimension": 16, "state": emb.state_dict()}
+    p1, p2 = str(tmp_path / "v1.trag"), str(tmp_path / "v2.trag")
+    save_index(p1, retr, embedder_info=info)
+    save_index_streaming(p2, retr, embedder_info=info, frame_rows=5)
+    for p, version in ((p1, 1), (p2, 2)):
+        meta = read_index_info(p)
+        assert meta["embedder"]["type"] == "tfidf"
+        assert meta["dimension"] == 16 and meta["version"] == version
+        assert len(meta["chunks"]) == 12
+
+
+def test_streaming_boundary_truncation_raises(tmp_path):
+    """Regression (review r3): truncating a v2 artifact exactly at a
+    frame boundary previously looped forever (EOF read -> empty frame
+    that never advances); it must raise SerializationError."""
+    from trueno_rag_tpu.persist import load_index, save_index_streaming
+
+    retr, emb = _tiny_retriever()
+    p = str(tmp_path / "s.trag")
+    save_index_streaming(p, retr, frame_rows=5)  # 3 frames
+    data = open(p, "rb").read()
+    # find the start of the LAST frame by walking the container
+    from trueno_rag_tpu.persist import MAGIC2
+
+    off = len(MAGIC2)
+    while data[off] != 0:
+        off += 1
+    off += 1
+    hdr_len = int.from_bytes(data[off:off + 8], "little")
+    off += 8 + hdr_len
+    for _ in range(2):  # skip two complete frames
+        comp_len = int.from_bytes(data[off:off + 8], "little")
+        off += 16 + comp_len
+    open(p, "wb").write(data[:off])  # drop the final frame entirely
+    with pytest.raises(SerializationError):
+        load_index(p, emb)
+
+
+def test_metric_roundtrips_through_persistence(tmp_path):
+    """Regression (review r3): a dot-metric index reloaded as the
+    default cosine would silently re-normalize every row."""
+    import numpy as np
+
+    from trueno_rag_tpu.persist import load_index, save_index
+
+    retr, emb = _tiny_retriever(metric="dot")
+    p = str(tmp_path / "dot.trag")
+    save_index(p, retr)
+    loaded, _ = load_index(p, emb)
+    assert loaded.vector_store.config.metric == "dot"
+    # rows preserved verbatim (cosine would have unit-normalized them)
+    row = loaded.registry.row_of(chunk_id_from_int(0))
+    orig_row = retr.registry.row_of(chunk_id_from_int(0))
+    np.testing.assert_array_equal(
+        loaded.vector_store._host[row], retr.vector_store._host[orig_row]
+    )
+    assert np.linalg.norm(loaded.vector_store._host[row]) > 1.5  # not unit
+
+
+def test_tfidf_embedding_config_roundtrips():
+    """Regression (review r3): query/document prefixes fold into the
+    fitted token space; dropping them on reload silently degrades
+    retrieval."""
+    from trueno_rag_tpu.embed import TfIdfEmbedder
+
+    _, emb = _tiny_retriever(prefixes=True)
+    emb2 = TfIdfEmbedder.from_state_dict(emb.state_dict())
+    assert emb2.config.query_prefix == "q: "
+    assert emb2.config.document_prefix == "d: "
+    import numpy as np
+
+    np.testing.assert_array_equal(emb2.embed_query("topic1"), emb.embed_query("topic1"))

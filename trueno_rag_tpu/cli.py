@@ -229,13 +229,15 @@ def cmd_index(args) -> int:
 
 def _load(index_dir: str, scan_tier=None):
     from trueno_rag_tpu.embed import TfIdfEmbedder
-    from trueno_rag_tpu.persist import deserialize_compressed
+    from trueno_rag_tpu.persist import read_index_info
 
     path = os.path.join(index_dir, "index.trag")
     if not os.path.exists(path):
         raise SystemExit(f"error: no index found at {path}")
-    with open(path, "rb") as f:
-        payload = deserialize_compressed(f.read())
+    # header-only peek: handles BOTH artifact formats (the v2 streaming
+    # container is what `index` itself writes past 50k chunks — reading
+    # it as a v1 blob failed with 'bad magic' before)
+    payload = read_index_info(path)
     info = payload.get("embedder", {})
     kind = info.get("type", "tfidf")
     if kind == "tfidf":

@@ -127,8 +127,11 @@ class Embedder:
 
 
 def l2_normalize(v: np.ndarray) -> np.ndarray:
+    # norm in float64: for denormal-magnitude vectors (norm ~1e-22) the
+    # f32 norm+divide loses enough precision that the result's norm
+    # lands visibly off 1.0 (hypothesis-found: [0, 4e-22] -> 0.9986)
     v = np.asarray(v, dtype=np.float32)
-    n = np.linalg.norm(v, axis=-1, keepdims=True)
+    n = np.linalg.norm(v.astype(np.float64), axis=-1, keepdims=True)
     return (v / np.where(n == 0.0, 1.0, n)).astype(np.float32)
 
 
@@ -247,11 +250,32 @@ class TfIdfEmbedder(Embedder):
             "dimension": self._dimension,
             "vocab": dict(self.vocab),
             "idf": None if self.idf is None else self.idf.tolist(),
+            # the EmbeddingConfig is part of the fitted state: prefixes
+            # fold their tokens into the indexed vectors, so dropping
+            # them on reload puts query vectors in a different token
+            # space than the stored matrix (silently wrong retrieval)
+            "config": {
+                "normalize": self.config.normalize,
+                "query_prefix": self.config.query_prefix,
+                "document_prefix": self.config.document_prefix,
+                "max_length": self.config.max_length,
+                "pooling": self.config.pooling.value,
+            },
         }
 
     @classmethod
     def from_state_dict(cls, d: Dict[str, object]) -> "TfIdfEmbedder":
-        emb = cls(dimension=int(d["dimension"]))
+        cfg = None
+        cd = d.get("config")  # absent in pre-round-2 artifacts
+        if cd:
+            cfg = EmbeddingConfig(
+                normalize=bool(cd["normalize"]),
+                query_prefix=str(cd["query_prefix"]),
+                document_prefix=str(cd["document_prefix"]),
+                max_length=int(cd["max_length"]),
+                pooling=PoolingStrategy(cd["pooling"]),
+            )
+        emb = cls(dimension=int(d["dimension"]), config=cfg)
         emb.vocab = dict(d["vocab"])  # type: ignore[arg-type]
         idf = d.get("idf")
         emb.idf = None if idf is None else np.asarray(idf, dtype=np.float32)

@@ -92,7 +92,12 @@ class FusionStrategy:
         if self.kind == "rrf":
             return float(self.params.get("k", 60.0))
         if self.kind == "linear":
-            return float(self.params.get("dense_weight", 0.5))
+            # honor the same 'alpha' fallback the host fuse() accepts —
+            # the device kernel must fuse with the SAME weight or the
+            # documented host/device parity silently breaks
+            return float(
+                self.params.get("dense_weight", self.params.get("alpha", 0.5))
+            )
         if self.kind == "convex":
             return float(self.params.get("alpha", 0.5))
         return 0.0

@@ -121,8 +121,11 @@ def deserialize_compressed(data: bytes) -> Any:
     if not data.startswith(MAGIC):
         raise SerializationError("bad magic: not a trueno_rag_tpu artifact")
     rest = data[len(MAGIC) :]
-    sep = rest.index(b"\x00")
-    codec = Compression(rest[:sep].decode())
+    try:
+        sep = rest.index(b"\x00")
+        codec = Compression(rest[:sep].decode())
+    except (ValueError, UnicodeDecodeError) as e:
+        raise SerializationError(f"corrupt codec frame: {e}") from e
     try:
         return msgpack.unpackb(codec.decompress(rest[sep + 1 :]), raw=False, strict_map_key=False)
     except Exception as e:
@@ -145,182 +148,50 @@ def _chunk_to_wire(c: Chunk) -> Dict[str, Any]:
     return d
 
 
-def save_index(path: str, retriever, embedder_info: Optional[Dict[str, Any]] = None,
-               codec: Optional[Compression] = None) -> Dict[str, Any]:
-    """Persist a HybridRetriever (registry + dense matrix + BM25 state).
-
-    Returns a stats dict (raw/compressed sizes). The embedding matrix is
-    stored row-aligned with the registry so load reconstructs identical
-    device rows — scores round-trip exactly.
-    """
-    reg = retriever.registry
-    store = retriever.vector_store
-    rows = []
-    chunks = []
-    for cid in reg.ids():
-        row = reg.row_of(cid)
-        rows.append(row)
-        chunks.append(_chunk_to_wire(reg.get_chunk(cid)))
-    matrix = store._host[rows] if rows else np.zeros((0, store.dimension), np.float32)
-    payload = {
-        "format": "trueno-rag-tpu-index",
-        "version": 1,
-        "dimension": store.dimension,
-        "metric": store.config.metric,
-        "chunks": chunks,
-        "embeddings_raw": np.ascontiguousarray(matrix, dtype=np.float32).tobytes(),
-        "bm25": retriever.sparse_index.state_dict(),
-        "bm25_rows": {str(reg.row_of(cid)): i for i, cid in enumerate(reg.ids())},
-        "retriever_config": {
-            "candidates_per_source": retriever.config.candidates_per_source,
-            "fusion": retriever.config.fusion.to_dict(),
-            "use_dense": retriever.config.use_dense,
-            "use_sparse": retriever.config.use_sparse,
-        },
-        "embedder": embedder_info or {},
-        "tags": _tag_wire(reg, reg.ids()),
-    }
-    if getattr(store, "_cluster", None) is not None and not store._dirty:
-        # Clustered tier (ops/clustered.py): persist the k-means layout
-        # so a load with scan_tier="clustered" skips re-clustering.
-        # ONLY when the store is clean — a mutation since the last
-        # clustered build leaves `_cluster` describing stale rows, and
-        # a load consuming it would scan against unsound radii / miss
-        # the mutated rows entirely while still certifying (the same
-        # reason _mark_dirty voids the in-memory preset). Dirty stores
-        # save without the layout; the loader re-clusters.
-        # `order` entries are STORE rows; the artifact re-inserts chunks
-        # in saved order (saved index i -> loaded row i), so remap store
-        # row -> saved index. Tombstoned/hole entries become -1.
-        saved_of_row = {row: i for i, row in enumerate(rows)}
-        order = np.asarray(store._cluster[0])
-        order_saved = np.asarray(
-            [saved_of_row.get(int(r), -1) if r >= 0 else -1 for r in order],
-            dtype=np.int32,
-        )
-        cent_j, radii_j = store._cluster[2], store._cluster[3]
-        payload["cluster"] = {
-            "tile": int(order.shape[0] // len(np.asarray(radii_j))),
-            "order": order_saved.tobytes(),
-            "centroids": np.asarray(cent_j, dtype=np.float32).tobytes(),
-            "centroids_dim": int(np.asarray(cent_j).shape[1]),
-            "radii": np.asarray(radii_j, dtype=np.float32).tobytes(),
-        }
-    blob = serialize_compressed(payload, codec)
-    with open(path, "wb") as f:
-        f.write(blob)
-    raw = len(payload["embeddings_raw"]) + sum(len(c["content"]) for c in chunks)
-    return {"compressed_bytes": len(blob), "raw_bytes_estimate": raw, "chunks": len(chunks)}
-
-
-def _loaded_vector_config(dimension: int, scan_tier: Optional[str]):
-    """VectorStoreConfig for a loaded artifact: ``scan_tier`` engages a
-    reduced-precision certified tier on the rebuilt store (serve a
-    multi-million-chunk artifact with `"auto"`/`"bf16"`/`"compact"`
-    without touching code — the CLI's ``--scan-tier``)."""
-    if scan_tier is None:
+def _cluster_wire(store, rows) -> Optional[Dict[str, Any]]:
+    """Clustered tier (ops/clustered.py): the k-means layout, remapped
+    to saved-chunk order, so a load with scan_tier="clustered" skips
+    re-clustering. ONLY when the store is clean — a mutation since the
+    last clustered build leaves `_cluster` describing stale rows, and a
+    load consuming it would scan against unsound radii / miss the
+    mutated rows entirely while still certifying (the same reason
+    _mark_dirty voids the in-memory preset). `order` entries are STORE
+    rows; the artifact re-inserts chunks in saved order (saved index i
+    -> loaded row i), so remap store row -> saved index; tombstones and
+    holes become -1."""
+    if getattr(store, "_cluster", None) is None or store._dirty:
         return None
-    from trueno_rag_tpu.index.vector_store import VectorStoreConfig
-
-    return VectorStoreConfig(dimension=dimension, scan_tier=scan_tier)
-
-
-def load_index(path: str, embedder, codec: Optional[Compression] = None,
-               scan_tier: Optional[str] = None):
-    """Rebuild a HybridRetriever from a saved artifact. ``embedder`` is
-    supplied by the caller (embedder identity travels in the artifact's
-    ``embedder`` dict for the CLI to reconstruct — main.rs:442-477).
-    ``scan_tier`` configures the rebuilt VectorStore's scan tier
-    (default fp32)."""
-    from trueno_rag_tpu.fusion import FusionStrategy
-    from trueno_rag_tpu.retrieve import HybridRetriever, HybridRetrieverConfig
-
-    if not os.path.exists(path):
-        from trueno_rag_tpu.errors import IndexNotFoundError
-
-        raise IndexNotFoundError(f"no index at {path}")
-    with open(path, "rb") as f:
-        magic = f.read(len(MAGIC2))
-        if magic == MAGIC2:  # v2 streaming container
-            return _load_index_streaming(f, embedder, scan_tier=scan_tier)
-        payload = deserialize_compressed(magic + f.read())
-    if payload.get("format") != "trueno-rag-tpu-index":
-        raise SerializationError("not a trueno-rag-tpu index artifact")
-
-    rcfg = payload["retriever_config"]
-    config = HybridRetrieverConfig(
-        candidates_per_source=rcfg["candidates_per_source"],
-        fusion=FusionStrategy.from_dict(rcfg["fusion"]),
-        use_dense=rcfg["use_dense"],
-        use_sparse=rcfg["use_sparse"],
+    saved_of_row = {row: i for i, row in enumerate(rows)}
+    order = np.asarray(store._cluster[0])
+    order_saved = np.asarray(
+        [saved_of_row.get(int(r), -1) if r >= 0 else -1 for r in order],
+        dtype=np.int32,
     )
-    retr = HybridRetriever(
-        embedder, config=config,
-        vector_config=_loaded_vector_config(payload["dimension"], scan_tier),
-    )
-    dim = payload["dimension"]
-    n = len(payload["chunks"])
-    matrix = np.frombuffer(payload["embeddings_raw"], dtype=np.float32).reshape(n, dim)
-    # Re-insert in saved order so registry rows match the BM25 state's rows.
-    for i, cd in enumerate(payload["chunks"]):
-        chunk = Chunk.from_dict(cd)
-        chunk.set_embedding(matrix[i])
-        retr.vector_store.insert(chunk)
-    # BM25 state referenced original rows; saved order IS row order here
-    # because insert() allocates rows 0..n-1 in sequence.
-    row_remap = {int(r): i for r, i in payload["bm25_rows"].items()}
-    bm25_state = payload["bm25"]
-    bm25_state["postings"] = {
-        t: {str(row_remap[int(r)]): tf for r, tf in plist.items()}
-        for t, plist in bm25_state["postings"].items()
+    cent_j, radii_j = store._cluster[2], store._cluster[3]
+    return {
+        "tile": int(order.shape[0] // len(np.asarray(radii_j))),
+        "order": order_saved.tobytes(),
+        "centroids": np.asarray(cent_j, dtype=np.float32).tobytes(),
+        "centroids_dim": int(np.asarray(cent_j).shape[1]),
+        "radii": np.asarray(radii_j, dtype=np.float32).tobytes(),
     }
-    bm25_state["doc_len"] = {str(row_remap[int(r)]): l for r, l in bm25_state["doc_len"].items()}
-    retr.sparse_index.load_state_dict(bm25_state)
-    tags = payload.get("tags")
-    if tags:
-        retr.registry.load_tag_state(tags["vocab"], tags["rows"])
-    cluster = payload.get("cluster")
-    if cluster and scan_tier == "clustered":
-        # saved index i == loaded row i (sequential inserts above), so
-        # the saved order IS the loaded order; installed AFTER inserts
-        # (each insert clears the preset via _mark_dirty)
-        d = cluster["centroids_dim"]
-        # adopt the artifact's tile size — the layout is tile-coupled
-        # and the preset only consumes on an exact tile match
-        retr.vector_store.config.scan_tile_n = max(
-            int(cluster["tile"]),
-            128,  # config floor; prepare tiles are >= the kernel's 1024
-        )
-        retr.vector_store._cluster_preset = {
-            "tile": int(cluster["tile"]),
-            "order": np.frombuffer(cluster["order"], dtype=np.int32),
-            "centroids": np.frombuffer(
-                cluster["centroids"], dtype=np.float32
-            ).reshape(-1, d),
-            "radii": np.frombuffer(cluster["radii"], dtype=np.float32),
-        }
-    return retr, payload.get("embedder", {})
 
 
-# ---------------------------------------------------------------------------
-# Streaming index artifacts (multi-GB indexes; constant memory)
-# ---------------------------------------------------------------------------
-
-
-def _index_header(retriever, embedder_info):
-    """The v1 payload minus the embedding matrix (which streams as
-    frames); returns (header dict, row-ordered chunk-id list)."""
+def _build_header(retriever, embedder_info) -> tuple:
+    """Everything an index artifact carries EXCEPT the embedding matrix
+    (shared by the monolithic v1 and streaming v2 writers) → (header,
+    row-ordered chunk ids, their store rows)."""
     reg = retriever.registry
     store = retriever.vector_store
     ids = list(reg.ids())
+    rows = [reg.row_of(cid) for cid in ids]
     header = {
         "format": "trueno-rag-tpu-index",
-        "version": 2,
         "dimension": store.dimension,
         "metric": store.config.metric,
         "chunks": [_chunk_to_wire(reg.get_chunk(cid)) for cid in ids],
         "bm25": retriever.sparse_index.state_dict(),
-        "bm25_rows": {str(reg.row_of(cid)): i for i, cid in enumerate(ids)},
+        "bm25_rows": {str(r): i for i, r in enumerate(rows)},
         "retriever_config": {
             "candidates_per_source": retriever.config.candidates_per_source,
             "fusion": retriever.config.fusion.to_dict(),
@@ -330,7 +201,197 @@ def _index_header(retriever, embedder_info):
         "embedder": embedder_info or {},
         "tags": _tag_wire(reg, ids),
     }
-    return header, ids
+    cluster = _cluster_wire(store, rows)
+    if cluster is not None:
+        header["cluster"] = cluster
+    return header, ids, rows
+
+
+def _atomic_writer(path: str):
+    """Write to path+'.tmp' then os.replace: a crash/full-disk mid-write
+    must not destroy the previous good artifact (open(path, 'wb')
+    truncates it immediately)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        tmp = path + ".tmp"
+        try:
+            with open(tmp, "wb") as f:
+                yield f
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+
+    return cm()
+
+
+def save_index(path: str, retriever, embedder_info: Optional[Dict[str, Any]] = None,
+               codec: Optional[Compression] = None) -> Dict[str, Any]:
+    """Persist a HybridRetriever (registry + dense matrix + BM25 state).
+
+    Returns a stats dict (raw/compressed sizes). The embedding matrix is
+    stored row-aligned with the registry so load reconstructs identical
+    device rows — scores round-trip exactly. The write is atomic
+    (tmp + rename).
+    """
+    store = retriever.vector_store
+    payload, ids, rows = _build_header(retriever, embedder_info)
+    payload["version"] = 1
+    matrix = store._host[rows] if rows else np.zeros((0, store.dimension), np.float32)
+    payload["embeddings_raw"] = np.ascontiguousarray(matrix, dtype=np.float32).tobytes()
+    blob = serialize_compressed(payload, codec)
+    with _atomic_writer(path) as f:
+        f.write(blob)
+    raw = len(payload["embeddings_raw"]) + sum(
+        len(c["content"]) for c in payload["chunks"]
+    )
+    return {"compressed_bytes": len(blob), "raw_bytes_estimate": raw, "chunks": len(ids)}
+
+
+def _loaded_vector_config(dimension: int, scan_tier: Optional[str], metric: str):
+    """VectorStoreConfig for a loaded artifact: restores the saved
+    ``metric`` (a dot-metric index reloaded as the default cosine would
+    silently re-normalize every row) and engages ``scan_tier`` (serve a
+    multi-million-chunk artifact with `"auto"`/`"bf16"`/`"compact"`/
+    `"clustered"` without touching code — the CLI's ``--scan-tier``)."""
+    from trueno_rag_tpu.index.vector_store import VectorStoreConfig
+
+    kw = {"dimension": dimension, "metric": metric}
+    if scan_tier is not None:
+        kw["scan_tier"] = scan_tier
+    return VectorStoreConfig(**kw)
+
+
+def _retriever_from_header(header, embedder, scan_tier):
+    """Rebuild the empty retriever from an artifact header (shared by
+    the v1 and v2 loaders)."""
+    from trueno_rag_tpu.fusion import FusionStrategy
+    from trueno_rag_tpu.retrieve import HybridRetriever, HybridRetrieverConfig
+
+    if header.get("format") != "trueno-rag-tpu-index":
+        raise SerializationError("not a trueno-rag-tpu index artifact")
+    rcfg = header["retriever_config"]
+    config = HybridRetrieverConfig(
+        candidates_per_source=rcfg["candidates_per_source"],
+        fusion=FusionStrategy.from_dict(rcfg["fusion"]),
+        use_dense=rcfg["use_dense"],
+        use_sparse=rcfg["use_sparse"],
+    )
+    return HybridRetriever(
+        embedder, config=config,
+        vector_config=_loaded_vector_config(
+            header["dimension"], scan_tier, header.get("metric", "cosine")
+        ),
+    )
+
+
+def _insert_block(retr, chunk_dicts, block: np.ndarray, start: int) -> None:
+    """Bulk-insert one matrix block's chunks (vectorized insert_many —
+    per-chunk insert() measured ~17 µs each, tens of seconds at 1M).
+    Sequential registration keeps row i == saved index i, which the
+    BM25 remap depends on."""
+    chunks = []
+    for r in range(block.shape[0]):
+        chunk = Chunk.from_dict(chunk_dicts[start + r])
+        chunk.set_embedding(block[r])
+        chunks.append(chunk)
+    retr.vector_store.insert_many(chunks)
+
+
+def _finish_load(retr, header, scan_tier):
+    """BM25 state remap + tags + clustered preset (shared by both
+    loaders; saved order IS row order because inserts allocate rows
+    0..n-1 in sequence)."""
+    row_remap = {int(r): i for r, i in header["bm25_rows"].items()}
+    bm25_state = header["bm25"]
+    bm25_state["postings"] = {
+        t: {str(row_remap[int(r)]): tf for r, tf in plist.items()}
+        for t, plist in bm25_state["postings"].items()
+    }
+    bm25_state["doc_len"] = {str(row_remap[int(r)]): l for r, l in bm25_state["doc_len"].items()}
+    retr.sparse_index.load_state_dict(bm25_state)
+    tags = header.get("tags")
+    if tags:
+        retr.registry.load_tag_state(tags["vocab"], tags["rows"])
+    cluster = header.get("cluster")
+    if cluster and scan_tier == "clustered":
+        # installed AFTER inserts (each insert clears the preset via
+        # _mark_dirty); adopt the artifact's tile size — the layout is
+        # tile-coupled and the preset only consumes on an exact match
+        d = cluster["centroids_dim"]
+        retr.vector_store.config.scan_tile_n = max(int(cluster["tile"]), 128)
+        retr.vector_store._cluster_preset = {
+            "tile": int(cluster["tile"]),
+            "order": np.frombuffer(cluster["order"], dtype=np.int32),
+            "centroids": np.frombuffer(
+                cluster["centroids"], dtype=np.float32
+            ).reshape(-1, d),
+            "radii": np.frombuffer(cluster["radii"], dtype=np.float32),
+        }
+    return retr
+
+
+def read_index_info(path: str) -> Dict[str, Any]:
+    """Artifact metadata WITHOUT rebuilding the index: embedder
+    identity, dimension, metric, chunk count, format version — for
+    callers (the CLI) that must construct the embedder BEFORE calling
+    :func:`load_index`. Handles both the monolithic v1 blob and the v2
+    streaming container (whose matrix frames are never read)."""
+    if not os.path.exists(path):
+        from trueno_rag_tpu.errors import IndexNotFoundError
+
+        raise IndexNotFoundError(f"no index at {path}")
+    with open(path, "rb") as f:
+        magic = f.read(len(MAGIC2))
+        if magic == MAGIC2:
+            codec, header = _read_streaming_header(f)
+            payload = header
+        else:
+            payload = deserialize_compressed(magic + f.read())
+    if payload.get("format") != "trueno-rag-tpu-index":
+        raise SerializationError("not a trueno-rag-tpu index artifact")
+    return {
+        "embedder": payload.get("embedder", {}),
+        "dimension": payload.get("dimension"),
+        "metric": payload.get("metric", "cosine"),
+        "version": payload.get("version", 1),
+        "chunks": payload.get("chunks", []),
+    }
+
+
+def load_index(path: str, embedder, codec: Optional[Compression] = None,
+               scan_tier: Optional[str] = None):
+    """Rebuild a HybridRetriever from a saved artifact. ``embedder`` is
+    supplied by the caller (embedder identity travels in the artifact's
+    ``embedder`` dict for the CLI to reconstruct — main.rs:442-477; use
+    :func:`read_index_info` to peek without loading). ``scan_tier``
+    configures the rebuilt VectorStore's scan tier (default fp32)."""
+    if not os.path.exists(path):
+        from trueno_rag_tpu.errors import IndexNotFoundError
+
+        raise IndexNotFoundError(f"no index at {path}")
+    with open(path, "rb") as f:
+        magic = f.read(len(MAGIC2))
+        if magic == MAGIC2:  # v2 streaming container
+            return _load_index_streaming(f, embedder, scan_tier=scan_tier)
+        payload = deserialize_compressed(magic + f.read())
+    retr = _retriever_from_header(payload, embedder, scan_tier)
+    dim = payload["dimension"]
+    n = len(payload["chunks"])
+    matrix = np.frombuffer(payload["embeddings_raw"], dtype=np.float32).reshape(n, dim)
+    _insert_block(retr, payload["chunks"], matrix, 0)
+    _finish_load(retr, payload, scan_tier)
+    return retr, payload.get("embedder", {})
+
+
+# ---------------------------------------------------------------------------
+# Streaming index artifacts (multi-GB indexes; constant memory)
+# ---------------------------------------------------------------------------
 
 
 def save_index_streaming(
@@ -346,7 +407,7 @@ def save_index_streaming(
     Unlike :func:`save_index` (one monolithic msgpack blob — fine at
     MBs, 3x peak memory at GBs), this streams: peak memory is one frame
     regardless of corpus size, and frames decompress independently on
-    load. Layout::
+    load. The write is atomic (tmp + rename). Layout::
 
         MAGIC2 | codec\\0 | u64 header_len | compressed header |
         { u64 comp_len | u64 raw_len | compressed rows }*
@@ -354,22 +415,23 @@ def save_index_streaming(
     :func:`load_index` reads both formats transparently.
     """
     codec = codec or default_compression()
-    header, ids = _index_header(retriever, embedder_info)
-    reg = retriever.registry
+    header, ids, id_rows = _build_header(retriever, embedder_info)
+    header["version"] = 2
     store = retriever.vector_store
     n = len(ids)
     header["n_rows"] = n
     header["frame_rows"] = frame_rows
     hdr_c = codec.compress(msgpack.packb(header, use_bin_type=True))
     total_c = 0
-    with open(path, "wb") as f:
+    with _atomic_writer(path) as f:
         f.write(MAGIC2 + codec.value.encode() + b"\x00")
         f.write(len(hdr_c).to_bytes(8, "little"))
         f.write(hdr_c)
         for lo in range(0, n, frame_rows):
             hi = min(lo + frame_rows, n)
-            rows = [reg.row_of(cid) for cid in ids[lo:hi]]
-            block = np.ascontiguousarray(store._host[rows], dtype=np.float32)
+            block = np.ascontiguousarray(
+                store._host[id_rows[lo:hi]], dtype=np.float32
+            )
             raw = block.tobytes()
             comp = codec.compress(raw)
             f.write(len(comp).to_bytes(8, "little"))
@@ -384,11 +446,18 @@ def save_index_streaming(
     }
 
 
-def _load_index_streaming(f, embedder, scan_tier: Optional[str] = None):
-    """Resume after MAGIC2: codec id, compressed header, matrix frames."""
-    from trueno_rag_tpu.fusion import FusionStrategy
-    from trueno_rag_tpu.retrieve import HybridRetriever, HybridRetrieverConfig
+def _read_exact(f, nbytes: int, what: str) -> bytes:
+    """Read exactly nbytes or raise — a short read means a truncated
+    artifact, and treating it as zero-length data would parse garbage
+    (or, for zero-row frames, loop forever)."""
+    data = f.read(nbytes)
+    if len(data) != nbytes:
+        raise SerializationError(f"truncated artifact ({what})")
+    return data
 
+
+def _read_streaming_header(f):
+    """After MAGIC2: parse (codec, header dict)."""
     codec_bytes = b""
     while True:
         ch = f.read(1)
@@ -397,49 +466,40 @@ def _load_index_streaming(f, embedder, scan_tier: Optional[str] = None):
         if ch == b"\x00":
             break
         codec_bytes += ch
-    codec = Compression(codec_bytes.decode())
-    hdr_len = int.from_bytes(f.read(8), "little")
-    header = msgpack.unpackb(codec.decompress(f.read(hdr_len)), raw=False, strict_map_key=False)
-    if header.get("format") != "trueno-rag-tpu-index":
-        raise SerializationError("not a trueno-rag-tpu index artifact")
-    rcfg = header["retriever_config"]
-    config = HybridRetrieverConfig(
-        candidates_per_source=rcfg["candidates_per_source"],
-        fusion=FusionStrategy.from_dict(rcfg["fusion"]),
-        use_dense=rcfg["use_dense"],
-        use_sparse=rcfg["use_sparse"],
+    try:
+        codec = Compression(codec_bytes.decode())
+    except ValueError as e:
+        raise SerializationError(f"unknown codec id: {e}") from e
+    hdr_len = int.from_bytes(_read_exact(f, 8, "header length"), "little")
+    header = msgpack.unpackb(
+        codec.decompress(_read_exact(f, hdr_len, "header")),
+        raw=False, strict_map_key=False,
     )
+    return codec, header
+
+
+def _load_index_streaming(f, embedder, scan_tier: Optional[str] = None):
+    """Resume after MAGIC2: codec id, compressed header, matrix frames."""
+    codec, header = _read_streaming_header(f)
+    retr = _retriever_from_header(header, embedder, scan_tier)
     dim = header["dimension"]
-    retr = HybridRetriever(
-        embedder, config=config,
-        vector_config=_loaded_vector_config(dim, scan_tier),
-    )
     n = header["n_rows"]
     loaded = 0
     chunk_dicts = header["chunks"]
     while loaded < n:
-        comp_len = int.from_bytes(f.read(8), "little")
-        raw_len = int.from_bytes(f.read(8), "little")
-        raw = codec.decompress(f.read(comp_len))
+        comp_len = int.from_bytes(_read_exact(f, 8, "frame length"), "little")
+        raw_len = int.from_bytes(_read_exact(f, 8, "frame length"), "little")
+        raw = codec.decompress(_read_exact(f, comp_len, "matrix frame"))
         if len(raw) != raw_len:
             raise SerializationError("corrupt matrix frame")
         block = np.frombuffer(raw, dtype=np.float32).reshape(-1, dim)
-        for r in range(block.shape[0]):
-            chunk = Chunk.from_dict(chunk_dicts[loaded + r])
-            chunk.set_embedding(block[r])
-            retr.vector_store.insert(chunk)
+        if block.shape[0] == 0:
+            # a zero-row frame can never advance `loaded` — fail rather
+            # than spin forever on a boundary-truncated artifact
+            raise SerializationError("empty matrix frame (truncated artifact?)")
+        _insert_block(retr, chunk_dicts, block, loaded)
         loaded += block.shape[0]
-    row_remap = {int(r): i for r, i in header["bm25_rows"].items()}
-    bm25_state = header["bm25"]
-    bm25_state["postings"] = {
-        t: {str(row_remap[int(r)]): tf for r, tf in plist.items()}
-        for t, plist in bm25_state["postings"].items()
-    }
-    bm25_state["doc_len"] = {str(row_remap[int(r)]): l for r, l in bm25_state["doc_len"].items()}
-    retr.sparse_index.load_state_dict(bm25_state)
-    tags = header.get("tags")
-    if tags:
-        retr.registry.load_tag_state(tags["vocab"], tags["rows"])
+    _finish_load(retr, header, scan_tier)
     return retr, header.get("embedder", {})
 
 
