@@ -109,3 +109,22 @@ def test_property_all_metrics_bounded(retrieved, relevant, k):
         assert 0.0 <= v <= 1.0, fn.__name__
     assert 0.0 <= mean_reciprocal_rank(r, rel) <= 1.0
     assert 0.0 <= average_precision(r, rel) <= 1.0
+
+
+def test_ndcg_window_semantics_match_sibling_metrics():
+    """Regression (review r3): dedup must happen WITHIN the top-k window
+    (reference take(k)-then-dedup, metrics.rs:107-116) — deduplicating
+    first slid ids ranked beyond k into the window, making NDCG@k
+    report hits recall@k said were never retrieved."""
+    from trueno_rag_tpu.metrics import ndcg_at_k, recall_at_k
+
+    retrieved, relevant = ["A", "A", "B"], {"B"}
+    assert recall_at_k(retrieved, relevant, 2) == 0.0
+    assert ndcg_at_k(retrieved, relevant, 2) == 0.0  # B is outside top-2
+    # within the window, the duplicate still gains only once, at its
+    # ORIGINAL rank
+    import math
+
+    got = ndcg_at_k(["A", "A", "B"], {"A", "B"}, 3)
+    ideal = 1.0 + 1.0 / math.log2(3)
+    assert got == ((1.0 + 1.0 / math.log2(4)) / ideal)

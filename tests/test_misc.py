@@ -158,3 +158,37 @@ def test_cli_semantic_hf_dir(tmp_path):
     )
     assert q.returncode == 0, q.stderr
     assert "a.txt" in q.stdout
+
+
+def test_composite_reranker_duplicate_ids_do_not_double_count():
+    """Regression (review r3): member scores for duplicated candidate
+    ids accumulated into one entry, letting a duplicate outrank a
+    genuinely better unique candidate."""
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+    from trueno_rag_tpu.rerank import CompositeReranker
+    from trueno_rag_tpu.retrieve import RetrievalResult
+
+    class Fixed:
+        def __init__(self, scores):
+            self.scores = scores
+
+        def rerank(self, query, candidates, top_k):
+            out = []
+            for r in candidates:
+                rr = RetrievalResult(chunk=r.chunk,
+                                     rerank_score=self.scores[r.chunk.id])
+                out.append(rr)
+            return out[:top_k]
+
+    def res(i):
+        c = Chunk(document_id="d", content=f"c{i}", start_offset=0,
+                  end_offset=2, metadata=ChunkMetadata(),
+                  id=chunk_id_from_int(i))
+        return RetrievalResult(chunk=c)
+
+    dup, unique = res(1), res(2)
+    scores = {dup.chunk.id: 1.0, unique.chunk.id: 1.5}
+    comp = CompositeReranker([Fixed(scores)])
+    ranked = comp.rerank("q", [dup, dup, unique], 2)
+    assert ranked[0].chunk.id == unique.chunk.id
+    assert ranked[0].rerank_score == 1.5 and ranked[1].rerank_score == 1.0

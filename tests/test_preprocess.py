@@ -266,3 +266,33 @@ def test_pipeline_applies_intent_fusion(monkeypatch):
     assert seen[-1].params["dense_weight"] < 0.5
     p.query("zebra quantum paddle", k=1)  # unknown → configured default
     assert seen[-1] is None
+
+
+def test_multi_query_cap_honored_exactly():
+    """Regression (review r3): max_queries caps BEFORE appending
+    (reference preprocess.rs:163-167) — max_queries=1 returns only the
+    original."""
+    from trueno_rag_tpu.preprocess import KeywordExpander, MultiQueryPreprocessor
+
+    p = MultiQueryPreprocessor(KeywordExpander(), max_queries=1)
+    assert p.preprocess("how to fix broken index") == ["how to fix broken index"]
+
+
+def test_chained_empty_passes_original_through():
+    """Regression (review r3): an empty chain returns [query]
+    (preprocess.rs:366-368), never [] — [] silently retrieved zero
+    variants for every query."""
+    from trueno_rag_tpu.preprocess import ChainedPreprocessor
+
+    assert ChainedPreprocessor([]).preprocess("hello") == ["hello"]
+
+
+def test_synonym_expander_custom_keys_and_take2():
+    """Regression (review r3): custom map keys lowercase at
+    construction (they silently never matched), and at most two
+    synonyms substitute per word (reference take(2))."""
+    from trueno_rag_tpu.preprocess import SynonymExpander
+
+    e = SynonymExpander({"Error": ["failure", "fault", "exception"]})
+    out = e.expand("error here")
+    assert out == ["failure here", "fault here"]  # lowercased key, take(2)

@@ -60,12 +60,20 @@ def mean_reciprocal_rank(retrieved: Sequence[str], relevant: Set[str]) -> float:
 
 
 def ndcg_at_k(retrieved: Sequence[str], relevant: Set[str], k: int) -> float:
-    """Binary-gain NDCG@k. Retrieved ids are deduplicated first so NDCG
-    never exceeds 1.0 (reference regression fix, metrics.rs:103-116)."""
+    """Binary-gain NDCG@k over the top-k WINDOW: each relevant id gains
+    at most once, at its first occurrence's ORIGINAL rank (the
+    reference regression fix, metrics.rs:103-116 — take(k) then dedup).
+    Deduplicating before truncating would slide ids ranked beyond k
+    into the window, making NDCG@k report hits recall@k/precision@k say
+    were never retrieved."""
     if not relevant or k == 0:
         return 0.0
-    unique = _dedup_keep_order(retrieved)[:k]
-    dcg = sum(1.0 / math.log2(rank + 2) for rank, i in enumerate(unique) if i in relevant)
+    seen: Set[str] = set()
+    dcg = 0.0
+    for rank, i in enumerate(retrieved[:k]):
+        if i in relevant and i not in seen:
+            seen.add(i)
+            dcg += 1.0 / math.log2(rank + 2)
     ideal_hits = min(len(relevant), k)
     idcg = sum(1.0 / math.log2(rank + 2) for rank in range(ideal_hits))
     return dcg / idcg if idcg > 0.0 else 0.0

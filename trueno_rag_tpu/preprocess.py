@@ -132,16 +132,24 @@ DEFAULT_SYNONYMS: Dict[str, List[str]] = {
 
 class SynonymExpander:
     """Word-substitution variants from a synonym map; ships a small
-    technical-synonyms default like the reference (preprocess.rs:240-317)."""
+    technical-synonyms default like the reference (preprocess.rs:240-317).
+
+    Lookup semantics match the reference exactly: the query splits on
+    whitespace and each token lowercases for the map lookup — a word
+    with attached punctuation ("error!") does not match, and at most
+    TWO synonyms substitute per word (preprocess.rs:299-316). Custom
+    map keys are lowercased at construction (a convenience the
+    reference's all-lowercase built-in map never needed)."""
 
     def __init__(self, synonyms: Optional[Dict[str, List[str]]] = None) -> None:
-        self.synonyms = synonyms if synonyms is not None else dict(DEFAULT_SYNONYMS)
+        base = synonyms if synonyms is not None else DEFAULT_SYNONYMS
+        self.synonyms = {k.lower(): list(v) for k, v in base.items()}
 
     def expand(self, query: str) -> List[str]:
         words = query.split()
         out: List[str] = []
         for i, w in enumerate(words):
-            for syn in self.synonyms.get(w.lower(), []):
+            for syn in self.synonyms.get(w.lower(), [])[:2]:
                 variant = words[:i] + [syn] + words[i + 1 :]
                 out.append(" ".join(variant))
         return out
@@ -163,11 +171,13 @@ class MultiQueryPreprocessor:
         seen = {query}
         out = [query]
         for variant in self.expander.expand(query):
+            # cap BEFORE appending (reference preprocess.rs:163-167:
+            # max_queries=1 returns the original only)
+            if len(out) >= self.max_queries:
+                break
             if variant not in seen:
                 seen.add(variant)
                 out.append(variant)
-            if len(out) >= self.max_queries:
-                break
         return out
 
 
@@ -182,15 +192,21 @@ class ChainedPreprocessor:
     name = "chained"
 
     def preprocess(self, query: str) -> List[str]:
+        if not self.preprocessors:
+            # reference semantics (preprocess.rs:366-368): an empty
+            # chain passes the original through — returning [] would
+            # silently retrieve zero variants for every query
+            return [query]
         seen = set()
         out: List[str] = []
         for p in self.preprocessors:
             for q in p.preprocess(query):
+                # cap BEFORE appending (preprocess.rs:375-377)
+                if len(out) >= self.max_total:
+                    return out
                 if q not in seen:
                     seen.add(q)
                     out.append(q)
-                if len(out) >= self.max_total:
-                    return out
         return out
 
 

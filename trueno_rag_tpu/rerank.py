@@ -11,8 +11,11 @@ neural cross-encoder reranker (the real capability the mock stands in
 for) is a JAX forward pass in :mod:`trueno_rag_tpu.models` scoring all
 candidates in one batched device call.
 
-All rerankers return NEW result lists with ``rerank_score`` attached and
-results ordered (score desc, chunk id asc), truncated to ``top_k``.
+All scoring rerankers return NEW result lists with ``rerank_score``
+attached and results ordered (score desc, chunk id asc), truncated to
+``top_k``; ``NoOpReranker`` alone passes the top_k slice through in the
+ORIGINAL order with no score (rerank.rs:266-287 — its contract is
+"don't touch the ranking").
 """
 
 from __future__ import annotations
@@ -20,13 +23,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional, Protocol, Sequence, runtime_checkable
 
-import re
-
 from trueno_rag_tpu.errors import InvalidConfigError
 from trueno_rag_tpu.retrieve import RetrievalResult
-from trueno_rag_tpu.text import tokenize_simple
-
-_NON_ALNUM = re.compile(r"[^0-9A-Za-z]+")
+from trueno_rag_tpu.text import _NON_ALNUM, tokenize_simple
 
 
 @runtime_checkable
@@ -135,12 +134,23 @@ class CompositeReranker:
             raise InvalidConfigError("weights must match rerankers in length")
 
     def rerank(self, query: str, candidates: Sequence[RetrievalResult], top_k: int) -> List[RetrievalResult]:
-        acc = {r.chunk.id: 0.0 for r in candidates}
+        # dedup by chunk id first (keep the first occurrence): member
+        # scores for EACH duplicate would otherwise accumulate into one
+        # acc entry, letting a duplicated candidate outrank a genuinely
+        # better unique one (duplicate retrieved ids are a recognized
+        # input class — see metrics.py's NDCG dedup)
+        seen = set()
+        uniq = []
+        for r in candidates:
+            if r.chunk.id not in seen:
+                seen.add(r.chunk.id)
+                uniq.append(r)
+        acc = {r.chunk.id: 0.0 for r in uniq}
         for reranker, w in zip(self.rerankers, self.weights):
-            member = reranker.rerank(query, candidates, len(candidates))
+            member = reranker.rerank(query, uniq, len(uniq))
             for res in member:
                 acc[res.chunk.id] = acc.get(res.chunk.id, 0.0) + w * (res.rerank_score or 0.0)
-        scored = [_clone_with_score(r, acc[r.chunk.id]) for r in candidates]
+        scored = [_clone_with_score(r, acc[r.chunk.id]) for r in uniq]
         return _sort_desc(scored)[:top_k]
 
 
@@ -167,8 +177,6 @@ class MMRReranker:
 
     def __post_init__(self) -> None:
         if not (0.0 <= self.lambda_ <= 1.0):
-            from trueno_rag_tpu.errors import InvalidConfigError
-
             raise InvalidConfigError("MMR lambda_ must be in [0, 1]")
 
     def rerank(
@@ -203,7 +211,7 @@ class MMRReranker:
         remaining = set(range(len(cands)))
         while remaining and len(selected) < top_k:
             best_i, best_val = -1, -np.inf
-            for i in sorted(remaining):  # sorted: deterministic tie-break
+            for i in sorted(remaining):
                 redundancy = (
                     max((float(sims[i, j]) for j in selected if have[i] and have[j]),
                         default=0.0)
@@ -211,7 +219,13 @@ class MMRReranker:
                     else 0.0
                 )
                 val = self.lambda_ * float(rel[i]) - (1.0 - self.lambda_) * redundancy
-                if val > best_val:
+                # ties break by chunk id asc — the module's documented
+                # order — not by candidate position
+                if val > best_val or (
+                    val == best_val
+                    and best_i >= 0
+                    and cands[i].chunk.id < cands[best_i].chunk.id
+                ):
                     best_i, best_val = i, val
             selected.append(best_i)
             remaining.discard(best_i)
