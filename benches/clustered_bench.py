@@ -44,6 +44,10 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--check", action="store_true",
                    help="oracle-check certified sets (hosts the fp32 matmul)")
+    p.add_argument("--host-prep", action="store_true",
+                   help="host corpus + prepare_clustered (round-trips the "
+                        "full matrix through the host — fine locally, "
+                        "minutes-per-GB over this box's ~2 MB/s tunnel)")
     args = p.parse_args()
 
     import jax
@@ -52,8 +56,10 @@ def main() -> None:
 
     from trueno_rag_tpu.ops.clustered import (
         apply_cluster_order,
+        apply_cluster_order_device,
         dense_topk_compact_bf16r_clustered,
         prepare_clustered,
+        prepare_clustered_device,
     )
     from trueno_rag_tpu.ops.dense_tiered import (
         dense_topk_compact_bf16r,
@@ -69,30 +75,66 @@ def main() -> None:
     rng = np.random.default_rng(0)
 
     print(f"N={n:,} d={d} B={b} blobs={blobs} tiles={t} "
-          f"probe={args.probe} k={k}", flush=True)
+          f"probe={args.probe} k={k} prep={'host' if args.host_prep else 'device'}",
+          flush=True)
 
-    # -- corpus: blobs + planted relevant rows (host; build-time) ---------
+    # -- corpus: blobs + planted relevant rows -----------------------------
+    # balanced blobs (each fits one tile) — the structure the pruning
+    # bound needs; k-means recovers them as pure tiles. Only the tiny
+    # [blobs, d] centers are host-born; the [N, d] corpus is generated
+    # ON DEVICE (host gen + upload would ship GBs through the tunnel).
     centers = rng.standard_normal((blobs, d)).astype(np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    # balanced blobs (each fits one tile) — the structure the pruning
-    # bound needs; k-means recovers them as pure tiles
-    which = np.repeat(np.arange(blobs), -(-n // blobs))[:n]
-    m = centers[which] + args.sigma * rng.standard_normal((n, d)).astype(np.float32)
-    for bi in range(min(blobs, 64)):  # plant only for the queried blobs
-        rows = np.flatnonzero(which == bi)[: (args.planted or k)]
-        m[rows] = centers[bi] + 0.01 * rng.standard_normal(
-            (len(rows), d)
-        ).astype(np.float32)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    m = m.astype(np.float32)
+    per = -(-n // blobs)
+    nplant = args.planted or k
 
-    t0 = time.perf_counter()
-    order, cent, radii = prepare_clustered(m, tile_n=tile_n, iters=8)
-    print(f"clustering: {time.perf_counter()-t0:.1f}s, "
-          f"median radius {np.median(radii):.3f}", flush=True)
+    if args.host_prep:
+        which = np.repeat(np.arange(blobs), per)[:n]
+        m = centers[which] + args.sigma * rng.standard_normal((n, d)).astype(np.float32)
+        for bi in range(min(blobs, 64)):  # plant only for the queried blobs
+            rows = np.flatnonzero(which == bi)[:nplant]
+            m[rows] = centers[bi] + 0.01 * rng.standard_normal(
+                (len(rows), d)
+            ).astype(np.float32)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        m_oracle = m = m.astype(np.float32)
 
-    mp = apply_cluster_order(m, order).astype(np.float32)
-    parts = prepare_tiered(jnp.asarray(mp)) + prepare_residual(jnp.asarray(mp))
+        t0 = time.perf_counter()
+        order, cent, radii = prepare_clustered(m, tile_n=tile_n, iters=8)
+        print(f"clustering(host): {time.perf_counter()-t0:.1f}s, "
+              f"median radius {np.median(radii):.3f}", flush=True)
+        mp = jnp.asarray(apply_cluster_order(m, order).astype(np.float32))
+    else:
+        centers_j = jnp.asarray(centers)
+        kd, kp = jax.random.split(jax.random.PRNGKey(0))
+
+        @jax.jit
+        def gen_corpus(centers_j):
+            which = jnp.minimum(jnp.arange(n) // per, blobs - 1)
+            m = jnp.take(centers_j, which, axis=0) + args.sigma * jax.random.normal(
+                kd, (n, d), jnp.float32)
+            # plant near-duplicates of the queried centers as their true
+            # top rows (blob bi's rows are contiguous at bi*per)
+            qb = min(blobs, 64)
+            prow = (jnp.arange(qb)[:, None] * per + jnp.arange(nplant)[None, :]).reshape(-1)
+            pval = jnp.repeat(centers_j[:qb], nplant, axis=0) + 0.01 * jax.random.normal(
+                kp, (qb * nplant, d), jnp.float32)
+            keepmask = prow < n
+            prow = jnp.where(keepmask, prow, n - 1)
+            pval = jnp.where(keepmask[:, None], pval,
+                             m[n - 1] if n else pval)
+            m = m.at[prow].set(pval)
+            return m / jnp.linalg.norm(m, axis=1, keepdims=True)
+
+        m_oracle = m_dev = jax.block_until_ready(gen_corpus(centers_j))
+
+        t0 = time.perf_counter()
+        order, cent, radii = prepare_clustered_device(m_dev, tile_n=tile_n, iters=8)
+        print(f"clustering(device): {time.perf_counter()-t0:.1f}s, "
+              f"median radius {np.median(radii):.3f}", flush=True)
+        mp = apply_cluster_order_device(m_dev, order).astype(jnp.float32)
+
+    parts = prepare_tiered(mp) + prepare_residual(mp)
     parts = [jax.device_put(x) for x in parts]
     valid = jnp.asarray(order >= 0)
     cent_j, radii_j = jnp.asarray(cent), jnp.asarray(radii)
@@ -119,8 +161,8 @@ def main() -> None:
         if args.check:
             from trueno_rag_tpu.ops.dense import dense_topk
 
-            sx, rx = dense_topk(queries, jnp.asarray(m), jnp.ones(n, bool),
-                                k, "cosine")
+            sx, rx = dense_topk(queries, jnp.asarray(m_oracle),
+                                jnp.ones(n, bool), k, "cosine")
             rn, rxn = np.asarray(r), np.asarray(rx)
             bad = [int(i) for i in np.flatnonzero(ok_np)
                    if set(rn[i].tolist()) != set(rxn[i].tolist())]

@@ -266,3 +266,105 @@ def test_property_certified_always_exact(seed, structure, probe, k):
         assert worst_in > rest.max() - 1e-12, (
             f"certified set not dominant (seed={seed}, {structure})"
         )
+
+
+# --- device-resident build (prepare_clustered_device) ----------------------
+
+
+def test_device_prep_contract_and_sound_radii():
+    """The device prep returns the same (order, centroids, radii)
+    contract and its radii remain SOUND upper bounds on the true f64
+    row-centroid distances (build-side f32 evaluation is widened by
+    _DEV_RADIUS_SLACK before the standard query-side slack)."""
+    from trueno_rag_tpu.ops.clustered import prepare_clustered_device
+
+    m, _ = _blob_corpus(n=4096, d=32, blobs=4, balanced=True, sigma=0.1)
+    order, cent, radii = prepare_clustered_device(
+        jnp.asarray(m), tile_n=TILE, iters=4, sample=2048)
+    t = len(radii)
+    assert len(order) == t * TILE
+    live = order[order >= 0]
+    assert len(np.unique(live)) == len(live) == len(m)
+    for c in range(t):
+        rows = order[c * TILE:(c + 1) * TILE]
+        rows = rows[rows >= 0]
+        if not len(rows):
+            continue
+        diff = m[rows].astype(np.float64) - cent[c].astype(np.float64)
+        true_max = np.sqrt((diff * diff).sum(axis=1)).max()
+        assert true_max <= radii[c], f"tile {c}: {true_max} > {radii[c]}"
+
+
+def test_device_prep_certified_sets_exact():
+    """End-to-end: device-built layout + pruned scan → certified sets
+    equal the fp32 brute-force oracle (reference index.rs:386-412)."""
+    from trueno_rag_tpu.ops.clustered import (
+        apply_cluster_order_device,
+        prepare_clustered_device,
+    )
+
+    n, d, blobs, k, planted = 16_000, 128, 16, 5, 5
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((blobs, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    which = np.repeat(np.arange(blobs), n // blobs)
+    m = centers[which] + 0.05 * rng.standard_normal((n, d)).astype(np.float32)
+    for bidx in range(blobs):
+        rows = np.flatnonzero(which == bidx)[:planted]
+        m[rows] = centers[bidx] + 0.01 * rng.standard_normal((planted, d)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    m = m.astype(np.float32)
+
+    order, cent, radii = prepare_clustered_device(
+        jnp.asarray(m), tile_n=TILE, iters=8, sample=8192)
+    # device layout application matches the host path bit-for-bit
+    mp_host = apply_cluster_order(m, order, fill=0).astype(np.float32)
+    mp_dev = np.asarray(apply_cluster_order_device(jnp.asarray(m), order, fill=0))
+    np.testing.assert_array_equal(mp_host, mp_dev)
+
+    queries = centers[:4].astype(np.float32)
+    s, r, ok, n_scanned = _run(m, queries, k, 4, order, cent, radii)
+    ok = np.asarray(ok).astype(bool)
+    r = np.asarray(r)
+    t = len(radii)
+    assert int(n_scanned) < t, "pruning scanned everything"
+    assert ok.all(), f"expected full certification, got {ok}"
+    sx, rx = dense_topk(jnp.asarray(queries), jnp.asarray(m),
+                        jnp.ones(m.shape[0], bool), k, "cosine")
+    rx = np.asarray(rx)
+    for i in np.flatnonzero(ok):
+        assert set(r[i].tolist()) == set(rx[i].tolist()), f"query {i}"
+
+
+def test_device_prep_valid_holes():
+    """Invalid rows become holes (never clustered, never surfaced),
+    exactly like the host path's valid= handling."""
+    from trueno_rag_tpu.ops.clustered import prepare_clustered_device
+
+    m, centers = _blob_corpus(n=4096, d=32, blobs=4, balanced=True, sigma=0.1)
+    valid = np.ones(len(m), bool)
+    valid[::7] = False
+    order, cent, radii = prepare_clustered_device(
+        jnp.asarray(m), tile_n=TILE, iters=3, sample=2048, valid=valid)
+    live = order[order >= 0]
+    assert len(np.unique(live)) == len(live) == int(valid.sum())
+    assert not np.isin(np.flatnonzero(~valid), live).any()
+    queries = centers[:2].astype(np.float32)
+    s, r, ok, _ = _run(m, queries, 5, 3, order, cent, radii)
+    r = np.asarray(r)
+    assert not np.isin(r[r >= 0], np.flatnonzero(~valid)).any()
+
+
+def test_apply_cluster_order_device_matches_host():
+    rng = np.random.default_rng(5)
+    arr2 = rng.standard_normal((37, 8)).astype(np.float32)
+    arr1 = rng.standard_normal(37).astype(np.float32)
+    order = np.full(48, -1, np.int32)
+    perm = rng.permutation(37)
+    order[rng.choice(48, size=37, replace=False)] = perm
+    for arr in (arr1, arr2):
+        from trueno_rag_tpu.ops.clustered import apply_cluster_order_device
+
+        host = apply_cluster_order(arr, order, fill=0)
+        dev = np.asarray(apply_cluster_order_device(jnp.asarray(arr), order, fill=0))
+        np.testing.assert_array_equal(host, dev)

@@ -43,6 +43,7 @@ the full stream.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import numpy as np
@@ -179,29 +180,7 @@ def prepare_clustered(
         top_alt[lo : lo + slab] = np.take_along_axis(part, o, axis=1)
         top_val[lo : lo + slab] = np.take_along_axis(vals, o, axis=1)
 
-    # --- balanced greedy fill: most-confident rows claim first -----------
-    margin = top_val[:, 0] - (top_val[:, 1] if n_alt > 1 else 0.0)
-    visit = np.argsort(-margin, kind="stable")
-    space = np.full(t, tile_n, dtype=np.int64)  # uniform capacities;
-    # underfull clusters leave holes that absorb any shortfall
-    members: list[list[int]] = [[] for _ in range(t)]
-    overflow: list[int] = []
-    for r in visit:
-        for c in top_alt[r]:
-            if space[c] > 0:
-                members[c].append(int(r))
-                space[c] -= 1
-                break
-        else:
-            overflow.append(int(r))
-    if overflow:  # all alternatives full: any cluster with space
-        open_c = np.flatnonzero(space > 0)
-        oi = 0
-        for r in overflow:
-            while space[open_c[oi]] == 0:
-                oi += 1
-            members[open_c[oi]].append(r)
-            space[open_c[oi]] -= 1
+    members = _greedy_fill(top_alt, top_val, t, tile_n)
 
     # --- final layout + SOUND per-tile bounds over the f32 values --------
     # The scan kernel keeps only the top-2 rows per 128-row block
@@ -238,6 +217,40 @@ def prepare_clustered(
     return order, centroids, radii
 
 
+def _greedy_fill(
+    top_alt: np.ndarray, top_val: np.ndarray, t: int, tile_n: int
+) -> list:
+    """Balanced greedy fill: most-confident rows claim a slot in their
+    best cluster first; rows whose alternatives are all full spill into
+    any cluster with space. Shared by the host and device prep paths
+    (the placement decision is inherently sequential — O(N·n_alt) host
+    work over two small fetched arrays)."""
+    n_alt = top_alt.shape[1]
+    margin = top_val[:, 0] - (top_val[:, 1] if n_alt > 1 else 0.0)
+    visit = np.argsort(-margin, kind="stable")
+    space = np.full(t, tile_n, dtype=np.int64)  # uniform capacities;
+    # underfull clusters leave holes that absorb any shortfall
+    members: list[list[int]] = [[] for _ in range(t)]
+    overflow: list[int] = []
+    for r in visit:
+        for c in top_alt[r]:
+            if space[c] > 0:
+                members[c].append(int(r))
+                space[c] -= 1
+                break
+        else:
+            overflow.append(int(r))
+    if overflow:  # all alternatives full: any cluster with space
+        open_c = np.flatnonzero(space > 0)
+        oi = 0
+        for r in overflow:
+            while space[open_c[oi]] == 0:
+                oi += 1
+            members[open_c[oi]].append(r)
+            space[open_c[oi]] -= 1
+    return members
+
+
 def apply_cluster_order(arr, order: np.ndarray, fill=0):
     """Permute a per-row host array into the clustered layout:
     ``out[i] = arr[order[i]]`` with ``fill`` at holes. Works for ``[N]``
@@ -250,12 +263,230 @@ def apply_cluster_order(arr, order: np.ndarray, fill=0):
     return out
 
 
+def apply_cluster_order_device(arr: jax.Array, order, fill=0) -> jax.Array:
+    """Device counterpart of :func:`apply_cluster_order`: one row
+    gather of the DEVICE-resident array into the clustered layout
+    (holes get ``fill``) — the permuted matrix never visits the host."""
+    order = jnp.asarray(order)
+    if arr.shape[0] == 0:
+        return jnp.full((order.shape[0],) + arr.shape[1:], fill, arr.dtype)
+    safe = jnp.clip(order, 0, arr.shape[0] - 1)
+    out = jnp.take(arr, safe, axis=0)
+    mask = (order >= 0).reshape((order.shape[0],) + (1,) * (arr.ndim - 1))
+    return jnp.where(mask, out, jnp.asarray(fill, arr.dtype))
+
+
+# --- device-resident build helpers (jitted; all [N, d] math on-chip) -------
+
+
+@functools.partial(jax.jit, static_argnames=("t",))
+def _ff_init_device(s_rows: jax.Array, first: jax.Array, t: int) -> jax.Array:
+    """Farthest-first seeding on device (same traversal as the host
+    path: provably one seed per separated clump; see prepare_clustered)."""
+    cent0 = jnp.zeros((t, s_rows.shape[1]), jnp.float32).at[0].set(s_rows[first])
+    d20 = jnp.sum((s_rows - cent0[0]) ** 2, axis=1)
+
+    def body(c, state):
+        cent, d2 = state
+        nxt = s_rows[jnp.argmax(d2)]
+        cent = cent.at[c].set(nxt)
+        d2 = jnp.minimum(d2, jnp.sum((s_rows - nxt) ** 2, axis=1))
+        return cent, d2
+
+    cent, _ = jax.lax.fori_loop(1, t, body, (cent0, d20))
+    return cent
+
+
+@functools.partial(jax.jit, static_argnames=("t", "iters"))
+def _lloyd_device(s_rows: jax.Array, cent0: jax.Array, t: int, iters: int) -> jax.Array:
+    """Lloyd's on the sample, fully on device. The assignment uses the
+    shifted-dot form (argmin ‖x−µ‖² == argmax x·µ − ‖µ‖²/2 — plain dot
+    is norm-biased); the centroid update is the one-hot-matmul form of
+    a segment mean (a [S, t] scatter-add lowers to a device sort,
+    CLAUDE.md lore — the one-hot matmul rides the MXU instead)."""
+
+    def one(_, cent):
+        sc = jax.lax.dot_general(
+            s_rows, cent, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        ) - 0.5 * jnp.sum(cent * cent, axis=1)[None, :]
+        a = jnp.argmax(sc, axis=1)
+        oh = jax.nn.one_hot(a, t, dtype=jnp.float32)  # [S, t]
+        sums = jax.lax.dot_general(
+            oh, s_rows, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [t, d]
+        cnt = jnp.sum(oh, axis=0)
+        return jnp.where(cnt[:, None] > 0, sums / jnp.maximum(cnt, 1.0)[:, None], cent)
+
+    return jax.lax.fori_loop(0, iters, one, cent0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_alt",))
+def _assign_slab_device(ms: jax.Array, cent: jax.Array, n_alt: int):
+    """Top-``n_alt`` cluster alternatives for one slab of rows."""
+    sc = jax.lax.dot_general(
+        ms, cent, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ) - 0.5 * jnp.sum(cent * cent, axis=1)[None, :]
+    vals, idx = jax.lax.top_k(sc, n_alt)
+    return vals, idx.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("t",))
+def _centroid_slab_device(ms: jax.Array, asg: jax.Array, t: int):
+    """Partial (sum, count) of the final f32 centroids for one slab."""
+    oh = jax.nn.one_hot(asg, t, dtype=jnp.float32)
+    sums = jax.lax.dot_general(
+        oh, ms, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return sums, jnp.sum(oh, axis=0)
+
+
+@jax.jit
+def _row_stats_slab_device(ms: jax.Array, cent_rows: jax.Array):
+    """Per-row ``‖x − µ_assigned‖²`` and centroid score ``x·µ`` for one
+    slab (elementwise VPU math — no matmul rounding modes involved)."""
+    diff = ms - cent_rows
+    return jnp.sum(diff * diff, axis=1), jnp.sum(ms * cent_rows, axis=1)
+
+
+# Multiplicative widening covering the DEVICE f32 evaluation of the
+# per-row distance in _row_stats_slab_device: the subtraction and
+# squares are exactly-rounded f32 ops and the d-term sum carries at
+# worst sequential accumulation error, so the computed d² satisfies
+# d²_fl ≥ d²_true · (1 − (d+2)·2⁻²⁴); at d=4096 that is ≤ 2.5e-4
+# relative on d², i.e. ≤ 1.25e-4 on the radius. 5e-4 covers it 4x.
+# (_BOUND_SLACK is budgeted for QUERY-side rounding and must not be
+# borrowed for build-side error.)
+_DEV_RADIUS_SLACK = 1.0 + 5e-4
+
+
+def prepare_clustered_device(
+    matrix: jax.Array,
+    tile_n: int = 4096,
+    metric: str = "cosine",
+    iters: int = 8,
+    sample: int = 65_536,
+    seed: int = 0,
+    alternatives: int = 8,
+    slab: int = 1 << 18,
+    valid=None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Device-resident variant of :func:`prepare_clustered` — same
+    ``(order, centroids, radii)`` contract, but every ``[N, d]``
+    operation (seeding, Lloyd's, assignment, radii) runs on the
+    accelerator; the host sees only O(N) int32/f32 vectors (assignment
+    alternatives, margins, centroid scores) plus the tiny ``[T, d]``
+    centroids. Use it when the corpus already lives in device memory —
+    the host path round-trips the full matrix through the host, which a
+    remote/tunneled device cannot afford (measured ~2 MB/s on this
+    box's tunnel ⇒ minutes per GB) and even local PCIe pays twice.
+
+    Soundness is preserved with an explicit budget: radii are the
+    device-f32 per-row distances widened by ``_DEV_RADIUS_SLACK``
+    (covering the on-chip f32 evaluation error — derivation at the
+    constant) and then by the same ``_BOUND_SLACK``/``_BOUND_EPS`` as
+    the host path (covering query-side rounding). The k-means quality
+    itself never affects soundness, only pruning selectivity
+    (see prepare_clustered's docstring).
+    """
+    m = jnp.asarray(matrix)
+    if m.dtype != jnp.float32:
+        m = m.astype(jnp.float32)
+    if valid is not None:
+        keep = np.flatnonzero(np.asarray(valid, bool))
+        if len(keep) == 0:
+            return (np.full(tile_n, -1, np.int32),
+                    np.zeros((1, m.shape[1]), np.float32),
+                    np.zeros(1, np.float32))
+        if len(keep) < m.shape[0]:
+            m_live = jnp.take(m, jnp.asarray(keep, jnp.int32), axis=0)
+            sub_order, centroids, radii = prepare_clustered_device(
+                m_live, tile_n=tile_n, metric=metric, iters=iters,
+                sample=sample, seed=seed, alternatives=alternatives,
+                slab=slab,
+            )
+            order = np.where(
+                sub_order >= 0,
+                keep[np.clip(sub_order, 0, len(keep) - 1)],
+                -1,
+            ).astype(np.int32)
+            return order, centroids, radii
+    n, d = m.shape
+    if n == 0:
+        return (np.full(tile_n, -1, np.int32),
+                np.zeros((1, d), np.float32),
+                np.zeros(1, np.float32))
+    t = -(-n // tile_n)
+    rng = np.random.default_rng(seed)
+
+    # --- seeding + Lloyd's on a sample (all on device) --------------------
+    s_idx = rng.choice(n, size=min(sample, n), replace=False)
+    s_rows = jnp.take(m, jnp.asarray(s_idx, jnp.int32), axis=0)
+    first = jnp.asarray(rng.integers(len(s_idx)), jnp.int32)
+    cent = _lloyd_device(s_rows, _ff_init_device(s_rows, first, t), t, max(iters, 1))
+
+    # --- full assignment with alternatives (slabbed; small fetches) ------
+    n_alt = min(alternatives, t)
+    top_alt = np.zeros((n, n_alt), dtype=np.int32)
+    top_val = np.zeros((n, n_alt), dtype=np.float32)
+    for lo in range(0, n, slab):
+        vals, idx = _assign_slab_device(m[lo : lo + slab], cent, n_alt)
+        top_alt[lo : lo + slab] = np.asarray(idx)
+        top_val[lo : lo + slab] = np.asarray(vals)
+
+    members = _greedy_fill(top_alt, top_val, t, tile_n)
+
+    # --- final centroids over the ACTUAL (capacity-balanced) assignment --
+    asg = np.zeros(n, dtype=np.int32)
+    for c, rows in enumerate(members):
+        asg[rows] = c
+    asg_j = jnp.asarray(asg)
+    sums = np.zeros((t, d), np.float32)
+    cnt = np.zeros(t, np.float32)
+    for lo in range(0, n, slab):
+        ps, pc = _centroid_slab_device(m[lo : lo + slab], asg_j[lo : lo + slab], t)
+        sums += np.asarray(ps)
+        cnt += np.asarray(pc)
+    centroids = np.where(cnt[:, None] > 0, sums / np.maximum(cnt, 1.0)[:, None], 0.0)
+    centroids = centroids.astype(np.float32)
+    cent_j = jnp.asarray(centroids)
+
+    # --- per-row stats vs the FINAL centroids (device; fetch [N] f32) ----
+    d2 = np.zeros(n, np.float32)
+    cscore = np.zeros(n, np.float32)
+    for lo in range(0, n, slab):
+        cent_rows = jnp.take(cent_j, asg_j[lo : lo + slab], axis=0)
+        pd2, pcs = _row_stats_slab_device(m[lo : lo + slab], cent_rows)
+        d2[lo : lo + slab] = np.asarray(pd2)
+        cscore[lo : lo + slab] = np.asarray(pcs)
+
+    # --- layout (same interleave rule as the host path) + sound radii ----
+    from trueno_rag_tpu.ops.pallas.scan_select_v2 import BLOCK
+
+    nb = max(tile_n // BLOCK, 1)
+    order = np.full(t * tile_n, -1, dtype=np.int32)
+    radii = np.zeros(t, dtype=np.float32)
+    for c in range(t):
+        rows = np.asarray(members[c], dtype=np.int32)
+        if len(rows) == 0:
+            continue
+        rows = rows[np.argsort(-cscore[rows], kind="stable")]
+        j = np.arange(len(rows))
+        pos = (j % nb) * BLOCK + j // nb
+        order[c * tile_n + pos] = rows
+        r_max = float(np.sqrt(np.float64(d2[np.asarray(members[c])].max())))
+        radii[c] = np.float32(
+            r_max * _DEV_RADIUS_SLACK * _BOUND_SLACK + _BOUND_EPS
+        )
+    return order, centroids, radii
+
+
 # ---------------------------------------------------------------------------
 # Query: probe → gather union → certified scan over the union
 # ---------------------------------------------------------------------------
-
-
-import functools
 
 
 @functools.partial(
