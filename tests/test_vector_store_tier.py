@@ -628,3 +628,45 @@ def test_clustered_certifies_at_hybrid_candidate_width():
     rn = np.asarray(r)
     for i in range(2):
         assert set(rn[i].tolist()) == set(rx[i].tolist())
+
+
+def test_clustered_build_routes_device_prep(monkeypatch):
+    """A tier switch onto 'clustered' with a FRESH fp32 device matrix
+    must cluster on-device (prepare_clustered_device) — the host prep
+    would re-ship the corpus the device already holds. A DIRTY store
+    (host is the only truth) must use the host prep."""
+    import trueno_rag_tpu.index.vector_store as vs_mod
+
+    rng = np.random.default_rng(61)
+    dim = 32
+    chunks, centers = _blob_chunks(n=4096, dim=dim, blobs=4, rng=rng)
+    store = VectorStore(VectorStoreConfig(dimension=dim, scan_tier="none",
+                                          scan_tile_n=1024,
+                                          cluster_probe_tiles=2))
+    plain = VectorStore(VectorStoreConfig(dimension=dim))
+    store.insert_many(chunks)
+    plain.insert_many(chunks)
+    q = centers[1].astype(np.float32)
+    want = [g[0] for g in plain.search(q, 5)]
+    assert [g[0] for g in store.search(q, 5)] == want  # fp32 device build
+
+    from trueno_rag_tpu.ops import clustered as cl
+
+    def host_prep_forbidden(*a, **k):
+        raise AssertionError("host prepare_clustered used despite a fresh device matrix")
+
+    monkeypatch.setattr(cl, "prepare_clustered", host_prep_forbidden)
+    store.config.scan_tier = "clustered"
+    assert [g[0] for g in store.search(q, 5)] == want  # device prep path
+    monkeypatch.undo()
+
+    # dirty store: host is the only truth -> host prep (and never the
+    # device variant, whose matrix is stale)
+    dirty = VectorStore(_clustered_cfg(dim))
+    dirty.insert_many(chunks)
+
+    def device_prep_forbidden(*a, **k):
+        raise AssertionError("device prep used on a dirty store")
+
+    monkeypatch.setattr(cl, "prepare_clustered_device", device_prep_forbidden)
+    assert [g[0] for g in dirty.search(q, 5)] == want

@@ -475,6 +475,21 @@ class VectorStore:
         from trueno_rag_tpu.ops import dense_tiered as dt
 
         tile = max(self.config.scan_tile_n, 1024)
+        # Opportunistic device build: when a FRESH fp32 device matrix is
+        # already resident (e.g. a tier switch from a matmul tier), the
+        # k-means, permutation and replica prep all run on-device —
+        # zero host→device matrix traffic (the host path re-ships the
+        # corpus slab-wise: PCIe cost locally, minutes-per-GB over a
+        # tunnel). Soundness is identical (prepare_clustered_device
+        # widens for its on-chip f32 radii). bf16-storage matrices are
+        # excluded: radii must bound the exact f32 row values.
+        dev_m = self._device_matrix
+        dev_fresh = (
+            dev_m is not None
+            and not self._dirty
+            and dev_m.dtype == jnp.float32
+            and dev_m.shape[0] == self._host.shape[0]
+        )
         preset = self._cluster_preset
         self._cluster_preset = None
         if preset is not None and preset.get("tile") == tile:
@@ -484,20 +499,34 @@ class VectorStore:
             order = np.asarray(preset["order"], dtype=np.int32)
             cent = np.asarray(preset["centroids"], dtype=np.float32)
             radii = np.asarray(preset["radii"], dtype=np.float32)
+        elif dev_fresh:
+            order, cent, radii = cl.prepare_clustered_device(
+                dev_m, tile_n=tile, metric=self.config.metric,
+                iters=self.config.cluster_kmeans_iters,
+                valid=self._valid,  # capacity padding must not join tiles
+            )
         else:
             order, cent, radii = cl.prepare_clustered(
                 self._host, tile_n=tile, metric=self.config.metric,
                 iters=self.config.cluster_kmeans_iters,
                 valid=self._valid,  # capacity padding must not join tiles
             )
-        mp = cl.apply_cluster_order(self._host, order)
         vp = cl.apply_cluster_order(self._valid, order, fill=False)
-        self._device_matrix = None  # no fp32 in HBM (compact contract)
-        slabs = []
         step = self.config.compact_prep_rows
-        for lo in range(0, mp.shape[0], step):
-            m = jnp.asarray(mp[lo : lo + step])
-            slabs.append(dt.prepare_tiered(m) + dt.prepare_residual(m))
+        slabs = []
+        if dev_fresh:
+            mp_j = cl.apply_cluster_order_device(dev_m, order)
+            self._device_matrix = None  # no fp32 in HBM (compact contract)
+            dev_m = None  # free the unpermuted copy before replica prep
+            for lo in range(0, mp_j.shape[0], step):
+                m = mp_j[lo : lo + step]
+                slabs.append(dt.prepare_tiered(m) + dt.prepare_residual(m))
+        else:
+            mp = cl.apply_cluster_order(self._host, order)
+            self._device_matrix = None  # no fp32 in HBM (compact contract)
+            for lo in range(0, mp.shape[0], step):
+                m = jnp.asarray(mp[lo : lo + step])
+                slabs.append(dt.prepare_tiered(m) + dt.prepare_residual(m))
         self._tier = tuple(
             part[0] if len(part) == 1 else jnp.concatenate(part, axis=0)
             for part in zip(*slabs)
