@@ -126,17 +126,28 @@ def main() -> None:
             m = m.at[prow].set(pval)
             return m / jnp.linalg.norm(m, axis=1, keepdims=True)
 
-        m_oracle = m_dev = jax.block_until_ready(gen_corpus(centers_j))
+        m_dev = jax.block_until_ready(gen_corpus(centers_j))
 
         t0 = time.perf_counter()
         order, cent, radii = prepare_clustered_device(m_dev, tile_n=tile_n, iters=8)
         print(f"clustering(device): {time.perf_counter()-t0:.1f}s, "
               f"median radius {np.median(radii):.3f}", flush=True)
         mp = apply_cluster_order_device(m_dev, order).astype(jnp.float32)
+        # free the UNPERMUTED f32 copy before replica prep — at 4M×384
+        # two f32 corpora + the replicas exceed a v5e's HBM. The oracle
+        # check runs over the permuted copy (row_map translates back).
+        m_oracle = m_dev = None
 
-    parts = prepare_tiered(mp) + prepare_residual(mp)
-    parts = [jax.device_put(x) for x in parts]
     valid = jnp.asarray(order >= 0)
+    # slab-wise replica prep (one full-matrix prepare holds input +
+    # both replicas live at once — OOM at 4M; mirrors VectorStore's
+    # compact_prep_rows slabbing)
+    step = 1 << 19
+    slabs = [prepare_tiered(mp[lo : lo + step]) + prepare_residual(mp[lo : lo + step])
+             for lo in range(0, mp.shape[0], step)]
+    parts = [p[0] if len(p) == 1 else jnp.concatenate(p, axis=0)
+             for p in zip(*slabs)]
+    del slabs
     cent_j, radii_j = jnp.asarray(cent), jnp.asarray(radii)
     order_j = jnp.asarray(order)
     # tiny query perturbation: at 0.02+ the planted-vs-blob-mass score
@@ -148,6 +159,22 @@ def main() -> None:
     queries = jnp.asarray(queries)
     jax.block_until_ready(parts)
 
+    # -- oracle top-k (once; fp32 brute force) -----------------------------
+    rx_sets = None
+    if args.check:
+        from trueno_rag_tpu.ops.dense import dense_topk
+
+        if m_oracle is not None:  # host path: original row space
+            _, rx = dense_topk(queries, jnp.asarray(m_oracle),
+                               jnp.ones(n, bool), k, "cosine")
+            rx = np.asarray(rx)
+        else:  # device path: scan the permuted copy, translate back
+            _, rpos = dense_topk(queries, mp, valid, k, "cosine")
+            rpos = np.asarray(rpos)
+            rx = np.where(rpos >= 0, order[np.clip(rpos, 0, len(order) - 1)], -1)
+        rx_sets = [set(row.tolist()) for row in rx]
+    del mp  # the timed scans read only the compact replicas
+
     # -- certification + oracle check -------------------------------------
     for fetch in ("gather", "dma"):
         s, r, ok, nsc = dense_topk_compact_bf16r_clustered(
@@ -158,14 +185,10 @@ def main() -> None:
         ok_np = np.asarray(ok).astype(bool)
         print(f"[{fetch}] certified {int(ok_np.sum())}/{b}, "
               f"scanned {int(nsc)}/{t} tiles", flush=True)
-        if args.check:
-            from trueno_rag_tpu.ops.dense import dense_topk
-
-            sx, rx = dense_topk(queries, jnp.asarray(m_oracle),
-                                jnp.ones(n, bool), k, "cosine")
-            rn, rxn = np.asarray(r), np.asarray(rx)
+        if rx_sets is not None:
+            rn = np.asarray(r)
             bad = [int(i) for i in np.flatnonzero(ok_np)
-                   if set(rn[i].tolist()) != set(rxn[i].tolist())]
+                   if set(rn[i].tolist()) != rx_sets[i]]
             print(f"[{fetch}] oracle check: {len(bad)} bad certified sets "
                   f"{bad[:5]}", flush=True)
 

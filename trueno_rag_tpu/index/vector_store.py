@@ -153,8 +153,12 @@ class VectorStoreConfig:
     cluster_probe_tiles: int = 16
     # "gather" scans an XLA copy of the union (~3x its bytes, no
     # custom-kernel risk); "dma" scans the selected tiles in place via
-    # the scalar-prefetch kernel (exactly the union's bytes).
-    cluster_fetch: str = "gather"
+    # the scalar-prefetch kernel (exactly the union's bytes). "auto"
+    # picks dma on accelerators and gather on CPU — measured on v5e at
+    # 1M×384: dma 3.9 ms vs gather 9.8 ms at B=8 (the copy costs more
+    # than it saves), and dma is the only fetch that beats the full
+    # compact stream (1.2-1.5x; gather is 0.5-0.8x).
+    cluster_fetch: str = "auto"
     cluster_kmeans_iters: int = 8
 
     def __post_init__(self) -> None:
@@ -168,7 +172,7 @@ class VectorStoreConfig:
             raise InvalidConfigError(f"unknown storage_dtype {self.storage_dtype!r}")
         if self.scan_tier not in ("none", "auto", "bf16", "int8", "compact", "clustered"):
             raise InvalidConfigError(f"unknown scan_tier {self.scan_tier!r}")
-        if self.cluster_fetch not in ("gather", "dma"):
+        if self.cluster_fetch not in ("auto", "gather", "dma"):
             raise InvalidConfigError(f"unknown cluster_fetch {self.cluster_fetch!r}")
         if self.cluster_probe_tiles < 1:
             raise InvalidConfigError("cluster_probe_tiles must be >= 1")
@@ -675,7 +679,7 @@ class VectorStore:
                     t_top=min(max(self.config.scan_t_top, 8, k_eff), 16),
                     margin_tiles=self.config.scan_margin_tiles,
                     tile_n=max(self.config.scan_tile_n, 1024),
-                    fetch=self.config.cluster_fetch,
+                    fetch=cl.resolve_cluster_fetch(self.config.cluster_fetch),
                     tags=tags,
                 )
                 ok_np = np.asarray(ok)

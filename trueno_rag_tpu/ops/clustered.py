@@ -489,6 +489,17 @@ def prepare_clustered_device(
 # ---------------------------------------------------------------------------
 
 
+def resolve_cluster_fetch(mode: str) -> str:
+    """Resolve a ``cluster_fetch`` config value to a concrete mechanism.
+    ``"auto"`` → the selective-DMA kernel on accelerators (measured on
+    v5e at 1M×384: the only fetch that beats the full compact stream —
+    dma 3.9 ms vs gather 9.8 ms vs full 4.6 ms at B=8) and the XLA
+    gather on CPU (the Pallas kernel would run interpreted there)."""
+    if mode != "auto":
+        return mode
+    return "gather" if jax.default_backend() == "cpu" else "dma"
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

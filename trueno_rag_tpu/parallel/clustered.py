@@ -76,13 +76,15 @@ def sharded_clustered_topk(
     (sharded) + replicated [B] filter words — predicate evaluates
     inside each shard's pruned scan."""
 
+    from trueno_rag_tpu.ops.clustered import resolve_cluster_fetch
+
     args = [queries, m_bf16, e_l2, a_l2, r_i8, r_scale, e2_l2, valid_mask,
             centroids, radii, row_map]
     if tags is not None:
         args += list(tags)
     return _sharded_clustered_fn(
-        mesh, axis, k, rows_per_shard, probe_tiles, metric, tile_n, fetch,
-        interpret, tags is not None,
+        mesh, axis, k, rows_per_shard, probe_tiles, metric, tile_n,
+        resolve_cluster_fetch(fetch), interpret, tags is not None,
     )(*args)
 
 
@@ -144,7 +146,7 @@ class ShardedClusteredIndex:
         rows_normalized: bool = False,
         tile_n: int = 4096,
         probe_tiles: int = 16,
-        fetch: str = "gather",
+        fetch: str = "auto",
         kmeans_iters: int = 8,
         keep_host: bool = True,
         interpret: Optional[bool] = None,
@@ -155,7 +157,9 @@ class ShardedClusteredIndex:
         self.n, self.metric, self.mesh, self.axis = n, metric, mesh, axis
         self.tile_n = max(tile_n, 1024)
         self.probe_tiles = probe_tiles
-        self.fetch = fetch
+        from trueno_rag_tpu.ops.clustered import resolve_cluster_fetch
+
+        self.fetch = resolve_cluster_fetch(fetch)
         if interpret is None:  # Pallas needs interpret mode off-TPU
             interpret = jax.devices()[0].platform not in ("tpu", "axon")
         self.interpret = interpret
