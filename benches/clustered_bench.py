@@ -103,7 +103,6 @@ def main() -> None:
         order, cent, radii = prepare_clustered(m, tile_n=tile_n, iters=8)
         print(f"clustering(host): {time.perf_counter()-t0:.1f}s, "
               f"median radius {np.median(radii):.3f}", flush=True)
-        mp = jnp.asarray(apply_cluster_order(m, order).astype(np.float32))
     else:
         centers_j = jnp.asarray(centers)
         kd, kp = jax.random.split(jax.random.PRNGKey(0))
@@ -132,24 +131,9 @@ def main() -> None:
         order, cent, radii = prepare_clustered_device(m_dev, tile_n=tile_n, iters=8)
         print(f"clustering(device): {time.perf_counter()-t0:.1f}s, "
               f"median radius {np.median(radii):.3f}", flush=True)
-        mp = apply_cluster_order_device(m_dev, order).astype(jnp.float32)
-        # free the UNPERMUTED f32 copy before replica prep — at 4M×384
-        # two f32 corpora + the replicas exceed a v5e's HBM. The oracle
-        # check runs over the permuted copy (row_map translates back).
-        m_oracle = m_dev = None
+        m_oracle = m_dev  # oracle runs in ORIGINAL row space, then frees
 
     valid = jnp.asarray(order >= 0)
-    # slab-wise replica prep (one full-matrix prepare holds input +
-    # both replicas live at once — OOM at 4M; mirrors VectorStore's
-    # compact_prep_rows slabbing)
-    step = 1 << 19
-    slabs = [prepare_tiered(mp[lo : lo + step]) + prepare_residual(mp[lo : lo + step])
-             for lo in range(0, mp.shape[0], step)]
-    parts = [p[0] if len(p) == 1 else jnp.concatenate(p, axis=0)
-             for p in zip(*slabs)]
-    del slabs
-    cent_j, radii_j = jnp.asarray(cent), jnp.asarray(radii)
-    order_j = jnp.asarray(order)
     # tiny query perturbation: at 0.02+ the planted-vs-blob-mass score
     # gap compresses below the bf16 threshold channel and certification
     # legitimately fails (the top-k becomes genuinely ambiguous)
@@ -157,23 +141,43 @@ def main() -> None:
         (b, d)
     ).astype(np.float32)
     queries = jnp.asarray(queries)
-    jax.block_until_ready(parts)
 
-    # -- oracle top-k (once; fp32 brute force) -----------------------------
+    # -- oracle top-k (once, BEFORE replica prep; fp32 brute force) --------
+    # order matters for HBM at 4M×384: the f32 corpus (6.4 GB) must be
+    # gone before the replicas (4.8 GB) concatenate, or the two plus
+    # the concat transients exceed a v5e's 16 GB.
     rx_sets = None
     if args.check:
         from trueno_rag_tpu.ops.dense import dense_topk
 
-        if m_oracle is not None:  # host path: original row space
-            _, rx = dense_topk(queries, jnp.asarray(m_oracle),
-                               jnp.ones(n, bool), k, "cosine")
-            rx = np.asarray(rx)
-        else:  # device path: scan the permuted copy, translate back
-            _, rpos = dense_topk(queries, mp, valid, k, "cosine")
-            rpos = np.asarray(rpos)
-            rx = np.where(rpos >= 0, order[np.clip(rpos, 0, len(order) - 1)], -1)
-        rx_sets = [set(row.tolist()) for row in rx]
-    del mp  # the timed scans read only the compact replicas
+        _, rx = dense_topk(queries, jnp.asarray(m_oracle),
+                           jnp.ones(n, bool), k, "cosine")
+        rx_sets = [set(row.tolist()) for row in np.asarray(rx)]
+
+    # slab-wise PERMUTED replica prep: gather each slab's rows straight
+    # from the unpermuted matrix (the full permuted f32 copy never
+    # exists; mirrors VectorStore's compact_prep_rows slabbing)
+    step = 1 << 19
+    slabs = []
+    if args.host_prep:
+        mp_host = apply_cluster_order(m_oracle if isinstance(m_oracle, np.ndarray)
+                                      else np.asarray(m_oracle), order)
+        for lo in range(0, len(order), step):
+            ms = jnp.asarray(mp_host[lo : lo + step])
+            slabs.append(prepare_tiered(ms) + prepare_residual(ms))
+        del mp_host
+    else:
+        for lo in range(0, len(order), step):
+            ms = apply_cluster_order_device(m_oracle, order[lo : lo + step])
+            slabs.append(prepare_tiered(ms) + prepare_residual(ms))
+        jax.block_until_ready(slabs)
+    m_oracle = m_dev = None  # free the f32 corpus before the concat
+    parts = [p[0] if len(p) == 1 else jnp.concatenate(p, axis=0)
+             for p in zip(*slabs)]
+    del slabs
+    cent_j, radii_j = jnp.asarray(cent), jnp.asarray(radii)
+    order_j = jnp.asarray(order)
+    jax.block_until_ready(parts)
 
     # -- certification + oracle check -------------------------------------
     for fetch in ("gather", "dma"):
