@@ -48,6 +48,19 @@ def main() -> None:
                    help="host corpus + prepare_clustered (round-trips the "
                         "full matrix through the host — fine locally, "
                         "minutes-per-GB over this box's ~2 MB/s tunnel)")
+    p.add_argument("--fetch", default="both", choices=("both", "gather", "dma"),
+                   help="union-scan mechanism(s) to certify + time. At 10M "
+                        "the gather copy's XLA temps (~7 GB) do not fit "
+                        "next to the 12 GB replicas — use --fetch dma "
+                        "(the production default on accelerators anyway).")
+    p.add_argument("--stream", action="store_true",
+                   help="10M-scale mode: the fp32 corpus NEVER exists — "
+                        "rows are an on-device function of their id "
+                        "(prepare_clustered_stream), permuted replicas "
+                        "are generated straight into cluster order, and "
+                        "the --check oracle streams slab-wise top-k "
+                        "merges. Required above ~4M (the resident-f32 "
+                        "paths exceed a v5e's 16 GB HBM).")
     args = p.parse_args()
 
     import jax
@@ -60,6 +73,7 @@ def main() -> None:
         dense_topk_compact_bf16r_clustered,
         prepare_clustered,
         prepare_clustered_device,
+        prepare_clustered_stream,
     )
     from trueno_rag_tpu.ops.dense_tiered import (
         dense_topk_compact_bf16r,
@@ -74,8 +88,9 @@ def main() -> None:
     blobs = args.blobs or t
     rng = np.random.default_rng(0)
 
+    prep_name = "host" if args.host_prep else ("stream" if args.stream else "device")
     print(f"N={n:,} d={d} B={b} blobs={blobs} tiles={t} "
-          f"probe={args.probe} k={k} prep={'host' if args.host_prep else 'device'}",
+          f"probe={args.probe} k={k} prep={prep_name}",
           flush=True)
 
     # -- corpus: blobs + planted relevant rows -----------------------------
@@ -88,7 +103,39 @@ def main() -> None:
     per = -(-n // blobs)
     nplant = args.planted or k
 
-    if args.host_prep:
+    row_source = None
+    if args.stream:
+        # rows are a pure on-device function of their GLOBAL id — the
+        # fp32 corpus never exists (not in HBM, not on the host), so
+        # corpus size is bounded by the 3 B/elem replicas alone. The
+        # permuted replica build below generates rows STRAIGHT INTO
+        # cluster order (gen(order[lo:hi])), which no resident-matrix
+        # choreography can do without 2x fp32 transients.
+        centers_j = jnp.asarray(centers)
+        qb = min(blobs, 64)
+        gkey = jax.random.PRNGKey(0)
+
+        @jax.jit
+        def gen_rows(ids):
+            ids = jnp.maximum(ids, 0)
+            keys = jax.vmap(lambda i: jax.random.fold_in(gkey, i))(ids)
+            noise = jax.vmap(lambda kk: jax.random.normal(kk, (d,)))(keys)
+            which = jnp.minimum(ids // per, blobs - 1)
+            plant = (ids % per < nplant) & (ids // per < qb)
+            sig = jnp.where(plant, 0.01, args.sigma)[:, None]
+            rows = jnp.take(centers_j, which, axis=0) + sig * noise
+            return rows / jnp.linalg.norm(rows, axis=1, keepdims=True)
+
+        def row_source(ids):
+            return gen_rows(jnp.asarray(np.asarray(ids), jnp.int32))
+
+        t0 = time.perf_counter()
+        order, cent, radii = prepare_clustered_stream(
+            row_source, n, d, tile_n=tile_n, iters=8)
+        print(f"clustering(stream): {time.perf_counter()-t0:.1f}s, "
+              f"median radius {np.median(radii):.3f}", flush=True)
+        m_oracle = m_dev = None
+    elif args.host_prep:
         which = np.repeat(np.arange(blobs), per)[:n]
         m = centers[which] + args.sigma * rng.standard_normal((n, d)).astype(np.float32)
         for bi in range(min(blobs, 64)):  # plant only for the queried blobs
@@ -147,7 +194,29 @@ def main() -> None:
     # gone before the replicas (4.8 GB) concatenate, or the two plus
     # the concat transients exceed a v5e's 16 GB.
     rx_sets = None
-    if args.check:
+    if args.check and args.stream:
+        # streaming oracle: slab-wise fp32 HIGHEST matmul + running
+        # top-k merge — exact brute-force semantics without the matrix
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def merge(cs, cr, rows, base):
+            sc = jax.lax.dot_general(
+                queries, rows, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            ids = base + jnp.arange(rows.shape[0], dtype=jnp.int32)
+            alls = jnp.concatenate([cs, sc], axis=1)
+            allr = jnp.concatenate(
+                [cr, jnp.broadcast_to(ids[None, :], sc.shape)], axis=1)
+            v, i = jax.lax.top_k(alls, k)
+            return v, jnp.take_along_axis(allr, i, axis=1)
+
+        cs = jnp.full((b, k), -jnp.inf, jnp.float32)
+        cr = jnp.full((b, k), -1, jnp.int32)
+        for lo in range(0, n, 1 << 19):
+            cs, cr = merge(cs, cr, row_source(np.arange(lo, min(lo + (1 << 19), n))),
+                           jnp.int32(lo))
+        rx_sets = [set(row.tolist()) for row in np.asarray(cr)]
+    elif args.check:
         from trueno_rag_tpu.ops.dense import dense_topk
 
         _, rx = dense_topk(queries, jnp.asarray(m_oracle),
@@ -159,7 +228,30 @@ def main() -> None:
     # exists; mirrors VectorStore's compact_prep_rows slabbing)
     step = 1 << 19
     slabs = []
-    if args.host_prep:
+    parts = None
+    if args.stream:
+        # generate rows DIRECTLY in cluster order; holes become zero
+        # rows (the valid mask keeps them out of every scan). Slabs are
+        # written into preallocated replicas with DONATED update-slices
+        # — a final concatenate would hold slabs + output at once
+        # (2x the 12 GB replicas: the exact OOM measured at 10.5M).
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def set_slab(dest, part, lo):
+            return jax.lax.dynamic_update_slice(
+                dest, part, (lo,) + (0,) * (dest.ndim - 1))
+
+        for lo in range(0, len(order), step):
+            ids = order[lo : lo + step]
+            ms = row_source(ids)
+            ms = jnp.where(jnp.asarray(ids >= 0)[:, None], ms, 0.0)
+            pieces = prepare_tiered(ms) + prepare_residual(ms)
+            if parts is None:
+                parts = [jnp.zeros((len(order),) + p.shape[1:], p.dtype)
+                         for p in pieces]
+            parts = [set_slab(dst, p, lo) for dst, p in zip(parts, pieces)]
+            del ms, pieces
+        jax.block_until_ready(parts)
+    elif args.host_prep:
         mp_host = apply_cluster_order(m_oracle if isinstance(m_oracle, np.ndarray)
                                       else np.asarray(m_oracle), order)
         for lo in range(0, len(order), step):
@@ -172,15 +264,17 @@ def main() -> None:
             slabs.append(prepare_tiered(ms) + prepare_residual(ms))
         jax.block_until_ready(slabs)
     m_oracle = m_dev = None  # free the f32 corpus before the concat
-    parts = [p[0] if len(p) == 1 else jnp.concatenate(p, axis=0)
-             for p in zip(*slabs)]
+    if parts is None:
+        parts = [p[0] if len(p) == 1 else jnp.concatenate(p, axis=0)
+                 for p in zip(*slabs)]
     del slabs
     cent_j, radii_j = jnp.asarray(cent), jnp.asarray(radii)
     order_j = jnp.asarray(order)
     jax.block_until_ready(parts)
 
     # -- certification + oracle check -------------------------------------
-    for fetch in ("gather", "dma"):
+    fetches = ("gather", "dma") if args.fetch == "both" else (args.fetch,)
+    for fetch in fetches:
         s, r, ok, nsc = dense_topk_compact_bf16r_clustered(
             queries, *parts, valid, k, cent_j, radii_j,
             probe_tiles=args.probe, row_map=order_j, tile_n=tile_n,
@@ -225,7 +319,7 @@ def main() -> None:
                                                 interpret=interp),
         queries, *parts, valid,
     )
-    for fetch in ("gather", "dma"):
+    for fetch in fetches:
         ms = timed(
             f"clustered[{fetch}]",
             lambda qq, *a, _f=fetch: dense_topk_compact_bf16r_clustered(

@@ -368,3 +368,100 @@ def test_apply_cluster_order_device_matches_host():
         host = apply_cluster_order(arr, order, fill=0)
         dev = np.asarray(apply_cluster_order_device(jnp.asarray(arr), order, fill=0))
         np.testing.assert_array_equal(host, dev)
+
+
+# --- streaming build (prepare_clustered_stream) -----------------------------
+
+
+def test_stream_prep_matches_device_prep():
+    """A gather row-source over a resident matrix must reproduce the
+    device prep exactly (prepare_clustered_device IS the stream prep
+    with slice reads; take and dynamic_slice return identical values)."""
+    from trueno_rag_tpu.ops.clustered import (
+        prepare_clustered_device,
+        prepare_clustered_stream,
+    )
+
+    m, _ = _blob_corpus(n=4096, d=32, blobs=4, balanced=True, sigma=0.1)
+    mj = jnp.asarray(m)
+    o1, c1, r1 = prepare_clustered_device(mj, tile_n=TILE, iters=4, sample=2048)
+    o2, c2, r2 = prepare_clustered_stream(
+        lambda ids: jnp.take(mj, jnp.asarray(ids, jnp.int32), axis=0),
+        len(m), m.shape[1], tile_n=TILE, iters=4, sample=2048)
+    np.testing.assert_array_equal(o1, o2)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_stream_prep_recon_err_sound_radii():
+    """An APPROXIMATE row source (x̂ = x + bounded noise) with the
+    matching recon_err still publishes radii that soundly bound the
+    TRUE rows' f64 distances to the published centroids — the property
+    the pruned-tile certificate rests on."""
+    from trueno_rag_tpu.ops.clustered import prepare_clustered_stream
+
+    m, _ = _blob_corpus(n=4096, d=32, blobs=4, balanced=True, sigma=0.1)
+    rng = np.random.default_rng(3)
+    noise = rng.standard_normal(m.shape).astype(np.float32)
+    noise *= 0.01 / np.linalg.norm(noise, axis=1, keepdims=True)  # ‖e‖=0.01
+    m_hat = jnp.asarray(m + noise)
+    order, cent, radii = prepare_clustered_stream(
+        lambda ids: jnp.take(m_hat, jnp.asarray(ids, jnp.int32), axis=0),
+        len(m), m.shape[1], tile_n=TILE, iters=4, sample=2048,
+        recon_err=0.01)
+    for c in range(len(radii)):
+        rows = order[c * TILE:(c + 1) * TILE]
+        rows = rows[rows >= 0]
+        if not len(rows):
+            continue
+        diff = m[rows].astype(np.float64) - cent[c].astype(np.float64)
+        true_max = np.sqrt((diff * diff).sum(axis=1)).max()
+        assert true_max <= radii[c], f"tile {c}: {true_max} > {radii[c]}"
+
+
+def test_stream_prep_generator_source_end_to_end():
+    """A row source that GENERATES rows from ids (no matrix anywhere,
+    the 10M-bench pattern) → certified sets equal the fp32 oracle."""
+    import jax
+
+    from trueno_rag_tpu.ops.clustered import prepare_clustered_stream
+
+    n, d, blobs, k, planted = 8192, 64, 8, 5, 5
+    per = n // blobs
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((blobs, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    centers_j = jnp.asarray(centers)
+    key = jax.random.PRNGKey(42)
+
+    @jax.jit
+    def gen(ids):
+        ids = jnp.maximum(ids, 0)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(ids)
+        noise = jax.vmap(lambda kk: jax.random.normal(kk, (d,)))(keys)
+        which = jnp.minimum(ids // per, blobs - 1)
+        sig = jnp.where(ids % per < planted, 0.01, 0.05)[:, None]
+        rows = jnp.take(centers_j, which, axis=0) + sig * noise
+        return rows / jnp.linalg.norm(rows, axis=1, keepdims=True)
+
+    def row_source(ids):
+        return gen(jnp.asarray(np.asarray(ids), jnp.int32))
+
+    order, cent, radii = prepare_clustered_stream(
+        row_source, n, d, tile_n=TILE, iters=6, sample=4096)
+    live = order[order >= 0]
+    assert len(np.unique(live)) == len(live) == n
+
+    # materialize (test-only) to reuse the shared runner + oracle
+    m = np.asarray(row_source(np.arange(n)), dtype=np.float32)
+    queries = centers[:4].astype(np.float32)
+    s, r, ok, n_scanned = _run(m, queries, k, 3, order, cent, radii)
+    ok = np.asarray(ok).astype(bool)
+    assert int(n_scanned) < len(radii), "pruning scanned everything"
+    assert ok.any(), "expected at least one certified query"
+    _, rx = dense_topk(jnp.asarray(queries), jnp.asarray(m),
+                       jnp.ones(n, bool), k, "cosine")
+    rx = np.asarray(rx)
+    r = np.asarray(r)
+    for i in np.flatnonzero(ok):
+        assert set(r[i].tolist()) == set(rx[i].tolist()), f"query {i}"

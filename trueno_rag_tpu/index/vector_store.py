@@ -519,12 +519,15 @@ class VectorStore:
         step = self.config.compact_prep_rows
         slabs = []
         if dev_fresh:
-            mp_j = cl.apply_cluster_order_device(dev_m, order)
-            self._device_matrix = None  # no fp32 in HBM (compact contract)
-            dev_m = None  # free the unpermuted copy before replica prep
-            for lo in range(0, mp_j.shape[0], step):
-                m = mp_j[lo : lo + step]
+            # permute slab-wise: the FULL permuted f32 copy never exists
+            # (two f32 corpora at once caps the tier at ~2M on a 16 GB
+            # chip; gathering each slab straight from the unpermuted
+            # matrix peaks at f32 + one slab + the replicas instead)
+            for lo in range(0, len(order), step):
+                m = cl.apply_cluster_order_device(dev_m, order[lo : lo + step])
                 slabs.append(dt.prepare_tiered(m) + dt.prepare_residual(m))
+            self._device_matrix = None  # no fp32 in HBM (compact contract)
+            dev_m = None  # free the f32 corpus before the concat
         else:
             mp = cl.apply_cluster_order(self._host, order)
             self._device_matrix = None  # no fp32 in HBM (compact contract)

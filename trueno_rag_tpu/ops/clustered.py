@@ -391,22 +391,88 @@ def prepare_clustered_device(
     the host path (covering query-side rounding). The k-means quality
     itself never affects soundness, only pruning selectivity
     (see prepare_clustered's docstring).
+
+    Implemented over :func:`prepare_clustered_stream` with the resident
+    matrix as the row source (contiguous ranges read via dynamic_slice —
+    row gathers are several times slower on this hardware, CLAUDE.md).
     """
     m = jnp.asarray(matrix)
     if m.dtype != jnp.float32:
         m = m.astype(jnp.float32)
+    n = m.shape[0]
+
+    def row_source(ids: np.ndarray) -> jax.Array:
+        if len(ids) and ids[0] >= 0 and ids[-1] - ids[0] == len(ids) - 1:
+            lo = int(ids[0])
+            if lo + len(ids) <= n:  # contiguous ascending range
+                return jax.lax.dynamic_slice_in_dim(m, lo, len(ids), axis=0)
+        return jnp.take(m, jnp.asarray(np.maximum(ids, 0), jnp.int32), axis=0)
+
+    return prepare_clustered_stream(
+        row_source, n, int(m.shape[1]) if m.ndim == 2 else 0,
+        tile_n=tile_n, metric=metric, iters=iters, sample=sample,
+        seed=seed, alternatives=alternatives, slab=slab, valid=valid,
+    )
+
+
+def prepare_clustered_stream(
+    row_source,
+    n: int,
+    d: int,
+    tile_n: int = 4096,
+    metric: str = "cosine",
+    iters: int = 8,
+    sample: int = 65_536,
+    seed: int = 0,
+    alternatives: int = 8,
+    slab: int = 1 << 18,
+    valid=None,
+    recon_err: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Streaming variant of :func:`prepare_clustered_device`: the corpus
+    is supplied by ``row_source(ids: np.ndarray int) -> [len(ids), d]
+    f32 device array`` instead of a resident matrix, so the full fp32
+    corpus NEVER exists anywhere — not in HBM (at 10M×384 it alone
+    exceeds a v5e's 16 GB) and not on the host. Sources in use:
+
+    - a resident device matrix (:func:`prepare_clustered_device` wraps
+      this function with slice/gather reads);
+    - a host matrix read slab-wise (``lambda ids: jnp.asarray(h[ids])``);
+    - a deterministic on-device generator keyed by row id (how
+      ``benches/clustered_bench.py --stream`` builds 10M-row corpora
+      behind a ~2 MB/s tunnel);
+    - a reconstruction from the compact replicas
+      (``bf16 + r_scale·r_i8``) — pass ``recon_err`` (below).
+
+    ``row_source`` must be a pure function of ``ids`` (the same id must
+    yield the same row on every call — rows are re-read once per pass:
+    assignment, centroids, radii) and must tolerate repeated ids.
+
+    ``recon_err``: a sound upper bound on ``‖x_true − x_returned‖₂``
+    per row, for APPROXIMATE sources. The published radius covers
+    ``‖x_true − µ‖ ≤ ‖x̂ − µ‖ + ‖x_true − x̂‖``, so the tile bound
+    ``q·µ + ‖q‖·R`` stays a true upper bound on scores of the EXACT
+    stored rows (the centroid itself may be computed from x̂ — any
+    vector is a valid center; only the radius carries soundness).
+    Exact sources pass 0.0 (the default).
+
+    Same ``(order, centroids, radii)`` contract and the same device
+    slack budget as :func:`prepare_clustered_device`; k-means quality
+    (hence pruning selectivity) may differ from the host path but
+    soundness never does.
+    """
     if valid is not None:
         keep = np.flatnonzero(np.asarray(valid, bool))
         if len(keep) == 0:
             return (np.full(tile_n, -1, np.int32),
-                    np.zeros((1, m.shape[1]), np.float32),
+                    np.zeros((1, d), np.float32),
                     np.zeros(1, np.float32))
-        if len(keep) < m.shape[0]:
-            m_live = jnp.take(m, jnp.asarray(keep, jnp.int32), axis=0)
-            sub_order, centroids, radii = prepare_clustered_device(
-                m_live, tile_n=tile_n, metric=metric, iters=iters,
-                sample=sample, seed=seed, alternatives=alternatives,
-                slab=slab,
+        if len(keep) < n:
+            sub_order, centroids, radii = prepare_clustered_stream(
+                lambda ids: row_source(keep[ids]), len(keep), d,
+                tile_n=tile_n, metric=metric, iters=iters, sample=sample,
+                seed=seed, alternatives=alternatives, slab=slab,
+                recon_err=recon_err,
             )
             order = np.where(
                 sub_order >= 0,
@@ -414,7 +480,6 @@ def prepare_clustered_device(
                 -1,
             ).astype(np.int32)
             return order, centroids, radii
-    n, d = m.shape
     if n == 0:
         return (np.full(tile_n, -1, np.int32),
                 np.zeros((1, d), np.float32),
@@ -423,17 +488,19 @@ def prepare_clustered_device(
     rng = np.random.default_rng(seed)
 
     # --- seeding + Lloyd's on a sample (all on device) --------------------
-    s_idx = rng.choice(n, size=min(sample, n), replace=False)
-    s_rows = jnp.take(m, jnp.asarray(s_idx, jnp.int32), axis=0)
+    s_idx = np.sort(rng.choice(n, size=min(sample, n), replace=False))
+    s_rows = row_source(s_idx)
     first = jnp.asarray(rng.integers(len(s_idx)), jnp.int32)
     cent = _lloyd_device(s_rows, _ff_init_device(s_rows, first, t), t, max(iters, 1))
+    del s_rows
 
     # --- full assignment with alternatives (slabbed; small fetches) ------
     n_alt = min(alternatives, t)
     top_alt = np.zeros((n, n_alt), dtype=np.int32)
     top_val = np.zeros((n, n_alt), dtype=np.float32)
     for lo in range(0, n, slab):
-        vals, idx = _assign_slab_device(m[lo : lo + slab], cent, n_alt)
+        rows = row_source(np.arange(lo, min(lo + slab, n)))
+        vals, idx = _assign_slab_device(rows, cent, n_alt)
         top_alt[lo : lo + slab] = np.asarray(idx)
         top_val[lo : lo + slab] = np.asarray(vals)
 
@@ -447,7 +514,8 @@ def prepare_clustered_device(
     sums = np.zeros((t, d), np.float32)
     cnt = np.zeros(t, np.float32)
     for lo in range(0, n, slab):
-        ps, pc = _centroid_slab_device(m[lo : lo + slab], asg_j[lo : lo + slab], t)
+        rows = row_source(np.arange(lo, min(lo + slab, n)))
+        ps, pc = _centroid_slab_device(rows, asg_j[lo : lo + slab], t)
         sums += np.asarray(ps)
         cnt += np.asarray(pc)
     centroids = np.where(cnt[:, None] > 0, sums / np.maximum(cnt, 1.0)[:, None], 0.0)
@@ -458,8 +526,9 @@ def prepare_clustered_device(
     d2 = np.zeros(n, np.float32)
     cscore = np.zeros(n, np.float32)
     for lo in range(0, n, slab):
+        rows = row_source(np.arange(lo, min(lo + slab, n)))
         cent_rows = jnp.take(cent_j, asg_j[lo : lo + slab], axis=0)
-        pd2, pcs = _row_stats_slab_device(m[lo : lo + slab], cent_rows)
+        pd2, pcs = _row_stats_slab_device(rows, cent_rows)
         d2[lo : lo + slab] = np.asarray(pd2)
         cscore[lo : lo + slab] = np.asarray(pcs)
 
@@ -469,6 +538,7 @@ def prepare_clustered_device(
     nb = max(tile_n // BLOCK, 1)
     order = np.full(t * tile_n, -1, dtype=np.int32)
     radii = np.zeros(t, dtype=np.float32)
+    recon = float(max(recon_err, 0.0))
     for c in range(t):
         rows = np.asarray(members[c], dtype=np.int32)
         if len(rows) == 0:
@@ -479,7 +549,7 @@ def prepare_clustered_device(
         order[c * tile_n + pos] = rows
         r_max = float(np.sqrt(np.float64(d2[np.asarray(members[c])].max())))
         radii[c] = np.float32(
-            r_max * _DEV_RADIUS_SLACK * _BOUND_SLACK + _BOUND_EPS
+            (r_max * _DEV_RADIUS_SLACK + recon) * _BOUND_SLACK + _BOUND_EPS
         )
     return order, centroids, radii
 
