@@ -61,6 +61,13 @@ def main() -> None:
                         "the --check oracle streams slab-wise top-k "
                         "merges. Required above ~4M (the resident-f32 "
                         "paths exceed a v5e's 16 GB HBM).")
+    p.add_argument("--hybrid", action="store_true",
+                   help="also time the FULL hybrid at this batch size: "
+                        "clustered dense + device BM25 block table + RRF "
+                        "+ top-10 — the 10M north-star workload in its "
+                        "latency (small-B) regime")
+    p.add_argument("--vocab", type=int, default=50_000)
+    p.add_argument("--topk", type=int, default=10)
     args = p.parse_args()
 
     import jax
@@ -92,6 +99,24 @@ def main() -> None:
     print(f"N={n:,} d={d} B={b} blobs={blobs} tiles={t} "
           f"probe={args.probe} k={k} prep={prep_name}",
           flush=True)
+
+    sparse = None
+    if args.hybrid:
+        # BM25 synthesis FIRST: its multi-GB transients fit in an empty
+        # HBM but not next to the resident replicas (compact_scale_bench
+        # learned the same ordering); the kept block table is ~1.3 GB.
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from hybrid_scale_bench import build_bm25_device, query_blocks_from_indptr
+
+        blocks, indptr = build_bm25_device(n, args.vocab, avg_len=64)
+        bids, blo, bhi = query_blocks_from_indptr(indptr, b, terms_per_query=6)
+        sparse = (jnp.asarray(bids), jnp.asarray(blo), jnp.asarray(bhi), blocks)
+        jax.block_until_ready(blocks)
+        print(f"BM25 block table: {blocks.nbytes/2**30:.2f} GiB "
+              f"({int(indptr[-1]):,} postings)", flush=True)
 
     # -- corpus: blobs + planted relevant rows -----------------------------
     # balanced blobs (each fits one tile) — the structure the pruning
@@ -330,6 +355,50 @@ def main() -> None:
             queries, *parts, valid, (cent_j, radii_j),
         )
         print(f"  speedup vs full scan: {full/ms:.2f}x", flush=True)
+
+    if args.hybrid:
+        # full hybrid in the LATENCY regime: clustered dense candidates
+        # + BM25 block scoring + RRF + final top-k, one fused program.
+        # The BM25 query slots get the same carry-dependence the dense
+        # queries do (CLAUDE.md: every stage input must depend on the
+        # loop carry or XLA hoists the stage out of the scan).
+        from trueno_rag_tpu.ops.bm25 import bm25_topk_blocks
+        from trueno_rag_tpu.ops.fusion import fuse_topk
+
+        fetch = fetches[-1]  # dma on accelerators (resolve order: both→dma)
+
+        def hybrid_fn(qq, carry, bids, blo, bhi, blocks, *a):
+            shift = (carry > 1e30).astype(jnp.int32)
+            d_s, d_r, ok = dense_topk_compact_bf16r_clustered(
+                qq, *a[:-2], a[-2], k, a[-1][0], a[-1][1],
+                probe_tiles=args.probe, tile_n=tile_n, fetch=fetch,
+                interpret=interp,
+            )
+            s_s, s_r = bm25_topk_blocks(bids + shift, blo, bhi, blocks, k=k)
+            f_r, f_s = fuse_topk(d_r, d_s, s_r, s_s, kind="rrf", param=60.0)
+            top = jax.lax.top_k(f_s, min(args.topk, f_s.shape[1]))[0]
+            return top, ok
+
+        @functools.partial(jax.jit, static_argnames=("steps",))
+        def hchain(q0, bids, blo, bhi, blocks, *rest, steps):
+            def one(carry, _):
+                top, ok = hybrid_fn(q0 + carry, carry, bids, blo, bhi,
+                                    blocks, *rest)
+                return (jnp.max(top) + jnp.sum(ok).astype(jnp.float32)) * 1e-12, None
+
+            c, _ = jax.lax.scan(one, 0.0, None, length=steps)
+            return c
+
+        arrs = (queries, *sparse[:3], sparse[3], *parts, valid, (cent_j, radii_j))
+        float(hchain(*arrs, steps=args.iters))  # compile + warm
+        ts = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            float(hchain(*arrs, steps=args.iters))
+            ts.append((time.perf_counter() - t1) / args.iters)
+        ms = sorted(ts)[1] * 1e3
+        print(f"hybrid-clustered[{fetch}]: {ms:.2f} ms/batch "
+              f"({b/sorted(ts)[1]:.0f} q/s)", flush=True)
 
 
 if __name__ == "__main__":
