@@ -635,8 +635,6 @@ def test_clustered_build_routes_device_prep(monkeypatch):
     must cluster on-device (prepare_clustered_device) — the host prep
     would re-ship the corpus the device already holds. A DIRTY store
     (host is the only truth) must use the host prep."""
-    import trueno_rag_tpu.index.vector_store as vs_mod
-
     rng = np.random.default_rng(61)
     dim = 32
     chunks, centers = _blob_chunks(n=4096, dim=dim, blobs=4, rng=rng)
