@@ -341,6 +341,21 @@ def test_clustered_index_roundtrip_skips_reclustering(tmp_path):
     got2 = loaded2.vector_store.search(q, 5)
     assert got2[0][0] == chunk_id_from_int(99_999)
 
+    # ... and so does a BULK insert (insert_many used to leave the
+    # preset alive: the first clustered build then consumed a layout in
+    # which the new rows sat in no tile — invisible to every query,
+    # yet still certified)
+    loaded3, _ = load_index(path, emb, scan_tier="clustered")
+    assert loaded3.vector_store._cluster_preset is not None
+    extra2 = Chunk(document_id="d", content="new bulk", start_offset=0,
+                   end_offset=3, metadata=ChunkMetadata(),
+                   id=chunk_id_from_int(99_998))
+    extra2.set_embedding(q)  # the clear top-1 for q
+    loaded3.vector_store.insert_many([extra2])
+    assert loaded3.vector_store._cluster_preset is None
+    got3 = loaded3.vector_store.search(q, 5)
+    assert got3[0][0] == chunk_id_from_int(99_998)
+
 
 def _tiny_retriever(metric="cosine", prefixes=False):
     import numpy as np

@@ -321,6 +321,12 @@ class VectorStore:
         self._host[rows] = embs
         self._valid[rows] = True
         self._dirty = True
+        # mutated rows void a persisted clustering exactly as
+        # _mark_dirty does for the per-chunk paths: a post-load BULK
+        # insert otherwise left the preset alive, and the first
+        # clustered build consumed a layout in which the new rows exist
+        # in NO tile — invisible to every query, yet still certified
+        self._cluster_preset = None
         if self._dirty_rows is not None:
             if len(self._dirty_rows) + len(uniq) > max(64, self._host.shape[0] // 20):
                 self._dirty_rows = None  # full re-upload beats scatter
