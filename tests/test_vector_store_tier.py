@@ -451,7 +451,9 @@ def test_clustered_store_device_matrix_raises():
         _ = store.device_matrix
 
 
-def test_clustered_mutation_reclusters():
+def test_clustered_mutation_stays_exact():
+    """Mutations must never serve stale results — whether the refresh
+    folds them in incrementally (bounded sets) or re-clusters."""
     rng = np.random.default_rng(22)
     dim = 32
     chunks, centers = _blob_chunks(n=4096, dim=dim, blobs=4, rng=rng)
@@ -471,7 +473,7 @@ def test_clustered_mutation_reclusters():
     got = store.search(q, 5)
     assert got[0][0] == "c7"
     assert [g[0] for g in got] == [w[0] for w in plain.search(q, 5)]
-    assert store._cluster_version == v1 + 1  # re-clustered, not stale
+    assert store._cluster_version == v1 + 1  # layout advanced, not stale
     # removal keeps parity too
     store.remove(got[1][0])
     plain.remove(got[1][0])
@@ -524,6 +526,200 @@ def test_clustered_config_validation():
     with pytest.raises(InvalidConfigError):
         VectorStoreConfig(dimension=8, scan_tier="clustered",
                           cluster_probe_tiles=0)
+    with pytest.raises(InvalidConfigError):
+        VectorStoreConfig(dimension=8, scan_tier="clustered",
+                          cluster_incremental_limit=1.5)
+
+
+def _no_recluster(monkeypatch):
+    """Make any full k-means rebuild raise (incremental-only guard)."""
+    from trueno_rag_tpu.ops import clustered as cl
+
+    def boom(*a, **k):
+        raise AssertionError("re-clustered where incremental should serve")
+
+    monkeypatch.setattr(cl, "prepare_clustered", boom)
+    monkeypatch.setattr(cl, "prepare_clustered_device", boom)
+    monkeypatch.setattr(cl, "prepare_clustered_stream", boom)
+
+
+def test_clustered_incremental_mutations_skip_recluster(monkeypatch):
+    """Bounded mutations (insert into holes / in-place replace / remove)
+    fold into the existing layout — NO re-cluster — and every result
+    stays exact vs the fp32 store (certified or host-patched)."""
+    rng = np.random.default_rng(52)
+    dim = 32
+    # 4000 live rows in 4 tiles of 1024 -> ~96 holes for inserts
+    chunks, centers = _blob_chunks(n=4000, dim=dim, blobs=4, rng=rng)
+    store = VectorStore(_clustered_cfg(dim))
+    plain = VectorStore(VectorStoreConfig(dimension=dim))
+    store.insert_many(chunks)
+    plain.insert_many(chunks)
+    q = centers[2].astype(np.float32)
+    store.search(q, 5)  # triggers the one allowed full build
+    _no_recluster(monkeypatch)
+
+    # inserts: new rows near a center must become visible + exact
+    new = []
+    for i in range(10):
+        c = mk_chunk(10_000 + i, dim, rng)
+        c.embedding = (centers[2] + 0.001 * rng.standard_normal(dim)).astype(
+            np.float32).tolist()
+        new.append(c)
+    for s in (store, plain):
+        for c in new:
+            s.insert(c)
+    got, want = store.search(q, 8), plain.search(q, 8)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    np.testing.assert_allclose(
+        [g[1] for g in got], [w[1] for w in want], rtol=2e-6, atol=2e-6
+    )
+    assert {g[0] for g in got} & {c.id for c in new}, "new rows invisible"
+
+    # removal: the top row disappears, results stay exact
+    for s in (store, plain):
+        s.remove(got[0][0])
+    got2, want2 = store.search(q, 8), plain.search(q, 8)
+    assert [g[0] for g in got2] == [w[0] for w in want2]
+    assert got2[0][0] != got[0][0]
+
+    # in-place replace: a far-away chunk becomes the exact query
+    winner = mk_chunk(7, dim, rng)  # existing id c7 (blob 0)
+    winner.embedding = q.tolist()
+    for s in (store, plain):
+        s.insert(winner)
+    got3, want3 = store.search(q, 8), plain.search(q, 8)
+    assert got3[0][0] == "c7"
+    assert [g[0] for g in got3] == [w[0] for w in want3]
+
+
+def test_clustered_incremental_radii_stay_sound(monkeypatch):
+    """After incremental placements the published radii must still
+    bound every live member's TRUE f64 distance to its tile centroid —
+    the property the pruned-tile certificate rests on."""
+    rng = np.random.default_rng(53)
+    dim = 32
+    chunks, centers = _blob_chunks(n=4000, dim=dim, blobs=4, rng=rng)
+    store = VectorStore(_clustered_cfg(dim))
+    store.insert_many(chunks)
+    store.search(centers[0].astype(np.float32), 3)
+    _no_recluster(monkeypatch)
+    # adversarial inserts: far from every center (max radius stress)
+    for i in range(20):
+        c = mk_chunk(20_000 + i, dim, rng)
+        c.embedding = (-centers[i % 4]).astype(np.float32).tolist()
+        store.insert(c)
+    store.search(centers[0].astype(np.float32), 3)  # applies the updates
+    order, _, cent_j, radii_j = store._cluster
+    cent = np.asarray(cent_j, dtype=np.float64)
+    radii = np.asarray(radii_j)
+    tile = max(store.config.scan_tile_n, 1024)
+    for c in range(len(radii)):
+        rows = order[c * tile:(c + 1) * tile]
+        rows = rows[rows >= 0]
+        live = rows[store._valid[rows]]
+        if not len(live):
+            continue
+        diff = store._host[live].astype(np.float64) - cent[c]
+        true_max = float(np.sqrt((diff * diff).sum(axis=1)).max())
+        assert true_max <= float(radii[c]), f"tile {c}"
+
+
+def test_clustered_incremental_budget_forces_recluster():
+    """Past cluster_incremental_limit the next refresh re-clusters (the
+    drift guard), and a zero limit disables the incremental path."""
+    rng = np.random.default_rng(54)
+    dim = 32
+    chunks, centers = _blob_chunks(n=4000, dim=dim, blobs=4, rng=rng)
+    store = VectorStore(_clustered_cfg(dim, cluster_incremental_limit=0.002))
+    store.insert_many(chunks)
+    q = centers[1].astype(np.float32)
+    store.search(q, 3)
+    # budget = 0.002 * 4000 = 8 rows; first small batch is incremental
+    for i in range(5):
+        c = mk_chunk(30_000 + i, dim, rng)
+        c.embedding = centers[1].astype(np.float32).tolist()
+        store.insert(c)
+    store.search(q, 3)
+    assert store._cluster_incremental == 5
+    # next batch blows the budget -> full re-cluster (counter resets)
+    for i in range(5, 11):
+        c = mk_chunk(30_000 + i, dim, rng)
+        c.embedding = centers[1].astype(np.float32).tolist()
+        store.insert(c)
+    store.search(q, 3)
+    assert store._cluster_incremental == 0
+
+    off = VectorStore(_clustered_cfg(dim, cluster_incremental_limit=0.0))
+    off.insert_many(chunks)
+    off.search(q, 3)
+    c = mk_chunk(40_000, dim, rng)
+    c.embedding = centers[1].astype(np.float32).tolist()
+    off.insert(c)
+    off.search(q, 3)
+    assert off._cluster_incremental == 0  # every mutation re-clusters
+
+
+def test_clustered_incremental_full_tiles_recluster():
+    """A new row with NO hole anywhere falls back to a full re-cluster
+    (never a partial/unsound placement)."""
+    rng = np.random.default_rng(55)
+    dim = 32
+    # exactly 4 full tiles, but capacity already larger so the insert
+    # does not trigger the capacity-growth rebuild path
+    chunks, centers = _blob_chunks(n=4096, dim=dim, blobs=4, rng=rng)
+    store = VectorStore(_clustered_cfg(dim, initial_capacity=8192))
+    plain = VectorStore(VectorStoreConfig(dimension=dim))
+    store.insert_many(chunks)
+    plain.insert_many(chunks)
+    q = centers[3].astype(np.float32)
+    store.search(q, 3)
+    v1 = store._cluster_version
+    c = mk_chunk(50_000, dim, rng)
+    c.embedding = q.tolist()
+    store.insert(c)
+    plain.insert(c)
+    got = store.search(q, 3)
+    assert got[0][0] == "c50000"
+    assert [g[0] for g in got] == [w[0] for w in plain.search(q, 3)]
+    assert store._cluster_version == v1 + 1
+    assert store._cluster_incremental == 0  # full rebuild, not a placement
+
+
+def test_clustered_incremental_persists_updated_layout(tmp_path, monkeypatch):
+    """save_index after an incremental update persists the UPDATED
+    order/radii: a load must see the incrementally-added row and serve
+    exact results without re-clustering."""
+    from trueno_rag_tpu.embed import MockEmbedder
+    from trueno_rag_tpu.persist import load_index, save_index
+    from trueno_rag_tpu.retrieve import HybridRetriever
+
+    rng = np.random.default_rng(56)
+    dim = 32
+    chunks, centers = _blob_chunks(n=4000, dim=dim, blobs=4, rng=rng)
+    emb = MockEmbedder(dimension=dim)
+    retr = HybridRetriever(emb, vector_config=_clustered_cfg(dim))
+    for c in chunks:
+        c.content = f"chunk body {c.id}"
+    retr.index_batch(chunks)
+    q = centers[0].astype(np.float32)
+    retr.vector_store.search(q, 3)
+    _no_recluster(monkeypatch)
+    extra = mk_chunk(60_000, dim, rng)
+    extra.content = "the planted winner"
+    extra.embedding = q.tolist()
+    retr.index(extra)
+    got = retr.vector_store.search(q, 3)
+    assert got[0][0] == "c60000"
+
+    path = str(tmp_path / "inc.trag")
+    save_index(path, retr)
+    loaded, _ = load_index(path, emb, scan_tier="clustered")
+    got2 = loaded.vector_store.search(q, 3)
+    assert got2[0][0] == "c60000"
+    np.testing.assert_allclose(
+        [g[1] for g in got2], [g[1] for g in got], rtol=2e-6, atol=2e-6
+    )
 
 
 def test_clustered_to_compact_tier_switch_rebuilds():

@@ -148,8 +148,11 @@ class VectorStoreConfig:
     # full-corpus exact contract; uncertified queries host-patch per
     # compact_fallback. The latency tier for interactive serving on
     # clustered (i.e. real) corpora; the streaming tiers remain the
-    # large-batch throughput path. Read-optimized: ANY mutation
-    # re-clusters on the next query (host k-means — seconds at 1M).
+    # large-batch throughput path. Read-optimized, but not read-only:
+    # bounded mutations fold into the existing layout with widened
+    # radii (cluster_incremental_limit below); past the drift budget —
+    # or on bulk mutation — the next query re-clusters (host/device
+    # k-means — seconds at 1M).
     cluster_probe_tiles: int = 16
     # "gather" scans an XLA copy of the union (~3x its bytes, no
     # custom-kernel risk); "dma" scans the selected tiles in place via
@@ -160,6 +163,19 @@ class VectorStoreConfig:
     # compact stream (1.2-1.5x; gather is 0.5-0.8x).
     cluster_fetch: str = "auto"
     cluster_kmeans_iters: int = 8
+    # Incremental clustered maintenance: a bounded set of mutated rows
+    # is folded into the EXISTING layout (updates widen their tile's
+    # radius in place; inserts fill holes in their best-scoring tile;
+    # removals become holes) instead of re-running k-means over the
+    # corpus — seconds at 1M, ~20 s at 10M. Soundness is never at
+    # stake (radii only widen, so the tile bound stays a true upper
+    # bound and certified sets keep the full-corpus exact contract);
+    # what drifts is pruning SELECTIVITY, so once more than this
+    # fraction of live rows has been incrementally placed since the
+    # last full k-means, the next refresh re-clusters. 0 disables the
+    # incremental path (every mutation re-clusters, the pre-existing
+    # behavior).
+    cluster_incremental_limit: float = 0.1
 
     def __post_init__(self) -> None:
         if self.dimension <= 0:
@@ -176,6 +192,10 @@ class VectorStoreConfig:
             raise InvalidConfigError(f"unknown cluster_fetch {self.cluster_fetch!r}")
         if self.cluster_probe_tiles < 1:
             raise InvalidConfigError("cluster_probe_tiles must be >= 1")
+        if not 0.0 <= self.cluster_incremental_limit <= 1.0:
+            raise InvalidConfigError(
+                "cluster_incremental_limit must be in [0, 1]"
+            )
         if self.compact_fallback not in ("host", "none"):
             raise InvalidConfigError(
                 f"unknown compact_fallback {self.compact_fallback!r}"
@@ -237,6 +257,8 @@ class VectorStore:
         # return permuted row ids as if they were original rows
         self._tier_built_for = None
         self._cluster = None  # clustered tier: (order, order_j, cent_j, radii_j)
+        self._cluster_inv = None  # lazily built row -> permuted pos (int64)
+        self._cluster_incremental = 0  # rows placed since the last full k-means
         # persisted clustering (persist.py): consumed by the FIRST
         # clustered build, discarded by ANY mutation — stale radii would
         # be unsound bounds, so the guard is absolute
@@ -471,9 +493,9 @@ class VectorStore:
         """Clustered tier: the compact bf16r replicas in the balanced-
         k-means layout, plus per-tile centroid/radius bounds
         (ops/clustered.py). The permutation couples every row to its
-        cluster, so ANY mutation re-clusters and rebuilds (host k-means
-        + slab prep — the read-optimized trade this tier makes; the
-        mutable-corpus tiers are compact/bf16)."""
+        cluster; bounded mutations fold into the existing layout via
+        :meth:`_try_incremental_clustered` (radii only widen — sound),
+        anything past the drift budget re-clusters and rebuilds."""
         if (
             not self._dirty
             and self._tier is not None
@@ -485,6 +507,10 @@ class VectorStore:
         from trueno_rag_tpu.ops import dense_tiered as dt
 
         tile = max(self.config.scan_tile_n, 1024)
+        if self._try_incremental_clustered(tile):
+            self._dirty = False
+            self._dirty_rows = set()
+            return
         # Opportunistic device build: when a FRESH fp32 device matrix is
         # already resident (e.g. a tier switch from a matmul tier), the
         # k-means, permutation and replica prep all run on-device —
@@ -548,10 +574,138 @@ class VectorStore:
         self._cluster = (
             order, jnp.asarray(order), jnp.asarray(cent), jnp.asarray(radii)
         )
+        self._cluster_inv = None  # rebuilt lazily by the incremental path
+        self._cluster_incremental = 0  # fresh k-means: drift budget resets
         self._cluster_version = getattr(self, "_cluster_version", 0) + 1
         self._tier_built_for = "clustered"
         self._dirty = False
         self._dirty_rows = set()
+
+    def _try_incremental_clustered(self, tile: int) -> bool:
+        """Fold a bounded set of mutated rows into the EXISTING clustered
+        layout instead of re-running k-means over the corpus (seconds at
+        1M, ~20 s at 10M): removals become holes, in-place updates keep
+        their slot, new rows fill a hole in their best-scoring tile —
+        and every touched tile's radius WIDENS to the slack-covered f64
+        distance of the new value, so ``R_c ≥ ‖x − µ_c‖`` still holds
+        for every live member and the query-side bound
+        ``U_c = q·µ_c + ‖q‖·R_c`` stays a true upper bound. Certified
+        sets keep the full-corpus exact contract (ops/clustered.py);
+        what drifts is pruning SELECTIVITY (wider radii prune fewer
+        tiles) and the in-tile block interleave heuristic (hole slots
+        are arbitrary) — both cost scanned tiles / certificate hit
+        rate, never correctness. ``cluster_incremental_limit`` caps the
+        drift: past that fraction of live rows the caller re-clusters.
+
+        Returns False — caller runs the full k-means build — when the
+        budget is exhausted, a new row finds no hole anywhere, the
+        dirty set is unbounded (capacity growth, bulk mutation), or no
+        clustered layout exists yet. On False, NO state was mutated
+        (placement runs on copies and applies only after every row has
+        a slot)."""
+        if (
+            self.config.cluster_incremental_limit <= 0.0
+            or self._cluster is None
+            or self._tier is None
+            or self._tier_built_for != "clustered"
+            or not self._dirty_rows  # None (unbounded) or empty
+        ):
+            return False
+        order_np, order_j, cent_j, radii_j = self._cluster
+        if self._tier[0].shape[0] != len(order_np):
+            return False
+        dirty = sorted(self._dirty_rows)
+        budget = int(self.config.cluster_incremental_limit * max(self._count, 1))
+        if self._cluster_incremental + len(dirty) > budget:
+            return False
+        from trueno_rag_tpu.ops.dense_tiered import _BOUND_EPS, _BOUND_SLACK
+
+        order = order_np.copy()
+        radii = np.asarray(radii_j).copy()
+        cent = np.asarray(cent_j)
+        if self._cluster_inv is not None and len(self._cluster_inv) == self._host.shape[0]:
+            inv = self._cluster_inv.copy()
+        else:
+            inv = np.full(self._host.shape[0], -1, dtype=np.int64)
+            live = order >= 0
+            inv[order[live]] = np.flatnonzero(live)
+        by_tile: dict = {}
+        for p in np.flatnonzero(order < 0)[::-1]:  # pop() -> lowest pos first
+            by_tile.setdefault(int(p) // tile, []).append(int(p))
+
+        sets: list = []  # (permuted pos, original row): replica rewrites
+        clears: list = []  # permuted positions that become holes
+        new_rows: list = []
+        for r in dirty:
+            p = int(inv[r])
+            alive = bool(self._valid[r])
+            if p >= 0 and not alive:  # removal: hole; radius stays sound
+                order[p] = -1
+                inv[r] = -1
+                by_tile.setdefault(p // tile, []).append(p)
+                clears.append(p)
+            elif p >= 0:  # in-place update: same slot, widened radius
+                sets.append((p, r))
+            elif alive:
+                new_rows.append(r)
+            # else: inserted and removed between refreshes — never placed
+        if new_rows:
+            xs = self._host[new_rows]  # [M, d] f32
+            # same shifted-dot preference as the build's assignment
+            # (argmin ‖x−µ‖² == argmax x·µ − ‖µ‖²/2); quality-only
+            sc = xs @ cent.T - 0.5 * np.einsum("td,td->t", cent, cent)[None, :]
+            pref = np.argsort(-sc, axis=1, kind="stable")
+            for i, r in enumerate(new_rows):
+                pos = -1
+                for c in pref[i]:
+                    lst = by_tile.get(int(c))
+                    if lst:
+                        pos = lst.pop()
+                        break
+                if pos < 0:
+                    return False  # every tile full: re-cluster
+                order[pos] = r
+                inv[r] = pos
+                sets.append((pos, r))
+        # widen radii over the EXACT stored f32 values (f64 math, the
+        # same slack form the host build publishes)
+        for pos, r in sets:
+            c = pos // tile
+            diff = self._host[r].astype(np.float64) - cent[c].astype(np.float64)
+            need = np.float32(
+                float(np.sqrt((diff * diff).sum())) * _BOUND_SLACK + _BOUND_EPS
+            )
+            if need > radii[c]:
+                radii[c] = need
+
+        # -- apply (host copies are complete; device scatters follow) ------
+        from trueno_rag_tpu.ops import dense_tiered as dt
+
+        if clears:  # BEFORE sets: a cleared hole may be refilled this batch
+            cl_j = jnp.asarray(np.asarray(clears, dtype=np.int32))
+            self._device_valid = self._device_valid.at[cl_j].set(False)
+        if sets:
+            pos_arr = np.asarray([p for p, _ in sets], dtype=np.int32)
+            row_arr = np.asarray([r for _, r in sets], dtype=np.int64)
+            upd = jnp.asarray(self._host[row_arr])
+            parts = dt.prepare_tiered(upd) + dt.prepare_residual(upd)
+            pos_j = jnp.asarray(pos_arr)
+            self._tier = tuple(
+                full.at[pos_j].set(part)
+                for full, part in zip(self._tier, parts)
+            )
+            self._device_valid = self._device_valid.at[pos_j].set(True)
+        touched = np.asarray(
+            [p for p, _ in sets] + clears, dtype=np.int32
+        )
+        if len(touched):
+            t_j = jnp.asarray(touched)
+            order_j = order_j.at[t_j].set(jnp.asarray(order[touched]))
+        self._cluster = (order, order_j, cent_j, jnp.asarray(radii))
+        self._cluster_inv = inv
+        self._cluster_incremental += len(dirty)
+        self._cluster_version = getattr(self, "_cluster_version", 0) + 1
+        return True
 
     def _effective_tier(self) -> str:
         """Resolve "auto": the bf16 tier only pays past the measured
