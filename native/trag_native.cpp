@@ -38,6 +38,11 @@ struct Builder {
   std::unordered_map<int32_t, int32_t> doc_len;
   int64_t total_len = 0;
   int64_t total_postings = 0;
+  // bulk ingest adds docs in ascending row order, so every term's
+  // posting list is ALREADY row-ascending and export can stream it
+  // without the per-term copy+sort (6M pairs at 100k chunks)
+  int32_t last_row = -1;
+  bool rows_ascending = true;
 
   // Open-addressing interner (token -> id; stopwords intern to -1).
   // unordered_map<string,...> re-hashed every token with std::hash — a
@@ -55,7 +60,7 @@ struct Builder {
 
   // reusable per-doc scratch
   std::vector<int32_t> tid_scratch;
-  std::string tok_scratch;
+  std::vector<char> low_scratch;  // lowered token bytes (raw scratch)
 
   // export staging
   std::vector<int32_t> export_order;  // sorted term ids
@@ -143,38 +148,54 @@ inline bool is_alnum_ascii(unsigned char c) {
   return (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z');
 }
 
-// Tokenize into interned ids; returns count of kept tokens. The FNV-1a
-// hash is accumulated over the lowered bytes during the scan, so the
+// byte -> lowered byte for token characters, 0 for separators
+// (UTF-8 continuation bytes have the high bit set -> 0, matching the
+// Python tokenizer's ASCII character classes)
+struct LowerTable {
+  unsigned char t[256];
+  LowerTable() {
+    for (int c = 0; c < 256; ++c) {
+      unsigned char u = static_cast<unsigned char>(c);
+      if (is_alnum_ascii(u))
+        t[c] = (u >= 'A' && u <= 'Z') ? u + 32 : u;
+      else
+        t[c] = 0;
+    }
+  }
+};
+const LowerTable kLower;
+
+// Tokenize into interned ids; returns count of kept tokens. One pass:
+// the byte table lowers/classifies (no branchy uppercase test), kept
+// bytes append to a raw pre-sized scratch (no std::string bounds
+// logic), and the FNV-1a hash accumulates during the scan so the
 // interner never re-reads the token; tokens under min_len skip the
 // table entirely (they can never be kept).
 int32_t tokenize_into(Builder *b, const char *text, int64_t len, std::vector<int32_t> *out) {
   constexpr uint64_t kFnvBasis = 1469598103934665603ULL;
   constexpr uint64_t kFnvPrime = 1099511628211ULL;
-  std::string &tok = b->tok_scratch;
-  tok.clear();
+  std::vector<char> &low = b->low_scratch;
+  if (static_cast<int64_t>(low.size()) < len) low.resize(len);
+  char *buf = low.data();
+  int64_t ti = 0;  // current token = buf[0, ti)
   uint64_t h = kFnvBasis;
   int32_t count = 0;
-  const char *p = text;
-  const char *end = text + len;
-  while (p <= end) {
-    unsigned char c = (p < end) ? static_cast<unsigned char>(*p) : 0;
-    if (p < end && is_alnum_ascii(c)) {
-      unsigned char lc = (c >= 'A' && c <= 'Z') ? c + 32 : c;
-      tok.push_back(static_cast<char>(lc));
+  for (int64_t i = 0; i <= len; ++i) {
+    unsigned char lc = (i < len) ? kLower.t[static_cast<unsigned char>(text[i])] : 0;
+    if (lc) {
+      buf[ti++] = static_cast<char>(lc);
       h = (h ^ lc) * kFnvPrime;
-    } else {
-      if (static_cast<int>(tok.size()) >= b->min_len) {
-        int32_t id = b->intern(tok.data(), tok.size(), h);
+    } else if (ti) {
+      if (ti >= b->min_len) {
+        int32_t id = b->intern(buf, static_cast<size_t>(ti), h);
         if (id >= 0) {
           ++count;
           if (out) out->push_back(id);
         }
       }
-      tok.clear();
+      ti = 0;
       h = kFnvBasis;
-      if (p >= end) break;
     }
-    ++p;
   }
   return count;
 }
@@ -202,6 +223,8 @@ void trag_bm25_destroy(void *h) { delete static_cast<Builder *>(h); }
 int32_t trag_bm25_add_doc(void *h, const char *text, int64_t len, int32_t row) {
   auto *b = static_cast<Builder *>(h);
   b->prepared = false;
+  if (row < b->last_row) b->rows_ascending = false;
+  b->last_row = row;
   auto &tids = b->tid_scratch;
   tids.clear();
   int32_t count = tokenize_into(b, text, len, &tids);
@@ -270,12 +293,20 @@ void trag_bm25_export(void *h, int32_t *rows, float *tfs, int64_t *indptr,
     const std::string &t = b->terms[id];
     memcpy(vocab_buf + vpos, t.data(), t.size());
     vpos += static_cast<int64_t>(t.size());
-    auto plist = b->postings[id];  // copy; keep builder intact
-    std::sort(plist.begin(), plist.end());
-    for (auto &rp : plist) {
-      rows[pos] = rp.first;
-      tfs[pos] = static_cast<float>(rp.second);
-      ++pos;
+    if (b->rows_ascending) {  // already row-ascending: stream in place
+      for (const auto &rp : b->postings[id]) {
+        rows[pos] = rp.first;
+        tfs[pos] = static_cast<float>(rp.second);
+        ++pos;
+      }
+    } else {
+      auto plist = b->postings[id];  // copy; keep builder intact
+      std::sort(plist.begin(), plist.end());
+      for (auto &rp : plist) {
+        rows[pos] = rp.first;
+        tfs[pos] = static_cast<float>(rp.second);
+        ++pos;
+      }
     }
     ++ti;
   }

@@ -43,44 +43,60 @@ from trueno_rag_tpu.errors import EmptyDocumentError, InvalidConfigError
 
 
 _ID_LOCK = threading.Lock()
-_ID_BUF = b""
-_ID_POS = 0
+_ID_POOL: List[str] = []
 
 
 def _reset_id_buffer() -> None:
     """Drop the pre-drawn randomness after fork: a child inheriting the
-    parent's buffer would emit IDENTICAL "random" chunk ids (uuid4 reads
+    parent's pool would emit IDENTICAL "random" chunk ids (uuid4 reads
     urandom per call and never has this failure mode)."""
-    global _ID_BUF, _ID_POS
-    _ID_BUF = b""
-    _ID_POS = 0
+    _ID_POOL.clear()
 
 
 if hasattr(os, "register_at_fork"):  # not on Windows
     os.register_at_fork(after_in_child=_reset_id_buffer)
 
 
+_HEX_DIGITS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+# column layout of "xxxxxxxx-xxxx-xxxx-xxxx-xxxxxxxxxxxx": the 32 hex
+# columns (dashes at 8, 13, 18, 23)
+_HEX_COLS = np.asarray(
+    [c for c in range(36) if c not in (8, 13, 18, 23)], dtype=np.int64
+)
+
+
+def _refill_id_pool() -> None:
+    """Format 4096 v4-UUID strings from one urandom draw, fully
+    vectorized: version/variant bits via two strided writes, nibbles →
+    hex digits via a table gather into a [4096, 36] char matrix (dash
+    columns preset), ONE decode of the whole matrix, then one slice
+    per id — ~0.3 µs per id including the pop/lock, vs ~1.5 µs for a
+    per-call bytearray/hex path and ~8 µs for ``uuid.uuid4`` (the
+    single largest Python line in the bulk-ingest build profile)."""
+    view = np.frombuffer(os.urandom(16 * 4096), dtype=np.uint8).copy()
+    view[6::16] = (view[6::16] & 0x0F) | 0x40  # version 4
+    view[8::16] = (view[8::16] & 0x3F) | 0x80  # RFC 4122 variant
+    b = view.reshape(-1, 16)
+    chars = np.full((b.shape[0], 36), ord("-"), dtype=np.uint8)
+    chars[:, _HEX_COLS[0::2]] = _HEX_DIGITS[b >> 4]
+    chars[:, _HEX_COLS[1::2]] = _HEX_DIGITS[b & 0x0F]
+    flat = chars.tobytes().decode("ascii")
+    _ID_POOL.extend(flat[i:i + 36] for i in range(0, len(flat), 36))
+
+
 def new_chunk_id() -> str:
     """Fresh random chunk id (uuid4 string).
 
-    Equivalent to ``str(uuid.uuid4())`` but ~4x faster: ``uuid.uuid4``
-    costs ~8 µs (an os.urandom syscall plus UUID-object construction),
-    which at bulk-ingest scale was the single largest Python line in
-    the build profile (0.5 s of a 1.9 s 50k-chunk ingest). This pulls
-    16 random bytes from a refilled 64 KiB urandom buffer, sets the
-    RFC 4122 version/variant bits, and formats the string directly —
-    output is a valid v4 UUID string, parseable by ``uuid.UUID``."""
-    global _ID_BUF, _ID_POS
+    Equivalent to ``str(uuid.uuid4())`` but ~15x faster: ids are
+    formatted 4096 at a time from one urandom draw
+    (:func:`_refill_id_pool`) — at bulk-ingest scale ``uuid.uuid4``'s
+    ~8 µs per call was the single largest Python line in the build
+    profile. Output is a valid v4 UUID string, parseable by
+    ``uuid.UUID``; the pool drops on fork (ids stay process-unique)."""
     with _ID_LOCK:
-        if _ID_POS >= len(_ID_BUF):
-            _ID_BUF = os.urandom(16 * 4096)
-            _ID_POS = 0
-        b = bytearray(_ID_BUF[_ID_POS:_ID_POS + 16])
-        _ID_POS += 16
-    b[6] = (b[6] & 0x0F) | 0x40  # version 4
-    b[8] = (b[8] & 0x3F) | 0x80  # RFC 4122 variant
-    h = b.hex()
-    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+        if not _ID_POOL:
+            _refill_id_pool()
+        return _ID_POOL.pop()
 
 
 def chunk_id_from_int(n: int) -> str:
