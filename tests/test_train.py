@@ -112,6 +112,30 @@ def test_ict_and_crop_pairs():
     assert q_ids.dtype == np.int32
 
 
+def test_pair_streams_raise_on_ineligible_corpus():
+    """A corpus with no chunk eligible for the pair recipe must RAISE,
+    not rejection-sample forever (reachable: fit(evalset=custom) skips
+    the probe guard that tests the same condition)."""
+    import random
+
+    import pytest
+
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+    from trueno_rag_tpu.errors import InvalidConfigError
+    from trueno_rag_tpu.train.data import crop_pairs, ict_pairs
+
+    chunks = [
+        Chunk(document_id="d", content="one short sentence only",
+              start_offset=0, end_offset=23, metadata=ChunkMetadata(),
+              id=chunk_id_from_int(0))
+    ]
+    rng = random.Random(0)
+    with pytest.raises(InvalidConfigError):
+        next(ict_pairs(chunks, rng))
+    with pytest.raises(InvalidConfigError):
+        next(crop_pairs(chunks, rng, min_words=4))
+
+
 def test_train_on_ict_pairs_end_to_end():
     """A few steps of real training on ICT pairs from real chunks:
     loss finite and decreasing-ish, params move."""

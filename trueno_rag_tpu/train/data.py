@@ -28,12 +28,24 @@ from trueno_rag_tpu.text import tokenize_simple
 def ict_pairs(
     chunks: Sequence[Chunk], rng: random.Random
 ) -> Iterator[Tuple[str, str]]:
-    """Inverse Cloze Task pairs: (sentence, chunk-without-sentence)."""
+    """Inverse Cloze Task pairs: (sentence, chunk-without-sentence).
+
+    Samples from the ELIGIBLE chunks only (>= 2 sentences) and raises
+    up front when none qualify — the rejection-sampling form spun
+    forever on such corpora when the caller supplied its own EvalSet
+    (bypassing fit()'s probe guard, which tests the same condition)."""
+    eligible = [c for c in chunks if len(split_sentences(c.content)) >= 2]
+    if not eligible:
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(
+            "ICT pairs need at least one chunk with >= 2 sentences "
+            "(a sentence must be held out as the pseudo-query); use "
+            "longer chunks or pair_kind='crop'"
+        )
     while True:
-        chunk = rng.choice(chunks)
+        chunk = rng.choice(eligible)
         spans = split_sentences(chunk.content)
-        if len(spans) < 2:
-            continue
         i = rng.randrange(len(spans))
         s, e = spans[i]
         query = chunk.content[s:e]
@@ -45,12 +57,25 @@ def ict_pairs(
 def crop_pairs(
     chunks: Sequence[Chunk], rng: random.Random, min_words: int = 4
 ) -> Iterator[Tuple[str, str]]:
-    """Span-crop pairs: two random word windows of the same chunk."""
+    """Span-crop pairs: two random word windows of the same chunk.
+
+    Pre-filters to chunks long enough to crop (>= 2*min_words words)
+    and raises when none qualify, for the same no-eligible-chunk hang
+    reason as :func:`ict_pairs`."""
+    eligible = [
+        (c, tokenize_simple(c.content))
+        for c in chunks
+        if len(tokenize_simple(c.content)) >= 2 * min_words
+    ]
+    if not eligible:
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(
+            f"crop pairs need at least one chunk with >= {2 * min_words} "
+            "words; use longer chunks or a smaller min_words"
+        )
     while True:
-        chunk = rng.choice(chunks)
-        words = tokenize_simple(chunk.content)
-        if len(words) < 2 * min_words:
-            continue
+        _, words = rng.choice(eligible)
 
         def window():
             w = rng.randint(min_words, max(min_words, len(words) // 2))
