@@ -170,3 +170,37 @@ def test_hybrid_dense_mode_clustered(mesh):
     wf = [r.chunk.id for r in retr.retrieve(q, 5, tag_filter=TagFilter(all=["even"]))]
     gf = [r.chunk.id for r in hybrid.search(q, 5, tag_filter=TagFilter(all=["even"]))]
     assert gf == wf
+
+
+def test_sharded_clustered_concentrated_runners_up_certify(mesh):
+    """Regression (mirrors the VectorStore single-chip test): with
+    t_top sized to exactly k, a scanned tile's exclusion threshold is
+    its t_top-th emitted candidate's bf16 upper bound (~±1.7e-3) — for
+    a corpus whose top-k concentrates in one tile that bound sits ABOVE
+    the k-th fp32 score, so NO query certified and (keep_host=False)
+    none could be patched. The +4 runner-up slack makes the threshold a
+    pack row instead; the same corpus certifies end-to-end on the mesh."""
+    rng = np.random.default_rng(41)
+    d, k = 64, 10
+    n = 16 * TILE  # 4 tiles per shard, one natural blob per tile
+    blobs = n // TILE
+    centers = rng.standard_normal((blobs, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    per = n // blobs
+    which = np.repeat(np.arange(blobs), per)
+    sig = np.where(np.arange(n) % per < k, 0.005, 0.04)
+    m = (centers[which] + sig[:, None] * rng.standard_normal((n, d))
+         ).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)  # raw-dot oracle below
+    idx = ShardedClusteredIndex(
+        m, mesh, tile_n=TILE, probe_tiles=2, keep_host=False,
+    )
+    queries = centers[rng.choice(blobs, size=6, replace=False)]
+    s, r, ok = idx.search(queries.astype(np.float32), k)
+    assert bool(np.asarray(ok).all()), (
+        f"only {int(np.asarray(ok).sum())}/6 certified"
+    )
+    rx = _oracle(m, queries, k)
+    r = np.asarray(r)
+    for i in range(len(queries)):
+        assert set(r[i].tolist()) == set(rx[i].tolist()), f"query {i}"

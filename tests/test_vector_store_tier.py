@@ -531,6 +531,56 @@ def test_clustered_config_validation():
                           cluster_incremental_limit=1.5)
 
 
+def test_clustered_concentrated_runners_up_certify():
+    """Regression: with t_top sized to exactly k, a corpus whose
+    (k+1)-th row sits within the bf16 interval (~1.7e-3) of the k-th —
+    k+2 near-duplicates of the query — certified 0 queries (every one
+    paid the host patch): the tile's unemitted runner-up joined the
+    exclusion threshold at its bf16 upper bound. The +4 runner-up slack
+    rescores those rows in fp32. Results are exact either way; this
+    pins the CERTIFICATION rate on the concentrated corpora the tier
+    exists for."""
+    rng = np.random.default_rng(57)
+    dim, tile, k = 64, 1024, 10
+    n = 16 * tile
+    blobs = n // tile
+    centers = rng.standard_normal((blobs, dim)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    per = n // blobs
+    which = np.repeat(np.arange(blobs), per)[:n]
+    # exactly k planted near-duplicates: the (k+1)-th row is a pack row
+    # ~0.93, far below the planted ~0.999 — but within one bf16 scan
+    # interval of NOTHING, so certification hinges purely on whether
+    # the runner-up gets an fp32 rescore (t_top > k) or joins the
+    # threshold at its bf16 bound (t_top == k, the regression)
+    sig = np.where(np.arange(n) % per < k, 0.005, 0.04)
+    m = (centers[which] + sig[:, None] * rng.standard_normal((n, dim))
+         ).astype(np.float32)
+    store = VectorStore(VectorStoreConfig(
+        dimension=dim, scan_tier="clustered", scan_tile_n=tile,
+        cluster_probe_tiles=8,
+    ))
+    plain = VectorStore(VectorStoreConfig(dimension=dim))
+    chunks = []
+    for i in range(n):
+        c = mk_chunk(i, dim, rng)
+        c.embedding = m[i].tolist()
+        chunks.append(c)
+    store.insert_many(chunks)
+    plain.insert_many(chunks)
+    queries = centers[:6].astype(np.float32)
+    before = store.compact_uncertified
+    sc, rc = store.search_arrays(queries, k)
+    certified = len(queries) - (store.compact_uncertified - before)
+    assert certified == len(queries), f"only {certified} certified"
+    # and the exact SET regardless (the certificate proves the set; the
+    # in-set order of planted near-duplicates can differ from the fp32
+    # store's at ~1e-7 rescore rounding)
+    sp, rp = plain.search_arrays(queries, k)
+    for i in range(len(queries)):
+        assert set(np.asarray(rc)[i].tolist()) == set(np.asarray(rp)[i].tolist())
+
+
 def _no_recluster(monkeypatch):
     """Make any full k-means rebuild raise (incremental-only guard)."""
     from trueno_rag_tpu.ops import clustered as cl
@@ -623,6 +673,28 @@ def test_clustered_incremental_radii_stay_sound(monkeypatch):
         diff = store._host[live].astype(np.float64) - cent[c]
         true_max = float(np.sqrt((diff * diff).sum(axis=1)).max())
         assert true_max <= float(radii[c]), f"tile {c}"
+
+
+def test_ensure_ready_applies_pending_mutations(monkeypatch):
+    """ensure_ready() applies pending mutations to the device state up
+    front (serving warm-up) — the next search finds nothing dirty."""
+    rng = np.random.default_rng(58)
+    dim = 32
+    chunks, centers = _blob_chunks(n=4000, dim=dim, blobs=4, rng=rng)
+    store = VectorStore(_clustered_cfg(dim))
+    store.insert_many(chunks)
+    store.ensure_ready()
+    assert not store._dirty and store._cluster is not None
+    _no_recluster(monkeypatch)
+    c = mk_chunk(70_000, dim, rng)
+    q = centers[1].astype(np.float32)
+    c.embedding = q.tolist()
+    store.insert(c)
+    assert store._dirty
+    store.ensure_ready()  # incremental fold-in, ahead of any query
+    assert not store._dirty
+    got = store.search(q, 3)
+    assert got[0][0] == "c70000"
 
 
 def test_clustered_incremental_budget_forces_recluster():

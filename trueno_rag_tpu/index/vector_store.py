@@ -777,6 +777,14 @@ class VectorStore:
         self._refresh_device()
         return self._device_valid
 
+    def ensure_ready(self) -> None:
+        """Apply any pending mutations to the device state NOW instead
+        of on the next query — serving processes call this after an
+        ingest/refresh window so the first live query doesn't pay the
+        tier rebuild (for the clustered tier that is milliseconds on
+        the incremental path but a full k-means past its budget)."""
+        self._refresh_device()
+
     # -- queries -----------------------------------------------------------------
 
     def search_arrays(
@@ -836,10 +844,20 @@ class VectorStore:
                     # size t_top to the REQUEST, not a constant, or
                     # certification fails on exactly the concentrated
                     # corpora this tier targets and every query pays the
-                    # host patch. The kernel's per-SEL-tile pool is 16
-                    # (2 per 128-block × 8 blocks): k > 16 concentrated
-                    # in one tile cannot certify (host patch covers).
-                    t_top=min(max(self.config.scan_t_top, 8, k_eff), 16),
+                    # host patch. The +4 RUNNER-UP SLACK matters just as
+                    # much: the exclusion threshold for a tile's
+                    # unemitted rows is its t_top-th candidate's bf16
+                    # upper bound (~±1.7e-3), so at t_top == k any
+                    # corpus whose (k+1)-th row sits within that
+                    # interval of the k-th — e.g. k+2 near-duplicates
+                    # of the query — certified 0/8 (measured); emitting
+                    # a few extra candidates rescores the runners-up in
+                    # fp32 (interval ~1e-5) and the same corpus
+                    # certifies. The kernel's per-SEL-tile pool is 16
+                    # (2 per 128-block × 8 blocks): k > 12 loses slack
+                    # and k > 16 concentrated in one tile cannot
+                    # certify (host patch covers).
+                    t_top=min(max(self.config.scan_t_top, 8, k_eff + 4), 16),
                     margin_tiles=self.config.scan_margin_tiles,
                     tile_n=max(self.config.scan_tile_n, 1024),
                     fetch=cl.resolve_cluster_fetch(self.config.cluster_fetch),

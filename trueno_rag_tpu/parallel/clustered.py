@@ -100,9 +100,15 @@ def _sharded_clustered_fn(mesh, axis, k, rows_per_shard, probe_tiles,
             q, mb, el, al, ri, rs, e2, v, k, cent[0], rad[0],
             probe_tiles=probe_tiles, row_map=rmap, metric=metric,
             tile_n=tile_n, fetch=fetch, interpret=interpret,
-            # concentrated top-k needs t_top >= k; kernel pool caps at
-            # 16 (2 per 128-block x 8 blocks) — see ops/clustered.py
-            t_top=min(max(8, k), 16),
+            # concentrated top-k needs t_top >= k PLUS runner-up slack:
+            # a tile's unemitted rows join the exclusion threshold at
+            # the t_top-th candidate's bf16 upper bound (~±1.7e-3), so
+            # at t_top == k any corpus whose (k+1)-th row sits within
+            # that interval of the k-th certifies 0 queries; +4 extra
+            # candidates rescore the runners-up in fp32 (interval
+            # ~1e-5). Kernel pool caps at 16 (2 per 128-block × 8
+            # blocks) — same sizing as VectorStore's single-chip path.
+            t_top=min(max(8, k + 4), 16),
             tags=tag_args if tag_args else None, return_bounds=True,
         )
         shard = jax.lax.axis_index(axis)
