@@ -455,3 +455,18 @@ def test_fused_true_with_disabled_source_raises():
     )
     with pytest.raises(QueryError):
         retr.retrieve_batch(["q"], 3)
+
+
+def test_retriever_ensure_ready_warms_device_state():
+    """ensure_ready() builds the device state up front (serving warm-up
+    after an ingest/reload window): both stores come out clean and the
+    next retrieval finds nothing dirty."""
+    retr, _ = build_hybrid()
+    assert retr.vector_store._dirty  # fresh ingest: device state pending
+    retr.ensure_ready()
+    assert not retr.vector_store._dirty
+    assert retr.sparse_index._snap is not None
+    # and it's idempotent + consistent with the query path
+    retr.ensure_ready()
+    got = retr.retrieve("lazy fox", 3)
+    assert got and not retr.vector_store._dirty

@@ -215,6 +215,11 @@ def test_hot_reload_swaps_index_without_downtime():
         assert all("tpus" not in r["content"] for r in out["results"])
         rel = post("/reload", {})
         assert rel["status"] == "reloaded" and rel["chunks"] == 2
+        # the handler warms the incoming retriever BEFORE the swap
+        # (ensure_ready): its device state must already be built so the
+        # first post-swap request doesn't pay the upload/tier build
+        assert not v2.vector_store._dirty
+        assert v2.sparse_index._snap is not None
         out = post("/query", {"query": "tpus", "k": 3})
         assert any("tpus" in r["content"] for r in out["results"])
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=10) as resp:

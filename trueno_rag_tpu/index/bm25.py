@@ -212,6 +212,11 @@ class BM25Index:
 
     # -- device snapshot --------------------------------------------------------
 
+    def ensure_ready(self) -> None:
+        """Build the device CSR snapshot NOW instead of on the next
+        query (serving warm-up after an ingest/reload window)."""
+        self._refresh_snapshot()
+
     def _refresh_snapshot(self) -> None:
         if not self._dirty and self._snap is not None:
             return

@@ -212,6 +212,18 @@ class HybridRetriever:
         del n_rows  # the store's capacity IS the row space
         return self.vector_store._device_tag_bits()
 
+    def ensure_ready(self) -> None:
+        """Apply pending mutations to the device state NOW instead of on
+        the next query — serving processes call this after an ingest or
+        reload window so the first live request doesn't pay the device
+        upload / tier rebuild (for the clustered tier that can be a full
+        k-means; for BM25 a CSR snapshot rebuild). The serve layer's
+        ``/reload`` warms the incoming retriever with this before the
+        atomic swap."""
+        self.vector_store.ensure_ready()
+        self.sparse_index.ensure_ready()
+        self.vector_store._device_tag_bits()  # lazy per-row tag masks
+
     # -- retrieval ---------------------------------------------------------------
 
     def retrieve(self, query: str, k: int,

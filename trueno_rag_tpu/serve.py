@@ -343,6 +343,13 @@ def make_handler(batcher: MicroBatcher, index_loader=None):
                     # serving on the old index during the (possibly
                     # long) artifact load, then the swap is atomic
                     new_retriever = index_loader()
+                    # warm the incoming index BEFORE the swap — still on
+                    # the old index's time: the device upload / scan-tier
+                    # build (a full k-means for a cold clustered tier)
+                    # must not land on the first post-swap request
+                    warm_fn = getattr(new_retriever, "ensure_ready", None)
+                    if warm_fn is not None:
+                        warm_fn()
                     batcher.swap_retriever(new_retriever)
                     self._send(200, {"status": "reloaded",
                                      "chunks": len(new_retriever)})
