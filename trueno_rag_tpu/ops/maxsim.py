@@ -1,0 +1,679 @@
+"""Late-interaction (MaxSim) retrieval ops: exact full scan + certified
+centroid-pruned top-k over a device-resident token matrix.
+
+The reference has no multi-vector retrieval at all (its rerankers are
+lexical/mock, rerank.rs:17-264, and retrieval is single-vector,
+index.rs:386-412); :mod:`trueno_rag_tpu.models.late_interaction` already
+provides ColBERT-style MaxSim *reranking*. This module promotes late
+interaction to a first-class RETRIEVAL tier over the whole corpus:
+
+    MaxSim(q, D) = Σ_{i ∈ q tokens} max_{j ∈ D tokens} ⟨q_i, d_j⟩
+
+scored for every chunk, with the framework's exactness discipline —
+fp32 HIGHEST interaction math, (score desc, row asc) ordering, ``-1`` /
+``-inf`` invalid slots, and a *certificate* on the pruned path.
+
+Two scan strategies, both over a padded ``[N, Lt, H]`` token matrix:
+
+- :func:`maxsim_scan_topk` — exact brute force, blockwise
+  ``lax.scan`` so the ``[B, Lq, C, Lt]`` interaction tensor never
+  exceeds one block. This is the oracle-by-construction path; its cost
+  is inherently ~``Lq·Lt``× a single-vector scan, which is why
+  production late-interaction engines prune.
+- :func:`maxsim_topk_pruned` — the TPU-native production path. Each
+  chunk's tokens are compressed to ``K`` covering centroids + radii
+  (:func:`prepare_maxsim_bounds`); by Cauchy-Schwarz on the deviation
+  ``d_j − c_g`` of a token from its group centroid,
+
+      max_j ⟨qᵢ, d_j⟩ ≤ max_g ( ⟨qᵢ, c_g⟩ + ‖qᵢ‖·r_g )
+
+  so summing the right side over query tokens is a sound per-chunk
+  upper bound on MaxSim — PLAID's centroid interaction, made a
+  *certificate* by the radii, at ``K/Lt`` of the exact interaction
+  cost. The bound ranks every chunk, only the top ``rescore`` chunks'
+  token slabs are gathered and exactly rescored, and the (C+1)-th
+  bound becomes the exclusion threshold: ``certified[b]`` iff the
+  k-th exact score strictly beats every unselected chunk's bound —
+  the same fail-closed interval-certificate contract as the dense
+  scan tiers (ops/dense_tiered.py, ops/clustered.py). Unlike PLAID-
+  class systems, a certified result is *provably* the exact
+  full-corpus MaxSim top-k, and a pruning miss fails the certificate
+  rather than silently dropping a chunk. ``K`` trades bound-scan cost
+  for tightness: ``K=1`` is the classic single-centroid bound (too
+  loose to certify on realistic token spreads — measured), larger K
+  shrinks the radii toward exactness. Measured regime: certifies only
+  when chunks' own token sets cluster tightly (templated/duplicated
+  text, or ``K ≳ Lt``); semantically diverse tokens defeat any
+  covering-radius bound (slack ~7x the score gap on topic-structured
+  synthetics).
+- :func:`maxsim_topk_token_pruned` — the tight certificate. Exact
+  top-``T`` token matches per query token over the FLAT corpus-token
+  matrix (a free in-program reshape of the ``[N, Lt, H]`` store) give
+  both the candidates and the threshold: every unretrieved token
+  scores ≤ τᵢ (the T-th hit),
+  so a chunk with no hits is bounded by ``Σᵢ τᵢ`` and a hit chunk by
+  the partial sum ``Σᵢ max(best_hitᵢ, τᵢ)``. Only the ``rescore``
+  best-bounded candidates are exactly rescored; certification demands
+  the k-th exact score strictly beat every surviving bound. This is
+  the classic exact late-interaction algorithm recast as one jitted
+  XLA program — it certifies where the radius bound cannot (8/8 vs
+  0/8 on topic-structured synthetics at T≈Lt·N/60), at the cost of a
+  ``[B·Lq, M]`` token-level score pass.
+
+Exactness is defined over the STORED token values (the f32 upcast of
+the storage dtype): callers that store bf16 tokens trade token
+precision for 2x memory up front, once, at insert — the scan and the
+certificate are then exact over what is stored, never approximate over
+it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trueno_rag_tpu.ops.dense import blockwise_topk
+
+NEG_INF = float("-inf")
+
+# Build-side widening for the f64-computed radii (the only error left
+# is the final f32 cast; query-side rounding has its own budget below,
+# mirroring dense_tiered's split between build and query slack).
+_RADIUS_SLACK = 1.0 + 1e-6
+_RADIUS_EPS = 1e-7
+
+# Query-side multiplicative slack + absolute floor on the device-
+# evaluated bound (covers the few f32 adds/mults that combine the dot,
+# spread and accumulation-error terms), same values and justification
+# as dense_tiered._BOUND_SLACK/_BOUND_EPS.
+_BOUND_SLACK = 1.0001
+_BOUND_EPS = 1e-7
+
+
+def _f32(x: jax.Array) -> jax.Array:
+    return x if x.dtype == jnp.float32 else x.astype(jnp.float32)
+
+
+def maxsim_block_scores(
+    q_tok: jax.Array,  # [B, Lq, H] f32
+    q_mask: jax.Array,  # [B, Lq] bool
+    tok: jax.Array,  # [C, Lt, H] float (shared across the batch)
+    t_mask: jax.Array,  # [C, Lt] bool
+) -> jax.Array:
+    """Exact MaxSim of every query against every chunk in one block →
+    ``[B, C]`` f32. Padding doc tokens are masked to ``-inf`` before
+    the max; padding query tokens and all-padding chunks contribute
+    zero (an empty document scores 0, matching
+    models/late_interaction.maxsim)."""
+    sim = jnp.einsum(
+        "bqh,cth->bqct", q_tok, _f32(tok),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    sim = jnp.where(t_mask[None, None, :, :], sim, NEG_INF)
+    best = jnp.max(sim, axis=3)  # [B, Lq, C]
+    best = jnp.where(q_mask[:, :, None] & jnp.isfinite(best), best, 0.0)
+    return jnp.sum(best, axis=1)  # [B, C]
+
+
+def maxsim_pair_scores(
+    q_tok: jax.Array,  # [B, Lq, H] f32
+    q_mask: jax.Array,  # [B, Lq] bool
+    tok: jax.Array,  # [B, C, Lt, H] float (per-query candidates)
+    t_mask: jax.Array,  # [B, C, Lt] bool
+) -> jax.Array:
+    """Exact MaxSim of each query against ITS OWN ``C`` candidates →
+    ``[B, C]`` f32 (the rescore stage of the pruned path)."""
+    sim = jnp.einsum(
+        "bqh,bcth->bqct", q_tok, _f32(tok),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    sim = jnp.where(t_mask[:, None, :, :], sim, NEG_INF)
+    best = jnp.max(sim, axis=3)  # [B, Lq, C]
+    best = jnp.where(q_mask[:, :, None] & jnp.isfinite(best), best, 0.0)
+    return jnp.sum(best, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def maxsim_scan_topk(
+    q_tok: jax.Array,  # [B, Lq, H] f32
+    q_mask: jax.Array,  # [B, Lq] bool
+    tokens: jax.Array,  # [N, Lt, H] float
+    t_mask: jax.Array,  # [N, Lt] bool
+    valid: jax.Array,  # [N] bool
+    k: int,
+    block: int = 512,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact full-corpus MaxSim top-k → ``(scores [B,k], rows [B,k])``.
+
+    ``lax.scan`` over ``block``-chunk slabs bounds the interaction
+    tensor at ``[B, Lq, block, Lt]`` f32; per-chunk scores accumulate
+    into a ``[B, N]`` matrix and the framework's blockwise exact top-k
+    selects (score desc, row asc; invalid rows ``-inf``/``-1``)."""
+    n = tokens.shape[0]
+    g = max(-(-n // block), 1)
+    pad = g * block - n
+    if pad:
+        tokens = jnp.pad(tokens, ((0, pad), (0, 0), (0, 0)))
+        t_mask = jnp.pad(t_mask, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, ((0, pad),))
+    tok_b = tokens.reshape(g, block, *tokens.shape[1:])
+    tm_b = t_mask.reshape(g, block, t_mask.shape[1])
+    v_b = valid.reshape(g, block)
+
+    def step(carry, xs):
+        tok, tm, v = xs
+        s = maxsim_block_scores(q_tok, q_mask, tok, tm)  # [B, block]
+        s = jnp.where(v[None, :], s, NEG_INF)
+        return carry, s
+
+    _, scores = jax.lax.scan(step, 0.0, (tok_b, tm_b, v_b))  # [G, B, block]
+    scores = jnp.transpose(scores, (1, 0, 2)).reshape(q_tok.shape[0], g * block)
+    top_s, rows = blockwise_topk(scores, k)
+    return top_s, rows
+
+
+@functools.partial(jax.jit, static_argnames=("k_bound", "iters"))
+def _kmeans_tokens_device(
+    tok: jax.Array,  # [S, Lt, H] f32
+    mask: jax.Array,  # [S, Lt] bool
+    k_bound: int,
+    iters: int,
+) -> jax.Array:
+    """Batched per-chunk k-means over each chunk's own tokens →
+    proposed centroids ``[S, K, H]`` f32. QUALITY-ONLY: any centroids
+    are sound once the host radius pass covers every token against its
+    assigned centroid; this just makes the radii small. Init = evenly
+    strided valid tokens; empty clusters keep their previous centroid."""
+    s, lt, h = tok.shape
+    tokm = jnp.where(mask[:, :, None], tok, 0.0)
+    cnt = jnp.sum(mask, axis=1)  # [S]
+    # strided init over the valid prefix order: rank tokens by validity-
+    # stable position, take positions round(linspace) into the valid set
+    pos = jnp.cumsum(mask, axis=1) - 1  # valid rank per slot
+    want = (
+        jnp.arange(k_bound)[None, :] * jnp.maximum(cnt - 1, 0)[:, None]
+        // max(k_bound - 1, 1)
+    )  # [S, K] target ranks
+    hit = (pos[:, :, None] == want[:, None, :]) & mask[:, :, None]  # [S, Lt, K]
+    # first slot achieving each rank
+    first = jnp.argmax(hit, axis=1)  # [S, K]
+    cent = jnp.take_along_axis(tokm, first[:, :, None], axis=1)  # [S, K, H]
+
+    def step(cent, _):
+        sc = jnp.einsum("sth,skh->stk", tok, cent) - 0.5 * jnp.sum(
+            cent * cent, axis=2
+        )[:, None, :]
+        asg = jnp.argmax(sc, axis=2)  # [S, Lt]
+        one = (
+            jax.nn.one_hot(asg, k_bound, dtype=jnp.float32)
+            * mask[:, :, None]
+        )  # [S, Lt, K]
+        sums = jnp.einsum("stk,sth->skh", one, tokm)
+        n_k = jnp.sum(one, axis=1)  # [S, K]
+        new = sums / jnp.maximum(n_k, 1.0)[:, :, None]
+        cent = jnp.where(n_k[:, :, None] > 0, new, cent)
+        return cent, None
+
+    cent, _ = jax.lax.scan(step, cent, None, length=iters)
+    return cent
+
+
+def prepare_maxsim_bounds(
+    tokens: np.ndarray,  # [N, Lt, H] (any float dtype; upcast defines stored values)
+    t_mask: np.ndarray,  # [N, Lt] bool
+    k_bound: int = 8,
+    iters: int = 8,
+    slab: int = 4096,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-chunk COMPRESSED token set with covering radii →
+    ``(btok [N, K, H] f32, brad [N, K] f32, bmask [N, K] bool)``, the
+    pruning-bound inputs of :func:`maxsim_topk_pruned`.
+
+    Each chunk's ``Lt`` tokens are clustered into ``K = k_bound``
+    groups (a batched k-means, device-accelerated, quality-only); each
+    group's centroid + covering radius gives the sound per-query-token
+    bound ``max_{j∈group} ⟨qᵢ, d_j⟩ ≤ ⟨qᵢ, c_g⟩ + ‖qᵢ‖·r_g``, so the
+    bound-side interaction costs ``K/Lt`` of the exact one — PLAID's
+    centroid interaction, made a *certificate* by the radii. ``K = 1``
+    is the single-centroid bound; larger K tightens it (radii shrink)
+    at linearly more bound-scan cost.
+
+    Soundness: the host pass assigns every stored token (f32 upcast)
+    to its nearest f32 centroid in f64 math and sets that group's
+    radius to cover it, widened by ``_RADIUS_SLACK``/``_RADIUS_EPS``
+    for the final f32 cast — ``‖d_j − c_{a(j)}‖ ≤ r_{a(j)}`` holds for
+    every stored token regardless of k-means quality. Empty groups are
+    masked out of the bound max; fully-empty chunks bound to 0 (their
+    exact score). Slabbed so temporaries never exceed
+    ``slab·Lt·H``."""
+    n, lt, h = tokens.shape
+    k_bound = max(1, min(k_bound, lt))
+    btok = np.zeros((n, k_bound, h), dtype=np.float32)
+    brad = np.zeros((n, k_bound), dtype=np.float32)
+    bmask = np.zeros((n, k_bound), dtype=bool)
+    mask = np.asarray(t_mask, bool)
+    for lo in range(0, n, slab):
+        hi = min(lo + slab, n)
+        t32 = np.asarray(tokens[lo:hi], np.float32)
+        m = mask[lo:hi]
+        cent = np.asarray(
+            _kmeans_tokens_device(
+                jnp.asarray(t32), jnp.asarray(m), k_bound, iters
+            ),
+            np.float32,
+        )  # [S, K, H]
+        # host f64 assignment + covering radii vs the f32 centroids the
+        # device will use
+        t64 = t32.astype(np.float64)
+        c64 = cent.astype(np.float64)
+        d2 = (
+            np.einsum("sth,sth->st", t64, t64)[:, :, None]
+            - 2.0 * np.einsum("sth,skh->stk", t64, c64)
+            + np.einsum("skh,skh->sk", c64, c64)[:, None, :]
+        )  # [S, Lt, K]
+        asg = d2.argmin(axis=2)  # [S, Lt]
+        dist = np.sqrt(
+            np.maximum(np.take_along_axis(d2, asg[:, :, None], axis=2)[:, :, 0], 0.0)
+        )
+        dist = np.where(m, dist, -1.0)  # padding never sets a radius
+        r = np.zeros((hi - lo, k_bound), dtype=np.float64)
+        used = np.zeros((hi - lo, k_bound), dtype=bool)
+        np.maximum.at(
+            r,
+            (np.repeat(np.arange(hi - lo), lt), asg.reshape(-1)),
+            np.maximum(dist.reshape(-1), 0.0),
+        )
+        np.logical_or.at(
+            used,
+            (np.repeat(np.arange(hi - lo), lt), asg.reshape(-1)),
+            m.reshape(-1),
+        )
+        btok[lo:hi] = np.where(used[:, :, None], cent, 0.0)
+        brad[lo:hi] = np.where(
+            used, r * _RADIUS_SLACK + _RADIUS_EPS, 0.0
+        ).astype(np.float32)
+        bmask[lo:hi] = used
+    return btok, brad, bmask
+
+
+def _maxsim_bound_block(
+    q_tok: jax.Array,  # [B, Lq, H] f32 (raw; padding handled via q_mask)
+    q_mask: jax.Array,  # [B, Lq] bool
+    qn_w: jax.Array,  # [B, Lq] f32 — ‖qᵢ‖ widened ≥ true norm
+    btok: jax.Array,  # [C, K, H] f32
+    brad: jax.Array,  # [C, K] f32
+    bmask: jax.Array,  # [C, K] bool
+) -> jax.Array:
+    """Sound per-chunk MaxSim upper bounds for one block → ``[B, C]``
+    f32. Per query token: ``max_g (⟨qᵢ,c_g⟩ + ‖qᵢ‖·r_g)`` over the
+    chunk's valid groups (each token of the chunk lies within ``r_g``
+    of its group centroid, so the max dominates ``max_j ⟨qᵢ,d_j⟩``);
+    chunks with no valid group (empty docs) bound to their exact score
+    0. Every f32 rounding is budgeted: the H-term dot's accumulation
+    error rides ``‖qᵢ‖·‖c_g‖``, the Lq-term sum's rides the magnitude
+    sum, and ``_BOUND_SLACK``/``_BOUND_EPS`` close the residue exactly
+    like the clustered tier's tile bound (ops/clustered.py; review r3
+    taught the acc term must carry the full ``‖c‖`` factor)."""
+    h = q_tok.shape[2]
+    lq = q_tok.shape[1]
+    acc_eps = jnp.float32(h) * jnp.float32(2.0**-23)
+    sim = jnp.einsum(
+        "bqh,ckh->bqck", q_tok, btok,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, Lq, C, K]
+    # centroid norms widened UP against their own f32 rounding-down
+    cn_w = jnp.linalg.norm(btok, axis=2) * (1.0 + acc_eps)  # [C, K]
+    term = sim + qn_w[:, :, None, None] * (
+        brad[None, None, :, :] + acc_eps * cn_w[None, None, :, :]
+    )
+    term = jnp.where(bmask[None, None, :, :], term, NEG_INF)
+    bi = jnp.max(term, axis=3)  # [B, Lq, C]
+    bi = jnp.where(q_mask[:, :, None] & jnp.isfinite(bi), bi, 0.0)
+    u = jnp.sum(bi, axis=1)  # [B, C]
+    mag = jnp.sum(jnp.abs(bi), axis=1)
+    u = u + mag * jnp.float32(lq) * jnp.float32(2.0**-23)
+    u = u + mag * jnp.float32(_BOUND_SLACK - 1.0) + jnp.float32(_BOUND_EPS)
+    return u
+
+
+@functools.partial(jax.jit, static_argnames=("k", "rescore", "bound_block"))
+def maxsim_topk_pruned(
+    q_tok: jax.Array,  # [B, Lq, H] f32
+    q_mask: jax.Array,  # [B, Lq] bool
+    tokens: jax.Array,  # [N, Lt, H] float
+    t_mask: jax.Array,  # [N, Lt] bool
+    btok: jax.Array,  # [N, K, H] f32 (prepare_maxsim_bounds)
+    brad: jax.Array,  # [N, K] f32
+    bmask: jax.Array,  # [N, K] bool
+    valid: jax.Array,  # [N] bool
+    k: int,
+    rescore: int = 128,
+    bound_block: int = 4096,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Certified centroid-pruned MaxSim top-k →
+    ``(scores [B,k], rows [B,k], certified [B] bool)``.
+
+    Ranks every chunk by the sound K-group upper bound
+    ``U = Σᵢ max_g (⟨qᵢ,c_g⟩ + ‖qᵢ‖·r_g)`` (``K/Lt`` of the exact
+    interaction cost, streamed in ``bound_block``-chunk slabs so the
+    ``[B,Lq,C,K]`` tensor stays bounded), exactly rescores the
+    ``rescore`` best-bounded chunks, and certifies per query iff the
+    k-th exact score strictly exceeds the (C+1)-th bound — every
+    unselected chunk's true score is ≤ its bound ≤ that threshold, so
+    a certified result IS the full-corpus exact top-k (ties at the
+    boundary fail closed, as does any pruning miss).
+    ``isneginf(threshold)`` certifies short corpora where nothing was
+    excluded at all."""
+    if rescore < k:
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(f"rescore={rescore} must be >= k={k}")
+    b, lq, h = q_tok.shape
+    n = tokens.shape[0]
+    c_n = min(rescore, n)
+
+    # -- sound per-chunk upper bounds (device f32, error-budgeted) -----
+    qv = jnp.where(q_mask[:, :, None], q_tok, 0.0)
+    # ‖qᵢ‖ widened ≥ the true norm against its own f32 rounding (sum of
+    # H squares + sqrt can round DOWN by ~H·2⁻²³ relative; at H=4096
+    # that exceeds _BOUND_SLACK's 1e-4 budget, so widen explicitly)
+    qn_w = jnp.linalg.norm(qv, axis=2) * (
+        1.0 + jnp.float32(h + 2) * jnp.float32(2.0**-23)
+    )  # [B, Lq]
+
+    g = max(-(-n // bound_block), 1)
+    padn = g * bound_block - n
+    btok_p, brad_p, bmask_p, valid_p = btok, brad, bmask, valid
+    if padn:
+        btok_p = jnp.pad(btok, ((0, padn), (0, 0), (0, 0)))
+        brad_p = jnp.pad(brad, ((0, padn), (0, 0)))
+        bmask_p = jnp.pad(bmask, ((0, padn), (0, 0)))
+        valid_p = jnp.pad(valid, ((0, padn),))
+
+    def step(carry, xs):
+        bt, br, bm, v = xs
+        ub = _maxsim_bound_block(q_tok, q_mask, qn_w, bt, br, bm)
+        ub = jnp.where(v[None, :], ub, NEG_INF)
+        return carry, ub
+
+    _, u = jax.lax.scan(
+        step,
+        0.0,
+        (
+            btok_p.reshape(g, bound_block, *btok.shape[1:]),
+            brad_p.reshape(g, bound_block, brad.shape[1]),
+            bmask_p.reshape(g, bound_block, bmask.shape[1]),
+            valid_p.reshape(g, bound_block),
+        ),
+    )  # [G, B, block]
+    u = jnp.transpose(u, (1, 0, 2)).reshape(b, g * bound_block)
+    if padn:
+        u = u[:, :n]
+
+    # -- select candidates by bound; the (C+1)-th bound is the
+    # exclusion threshold (exact selection — no approx, fail-closed by
+    # construction) ----------------------------------------------------
+    sel = min(c_n + 1, n)
+    u_top, cand = blockwise_topk(u, sel)
+    threshold = u_top[:, c_n] if sel > c_n else jnp.full((b,), NEG_INF)
+    cand = cand[:, :c_n]
+
+    # ascending-row candidate order so lax.top_k's lower-index tie
+    # preference yields the framework's (score desc, row asc) order —
+    # -1 sentinels sort first and carry -inf scores, so they are only
+    # ever selected when fewer than k real candidates exist
+    cand = jax.lax.sort(cand, dimension=1)
+
+    # -- exact rescore of the gathered token slabs ---------------------
+    safe = jnp.maximum(cand, 0)
+    tok_c = jnp.take(tokens, safe.reshape(-1), axis=0)
+    tok_c = tok_c.reshape(b, c_n, *tokens.shape[1:])
+    tm_c = jnp.take(t_mask, safe.reshape(-1), axis=0).reshape(b, c_n, t_mask.shape[1])
+    s = maxsim_pair_scores(q_tok, q_mask, tok_c, tm_c)  # [B, C]
+    s = jnp.where(cand >= 0, s, NEG_INF)
+
+    k_eff = min(k, c_n)
+    top_s, idx = jax.lax.top_k(s, k_eff)
+    rows = jnp.take_along_axis(cand, idx, axis=1)
+    rows = jnp.where(jnp.isneginf(top_s), -1, rows)
+    if k_eff < k:
+        top_s = jnp.pad(top_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        rows = jnp.pad(rows, ((0, 0), (0, k - k_eff)), constant_values=-1)
+
+    kth = top_s[:, k_eff - 1]
+    certified = (kth > threshold) | jnp.isneginf(threshold)
+    return top_s, rows, certified
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "t_hits", "rescore", "u_block")
+)
+def maxsim_topk_token_pruned(
+    q_tok: jax.Array,  # [B, Lq, H] f32
+    q_mask: jax.Array,  # [B, Lq] bool
+    tokens: jax.Array,  # [N, Lt, H] float
+    t_mask: jax.Array,  # [N, Lt] bool
+    valid: jax.Array,  # [N] bool
+    k: int,
+    t_hits: int = 256,
+    rescore: int = 256,
+    u_block: int = 512,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Certified token-level-pruned MaxSim top-k →
+    ``(scores [B,k], rows [B,k], certified [B] bool)``.
+
+    The classic exact late-interaction algorithm as one XLA program:
+
+    1. **Token pass** — exact top-``t_hits`` matches per query token
+       over the flat ``[N·Lt, H]`` token matrix (one MXU matmul +
+       blockwise exact top-k). The T-th hit score τᵢ bounds every
+       unretrieved token; flat hit ids map to chunks by ``// Lt``
+       (no gather).
+    2. **Candidate bounds** — each hit chunk's sound upper bound is
+       ``U(D) = Σᵢ max(best_hitᵢ(D), τᵢ)``; chunks with no hit at all
+       are bounded by ``Σᵢ τᵢ``; empty-but-valid chunks score exactly
+       0 and force the threshold to at least 0.
+    3. **Rescore + certificate** — the ``rescore`` best-bounded
+       candidates are exactly rescored; ``certified[b]`` iff the k-th
+       exact score strictly beats max((C+1)-th bound, Σᵢτᵢ, empty
+       floor). A certified result IS the full-corpus exact top-k over
+       the stored token values; ties and pruning misses fail closed.
+
+    τ and the hit scores come from a DIFFERENT matmul program than the
+    rescore einsum, so both are widened by the cross-program rounding
+    budget ``2·H·2⁻²³·‖qᵢ‖·max‖d‖`` before use (plus the framework's
+    ``_BOUND_SLACK``/``_BOUND_EPS`` on every f32 reduction), keeping
+    the certificate sound across programs.
+
+    Memory: the token pass materializes ``[B·Lq, N·Lt]`` f32 scores —
+    size the batch to the corpus (this is the latency tier; the exact
+    scan streams instead). ``u_block`` bounds the ``[B, Lq, T,
+    u_block]`` bound-matching tensor.
+    """
+    if rescore < k:
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(f"rescore={rescore} must be >= k={k}")
+    b, lq, h = q_tok.shape
+    n, lt = t_mask.shape
+    m = n * lt
+    acc_eps = jnp.float32(h) * jnp.float32(2.0**-23)
+
+    # -- token pass ----------------------------------------------------
+    qv = jnp.where(q_mask[:, :, None], q_tok, 0.0)
+    qf = qv.reshape(b * lq, h)
+    ftok = _f32(tokens).reshape(m, h)
+    fvalid = (t_mask & valid[:, None]).reshape(m)
+    s_tok = jax.lax.dot_general(
+        qf, ftok, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B·Lq, M]
+    s_tok = jnp.where(fvalid[None, :], s_tok, NEG_INF)
+    t_eff = min(t_hits, m)
+    hs, hid = blockwise_topk(s_tok, t_eff)  # [B·Lq, T]
+
+    # cross-program widening: the rescore einsum may round the same
+    # ⟨qᵢ,d⟩ differently; δ ≥ the discrepancy keeps τ/hits sound bounds
+    qn_w = jnp.linalg.norm(qv, axis=2).reshape(b * lq) * (
+        1.0 + jnp.float32(h + 2) * jnp.float32(2.0**-23)
+    )
+    dn_w = jnp.max(
+        jnp.where(fvalid, jnp.linalg.norm(ftok, axis=1), 0.0)
+    ) * (1.0 + jnp.float32(h + 2) * jnp.float32(2.0**-23))
+    delta = 2.0 * acc_eps * qn_w * dn_w  # [B·Lq]
+    tau = hs[:, t_eff - 1] + delta  # [B·Lq]; -inf stays -inf
+    hs_w = hs + delta[:, None]
+    # padded query tokens contribute exactly 0 to MaxSim: zero their τ
+    # and drop their hits
+    qm_f = q_mask.reshape(b * lq)
+    tau = jnp.where(qm_f, tau, 0.0)
+    hid = jnp.where(qm_f[:, None], hid, -1)
+
+    hc = jnp.where(hid >= 0, hid // lt, -1).astype(jnp.int32)  # hit chunks
+    hc3 = hc.reshape(b, lq, t_eff)
+    hs3 = jnp.where(hc3 >= 0, hs_w.reshape(b, lq, t_eff), NEG_INF)
+    tau2 = tau.reshape(b, lq)
+
+    # Σᵢ τᵢ — the no-hit-chunk bound, widened for the Lq-term f32 sum.
+    # τᵢ = -inf (every valid token retrieved for token i) implies no
+    # wholly-unhit nonempty chunk can exist, so the bound is -inf; clamp
+    # before the widened sum to avoid -inf + inf·slack = NaN.
+    any_ninf = jnp.any(jnp.isneginf(tau2), axis=1)
+    tau_f = jnp.where(jnp.isneginf(tau2), 0.0, tau2)
+    stau = jnp.sum(tau_f, axis=1)
+    stau_mag = jnp.sum(jnp.abs(tau_f), axis=1)
+    stau = (
+        stau
+        + stau_mag * jnp.float32(lq) * jnp.float32(2.0**-23)
+        + stau_mag * jnp.float32(_BOUND_SLACK - 1.0)
+        + jnp.float32(_BOUND_EPS)
+    )  # [B]
+    stau = jnp.where(any_ninf, NEG_INF, stau)
+
+    # -- candidate slots: dedup hit chunks per query ---------------------
+    w = lq * t_eff
+    cand_all = jax.lax.sort(hc.reshape(b, w), dimension=1)  # -1s first
+    dup = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), cand_all[:, 1:] == cand_all[:, :-1]], axis=1
+    )
+    cand_all = jnp.where(dup, -1, cand_all)  # one slot per unique chunk
+    gw = -(-w // u_block)
+    padw = gw * u_block - w
+    if padw:
+        cand_all = jnp.pad(cand_all, ((0, 0), (0, padw)), constant_values=-1)
+
+    # -- per-candidate sound bound U = Σᵢ max(best_hitᵢ, τᵢ) ------------
+    def u_step(carry, cw):  # cw [B, u_block]
+        eq = hc3[:, :, :, None] == cw[:, None, None, :]  # [B,Lq,T,u]
+        mx = jnp.max(
+            jnp.where(eq, hs3[:, :, :, None], NEG_INF), axis=2
+        )  # [B, Lq, u]
+        bi = jnp.maximum(mx, tau2[:, :, None])
+        u = jnp.sum(bi, axis=1)
+        mag = jnp.sum(jnp.abs(bi), axis=1)
+        u = (
+            u
+            + mag * jnp.float32(lq) * jnp.float32(2.0**-23)
+            + mag * jnp.float32(_BOUND_SLACK - 1.0)
+            + jnp.float32(_BOUND_EPS)
+        )
+        u = jnp.where(cw >= 0, u, NEG_INF)
+        return carry, u
+
+    cw_blocks = jnp.transpose(
+        cand_all.reshape(b, gw, u_block), (1, 0, 2)
+    )  # [G, B, u]
+    _, u_blocks = jax.lax.scan(u_step, 0.0, cw_blocks)
+    u = jnp.transpose(u_blocks, (1, 0, 2)).reshape(b, gw * u_block)[:, :w]
+
+    # -- select, rescore, certify ---------------------------------------
+    c_n = min(rescore, w)
+    sel = min(c_n + 1, w)
+    u_top, uidx = blockwise_topk(u, sel)
+    thr_cand = u_top[:, c_n] if sel > c_n else jnp.full((b,), NEG_INF)
+    uidx = uidx[:, :c_n]
+    rows_c = jnp.where(
+        uidx >= 0,
+        jnp.take_along_axis(cand_all, jnp.maximum(uidx, 0), axis=1),
+        -1,
+    )
+    rows_c = jax.lax.sort(rows_c, dimension=1)  # (score desc, row asc) order
+
+    safe = jnp.maximum(rows_c, 0)
+    tok_c = jnp.take(tokens, safe.reshape(-1), axis=0).reshape(
+        b, c_n, lt, tokens.shape[2]
+    )
+    tm_c = jnp.take(t_mask, safe.reshape(-1), axis=0).reshape(b, c_n, lt)
+    s = maxsim_pair_scores(q_tok, q_mask, tok_c, tm_c)
+    s = jnp.where(rows_c >= 0, s, NEG_INF)
+
+    k_eff = min(k, c_n)
+    top_s, idx = jax.lax.top_k(s, k_eff)
+    rows = jnp.take_along_axis(rows_c, idx, axis=1)
+    rows = jnp.where(jnp.isneginf(top_s), -1, rows)
+    if k_eff < k:
+        top_s = jnp.pad(
+            top_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF
+        )
+        rows = jnp.pad(rows, ((0, 0), (0, k - k_eff)), constant_values=-1)
+
+    # threshold over everything NOT exactly rescored: unselected
+    # candidates' bounds, wholly-unhit chunks' Στ, and the 0.0 score of
+    # any valid-but-empty chunk (never a candidate by construction)
+    has_empty = jnp.any(valid & ~jnp.any(t_mask, axis=1))
+    threshold = jnp.maximum(thr_cand, stau)
+    threshold = jnp.where(
+        has_empty, jnp.maximum(threshold, 0.0), threshold
+    )
+    kth = top_s[:, k_eff - 1]
+    certified = (kth > threshold) | jnp.isneginf(threshold)
+    return top_s, rows, certified
+
+
+def maxsim_scan_oracle(
+    q_tok: np.ndarray,
+    q_mask: np.ndarray,
+    tokens: np.ndarray,
+    t_mask: np.ndarray,
+    valid: np.ndarray,
+    k: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host oracle for :func:`maxsim_scan_topk` (f32 math, the
+    framework's (score desc, row asc) total order, ``-1``/``-inf``
+    invalid slots)."""
+    q_tok = np.asarray(q_tok, np.float32)
+    tokens = np.asarray(tokens, np.float32)
+    q_mask = np.asarray(q_mask, bool)
+    t_mask = np.asarray(t_mask, bool)
+    valid = np.asarray(valid, bool)
+    b, n = q_tok.shape[0], tokens.shape[0]
+    scores = np.full((b, n), NEG_INF, dtype=np.float32)
+    for c in range(n):
+        if not valid[c]:
+            continue
+        tm = t_mask[c]
+        total = np.zeros((b,), np.float32)
+        if tm.any():
+            sim = np.einsum(
+                "bqh,th->bqt", q_tok, tokens[c], dtype=np.float32
+            )
+            sim = np.where(tm[None, None, :], sim, NEG_INF)
+            best = sim.max(axis=2)  # [B, Lq]
+            best = np.where(q_mask & np.isfinite(best), best, 0.0)
+            total = best.sum(axis=1, dtype=np.float32)
+        scores[:, c] = total
+    out_s = np.full((b, k), NEG_INF, dtype=np.float32)
+    out_r = np.full((b, k), -1, dtype=np.int32)
+    for i in range(b):
+        order = sorted(range(n), key=lambda c: (-scores[i, c], c))
+        kept = [c for c in order if np.isfinite(scores[i, c])][:k]
+        out_s[i, : len(kept)] = scores[i, kept]
+        out_r[i, : len(kept)] = kept
+    return out_s, out_r
