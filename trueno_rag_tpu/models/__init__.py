@@ -45,6 +45,7 @@ from trueno_rag_tpu.models.cross_encoder import (
 )
 from trueno_rag_tpu.models.late_interaction import (
     LateInteractionReranker,
+    LateInteractionRetriever,
     late_interaction_scores,
     maxsim,
 )
@@ -64,6 +65,7 @@ __all__ = [
     "nemotron_forward",
     "CrossEncoderReranker",
     "LateInteractionReranker",
+    "LateInteractionRetriever",
     "late_interaction_scores",
     "maxsim",
     "cross_encoder_scores",

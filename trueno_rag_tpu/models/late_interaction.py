@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from trueno_rag_tpu.chunking import Chunk
 from trueno_rag_tpu.models.encoder import (
     EncoderConfig,
     HashTokenizer,
@@ -151,3 +152,106 @@ class LateInteractionReranker:
         ]
         rescored.sort(key=lambda r: (-(r.rerank_score or 0.0), r.chunk.id))
         return rescored[:top_k]
+
+
+# ---------------------------------------------------------------------------
+# Corpus-scale retrieval (TokenVectorStore-backed)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _token_states_jit(params, token_ids, config):
+    return encoder_token_states(params, token_ids, config)
+
+
+class LateInteractionRetriever:
+    """Corpus-scale MaxSim retrieval (ColBERT-class).
+
+    The shared encoder trunk produces per-token vectors for BOTH sides
+    (one model, no joint forward); documents index into a
+    :class:`~trueno_rag_tpu.index.token_store.TokenVectorStore`, and
+    queries run either the exact blockwise MaxSim scan or the certified
+    token-pruned tier (``TokenStoreConfig.scan``). The reference has no
+    analog — its retrieval is strictly single-vector
+    (index.rs:321-437) — so the contract here follows the framework's
+    own retriever protocol (index/index_batch/retrieve, RetrievalResult
+    with the MaxSim score in ``dense_score``).
+
+    Token L2-normalization happens inside the store (insert and query),
+    so scores are cosine MaxSim regardless of encoder scaling.
+    """
+
+    def __init__(
+        self,
+        config: Optional[EncoderConfig] = None,
+        params: Optional[Dict[str, jax.Array]] = None,
+        seed: int = 0,
+        max_len: int = 32,
+        store_config: Optional["TokenStoreConfig"] = None,
+        registry=None,
+    ) -> None:
+        from trueno_rag_tpu.index.token_store import TokenStoreConfig, TokenVectorStore
+
+        self.config = config or EncoderConfig.tiny()
+        self.params = params if params is not None else init_encoder_params(
+            jax.random.PRNGKey(seed), self.config
+        )
+        self.max_len = min(max_len, self.config.max_len)
+        self.tokenizer = HashTokenizer(self.config.vocab_size, self.max_len)
+        sc = store_config or TokenStoreConfig(
+            hidden_dim=self.config.hidden_dim, max_tokens=self.max_len
+        )
+        if sc.hidden_dim != self.config.hidden_dim:
+            from trueno_rag_tpu.errors import InvalidConfigError
+
+            raise InvalidConfigError(
+                f"store hidden_dim {sc.hidden_dim} != encoder hidden_dim "
+                f"{self.config.hidden_dim}"
+            )
+        self.store = TokenVectorStore(sc, registry=registry)
+
+    def _encode(self, texts: Sequence[str]):
+        """texts → ``(tokens [B, T, H] f32, mask [B, T] bool)`` numpy.
+        B is bucketed to a power of two to bound recompiles (T is
+        already bucketed by the tokenizer's pad_multiple)."""
+        ids = self.tokenizer.encode_batch(texts)
+        b = _round_up_pow2(ids.shape[0])
+        if b != ids.shape[0]:
+            ids = np.pad(ids, ((0, b - ids.shape[0]), (0, 0)))
+        tok, mask = _token_states_jit(self.params, jnp.asarray(ids), self.config)
+        n = len(texts)
+        return np.asarray(tok[:n]), np.asarray(mask[:n])
+
+    def index(self, chunk: Chunk) -> None:
+        tok, mask = self._encode([chunk.content])
+        self.store.insert(chunk, tok[0], mask[0])
+
+    def index_batch(self, chunks: Sequence[Chunk], encode_batch: int = 128) -> None:
+        for lo in range(0, len(chunks), encode_batch):
+            batch = chunks[lo : lo + encode_batch]
+            tok, mask = self._encode([c.content for c in batch])
+            self.store.insert_many(batch, list(tok), list(mask))
+
+    def retrieve(self, query: str, k: int) -> List[RetrievalResult]:
+        return self.retrieve_batch([query], k)[0]
+
+    def retrieve_batch(
+        self, queries: Sequence[str], k: int
+    ) -> List[List[RetrievalResult]]:
+        if not queries or len(self.store) == 0 or k <= 0:
+            return [[] for _ in queries]
+        q_tok, q_mask = self._encode(list(queries))
+        scores, rows = self.store.search_arrays(q_tok, q_mask, k)
+        out: List[List[RetrievalResult]] = []
+        for b in range(len(queries)):
+            hits = self.store._hydrate(scores[b], rows[b])
+            out.append(
+                [
+                    RetrievalResult(chunk=self.store.get(cid), dense_score=s)
+                    for cid, s in hits
+                ]
+            )
+        return out
+
+    def __len__(self) -> int:
+        return len(self.store)

@@ -504,6 +504,128 @@ def _load_index_streaming(f, embedder, scan_tier: Optional[str] = None):
 
 
 # ---------------------------------------------------------------------------
+# Token (late-interaction) index artifacts
+# ---------------------------------------------------------------------------
+
+
+def save_token_index(
+    path: str, retriever, codec: Optional[Compression] = None
+) -> Dict[str, Any]:
+    """Persist a LateInteractionRetriever's token store (chunks + the
+    ``[M, Lt, H]`` token matrix + masks + tags + store config). Token
+    bytes round-trip exactly (the loader bypasses re-normalization), so
+    MaxSim scores and certificates are identical after load. Encoder
+    weights travel separately (:func:`save_params`), mirroring how
+    :func:`save_index` leaves embedder identity to the caller
+    (main.rs:442-477). Atomic write (tmp + rename)."""
+    store = retriever.store
+    reg = store.registry
+    cfg = store.config
+    ids = [
+        cid
+        for cid in reg.ids()
+        if reg.row_of(cid) is not None and store._valid[reg.row_of(cid)]
+    ]
+    rows = [reg.row_of(cid) for cid in ids]
+    tok = (
+        np.ascontiguousarray(store._host[rows], dtype=np.float32)
+        if rows
+        else np.zeros((0, cfg.max_tokens, cfg.hidden_dim), np.float32)
+    )
+    tm = (
+        np.ascontiguousarray(store._t_mask[rows])
+        if rows
+        else np.zeros((0, cfg.max_tokens), bool)
+    )
+    payload = {
+        "format": "trueno-rag-tpu-token-index",
+        "version": 1,
+        "store_config": {
+            "hidden_dim": cfg.hidden_dim,
+            "max_tokens": cfg.max_tokens,
+            "storage_dtype": cfg.storage_dtype,
+            "scan": cfg.scan,
+            "t_hits": cfg.t_hits,
+            "rescore": cfg.rescore,
+            "scan_block": cfg.scan_block,
+            "normalize": cfg.normalize,
+        },
+        "encoder": {"max_len": retriever.max_len},
+        "chunks": [_chunk_to_wire(reg.get_chunk(cid)) for cid in ids],
+        "tokens_raw": tok.tobytes(),
+        "t_mask_raw": np.packbits(tm).tobytes() if len(rows) else b"",
+        "tags": _tag_wire(reg, ids),
+    }
+    blob = serialize_compressed(payload, codec)
+    with _atomic_writer(path) as f:
+        f.write(blob)
+    return {
+        "compressed_bytes": len(blob),
+        "raw_bytes_estimate": tok.nbytes,
+        "chunks": len(ids),
+    }
+
+
+def load_token_index(
+    path: str,
+    encoder_config=None,
+    params: Optional[Dict[str, Any]] = None,
+    seed: int = 0,
+    scan: Optional[str] = None,
+):
+    """Rebuild a LateInteractionRetriever from :func:`save_token_index`.
+    The encoder identity (config/params/seed) is supplied by the caller
+    like :func:`load_index`'s embedder; ``scan`` overrides the stored
+    scan-tier choice."""
+    if not os.path.exists(path):
+        from trueno_rag_tpu.errors import IndexNotFoundError
+
+        raise IndexNotFoundError(f"no token index at {path}")
+    with open(path, "rb") as f:
+        payload = deserialize_compressed(f.read())
+    if payload.get("format") != "trueno-rag-tpu-token-index":
+        from trueno_rag_tpu.errors import SerializationError
+
+        raise SerializationError(
+            f"not a token-index artifact: {payload.get('format')!r}"
+        )
+    from trueno_rag_tpu.index.token_store import TokenStoreConfig
+    from trueno_rag_tpu.models.late_interaction import LateInteractionRetriever
+
+    sc = dict(payload["store_config"])
+    if scan is not None:
+        sc["scan"] = scan
+    store_config = TokenStoreConfig(**sc)
+    retr = LateInteractionRetriever(
+        config=encoder_config,
+        params=params,
+        seed=seed,
+        max_len=int(payload["encoder"]["max_len"]),
+        store_config=store_config,
+    )
+    chunk_dicts = payload["chunks"]
+    m = len(chunk_dicts)
+    lt, h = store_config.max_tokens, store_config.hidden_dim
+    tok = np.frombuffer(payload["tokens_raw"], dtype=np.float32).reshape(m, lt, h)
+    tm = (
+        np.unpackbits(
+            np.frombuffer(payload["t_mask_raw"], dtype=np.uint8),
+            count=m * lt,
+        )
+        .astype(bool)
+        .reshape(m, lt)
+        if m
+        else np.zeros((0, lt), bool)
+    )
+    chunks = [Chunk.from_dict(d) for d in chunk_dicts]
+    retr.store.load_rows(chunks, tok.copy(), tm)
+    tags = payload.get("tags")
+    if tags:
+        retr.store.registry.load_tag_state(tags["vocab"], tags["rows"])
+    return retr
+
+
+# ---------------------------------------------------------------------------
 # Model checkpoints (safetensors)
 # ---------------------------------------------------------------------------
 
