@@ -16,6 +16,7 @@ from trueno_rag_tpu.parallel.clustered import ShardedClusteredIndex
 from trueno_rag_tpu.parallel.compact import ShardedCompactIndex
 from trueno_rag_tpu.parallel.hybrid import ShardedHybridIndex
 from trueno_rag_tpu.parallel.mesh import create_mesh, encoder_param_specs
+from trueno_rag_tpu.parallel.maxsim import ShardedTokenIndex, sharded_maxsim_topk
 from trueno_rag_tpu.parallel.sharded import ShardedVectorIndex, sharded_dense_topk
 
 __all__ = [
@@ -23,6 +24,8 @@ __all__ = [
     "encoder_param_specs",
     "sharded_dense_topk",
     "ShardedVectorIndex",
+    "ShardedTokenIndex",
+    "sharded_maxsim_topk",
     "ShardedHybridIndex",
     "ShardedCompactIndex",
     "ShardedClusteredIndex",
