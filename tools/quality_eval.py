@@ -94,6 +94,34 @@ def eval_embedder(embed_fn, chunk_texts, evalset, k=10):
     return {name: float(jnp.mean(v)) for name, v in per_q.items()}
 
 
+def eval_maxsim(params, config, tokenizer, chunk_texts, evalset, k=10):
+    """Late-interaction evaluation: the SAME trunk's per-token states,
+    scored with exact full-corpus MaxSim (ops/maxsim.maxsim_scan_topk)
+    instead of pooled cosine — the quality check that the multi-vector
+    tier's fine-grained matching preserves what training learned."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trueno_rag_tpu.models.late_interaction import _l2_tokens, _token_states_jit
+    from trueno_rag_tpu.ops.maxsim import maxsim_scan_topk
+    from trueno_rag_tpu.ops.metrics import batched_metrics
+
+    ids = tokenizer.encode_batch(chunk_texts)
+    tok, mask = _token_states_jit(params, jnp.asarray(ids), config)
+    tok = _l2_tokens(tok)
+    qids = tokenizer.encode_batch(evalset.queries)
+    q_tok, q_mask = _token_states_jit(params, jnp.asarray(qids), config)
+    q_tok = _l2_tokens(q_tok)
+    valid = jnp.ones((tok.shape[0],), bool)
+    _, rows = maxsim_scan_topk(q_tok, q_mask, tok, mask, valid, k, 128)
+    width = max(len(r) for r in evalset.relevant)
+    rel = np.full((len(evalset.relevant), width), -1, np.int32)
+    for i, r in enumerate(evalset.relevant):
+        rel[i, : len(r)] = r
+    per_q = batched_metrics(rows, jnp.asarray(rel), k_values=(1, 5, k))
+    return {name: float(jnp.mean(v)) for name, v in per_q.items()}
+
+
 def main() -> None:
     import functools
 
@@ -146,8 +174,31 @@ def main() -> None:
     )
     record("encoder, trained (ICT)",
            eval_embedder(enc(result.state.params), texts, evalset))
+    trained_pooled = results[-1][1]["recall@10"]
 
-    trained = results[-1][1]["recall@10"]
+    # the MaxSim (late-interaction) tier: untrained baseline, the
+    # pooled-trained trunk (measures objective mismatch), and a trunk
+    # trained THROUGH the MaxSim score (the ColBERT recipe)
+    record("maxsim, untrained",
+           eval_maxsim(state.params, config, tokenizer, texts, evalset))
+    record("maxsim, pooled-trained",
+           eval_maxsim(result.state.params, config, tokenizer, texts, evalset))
+
+    state_m, tx_m = create_train_state(jax.random.PRNGKey(0), config)
+    result_m = fit(
+        state_m, tx_m, config, tokenizer, train_chunks,
+        steps=1200, batch_size=32, max_len=32, eval_every=200,
+        k=10, seed=3, evalset=valset, eval_corpus=texts,
+        objective="maxsim",
+        log=lambda msg: print("  " + msg),
+    )
+    record("maxsim, maxsim-trained",
+           eval_maxsim(result_m.state.params, config, tokenizer, texts, evalset))
+    trained_maxsim = results[-1][1]["recall@10"]
+    assert trained_maxsim > results[-3][1]["recall@10"] + 0.2, (
+        "MaxSim-objective training failed to beat the untrained MaxSim tier")
+
+    trained = trained_pooled
     baseline = max(results[0][1]["recall@10"], results[1][1]["recall@10"])
     assert trained > baseline + 0.2, (
         f"training failed to beat the baselines: {trained} vs {baseline}")

@@ -62,6 +62,73 @@ def contrastive_loss(
     return loss, {"loss": loss, "accuracy": accuracy}
 
 
+def maxsim_contrastive_loss(
+    params: Dict[str, jax.Array],
+    query_ids: jax.Array,  # [B, Tq]
+    doc_ids: jax.Array,  # [B, Td]
+    config: EncoderConfig,
+    temperature: float = 0.05,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """InfoNCE with in-batch negatives scored by MaxSim over L2-normed
+    token states (the ColBERT training recipe). The pooled objective
+    trains the MEAN vector; token states under it are NOT organized for
+    token-level matching — measured: MaxSim retrieval over a
+    pooled-trained trunk reached only 0.41 recall@10 where the pooled
+    path reached 0.92 (tools/quality_eval.py, round 2). Training
+    through the MaxSim score itself is what makes the late-interaction
+    tier (ops/maxsim.py, index/token_store.py) retrieve well.
+
+    One-directional CE (query over documents): MaxSim is asymmetric —
+    the d→q score is a different quantity, so the symmetric term of the
+    pooled loss has no analog here."""
+    from trueno_rag_tpu.models.encoder import encoder_token_states
+
+    q_tok, q_mask = encoder_token_states(params, query_ids, config)
+    d_tok, d_mask = encoder_token_states(params, doc_ids, config)
+
+    def l2(x):
+        n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        return x / jnp.where(n == 0.0, 1.0, n)
+
+    q_tok, d_tok = l2(q_tok), l2(d_tok)
+    sim = jnp.einsum(
+        "bqh,cth->bqct", q_tok, d_tok, preferred_element_type=jnp.float32
+    )  # [B, Tq, B, Td]
+    sim = jnp.where(d_mask[None, None, :, :], sim, -jnp.inf)
+    best = jnp.max(sim, axis=3)  # [B, Tq, B]
+    best = jnp.where(q_mask[:, :, None] & jnp.isfinite(best), best, 0.0)
+    # normalize by query length so short probes aren't low-logit (the
+    # scale, not the ranking, feeds the softmax temperature)
+    n_q = jnp.maximum(jnp.sum(q_mask, axis=1, keepdims=True), 1)
+    logits = jnp.sum(best, axis=1) / n_q / temperature  # [B, B]
+    labels = jnp.arange(logits.shape[0])
+    loss = jnp.mean(
+        optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    )
+    accuracy = jnp.mean(jnp.argmax(logits, axis=1) == labels)
+    return loss, {"loss": loss, "accuracy": accuracy}
+
+
+def maxsim_train_step(
+    state: TrainState,
+    query_ids: jax.Array,
+    doc_ids: jax.Array,
+    tx: optax.GradientTransformation,
+    config: EncoderConfig,
+    temperature: float = 0.05,
+) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """One optimizer step on the MaxSim objective (see train_step for
+    the sharding contract)."""
+
+    def loss_fn(p):
+        return maxsim_contrastive_loss(p, query_ids, doc_ids, config, temperature)
+
+    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return TrainState(new_params, new_opt_state, state.step + 1), metrics
+
+
 def train_step(
     state: TrainState,
     query_ids: jax.Array,

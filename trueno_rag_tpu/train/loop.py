@@ -30,7 +30,7 @@ from trueno_rag_tpu.chunking import Chunk, split_sentences
 from trueno_rag_tpu.models.encoder import EncoderConfig, encoder_forward
 from trueno_rag_tpu.ops.dense import dense_topk
 from trueno_rag_tpu.ops.metrics import batched_metrics
-from trueno_rag_tpu.train.contrastive import TrainState, train_step
+from trueno_rag_tpu.train.contrastive import TrainState, maxsim_train_step, train_step
 from trueno_rag_tpu.train.data import PairBatcher, crop_pairs, ict_pairs
 
 
@@ -81,6 +81,45 @@ def _encode_texts(
     return jnp.concatenate(out, axis=0)[: len(texts)]
 
 
+def _encode_token_states(
+    params, config: EncoderConfig, tokenizer, texts: Sequence[str], batch: int = 64
+):
+    """Batched fixed-shape TOKEN-state forward → ([N, T, H] f32 L2-normed,
+    [N, T] mask) — the multi-vector sibling of :func:`_encode_texts`."""
+    from trueno_rag_tpu.models.encoder import encoder_token_states
+
+    toks, masks = [], []
+    for lo in range(0, len(texts), batch):
+        ids = tokenizer.encode_batch(texts[lo : lo + batch])
+        ids = np.pad(
+            ids,
+            ((0, batch - ids.shape[0]), (0, max(0, config.max_len - ids.shape[1]))),
+        )[:, : config.max_len]
+        t, m = encoder_token_states(params, jnp.asarray(ids), config)
+        n = jnp.linalg.norm(t, axis=-1, keepdims=True)
+        toks.append(t / jnp.where(n == 0.0, 1.0, n))
+        masks.append(m)
+    tok = jnp.concatenate(toks, axis=0)[: len(texts)]
+    mask = jnp.concatenate(masks, axis=0)[: len(texts)]
+    return tok, mask
+
+
+def _maxsim_eval_rows(
+    params, config, tokenizer, chunk_texts, evalset, k, encode_batch
+):
+    from trueno_rag_tpu.ops.maxsim import maxsim_scan_topk
+
+    tok, mask = _encode_token_states(params, config, tokenizer, chunk_texts, encode_batch)
+    q_tok, q_mask = _encode_token_states(
+        params, config, tokenizer, evalset.queries, encode_batch
+    )
+    valid = jnp.ones((tok.shape[0],), bool)
+    _, rows = maxsim_scan_topk(
+        q_tok, q_mask, tok, mask, valid, min(k, tok.shape[0]), 128
+    )
+    return rows
+
+
 def evaluate_retrieval(
     params,
     config: EncoderConfig,
@@ -90,8 +129,14 @@ def evaluate_retrieval(
     k: int = 10,
     metric: str = "cosine",
     encode_batch: int = 64,
+    mode: str = "pooled",
 ) -> Dict[str, float]:
-    """Encode corpus + probes, exact dense top-k, fleet metrics → means."""
+    """Encode corpus + probes, exact top-k, fleet metrics → means.
+
+    ``mode="pooled"`` scores pooled cosine (dense_topk);
+    ``mode="maxsim"`` scores exact late-interaction MaxSim over the
+    trunk's L2-normed token states (the matching eval for the MaxSim
+    training objective)."""
     if not evalset.queries or not chunk_texts:
         from trueno_rag_tpu.errors import InvalidConfigError
 
@@ -99,10 +144,19 @@ def evaluate_retrieval(
             "evaluation needs a non-empty corpus and at least one probe "
             "query (ICT probes require chunks with >= 2 sentences)"
         )
-    matrix = _encode_texts(params, config, tokenizer, chunk_texts, encode_batch)
-    qvecs = _encode_texts(params, config, tokenizer, evalset.queries, encode_batch)
-    valid = jnp.ones((matrix.shape[0],), bool)
-    _, rows = dense_topk(qvecs, matrix, valid, min(k, matrix.shape[0]), metric)
+    if mode == "maxsim":
+        rows = _maxsim_eval_rows(
+            params, config, tokenizer, chunk_texts, evalset, k, encode_batch
+        )
+    elif mode == "pooled":
+        matrix = _encode_texts(params, config, tokenizer, chunk_texts, encode_batch)
+        qvecs = _encode_texts(params, config, tokenizer, evalset.queries, encode_batch)
+        valid = jnp.ones((matrix.shape[0],), bool)
+        _, rows = dense_topk(qvecs, matrix, valid, min(k, matrix.shape[0]), metric)
+    else:
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(f"unknown eval mode {mode!r} (pooled|maxsim)")
     width = max(1, max(len(r) for r in evalset.relevant))
     rel = np.full((len(evalset.relevant), width), -1, np.int32)
     for i, r in enumerate(evalset.relevant):
@@ -135,6 +189,7 @@ def fit(
     k: int = 10,
     select_metric: str = "recall@10",
     pair_kind: str = "ict",
+    objective: str = "pooled",
     temperature: float = 0.05,
     checkpoint_dir: Optional[str] = None,
     seed: int = 0,
@@ -165,6 +220,10 @@ def fit(
     part the loss curve cannot do.
     """
     rng = random.Random(seed)
+    if objective not in ("pooled", "maxsim"):
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(f"unknown objective {objective!r} (pooled|maxsim)")
     pair_fn = {"ict": ict_pairs, "crop": crop_pairs}.get(pair_kind)
     if pair_fn is None:
         from trueno_rag_tpu.errors import InvalidConfigError
@@ -188,8 +247,9 @@ def fit(
     chunk_texts = list(eval_corpus) if eval_corpus is not None else [
         c.content for c in chunks
     ]
+    base_step = train_step if objective == "pooled" else maxsim_train_step
     step_fn = jax.jit(
-        functools.partial(train_step, tx=tx, config=config, temperature=temperature)
+        functools.partial(base_step, tx=tx, config=config, temperature=temperature)
     )
 
     result = FitResult(state=state)
@@ -198,7 +258,8 @@ def fit(
     def maybe_eval(current: TrainState) -> None:
         nonlocal best_params_host
         scores = evaluate_retrieval(
-            current.params, config, tokenizer, chunk_texts, evalset, k=k
+            current.params, config, tokenizer, chunk_texts, evalset, k=k,
+            mode=objective if objective == "maxsim" else "pooled",
         )
         scores["step"] = float(int(current.step))
         result.history.append(scores)
