@@ -40,7 +40,11 @@ from trueno_rag_tpu.errors import (
 from trueno_rag_tpu.index.base import ChunkRegistry
 from trueno_rag_tpu.ops.maxsim import (
     maxsim_scan_topk,
+    maxsim_topk_int8,
+    maxsim_topk_scan16,
     maxsim_topk_token_pruned,
+    prepare_maxsim_int8,
+    prepare_maxsim_scan16,
 )
 
 
@@ -58,6 +62,16 @@ class TokenStoreConfig:
       threshold; certified queries are provably the full-corpus exact
       top-k, uncertified queries re-run on the exact scan
       (fail-closed; counted in :attr:`TokenVectorStore.uncertified`).
+    - ``"tiered"``: the certified quantized-scan tier
+      (ops/maxsim.maxsim_topk_scan16 / maxsim_topk_int8) — the scan
+      streams a bf16 or int8 replica (2x/4x fewer bytes than the fp32
+      exact scan, which is bandwidth-bound), candidates are exactly
+      rescored from PRIMARY storage, and the certificate keeps the
+      primary dtype's exactness contract; uncertified queries fall
+      back to the exact scan. ``scan_dtype`` picks the replica:
+      ``"auto"`` (default) resolves to int8 when the primary storage
+      is already bf16 (the only dtype that still cuts bytes) and bf16
+      otherwise.
     """
 
     hidden_dim: int = 384
@@ -67,6 +81,7 @@ class TokenStoreConfig:
     # values (upcast to f32 in all score math).
     storage_dtype: str = "float32"
     scan: str = "exact"
+    scan_dtype: str = "auto"  # tiered replica: auto | bfloat16 | int8
     t_hits: int = 256
     rescore: int = 256
     scan_block: int = 512
@@ -80,10 +95,24 @@ class TokenStoreConfig:
             raise InvalidConfigError(
                 f"storage_dtype must be float32|bfloat16, got {self.storage_dtype!r}"
             )
-        if self.scan not in ("exact", "token"):
-            raise InvalidConfigError(f"scan must be exact|token, got {self.scan!r}")
+        if self.scan not in ("exact", "token", "tiered"):
+            raise InvalidConfigError(
+                f"scan must be exact|token|tiered, got {self.scan!r}"
+            )
+        if self.scan_dtype not in ("auto", "bfloat16", "int8"):
+            raise InvalidConfigError(
+                f"scan_dtype must be auto|bfloat16|int8, got {self.scan_dtype!r}"
+            )
         if self.rescore < 1 or self.t_hits < 1:
             raise InvalidConfigError("t_hits and rescore must be positive")
+
+    def resolved_scan_dtype(self) -> str:
+        """The tiered replica dtype ``"auto"`` resolves to: int8 when
+        the primary storage is already bf16 (a bf16 replica would read
+        the same bytes as the exact scan), bf16 otherwise."""
+        if self.scan_dtype != "auto":
+            return self.scan_dtype
+        return "int8" if self.storage_dtype == "bfloat16" else "bfloat16"
 
 
 class TokenVectorStore:
@@ -103,6 +132,7 @@ class TokenVectorStore:
         self._count = 0
         self._dirty = True
         self._dev = None  # (tokens, t_mask, valid) device replicas
+        self._tier = None  # tiered-scan replica pack (lazy)
         self.uncertified = 0  # pruned-tier queries past the certificate
 
     # -- mutation ------------------------------------------------------------
@@ -227,7 +257,25 @@ class TokenVectorStore:
                 jnp.asarray(self._valid),
             )
             self._dirty = False
+            self._tier = None  # replica follows the primary
         return self._dev
+
+    def _device_tier(self):
+        """Lazy tiered-scan replica pack, rebuilt on-device whenever the
+        primary replica refreshes. The pack quantizes the STORED values
+        (bf16 primary → the residuals are measured against bf16), so
+        the tier's certificate is exact over primary storage."""
+        tokens, t_mask, _ = self._device()
+        if self._tier is None:
+            if self.config.resolved_scan_dtype() == "int8":
+                self._tier = ("int8",) + tuple(
+                    prepare_maxsim_int8(tokens, t_mask)
+                )
+            else:
+                self._tier = ("bfloat16",) + tuple(
+                    prepare_maxsim_scan16(tokens, t_mask)
+                )
+        return self._tier
 
     # -- search ------------------------------------------------------------------
 
@@ -271,21 +319,49 @@ class TokenVectorStore:
                 t_hits=self.config.t_hits,
                 rescore=max(self.config.rescore, k),
             )
-            cert_np = np.asarray(cert)
-            if not cert_np.all():
-                # fail-closed: uncertified queries re-run on the exact
-                # scan; certified results are provably identical to it
-                self.uncertified += int((~cert_np).sum())
-                s_e, r_e = maxsim_scan_topk(
-                    qd, qmd, tokens, t_mask, valid, k, self.config.scan_block
+            s, r = self._patch_uncertified(
+                s, r, cert, qd, qmd, tokens, t_mask, valid, k
+            )
+        elif self.config.scan == "tiered":
+            tier = self._device_tier()
+            if tier[0] == "int8":
+                _, tok8, s_tok, e_max, n_max = tier
+                s, r, cert = maxsim_topk_int8(
+                    qd, qmd, tokens, t_mask, tok8, s_tok, e_max, n_max,
+                    valid, k, rescore=max(self.config.rescore, k),
+                    block=self.config.scan_block,
                 )
-                s = jnp.where(cert[:, None], s, s_e)
-                r = jnp.where(cert[:, None], r, r_e)
+            else:
+                _, tok16, e_max, n_max = tier
+                s, r, cert = maxsim_topk_scan16(
+                    qd, qmd, tokens, t_mask, tok16, e_max, n_max,
+                    valid, k, rescore=max(self.config.rescore, k),
+                    block=self.config.scan_block,
+                )
+            s, r = self._patch_uncertified(
+                s, r, cert, qd, qmd, tokens, t_mask, valid, k
+            )
         else:
             s, r = maxsim_scan_topk(
                 qd, qmd, tokens, t_mask, valid, k, self.config.scan_block
             )
         return np.asarray(s), np.asarray(r)
+
+    def _patch_uncertified(
+        self, s, r, cert, qd, qmd, tokens, t_mask, valid, k
+    ):
+        """Fail-closed: uncertified queries re-run on the exact scan
+        (certified results are provably identical to it); misses are
+        counted in :attr:`uncertified`."""
+        cert_np = np.asarray(cert)
+        if not cert_np.all():
+            self.uncertified += int((~cert_np).sum())
+            s_e, r_e = maxsim_scan_topk(
+                qd, qmd, tokens, t_mask, valid, k, self.config.scan_block
+            )
+            s = jnp.where(cert[:, None], s, s_e)
+            r = jnp.where(cert[:, None], r, r_e)
+        return s, r
 
     def search_tokens(
         self, q_tok: np.ndarray, k: int, q_mask: Optional[np.ndarray] = None

@@ -46,6 +46,19 @@ Two scan strategies, both over a padded ``[N, Lt, H]`` token matrix:
   text, or ``K ≳ Lt``); semantically diverse tokens defeat any
   covering-radius bound (slack ~7x the score gap on topic-structured
   synthetics).
+- :func:`maxsim_topk_scan16` / :func:`maxsim_topk_int8` — the tiered
+  scans (the :mod:`ops.dense_tiered` contract at chunk granularity).
+  The exact scan is HBM-bandwidth-bound on the token stream, so a
+  bf16 (2 B/elem) or int8 (1 B/elem) scan replica cuts the streamed
+  bytes 2x/4x; every chunk gets a SOUND upper bound
+  ``U = MaxSim_scan + W`` (W from per-chunk residual norms computed at
+  pack time + the budgeted f32 rounding of both programs), the
+  ``rescore`` best-bounded chunks are exactly rescored from primary
+  storage, and the (R+1)-th bound is the exclusion threshold —
+  certified results are provably the full-corpus exact top-k over the
+  stored values, ties and quantization-noise collisions fail closed.
+  Unlike bf16 *storage* (which redefines exactness over bf16 values),
+  the tiers keep the PRIMARY dtype's exactness contract.
 - :func:`maxsim_topk_token_pruned` — the tight certificate. Exact
   top-``T`` token matches per query token over the FLAT corpus-token
   matrix (a free in-program reshape of the ``[N, Lt, H]`` store) give
@@ -417,9 +430,29 @@ def maxsim_topk_pruned(
     if padn:
         u = u[:, :n]
 
-    # -- select candidates by bound; the (C+1)-th bound is the
-    # exclusion threshold (exact selection — no approx, fail-closed by
-    # construction) ----------------------------------------------------
+    # -- select by bound, rescore exactly, certify (shared tail) --------
+    return _select_rescore_certify(
+        q_tok, q_mask, tokens, t_mask, u, k, c_n
+    )
+
+
+def _select_rescore_certify(
+    q_tok: jax.Array,  # [B, Lq, H] f32
+    q_mask: jax.Array,  # [B, Lq] bool
+    tokens: jax.Array,  # [N, Lt, H] float (primary storage, rescore source)
+    t_mask: jax.Array,  # [N, Lt] bool
+    u: jax.Array,  # [B, N] f32 — SOUND per-chunk upper bounds (-inf = excluded)
+    k: int,
+    c_n: int,  # candidate width (≤ N)
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Shared tail of every bound-ranked MaxSim tier: exact top-(C+1)
+    selection by bound (the (C+1)-th bound is the exclusion threshold —
+    fail-closed by construction), exact rescore of the gathered
+    candidate token slabs, and the certificate ``kth > threshold``.
+    ``isneginf(threshold)`` certifies short corpora where nothing was
+    excluded at all."""
+    b = u.shape[0]
+    n = u.shape[1]
     sel = min(c_n + 1, n)
     u_top, cand = blockwise_topk(u, sel)
     threshold = u_top[:, c_n] if sel > c_n else jnp.full((b,), NEG_INF)
@@ -450,6 +483,282 @@ def maxsim_topk_pruned(
     kth = top_s[:, k_eff - 1]
     certified = (kth > threshold) | jnp.isneginf(threshold)
     return top_s, rows, certified
+
+
+# ---------------------------------------------------------------------------
+# Tiered scans: bf16 / int8 scan replicas with certified exact rescore
+# ---------------------------------------------------------------------------
+#
+# Why tiers and not cluster pruning: MaxSim sums Lq per-token maxima, so
+# a sub-linear (IVF/cell) scan needs per-QUERY-TOKEN exclusion bounds
+# tight at the cross-topic-dot scale (~0.2-0.3 on unit tokens). Any
+# covering-radius bound over semantically diverse token cells carries
+# the cell's internal spread (~1.2 on realistic normalized token
+# clouds — see maxsim_topk_pruned's measured regime), so the summed
+# slack exceeds real score gaps and the certificate dies; the
+# token-pruned tier's exact τ certifies but reads the same bytes as
+# the full scan. DERIVED DEAD END — don't retry cell pruning without a
+# fundamentally tighter per-cell bound. What DOES pay is cutting the
+# bytes of the linear scan itself: the scan is bandwidth-bound, so a
+# 2 B (bf16) or 1 B (int8) replica is a ~2x/4x stream cut, and the
+# dense tiers' interval-certificate machinery (ops/dense_tiered.py)
+# transfers to chunk granularity unchanged.
+
+
+def prepare_maxsim_scan16(tokens: jax.Array, t_mask: jax.Array):
+    """Pack the bf16 MaxSim scan tier →
+    ``(tok16 [N,Lt,H] bf16, e_max [N] f32, n_max [N] f32)``.
+
+    ``e_max[c] = max over c's valid tokens of ‖d_j − f32(bf16(d_j))‖``
+    (the per-token quantization residual) and ``n_max[c] = max_j
+    (‖bf16(d_j)‖ + e_j)`` — an upper bound on BOTH the primary and the
+    bf16 token norms, which the query op's rounding terms ride. Both
+    norms are widened for their own device f32 evaluation. The
+    optimization_barrier is load-bearing: TPU XLA folds f32(bf16(x))
+    back to x and silently zeroes the residual (measured;
+    dense_tiered.prepare_tiered has the canonical note). Runs on
+    device — no host round-trip of the token tensor."""
+    h = tokens.shape[2]
+    f32 = _f32(tokens)
+    tok16 = f32.astype(jnp.bfloat16)
+    a = jax.lax.optimization_barrier(tok16).astype(jnp.float32)
+    e = f32 - a
+    # widen the f32-evaluated norms UP against their own rounding
+    w = 1.0 + jnp.float32(h + 2) * jnp.float32(2.0**-23)
+    e_l2 = jnp.sqrt(jnp.sum(e * e, axis=2)) * w  # [N, Lt]
+    a_l2 = jnp.sqrt(jnp.sum(a * a, axis=2)) * w
+    e_max = jnp.max(jnp.where(t_mask, e_l2, 0.0), axis=1)
+    n_max = jnp.max(jnp.where(t_mask, a_l2 + e_l2, 0.0), axis=1)
+    return tok16, e_max, n_max
+
+
+def prepare_maxsim_int8(tokens: jax.Array, t_mask: jax.Array):
+    """Pack the int8 MaxSim scan tier →
+    ``(tok8 [N,Lt,H] int8, s_tok [N,Lt] f32, e_max [N], n_max [N])``.
+
+    Per-token-row tightest symmetric scales ``s = amax/127`` (the same
+    choice as dense_tiered.prepare_int8 — power-of-two scales measured
+    ~2x wider residuals there), ``e_max[c] = max_j ‖d_j − s_j·d8_j‖``
+    and ``n_max[c] = max_j (‖s_j·d8_j‖ + e_j)`` (≥ both the primary
+    and dequantized token norms), all widened for the device f32
+    evaluation. Runs on device."""
+    h = tokens.shape[2]
+    f32 = _f32(tokens)
+    amax = jnp.max(jnp.abs(f32), axis=2)  # [N, Lt]
+    s = jnp.where(amax == 0.0, 1.0, amax / 127.0)
+    tok8 = jnp.clip(jnp.round(f32 / s[:, :, None]), -127, 127).astype(jnp.int8)
+    a = tok8.astype(jnp.float32) * s[:, :, None]
+    e = f32 - a
+    w = 1.0 + jnp.float32(h + 2) * jnp.float32(2.0**-23)
+    e_raw = jnp.sqrt(jnp.sum(e * e, axis=2))
+    a_raw = jnp.sqrt(jnp.sum(a * a, axis=2))
+    # the f32 dequantize multiply rounds each component by up to
+    # |a_c|·2⁻²⁴ — an error RELATIVE TO a, not to e, so the residual
+    # norm needs the absolute (a+e)·2⁻²⁴ correction before the
+    # relative widening (the bf16 prep needs no such term: its
+    # subtraction is exactly-rounded against an exactly-representable
+    # operand, so its error is relative to e itself)
+    e_l2 = (e_raw + (a_raw + e_raw) * jnp.float32(2.0**-24)) * w
+    a_l2 = a_raw * w
+    e_max = jnp.max(jnp.where(t_mask, e_l2, 0.0), axis=1)
+    n_max = jnp.max(jnp.where(t_mask, a_l2 + e_l2, 0.0), axis=1)
+    return tok8, s, e_max, n_max
+
+
+def _widened_query_norms(q_tok: jax.Array, q_mask: jax.Array):
+    """``(qv zeroed-padding [B,Lq,H], qn_w [B,Lq] ≥ true ‖qᵢ‖)`` — the
+    norm widening covers its own f32 sum+sqrt rounding (derivation on
+    maxsim_topk_pruned's qn_w)."""
+    h = q_tok.shape[2]
+    qv = jnp.where(q_mask[:, :, None], q_tok, 0.0)
+    qn_w = jnp.linalg.norm(qv, axis=2) * (
+        1.0 + jnp.float32(h + 2) * jnp.float32(2.0**-23)
+    )
+    return qv, qn_w
+
+
+def _tier_rounding_coeff(lq: int, h: int) -> jnp.float32:
+    """Per-unit ``Σᵢ‖qᵢ‖·n_max`` rounding budget shared by every tier:
+    the H-term HIGHEST dot's accumulation error and the Lq-term f32
+    score sum, for BOTH the tier's own program and the exact-scan
+    oracle program the certificate is stated against (factor 2)."""
+    return 2.0 * (
+        jnp.float32(h) * jnp.float32(2.0**-23)
+        + jnp.float32(lq) * jnp.float32(2.0**-23)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "rescore", "block"))
+def maxsim_topk_scan16(
+    q_tok: jax.Array,  # [B, Lq, H] f32
+    q_mask: jax.Array,  # [B, Lq] bool
+    tokens: jax.Array,  # [N, Lt, H] float (primary storage — rescore source)
+    t_mask: jax.Array,  # [N, Lt] bool
+    tok16: jax.Array,  # [N, Lt, H] bf16 scan replica (prepare_maxsim_scan16)
+    e_max: jax.Array,  # [N] f32
+    n_max: jax.Array,  # [N] f32
+    valid: jax.Array,  # [N] bool
+    k: int,
+    rescore: int = 1024,
+    block: int = 1024,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Certified bf16-scan MaxSim top-k →
+    ``(scores [B,k], rows [B,k], certified [B] bool)``.
+
+    Streams the 2 B/elem replica instead of the primary tokens (the
+    exact scan is bandwidth-bound, so ~2x at fp32 primary), bounds
+    every chunk by ``U = MaxSim(q, bf16(D)) + Σᵢ‖qᵢ‖·e_max(D) +
+    rounding(n_max)``, exactly rescores the ``rescore`` best-bounded
+    chunks from PRIMARY storage and certifies against the (R+1)-th
+    bound — a certified result is provably
+    :func:`maxsim_scan_topk`'s answer (chunk-granular sibling of
+    dense_topk_tiered; reference semantics index.rs:386-412)."""
+    if rescore < k:
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(f"rescore={rescore} must be >= k={k}")
+    b, lq, h = q_tok.shape
+    n = tokens.shape[0]
+    qv, qn_w = _widened_query_norms(q_tok, q_mask)
+    qsum_w = jnp.sum(jnp.where(q_mask, qn_w, 0.0), axis=1)  # [B]
+    k_round = _tier_rounding_coeff(lq, h)
+
+    g = max(-(-n // block), 1)
+    pad = g * block - n
+    tok16_p, tm_p, v_p, e_p, n_p = tok16, t_mask, valid, e_max, n_max
+    if pad:
+        tok16_p = jnp.pad(tok16, ((0, pad), (0, 0), (0, 0)))
+        tm_p = jnp.pad(t_mask, ((0, pad), (0, 0)))
+        v_p = jnp.pad(valid, ((0, pad),))
+        e_p = jnp.pad(e_max, ((0, pad),))
+        n_p = jnp.pad(n_max, ((0, pad),))
+
+    def step(carry, xs):
+        tok_b, tm_b, v_b, e_b, n_b = xs
+        s16 = maxsim_block_scores(qv, q_mask, tok_b, tm_b)  # [B, block]
+        w_bc = (
+            qsum_w[:, None] * (e_b[None, :] + k_round * n_b[None, :])
+        ) * jnp.float32(_BOUND_SLACK) + jnp.float32(_BOUND_EPS)
+        u = jnp.where(v_b[None, :], s16 + w_bc, NEG_INF)
+        return carry, u
+
+    _, u = jax.lax.scan(
+        step,
+        0.0,
+        (
+            tok16_p.reshape(g, block, *tok16.shape[1:]),
+            tm_p.reshape(g, block, t_mask.shape[1]),
+            v_p.reshape(g, block),
+            e_p.reshape(g, block),
+            n_p.reshape(g, block),
+        ),
+    )
+    u = jnp.transpose(u, (1, 0, 2)).reshape(b, g * block)
+    if pad:
+        u = u[:, :n]
+    return _select_rescore_certify(
+        qv, q_mask, tokens, t_mask, u, k, min(rescore, n)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "rescore", "block"))
+def maxsim_topk_int8(
+    q_tok: jax.Array,  # [B, Lq, H] f32
+    q_mask: jax.Array,  # [B, Lq] bool
+    tokens: jax.Array,  # [N, Lt, H] float (primary storage — rescore source)
+    t_mask: jax.Array,  # [N, Lt] bool
+    tok8: jax.Array,  # [N, Lt, H] int8 scan replica (prepare_maxsim_int8)
+    s_tok: jax.Array,  # [N, Lt] f32 per-token scales
+    e_max: jax.Array,  # [N] f32
+    n_max: jax.Array,  # [N] f32
+    valid: jax.Array,  # [N] bool
+    k: int,
+    rescore: int = 1024,
+    block: int = 512,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Certified int8-scan MaxSim top-k →
+    ``(scores [B,k], rows [B,k], certified [B] bool)`` — the 1 B/elem
+    sibling of :func:`maxsim_topk_scan16` (~4x less scan traffic than
+    fp32 primary, ~2x less than bf16 primary, where it is the only
+    tier that still cuts bytes). The integer q8·d8 dot is exact
+    (int32 accumulate on the MXU); the bound carries the token residual
+    (``e_max·Σu_q``), the query residual against the dequantized
+    tokens (``n_max·Σv_q`` — coefficients from
+    dense_tiered._int8_query_bounds, the certificate-critical shared
+    derivation) and the budgeted f32 rounding of both programs."""
+    if rescore < k:
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(f"rescore={rescore} must be >= k={k}")
+    from trueno_rag_tpu.ops.dense_tiered import _int8_query_bounds
+
+    b, lq, h = q_tok.shape
+    n, lt = t_mask.shape
+    qv, qn_w = _widened_query_norms(q_tok, q_mask)
+    q8, t_q, u_q, v_q = _int8_query_bounds(qv.reshape(b * lq, h))
+    qm_f = q_mask.reshape(b * lq)
+    # padded query tokens contribute exactly 0 to MaxSim — zero their
+    # error coefficients (their q8 rows are already all-zero)
+    usum = jnp.sum(jnp.where(qm_f, u_q, 0.0).reshape(b, lq), axis=1)  # [B]
+    vsum = jnp.sum(jnp.where(qm_f, v_q, 0.0).reshape(b, lq), axis=1)
+    qsum_w = jnp.sum(jnp.where(q_mask, qn_w, 0.0), axis=1)
+    k_round = _tier_rounding_coeff(lq, h)
+
+    g = max(-(-n // block), 1)
+    pad = g * block - n
+    tok8_p, s_p, tm_p, v_p, e_p, n_p = tok8, s_tok, t_mask, valid, e_max, n_max
+    if pad:
+        tok8_p = jnp.pad(tok8, ((0, pad), (0, 0), (0, 0)))
+        s_p = jnp.pad(s_tok, ((0, pad), (0, 0)), constant_values=1.0)
+        tm_p = jnp.pad(t_mask, ((0, pad), (0, 0)))
+        v_p = jnp.pad(valid, ((0, pad),))
+        e_p = jnp.pad(e_max, ((0, pad),))
+        n_p = jnp.pad(n_max, ((0, pad),))
+
+    def step(carry, xs):
+        tok_b, s_b, tm_b, v_b, e_b, n_b = xs  # [C, Lt, H] i8, [C, Lt], ...
+        c = tok_b.shape[0]
+        dots = jax.lax.dot_general(
+            q8, tok_b.reshape(c * lt, h),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [B·Lq, C·Lt] — exact integer dot
+        approx = (
+            dots.astype(jnp.float32)
+            * t_q[:, None]
+            * s_b.reshape(c * lt)[None, :]
+        )
+        sim = approx.reshape(b, lq, c, lt)
+        sim = jnp.where(tm_b[None, None, :, :], sim, NEG_INF)
+        best = jnp.max(sim, axis=3)  # [B, Lq, C]
+        best = jnp.where(q_mask[:, :, None] & jnp.isfinite(best), best, 0.0)
+        s8 = jnp.sum(best, axis=1)  # [B, C]
+        w_bc = (
+            usum[:, None] * e_b[None, :]
+            + vsum[:, None] * n_b[None, :]
+            + k_round * qsum_w[:, None] * n_b[None, :]
+        ) * jnp.float32(_BOUND_SLACK) + jnp.float32(_BOUND_EPS)
+        u = jnp.where(v_b[None, :], s8 + w_bc, NEG_INF)
+        return carry, u
+
+    _, u = jax.lax.scan(
+        step,
+        0.0,
+        (
+            tok8_p.reshape(g, block, lt, h),
+            s_p.reshape(g, block, lt),
+            tm_p.reshape(g, block, lt),
+            v_p.reshape(g, block),
+            e_p.reshape(g, block),
+            n_p.reshape(g, block),
+        ),
+    )
+    u = jnp.transpose(u, (1, 0, 2)).reshape(b, g * block)
+    if pad:
+        u = u[:, :n]
+    return _select_rescore_certify(
+        qv, q_mask, tokens, t_mask, u, k, min(rescore, n)
+    )
 
 
 @functools.partial(

@@ -545,6 +545,7 @@ def save_token_index(
             "max_tokens": cfg.max_tokens,
             "storage_dtype": cfg.storage_dtype,
             "scan": cfg.scan,
+            "scan_dtype": cfg.scan_dtype,
             "t_hits": cfg.t_hits,
             "rescore": cfg.rescore,
             "scan_block": cfg.scan_block,
