@@ -42,6 +42,13 @@ def main() -> None:
     p.add_argument("--block", type=int, default=1024)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--dtype", default="float32", choices=("float32", "bfloat16"))
+    p.add_argument("--tiered", action="store_true",
+                   help="certify + time the bf16/int8 tiered scans "
+                        "(quantized replica stream + exact rescore from "
+                        "primary — the latency tiers)")
+    p.add_argument("--fused", action="store_true",
+                   help="certify + time the fused Pallas bf16 scan tier "
+                        "(the interaction tensor never leaves VMEM)")
     p.add_argument("--pruned", action="store_true",
                    help="also certify + time the token-pruned tier (same "
                         "full matmul as the exact scan + selection "
@@ -70,9 +77,15 @@ def main() -> None:
 
     from trueno_rag_tpu.ops.maxsim import (
         maxsim_scan_topk,
+        maxsim_topk_int8,
+        maxsim_topk_int8_fused,
         maxsim_topk_pruned,
+        maxsim_topk_scan16,
+        maxsim_topk_scan16_fused,
         maxsim_topk_token_pruned,
         prepare_maxsim_bounds,
+        prepare_maxsim_int8,
+        prepare_maxsim_scan16,
     )
 
     dev = jax.devices()[0]
@@ -194,6 +207,55 @@ def main() -> None:
             tokens16, t_mask, valid,
         )
         print(f"bf16-storage speedup: {exact_ms / bf16_ms:.2f}x", flush=True)
+        tokens16.delete()  # 2 B/elem at corpus scale — free before tiers
+    if args.tiered or args.fused:
+        # tiers quantize the PRIMARY stored values (here: the corpus as
+        # generated, at --dtype); rescore gathers from primary. Prep is
+        # device-resident (no host round-trip of the token tensor).
+        packs = []
+        if args.tiered:
+            packs.append(
+                ("tiered-bf16", prepare_maxsim_scan16, maxsim_topk_scan16))
+            packs.append(
+                ("tiered-int8", prepare_maxsim_int8, maxsim_topk_int8))
+        if args.fused:
+            packs.append(
+                ("fused-bf16", prepare_maxsim_scan16,
+                 maxsim_topk_scan16_fused))
+            packs.append(
+                ("fused-int8", prepare_maxsim_int8,
+                 maxsim_topk_int8_fused))
+        for label, prep, op in packs:
+            if label == "tiered-bf16" and args.dtype == "bfloat16":
+                continue  # same bytes as the exact scan — no tier
+            pack = tuple(jax.block_until_ready(a) for a in prep(tokens, t_mask))
+            s_t, r_t, cert = op(
+                q_tok, q_mask, tokens, t_mask, *pack, valid, k,
+                rescore=args.rescore,
+            )
+            cert_np = np.asarray(cert).astype(bool)
+            print(f"{label}: certified {int(cert_np.sum())}/{b} "
+                  f"(rescore={args.rescore})", flush=True)
+            if args.check:
+                s_e, r_e = maxsim_scan_topk(
+                    q_tok, q_mask, tokens, t_mask, valid, k, args.block
+                )
+                r_e, r_tn = np.asarray(r_e), np.asarray(r_t)
+                bad = [i for i in np.flatnonzero(cert_np)
+                       if not np.array_equal(r_tn[i], r_e[i])]
+                print(f"{label} oracle check: {len(bad)} bad certified "
+                      f"results {bad[:5]}", flush=True)
+            t_ms = timed(
+                label,
+                lambda qq, tok_a, tm_a, v_a, *pk: op(
+                    qq, q_mask, tok_a, tm_a, *pk, v_a, k,
+                    rescore=args.rescore),
+                tokens, t_mask, valid, *pack,
+            )
+            print(f"{label} vs exact [{args.dtype}]: "
+                  f"{exact_ms / t_ms:.2f}x", flush=True)
+            for a_ in pack:
+                a_.delete()  # free the replica before the next tier
     if args.pruned:
         pruned_ms = timed(
             "token-pruned ",

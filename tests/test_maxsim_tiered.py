@@ -13,7 +13,9 @@ from trueno_rag_tpu.errors import InvalidConfigError
 from trueno_rag_tpu.ops.maxsim import (
     maxsim_scan_oracle,
     maxsim_topk_int8,
+    maxsim_topk_int8_fused,
     maxsim_topk_scan16,
+    maxsim_topk_scan16_fused,
     prepare_maxsim_int8,
     prepare_maxsim_scan16,
 )
@@ -35,6 +37,27 @@ def run_int8(tokens, t_mask, q, q_mask, valid, k, rescore, block=128):
     return maxsim_topk_int8(
         *to_dev(q, q_mask), td, jnp.asarray(t_mask), *pack,
         jnp.asarray(valid), k, rescore, block
+    )
+
+
+def run_fused(tokens, t_mask, q, q_mask, valid, k, rescore, block=128):
+    """The fused-kernel bf16 tier (interpret mode on the CPU suite);
+    same certified contract as run_scan16, wider bound (bf16 query)."""
+    td = jnp.asarray(tokens)
+    pack = prepare_maxsim_scan16(td, jnp.asarray(t_mask))
+    return maxsim_topk_scan16_fused(
+        *to_dev(q, q_mask), td, jnp.asarray(t_mask), *pack,
+        jnp.asarray(valid), k, rescore, interpret=True
+    )
+
+
+def run_fused8(tokens, t_mask, q, q_mask, valid, k, rescore, block=128):
+    """The fused-kernel int8 tier (interpret mode on the CPU suite)."""
+    td = jnp.asarray(tokens)
+    pack = prepare_maxsim_int8(td, jnp.asarray(t_mask))
+    return maxsim_topk_int8_fused(
+        *to_dev(q, q_mask), td, jnp.asarray(t_mask), *pack,
+        jnp.asarray(valid), k, rescore, interpret=True
     )
 
 
@@ -90,7 +113,8 @@ def test_int8_residuals_cover_every_token():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("runner", [run_scan16, run_int8], ids=["bf16", "int8"])
+@pytest.mark.parametrize("runner", [run_scan16, run_int8, run_fused, run_fused8],
+                         ids=["bf16", "int8", "fused", "fused8"])
 @pytest.mark.parametrize("n,lt,h,b,lq,k,rescore", [
     (400, 6, 32, 4, 5, 8, 128),
     (150, 4, 16, 3, 3, 5, 64),
@@ -110,7 +134,8 @@ def test_tier_certified_matches_oracle(runner, n, lt, h, b, lq, k, rescore):
         )
 
 
-@pytest.mark.parametrize("runner", [run_scan16, run_int8], ids=["bf16", "int8"])
+@pytest.mark.parametrize("runner", [run_scan16, run_int8, run_fused, run_fused8],
+                         ids=["bf16", "int8", "fused", "fused8"])
 def test_tier_certifies_on_structured_data(runner):
     """Topic-clustered tokens (the encoder-output regime): the tiers'
     widening is quantization-scale, far below topical score gaps, so
@@ -124,7 +149,8 @@ def test_tier_certifies_on_structured_data(runner):
         np.testing.assert_array_equal(np.asarray(r_t)[i], r_o[i])
 
 
-@pytest.mark.parametrize("runner", [run_scan16, run_int8], ids=["bf16", "int8"])
+@pytest.mark.parametrize("runner", [run_scan16, run_int8, run_fused, run_fused8],
+                         ids=["bf16", "int8", "fused", "fused8"])
 def test_tier_short_corpus_certifies_truncated(runner):
     tokens, t_mask, q, q_mask, _ = build(6, 3, 8, 2, 2, seed=9, tombstones=False)
     valid = np.array([True, True, True, False, False, False])
@@ -135,7 +161,8 @@ def test_tier_short_corpus_certifies_truncated(runner):
     assert set(r[0, :3]) == {0, 1, 2}
 
 
-@pytest.mark.parametrize("runner", [run_scan16, run_int8], ids=["bf16", "int8"])
+@pytest.mark.parametrize("runner", [run_scan16, run_int8, run_fused, run_fused8],
+                         ids=["bf16", "int8", "fused", "fused8"])
 def test_tier_rescore_below_k_rejected(runner):
     tokens, t_mask, q, q_mask, valid = build(20, 2, 8, 1, 1, seed=1)
     with pytest.raises(InvalidConfigError):
@@ -160,7 +187,8 @@ def test_tier_duplicate_chunks_fail_closed_or_exact():
             np.testing.assert_array_equal(np.asarray(r_t)[i], r_o[i])
 
 
-@pytest.mark.parametrize("runner", [run_scan16, run_int8], ids=["bf16", "int8"])
+@pytest.mark.parametrize("runner", [run_scan16, run_int8, run_fused, run_fused8],
+                         ids=["bf16", "int8", "fused", "fused8"])
 @settings(max_examples=20, deadline=None)
 @given(st.integers(0, 2**31 - 1), st.integers(1, 12))
 def test_tier_certificate_fail_closed_property(runner, seed, k):

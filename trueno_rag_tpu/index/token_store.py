@@ -41,7 +41,9 @@ from trueno_rag_tpu.index.base import ChunkRegistry
 from trueno_rag_tpu.ops.maxsim import (
     maxsim_scan_topk,
     maxsim_topk_int8,
+    maxsim_topk_int8_fused,
     maxsim_topk_scan16,
+    maxsim_topk_scan16_fused,
     maxsim_topk_token_pruned,
     prepare_maxsim_int8,
     prepare_maxsim_scan16,
@@ -82,6 +84,12 @@ class TokenStoreConfig:
     storage_dtype: str = "float32"
     scan: str = "exact"
     scan_dtype: str = "auto"  # tiered replica: auto | bfloat16 | int8
+    # "fused" routes the bf16 tiered scan through the Pallas kernel
+    # (ops/pallas/maxsim_scan.py — the interaction tensor never leaves
+    # VMEM; interpret-mode off-TPU); "xla" keeps the blockwise lax.scan
+    # program. The certificate contract is identical either way (the
+    # fused bound is slightly wider: it quantizes the query too).
+    scan_kernel: str = "fused"
     t_hits: int = 256
     rescore: int = 256
     scan_block: int = 512
@@ -102,6 +110,10 @@ class TokenStoreConfig:
         if self.scan_dtype not in ("auto", "bfloat16", "int8"):
             raise InvalidConfigError(
                 f"scan_dtype must be auto|bfloat16|int8, got {self.scan_dtype!r}"
+            )
+        if self.scan_kernel not in ("fused", "xla"):
+            raise InvalidConfigError(
+                f"scan_kernel must be fused|xla, got {self.scan_kernel!r}"
             )
         if self.rescore < 1 or self.t_hits < 1:
             raise InvalidConfigError("t_hits and rescore must be positive")
@@ -324,20 +336,42 @@ class TokenVectorStore:
             )
         elif self.config.scan == "tiered":
             tier = self._device_tier()
+            fused = self.config.scan_kernel == "fused"
+            if fused:
+                import jax
+
+                # Pallas TPU kernels need interpret mode off-TPU
+                interpret = jax.devices()[0].platform not in ("tpu", "axon")
             if tier[0] == "int8":
                 _, tok8, s_tok, e_max, n_max = tier
-                s, r, cert = maxsim_topk_int8(
-                    qd, qmd, tokens, t_mask, tok8, s_tok, e_max, n_max,
-                    valid, k, rescore=max(self.config.rescore, k),
-                    block=self.config.scan_block,
-                )
+                if fused:
+                    s, r, cert = maxsim_topk_int8_fused(
+                        qd, qmd, tokens, t_mask, tok8, s_tok, e_max,
+                        n_max, valid, k,
+                        rescore=max(self.config.rescore, k),
+                        interpret=interpret,
+                    )
+                else:
+                    s, r, cert = maxsim_topk_int8(
+                        qd, qmd, tokens, t_mask, tok8, s_tok, e_max,
+                        n_max, valid, k,
+                        rescore=max(self.config.rescore, k),
+                        block=self.config.scan_block,
+                    )
             else:
                 _, tok16, e_max, n_max = tier
-                s, r, cert = maxsim_topk_scan16(
-                    qd, qmd, tokens, t_mask, tok16, e_max, n_max,
-                    valid, k, rescore=max(self.config.rescore, k),
-                    block=self.config.scan_block,
-                )
+                if fused:
+                    s, r, cert = maxsim_topk_scan16_fused(
+                        qd, qmd, tokens, t_mask, tok16, e_max, n_max,
+                        valid, k, rescore=max(self.config.rescore, k),
+                        interpret=interpret,
+                    )
+                else:
+                    s, r, cert = maxsim_topk_scan16(
+                        qd, qmd, tokens, t_mask, tok16, e_max, n_max,
+                        valid, k, rescore=max(self.config.rescore, k),
+                        block=self.config.scan_block,
+                    )
             s, r = self._patch_uncertified(
                 s, r, cert, qd, qmd, tokens, t_mask, valid, k
             )

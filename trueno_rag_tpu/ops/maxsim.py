@@ -505,46 +505,27 @@ def _select_rescore_certify(
 # transfers to chunk granularity unchanged.
 
 
-def prepare_maxsim_scan16(tokens: jax.Array, t_mask: jax.Array):
-    """Pack the bf16 MaxSim scan tier →
-    ``(tok16 [N,Lt,H] bf16, e_max [N] f32, n_max [N] f32)``.
-
-    ``e_max[c] = max over c's valid tokens of ‖d_j − f32(bf16(d_j))‖``
-    (the per-token quantization residual) and ``n_max[c] = max_j
-    (‖bf16(d_j)‖ + e_j)`` — an upper bound on BOTH the primary and the
-    bf16 token norms, which the query op's rounding terms ride. Both
-    norms are widened for their own device f32 evaluation. The
-    optimization_barrier is load-bearing: TPU XLA folds f32(bf16(x))
-    back to x and silently zeroes the residual (measured;
-    dense_tiered.prepare_tiered has the canonical note). Runs on
-    device — no host round-trip of the token tensor."""
-    h = tokens.shape[2]
-    f32 = _f32(tokens)
+def _scan16_slab(tok_s: jax.Array, tm_s: jax.Array):
+    """Per-slab body of :func:`prepare_maxsim_scan16` (bounded temps)."""
+    h = tok_s.shape[2]
+    f32 = _f32(tok_s)
     tok16 = f32.astype(jnp.bfloat16)
     a = jax.lax.optimization_barrier(tok16).astype(jnp.float32)
     e = f32 - a
     # widen the f32-evaluated norms UP against their own rounding
     w = 1.0 + jnp.float32(h + 2) * jnp.float32(2.0**-23)
-    e_l2 = jnp.sqrt(jnp.sum(e * e, axis=2)) * w  # [N, Lt]
+    e_l2 = jnp.sqrt(jnp.sum(e * e, axis=2)) * w  # [S, Lt]
     a_l2 = jnp.sqrt(jnp.sum(a * a, axis=2)) * w
-    e_max = jnp.max(jnp.where(t_mask, e_l2, 0.0), axis=1)
-    n_max = jnp.max(jnp.where(t_mask, a_l2 + e_l2, 0.0), axis=1)
+    e_max = jnp.max(jnp.where(tm_s, e_l2, 0.0), axis=1)
+    n_max = jnp.max(jnp.where(tm_s, a_l2 + e_l2, 0.0), axis=1)
     return tok16, e_max, n_max
 
 
-def prepare_maxsim_int8(tokens: jax.Array, t_mask: jax.Array):
-    """Pack the int8 MaxSim scan tier →
-    ``(tok8 [N,Lt,H] int8, s_tok [N,Lt] f32, e_max [N], n_max [N])``.
-
-    Per-token-row tightest symmetric scales ``s = amax/127`` (the same
-    choice as dense_tiered.prepare_int8 — power-of-two scales measured
-    ~2x wider residuals there), ``e_max[c] = max_j ‖d_j − s_j·d8_j‖``
-    and ``n_max[c] = max_j (‖s_j·d8_j‖ + e_j)`` (≥ both the primary
-    and dequantized token norms), all widened for the device f32
-    evaluation. Runs on device."""
-    h = tokens.shape[2]
-    f32 = _f32(tokens)
-    amax = jnp.max(jnp.abs(f32), axis=2)  # [N, Lt]
+def _int8_slab(tok_s: jax.Array, tm_s: jax.Array):
+    """Per-slab body of :func:`prepare_maxsim_int8` (bounded temps)."""
+    h = tok_s.shape[2]
+    f32 = _f32(tok_s)
+    amax = jnp.max(jnp.abs(f32), axis=2)  # [S, Lt]
     s = jnp.where(amax == 0.0, 1.0, amax / 127.0)
     tok8 = jnp.clip(jnp.round(f32 / s[:, :, None]), -127, 127).astype(jnp.int8)
     a = tok8.astype(jnp.float32) * s[:, :, None]
@@ -560,9 +541,82 @@ def prepare_maxsim_int8(tokens: jax.Array, t_mask: jax.Array):
     # operand, so its error is relative to e itself)
     e_l2 = (e_raw + (a_raw + e_raw) * jnp.float32(2.0**-24)) * w
     a_l2 = a_raw * w
-    e_max = jnp.max(jnp.where(t_mask, e_l2, 0.0), axis=1)
-    n_max = jnp.max(jnp.where(t_mask, a_l2 + e_l2, 0.0), axis=1)
+    e_max = jnp.max(jnp.where(tm_s, e_l2, 0.0), axis=1)
+    n_max = jnp.max(jnp.where(tm_s, a_l2 + e_l2, 0.0), axis=1)
     return tok8, s, e_max, n_max
+
+
+def _slabbed_prep(body, tokens: jax.Array, t_mask: jax.Array, slab: int):
+    """Run a per-slab pack body over ``slab``-row windows of the token
+    tensor so the elementwise temporaries (f32 upcast, dequantized
+    copy, residual, squared norms — each the size of the token tensor)
+    never materialize at full N. At 300k×32×128 the unslabbed versions
+    OOMed a 16 GB chip on temporaries alone, and a pad+reshape+scan
+    rewrite STILL OOMed — ``jnp.pad`` of the 4.6 GiB primary is a full
+    copy (measured 2026-08-19). This version indexes the original array
+    in place: a ``fori_loop`` of clamped ``dynamic_slice`` reads (the
+    last window overlaps instead of padding; overlapped rows recompute
+    identical values) and ``dynamic_update_slice`` writes into
+    preallocated outputs XLA updates in place."""
+    n, lt = t_mask.shape
+    h = tokens.shape[2]
+    slab = min(slab, n)
+    g = -(-n // slab) if n else 0
+    out_sd = jax.eval_shape(
+        body,
+        jax.ShapeDtypeStruct((slab, lt, h), tokens.dtype),
+        jax.ShapeDtypeStruct((slab, lt), t_mask.dtype),
+    )
+    init = tuple(jnp.zeros((n, *o.shape[1:]), o.dtype) for o in out_sd)
+    if not g:
+        return init
+
+    def step(i, accs):
+        lo = jnp.minimum(i * slab, n - slab)
+        tok_s = jax.lax.dynamic_slice(tokens, (lo, 0, 0), (slab, lt, h))
+        tm_s = jax.lax.dynamic_slice(t_mask, (lo, 0), (slab, lt))
+        outs = body(tok_s, tm_s)
+        return tuple(
+            jax.lax.dynamic_update_slice(a, o, (lo,) + (0,) * (a.ndim - 1))
+            for a, o in zip(accs, outs)
+        )
+
+    return jax.lax.fori_loop(0, g, step, init)
+
+
+@functools.partial(jax.jit, static_argnames=("slab",))
+def prepare_maxsim_scan16(tokens: jax.Array, t_mask: jax.Array,
+                          slab: int = 8192):
+    """Pack the bf16 MaxSim scan tier →
+    ``(tok16 [N,Lt,H] bf16, e_max [N] f32, n_max [N] f32)``.
+
+    ``e_max[c] = max over c's valid tokens of ‖d_j − f32(bf16(d_j))‖``
+    (the per-token quantization residual) and ``n_max[c] = max_j
+    (‖bf16(d_j)‖ + e_j)`` — an upper bound on BOTH the primary and the
+    bf16 token norms, which the query op's rounding terms ride. Both
+    norms are widened for their own device f32 evaluation. The
+    optimization_barrier is load-bearing: TPU XLA folds f32(bf16(x))
+    back to x and silently zeroes the residual (measured;
+    dense_tiered.prepare_tiered has the canonical note). Runs on
+    device, slabbed so temporaries stay bounded — no host round-trip
+    of the token tensor."""
+    return _slabbed_prep(_scan16_slab, tokens, t_mask, slab)
+
+
+@functools.partial(jax.jit, static_argnames=("slab",))
+def prepare_maxsim_int8(tokens: jax.Array, t_mask: jax.Array,
+                        slab: int = 8192):
+    """Pack the int8 MaxSim scan tier →
+    ``(tok8 [N,Lt,H] int8, s_tok [N,Lt] f32, e_max [N], n_max [N])``.
+
+    Per-token-row tightest symmetric scales ``s = amax/127`` (the same
+    choice as dense_tiered.prepare_int8 — power-of-two scales measured
+    ~2x wider residuals there), ``e_max[c] = max_j ‖d_j − s_j·d8_j‖``
+    and ``n_max[c] = max_j (‖s_j·d8_j‖ + e_j)`` (≥ both the primary
+    and dequantized token norms), all widened for the device f32
+    evaluation. Runs on device, slabbed (see
+    :func:`prepare_maxsim_scan16`)."""
+    return _slabbed_prep(_int8_slab, tokens, t_mask, slab)
 
 
 def _widened_query_norms(q_tok: jax.Array, q_mask: jax.Array):
@@ -656,6 +710,94 @@ def maxsim_topk_scan16(
     u = jnp.transpose(u, (1, 0, 2)).reshape(b, g * block)
     if pad:
         u = u[:, :n]
+    return _select_rescore_certify(
+        qv, q_mask, tokens, t_mask, u, k, min(rescore, n)
+    )
+
+
+def _scan16_query_pack(q_tok: jax.Array, q_mask: jax.Array):
+    """Query-side pack of the fused kernel tier →
+    ``(q16 [B,Lq,H] bf16 padding-zeroed, A [B], C1 [B], Q [B])``.
+
+    The kernel (ops/pallas/maxsim_scan.py) quantizes the QUERY to bf16
+    too (the XLA tier keeps q f32), so its bound needs query residual
+    coefficients: ``A = Σᵢ‖qᵢ − f32(bf16(qᵢ))‖`` rides the token norm
+    bound, ``C1 = Σᵢ‖bf16(qᵢ)‖`` rides the token residual and the
+    kernel's own f32 rounding, ``Q = Σᵢ‖qᵢ‖`` rides the oracle/rescore
+    programs' rounding. Every norm and each Lq-sum is widened UP
+    against its own f32 evaluation; the optimization_barrier keeps XLA
+    from folding the bf16 round-trip (prepare_maxsim_scan16's note)."""
+    b, lq, h = q_tok.shape
+    qv = jnp.where(q_mask[:, :, None], _f32(q_tok), 0.0)
+    q16 = qv.astype(jnp.bfloat16)
+    a = jax.lax.optimization_barrier(q16).astype(jnp.float32)
+    e = qv - a
+    w = 1.0 + jnp.float32(h + 2) * jnp.float32(2.0**-23)
+    ws = 1.0 + jnp.float32(lq) * jnp.float32(2.0**-23)
+    e_n = jnp.linalg.norm(e, axis=2) * w  # [B, Lq]
+    a_n = jnp.linalg.norm(a, axis=2) * w
+    q_n = jnp.linalg.norm(qv, axis=2) * w
+    m = q_mask.astype(jnp.float32)
+    return (
+        q16,
+        jnp.sum(e_n * m, axis=1) * ws,
+        jnp.sum(a_n * m, axis=1) * ws,
+        jnp.sum(q_n * m, axis=1) * ws,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "rescore", "tile_n", "interpret")
+)
+def maxsim_topk_scan16_fused(
+    q_tok: jax.Array,  # [B, Lq, H] f32
+    q_mask: jax.Array,  # [B, Lq] bool
+    tokens: jax.Array,  # [N, Lt, H] float (primary storage — rescore source)
+    t_mask: jax.Array,  # [N, Lt] bool
+    tok16: jax.Array,  # [N, Lt, H] bf16 scan replica (prepare_maxsim_scan16)
+    e_max: jax.Array,  # [N] f32
+    n_max: jax.Array,  # [N] f32
+    valid: jax.Array,  # [N] bool
+    k: int,
+    rescore: int = 1024,
+    tile_n: int = 0,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Certified bf16-scan MaxSim top-k via the FUSED Pallas kernel →
+    ``(scores [B,k], rows [B,k], certified [B] bool)``.
+
+    Same contract as :func:`maxsim_topk_scan16` (a certified result is
+    provably :func:`maxsim_scan_topk`'s full-corpus answer over primary
+    storage) but the scan is one kernel whose ``[B·Lq, C]`` interaction
+    never leaves VMEM — the XLA tier round-trips a ``[B,Lq,block,Lt]``
+    tensor through HBM every block. The kernel quantizes the query to
+    bf16 (MXU-native), so the bound adds query residual terms:
+
+        U = s_kernel + C1·e_max + (A + κ·(C1 + 2Q))·n_max
+
+    with ``A/C1/Q`` from :func:`_scan16_query_pack` and
+    ``κ = (H+Lq)·2⁻²³`` covering the f32 dot+sum rounding of the
+    kernel (on C1), the oracle AND the rescore programs (on Q, factor
+    2). All slack only widens U — certification fails closed."""
+    if rescore < k:
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(f"rescore={rescore} must be >= k={k}")
+    from trueno_rag_tpu.ops.pallas.maxsim_scan import maxsim_scan16_scores
+
+    b, lq, h = q_tok.shape
+    n = tokens.shape[0]
+    qv = jnp.where(q_mask[:, :, None], _f32(q_tok), 0.0)
+    q16, a_c, c1, q_w = _scan16_query_pack(q_tok, q_mask)
+    kappa = jnp.float32(h + lq) * jnp.float32(2.0**-23)
+    s16k = maxsim_scan16_scores(
+        q16, tok16, t_mask, valid, tile_n=tile_n, interpret=interpret
+    )  # [B, N]; -inf at invalid chunks
+    w_bc = (
+        c1[:, None] * e_max[None, :]
+        + (a_c + kappa * (c1 + 2.0 * q_w))[:, None] * n_max[None, :]
+    ) * jnp.float32(_BOUND_SLACK) + jnp.float32(_BOUND_EPS)
+    u = s16k + w_bc  # -inf + finite widening stays -inf
     return _select_rescore_certify(
         qv, q_mask, tokens, t_mask, u, k, min(rescore, n)
     )
@@ -756,6 +898,63 @@ def maxsim_topk_int8(
     u = jnp.transpose(u, (1, 0, 2)).reshape(b, g * block)
     if pad:
         u = u[:, :n]
+    return _select_rescore_certify(
+        qv, q_mask, tokens, t_mask, u, k, min(rescore, n)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "rescore", "tile_n", "interpret")
+)
+def maxsim_topk_int8_fused(
+    q_tok: jax.Array,  # [B, Lq, H] f32
+    q_mask: jax.Array,  # [B, Lq] bool
+    tokens: jax.Array,  # [N, Lt, H] float (primary storage — rescore source)
+    t_mask: jax.Array,  # [N, Lt] bool
+    tok8: jax.Array,  # [N, Lt, H] int8 scan replica (prepare_maxsim_int8)
+    s_tok: jax.Array,  # [N, Lt] f32 per-token scales
+    e_max: jax.Array,  # [N] f32
+    n_max: jax.Array,  # [N] f32
+    valid: jax.Array,  # [N] bool
+    k: int,
+    rescore: int = 1024,
+    tile_n: int = 0,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Certified int8-scan MaxSim top-k via the FUSED Pallas kernel →
+    ``(scores [B,k], rows [B,k], certified [B] bool)`` — the 1 B/elem
+    sibling of :func:`maxsim_topk_scan16_fused`. The kernel computes
+    the SAME program as :func:`maxsim_topk_int8` semantically (exact
+    int32 dot, f32 dequant multiplies, masked max, Lq-term f32 sum), so
+    that tier's bound coefficients transfer unchanged — only the scan's
+    HBM traffic changes (no ``[B,Lq,block,Lt]`` round-trips)."""
+    if rescore < k:
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(f"rescore={rescore} must be >= k={k}")
+    from trueno_rag_tpu.ops.dense_tiered import _int8_query_bounds
+    from trueno_rag_tpu.ops.pallas.maxsim_scan import maxsim_scan_int8_scores
+
+    b, lq, h = q_tok.shape
+    n = tokens.shape[0]
+    qv, qn_w = _widened_query_norms(q_tok, q_mask)
+    q8, t_q, u_q, v_q = _int8_query_bounds(qv.reshape(b * lq, h))
+    qm_f = q_mask.reshape(b * lq)
+    usum = jnp.sum(jnp.where(qm_f, u_q, 0.0).reshape(b, lq), axis=1)  # [B]
+    vsum = jnp.sum(jnp.where(qm_f, v_q, 0.0).reshape(b, lq), axis=1)
+    qsum_w = jnp.sum(jnp.where(q_mask, qn_w, 0.0), axis=1)
+    k_round = _tier_rounding_coeff(lq, h)
+
+    s8 = maxsim_scan_int8_scores(
+        q8.reshape(b, lq, h), t_q.reshape(b, lq), tok8, s_tok, t_mask,
+        valid, tile_n=tile_n, interpret=interpret,
+    )  # [B, N]; -inf at invalid chunks
+    w_bc = (
+        usum[:, None] * e_max[None, :]
+        + vsum[:, None] * n_max[None, :]
+        + k_round * qsum_w[:, None] * n_max[None, :]
+    ) * jnp.float32(_BOUND_SLACK) + jnp.float32(_BOUND_EPS)
+    u = s8 + w_bc
     return _select_rescore_certify(
         qv, q_mask, tokens, t_mask, u, k, min(rescore, n)
     )

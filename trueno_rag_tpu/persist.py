@@ -546,6 +546,7 @@ def save_token_index(
             "storage_dtype": cfg.storage_dtype,
             "scan": cfg.scan,
             "scan_dtype": cfg.scan_dtype,
+            "scan_kernel": cfg.scan_kernel,
             "t_hits": cfg.t_hits,
             "rescore": cfg.rescore,
             "scan_block": cfg.scan_block,
