@@ -111,3 +111,79 @@ def test_sharded_k_exceeds_corpus():
     s, r = idx.search(q, qm, k=30)
     s_o, r_o = maxsim_scan_oracle(q, qm, tok, tm, valid, 30)
     np.testing.assert_array_equal(r, r_o)
+
+
+# ---------------------------------------------------------------------------
+# sharded tiered (fused-kernel) scan
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [491, 512])
+def test_sharded_tiered_matches_oracle(n):
+    """The fused bf16 tier on the mesh: results (certified OR patched
+    by the exact fallback) must equal the full-corpus oracle; on unit
+    random tokens the quantization width is far below score gaps, so
+    most queries should certify rather than fall back."""
+    tok, tm, q, qm, valid = build(n, 5, 16, 4, 3, seed=n + 7)
+    mesh = create_mesh(data=8, model=1)
+    idx = ShardedTokenIndex(
+        tok, tm, mesh, valid=valid, tokens_normalized=True,
+        scan="tiered", rescore=64,
+    )
+    s, r = idx.search(q, qm, k=9)
+    s_o, r_o = maxsim_scan_oracle(q, qm, tok, tm, valid, 9)
+    np.testing.assert_array_equal(r, r_o)
+    finite = np.isfinite(s_o)
+    np.testing.assert_allclose(s[finite], s_o[finite], atol=1e-5, rtol=1e-5)
+    assert idx.uncertified < 4, "expected mostly certified on random data"
+
+
+def test_sharded_tiered_tagged_matches_filtered_oracle():
+    tok, tm, q, qm, valid = build(300, 4, 16, 3, 3, seed=11)
+    rng = np.random.default_rng(1)
+    tags = rng.integers(0, 8, size=300).astype(np.int32)
+    mesh = create_mesh(data=8, model=1)
+    idx = ShardedTokenIndex(
+        tok, tm, mesh, valid=valid, tokens_normalized=True, tags=tags,
+        scan="tiered", rescore=64,
+    )
+    t_all = np.array([1, 0, 2], np.int32)
+    t_any = np.array([0, 4, 0], np.int32)
+    t_none = np.array([0, 0, 1], np.int32)
+    s, r = idx.search_tagged(q, t_all, t_any, t_none, qm, k=7)
+    for b in range(3):
+        allowed = valid & np.array(
+            [tag_pred_oracle(int(t), int(t_all[b]), int(t_any[b]),
+                             int(t_none[b]))
+             for t in tags]
+        )
+        s_o, r_o = maxsim_scan_oracle(
+            q[b : b + 1], qm[b : b + 1], tok, tm, allowed, 7
+        )
+        np.testing.assert_array_equal(r[b : b + 1], r_o)
+
+
+def test_sharded_tiered_from_store_matches_single_chip():
+    """from_token_store(scan="tiered") must serve the same rankings as
+    the single-chip tiered store (both provably the exact scan)."""
+    n, lt, h = 200, 4, 16
+    rng = np.random.default_rng(5)
+    store = TokenVectorStore(TokenStoreConfig(
+        hidden_dim=h, max_tokens=lt, scan="tiered", rescore=32
+    ))
+    for i in range(n):
+        c = Chunk(
+            document_id="d", content=f"c{i}", start_offset=0,
+            end_offset=2, metadata=ChunkMetadata(title=""),
+            id=chunk_id_from_int(i),
+        )
+        store.insert(c, rng.standard_normal((lt, h)).astype(np.float32))
+    q = rng.standard_normal((3, 3, h)).astype(np.float32)
+    s1, r1 = store.search_arrays(q, None, 8)
+    mesh = create_mesh(data=8, model=1)
+    idx = ShardedTokenIndex.from_token_store(
+        store, mesh, scan="tiered", rescore=32
+    )
+    s2, r2 = idx.search(q, None, k=8)
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5, rtol=1e-5)

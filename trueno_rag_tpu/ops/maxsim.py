@@ -451,6 +451,26 @@ def _select_rescore_certify(
     candidate token slabs, and the certificate ``kth > threshold``.
     ``isneginf(threshold)`` certifies short corpora where nothing was
     excluded at all."""
+    top_s, rows, kth, threshold = _select_rescore_threshold(
+        q_tok, q_mask, tokens, t_mask, u, k, c_n
+    )
+    certified = (kth > threshold) | jnp.isneginf(threshold)
+    return top_s, rows, certified
+
+
+def _select_rescore_threshold(
+    q_tok: jax.Array,
+    q_mask: jax.Array,
+    tokens: jax.Array,
+    t_mask: jax.Array,
+    u: jax.Array,
+    k: int,
+    c_n: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Body of :func:`_select_rescore_certify` returning the raw
+    certificate operands → ``(top_s [B,k], rows [B,k], kth [B],
+    threshold [B])`` — the sharded composition needs them separately
+    (global certificate = merged kth vs max-over-shards threshold)."""
     b = u.shape[0]
     n = u.shape[1]
     sel = min(c_n + 1, n)
@@ -481,8 +501,7 @@ def _select_rescore_certify(
         rows = jnp.pad(rows, ((0, 0), (0, k - k_eff)), constant_values=-1)
 
     kth = top_s[:, k_eff - 1]
-    certified = (kth > threshold) | jnp.isneginf(threshold)
-    return top_s, rows, certified
+    return top_s, rows, kth, threshold
 
 
 # ---------------------------------------------------------------------------
@@ -746,6 +765,25 @@ def _scan16_query_pack(q_tok: jax.Array, q_mask: jax.Array):
     )
 
 
+def _scan16_fused_widths(
+    a_c: jax.Array,  # [B] Σ‖qᵢ − bf16(qᵢ)‖ (widened)
+    c1: jax.Array,  # [B] Σ‖bf16(qᵢ)‖ (widened)
+    q_w: jax.Array,  # [B] Σ‖qᵢ‖ (widened)
+    e_max: jax.Array,  # [C] per-chunk token residual bound
+    n_max: jax.Array,  # [C] per-chunk token norm bound
+    h: int,
+    lq: int,
+) -> jax.Array:
+    """→ ``W [B, C]``, the fused kernel tier's certificate width (the
+    derivation on :func:`maxsim_topk_scan16_fused`); shared with the
+    sharded composition so the bound math has one home."""
+    kappa = jnp.float32(h + lq) * jnp.float32(2.0**-23)
+    return (
+        c1[:, None] * e_max[None, :]
+        + (a_c + kappa * (c1 + 2.0 * q_w))[:, None] * n_max[None, :]
+    ) * jnp.float32(_BOUND_SLACK) + jnp.float32(_BOUND_EPS)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "rescore", "tile_n", "interpret")
 )
@@ -789,14 +827,10 @@ def maxsim_topk_scan16_fused(
     n = tokens.shape[0]
     qv = jnp.where(q_mask[:, :, None], _f32(q_tok), 0.0)
     q16, a_c, c1, q_w = _scan16_query_pack(q_tok, q_mask)
-    kappa = jnp.float32(h + lq) * jnp.float32(2.0**-23)
     s16k = maxsim_scan16_scores(
         q16, tok16, t_mask, valid, tile_n=tile_n, interpret=interpret
     )  # [B, N]; -inf at invalid chunks
-    w_bc = (
-        c1[:, None] * e_max[None, :]
-        + (a_c + kappa * (c1 + 2.0 * q_w))[:, None] * n_max[None, :]
-    ) * jnp.float32(_BOUND_SLACK) + jnp.float32(_BOUND_EPS)
+    w_bc = _scan16_fused_widths(a_c, c1, q_w, e_max, n_max, h, lq)
     u = s16k + w_bc  # -inf + finite widening stays -inf
     return _select_rescore_certify(
         qv, q_mask, tokens, t_mask, u, k, min(rescore, n)

@@ -16,7 +16,11 @@ from trueno_rag_tpu.parallel.clustered import ShardedClusteredIndex
 from trueno_rag_tpu.parallel.compact import ShardedCompactIndex
 from trueno_rag_tpu.parallel.hybrid import ShardedHybridIndex
 from trueno_rag_tpu.parallel.mesh import create_mesh, encoder_param_specs
-from trueno_rag_tpu.parallel.maxsim import ShardedTokenIndex, sharded_maxsim_topk
+from trueno_rag_tpu.parallel.maxsim import (
+    ShardedTokenIndex,
+    sharded_maxsim_topk,
+    sharded_maxsim_topk_scan16_fused,
+)
 from trueno_rag_tpu.parallel.sharded import ShardedVectorIndex, sharded_dense_topk
 
 __all__ = [
@@ -26,6 +30,7 @@ __all__ = [
     "ShardedVectorIndex",
     "ShardedTokenIndex",
     "sharded_maxsim_topk",
+    "sharded_maxsim_topk_scan16_fused",
     "ShardedHybridIndex",
     "ShardedCompactIndex",
     "ShardedClusteredIndex",

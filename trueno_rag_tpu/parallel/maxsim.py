@@ -29,7 +29,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from trueno_rag_tpu.ops.dense import NEG_INF
-from trueno_rag_tpu.ops.maxsim import maxsim_block_scores
+from trueno_rag_tpu.ops.maxsim import (
+    _scan16_fused_widths,
+    _scan16_query_pack,
+    _select_rescore_threshold,
+    maxsim_block_scores,
+    prepare_maxsim_scan16,
+)
 from trueno_rag_tpu.ops.tags import tag_pred
 from trueno_rag_tpu.parallel.sharded import merge_local_topk
 
@@ -143,6 +149,110 @@ def _sharded_maxsim_tagged_fn(mesh, axis, k, block):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_maxsim_fused_fn(mesh, axis, k, rescore, tile_n, interpret,
+                             has_tags):
+    """One jitted program per static config (recompile rationale as
+    _sharded_maxsim_fn). Local work per shard: the fused Pallas bf16
+    scan (ops/pallas/maxsim_scan.py) over the shard's replica, bound
+    widening, exact rescore of the shard's best-bounded candidates from
+    its PRIMARY rows, then the k·s ICI candidate merge plus a pmax of
+    the per-shard exclusion thresholds — the global certificate
+    ``merged kth > max_shards(threshold)`` proves the merged result is
+    the exact full-corpus MaxSim top-k (every non-candidate chunk on
+    shard j is bounded by threshold_j; candidate losers lost an exact
+    comparison). Misses fail closed, exactly as single-chip."""
+    from trueno_rag_tpu.ops.pallas.maxsim_scan import maxsim_scan16_scores
+
+    def local(q, qm, tok, tm, tok16, e_max, n_max, v, *tag_args):
+        b, lq, h = q.shape
+        n_loc = tok.shape[0]
+        qv = jnp.where(qm[:, :, None], q.astype(jnp.float32), 0.0)
+        q16, a_c, c1, q_w = _scan16_query_pack(q, qm)
+        s16k = maxsim_scan16_scores(
+            q16, tok16, tm, v, tile_n=tile_n, interpret=interpret
+        )  # [B, n_loc]
+        u = s16k + _scan16_fused_widths(a_c, c1, q_w, e_max, n_max, h, lq)
+        if tag_args:
+            bits, ta, ty, tn = tag_args
+            allowed = tag_pred(
+                bits[None, :], ta[:, None], ty[:, None], tn[:, None]
+            )
+            u = jnp.where(allowed, u, NEG_INF)
+        top_s, rows, _kth, thr = _select_rescore_threshold(
+            qv, qm, tok, tm, u, k, min(rescore, n_loc)
+        )
+        shard = jax.lax.axis_index(axis)
+        r_glob = jnp.where(rows >= 0, rows + shard * n_loc, _I32_MAX)
+        r_glob = jnp.where(jnp.isneginf(top_s), _I32_MAX, r_glob)
+        s_m, r_m = merge_local_topk(top_s, r_glob, k, axis)
+        thr_g = jax.lax.pmax(thr, axis)
+        kth_g = s_m[:, k - 1] if k <= s_m.shape[1] else jnp.full(
+            (s_m.shape[0],), NEG_INF
+        )
+        certified = (kth_g > thr_g) | jnp.isneginf(thr_g)
+        return s_m, r_m, certified
+
+    in_specs = [P(), P(), P(axis, None, None), P(axis, None),
+                P(axis, None, None), P(axis), P(axis), P(axis)]
+    if has_tags:
+        in_specs += [P(axis), P(), P(), P()]
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(), P(), P()),
+        # outputs ARE replicated (identical all-gather + certificate on
+        # every shard); inference can't see through axis_index
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_maxsim_topk_scan16_fused(
+    q_tok: jax.Array,  # [B, Lq, H] replicated
+    q_mask: jax.Array,  # [B, Lq] replicated
+    tokens: jax.Array,  # [N, Lt, H] primary, sharded P(axis, None, None)
+    t_mask: jax.Array,  # [N, Lt] sharded
+    tok16: jax.Array,  # [N, Lt, H] bf16 replica, sharded
+    e_max: jax.Array,  # [N] f32 sharded
+    n_max: jax.Array,  # [N] f32 sharded
+    valid: jax.Array,  # [N] bool sharded
+    k: int,
+    mesh: Mesh,
+    axis: str = "data",
+    rescore: int = 256,
+    tile_n: int = 0,
+    interpret: bool = False,
+    tags: Optional[Tuple[jax.Array, ...]] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Certified bf16-tier MaxSim top-k over a row-sharded token corpus
+    via the fused kernel → ``(scores [B,k], rows [B,k] GLOBAL ids,
+    certified [B])``. ``tags`` = (tag_bits [N] i32 sharded, t_all [B],
+    t_any [B], t_none [B] replicated) makes it an exact FILTERED search
+    (certified sets are the exact top-k among allowed rows)."""
+    args = [q_tok, q_mask, tokens, t_mask, tok16, e_max, n_max, valid]
+    if tags is not None:
+        args += list(tags)
+    return _sharded_maxsim_fused_fn(
+        mesh, axis, k, rescore, tile_n, interpret, tags is not None
+    )(*args)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_maxsim_prep_fn(mesh, axis):
+    """Shard-local tier pack: prepare_maxsim_scan16 is per-row math, so
+    it runs on each shard's rows with no communication."""
+    fn = shard_map(
+        lambda tok, tm: prepare_maxsim_scan16(tok, tm),
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None)),
+        out_specs=(P(axis, None, None), P(axis), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def sharded_maxsim_topk(
     q_tok: jax.Array,  # [B, Lq, H] replicated
     q_mask: jax.Array,  # [B, Lq] replicated
@@ -204,6 +314,9 @@ class ShardedTokenIndex:
         block: int = 512,
         storage_dtype: str = "float32",
         normalize_queries: bool = True,
+        scan: str = "exact",
+        rescore: int = 256,
+        interpret: Optional[bool] = None,
     ) -> None:
         tokens = np.asarray(tokens, dtype=np.float32)
         n, lt, h = tokens.shape
@@ -233,12 +346,32 @@ class ShardedTokenIndex:
         self.t_mask = jax.device_put(tm, row2)
         self.valid = jax.device_put(v, row1)
         self.tags = jax.device_put(t, row1)
+        if scan not in ("exact", "tiered"):
+            from trueno_rag_tpu.errors import InvalidConfigError
+
+            raise InvalidConfigError(
+                f"scan must be exact|tiered, got {scan!r}"
+            )
+        self.scan, self.rescore = scan, rescore
+        if interpret is None:  # Pallas needs interpret mode off-TPU
+            interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        self.interpret = interpret
+        self.uncertified = 0
+        self._tier = None
+        if scan == "tiered":
+            # shard-local bf16 replica pack (per-row math, no comms)
+            self._tier = _sharded_maxsim_prep_fn(mesh, axis)(
+                self.tokens, self.t_mask
+            )
 
     @classmethod
     def from_token_store(cls, store, mesh: Mesh, axis: str = "data",
-                         block: int = 512) -> "ShardedTokenIndex":
+                         block: int = 512, scan: str = "exact",
+                         rescore: int = 256) -> "ShardedTokenIndex":
         """Snapshot a TokenVectorStore (rows stay registry-aligned, so
-        global row ids hydrate through the same registry)."""
+        global row ids hydrate through the same registry). ``scan=
+        "tiered"`` serves through the fused bf16 tier with exact-scan
+        fallback, like the single-chip store's ``scan="tiered"``."""
         cap = store._host.shape[0]
         tags = np.asarray(
             [store.registry.tags_of_row(r) for r in range(cap)], dtype=np.int32
@@ -254,6 +387,8 @@ class ShardedTokenIndex:
             block=block,
             storage_dtype=store.config.storage_dtype,
             normalize_queries=store.config.normalize,
+            scan=scan,
+            rescore=rescore,
         )
 
     def _norm_q(self, q_tok: np.ndarray) -> np.ndarray:
@@ -276,10 +411,28 @@ class ShardedTokenIndex:
             if q_mask is None
             else jnp.asarray(np.asarray(q_mask, bool))
         )
-        s, r = sharded_maxsim_topk(
-            q, qm, self.tokens, self.t_mask, self.valid, k,
-            self.mesh, self.axis, self.block,
-        )
+        if self.scan == "tiered":
+            s, r, cert = sharded_maxsim_topk_scan16_fused(
+                q, qm, self.tokens, self.t_mask, *self._tier, self.valid,
+                k, self.mesh, self.axis, self.rescore,
+                interpret=self.interpret,
+            )
+            cert_np = np.asarray(cert)
+            if not cert_np.all():
+                # fail-closed: uncertified queries re-run on the exact
+                # sharded scan (certified ones are provably identical)
+                self.uncertified += int((~cert_np).sum())
+                s_e, r_e = sharded_maxsim_topk(
+                    q, qm, self.tokens, self.t_mask, self.valid, k,
+                    self.mesh, self.axis, self.block,
+                )
+                s = jnp.where(cert[:, None], s, s_e)
+                r = jnp.where(cert[:, None], r, r_e)
+        else:
+            s, r = sharded_maxsim_topk(
+                q, qm, self.tokens, self.t_mask, self.valid, k,
+                self.mesh, self.axis, self.block,
+            )
         return np.asarray(s), np.asarray(r)
 
     def search_tagged(
@@ -298,9 +451,29 @@ class ShardedTokenIndex:
             if q_mask is None
             else jnp.asarray(np.asarray(q_mask, bool))
         )
-        s, r = sharded_maxsim_topk_tagged(
-            q, qm, self.tokens, self.t_mask, self.valid, self.tags,
-            jnp.asarray(t_all, jnp.int32), jnp.asarray(t_any, jnp.int32),
-            jnp.asarray(t_none, jnp.int32), k, self.mesh, self.axis, self.block,
-        )
+        ta = jnp.asarray(t_all, jnp.int32)
+        ty = jnp.asarray(t_any, jnp.int32)
+        tn = jnp.asarray(t_none, jnp.int32)
+        if self.scan == "tiered":
+            s, r, cert = sharded_maxsim_topk_scan16_fused(
+                q, qm, self.tokens, self.t_mask, *self._tier, self.valid,
+                k, self.mesh, self.axis, self.rescore,
+                interpret=self.interpret,
+                tags=(self.tags, ta, ty, tn),
+            )
+            cert_np = np.asarray(cert)
+            if not cert_np.all():
+                self.uncertified += int((~cert_np).sum())
+                s_e, r_e = sharded_maxsim_topk_tagged(
+                    q, qm, self.tokens, self.t_mask, self.valid,
+                    self.tags, ta, ty, tn, k, self.mesh, self.axis,
+                    self.block,
+                )
+                s = jnp.where(cert[:, None], s, s_e)
+                r = jnp.where(cert[:, None], r, r_e)
+        else:
+            s, r = sharded_maxsim_topk_tagged(
+                q, qm, self.tokens, self.t_mask, self.valid, self.tags,
+                ta, ty, tn, k, self.mesh, self.axis, self.block,
+            )
         return np.asarray(s), np.asarray(r)
