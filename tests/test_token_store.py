@@ -350,3 +350,54 @@ def test_token_index_load_errors(tmp_path):
     bad.write_bytes(serialize_compressed({"format": "something-else"}))
     with pytest.raises(SerializationError):
         load_token_index(str(bad))
+
+
+def test_retriever_tag_filter_every_scan_tier():
+    """tag_filter resolves to an allowed-row mask that joins the scan's
+    validity mask — every tier (exact, tiered/fused, token) must return
+    only allowed chunks, ranked exactly as an unfiltered search over
+    the allowed subset."""
+    from trueno_rag_tpu.retrieve import TagFilter
+
+    for kw in ({}, {"scan": "tiered", "rescore": 16},
+               {"scan": "tiered", "rescore": 16, "scan_kernel": "xla"},
+               {"scan": "token", "t_hits": 32, "rescore": 16}):
+        retr, chunks = build_retriever(**kw)
+        for i, c in enumerate(chunks):
+            retr.store.registry.set_tags(
+                c.id, ["even"] if i % 2 == 0 else ["odd"]
+            )
+        got = retr.retrieve(CORPUS[2], 4, tag_filter=TagFilter(all=("odd",)))
+        odd_ids = {c.id for i, c in enumerate(chunks) if i % 2 == 1}
+        assert got, f"no results for {kw}"
+        assert all(r.chunk.id in odd_ids for r in got), kw
+        # parity with brute force over the allowed subset: the filtered
+        # top-1 must be the best odd chunk by unfiltered ranking order
+        full = retr.retrieve(CORPUS[2], len(chunks))
+        best_odd = next(r.chunk.id for r in full if r.chunk.id in odd_ids)
+        assert got[0].chunk.id == best_odd, kw
+
+
+def test_retriever_tag_filter_batch_groups_and_unknown():
+    """Per-query filters group by distinct word triple; an unknown tag
+    in `all` matches nothing (reference filter semantics)."""
+    from trueno_rag_tpu.retrieve import TagFilter
+
+    retr, chunks = build_retriever(scan="tiered", rescore=16)
+    for i, c in enumerate(chunks):
+        retr.store.registry.set_tags(c.id, ["even"] if i % 2 == 0 else ["odd"])
+    outs = retr.retrieve_batch(
+        [CORPUS[0], CORPUS[1], CORPUS[2]], 3,
+        tag_filter=[TagFilter(all=("even",)), None,
+                    TagFilter(all=("nosuchtag",))],
+    )
+    even_ids = {c.id for i, c in enumerate(chunks) if i % 2 == 0}
+    assert outs[0] and all(r.chunk.id in even_ids for r in outs[0])
+    assert outs[1]  # unfiltered
+    assert outs[2] == []  # impossible filter -> empty
+
+
+def test_retriever_ensure_ready_warms_tier():
+    retr, _ = build_retriever(scan="tiered", rescore=16)
+    retr.ensure_ready()
+    assert retr.store._tier is not None

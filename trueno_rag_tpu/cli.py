@@ -178,11 +178,75 @@ def _walk_documents(path: str):
     return docs
 
 
+def _doc_tags_for(docs, args):
+    """The index command's document-tag assignment (shared by the
+    hybrid and multi-vector paths)."""
+    base_tags = [t for t in (args.tags or "").split(",") if t]
+    if not base_tags and not args.tag_by_dir:
+        return None
+    doc_tags = []
+    root = os.path.abspath(args.path)
+    for d in docs:
+        tags = list(base_tags)
+        if args.tag_by_dir and d.source:
+            rel = os.path.relpath(os.path.abspath(d.source), root)
+            parent = os.path.dirname(rel)
+            if parent and parent != ".":
+                tags.append(f"dir:{parent.split(os.sep)[0]}")
+        doc_tags.append(tags)
+    return doc_tags
+
+
+def _cmd_index_multi_vector(args, docs) -> int:
+    """Multi-vector (late-interaction / MaxSim) indexing: chunks store a
+    token MATRIX each; queries run certified tiered scans. The encoder
+    identity is the deterministic seed-0 demo encoder — real
+    deployments pass checkpoints through the library API
+    (persist.load_token_index(params=...))."""
+    from trueno_rag_tpu import RecursiveChunker
+    from trueno_rag_tpu.index.token_store import TokenStoreConfig
+    from trueno_rag_tpu.models.encoder import EncoderConfig
+    from trueno_rag_tpu.models.late_interaction import LateInteractionRetriever
+    from trueno_rag_tpu.persist import save_token_index
+
+    chunker = RecursiveChunker(
+        chunk_size=args.chunk_size, overlap=args.chunk_overlap
+    )
+    enc = EncoderConfig.tiny()
+    retr = LateInteractionRetriever(
+        config=enc,
+        seed=0,
+        max_len=32,
+        store_config=TokenStoreConfig(
+            hidden_dim=enc.hidden_dim, max_tokens=32, scan="tiered",
+        ),
+    )
+    doc_tags = _doc_tags_for(docs, args)
+    n_chunks = 0
+    for di, d in enumerate(docs):
+        chunks = chunker.chunk(d)
+        retr.index_batch(chunks)
+        n_chunks += len(chunks)
+        if doc_tags is not None and doc_tags[di]:
+            for c in chunks:
+                retr.store.registry.set_tags(c.id, doc_tags[di])
+    os.makedirs(args.output, exist_ok=True)
+    out_path = os.path.join(args.output, "token_index.trag")
+    stats = save_token_index(out_path, retr)
+    print(
+        f"indexed {len(docs)} documents, {n_chunks} chunks (multi-vector) "
+        f"-> {out_path} ({stats['compressed_bytes']} bytes compressed)"
+    )
+    return 0
+
+
 def cmd_index(args) -> int:
     from trueno_rag_tpu import NoOpReranker, RagPipelineBuilder, RecursiveChunker
     from trueno_rag_tpu.persist import save_index
 
     docs = _walk_documents(args.path)
+    if args.multi_vector:
+        return _cmd_index_multi_vector(args, docs)
     embedder = _build_embedder(args.embedder, args.dimension, args.model)
     if args.embedder == "tfidf":
         embedder.fit([d.content for d in docs])
@@ -193,19 +257,7 @@ def cmd_index(args) -> int:
         .with_chunker(RecursiveChunker(chunk_size=args.chunk_size, overlap=args.chunk_overlap))
         .build()
     )
-    doc_tags = None
-    base_tags = [t for t in (args.tags or "").split(",") if t]
-    if base_tags or args.tag_by_dir:
-        doc_tags = []
-        root = os.path.abspath(args.path)
-        for d in docs:
-            tags = list(base_tags)
-            if args.tag_by_dir and d.source:
-                rel = os.path.relpath(os.path.abspath(d.source), root)
-                parent = os.path.dirname(rel)
-                if parent and parent != ".":
-                    tags.append(f"dir:{parent.split(os.sep)[0]}")
-            doc_tags.append(tags)
+    doc_tags = _doc_tags_for(docs, args)
     n_chunks = pipeline.index_documents(docs, tags=doc_tags)
     os.makedirs(args.output, exist_ok=True)
     out_path = os.path.join(args.output, "index.trag")
@@ -232,7 +284,16 @@ def _load(index_dir: str, scan_tier=None):
     from trueno_rag_tpu.persist import read_index_info
 
     path = os.path.join(index_dir, "index.trag")
+    tok_path = os.path.join(index_dir, "token_index.trag")
     if not os.path.exists(path):
+        if os.path.exists(tok_path):
+            # multi-vector artifact (index --multi-vector): rebuild the
+            # late-interaction retriever with the CLI's deterministic
+            # seed-0 encoder identity; its scan tier persisted with the
+            # store config
+            from trueno_rag_tpu.persist import load_token_index
+
+            return load_token_index(tok_path, seed=0)
         raise SystemExit(f"error: no index found at {path}")
     # header-only peek: handles BOTH artifact formats (the v2 streaming
     # container is what `index` itself writes past 50k chunks — reading
@@ -337,6 +398,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated tags applied to every document")
     i.add_argument("--tag-by-dir", action="store_true",
                    help="tag each document dir:<top-level subdirectory>")
+    i.add_argument("--multi-vector", action="store_true",
+                   help="build a late-interaction (MaxSim) token index "
+                        "instead of the hybrid dense+BM25 index: every "
+                        "chunk stores a token matrix, queries run the "
+                        "certified fused-kernel scan tier; query/serve "
+                        "auto-detect the artifact (token_index.trag)")
     i.set_defaults(fn=cmd_index)
 
     q = sub.add_parser("query", help="query a persisted index")

@@ -136,6 +136,19 @@ class ChunkRegistry:
             return self._tags[row]
         return 0
 
+    def tag_bits_array(self, rows: int) -> "np.ndarray":
+        """Per-row tag words as one int64 vector of length ``rows``
+        (rows past the registry's extent are 0) — the vectorized form
+        host-side filter resolution needs; a Python loop over
+        tags_of_row costs ~10 ms per 100k rows per dispatch."""
+        import numpy as np
+
+        out = np.zeros((rows,), dtype=np.int64)
+        m = min(rows, len(self._tags))
+        if m:
+            out[:m] = np.asarray(self._tags[:m], dtype=np.int64)
+        return out
+
     def tag_names_of(self, chunk_id: str) -> List[str]:
         row = self._id_to_row.get(chunk_id)
         if row is None:

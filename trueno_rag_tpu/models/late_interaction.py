@@ -232,26 +232,74 @@ class LateInteractionRetriever:
             tok, mask = self._encode([c.content for c in batch])
             self.store.insert_many(batch, list(tok), list(mask))
 
-    def retrieve(self, query: str, k: int) -> List[RetrievalResult]:
-        return self.retrieve_batch([query], k)[0]
+    def retrieve(self, query: str, k: int,
+                 tag_filter=None) -> List[RetrievalResult]:
+        return self.retrieve_batch(
+            [query], k,
+            tag_filter=None if tag_filter is None else [tag_filter],
+        )[0]
 
     def retrieve_batch(
-        self, queries: Sequence[str], k: int
+        self, queries: Sequence[str], k: int, tag_filter=None
     ) -> List[List[RetrievalResult]]:
+        """Batched MaxSim retrieval. ``tag_filter`` (one TagFilter or a
+        per-query list, the serving contract) resolves host-side to an
+        allowed-row mask that joins the tombstone mask BEFORE the scan,
+        so every tier — exact, token-pruned, tiered — searches the
+        FILTERED corpus exactly (certified sets are the exact top-k
+        among allowed rows). Queries sharing a filter batch together;
+        distinct filters dispatch per group (filters are per-row masks
+        device-side, and serving batches rarely mix many)."""
         if not queries or len(self.store) == 0 or k <= 0:
             return [[] for _ in queries]
         q_tok, q_mask = self._encode(list(queries))
-        scores, rows = self.store.search_arrays(q_tok, q_mask, k)
-        out: List[List[RetrievalResult]] = []
-        for b in range(len(queries)):
-            hits = self.store._hydrate(scores[b], rows[b])
-            out.append(
-                [
+        b = len(queries)
+        out: List[List[RetrievalResult]] = [[] for _ in range(b)]
+        if tag_filter is None:
+            groups = [(None, list(range(b)))]
+        else:
+            from trueno_rag_tpu.retrieve import resolve_tag_filters
+
+            t_all, t_any, t_none = resolve_tag_filters(
+                self.store.registry, tag_filter, b
+            )
+            by_words: Dict[tuple, List[int]] = {}
+            for i in range(b):
+                by_words.setdefault(
+                    (int(t_all[i]), int(t_any[i]), int(t_none[i])), []
+                ).append(i)
+            cap = self.store._host.shape[0]
+            bits = self.store.registry.tag_bits_array(cap)
+            groups = []
+            for (wa, wy, wn), idxs in by_words.items():
+                if wa == 0 and wy == 0 and wn == 0:
+                    groups.append((None, idxs))
+                    continue
+                allowed = (
+                    ((bits & wa) == wa)
+                    & ((wy == 0) | ((bits & wy) != 0))
+                    & ((bits & wn) == 0)
+                )
+                groups.append((allowed, idxs))
+        for allowed, idxs in groups:
+            scores, rows = self.store.search_arrays(
+                q_tok[idxs], q_mask[idxs], k, allowed_rows=allowed
+            )
+            for j, i in enumerate(idxs):
+                hits = self.store._hydrate(scores[j], rows[j])
+                out[i] = [
                     RetrievalResult(chunk=self.store.get(cid), dense_score=s)
                     for cid, s in hits
                 ]
-            )
         return out
+
+    def ensure_ready(self) -> None:
+        """Warm the device replica (and the scan-tier pack, if one is
+        configured) so a hot reload swaps in a ready index — the serving
+        layer calls this before exposing a reloaded retriever."""
+        self.store._device()
+        if self.store.config.scan == "tiered":
+            self.store._device_tier()
 
     def __len__(self) -> int:
         return len(self.store)
