@@ -1,35 +1,49 @@
-"""Fused MaxSim scan kernel: the bf16 tier's bound pass as ONE Pallas
-program whose interaction tensor never leaves VMEM.
+"""Fused MaxSim scan kernels: the bf16/int8 tiers' bound pass as ONE
+Pallas program whose interaction tensor never leaves VMEM.
 
-The XLA tier (ops/maxsim.maxsim_topk_scan16) streams the bf16 token
-replica through `maxsim_block_scores`, which materializes a
-``[B, Lq, block, Lt]`` f32 interaction tensor in HBM every block — the
-scan runs at ~100 GB/s effective instead of the device's ~540+ GB/s
-streaming rate (measured 2026-08-19 at 100k×32×128). This kernel keeps
-the whole interaction local: per ``tile_n``-chunk corpus tile, an
-unrolled loop over the ``Lt`` document-token positions issues
-``[B·Lq, H] × [H, tile_n]`` MXU dots (bf16 in, f32 accumulate) with a
-running masked max held in VMEM, then one selection matmul folds the
-``Lq`` per-query-token maxima into ``[B, tile_n]`` scores — the only
-HBM write per tile.
+The XLA tiers (ops/maxsim.maxsim_topk_scan16 / maxsim_topk_int8) stream
+the quantized token replica through `maxsim_block_scores`, which
+materializes a ``[B, Lq, block, Lt]`` f32 interaction tensor in HBM
+every block — the scan runs at ~100 GB/s effective instead of the
+device's ~540+ GB/s streaming rate (measured 2026-08-19 at
+100k×32×128). These kernels keep the whole interaction local. Per
+``tile_n``-chunk corpus tile:
 
-Exactness: the kernel quantizes BOTH sides to bf16 (the MXU's native
-input), so its scores differ from the XLA tier's (f32 query × upcast
-tokens, HIGHEST). That is fine for the TIER — the certificate only
-needs a sound interval around the primary-storage exact score — but the
-bound must carry query-side residual terms the XLA tier does not need.
-:func:`maxsim_scan16_query_prep` in ops/maxsim.py derives them; the
+1. ONE MXU dot ``[tile_n·Lt, H] × [H, B·Lq]`` over the flat token view
+   (bf16 in / f32 accumulate, or exact int8→int32) → ``sims``;
+2. mask padding tokens to −inf (flat ``[N·Lt]`` mask — blocked 1-D
+   operands must align to the XLA T(1024) layout tile, hence the
+   ``tile_n·Lt % 1024`` wrapper constraint);
+3. a FREE leading-dim reshape ``[tile_n, Lt, B·Lq]`` and a sublane-group
+   max over Lt → per-(chunk, query-token) best;
+4. the Lq-sum as a 0/1 selection matmul → ``[B, tile_n]`` scores, the
+   only HBM write per tile.
+
+An earlier design (one small dot per token position, 32-way unrolled,
+slicing the middle axis of a 3-D block) compiled for MINUTES and then
+hung the tunneled backend — single big dot + leading-split reshape is
+both the fast-compiling and the fast-running shape. Do not reintroduce
+per-position slicing.
+
+Exactness: the bf16 kernel quantizes BOTH sides to bf16 (the MXU's
+native input), so its scores differ from the XLA tier's (f32 query ×
+upcast tokens, HIGHEST). That is fine for the TIER — the certificate
+only needs a sound interval around the primary-storage exact score —
+but the bound must carry query-side residual terms the XLA tier does
+not need. :func:`ops.maxsim._scan16_query_pack` derives them; the
 per-chunk width is
 
-    W(b, c) = C1_b · e_max_c  +  (A_b + κ·(C1_b + Q_b)) · n_max_c
+    W(b, c) = C1_b · e_max_c  +  (A_b + κ·(C1_b + 2·Q_b)) · n_max_c
 
 with ``A = Σᵢ‖qᵢ − bf16(qᵢ)‖`` (query quantization, rides the token
 norm bound ``n_max``), ``C1 = Σᵢ‖bf16(qᵢ)‖`` (carries the token
 residual ``e_max`` and this kernel's own f32 rounding), ``Q = Σᵢ‖qᵢ‖``
-(carries the exact-scan oracle program's rounding) and
-``κ = (H + Lq)·2⁻²³`` the shared dot+sum accumulation budget of either
-program. Every coefficient is widened against its own f32 evaluation;
-reference brute-force semantics as everywhere (index.rs:386-412).
+(carries the oracle and rescore programs' rounding) and
+``κ = (H + Lq)·2⁻²³`` the per-program dot+sum accumulation budget. The
+int8 kernel computes the SAME program as the XLA int8 tier semantically
+(exact int32 dot + f32 dequant multiplies + max + Lq-sum), so that
+tier's bound transfers unchanged. Reference brute-force semantics as
+everywhere (index.rs:386-412).
 """
 
 from __future__ import annotations
@@ -43,118 +57,166 @@ from jax.experimental import pallas as pl
 NEG_INF = float("-inf")
 
 
+def _lq_sum(best: jax.Array, b: int, lq: int, scale=None) -> jax.Array:
+    """``[tile_n, B·Lq] → [B, tile_n]`` — the Lq-sum as a selection
+    matmul (a lane-axis reshape+reduce lowers poorly at Lq < 128;
+    adding exact zeros is error-free, so the f32 rounding budget stays
+    the Lq-term model the bound carries). ``scale`` (optional
+    ``[B·Lq]``, positive) folds per-query-token scales into the
+    selection weights — sound for the int8 tier because a positive
+    per-token scale commutes with the over-doc-tokens max."""
+    bl = best.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (b, bl), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, bl), 1)
+    sel = (col // lq == row).astype(jnp.float32)  # [B, B·Lq]
+    if scale is not None:
+        sel = sel * scale[None, :]
+    return jax.lax.dot_general(
+        sel,
+        best,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        # HIGHEST: a default-precision f32 matmul runs single-pass bf16
+        # on the MXU, rounding `best` (measured 3e-3 absolute — far
+        # outside the bound's f32 Lq-sum budget). HIGHEST keeps the 0/1
+        # (or scale) multiplies exact and the sum in f32.
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, tile_n]
+
+
 def _maxsim_scan16_kernel(
     q_ref,  # [B·Lq, H] bf16 — b-major flat query tokens, padding zeroed
-    tok_ref,  # [tile_n, Lt, H] bf16 — token replica tile
-    tm_ref,  # [tile_n, Lt] int32 — 1 = valid document token
-    valid_ref,  # [tile_n] int32 — 1 = live chunk
+    tok_ref,  # [tile_n·Lt, H] bf16 — flat token replica tile
+    tm_ref,  # [tile_n·Lt] int32 — 1 = valid document token
     out_ref,  # [B, tile_n] f32 — per-chunk bf16 MaxSim scores
     *,
     b: int,
     lq: int,
+    lt: int,
 ):
-    """One corpus tile: Lt MXU dots with a running masked max (the
-    interaction stays in VMEM), then the Lq-sum as a 0/1 selection
-    matmul (a lane-axis reshape+reduce lowers poorly at Lq < 128;
-    adding exact zeros is error-free, so the f32 rounding budget stays
-    the Lq-term model the bound carries)."""
-    lt = tok_ref.shape[1]
-    tile_n = tok_ref.shape[0]
-    q = q_ref[:]
-    run = jnp.full((b * lq, tile_n), NEG_INF, dtype=jnp.float32)
-    for j in range(lt):
-        s = jax.lax.dot_general(
-            q,
-            tok_ref[:, j, :],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [B·Lq, tile_n]
-        run = jnp.maximum(
-            run, jnp.where(tm_ref[:, j][None, :] != 0, s, NEG_INF)
-        )
+    tile_flat = tok_ref.shape[0]
+    tile_n = tile_flat // lt
+    sims = jax.lax.dot_general(
+        tok_ref[:],
+        q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [tile_n·Lt, B·Lq]
+    sims = jnp.where(tm_ref[:][:, None] != 0, sims, NEG_INF)
+    best = jnp.max(sims.reshape(tile_n, lt, b * lq), axis=1)
     # empty chunks (no valid token) contribute 0, like the XLA path;
     # zeroed padding query tokens max to exactly 0 over valid tokens
-    best = jnp.where(jnp.isfinite(run), run, 0.0)
-    row = jax.lax.broadcasted_iota(jnp.int32, (b, b * lq), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, b * lq), 1)
-    sel = (col // lq == row).astype(jnp.float32)  # [B, B·Lq]
-    scores = jax.lax.dot_general(
-        sel,
-        best,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [B, tile_n]
-    out_ref[:, :] = jnp.where(valid_ref[:][None, :] != 0, scores, NEG_INF)
+    best = jnp.where(jnp.isfinite(best), best, 0.0)
+    out_ref[:, :] = _lq_sum(best, b, lq)
 
 
 def _maxsim_scan_int8_kernel(
     q_ref,  # [B·Lq, H] int8 — b-major flat query tokens (padding all-0)
-    tq_ref,  # [B·Lq] f32 — per-query-token symmetric scales
-    tok_ref,  # [tile_n, Lt, H] int8 — token replica tile
-    s_ref,  # [tile_n, Lt] f32 — per-doc-token symmetric scales
-    tm_ref,  # [tile_n, Lt] int32 — 1 = valid document token
-    valid_ref,  # [tile_n] int32 — 1 = live chunk
+    tq_ref,  # [B·Lq] f32 — per-query-token symmetric scales (> 0)
+    tok_ref,  # [tile_n·Lt, H] int8 — flat token replica tile
+    s_ref,  # [tile_n·Lt] f32 — per-doc-token symmetric scales
+    tm_ref,  # [tile_n·Lt] int32 — 1 = valid document token
     out_ref,  # [B, tile_n] f32
     *,
     b: int,
     lq: int,
+    lt: int,
     use_int8_mxu: bool,
 ):
-    """int8 sibling of :func:`_maxsim_scan16_kernel`: the integer dot is
-    EXACT (int32 accumulate, |dot| < 2²⁴ asserted by the wrapper), so
-    the only kernel-side rounding is the two dequant multiplies and the
-    Lq-sum — the same error model as the XLA int8 tier
-    (ops/maxsim.maxsim_topk_int8), whose bound transfers unchanged."""
-    lt = tok_ref.shape[1]
-    tile_n = tok_ref.shape[0]
-    tq = tq_ref[:]
-    run = jnp.full((b * lq, tile_n), NEG_INF, dtype=jnp.float32)
-    for j in range(lt):
-        if use_int8_mxu:
-            dots = jax.lax.dot_general(
-                q_ref[:],
-                tok_ref[:, j, :],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)
-        else:
-            dots = jax.lax.dot_general(
-                q_ref[:].astype(jnp.bfloat16),
-                tok_ref[:, j, :].astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # bit-identical: int8 exact in bf16, sums < 2²⁴ in f32
-        sim = dots * tq[:, None] * s_ref[:, j][None, :]
-        run = jnp.maximum(
-            run, jnp.where(tm_ref[:, j][None, :] != 0, sim, NEG_INF)
-        )
-    best = jnp.where(jnp.isfinite(run), run, 0.0)
-    row = jax.lax.broadcasted_iota(jnp.int32, (b, b * lq), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, b * lq), 1)
-    sel = (col // lq == row).astype(jnp.float32)
-    scores = jax.lax.dot_general(
-        sel,
-        best,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    out_ref[:, :] = jnp.where(valid_ref[:][None, :] != 0, scores, NEG_INF)
+    """int8 sibling: the integer dot is EXACT (int32 accumulate,
+    |dot| < 2²⁴ asserted by the wrapper); the query scale applies after
+    the max (positive per-token scales commute with it), inside the
+    selection matmul."""
+    tile_flat = tok_ref.shape[0]
+    tile_n = tile_flat // lt
+    if use_int8_mxu:
+        dots = jax.lax.dot_general(
+            tok_ref[:],
+            q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        dots = jax.lax.dot_general(
+            tok_ref[:].astype(jnp.bfloat16),
+            q_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # bit-identical: int8 exact in bf16, sums < 2²⁴ in f32
+    sims = dots * s_ref[:][:, None]  # doc-token scale (query's follows)
+    sims = jnp.where(tm_ref[:][:, None] != 0, sims, NEG_INF)
+    best = jnp.max(sims.reshape(tile_n, lt, b * lq), axis=1)
+    best = jnp.where(jnp.isfinite(best), best, 0.0)
+    out_ref[:, :] = _lq_sum(best, b, lq, scale=tq_ref[:])
 
 
-def _pick_tile_n(lt: int, h: int, bl: int, elem_bytes: int) -> int:
-    """Largest power-of-two tile (×128) whose VMEM footprint fits: the
-    token tile (elem_bytes·Lt·H B/chunk) + two live [B·Lq, tile_n] f32
-    sims, budgeted ~10 MB of the 16 MB scoped stack."""
-    budget = 10 * 2**20
-    tile = 4096
-    while tile > 128 and tile * (elem_bytes * lt * h + 8 * bl) > budget:
-        tile //= 2
-    return max(tile, 128)
+def _pick_tile_n(
+    n: int, lt: int, h: int, bl: int, elem_bytes: int, copies: int
+) -> int:
+    """Largest power-of-two corpus tile whose VMEM footprint fits the
+    default 16 MB scoped stack AND whose flat extent tile·Lt is a
+    multiple of 1024 — blocked 1-D operands must align to XLA's
+    T(1024) layout tile (measured: mismatch is a hard Mosaic error).
+    The wrapper pads Lt to a multiple of 32 first, which makes every
+    tile ≥ 32 satisfy the 1024 rule. Among admissible tiles, one
+    dividing ``n`` is preferred: row padding copies the whole replica
+    every dispatch.
+
+    Footprint model (measured, 2026-08-19): the [tile·Lt, B·Lq] sims
+    buffers pad their LANE axis to 128 and Mosaic keeps ``copies``
+    of them live — 2 for bf16 (f32 dot out + masked), 3 for int8
+    (int32 dots + f32 dequant + masked; observed 43.55 M at
+    flat=32768, bl=32 ≈ tok + 2.5 lane-padded copies, so 3 is the
+    safe count)."""
+    budget = 12 * 2**20
+    bl_pad = -(-bl // 128) * 128
+    per_chunk = lt * (elem_bytes * h + 4 * bl_pad * copies)
+    # tile_n is the OUTPUT block's lane axis — Mosaic requires % 128
+    # (row padding is cheap next to lane-padding the [B, N] output)
+    ok = [
+        t
+        for t in (4096, 2048, 1024, 512, 256, 128)
+        if t * per_chunk <= budget and (t * lt) % 1024 == 0
+    ]
+    if not ok:
+        return 0  # no admissible tile — caller must slab the queries
+    for t in ok:
+        if n % t == 0:
+            return t
+    return ok[0]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("tile_n", "interpret")
-)
+def _query_slab(n: int, lt: int, h: int, b: int, lq: int,
+                elem_bytes: int, copies: int):
+    """→ ``(b_slab, tile_n)``: the largest query-slab size (a divisor
+    of the padded batch) whose minimum 128-row corpus tile fits VMEM.
+    Large ``B·Lq`` inflates the [tile·Lt, B·Lq] sims buffer past the
+    scoped stack; slabbing the QUERY axis (re-streaming the corpus per
+    slab) is the only budget-true split left once tile_n is floored at
+    128 by the output-block rule."""
+    b_s = b
+    while b_s > 1:
+        t = _pick_tile_n(n, lt, h, b_s * lq, elem_bytes, copies)
+        if t:
+            return b_s, t
+        b_s = -(-b_s // 2)
+    return 1, _pick_tile_n(n, lt, h, lq, elem_bytes, copies) or 128
+
+
+def _pad_tokens(tok, tm, lt_pad, extra=()):
+    """Pad the token axis to ``lt_pad`` slots (masked zeros; sublane
+    tiling wants Lt % 32 == 0 for int8, % 16 for bf16 — 32 covers
+    both). ``extra`` = same-shaped [N, Lt] arrays to pad along axis 1."""
+    n, lt = tm.shape
+    if lt == lt_pad:
+        return tok, tm, tuple(extra)
+    d = lt_pad - lt
+    tok = jnp.pad(tok, ((0, 0), (0, d), (0, 0)))
+    tm = jnp.pad(tm, ((0, 0), (0, d)))
+    return tok, tm, tuple(jnp.pad(e, ((0, 0), (0, d))) for e in extra)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
 def maxsim_scan16_scores(
     q16: jax.Array,  # [B, Lq, H] bf16 (padding tokens zeroed)
     tok16: jax.Array,  # [N, Lt, H] bf16 replica (prepare_maxsim_scan16)
@@ -165,34 +227,51 @@ def maxsim_scan16_scores(
 ) -> jax.Array:
     """Fused bf16 MaxSim of every query against every chunk →
     ``[B, N]`` f32 (``-inf`` at invalid chunks). ``tile_n = 0`` sizes
-    the corpus tile to the VMEM budget automatically."""
+    the corpus tile automatically."""
     b, lq, h = q16.shape
     n, lt = t_mask.shape
+    lt_pad = -(-lt // 32) * 32
+    tok16, t_mask, _ = _pad_tokens(tok16, t_mask, lt_pad)
     if tile_n <= 0:
-        tile_n = _pick_tile_n(lt, h, b * lq, 2)
+        b_s, tile_n = _query_slab(n, lt_pad, h, b, lq, 2, copies=2)
+    else:
+        b_s = b
     g = max(-(-n // tile_n), 1)
     pad = g * tile_n - n
-    tok_p, tm_p, v_p = tok16, t_mask, valid
     if pad:
-        tok_p = jnp.pad(tok16, ((0, pad), (0, 0), (0, 0)))
-        tm_p = jnp.pad(t_mask, ((0, pad), (0, 0)))
-        v_p = jnp.pad(valid, ((0, pad),))
-    qf = q16.reshape(b * lq, h)
+        tok16 = jnp.pad(tok16, ((0, pad), (0, 0), (0, 0)))
+        t_mask = jnp.pad(t_mask, ((0, pad), (0, 0)))
     kernel = pl.pallas_call(
-        functools.partial(_maxsim_scan16_kernel, b=b, lq=lq),
+        functools.partial(_maxsim_scan16_kernel, b=b_s, lq=lq, lt=lt_pad),
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((b * lq, h), lambda i: (0, 0)),
-            pl.BlockSpec((tile_n, lt, h), lambda i: (i, 0, 0)),
-            pl.BlockSpec((tile_n, lt), lambda i: (i, 0)),
-            pl.BlockSpec((tile_n,), lambda i: (i,)),
+            pl.BlockSpec((b_s * lq, h), lambda i: (0, 0)),
+            pl.BlockSpec((tile_n * lt_pad, h), lambda i: (i, 0)),
+            pl.BlockSpec((tile_n * lt_pad,), lambda i: (i,)),
         ],
-        out_specs=pl.BlockSpec((b, tile_n), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((b, g * tile_n), jnp.float32),
+        out_specs=pl.BlockSpec((b_s, tile_n), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b_s, g * tile_n), jnp.float32),
         interpret=interpret,
     )
-    s = kernel(qf, tok_p, tm_p.astype(jnp.int32), v_p.astype(jnp.int32))
-    return s[:, :n] if pad else s
+    b_pad = -(-b // b_s) * b_s
+    qf = q16
+    if b_pad != b:  # zero queries score 0 everywhere; rows dropped below
+        qf = jnp.pad(q16, ((0, b_pad - b), (0, 0), (0, 0)))
+    tok_flat = tok16.reshape(g * tile_n * lt_pad, h)
+    tm_flat = t_mask.reshape(g * tile_n * lt_pad).astype(jnp.int32)
+    s = jnp.concatenate(
+        [
+            kernel(
+                qf[i * b_s : (i + 1) * b_s].reshape(b_s * lq, h),
+                tok_flat,
+                tm_flat,
+            )
+            for i in range(b_pad // b_s)
+        ],
+        axis=0,
+    )
+    s = s[:b, :n] if (pad or b_pad != b) else s
+    return jnp.where(valid[None, :], s, NEG_INF)
 
 
 @functools.partial(
@@ -210,45 +289,62 @@ def maxsim_scan_int8_scores(
     interpret: bool = False,
 ) -> jax.Array:
     """Fused int8 MaxSim of every query against every chunk →
-    ``[B, N]`` f32 (``-inf`` at invalid chunks). The integer dot is
-    exact; scores equal the XLA int8 tier's up to f32 multiply/sum
-    rounding, which its bound already budgets."""
+    ``[B, N]`` f32 (``-inf`` at invalid chunks). Scores equal the XLA
+    int8 tier's up to f32 multiply/sum rounding, which its bound
+    already budgets."""
     b, lq, h = q8.shape
     n, lt = t_mask.shape
     assert h * 127 * 127 < 2**24, "int dot must stay exactly representable"
+    lt_pad = -(-lt // 32) * 32
+    tok8, t_mask, (s_tok,) = _pad_tokens(tok8, t_mask, lt_pad, (s_tok,))
     if tile_n <= 0:
-        tile_n = _pick_tile_n(lt, h, b * lq, 1)
+        b_s, tile_n = _query_slab(n, lt_pad, h, b, lq, 1, copies=3)
+    else:
+        b_s = b
     g = max(-(-n // tile_n), 1)
     pad = g * tile_n - n
-    tok_p, s_p, tm_p, v_p = tok8, s_tok, t_mask, valid
     if pad:
-        tok_p = jnp.pad(tok8, ((0, pad), (0, 0), (0, 0)))
-        s_p = jnp.pad(s_tok, ((0, pad), (0, 0)), constant_values=1.0)
-        tm_p = jnp.pad(t_mask, ((0, pad), (0, 0)))
-        v_p = jnp.pad(valid, ((0, pad),))
+        tok8 = jnp.pad(tok8, ((0, pad), (0, 0), (0, 0)))
+        s_tok = jnp.pad(s_tok, ((0, pad), (0, 0)), constant_values=1.0)
+        t_mask = jnp.pad(t_mask, ((0, pad), (0, 0)))
+    m = g * tile_n * lt_pad
     kernel = pl.pallas_call(
         functools.partial(
-            _maxsim_scan_int8_kernel, b=b, lq=lq, use_int8_mxu=use_int8_mxu
+            _maxsim_scan_int8_kernel, b=b_s, lq=lq, lt=lt_pad,
+            use_int8_mxu=use_int8_mxu,
         ),
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((b * lq, h), lambda i: (0, 0)),
-            pl.BlockSpec((b * lq,), lambda i: (0,)),
-            pl.BlockSpec((tile_n, lt, h), lambda i: (i, 0, 0)),
-            pl.BlockSpec((tile_n, lt), lambda i: (i, 0)),
-            pl.BlockSpec((tile_n, lt), lambda i: (i, 0)),
-            pl.BlockSpec((tile_n,), lambda i: (i,)),
+            pl.BlockSpec((b_s * lq, h), lambda i: (0, 0)),
+            pl.BlockSpec((b_s * lq,), lambda i: (0,)),
+            pl.BlockSpec((tile_n * lt_pad, h), lambda i: (i, 0)),
+            pl.BlockSpec((tile_n * lt_pad,), lambda i: (i,)),
+            pl.BlockSpec((tile_n * lt_pad,), lambda i: (i,)),
         ],
-        out_specs=pl.BlockSpec((b, tile_n), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((b, g * tile_n), jnp.float32),
+        out_specs=pl.BlockSpec((b_s, tile_n), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b_s, g * tile_n), jnp.float32),
         interpret=interpret,
     )
-    s = kernel(
-        q8.reshape(b * lq, h),
-        t_q.reshape(b * lq),
-        tok_p,
-        s_p,
-        tm_p.astype(jnp.int32),
-        v_p.astype(jnp.int32),
+    b_pad = -(-b // b_s) * b_s
+    qf, tqf = q8, t_q
+    if b_pad != b:  # all-zero q8 rows dot to 0; their rows are dropped
+        qf = jnp.pad(q8, ((0, b_pad - b), (0, 0), (0, 0)))
+        tqf = jnp.pad(t_q, ((0, b_pad - b), (0, 0)), constant_values=1.0)
+    tok_flat = tok8.reshape(m, h)
+    s_flat = s_tok.reshape(m)
+    tm_flat = t_mask.reshape(m).astype(jnp.int32)
+    s = jnp.concatenate(
+        [
+            kernel(
+                qf[i * b_s : (i + 1) * b_s].reshape(b_s * lq, h),
+                tqf[i * b_s : (i + 1) * b_s].reshape(b_s * lq),
+                tok_flat,
+                s_flat,
+                tm_flat,
+            )
+            for i in range(b_pad // b_s)
+        ],
+        axis=0,
     )
-    return s[:, :n] if pad else s
+    s = s[:b, :n] if (pad or b_pad != b) else s
+    return jnp.where(valid[None, :], s, NEG_INF)
