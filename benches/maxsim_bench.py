@@ -106,11 +106,41 @@ def main() -> None:
         mask = jnp.arange(lt)[None, :] < lens[:, None]
         return t.astype(dtype), mask
 
+    def gen_corpus(key, topics, rows):
+        """Slab-generate large corpora: gen_tokens materializes an f32
+        [rows, Lt, H] intermediate (norm + divide copies), which at 1M
+        x 32 x 128 is 16+ GiB — over one v5e's HBM even for a bf16
+        corpus. A fori_loop of clamped dynamic_update_slice windows
+        (the _slabbed_prep pattern, ops/maxsim.py) keeps temporaries at
+        slab size; the last window overlaps instead of padding, so no
+        full-size slice copy materializes on the way out."""
+        slab = 131_072
+        if rows <= slab:
+            return gen_tokens(key, topics, rows)
+        g = -(-rows // slab)
+
+        @jax.jit
+        def build(key, topics):
+            tok0 = jnp.zeros((rows, lt, h), dtype)
+            m0 = jnp.zeros((rows, lt), bool)
+
+            def body(i, acc):
+                tok_a, m_a = acc
+                t, m = gen_tokens(jax.random.fold_in(key, i), topics, slab)
+                lo = jnp.minimum(i * slab, rows - slab)
+                tok_a = jax.lax.dynamic_update_slice(tok_a, t, (lo, 0, 0))
+                m_a = jax.lax.dynamic_update_slice(m_a, m, (lo, 0))
+                return tok_a, m_a
+
+            return jax.lax.fori_loop(0, g, body, (tok0, m0))
+
+        return build(key, topics)
+
     key = jax.random.PRNGKey(0)
     kt, kc, kq = jax.random.split(key, 3)
     topics = jax.random.normal(kt, (args.topics, h), jnp.float32)
     topics = topics / jnp.linalg.norm(topics, axis=1, keepdims=True)
-    tokens, t_mask = gen_tokens(kc, topics, n)
+    tokens, t_mask = gen_corpus(kc, topics, n)
     valid = jnp.ones((n,), bool)
     q_tok, q_mask = gen_tokens(kq, topics, b)
     q_tok = q_tok.astype(jnp.float32)[:, :lq]
@@ -228,7 +258,20 @@ def main() -> None:
         for label, prep, op in packs:
             if label == "tiered-bf16" and args.dtype == "bfloat16":
                 continue  # same bytes as the exact scan — no tier
-            pack = tuple(jax.block_until_ready(a) for a in prep(tokens, t_mask))
+            owns_replica = True
+            if label == "fused-bf16" and args.dtype == "bfloat16":
+                # zero-copy production config: the primary IS the
+                # replica (prepare_maxsim_self16) — the fused kernel
+                # serves the bf16 corpus with no extra HBM
+                from trueno_rag_tpu.ops.maxsim import prepare_maxsim_self16
+
+                e0, n0 = (jax.block_until_ready(a)
+                          for a in prepare_maxsim_self16(tokens, t_mask))
+                pack = (tokens, e0, n0)
+                owns_replica = False
+            else:
+                pack = tuple(jax.block_until_ready(a)
+                             for a in prep(tokens, t_mask))
             s_t, r_t, cert = op(
                 q_tok, q_mask, tokens, t_mask, *pack, valid, k,
                 rescore=args.rescore,
@@ -254,7 +297,7 @@ def main() -> None:
             )
             print(f"{label} vs exact [{args.dtype}]: "
                   f"{exact_ms / t_ms:.2f}x", flush=True)
-            for a_ in pack:
+            for a_ in (pack if owns_replica else pack[1:]):
                 a_.delete()  # free the replica before the next tier
     if args.pruned:
         pruned_ms = timed(

@@ -326,6 +326,61 @@ def test_store_tiered_respects_filter_and_mutation():
     assert set(a[1].ravel()) <= set(range(20, 60)) | {-1}
 
 
+def test_self16_pack_zero_copy_exact_over_stored():
+    """bf16 primary + explicit bf16 tier: the replica must alias the
+    primary (prepare_maxsim_self16 — no corpus-scale copy), residuals
+    must be exactly zero, and certified results must equal the oracle
+    over the upcast stored values."""
+    from trueno_rag_tpu.ops.maxsim import prepare_maxsim_self16
+
+    tokens, t_mask, q, q_mask, valid = build(
+        180, 4, 16, 3, 3, seed=9, dtype=jnp.bfloat16
+    )
+    td = jnp.asarray(tokens)
+    e_max, n_max = prepare_maxsim_self16(td, jnp.asarray(t_mask))
+    assert float(jnp.max(e_max)) == 0.0
+    s_t, r_t, cert = maxsim_topk_scan16(
+        *to_dev(q, q_mask), td, jnp.asarray(t_mask), td, e_max, n_max,
+        jnp.asarray(valid), 6, 64, 128
+    )
+    s_o, r_o = maxsim_scan_oracle(
+        q, q_mask, np.asarray(td, np.float32), t_mask, valid, 6
+    )
+    cert = np.asarray(cert)
+    assert cert.any()
+    for i in np.flatnonzero(cert):
+        np.testing.assert_array_equal(np.asarray(r_t)[i], r_o[i])
+    # fp32 primary must be rejected (the identity-replica argument only
+    # holds when the store dtype IS bf16)
+    with pytest.raises(InvalidConfigError):
+        prepare_maxsim_self16(
+            jnp.asarray(tokens, jnp.float32), jnp.asarray(t_mask)
+        )
+
+
+def test_store_bf16_primary_bf16_tier_aliases_primary():
+    """TokenVectorStore with bf16 storage + explicit bf16 scan_dtype
+    must build the zero-copy tier: the tier's replica IS the device
+    primary buffer, and search stays exact vs the exact-scan store."""
+    cfg = dict(hidden_dim=16, max_tokens=5, rescore=64)
+    s_t, _ = _fill_store(TokenStoreConfig(
+        scan="tiered", scan_dtype="bfloat16", scan_kernel="xla",
+        storage_dtype="bfloat16", **cfg,
+    ))
+    s_e, _ = _fill_store(TokenStoreConfig(
+        scan="exact", storage_dtype="bfloat16", **cfg,
+    ))
+    tier = s_t._device_tier()
+    assert tier[0] == "bfloat16"
+    assert tier[1] is s_t._device()[0]  # aliased, not a copy
+    rng = np.random.default_rng(4)
+    q = rng.standard_normal((3, 4, 16)).astype(np.float32)
+    a = s_t.search_arrays(q, k=7)
+    b = s_e.search_arrays(q, k=7)
+    np.testing.assert_array_equal(a[1], b[1])
+    np.testing.assert_allclose(a[0], b[0], atol=1e-5, rtol=1e-5)
+
+
 def test_store_scan_dtype_auto_resolution():
     assert TokenStoreConfig().resolved_scan_dtype() == "bfloat16"
     assert (

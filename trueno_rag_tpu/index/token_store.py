@@ -47,6 +47,7 @@ from trueno_rag_tpu.ops.maxsim import (
     maxsim_topk_token_pruned,
     prepare_maxsim_int8,
     prepare_maxsim_scan16,
+    prepare_maxsim_self16,
 )
 
 
@@ -283,6 +284,12 @@ class TokenVectorStore:
                 self._tier = ("int8",) + tuple(
                     prepare_maxsim_int8(tokens, t_mask)
                 )
+            elif self.config.storage_dtype == "bfloat16":
+                # bf16 primary + bf16 tier: the replica IS the primary
+                # (zero residual, no corpus-scale copy) — only the norm
+                # bound is computed
+                e_max, n_max = prepare_maxsim_self16(tokens, t_mask)
+                self._tier = ("bfloat16", tokens, e_max, n_max)
             else:
                 self._tier = ("bfloat16",) + tuple(
                     prepare_maxsim_scan16(tokens, t_mask)

@@ -622,6 +622,42 @@ def prepare_maxsim_scan16(tokens: jax.Array, t_mask: jax.Array,
     return _slabbed_prep(_scan16_slab, tokens, t_mask, slab)
 
 
+def _self16_slab(tok_s: jax.Array, tm_s: jax.Array):
+    """Per-slab body of :func:`prepare_maxsim_self16`."""
+    h = tok_s.shape[2]
+    f32 = _f32(tok_s)
+    w = 1.0 + jnp.float32(h + 2) * jnp.float32(2.0**-23)
+    a_l2 = jnp.sqrt(jnp.sum(f32 * f32, axis=2)) * w
+    n_max = jnp.max(jnp.where(tm_s, a_l2, 0.0), axis=1)
+    return (n_max,)
+
+
+@functools.partial(jax.jit, static_argnames=("slab",))
+def prepare_maxsim_self16(tokens: jax.Array, t_mask: jax.Array,
+                          slab: int = 8192):
+    """Zero-copy bf16 tier pack for a bf16 PRIMARY store →
+    ``(e_max [N] f32 = 0, n_max [N] f32)``; the scan replica is the
+    primary tensor itself. When storage is already bf16, a
+    :func:`prepare_maxsim_scan16` replica would duplicate the whole
+    token tensor in HBM to hold values identical to the primary
+    (``bf16→f32→bf16`` is the identity) with all-zero residuals. This
+    pack skips the copy: residual bound 0, norm bound the widened
+    per-chunk max token norm (the only input the bound math still
+    needs). Callers pass the primary as ``tok16`` —
+    ``maxsim_topk_scan16[_fused]`` then serves the bf16 corpus with NO
+    extra corpus-scale memory, which is what makes 1M-chunk
+    late-interaction fit one 16 GB chip."""
+    if tokens.dtype != jnp.bfloat16:
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(
+            "prepare_maxsim_self16 requires a bfloat16 primary store "
+            f"(got {tokens.dtype})"
+        )
+    (n_max,) = _slabbed_prep(_self16_slab, tokens, t_mask, slab)
+    return jnp.zeros_like(n_max), n_max
+
+
 @functools.partial(jax.jit, static_argnames=("slab",))
 def prepare_maxsim_int8(tokens: jax.Array, t_mask: jax.Array,
                         slab: int = 8192):
