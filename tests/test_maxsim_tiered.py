@@ -381,6 +381,48 @@ def test_store_bf16_primary_bf16_tier_aliases_primary():
     np.testing.assert_allclose(a[0], b[0], atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("n", [200, 128, 72])
+def test_fused_ragged_corpus_main_plus_tail(n):
+    """Corpus sizes straddling the tile boundary at a forced tile_n=128:
+    n=200 exercises main grid + zero-padded tail, n=128 the pure main
+    grid, n=72 the pure tail — all must match the oracle on certified
+    queries (the previous full-corpus jnp.pad design OOMed at 1M)."""
+    from trueno_rag_tpu.ops.pallas.maxsim_scan import maxsim_scan16_scores
+
+    tokens, t_mask, q, q_mask, valid = build(n, 4, 16, 3, 3, seed=11)
+    td = jnp.asarray(tokens)
+    pack = prepare_maxsim_scan16(td, jnp.asarray(t_mask))
+    s_t, r_t, cert = maxsim_topk_scan16_fused(
+        *to_dev(q, q_mask), td, jnp.asarray(t_mask), *pack,
+        jnp.asarray(valid), 6, 64, tile_n=128, interpret=True
+    )
+    s_o, r_o = maxsim_scan_oracle(q, q_mask, tokens, t_mask, valid, 6)
+    cert = np.asarray(cert)
+    assert cert.any()
+    for i in np.flatnonzero(cert):
+        np.testing.assert_array_equal(np.asarray(r_t)[i], r_o[i])
+    # the raw kernel wrapper must agree with the XLA block scores on the
+    # ragged shape too (tail rows zero-padded, phantom columns sliced)
+    from trueno_rag_tpu.ops.maxsim import (
+        _scan16_query_pack,
+        maxsim_block_scores,
+    )
+
+    q16, _, _, _ = _scan16_query_pack(*to_dev(q, q_mask))
+    s_k = maxsim_scan16_scores(
+        q16, pack[0], jnp.asarray(t_mask), jnp.asarray(valid),
+        tile_n=128, interpret=True,
+    )
+    s_ref = maxsim_block_scores(
+        q16.astype(jnp.float32), jnp.asarray(q_mask),
+        pack[0], jnp.asarray(t_mask),
+    )
+    s_ref = jnp.where(jnp.asarray(valid)[None, :], s_ref, float("-inf"))
+    np.testing.assert_allclose(
+        np.asarray(s_k), np.asarray(s_ref), atol=5e-2, rtol=5e-2
+    )
+
+
 def test_store_scan_dtype_auto_resolution():
     assert TokenStoreConfig().resolved_scan_dtype() == "bfloat16"
     assert (

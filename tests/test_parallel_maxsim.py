@@ -104,6 +104,33 @@ def test_sharded_bf16_storage_matches_bf16_store():
     np.testing.assert_array_equal(r_sh, r_1c)
 
 
+def test_sharded_tiered_bf16_storage_zero_copy():
+    """bf16 storage + tiered scan on the mesh must build the zero-copy
+    pack (the tier's replica IS the sharded primary) and stay exact vs
+    the oracle over the upcast stored values."""
+    tok, tm, q, qm, valid = build(280, 4, 16, 3, 3, seed=21)
+    mesh = create_mesh(data=8, model=1)
+    idx = ShardedTokenIndex(
+        tok, tm, mesh, valid=valid, tokens_normalized=True,
+        storage_dtype="bfloat16", scan="tiered", rescore=64,
+    )
+    assert idx._tier[0] is idx.tokens  # aliased, not a per-shard copy
+    s, r = idx.search(q, qm, k=7)
+    import jax.numpy as jnp
+
+    tok16 = np.asarray(jnp.asarray(tok, jnp.bfloat16), np.float32)
+    # oracle over the stored bf16 values, with the index's row padding
+    n_pad = idx.valid.shape[0]
+    tok_p = np.zeros((n_pad, *tok.shape[1:]), np.float32)
+    tok_p[: tok.shape[0]] = tok16
+    tm_p = np.zeros((n_pad, tm.shape[1]), bool)
+    tm_p[: tm.shape[0]] = tm
+    v_p = np.zeros(n_pad, bool)
+    v_p[: valid.shape[0]] = valid
+    s_o, r_o = maxsim_scan_oracle(q, qm, tok_p, tm_p, v_p, 7)
+    np.testing.assert_array_equal(r, r_o)
+
+
 def test_sharded_k_exceeds_corpus():
     tok, tm, q, qm, valid = build(20, 3, 8, 2, 2, seed=9)
     mesh = create_mesh(data=8, model=1)

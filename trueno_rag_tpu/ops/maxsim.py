@@ -83,7 +83,7 @@ it.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -697,7 +697,6 @@ def _tier_rounding_coeff(lq: int, h: int) -> jnp.float32:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "rescore", "block"))
 def maxsim_topk_scan16(
     q_tok: jax.Array,  # [B, Lq, H] f32
     q_mask: jax.Array,  # [B, Lq] bool
@@ -721,11 +720,54 @@ def maxsim_topk_scan16(
     chunks from PRIMARY storage and certifies against the (R+1)-th
     bound — a certified result is provably
     :func:`maxsim_scan_topk`'s answer (chunk-granular sibling of
-    dense_topk_tiered; reference semantics index.rs:386-412)."""
+    dense_topk_tiered; reference semantics index.rs:386-412).
+
+    When ``tok16 is tokens`` (the bf16-primary zero-copy pack,
+    :func:`prepare_maxsim_self16`), the corpus is passed to the jitted
+    program ONCE: XLA's compile-time HBM accounting charges every
+    parameter separately even when the runtime buffers alias, so the
+    two-parameter form rejects corpora over half of HBM (measured OOM
+    at 1M x 32 x 128, 2026-08-19)."""
     if rescore < k:
         from trueno_rag_tpu.errors import InvalidConfigError
 
         raise InvalidConfigError(f"rescore={rescore} must be >= k={k}")
+    if tok16 is tokens:
+        return _maxsim_topk_self16(
+            q_tok, q_mask, tokens, t_mask, e_max, n_max, valid,
+            k=k, rescore=rescore, block=block,
+        )
+    return _maxsim_topk_scan16_two(
+        q_tok, q_mask, tokens, t_mask, tok16, e_max, n_max, valid,
+        k=k, rescore=rescore, block=block,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "rescore", "block"))
+def _maxsim_topk_self16(
+    q_tok, q_mask, tokens, t_mask, e_max, n_max, valid, k, rescore, block
+):
+    return _scan16_xla_body(
+        q_tok, q_mask, tokens, t_mask, tokens, e_max, n_max, valid,
+        k, rescore, block,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "rescore", "block"))
+def _maxsim_topk_scan16_two(
+    q_tok, q_mask, tokens, t_mask, tok16, e_max, n_max, valid, k, rescore,
+    block,
+):
+    return _scan16_xla_body(
+        q_tok, q_mask, tokens, t_mask, tok16, e_max, n_max, valid,
+        k, rescore, block,
+    )
+
+
+def _scan16_xla_body(
+    q_tok, q_mask, tokens, t_mask, tok16, e_max, n_max, valid, k, rescore,
+    block,
+):
     b, lq, h = q_tok.shape
     n = tokens.shape[0]
     qv, qn_w = _widened_query_norms(q_tok, q_mask)
@@ -820,9 +862,6 @@ def _scan16_fused_widths(
     ) * jnp.float32(_BOUND_SLACK) + jnp.float32(_BOUND_EPS)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "rescore", "tile_n", "interpret")
-)
 def maxsim_topk_scan16_fused(
     q_tok: jax.Array,  # [B, Lq, H] f32
     q_mask: jax.Array,  # [B, Lq] bool
@@ -852,11 +891,56 @@ def maxsim_topk_scan16_fused(
     with ``A/C1/Q`` from :func:`_scan16_query_pack` and
     ``κ = (H+Lq)·2⁻²³`` covering the f32 dot+sum rounding of the
     kernel (on C1), the oracle AND the rescore programs (on Q, factor
-    2). All slack only widens U — certification fails closed."""
+    2). All slack only widens U — certification fails closed.
+
+    ``tok16 is tokens`` (the zero-copy bf16-primary pack) lowers to a
+    single-corpus-parameter program — XLA charges aliased parameters
+    separately at compile time (maxsim_topk_scan16's note)."""
     if rescore < k:
         from trueno_rag_tpu.errors import InvalidConfigError
 
         raise InvalidConfigError(f"rescore={rescore} must be >= k={k}")
+    if tok16 is tokens:
+        return _maxsim_topk_self16_fused(
+            q_tok, q_mask, tokens, t_mask, e_max, n_max, valid,
+            k=k, rescore=rescore, tile_n=tile_n, interpret=interpret,
+        )
+    return _maxsim_topk_scan16_fused_two(
+        q_tok, q_mask, tokens, t_mask, tok16, e_max, n_max, valid,
+        k=k, rescore=rescore, tile_n=tile_n, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "rescore", "tile_n", "interpret")
+)
+def _maxsim_topk_self16_fused(
+    q_tok, q_mask, tokens, t_mask, e_max, n_max, valid, k, rescore, tile_n,
+    interpret,
+):
+    return _scan16_fused_body(
+        q_tok, q_mask, tokens, t_mask, tokens, e_max, n_max, valid,
+        k, rescore, tile_n, interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "rescore", "tile_n", "interpret")
+)
+def _maxsim_topk_scan16_fused_two(
+    q_tok, q_mask, tokens, t_mask, tok16, e_max, n_max, valid, k, rescore,
+    tile_n, interpret,
+):
+    return _scan16_fused_body(
+        q_tok, q_mask, tokens, t_mask, tok16, e_max, n_max, valid,
+        k, rescore, tile_n, interpret,
+    )
+
+
+def _scan16_fused_body(
+    q_tok, q_mask, tokens, t_mask, tok16, e_max, n_max, valid, k, rescore,
+    tile_n, interpret,
+):
     from trueno_rag_tpu.ops.pallas.maxsim_scan import maxsim_scan16_scores
 
     b, lq, h = q_tok.shape

@@ -216,6 +216,30 @@ def _pad_tokens(tok, tm, lt_pad, extra=()):
     return tok, tm, tuple(jnp.pad(e, ((0, 0), (0, d))) for e in extra)
 
 
+def _split_tail(tok, tm, tile_n, extra=()):
+    """``(main_rows, tail arrays)`` for the ragged-corpus split: the
+    first ``(N // tile_n) · tile_n`` rows run on the main grid READING
+    THE ORIGINAL ARRAYS IN PLACE (in-bounds blocks need no divisibility
+    of the array extent), and only the ≤ tile_n remainder rows are
+    sliced out and zero-padded for a one-block tail dispatch.
+    ``jnp.pad`` of the full corpus — the previous design — materialized
+    a complete second copy of the replica in HBM (7.63 GiB at 1M x 32 x
+    128, measured OOM 2026-08-19)."""
+    n = tm.shape[0]
+    g0, rem = divmod(n, tile_n)
+    if not rem:
+        return g0, None
+    lo = g0 * tile_n
+    pads = []
+    for a in (tok, tm, *extra):
+        t = jax.lax.dynamic_slice(
+            a, (lo,) + (0,) * (a.ndim - 1), (rem, *a.shape[1:])
+        )
+        pad_cfg = ((0, tile_n - rem),) + ((0, 0),) * (a.ndim - 1)
+        pads.append(jnp.pad(t, pad_cfg))
+    return g0, tuple(pads)
+
+
 @functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
 def maxsim_scan16_scores(
     q16: jax.Array,  # [B, Lq, H] bf16 (padding tokens zeroed)
@@ -227,7 +251,10 @@ def maxsim_scan16_scores(
 ) -> jax.Array:
     """Fused bf16 MaxSim of every query against every chunk →
     ``[B, N]`` f32 (``-inf`` at invalid chunks). ``tile_n = 0`` sizes
-    the corpus tile automatically."""
+    the corpus tile automatically. Ragged corpora (N not a tile
+    multiple) run the full tiles in place plus one zero-padded tail
+    dispatch — no corpus-scale pad copy. ``Lt`` should be a multiple
+    of 32 (the store default); other values pay a full-corpus pad."""
     b, lq, h = q16.shape
     n, lt = t_mask.shape
     lt_pad = -(-lt // 32) * 32
@@ -236,41 +263,52 @@ def maxsim_scan16_scores(
         b_s, tile_n = _query_slab(n, lt_pad, h, b, lq, 2, copies=2)
     else:
         b_s = b
-    g = max(-(-n // tile_n), 1)
-    pad = g * tile_n - n
-    if pad:
-        tok16 = jnp.pad(tok16, ((0, pad), (0, 0), (0, 0)))
-        t_mask = jnp.pad(t_mask, ((0, pad), (0, 0)))
-    kernel = pl.pallas_call(
-        functools.partial(_maxsim_scan16_kernel, b=b_s, lq=lq, lt=lt_pad),
-        grid=(g,),
-        in_specs=[
-            pl.BlockSpec((b_s * lq, h), lambda i: (0, 0)),
-            pl.BlockSpec((tile_n * lt_pad, h), lambda i: (i, 0)),
-            pl.BlockSpec((tile_n * lt_pad,), lambda i: (i,)),
-        ],
-        out_specs=pl.BlockSpec((b_s, tile_n), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((b_s, g * tile_n), jnp.float32),
-        interpret=interpret,
-    )
+
+    def make_kernel(g):
+        return pl.pallas_call(
+            functools.partial(
+                _maxsim_scan16_kernel, b=b_s, lq=lq, lt=lt_pad
+            ),
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec((b_s * lq, h), lambda i: (0, 0)),
+                pl.BlockSpec((tile_n * lt_pad, h), lambda i: (i, 0)),
+                pl.BlockSpec((tile_n * lt_pad,), lambda i: (i,)),
+            ],
+            out_specs=pl.BlockSpec((b_s, tile_n), lambda i: (0, i)),
+            out_shape=jax.ShapeDtypeStruct(
+                (b_s, g * tile_n), jnp.float32
+            ),
+            interpret=interpret,
+        )
+
+    g0, tail = _split_tail(tok16, t_mask, tile_n)
+    k_main = make_kernel(g0) if g0 else None
+    k_tail = make_kernel(1) if tail is not None else None
+    tok_flat = tok16.reshape(n * lt_pad, h)
+    tm_flat = t_mask.reshape(n * lt_pad).astype(jnp.int32)
+    if tail is not None:
+        tok_t, tm_t = tail
+        tok_t = tok_t.reshape(tile_n * lt_pad, h)
+        tm_t = tm_t.reshape(tile_n * lt_pad).astype(jnp.int32)
+
     b_pad = -(-b // b_s) * b_s
     qf = q16
     if b_pad != b:  # zero queries score 0 everywhere; rows dropped below
         qf = jnp.pad(q16, ((0, b_pad - b), (0, 0), (0, 0)))
-    tok_flat = tok16.reshape(g * tile_n * lt_pad, h)
-    tm_flat = t_mask.reshape(g * tile_n * lt_pad).astype(jnp.int32)
-    s = jnp.concatenate(
-        [
-            kernel(
-                qf[i * b_s : (i + 1) * b_s].reshape(b_s * lq, h),
-                tok_flat,
-                tm_flat,
-            )
-            for i in range(b_pad // b_s)
-        ],
-        axis=0,
-    )
-    s = s[:b, :n] if (pad or b_pad != b) else s
+    slabs = []
+    for i in range(b_pad // b_s):
+        q_i = qf[i * b_s : (i + 1) * b_s].reshape(b_s * lq, h)
+        parts = []
+        if k_main is not None:
+            parts.append(k_main(q_i, tok_flat, tm_flat))
+        if k_tail is not None:
+            parts.append(k_tail(q_i, tok_t, tm_t))
+        slabs.append(
+            parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        )
+    s = slabs[0] if len(slabs) == 1 else jnp.concatenate(slabs, axis=0)
+    s = s[:b, :n] if (tail is not None or b_pad != b) else s
     return jnp.where(valid[None, :], s, NEG_INF)
 
 
@@ -301,50 +339,58 @@ def maxsim_scan_int8_scores(
         b_s, tile_n = _query_slab(n, lt_pad, h, b, lq, 1, copies=3)
     else:
         b_s = b
-    g = max(-(-n // tile_n), 1)
-    pad = g * tile_n - n
-    if pad:
-        tok8 = jnp.pad(tok8, ((0, pad), (0, 0), (0, 0)))
-        s_tok = jnp.pad(s_tok, ((0, pad), (0, 0)), constant_values=1.0)
-        t_mask = jnp.pad(t_mask, ((0, pad), (0, 0)))
-    m = g * tile_n * lt_pad
-    kernel = pl.pallas_call(
-        functools.partial(
-            _maxsim_scan_int8_kernel, b=b_s, lq=lq, lt=lt_pad,
-            use_int8_mxu=use_int8_mxu,
-        ),
-        grid=(g,),
-        in_specs=[
-            pl.BlockSpec((b_s * lq, h), lambda i: (0, 0)),
-            pl.BlockSpec((b_s * lq,), lambda i: (0,)),
-            pl.BlockSpec((tile_n * lt_pad, h), lambda i: (i, 0)),
-            pl.BlockSpec((tile_n * lt_pad,), lambda i: (i,)),
-            pl.BlockSpec((tile_n * lt_pad,), lambda i: (i,)),
-        ],
-        out_specs=pl.BlockSpec((b_s, tile_n), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((b_s, g * tile_n), jnp.float32),
-        interpret=interpret,
-    )
+
+    def make_kernel(g):
+        return pl.pallas_call(
+            functools.partial(
+                _maxsim_scan_int8_kernel, b=b_s, lq=lq, lt=lt_pad,
+                use_int8_mxu=use_int8_mxu,
+            ),
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec((b_s * lq, h), lambda i: (0, 0)),
+                pl.BlockSpec((b_s * lq,), lambda i: (0,)),
+                pl.BlockSpec((tile_n * lt_pad, h), lambda i: (i, 0)),
+                pl.BlockSpec((tile_n * lt_pad,), lambda i: (i,)),
+                pl.BlockSpec((tile_n * lt_pad,), lambda i: (i,)),
+            ],
+            out_specs=pl.BlockSpec((b_s, tile_n), lambda i: (0, i)),
+            out_shape=jax.ShapeDtypeStruct(
+                (b_s, g * tile_n), jnp.float32
+            ),
+            interpret=interpret,
+        )
+
+    g0, tail = _split_tail(tok8, t_mask, tile_n, extra=(s_tok,))
+    k_main = make_kernel(g0) if g0 else None
+    k_tail = make_kernel(1) if tail is not None else None
+    m = n * lt_pad
+    tok_flat = tok8.reshape(m, h)
+    s_flat = s_tok.reshape(m)
+    tm_flat = t_mask.reshape(m).astype(jnp.int32)
+    if tail is not None:
+        tok_t, tm_t, s_t_ = tail
+        tok_t = tok_t.reshape(tile_n * lt_pad, h)
+        tm_t = tm_t.reshape(tile_n * lt_pad).astype(jnp.int32)
+        s_t_ = s_t_.reshape(tile_n * lt_pad)
+
     b_pad = -(-b // b_s) * b_s
     qf, tqf = q8, t_q
     if b_pad != b:  # all-zero q8 rows dot to 0; their rows are dropped
         qf = jnp.pad(q8, ((0, b_pad - b), (0, 0), (0, 0)))
         tqf = jnp.pad(t_q, ((0, b_pad - b), (0, 0)), constant_values=1.0)
-    tok_flat = tok8.reshape(m, h)
-    s_flat = s_tok.reshape(m)
-    tm_flat = t_mask.reshape(m).astype(jnp.int32)
-    s = jnp.concatenate(
-        [
-            kernel(
-                qf[i * b_s : (i + 1) * b_s].reshape(b_s * lq, h),
-                tqf[i * b_s : (i + 1) * b_s].reshape(b_s * lq),
-                tok_flat,
-                s_flat,
-                tm_flat,
-            )
-            for i in range(b_pad // b_s)
-        ],
-        axis=0,
-    )
-    s = s[:b, :n] if (pad or b_pad != b) else s
+    slabs = []
+    for i in range(b_pad // b_s):
+        q_i = qf[i * b_s : (i + 1) * b_s].reshape(b_s * lq, h)
+        tq_i = tqf[i * b_s : (i + 1) * b_s].reshape(b_s * lq)
+        parts = []
+        if k_main is not None:
+            parts.append(k_main(q_i, tq_i, tok_flat, s_flat, tm_flat))
+        if k_tail is not None:
+            parts.append(k_tail(q_i, tq_i, tok_t, s_t_, tm_t))
+        slabs.append(
+            parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        )
+    s = slabs[0] if len(slabs) == 1 else jnp.concatenate(slabs, axis=0)
+    s = s[:b, :n] if (tail is not None or b_pad != b) else s
     return jnp.where(valid[None, :], s, NEG_INF)

@@ -151,7 +151,7 @@ def _sharded_maxsim_tagged_fn(mesh, axis, k, block):
 
 @functools.lru_cache(maxsize=64)
 def _sharded_maxsim_fused_fn(mesh, axis, k, rescore, tile_n, interpret,
-                             has_tags):
+                             has_tags, self_replica=False):
     """One jitted program per static config (recompile rationale as
     _sharded_maxsim_fn). Local work per shard: the fused Pallas bf16
     scan (ops/pallas/maxsim_scan.py) over the shard's replica, bound
@@ -161,10 +161,18 @@ def _sharded_maxsim_fused_fn(mesh, axis, k, rescore, tile_n, interpret,
     ``merged kth > max_shards(threshold)`` proves the merged result is
     the exact full-corpus MaxSim top-k (every non-candidate chunk on
     shard j is bounded by threshold_j; candidate losers lost an exact
-    comparison). Misses fail closed, exactly as single-chip."""
+    comparison). Misses fail closed, exactly as single-chip.
+    ``self_replica`` (bf16 primary + zero-copy pack) drops the separate
+    replica parameter: the shard's primary IS the scan replica, so each
+    chip holds the corpus once (maxsim_topk_scan16's accounting note)."""
     from trueno_rag_tpu.ops.pallas.maxsim_scan import maxsim_scan16_scores
 
-    def local(q, qm, tok, tm, tok16, e_max, n_max, v, *tag_args):
+    def local(q, qm, tok, tm, *rest):
+        if self_replica:
+            e_max, n_max, v, *tag_args = rest
+            tok16 = tok
+        else:
+            tok16, e_max, n_max, v, *tag_args = rest
         b, lq, h = q.shape
         n_loc = tok.shape[0]
         qv = jnp.where(qm[:, :, None], q.astype(jnp.float32), 0.0)
@@ -193,8 +201,10 @@ def _sharded_maxsim_fused_fn(mesh, axis, k, rescore, tile_n, interpret,
         certified = (kth_g > thr_g) | jnp.isneginf(thr_g)
         return s_m, r_m, certified
 
-    in_specs = [P(), P(), P(axis, None, None), P(axis, None),
-                P(axis, None, None), P(axis), P(axis), P(axis)]
+    in_specs = [P(), P(), P(axis, None, None), P(axis, None)]
+    if not self_replica:
+        in_specs.append(P(axis, None, None))
+    in_specs += [P(axis), P(axis), P(axis)]
     if has_tags:
         in_specs += [P(axis), P(), P(), P()]
     fn = shard_map(
@@ -230,12 +240,20 @@ def sharded_maxsim_topk_scan16_fused(
     via the fused kernel → ``(scores [B,k], rows [B,k] GLOBAL ids,
     certified [B])``. ``tags`` = (tag_bits [N] i32 sharded, t_all [B],
     t_any [B], t_none [B] replicated) makes it an exact FILTERED search
-    (certified sets are the exact top-k among allowed rows)."""
-    args = [q_tok, q_mask, tokens, t_mask, tok16, e_max, n_max, valid]
+    (certified sets are the exact top-k among allowed rows).
+    ``tok16 is tokens`` (the zero-copy bf16-primary pack,
+    prepare_maxsim_self16) lowers to a single-corpus-parameter program
+    so each chip holds its shard once."""
+    self_replica = tok16 is tokens
+    args = [q_tok, q_mask, tokens, t_mask]
+    if not self_replica:
+        args.append(tok16)
+    args += [e_max, n_max, valid]
     if tags is not None:
         args += list(tags)
     return _sharded_maxsim_fused_fn(
-        mesh, axis, k, rescore, tile_n, interpret, tags is not None
+        mesh, axis, k, rescore, tile_n, interpret, tags is not None,
+        self_replica,
     )(*args)
 
 
@@ -248,6 +266,22 @@ def _sharded_maxsim_prep_fn(mesh, axis):
         mesh=mesh,
         in_specs=(P(axis, None, None), P(axis, None)),
         out_specs=(P(axis, None, None), P(axis), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_maxsim_self_prep_fn(mesh, axis):
+    """Zero-copy tier pack for bf16-primary shards: per-shard
+    prepare_maxsim_self16 (no replica, just the norm bound)."""
+    from trueno_rag_tpu.ops.maxsim import prepare_maxsim_self16
+
+    fn = shard_map(
+        lambda tok, tm: prepare_maxsim_self16(tok, tm),
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None)),
+        out_specs=(P(axis), P(axis)),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -359,10 +393,18 @@ class ShardedTokenIndex:
         self.uncertified = 0
         self._tier = None
         if scan == "tiered":
-            # shard-local bf16 replica pack (per-row math, no comms)
-            self._tier = _sharded_maxsim_prep_fn(mesh, axis)(
-                self.tokens, self.t_mask
-            )
+            if dtype == jnp.bfloat16:
+                # bf16 primary: zero-copy pack — the shard replica IS
+                # the primary (no per-chip duplicate of the corpus)
+                e_max, n_max = _sharded_maxsim_self_prep_fn(mesh, axis)(
+                    self.tokens, self.t_mask
+                )
+                self._tier = (self.tokens, e_max, n_max)
+            else:
+                # shard-local bf16 replica pack (per-row math, no comms)
+                self._tier = _sharded_maxsim_prep_fn(mesh, axis)(
+                    self.tokens, self.t_mask
+                )
 
     @classmethod
     def from_token_store(cls, store, mesh: Mesh, axis: str = "data",
