@@ -288,13 +288,27 @@ def main() -> None:
                        if not np.array_equal(r_tn[i], r_e[i])]
                 print(f"{label} oracle check: {len(bad)} bad certified "
                       f"results {bad[:5]}", flush=True)
-            t_ms = timed(
-                label,
-                lambda qq, tok_a, tm_a, v_a, *pk: op(
-                    qq, q_mask, tok_a, tm_a, *pk, v_a, k,
-                    rescore=args.rescore),
-                tokens, t_mask, valid, *pack,
-            )
+            if owns_replica:
+                t_ms = timed(
+                    label,
+                    lambda qq, tok_a, tm_a, v_a, *pk: op(
+                        qq, q_mask, tok_a, tm_a, *pk, v_a, k,
+                        rescore=args.rescore),
+                    tokens, t_mask, valid, *pack,
+                )
+            else:
+                # self-pack: the corpus enters the timing chain ONCE —
+                # XLA charges aliased jit parameters separately, so
+                # passing primary + replica double-counts 7.6 GiB at 1M
+                # (measured OOM); aliasing inside the traced chain keeps
+                # the op's `tok16 is tokens` dispatch on the same tracer
+                t_ms = timed(
+                    label,
+                    lambda qq, tok_a, tm_a, v_a, e_, n_: op(
+                        qq, q_mask, tok_a, tm_a, tok_a, e_, n_, v_a, k,
+                        rescore=args.rescore),
+                    tokens, t_mask, valid, *pack[1:],
+                )
             print(f"{label} vs exact [{args.dtype}]: "
                   f"{exact_ms / t_ms:.2f}x", flush=True)
             for a_ in (pack if owns_replica else pack[1:]):
