@@ -39,6 +39,11 @@ def main() -> None:
     p.add_argument("--noise", type=float, default=0.15)
     p.add_argument("--t-hits", type=int, default=4096)
     p.add_argument("--rescore", type=int, default=1024)
+    p.add_argument("--select", default="auto",
+                   choices=("auto", "exact", "approx"),
+                   help="tier candidate selection: exact top-(C+1) "
+                        "(full-width sort at corpus scale) vs "
+                        "approx_max_k + fail-closed threshold")
     p.add_argument("--block", type=int, default=1024)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--dtype", default="float32", choices=("float32", "bfloat16"))
@@ -284,7 +289,7 @@ def main() -> None:
                              for a in prep(tokens, t_mask))
             s_t, r_t, cert = op(
                 q_tok, q_mask, tokens, t_mask, *pack, valid, k,
-                rescore=args.rescore,
+                rescore=args.rescore, select=args.select,
             )
             cert_np = np.asarray(cert).astype(bool)
             print(f"{label}: certified {int(cert_np.sum())}/{b} "
@@ -300,7 +305,7 @@ def main() -> None:
                     label,
                     lambda qq, tok_a, tm_a, v_a, *pk: op(
                         qq, q_mask, tok_a, tm_a, *pk, v_a, k,
-                        rescore=args.rescore),
+                        rescore=args.rescore, select=args.select),
                     tokens, t_mask, valid, *pack,
                 )
             else:
@@ -313,7 +318,7 @@ def main() -> None:
                     label,
                     lambda qq, tok_a, tm_a, v_a, e_, n_: op(
                         qq, q_mask, tok_a, tm_a, tok_a, e_, n_, v_a, k,
-                        rescore=args.rescore),
+                        rescore=args.rescore, select=args.select),
                     tokens, t_mask, valid, *pack[1:],
                 )
             print(f"{label} vs exact [{args.dtype}]: "

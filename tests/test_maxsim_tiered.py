@@ -436,3 +436,89 @@ def test_store_scan_dtype_auto_resolution():
         TokenStoreConfig(scan_dtype="fp8")
     with pytest.raises(InvalidConfigError):
         TokenStoreConfig(scan="clustered")
+
+
+# ---------------------------------------------------------------------------
+# approx candidate selection (the corpus-scale tail: approx_max_k +
+# scatter-free fail-closed exclusion threshold instead of the full
+# [B, width] sort the exact top-(C+1) lowers to at 100k-1M chunks)
+# ---------------------------------------------------------------------------
+
+
+def run_scan16_approx(tokens, t_mask, q, q_mask, valid, k, rescore,
+                      block=128):
+    td = jnp.asarray(tokens)
+    pack = prepare_maxsim_scan16(td, jnp.asarray(t_mask))
+    return maxsim_topk_scan16(
+        *to_dev(q, q_mask), td, jnp.asarray(t_mask), *pack,
+        jnp.asarray(valid), k, rescore, block, select="approx"
+    )
+
+
+def run_fused_approx(tokens, t_mask, q, q_mask, valid, k, rescore,
+                     block=128):
+    td = jnp.asarray(tokens)
+    pack = prepare_maxsim_scan16(td, jnp.asarray(t_mask))
+    return maxsim_topk_scan16_fused(
+        *to_dev(q, q_mask), td, jnp.asarray(t_mask), *pack,
+        jnp.asarray(valid), k, rescore, interpret=True, select="approx"
+    )
+
+
+@pytest.mark.parametrize("runner", [run_scan16_approx, run_fused_approx],
+                         ids=["bf16", "fused"])
+def test_approx_select_certified_matches_oracle(runner):
+    tokens, t_mask, q, q_mask, valid = build(400, 6, 32, 4, 5, seed=7)
+    s_t, r_t, cert = runner(tokens, t_mask, q, q_mask, valid, 8, 128)
+    s_o, r_o = maxsim_scan_oracle(q, q_mask, tokens, t_mask, valid, 8)
+    cert = np.asarray(cert)
+    assert cert.any(), "approx selection must still certify on random data"
+    for i in np.flatnonzero(cert):
+        np.testing.assert_array_equal(np.asarray(r_t)[i], r_o[i])
+        finite = np.isfinite(s_o[i])
+        np.testing.assert_allclose(
+            np.asarray(s_t)[i][finite], s_o[i][finite], atol=1e-5, rtol=1e-5
+        )
+
+
+def test_approx_select_tombstones_stay_excluded():
+    """Invalid (-inf bound) chunks must never be resurrected by the
+    approx rescore, certified or not — approx_max_k returns raw
+    positions, so the tail re-sentinels them."""
+    tokens, t_mask, q, q_mask, valid = build(200, 4, 16, 3, 3, seed=11)
+    valid = valid.copy()
+    dead = np.arange(0, 200, 3)
+    valid[dead] = False
+    _, r_t, _ = run_scan16_approx(tokens, t_mask, q, q_mask, valid, 6, 32)
+    r_t = np.asarray(r_t)
+    assert not np.isin(r_t[r_t >= 0], dead).any()
+
+
+def test_approx_select_short_allowed_set_certifies():
+    """When the allowed set is smaller than the candidate width the
+    count trick always fails (+inf at a -inf boundary) — the
+    completeness certificate (every finite bound selected, distinct)
+    must restore the exact path's certified-short-result semantics."""
+    tokens, t_mask, q, q_mask, valid = build(300, 4, 16, 2, 3, seed=13)
+    valid = np.zeros_like(valid)
+    allowed = np.array([5, 77, 123, 250])
+    valid[allowed] = True
+    s_t, r_t, cert = run_scan16_approx(tokens, t_mask, q, q_mask, valid, 6, 64)
+    assert np.asarray(cert).all()
+    s_o, r_o = maxsim_scan_oracle(q, q_mask, tokens, t_mask, valid, 6)
+    np.testing.assert_array_equal(np.asarray(r_t), r_o)
+    # exactly the 4 allowed rows, then -1 sentinels
+    assert set(np.asarray(r_t)[0][:4]) == set(allowed.tolist())
+    assert (np.asarray(r_t)[:, 4:] == -1).all()
+
+
+def test_resolve_select_auto_thresholds():
+    from trueno_rag_tpu.ops.maxsim import _resolve_select
+
+    assert _resolve_select("auto", 1_000_000, 1024) == "approx"
+    assert _resolve_select("auto", 1000, 128) == "exact"  # small corpus
+    assert _resolve_select("auto", 50_000, 50_000) == "exact"  # c_n >= n-1
+    assert _resolve_select("exact", 1_000_000, 1024) == "exact"
+    assert _resolve_select("approx", 1000, 128) == "approx"
+    with pytest.raises(InvalidConfigError):
+        _resolve_select("fast", 1000, 128)

@@ -356,7 +356,9 @@ def _maxsim_bound_block(
     return u
 
 
-@functools.partial(jax.jit, static_argnames=("k", "rescore", "bound_block"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "rescore", "bound_block", "select")
+)
 def maxsim_topk_pruned(
     q_tok: jax.Array,  # [B, Lq, H] f32
     q_mask: jax.Array,  # [B, Lq] bool
@@ -369,6 +371,7 @@ def maxsim_topk_pruned(
     k: int,
     rescore: int = 128,
     bound_block: int = 4096,
+    select: str = "auto",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Certified centroid-pruned MaxSim top-k →
     ``(scores [B,k], rows [B,k], certified [B] bool)``.
@@ -432,8 +435,29 @@ def maxsim_topk_pruned(
 
     # -- select by bound, rescore exactly, certify (shared tail) --------
     return _select_rescore_certify(
-        q_tok, q_mask, tokens, t_mask, u, k, c_n
+        q_tok, q_mask, tokens, t_mask, u, k, c_n, select
     )
+
+
+# exact candidate selection gathers min(C+1, N/128)·128 candidate
+# columns and lowers their final top-k to a FULL [B, width] device sort
+# (~131k wide at rescore=1024 — the dominant tail cost at corpus
+# scale); above this corpus size "auto" switches to the fail-closed
+# approx selection instead
+_APPROX_SELECT_MIN_N = 32_768
+
+
+def _resolve_select(select: str, n: int, c_n: int) -> str:
+    """``auto`` → ``approx`` only where the exact tail's sort width is
+    the measured problem and approximation has room to miss (c_n+1 < n;
+    at c_n ≥ n nothing is excluded and exact is free)."""
+    if select == "auto":
+        return "approx" if (c_n + 1 < n and n > _APPROX_SELECT_MIN_N) else "exact"
+    if select not in ("exact", "approx"):
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(f"unknown select mode: {select!r}")
+    return select
 
 
 def _select_rescore_certify(
@@ -444,15 +468,16 @@ def _select_rescore_certify(
     u: jax.Array,  # [B, N] f32 — SOUND per-chunk upper bounds (-inf = excluded)
     k: int,
     c_n: int,  # candidate width (≤ N)
+    select: str = "exact",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Shared tail of every bound-ranked MaxSim tier: exact top-(C+1)
-    selection by bound (the (C+1)-th bound is the exclusion threshold —
-    fail-closed by construction), exact rescore of the gathered
-    candidate token slabs, and the certificate ``kth > threshold``.
-    ``isneginf(threshold)`` certifies short corpora where nothing was
-    excluded at all."""
+    """Shared tail of every bound-ranked MaxSim tier: top-(C+1)
+    selection by bound (the exclusion threshold covers every chunk NOT
+    rescored — fail-closed by construction), exact rescore of the
+    gathered candidate token slabs, and the certificate
+    ``kth > threshold``. ``isneginf(threshold)`` certifies short
+    corpora where nothing was excluded at all."""
     top_s, rows, kth, threshold = _select_rescore_threshold(
-        q_tok, q_mask, tokens, t_mask, u, k, c_n
+        q_tok, q_mask, tokens, t_mask, u, k, c_n, select
     )
     certified = (kth > threshold) | jnp.isneginf(threshold)
     return top_s, rows, certified
@@ -466,6 +491,7 @@ def _select_rescore_threshold(
     u: jax.Array,
     k: int,
     c_n: int,
+    select: str = "exact",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Body of :func:`_select_rescore_certify` returning the raw
     certificate operands → ``(top_s [B,k], rows [B,k], kth [B],
@@ -473,16 +499,48 @@ def _select_rescore_threshold(
     (global certificate = merged kth vs max-over-shards threshold)."""
     b = u.shape[0]
     n = u.shape[1]
-    sel = min(c_n + 1, n)
-    u_top, cand = blockwise_topk(u, sel)
-    threshold = u_top[:, c_n] if sel > c_n else jnp.full((b,), NEG_INF)
-    cand = cand[:, :c_n]
+    select = _resolve_select(select, n, c_n)
+    if select == "approx":
+        # approx_max_k + the scatter-free masked-max exclusion bound
+        # (ops/dense_tiered._topk_select): the threshold is computed
+        # from the ACTUAL selected set, so a selection miss only RAISES
+        # it (+inf at any boundary tie or duplicate index) and the
+        # certificate fails closed — never a wrong certified result.
+        from trueno_rag_tpu.ops.dense_tiered import _topk_select
+
+        cand, threshold = _topk_select(u, c_n, approx=True)
+        # approx indices are raw positions: re-sentinel invalid (-inf
+        # bound) chunks so tombstoned/tag-filtered rows cannot be
+        # resurrected by the rescore
+        uv = jnp.take_along_axis(u, cand, axis=1)
+        cand = jnp.where(jnp.isneginf(uv), -1, cand)
+        # short-allowed-set certificate: _topk_select's count trick
+        # always fails (+inf) when the selection boundary sits in the
+        # -inf mass — exactly the selective-tag-filter / short-corpus
+        # regime the exact path certifies with a -inf threshold. If
+        # every finite bound was selected (distinctly), nothing finite
+        # was excluded, so max(excluded) = -inf rigorously.
+        n_fin = jnp.sum(jnp.isfinite(u), axis=1)
+        s_fin = jnp.sum(cand >= 0, axis=1)
+    else:
+        sel = min(c_n + 1, n)
+        u_top, cand = blockwise_topk(u, sel)
+        threshold = u_top[:, c_n] if sel > c_n else jnp.full((b,), NEG_INF)
+        cand = cand[:, :c_n]
 
     # ascending-row candidate order so lax.top_k's lower-index tie
     # preference yields the framework's (score desc, row asc) order —
     # -1 sentinels sort first and carry -inf scores, so they are only
     # ever selected when fewer than k real candidates exist
     cand = jax.lax.sort(cand, dimension=1)
+    if select == "approx":
+        # a duplicated approx index must not occupy two result slots
+        # (the threshold above is already +inf in that case — the query
+        # is uncertified — but the returned rows stay well-formed)
+        dup = (cand[:, 1:] == cand[:, :-1]) & (cand[:, 1:] >= 0)
+        cand = cand.at[:, 1:].set(jnp.where(dup, -1, cand[:, 1:]))
+        complete = (s_fin == n_fin) & ~jnp.any(dup, axis=1)
+        threshold = jnp.where(complete, NEG_INF, threshold)
 
     # -- exact rescore of the gathered token slabs ---------------------
     safe = jnp.maximum(cand, 0)
@@ -709,6 +767,7 @@ def maxsim_topk_scan16(
     k: int,
     rescore: int = 1024,
     block: int = 1024,
+    select: str = "auto",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Certified bf16-scan MaxSim top-k →
     ``(scores [B,k], rows [B,k], certified [B] bool)``.
@@ -735,38 +794,43 @@ def maxsim_topk_scan16(
     if tok16 is tokens:
         return _maxsim_topk_self16(
             q_tok, q_mask, tokens, t_mask, e_max, n_max, valid,
-            k=k, rescore=rescore, block=block,
+            k=k, rescore=rescore, block=block, select=select,
         )
     return _maxsim_topk_scan16_two(
         q_tok, q_mask, tokens, t_mask, tok16, e_max, n_max, valid,
-        k=k, rescore=rescore, block=block,
+        k=k, rescore=rescore, block=block, select=select,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "rescore", "block"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "rescore", "block", "select")
+)
 def _maxsim_topk_self16(
-    q_tok, q_mask, tokens, t_mask, e_max, n_max, valid, k, rescore, block
+    q_tok, q_mask, tokens, t_mask, e_max, n_max, valid, k, rescore, block,
+    select,
 ):
     return _scan16_xla_body(
         q_tok, q_mask, tokens, t_mask, tokens, e_max, n_max, valid,
-        k, rescore, block,
+        k, rescore, block, select,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "rescore", "block"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "rescore", "block", "select")
+)
 def _maxsim_topk_scan16_two(
     q_tok, q_mask, tokens, t_mask, tok16, e_max, n_max, valid, k, rescore,
-    block,
+    block, select,
 ):
     return _scan16_xla_body(
         q_tok, q_mask, tokens, t_mask, tok16, e_max, n_max, valid,
-        k, rescore, block,
+        k, rescore, block, select,
     )
 
 
 def _scan16_xla_body(
     q_tok, q_mask, tokens, t_mask, tok16, e_max, n_max, valid, k, rescore,
-    block,
+    block, select="auto",
 ):
     b, lq, h = q_tok.shape
     n = tokens.shape[0]
@@ -808,7 +872,7 @@ def _scan16_xla_body(
     if pad:
         u = u[:, :n]
     return _select_rescore_certify(
-        qv, q_mask, tokens, t_mask, u, k, min(rescore, n)
+        qv, q_mask, tokens, t_mask, u, k, min(rescore, n), select
     )
 
 
@@ -875,6 +939,7 @@ def maxsim_topk_scan16_fused(
     rescore: int = 1024,
     tile_n: int = 0,
     interpret: bool = False,
+    select: str = "auto",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Certified bf16-scan MaxSim top-k via the FUSED Pallas kernel →
     ``(scores [B,k], rows [B,k], certified [B] bool)``.
@@ -904,42 +969,46 @@ def maxsim_topk_scan16_fused(
         return _maxsim_topk_self16_fused(
             q_tok, q_mask, tokens, t_mask, e_max, n_max, valid,
             k=k, rescore=rescore, tile_n=tile_n, interpret=interpret,
+            select=select,
         )
     return _maxsim_topk_scan16_fused_two(
         q_tok, q_mask, tokens, t_mask, tok16, e_max, n_max, valid,
         k=k, rescore=rescore, tile_n=tile_n, interpret=interpret,
+        select=select,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "rescore", "tile_n", "interpret")
+    jax.jit,
+    static_argnames=("k", "rescore", "tile_n", "interpret", "select"),
 )
 def _maxsim_topk_self16_fused(
     q_tok, q_mask, tokens, t_mask, e_max, n_max, valid, k, rescore, tile_n,
-    interpret,
+    interpret, select,
 ):
     return _scan16_fused_body(
         q_tok, q_mask, tokens, t_mask, tokens, e_max, n_max, valid,
-        k, rescore, tile_n, interpret,
+        k, rescore, tile_n, interpret, select,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "rescore", "tile_n", "interpret")
+    jax.jit,
+    static_argnames=("k", "rescore", "tile_n", "interpret", "select"),
 )
 def _maxsim_topk_scan16_fused_two(
     q_tok, q_mask, tokens, t_mask, tok16, e_max, n_max, valid, k, rescore,
-    tile_n, interpret,
+    tile_n, interpret, select,
 ):
     return _scan16_fused_body(
         q_tok, q_mask, tokens, t_mask, tok16, e_max, n_max, valid,
-        k, rescore, tile_n, interpret,
+        k, rescore, tile_n, interpret, select,
     )
 
 
 def _scan16_fused_body(
     q_tok, q_mask, tokens, t_mask, tok16, e_max, n_max, valid, k, rescore,
-    tile_n, interpret,
+    tile_n, interpret, select="auto",
 ):
     from trueno_rag_tpu.ops.pallas.maxsim_scan import maxsim_scan16_scores
 
@@ -953,11 +1022,13 @@ def _scan16_fused_body(
     w_bc = _scan16_fused_widths(a_c, c1, q_w, e_max, n_max, h, lq)
     u = s16k + w_bc  # -inf + finite widening stays -inf
     return _select_rescore_certify(
-        qv, q_mask, tokens, t_mask, u, k, min(rescore, n)
+        qv, q_mask, tokens, t_mask, u, k, min(rescore, n), select
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "rescore", "block"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "rescore", "block", "select")
+)
 def maxsim_topk_int8(
     q_tok: jax.Array,  # [B, Lq, H] f32
     q_mask: jax.Array,  # [B, Lq] bool
@@ -971,6 +1042,7 @@ def maxsim_topk_int8(
     k: int,
     rescore: int = 1024,
     block: int = 512,
+    select: str = "auto",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Certified int8-scan MaxSim top-k →
     ``(scores [B,k], rows [B,k], certified [B] bool)`` — the 1 B/elem
@@ -1053,12 +1125,13 @@ def maxsim_topk_int8(
     if pad:
         u = u[:, :n]
     return _select_rescore_certify(
-        qv, q_mask, tokens, t_mask, u, k, min(rescore, n)
+        qv, q_mask, tokens, t_mask, u, k, min(rescore, n), select
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "rescore", "tile_n", "interpret")
+    jax.jit,
+    static_argnames=("k", "rescore", "tile_n", "interpret", "select"),
 )
 def maxsim_topk_int8_fused(
     q_tok: jax.Array,  # [B, Lq, H] f32
@@ -1074,6 +1147,7 @@ def maxsim_topk_int8_fused(
     rescore: int = 1024,
     tile_n: int = 0,
     interpret: bool = False,
+    select: str = "auto",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Certified int8-scan MaxSim top-k via the FUSED Pallas kernel →
     ``(scores [B,k], rows [B,k], certified [B] bool)`` — the 1 B/elem
@@ -1110,7 +1184,7 @@ def maxsim_topk_int8_fused(
     ) * jnp.float32(_BOUND_SLACK) + jnp.float32(_BOUND_EPS)
     u = s8 + w_bc
     return _select_rescore_certify(
-        qv, q_mask, tokens, t_mask, u, k, min(rescore, n)
+        qv, q_mask, tokens, t_mask, u, k, min(rescore, n), select
     )
 
 

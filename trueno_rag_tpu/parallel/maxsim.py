@@ -151,7 +151,8 @@ def _sharded_maxsim_tagged_fn(mesh, axis, k, block):
 
 @functools.lru_cache(maxsize=64)
 def _sharded_maxsim_fused_fn(mesh, axis, k, rescore, tile_n, interpret,
-                             has_tags, self_replica=False):
+                             has_tags, self_replica=False,
+                             select="auto"):
     """One jitted program per static config (recompile rationale as
     _sharded_maxsim_fn). Local work per shard: the fused Pallas bf16
     scan (ops/pallas/maxsim_scan.py) over the shard's replica, bound
@@ -188,7 +189,7 @@ def _sharded_maxsim_fused_fn(mesh, axis, k, rescore, tile_n, interpret,
             )
             u = jnp.where(allowed, u, NEG_INF)
         top_s, rows, _kth, thr = _select_rescore_threshold(
-            qv, qm, tok, tm, u, k, min(rescore, n_loc)
+            qv, qm, tok, tm, u, k, min(rescore, n_loc), select
         )
         shard = jax.lax.axis_index(axis)
         r_glob = jnp.where(rows >= 0, rows + shard * n_loc, _I32_MAX)
@@ -235,6 +236,7 @@ def sharded_maxsim_topk_scan16_fused(
     tile_n: int = 0,
     interpret: bool = False,
     tags: Optional[Tuple[jax.Array, ...]] = None,
+    select: str = "auto",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Certified bf16-tier MaxSim top-k over a row-sharded token corpus
     via the fused kernel → ``(scores [B,k], rows [B,k] GLOBAL ids,
@@ -253,7 +255,7 @@ def sharded_maxsim_topk_scan16_fused(
         args += list(tags)
     return _sharded_maxsim_fused_fn(
         mesh, axis, k, rescore, tile_n, interpret, tags is not None,
-        self_replica,
+        self_replica, select,
     )(*args)
 
 
