@@ -439,20 +439,18 @@ def maxsim_topk_pruned(
     )
 
 
-# exact candidate selection gathers min(C+1, N/128)·128 candidate
-# columns and lowers their final top-k to a FULL [B, width] device sort
-# (~131k wide at rescore=1024 — the dominant tail cost at corpus
-# scale); above this corpus size "auto" switches to the fail-closed
-# approx selection instead
-_APPROX_SELECT_MIN_N = 32_768
-
-
 def _resolve_select(select: str, n: int, c_n: int) -> str:
-    """``auto`` → ``approx`` only where the exact tail's sort width is
-    the measured problem and approximation has room to miss (c_n+1 < n;
-    at c_n ≥ n nothing is excluded and exact is free)."""
+    """``auto`` → ``exact``, always — MEASURED at 1M x 32 x 128 on v5e
+    (2026-08-19): the approx tail saved only 1.2 ms of the fused tier's
+    29 ms (the exact top-(C+1)'s full [B, 131k] sort is NOT the
+    dominant cost; the bound kernel is), while certification collapsed
+    8/8 → 1/8 — approx_max_k's ~0.99 recall over C=1024 entries almost
+    always misses a few, and every miss rightly fails the count-trick
+    threshold closed. ``approx`` stays available explicitly for
+    small-C/latency-over-certainty configs, where a fallback exact
+    rescan is acceptable."""
     if select == "auto":
-        return "approx" if (c_n + 1 < n and n > _APPROX_SELECT_MIN_N) else "exact"
+        return "exact"
     if select not in ("exact", "approx"):
         from trueno_rag_tpu.errors import InvalidConfigError
 
