@@ -30,6 +30,12 @@ def main() -> None:
     p.add_argument("--lq", type=int, default=8)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--tiles", default="0,128,256")
+    p.add_argument("--v2", action="store_true",
+                   help="time the v2 kernels instead: [B·Lq, tile·Lt] "
+                        "orientation, bias-add mask, l-major slice max "
+                        "(self: in-kernel transpose of primary layout)")
+    p.add_argument("--groups", default="256",
+                   help="v2 group sizes to sweep")
     p.add_argument("--int8", action="store_true")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -137,6 +143,46 @@ def main() -> None:
               f"({bytes_ / (ms * 1e-3) / 1e9:.0f} GB/s replica stream)",
               flush=True)
         return ms
+
+    if args.v2:
+        from trueno_rag_tpu.ops.maxsim import (
+            prepare_maxsim_bias_l,
+            prepare_maxsim_scan16_opt,
+        )
+        from trueno_rag_tpu.ops.pallas.maxsim_scan import (
+            maxsim_scan16_scores_self_v2,
+            maxsim_scan16_scores_v2,
+        )
+
+        for g_s in args.groups.split(","):
+            g = int(g_s)
+            bias_l = jax.block_until_ready(prepare_maxsim_bias_l(t_mask, g))
+            timed(
+                f"v2 self-primary bound pass [group={g}]",
+                lambda qq, tok_a, bias_a, v_a, _g=g: (
+                    maxsim_scan16_scores_self_v2(
+                        qq.astype(jnp.bfloat16), tok_a, bias_a, v_a, group=_g)
+                ),
+                tokens, bias_l, valid,
+            )
+            bias_l.delete()
+            if n * lt * h * 2 * 2 < 12 * 2**30:  # opt replica = 2nd corpus
+                pack = tuple(jax.block_until_ready(a) for a in
+                             prepare_maxsim_scan16_opt(tokens, t_mask, g))
+                tok_l, bias_o = pack[0], pack[1]
+                lt_p = tok_l.shape[0] // ((-(-n // g)) * g)
+                timed(
+                    f"v2 opt-layout bound pass [group={g}]",
+                    lambda qq, tl_a, bias_a, v_a, _g=g, _lt=lt_p: (
+                        maxsim_scan16_scores_v2(
+                            qq.astype(jnp.bfloat16), tl_a, bias_a, v_a,
+                            lt=_lt, group=_g)
+                    ),
+                    tok_l, bias_o, valid,
+                )
+                for a in pack:
+                    a.delete()
+        return
 
     for t_s in args.tiles.split(","):
         t = int(t_s)

@@ -524,3 +524,59 @@ def test_resolve_select_auto_thresholds():
     assert _resolve_select("approx", 1000, 128) == "approx"
     with pytest.raises(InvalidConfigError):
         _resolve_select("fast", 1000, 128)
+
+
+# ---------------------------------------------------------------------------
+# v2 bound-pass kernels (measured DEAD END at 1M on v5e: 43.4 ms vs
+# v1's 26.5 — the in-kernel transpose + Lt-unrolled lane-slice max is
+# the per-position-slicing pattern maxsim_scan.py warns about; kept
+# parity-tested like ops/pallas/bm25_fetch)
+# ---------------------------------------------------------------------------
+
+
+def test_v2_bound_pass_parity_with_v1():
+    from trueno_rag_tpu.ops.maxsim import (
+        prepare_maxsim_bias_l,
+        prepare_maxsim_scan16_opt,
+    )
+    from trueno_rag_tpu.ops.pallas.maxsim_scan import (
+        maxsim_scan16_scores,
+        maxsim_scan16_scores_self_v2,
+        maxsim_scan16_scores_v2,
+    )
+
+    rng = np.random.default_rng(3)
+    n, lt, h, b, lq = 600, 4, 32, 3, 5
+    tok = rng.normal(size=(n, lt, h)).astype(np.float32)
+    tok /= np.linalg.norm(tok, axis=2, keepdims=True)
+    lens = rng.integers(1, lt + 1, size=n)
+    lens[7] = 0  # an empty chunk must score exactly 0
+    tm = np.arange(lt)[None, :] < lens[:, None]
+    valid = np.ones(n, bool)
+    valid[3] = False
+    q = rng.normal(size=(b, lq, h)).astype(np.float32)
+    qm = np.arange(lq)[None, :] < rng.integers(1, lq + 1, size=b)[:, None]
+
+    tok16 = jnp.asarray(tok).astype(jnp.bfloat16)
+    q16 = jnp.where(
+        jnp.asarray(qm)[:, :, None], jnp.asarray(q), 0.0
+    ).astype(jnp.bfloat16)
+    tmj, vj = jnp.asarray(tm), jnp.asarray(valid)
+
+    s1 = np.asarray(
+        maxsim_scan16_scores(q16, tok16, tmj, vj, interpret=True)
+    )
+    tok_l, bias_l, _e, _n = prepare_maxsim_scan16_opt(tok16, tmj, group=256)
+    lt_p = tok_l.shape[0] // ((-(-n // 256)) * 256)
+    s2 = np.asarray(maxsim_scan16_scores_v2(
+        q16, tok_l, bias_l, vj, lt=lt_p, group=256, interpret=True
+    ))
+    s3 = np.asarray(maxsim_scan16_scores_self_v2(
+        q16, tok16, prepare_maxsim_bias_l(tmj, 256), vj,
+        group=256, interpret=True,
+    ))
+    fin = np.isfinite(s1)
+    assert (np.isfinite(s2) == fin).all() and (np.isfinite(s3) == fin).all()
+    assert s1[0, 7] == 0.0 and s2[0, 7] == 0.0 and s3[0, 7] == 0.0
+    np.testing.assert_allclose(s2[fin], s1[fin], atol=2e-6, rtol=1e-6)
+    np.testing.assert_allclose(s3[fin], s1[fin], atol=2e-6, rtol=1e-6)

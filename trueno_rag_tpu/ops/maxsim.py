@@ -714,6 +714,61 @@ def prepare_maxsim_self16(tokens: jax.Array, t_mask: jax.Array,
     return jnp.zeros_like(n_max), n_max
 
 
+@functools.partial(jax.jit, static_argnames=("group",))
+def prepare_maxsim_bias_l(t_mask: jax.Array, group: int = 256):
+    """l-major grouped mask bias for the v2 bound-pass kernels →
+    ``[Gp·Lt·group] f32`` (0 at valid tokens, -2^30 at padding; rows
+    beyond N are all-bias). Tiny next to the corpus (4·N·Lt bytes), so
+    the zero-copy tier's only extra HBM. The caller's ``Lt`` must keep
+    ``(group·Lt) % 1024 == 0`` (Lt % 4 at the default group) — the
+    kernels' 1-D block alignment rule."""
+    from trueno_rag_tpu.ops.pallas.maxsim_scan import _MASK_BIAS
+
+    n, lt = t_mask.shape
+    gp = max(-(-n // group), 1)
+    m = t_mask
+    if gp * group != n:
+        m = jnp.pad(t_mask, ((0, gp * group - n), (0, 0)))
+    bias = jnp.where(m, 0.0, jnp.float32(_MASK_BIAS))
+    return jnp.transpose(bias.reshape(gp, group, lt), (0, 2, 1)).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "slab"))
+def prepare_maxsim_scan16_opt(tokens: jax.Array, t_mask: jax.Array,
+                              group: int = 256, slab: int = 8192):
+    """Pack the bf16 tier for the v2 kernel's l-major-grouped layout →
+    ``(tok_l [Gp·Lt_p·group, H] bf16, bias_l [Gp·Lt_p·group] f32,
+    e_max [N] f32, n_max [N] f32)`` with ``Lt_p = Lt`` rounded up to a
+    multiple of 4 (the 1-D block alignment rule at the default group).
+
+    Within each ``group``-chunk tile the replica stores token position
+    l MAJOR, so the kernel's per-chunk max is Lt contiguous lane-slices
+    instead of a sublane-group reduce over a lane-padded buffer
+    (ops/pallas/maxsim_scan.py's v2 note). Peak prep memory is ~2
+    replica copies beyond the primary (pad + transpose) — for bf16
+    primaries use :func:`prepare_maxsim_self16` + the zero-copy v2
+    kernel instead."""
+    n, lt = t_mask.shape
+    lt_p = -(-lt // 4) * 4
+    tok16, e_max, n_max = _slabbed_prep(_scan16_slab, tokens, t_mask, slab)
+    gp = max(-(-n // group), 1)
+    m = t_mask
+    if gp * group != n or lt_p != lt:
+        tok16 = jnp.pad(
+            tok16, ((0, gp * group - n), (0, lt_p - lt), (0, 0))
+        )
+        m = jnp.pad(t_mask, ((0, gp * group - n), (0, lt_p - lt)))
+    h = tokens.shape[2]
+    tok_l = jnp.transpose(
+        tok16.reshape(gp, group, lt_p, h), (0, 2, 1, 3)
+    ).reshape(gp * lt_p * group, h)
+    from trueno_rag_tpu.ops.pallas.maxsim_scan import _MASK_BIAS
+
+    bias = jnp.where(m, 0.0, jnp.float32(_MASK_BIAS))
+    bias_l = jnp.transpose(bias.reshape(gp, group, lt_p), (0, 2, 1)).reshape(-1)
+    return tok_l, bias_l, e_max, n_max
+
+
 @functools.partial(jax.jit, static_argnames=("slab",))
 def prepare_maxsim_int8(tokens: jax.Array, t_mask: jax.Array,
                         slab: int = 8192):

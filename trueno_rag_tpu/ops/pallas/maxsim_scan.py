@@ -394,3 +394,217 @@ def maxsim_scan_int8_scores(
     s = slabs[0] if len(slabs) == 1 else jnp.concatenate(slabs, axis=0)
     s = s[:b, :n] if (tail is not None or b_pad != b) else s
     return jnp.where(valid[None, :], s, NEG_INF)
+
+
+# ---------------------------------------------------------------------------
+# v2 bound-pass kernel: interaction oriented [B·Lq, tile·Lt]
+# ---------------------------------------------------------------------------
+#
+# MEASURED DEAD END (kept parity-tested, like ops/pallas/bm25_fetch):
+# 43.4 ms at 1M x 32 x 128 on v5e vs v1's 26.5, and an ~8-minute first
+# compile (2026-08-19, benches/maxsim_kernel_bench.py --v2). The theory
+# was sound-looking: v1's interaction sits [tile·Lt, B·Lq] with B·Lq on
+# LANES (padded to 128 — 2x waste at the serving shape B·Lq = 64), so
+# flipping to [B·Lq, tile·Lt] (B·Lq on sublanes, 8-mult) with an
+# l-MAJOR replica layout turns the per-chunk token max into Lt
+# contiguous lane-slices and folds the mask in as a prepared f32 bias
+# (0 valid / -2^30 padding — adding 0.0 is exact, so the tier bound
+# transfers unchanged). In practice the Lt-unrolled slice/max chain is
+# the same program shape as the per-position slicing the v1 note warns
+# about, and Mosaic lowers it far slower than v1's single sublane-group
+# reduce. v1's 26.5 ms is also NOT VMEM-bound as the pass-count model
+# assumed — it is flat across tile_n 128/256 and survives this 2x
+# traffic increase, so the binding constraint is the lowered op
+# schedule, not bytes. Don't retry an orientation flip without
+# evidence Mosaic lowers lane-sliced max chains as full-rate vector
+# ops.
+#
+# Two input layouts share the kernel body:
+# - "opt": the replica was PREPARED l-major-grouped
+#   (ops/maxsim.prepare_maxsim_scan16_opt) — zero in-kernel work;
+# - "primary": the tile arrives [group, Lt, H] straight from primary
+#   storage (the bf16 zero-copy tier) and one in-kernel leading-axes
+#   swap re-lays it (~1 extra VMEM pass, still well under v1's 3).
+
+_MASK_BIAS = -(2.0 ** 30)
+
+
+def _maxsim_scan16_v2_kernel(
+    q_ref,  # [B·Lq, H] bf16 — b-major flat query tokens, padding zeroed
+    tok_ref,  # "opt": [group·Lt, H] l-major | "primary": [group, Lt, H]
+    bias_ref,  # [Lt·group] f32 l-major — 0 valid / -2^30 padding token
+    out_ref,  # [B, group] f32
+    *,
+    b: int,
+    lq: int,
+    lt: int,
+    group: int,
+):
+    tok = tok_ref[:]
+    if tok.ndim == 3:  # primary layout: [group, Lt, H] → l-major flat
+        h = tok.shape[2]
+        tok = jnp.swapaxes(tok, 0, 1).reshape(lt * group, h)
+    sims = jax.lax.dot_general(
+        q_ref[:],
+        tok,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B·Lq, Lt·group]
+    best = None
+    for l in range(lt):
+        sl = sims[:, l * group : (l + 1) * group] + (
+            bias_ref[l * group : (l + 1) * group][None, :]
+        )
+        best = sl if best is None else jnp.maximum(best, sl)
+    # empty chunks (every token masked) sit at ~-2^30 — reset to the
+    # exact-0 empty score; real maxima are bounded by norm products
+    # far above -2^29 (zeroed padding query rows max to exactly 0)
+    best = jnp.where(best > -(2.0 ** 29), best, 0.0)
+    bl = b * lq
+    row = jax.lax.broadcasted_iota(jnp.int32, (b, bl), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, bl), 1)
+    sel = (col // lq == row).astype(jnp.float32)  # [B, B·Lq]
+    out_ref[:, :] = jax.lax.dot_general(
+        sel,
+        best,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        # HIGHEST for the same reason as _lq_sum: default f32 runs
+        # single-pass bf16 on the MXU and rounds `best` ~3e-3
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, group]
+
+
+def _v2_query_slab(b: int, lq: int, lt: int, group: int) -> int:
+    """Largest query-slab size whose [b_s·Lq, Lt·group] f32 interaction
+    stays within ~4 MiB of VMEM (the tile itself adds ~2-4 MiB and the
+    grid pipeline double-buffers the in-blocks)."""
+    budget = 4 * 2 ** 20
+    b_s = b
+    while b_s > 1 and b_s * lq * lt * group * 4 > budget:
+        b_s = -(-b_s // 2)
+    return b_s
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lt", "group", "interpret")
+)
+def maxsim_scan16_scores_v2(
+    q16: jax.Array,  # [B, Lq, H] bf16 (padding tokens zeroed)
+    tok_l: jax.Array,  # [Gp·Lt_p·group, H] bf16 l-major-grouped replica
+    bias_l: jax.Array,  # [Gp·Lt_p·group] f32 mask bias
+    valid: jax.Array,  # [N] bool
+    lt: int,  # PADDED token count Lt_p of the opt pack
+    group: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused bf16 MaxSim bound pass over an opt-layout replica →
+    ``[B, N]`` f32 (``-inf`` at invalid chunks). Scores are
+    bit-identical to :func:`maxsim_scan16_scores` over the same bf16
+    values (same dot program, exact 0.0 bias adds), so the fused tier's
+    certificate width transfers unchanged."""
+    b, lq, h = q16.shape
+    n = valid.shape[0]
+    flat = tok_l.shape[0]
+    gp = flat // (lt * group)
+    b_s = _v2_query_slab(b, lq, lt, group)
+
+    kern = pl.pallas_call(
+        functools.partial(
+            _maxsim_scan16_v2_kernel, b=b_s, lq=lq, lt=lt, group=group
+        ),
+        grid=(gp,),
+        in_specs=[
+            pl.BlockSpec((b_s * lq, h), lambda i: (0, 0)),
+            pl.BlockSpec((group * lt, h), lambda i: (i, 0)),
+            pl.BlockSpec((group * lt,), lambda i: (i,)),
+        ],
+        out_specs=pl.BlockSpec((b_s, group), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b_s, gp * group), jnp.float32),
+        interpret=interpret,
+    )
+
+    b_pad = -(-b // b_s) * b_s
+    qf = q16
+    if b_pad != b:
+        qf = jnp.pad(q16, ((0, b_pad - b), (0, 0), (0, 0)))
+    slabs = []
+    for i in range(b_pad // b_s):
+        q_i = qf[i * b_s : (i + 1) * b_s].reshape(b_s * lq, h)
+        slabs.append(kern(q_i, tok_l, bias_l))
+    s = slabs[0] if len(slabs) == 1 else jnp.concatenate(slabs, axis=0)
+    s = s[:b, :n]
+    return jnp.where(valid[None, :], s, NEG_INF)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def maxsim_scan16_scores_self_v2(
+    q16: jax.Array,  # [B, Lq, H] bf16 (padding tokens zeroed)
+    tokens: jax.Array,  # [N, Lt, H] bf16 PRIMARY storage (zero-copy)
+    bias_l: jax.Array,  # [Gp·Lt·group] f32 l-major mask bias (prepped)
+    valid: jax.Array,  # [N] bool
+    group: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Zero-copy sibling of :func:`maxsim_scan16_scores_v2`: the scan
+    streams PRIMARY bf16 storage in its native [N, Lt, H] layout (no
+    replica copy — XLA charges aliased parameters separately, the
+    self16 accounting note) and one in-kernel leading-axes swap
+    re-lays each tile l-major. Ragged corpora run full groups in place
+    plus one zero-padded tail dispatch (the bias is prepared padded, so
+    only the ≤ group-row token tail is copied)."""
+    b, lq, h = q16.shape
+    n, lt = tokens.shape[0], tokens.shape[1]
+    assert (group * lt) % 1024 == 0, "1-D bias block must align to T(1024)"
+    b_s = _v2_query_slab(b, lq, lt, group)
+
+    g0, rem = divmod(n, group)
+
+    def make_kernel(g, bias_at):
+        return pl.pallas_call(
+            functools.partial(
+                _maxsim_scan16_v2_kernel, b=b_s, lq=lq, lt=lt, group=group
+            ),
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec((b_s * lq, h), lambda i: (0, 0)),
+                pl.BlockSpec((group, lt, h), lambda i: (i, 0, 0)),
+                # the bias stays WHOLE (the prep pads it to Gp groups);
+                # main blocks index i < g0 and the tail pins group g0 —
+                # all in-bounds, no corpus-scale slice copies
+                pl.BlockSpec((group * lt,), bias_at),
+            ],
+            out_specs=pl.BlockSpec((b_s, group), lambda i: (0, i)),
+            out_shape=jax.ShapeDtypeStruct((b_s, g * group), jnp.float32),
+            interpret=interpret,
+        )
+
+    if rem:
+        # only the ≤ group-row token tail is sliced and zero-padded;
+        # the main grid reads the original array in place (in-bounds
+        # blocks need no divisibility of the array extent)
+        tok_t = jax.lax.dynamic_slice(
+            tokens, (g0 * group, 0, 0), (rem, lt, h)
+        )
+        tok_t = jnp.pad(tok_t, ((0, group - rem), (0, 0), (0, 0)))
+    k_main = make_kernel(g0, lambda i: (i,)) if g0 else None
+    k_tail = make_kernel(1, lambda i, _g=g0: (_g,)) if rem else None
+
+    b_pad = -(-b // b_s) * b_s
+    qf = q16
+    if b_pad != b:
+        qf = jnp.pad(q16, ((0, b_pad - b), (0, 0), (0, 0)))
+    slabs = []
+    for i in range(b_pad // b_s):
+        q_i = qf[i * b_s : (i + 1) * b_s].reshape(b_s * lq, h)
+        parts = []
+        if k_main is not None:
+            parts.append(k_main(q_i, tokens, bias_l))
+        if k_tail is not None:
+            parts.append(k_tail(q_i, tok_t, bias_l))
+        slabs.append(
+            parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        )
+    s = slabs[0] if len(slabs) == 1 else jnp.concatenate(slabs, axis=0)
+    s = s[:b, :n]
+    return jnp.where(valid[None, :], s, NEG_INF)
