@@ -152,3 +152,24 @@ def test_autotune_sweeps_probe_tiles_on_clustered_store():
 def test_autotune_skips_probe_sweep_on_plain_store(retriever):
     res = autotune_serving(retriever, k=3, batch_sizes=(1, 2), iters=1)
     assert res.probe_tiles is None and res.probe_table == []
+
+
+def test_calibration_sees_token_retriever_registry():
+    """LateInteractionRetriever exposes the store's registry so
+    calibration queries sample real corpus words (not the constant
+    fallback string)."""
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+    from trueno_rag_tpu.models.encoder import EncoderConfig
+    from trueno_rag_tpu.models.late_interaction import LateInteractionRetriever
+
+    r = LateInteractionRetriever(config=EncoderConfig.tiny(), max_len=8)
+    chunks = [
+        Chunk(document_id="d", content=f"quokka{i} marsupial habitat",
+              start_offset=0, end_offset=7, metadata=ChunkMetadata(),
+              id=chunk_id_from_int(i))
+        for i in range(6)
+    ]
+    r.index_batch(chunks)
+    assert r.registry is r.store.registry and len(r.registry) == 6
+    qs = calibration_queries(r, 4, seed=0)
+    assert any("quokka" in w for q in qs for w in q.split())

@@ -210,6 +210,13 @@ class LateInteractionRetriever:
             )
         self.store = TokenVectorStore(sc, registry=registry)
 
+    @property
+    def registry(self):
+        """The chunk registry (the store owns it) — exposed so registry
+        consumers like ``tune.calibration_queries`` sample real corpus
+        words instead of falling back to a constant string."""
+        return self.store.registry
+
     def _encode(self, texts: Sequence[str]):
         """texts → ``(tokens [B, T, H] f32, mask [B, T] bool)`` numpy.
         B is bucketed to a power of two to bound recompiles (T is
