@@ -61,6 +61,13 @@ def main() -> None:
     p.add_argument("--radius", action="store_true",
                    help="also certify the K-centroid radius tier (pulls "
                         "the token tensor to host: slow over the tunnel)")
+    p.add_argument("--skip-exact", action="store_true",
+                   help="skip the exact-scan timing (its first compile "
+                        "is ~8 min at 1M per new batch shape); tier "
+                        "ratios are then omitted")
+    p.add_argument("--only", default="",
+                   help="comma-list filter of tier labels to run "
+                        "(e.g. fused-bf16)")
     p.add_argument("--check", action="store_true",
                    help="oracle-check certified sets vs the exact scan")
     p.add_argument("--cpu", action="store_true")
@@ -224,13 +231,15 @@ def main() -> None:
               f"{b * lq / sorted(ts)[1]:.0f} qtok/s)", flush=True)
         return ms
 
-    exact_ms = timed(
-        f"exact scan [{args.dtype}]",
-        lambda qq, tok_a, tm_a, v_a: maxsim_scan_topk(
-            qq, q_mask, tok_a, tm_a, v_a, k, args.block),
-        tokens, t_mask, valid,
-    )
-    if args.dtype == "float32":
+    exact_ms = None
+    if not args.skip_exact:
+        exact_ms = timed(
+            f"exact scan [{args.dtype}]",
+            lambda qq, tok_a, tm_a, v_a: maxsim_scan_topk(
+                qq, q_mask, tok_a, tm_a, v_a, k, args.block),
+            tokens, t_mask, valid,
+        )
+    if args.dtype == "float32" and not args.skip_exact:
         # the bf16-storage lever: half the HBM stream, exact over the
         # stored bf16 values (the framework's storage-dtype contract)
         tokens16 = tokens.astype(jnp.bfloat16)
@@ -270,7 +279,10 @@ def main() -> None:
             packs.append(
                 ("fused-int8", prepare_maxsim_int8,
                  maxsim_topk_int8_fused))
+        only = {s for s in args.only.split(",") if s}
         for label, prep, op in packs:
+            if only and label not in only:
+                continue
             if label == "tiered-bf16" and args.dtype == "bfloat16":
                 continue  # same bytes as the exact scan — no tier
             owns_replica = True
@@ -321,8 +333,9 @@ def main() -> None:
                         rescore=args.rescore, select=args.select),
                     tokens, t_mask, valid, *pack[1:],
                 )
-            print(f"{label} vs exact [{args.dtype}]: "
-                  f"{exact_ms / t_ms:.2f}x", flush=True)
+            if exact_ms is not None:
+                print(f"{label} vs exact [{args.dtype}]: "
+                      f"{exact_ms / t_ms:.2f}x", flush=True)
             for a_ in (pack if owns_replica else pack[1:]):
                 a_.delete()  # free the replica before the next tier
     if args.pruned:
@@ -334,7 +347,9 @@ def main() -> None:
             ),
             tokens, t_mask, valid,
         )
-        print(f"token-pruned vs exact: {exact_ms / pruned_ms:.2f}x "
+        ratio = ("" if exact_ms is None
+                 else f"{exact_ms / pruned_ms:.2f}x ")
+        print(f"token-pruned vs exact: {ratio}"
               f"(certified {int(cert_np.sum())}/{b}; uncertified queries "
               f"re-run the exact scan in production)", flush=True)
 

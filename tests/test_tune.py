@@ -173,3 +173,52 @@ def test_calibration_sees_token_retriever_registry():
     assert r.registry is r.store.registry and len(r.registry) == 6
     qs = calibration_queries(r, 4, seed=0)
     assert any("quokka" in w for q in qs for w in q.split())
+
+
+def test_autotune_sweeps_token_rescore():
+    """A token retriever on a certified tier gets a rescore-budget
+    sweep; the winner installs into the store config and results stay
+    exact (fail-closed fallback) at every candidate."""
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+    from trueno_rag_tpu.index.token_store import TokenStoreConfig
+    from trueno_rag_tpu.models.encoder import EncoderConfig
+    from trueno_rag_tpu.models.late_interaction import LateInteractionRetriever
+
+    cfg = EncoderConfig.tiny()
+    r = LateInteractionRetriever(
+        config=cfg, max_len=8,
+        store_config=TokenStoreConfig(
+            hidden_dim=cfg.hidden_dim, max_tokens=8, scan="tiered",
+            scan_kernel="xla",
+        ),
+    )
+    chunks = [
+        Chunk(document_id="d", content=f"topic{i % 5} clause {i} of text",
+              start_offset=0, end_offset=5, metadata=ChunkMetadata(),
+              id=chunk_id_from_int(i))
+        for i in range(24)
+    ]
+    r.index_batch(chunks)
+    res = autotune_serving(r, k=3, batch_sizes=(1, 2), iters=1,
+                           rescore=(4, 8))
+    assert res.rescore in (4, 8)
+    assert [p.rescore for p in res.rescore_table] == [4, 8]
+    assert r.store.config.rescore == res.rescore
+    assert "rescore_table" in res.as_dict()
+
+
+def test_autotune_skips_rescore_on_exact_token_store():
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+    from trueno_rag_tpu.models.encoder import EncoderConfig
+    from trueno_rag_tpu.models.late_interaction import LateInteractionRetriever
+
+    cfg = EncoderConfig.tiny()
+    r = LateInteractionRetriever(config=cfg, max_len=8)
+    chunks = [
+        Chunk(document_id="d", content=f"item {i}", start_offset=0,
+              end_offset=4, metadata=ChunkMetadata(), id=chunk_id_from_int(i))
+        for i in range(6)
+    ]
+    r.index_batch(chunks)
+    res = autotune_serving(r, k=2, batch_sizes=(1,), iters=1)
+    assert res.rescore is None and res.rescore_table == []

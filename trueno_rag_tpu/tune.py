@@ -46,6 +46,15 @@ class ProbePoint:
 
 
 @dataclass
+class RescorePoint:
+    """One MaxSim-tier rescore-budget measurement."""
+
+    rescore: int
+    p50_ms: float
+    qps: float
+
+
+@dataclass
 class TuneResult:
     """Chosen serving parameters plus the full measurement table."""
 
@@ -54,6 +63,8 @@ class TuneResult:
     table: List[BatchPoint] = field(default_factory=list)
     probe_tiles: Optional[int] = None  # clustered stores only
     probe_table: List[ProbePoint] = field(default_factory=list)
+    rescore: Optional[int] = None  # token (MaxSim) tiered stores only
+    rescore_table: List[RescorePoint] = field(default_factory=list)
 
     def as_dict(self) -> dict:
         out = {
@@ -70,6 +81,13 @@ class TuneResult:
                 {"probe": p.probe_tiles, "p50_ms": round(p.p50_ms, 3),
                  "qps": round(p.qps, 1)}
                 for p in self.probe_table
+            ]
+        if self.rescore is not None:
+            out["rescore"] = self.rescore
+            out["rescore_table"] = [
+                {"rescore": p.rescore, "p50_ms": round(p.p50_ms, 3),
+                 "qps": round(p.qps, 1)}
+                for p in self.rescore_table
             ]
         return out
 
@@ -120,6 +138,7 @@ def autotune_serving(
     latency_budget_ms: Optional[float] = None,
     seed: int = 0,
     probe_tiles: Optional[Sequence[int]] = None,
+    rescore: Optional[Sequence[int]] = None,
 ) -> TuneResult:
     """Calibrate micro-batching for ``retriever`` by measurement.
 
@@ -134,6 +153,12 @@ def autotune_serving(
         budget are excluded (unless none fit, in which case the fastest
         point wins so the server still starts).
       seed: calibration query sampling seed.
+      probe_tiles: clustered-store probe budgets to sweep (default
+        (4, 8, 16, 32, 64); only when the store serves the clustered
+        tier).
+      rescore: MaxSim tiered-store rescore budgets to sweep (default
+        (64, 128, 256, 512, 1024), filtered to ≥ k; only when the
+        retriever's token store runs a certified tier).
 
     Returns a :class:`TuneResult`; ``max_wait_ms`` is set to ~30% of the
     chosen point's batch latency — waiting longer for stragglers than a
@@ -205,4 +230,48 @@ def autotune_serving(
         result.probe_tiles = win.probe_tiles
         result.probe_table = ptable
         result.max_wait_ms = 0.3 * win.p50_ms
+
+    # -- token (MaxSim) stores: sweep the rescore budget -----------------
+    # rescore trades the candidate-gather/rescore tail (B·rescore token
+    # slabs — the measured tail at 1M once the bound pass amortizes over
+    # the batch) against certification rate; uncertified queries re-run
+    # the exact scan, so results stay EXACT at any value and the knob is
+    # semantics-preserving. The fallback's cost is in the measured wall
+    # latency, which is why measurement picks the right budget for the
+    # live corpus.
+    tstore = getattr(retriever, "store", None)
+    tcfg = getattr(tstore, "config", None)
+    if (
+        tcfg is not None
+        and hasattr(tcfg, "rescore")
+        and getattr(tcfg, "scan", "") in ("tiered", "token")
+    ):
+        candidates = tuple(
+            r for r in (rescore or (64, 128, 256, 512, 1024)) if r >= k
+        ) or (k,)
+        rtable: List[RescorePoint] = []
+        original_r = tcfg.rescore
+        try:
+            for r in sorted(set(int(x) for x in candidates)):
+                tcfg.rescore = r
+                t = _measure(retriever, queries[: best.batch_size], k, iters)
+                rtable.append(
+                    RescorePoint(rescore=r, p50_ms=t * 1e3,
+                                 qps=best.batch_size / t)
+                )
+        except BaseException:
+            tcfg.rescore = original_r
+            raise
+        rfeasible = rtable
+        if latency_budget_ms is not None:
+            rfeasible = [x for x in rtable if x.p50_ms <= latency_budget_ms]
+            if not rfeasible:
+                rfeasible = [min(rtable, key=lambda x: x.p50_ms)]
+        # prefer the LARGER rescore on a throughput tie: more queries
+        # certify on-device, fewer ride the exact-scan fallback
+        rwin = max(rfeasible, key=lambda x: (x.qps, x.rescore))
+        tcfg.rescore = rwin.rescore
+        result.rescore = rwin.rescore
+        result.rescore_table = rtable
+        result.max_wait_ms = 0.3 * rwin.p50_ms
     return result
