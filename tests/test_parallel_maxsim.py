@@ -214,3 +214,32 @@ def test_sharded_tiered_from_store_matches_single_chip():
     s2, r2 = idx.search(q, None, k=8)
     np.testing.assert_array_equal(r1, r2)
     np.testing.assert_allclose(s1, s2, atol=1e-5, rtol=1e-5)
+
+
+def test_from_token_store_unnormalized_store_parity():
+    """A normalize=False store keeps RAW token values; the sharded
+    snapshot must serve them untouched (regression: from_token_store
+    passed tokens_normalized=store.config.normalize, silently
+    normalizing the corpus of a non-normalizing store)."""
+    rng = np.random.default_rng(11)
+    store = TokenVectorStore(
+        TokenStoreConfig(hidden_dim=8, max_tokens=3, normalize=False,
+                         initial_capacity=8)
+    )
+    for i in range(48):
+        # widely varying norms so normalization would visibly reorder
+        t = rng.standard_normal((3, 8)).astype(np.float32)
+        t *= float(rng.uniform(0.1, 10.0))
+        c = Chunk(document_id="d", content=f"c{i}", start_offset=0,
+                  end_offset=2, metadata=ChunkMetadata(title=""),
+                  id=chunk_id_from_int(i))
+        store.insert(c, t)
+    mesh = create_mesh(data=8, model=1)
+    idx = ShardedTokenIndex.from_token_store(store, mesh)
+    q = rng.standard_normal((2, 2, 8)).astype(np.float32)
+    s_sh, r_sh = idx.search(q, None, k=6)
+    s_1c, r_1c = store.search_arrays(q, None, 6)
+    np.testing.assert_array_equal(r_sh, r_1c)
+    finite = np.isfinite(s_1c)
+    np.testing.assert_allclose(s_sh[finite], s_1c[finite], atol=1e-5,
+                               rtol=1e-5)

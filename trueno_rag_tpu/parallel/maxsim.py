@@ -426,7 +426,13 @@ class ShardedTokenIndex:
             mesh,
             valid=store._valid,
             axis=axis,
-            tokens_normalized=store.config.normalize,
+            # the store's host rows are ALREADY exactly what should be
+            # served: normalized at insert when config.normalize, raw
+            # otherwise — never re-normalize a snapshot (passing
+            # store.config.normalize here silently normalized the
+            # corpus of a normalize=False store, breaking parity with
+            # the single-chip search)
+            tokens_normalized=True,
             tags=tags,
             block=block,
             storage_dtype=store.config.storage_dtype,
