@@ -9,6 +9,7 @@ device without id translation.
 
 from trueno_rag_tpu.index.base import ChunkRegistry, SparseIndex
 from trueno_rag_tpu.index.bm25 import BM25Index
+from trueno_rag_tpu.index.learned_sparse import LearnedSparseIndex
 from trueno_rag_tpu.index.token_store import TokenStoreConfig, TokenVectorStore
 from trueno_rag_tpu.index.vector_store import DistanceMetric, VectorStore, VectorStoreConfig
 
@@ -16,6 +17,7 @@ __all__ = [
     "ChunkRegistry",
     "SparseIndex",
     "BM25Index",
+    "LearnedSparseIndex",
     "VectorStore",
     "VectorStoreConfig",
     "DistanceMetric",

@@ -49,6 +49,12 @@ from trueno_rag_tpu.models.late_interaction import (
     late_interaction_scores,
     maxsim,
 )
+from trueno_rag_tpu.models.splade import (
+    SpladeEncoder,
+    SpladeRetriever,
+    init_splade_params,
+    splade_activations,
+)
 from trueno_rag_tpu.models.hf_import import load_hf_bert_encoder, load_hf_cross_encoder
 from trueno_rag_tpu.models.tokenization import WordPieceTokenizer
 
@@ -68,6 +74,10 @@ __all__ = [
     "LateInteractionRetriever",
     "late_interaction_scores",
     "maxsim",
+    "SpladeEncoder",
+    "SpladeRetriever",
+    "init_splade_params",
+    "splade_activations",
     "cross_encoder_scores",
     "init_cross_encoder_params",
     "load_hf_bert_encoder",

@@ -206,6 +206,93 @@ def bm25_topk_segments(
     return jax.vmap(one_query)(seg_starts, seg_lens)
 
 
+def pack_weighted_blocks(rows, weights) -> "jnp.ndarray":
+    """Host: pack LEARNED-SPARSE postings into the same [NB, 2,
+    BLOCK_LEN] block-table layout as :func:`pack_posting_blocks` —
+    lane 0 = row id as an f32 VALUE (exact below 2**24 rows), lane 1 =
+    the document-side term weight. Unlike BM25 the query side carries a
+    weight too, so the full contribution ``q_w · d_w`` is completed on
+    device by :func:`weighted_topk_blocks` (the query weight is a
+    per-slot scalar — it cannot be baked in at pack time).
+
+    The reference has no learned-sparse retrieval at all (its only
+    sparse path is BM25, index.rs:30-280); this layout exists because
+    the wide row-gather (~400 GB/s measured, pack_posting_blocks' note)
+    is the fastest posting fetch on this hardware and it is score-
+    model-agnostic: anything of the form Σ_t f(t)·g(t, d) rides it.
+    """
+    import numpy as np
+
+    rows = np.asarray(rows, dtype=np.int32)
+    p = len(rows)
+    if p and int(rows.max()) >= MAX_BLOCK_ROWS:
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(
+            "row ids exceed f32-exact range; shard the index instead"
+        )
+    w32 = np.asarray(weights, dtype=np.float32)
+    nb = p // BLOCK_LEN + 1  # trailing block = always-masked sentinel
+    table = np.zeros((nb, 2, BLOCK_LEN), dtype=np.float32)
+    fb, rem = divmod(p, BLOCK_LEN)
+    if fb:
+        table[:fb, 0, :] = rows[: fb * BLOCK_LEN].astype(np.float32).reshape(fb, BLOCK_LEN)
+        table[:fb, 1, :] = w32[: fb * BLOCK_LEN].reshape(fb, BLOCK_LEN)
+    if rem:
+        table[fb, 0, :rem] = rows[fb * BLOCK_LEN:].astype(np.float32)
+        table[fb, 1, :rem] = w32[fb * BLOCK_LEN:]
+    return jnp.asarray(table)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def weighted_topk_blocks(
+    block_ids: jax.Array,  # [B, S] int32 — block index per slot
+    lo: jax.Array,  # [B, S] int32 — first valid lane within the block
+    hi: jax.Array,  # [B, S] int32 — one past the last valid lane
+    q_w: jax.Array,  # [B, S] f32 — query-side weight per slot
+    blocks: jax.Array,  # [NB, 2, BLOCK_LEN] f32 — pack_weighted_blocks
+    k: int,
+    allowed: jax.Array = None,  # optional [N] or [B, N] bool row filter
+) -> Tuple[jax.Array, jax.Array]:
+    """Weighted block-gather sparse top-k →
+    ``(scores [B,k], rows [B,k])`` — the learned-sparse (SPLADE-class)
+    scoring op: ``score(q, d) = Σ_t q_w[t] · d_w[d, t]`` over the
+    query's expanded terms.
+
+    Identical fetch plan to :func:`bm25_topk_blocks` (one wide
+    ``jnp.take`` of [2·BLOCK_LEN]-wide rows); the only new math is the
+    per-slot query-weight multiply. A slot whose term spans multiple
+    blocks repeats its weight on every slot. ``allowed`` (e.g. a
+    resolved tag filter joined with tombstones) zeroes excluded rows'
+    contributions, so the score>0 filter in the shared tail drops them
+    — an exact FILTERED top-k, not a post-filter. Ordering contract as
+    everywhere: (score desc, row asc), ``-1``/``-inf`` invalid slots;
+    only scores > 0 are returned (a document sharing no expansion term
+    with the query is not a hit, matching BM25's score>0 semantics).
+    """
+    bsz, s = block_ids.shape
+    bl = blocks.shape[-1]
+    L = s * bl
+    g = jnp.take(blocks, block_ids.reshape(-1), axis=0)  # [B*S, 2, BL]
+    g = g.reshape(bsz, s, 2, bl)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bsz, s, bl), 2)
+    mask = (lane >= lo[:, :, None]) & (lane < hi[:, :, None])
+    r = g[:, :, 0, :].astype(jnp.int32)  # f32 row VALUES — exact < 2**24
+    contrib = jnp.where(mask, g[:, :, 1, :] * q_w[:, :, None], 0.0)
+    if allowed is not None:
+        safe = jnp.maximum(r, 0)
+        if allowed.ndim == 1:  # one filter for the whole batch
+            ok = jnp.take(allowed, safe.reshape(-1)).reshape(r.shape)
+        else:  # per-query filters [B, N]
+            ok = jnp.take_along_axis(
+                allowed, safe.reshape(bsz, L), axis=1
+            ).reshape(r.shape)
+        contrib = jnp.where(ok, contrib, 0.0)
+    contrib = contrib.reshape(bsz, L)
+    r_key = jnp.where(mask, r, jnp.iinfo(jnp.int32).max).reshape(bsz, L)
+    return jax.vmap(functools.partial(_candidate_topk, k=k))(r_key, contrib)
+
+
 def pack_postings(rows, tfs, doc_len, idf, term_of_posting) -> "jnp.ndarray":
     """Host helper: pre-join per-posting (row, tf, doc_len[row],
     idf[term]) into the [P, 4] float32 record bm25_topk_segments expects."""

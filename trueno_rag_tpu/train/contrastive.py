@@ -149,3 +149,79 @@ def train_step(
     updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     return TrainState(new_params, new_opt_state, state.step + 1), metrics
+
+
+def splade_contrastive_loss(
+    params: Dict[str, jax.Array],
+    query_ids: jax.Array,  # [B, Tq]
+    doc_ids: jax.Array,  # [B, Td]
+    config: EncoderConfig,
+    temperature: float = 1.0,
+    lambda_q: float = 5e-4,
+    lambda_d: float = 1e-4,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """InfoNCE over learned-sparse activation dots + the FLOPS
+    regularizer — the SPLADE training recipe as one jitted step.
+
+    The score is the DENSE [B, B] activation dot (sparsification is an
+    inference-time step; training through the dense dot lets gradient
+    flow to every vocab dimension). The FLOPS term
+    ``Σ_v (mean_b w(x)_bv)²`` penalizes the expected posting cost of
+    each vocab dimension, driving activations sparse and balanced —
+    the knob that trades expansion richness for index size/scan cost
+    (λ_q > λ_d by convention: query expansion is paid per query).
+    Metrics report the live expansion widths so training logs show
+    sparsity converging."""
+    from trueno_rag_tpu.models.encoder import _token_states
+    from trueno_rag_tpu.models.splade import splade_head
+
+    qs, qm = _token_states(params, query_ids, config)
+    ds, dm = _token_states(params, doc_ids, config)
+    q_act = splade_head(params, qs, qm)  # [B, V] >= 0
+    d_act = splade_head(params, ds, dm)
+    logits = (
+        jnp.dot(q_act, d_act.T, preferred_element_type=jnp.float32)
+        / temperature
+    )  # [B, B]
+    labels = jnp.arange(logits.shape[0])
+    ce = jnp.mean(
+        optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    )
+    flops_q = jnp.sum(jnp.mean(q_act, axis=0) ** 2)
+    flops_d = jnp.sum(jnp.mean(d_act, axis=0) ** 2)
+    loss = ce + lambda_q * flops_q + lambda_d * flops_d
+    accuracy = jnp.mean(jnp.argmax(logits, axis=1) == labels)
+    return loss, {
+        "loss": loss,
+        "ce": ce,
+        "accuracy": accuracy,
+        "flops_q": flops_q,
+        "flops_d": flops_d,
+        "nnz_q": jnp.mean(jnp.sum(q_act > 0.0, axis=1).astype(jnp.float32)),
+        "nnz_d": jnp.mean(jnp.sum(d_act > 0.0, axis=1).astype(jnp.float32)),
+    }
+
+
+def splade_train_step(
+    state: TrainState,
+    query_ids: jax.Array,
+    doc_ids: jax.Array,
+    tx: optax.GradientTransformation,
+    config: EncoderConfig,
+    temperature: float = 1.0,
+    lambda_q: float = 5e-4,
+    lambda_d: float = 1e-4,
+) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """One optimizer step on the SPLADE objective (see train_step for
+    the sharding contract; state.params must come from
+    init_splade_params so the head exists)."""
+
+    def loss_fn(p):
+        return splade_contrastive_loss(
+            p, query_ids, doc_ids, config, temperature, lambda_q, lambda_d
+        )
+
+    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return TrainState(new_params, new_opt_state, state.step + 1), metrics
