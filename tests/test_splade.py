@@ -316,3 +316,45 @@ def test_splade_training_learns_and_sparsifies():
     for _ in range(40):
         state_hi, m_hi = hi(state_hi, q_ids, d_ids)
     assert float(m_hi["nnz_d"]) < float(metrics["nnz_d"])
+
+
+# ---------------------------------------------------------------------------
+# persistence artifact
+# ---------------------------------------------------------------------------
+
+
+def test_splade_index_artifact_round_trip(tmp_path):
+    from trueno_rag_tpu.persist import load_splade_index, save_splade_index
+
+    retr = SpladeRetriever(seed=3, doc_top=48, query_top=12)
+    chunks = [mk_chunk(i, t) for i, t in enumerate(corpus_texts())]
+    retr.index_batch(chunks)
+    retr.registry.set_tags(chunks[0].id, ["even"])
+    path = str(tmp_path / "splade.trag")
+    stats = save_splade_index(path, retr)
+    assert stats["chunks"] == len(chunks) and stats["postings"] > 0
+    loaded = load_splade_index(path, seed=3)
+    q = "tpu kernel hardware"
+    a = [(r.chunk.id, r.sparse_score) for r in retr.retrieve(q, 4)]
+    b = [(r.chunk.id, r.sparse_score) for r in loaded.retrieve(q, 4)]
+    assert a == b, "scores/order changed across the artifact round-trip"
+    from trueno_rag_tpu.retrieve import TagFilter
+
+    fa = [r.chunk.id for r in retr.retrieve(q, 4, tag_filter=TagFilter(all=["even"]))]
+    fb = [r.chunk.id for r in loaded.retrieve(q, 4, tag_filter=TagFilter(all=["even"]))]
+    assert fa == fb, "tag state lost across the round-trip"
+
+
+def test_splade_artifact_rejects_wrong_format(tmp_path):
+    from trueno_rag_tpu.errors import IndexNotFoundError, SerializationError
+    from trueno_rag_tpu.persist import load_splade_index, save_token_index
+    from trueno_rag_tpu.models.late_interaction import LateInteractionRetriever
+
+    with pytest.raises(IndexNotFoundError):
+        load_splade_index(str(tmp_path / "missing.trag"))
+    other = LateInteractionRetriever(seed=0, max_len=8)
+    other.index(mk_chunk(0, "text"))
+    p = str(tmp_path / "token.trag")
+    save_token_index(p, other)
+    with pytest.raises(SerializationError):
+        load_splade_index(p)

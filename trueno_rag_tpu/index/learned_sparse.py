@@ -92,6 +92,33 @@ class LearnedSparseIndex:
             self._row_terms[row] = np.unique(t_live)
         self._dirty = True
 
+    def load_rows(
+        self,
+        chunks: Sequence[Chunk],
+        indptr: np.ndarray,  # [M+1] int64 — per-chunk expansion extents
+        terms: np.ndarray,  # [P] int32
+        weights: np.ndarray,  # [P] f32
+    ) -> None:
+        """Bulk-restore a ragged-CSR expansion set (the persistence load
+        path): O(P) dict writes, weight bytes untouched. Rows allocate
+        sequentially on a fresh registry, so saved order == row order."""
+        indptr = np.asarray(indptr, np.int64)
+        terms = np.asarray(terms, np.int64)
+        weights = np.asarray(weights, np.float32)
+        if len(indptr) != len(chunks) + 1 or int(indptr[-1]) != len(terms):
+            raise VectorStoreError("indptr does not match chunks/terms")
+        if len(terms) != len(weights):
+            raise VectorStoreError("terms/weights lengths differ")
+        rows = self.registry.add_batch(list(chunks))
+        for i, row in enumerate(rows):
+            lo, hi = int(indptr[i]), int(indptr[i + 1])
+            if row in self._row_terms:  # duplicate id within the restore
+                self._remove_row(row)
+            for j in range(lo, hi):
+                self._postings.setdefault(int(terms[j]), {})[row] = float(weights[j])
+            self._row_terms[row] = np.unique(terms[lo:hi])
+        self._dirty = True
+
     def _remove_row(self, row: int) -> None:
         for t in self._row_terms.pop(row, ()):  # noqa: B020
             plist = self._postings.get(int(t))

@@ -628,6 +628,105 @@ def load_token_index(
 
 
 # ---------------------------------------------------------------------------
+# Learned-sparse (SPLADE) index artifacts
+# ---------------------------------------------------------------------------
+
+
+def save_splade_index(
+    path: str, retriever, codec: Optional[Compression] = None
+) -> Dict[str, Any]:
+    """Persist a SpladeRetriever's posting index (chunks + per-chunk
+    expansions as a ragged CSR + tags + expansion config). Weights
+    round-trip exactly (f32 bytes), so scores after load are identical.
+    Encoder weights travel separately (:func:`save_params`), like every
+    other index artifact (main.rs:442-477's embedder-identity split).
+    Atomic write (tmp + rename)."""
+    idx = retriever.index_store
+    reg = idx.registry
+    ids = [
+        cid
+        for cid in reg.ids()
+        if (row := reg.row_of(cid)) is not None and row in idx._row_terms
+    ]
+    rows = [reg.row_of(cid) for cid in ids]
+    indptr = [0]
+    terms: list = []
+    weights: list = []
+    for row in rows:
+        ts = idx._row_terms[row]
+        terms.extend(int(t) for t in ts)
+        weights.extend(idx._postings[int(t)][row] for t in ts)
+        indptr.append(len(terms))
+    enc = retriever.encoder
+    payload = {
+        "format": "trueno-rag-tpu-splade-index",
+        "version": 1,
+        "encoder": {
+            "max_len": enc.max_len,
+            "doc_top": enc.doc_top,
+            "query_top": enc.query_top,
+        },
+        "chunks": [_chunk_to_wire(reg.get_chunk(cid)) for cid in ids],
+        "indptr": np.asarray(indptr, np.int64).tobytes(),
+        "terms": np.asarray(terms, np.int32).tobytes(),
+        "weights": np.asarray(weights, np.float32).tobytes(),
+        "tags": _tag_wire(reg, ids),
+    }
+    blob = serialize_compressed(payload, codec)
+    with _atomic_writer(path) as f:
+        f.write(blob)
+    return {
+        "compressed_bytes": len(blob),
+        "postings": len(terms),
+        "chunks": len(ids),
+    }
+
+
+def load_splade_index(
+    path: str,
+    encoder_config=None,
+    params: Optional[Dict[str, Any]] = None,
+    seed: int = 0,
+):
+    """Rebuild a SpladeRetriever from :func:`save_splade_index`. The
+    encoder identity (config/params/seed) is supplied by the caller —
+    pass the SAME seed/params the index was built with, or its
+    expansions no longer match the index's."""
+    if not os.path.exists(path):
+        from trueno_rag_tpu.errors import IndexNotFoundError
+
+        raise IndexNotFoundError(f"no splade index at {path}")
+    with open(path, "rb") as f:
+        payload = deserialize_compressed(f.read())
+    if payload.get("format") != "trueno-rag-tpu-splade-index":
+        from trueno_rag_tpu.errors import SerializationError
+
+        raise SerializationError(
+            f"not a splade-index artifact: {payload.get('format')!r}"
+        )
+    from trueno_rag_tpu.models.splade import SpladeRetriever
+
+    enc = payload["encoder"]
+    retr = SpladeRetriever(
+        config=encoder_config,
+        params=params,
+        seed=seed,
+        max_len=int(enc["max_len"]),
+        doc_top=int(enc["doc_top"]),
+        query_top=int(enc["query_top"]),
+    )
+    chunks = [Chunk.from_dict(d) for d in payload["chunks"]]
+    indptr = np.frombuffer(payload["indptr"], np.int64)
+    terms = np.frombuffer(payload["terms"], np.int32)
+    weights = np.frombuffer(payload["weights"], np.float32)
+    retr.index_store.load_rows(chunks, indptr, terms, weights)
+    tags = payload.get("tags")
+    if tags:
+        retr.registry.load_tag_state(tags["vocab"], tags["rows"])
+    return retr
+
+
+# ---------------------------------------------------------------------------
 # Model checkpoints (safetensors)
 # ---------------------------------------------------------------------------
 
