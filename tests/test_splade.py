@@ -358,3 +358,48 @@ def test_splade_artifact_rejects_wrong_format(tmp_path):
     save_token_index(p, other)
     with pytest.raises(SerializationError):
         load_splade_index(p)
+
+
+# ---------------------------------------------------------------------------
+# sharded composition
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_learned_sparse_matches_single_host():
+    from trueno_rag_tpu.parallel.mesh import create_mesh
+    from trueno_rag_tpu.parallel.sparse import ShardedLearnedSparse
+
+    idx = random_index(n_rows=530, vocab=60, seed=12)  # ragged across 8 shards
+    mesh = create_mesh(data=8, model=1)
+    sh = ShardedLearnedSparse(idx, mesh)
+    assert sh.max_shard_postings < sh.total_postings, "postings not sharded"
+    rng = np.random.default_rng(13)
+    q_terms = rng.integers(-1, 60, size=(4, 7)).astype(np.int32)
+    q_w = rng.uniform(0.0, 1.2, size=(4, 7)).astype(np.float32)
+    s1, r1 = idx.search_arrays(q_terms, q_w, k=9)
+    s8, r8 = sh.search_arrays(q_terms, q_w, k=9)
+    np.testing.assert_array_equal(np.asarray(r8), r1)
+    finite = np.isfinite(s1)
+    np.testing.assert_allclose(
+        np.asarray(s8)[finite], s1[finite], rtol=2e-4, atol=1e-6
+    )
+
+
+def test_sharded_learned_sparse_tie_order_and_empty_query():
+    from trueno_rag_tpu.parallel.mesh import create_mesh
+    from trueno_rag_tpu.parallel.sparse import ShardedLearnedSparse
+
+    idx = LearnedSparseIndex()
+    # identical expansions across shard boundaries -> global row-asc ties
+    idx.add_batch(
+        [mk_chunk(i) for i in range(16)],
+        np.full((16, 1), 5, np.int64),
+        np.ones((16, 1), np.float32),
+    )
+    mesh = create_mesh(data=8, model=1)
+    sh = ShardedLearnedSparse(idx, mesh)
+    q = np.array([[5], [-1]], np.int32)
+    w = np.array([[1.0], [1.0]], np.float32)
+    s, r = sh.search_arrays(q, w, k=5)
+    assert list(np.asarray(r)[0]) == [0, 1, 2, 3, 4]
+    assert (np.asarray(r)[1] == -1).all()

@@ -328,3 +328,141 @@ def _sharded_bm25_fn(mesh, axis, k, rps):
 
 def _sharded_bm25_topk(bids, lo, hi, blocks, k, mesh, axis, rps):
     return _sharded_bm25_fn(mesh, axis, k, rps)(bids, lo, hi, blocks)
+
+
+class ShardedLearnedSparse:
+    """Document-sharded learned-sparse (SPLADE-class) index: the same
+    distribution plan as :class:`ShardedBM25` — shard ``i`` owns every
+    posting whose row lives in ``[i·rps, (i+1)·rps)``, so a shard-local
+    weighted sum is the COMPLETE score for its documents (the expansion
+    weights carry no global statistics at all, unlike BM25's idf/avgdl
+    — nothing needs merging at build), and per-chip sparse memory =
+    total/s. Queries are expanded ONCE host-side; each shard walks its
+    local CSR for the expansion's terms and scores through
+    ``ops/bm25.weighted_topk_blocks``; the k·s ICI merge is shared with
+    every other sharded tier. Built from a
+    :class:`~trueno_rag_tpu.index.learned_sparse.LearnedSparseIndex`
+    snapshot (mutation story: rebuild, like the other read-optimized
+    sharded indexes)."""
+
+    def __init__(self, sparse_index, mesh: Mesh, axis: str = "data",
+                 n_rows: int | None = None) -> None:
+        from trueno_rag_tpu.ops.bm25 import pack_weighted_blocks
+
+        self.mesh = mesh
+        self.axis = axis
+        sparse_index._refresh_snapshot()
+        snap = sparse_index._snap
+        self.tindex = snap["tindex"]  # global term id -> dense CSR slot
+        g = len(self.tindex)
+        indptr = np.asarray(snap["indptr"], dtype=np.int64)
+        table = np.asarray(snap["blocks"])  # [NB, 2, BLOCK_LEN]
+        # unpack the flat posting stream back out of the block table
+        # (rows lane 0, weights lane 1; the trailing sentinel block and
+        # its padding lanes are excluded by the total count)
+        total = int(indptr[-1])
+        flat = table.reshape(-1, 2, BLOCK_LEN).transpose(0, 2, 1).reshape(-1, 2)
+        rows = flat[:total, 0].astype(np.int32)
+        w = flat[:total, 1].astype(np.float32)
+        n_terms = g
+        term_of = np.repeat(np.arange(max(n_terms, 0)), np.maximum(np.diff(indptr), 0))
+
+        s = mesh.shape[axis]
+        self.n_shards = s
+        if n_rows is None:
+            n_rows = sparse_index.capacity_rows
+        self.rows_per_shard = rps = max(-(-max(n_rows, 1) // s), 1)
+
+        tables: List[np.ndarray] = []
+        self.indptrs: List[np.ndarray] = []
+        for i in range(s):
+            lo, hi = i * rps, (i + 1) * rps
+            m = (rows >= lo) & (rows < hi)
+            r_s = rows[m] - lo
+            to_s = term_of[m]
+            counts = np.bincount(to_s, minlength=n_terms) if n_terms else np.zeros(0, np.int64)
+            ip_s = np.zeros(n_terms + 1, dtype=np.int64)
+            np.cumsum(counts, out=ip_s[1:])
+            self.indptrs.append(ip_s)
+            tables.append(np.asarray(pack_weighted_blocks(r_s, w[m])))
+        # shares ShardedBM25's placement plan (pad to common block count,
+        # place each table straight onto its shard's devices)
+        ShardedBM25._place_tables(self, tables)
+        self.total_postings = total
+
+    def _gather_blocks(self, q_terms: np.ndarray, q_weights: np.ndarray):
+        """Per-shard (block, lo, hi, weight) slots for each expanded
+        query — ShardedBM25._gather_blocks plus the per-slot query
+        weight (LearnedSparseIndex._gather_blocks' contract)."""
+        s = self.n_shards
+        per: List[List[List[Tuple[int, int, int, float]]]] = [[] for _ in range(s)]
+        max_slots = 1
+        for terms, weights in zip(np.asarray(q_terms), np.asarray(q_weights)):
+            tw = [
+                (self.tindex[int(t)], float(wq))
+                for t, wq in zip(terms.tolist(), weights.tolist())
+                if t >= 0 and wq > 0.0 and int(t) in self.tindex
+            ]
+            for i in range(s):
+                ip = self.indptrs[i]
+                slots: List[Tuple[int, int, int, float]] = []
+                for tid, wq in tw:
+                    t_lo, t_hi = int(ip[tid]), int(ip[tid + 1])
+                    if t_hi <= t_lo:
+                        continue
+                    for blk in range(t_lo // BLOCK_LEN, (t_hi - 1) // BLOCK_LEN + 1):
+                        base = blk * BLOCK_LEN
+                        slots.append(
+                            (blk, max(t_lo - base, 0), min(t_hi - base, BLOCK_LEN), wq)
+                        )
+                per[i].append(slots)
+                max_slots = max(max_slots, len(slots))
+        S = bucket_len(max_slots, minimum=64)
+        B = q_terms.shape[0]
+        bids = np.zeros((s, B, S), dtype=np.int32)
+        lo = np.zeros((s, B, S), dtype=np.int32)
+        hi = np.zeros((s, B, S), dtype=np.int32)
+        qw = np.zeros((s, B, S), dtype=np.float32)
+        for i in range(s):
+            for qi, slots in enumerate(per[i]):
+                for j, (blk, l, h, wq) in enumerate(slots[:S]):
+                    bids[i, qi, j] = blk
+                    lo[i, qi, j] = l
+                    hi[i, qi, j] = h
+                    qw[i, qi, j] = wq
+        return bids, lo, hi, qw
+
+    def search_arrays(self, q_terms: np.ndarray, q_weights: np.ndarray,
+                      k: int) -> Tuple[jax.Array, jax.Array]:
+        """Batched sharded search over expanded queries → global
+        ``(scores [B,k], rows [B,k])`` with the framework's ordering
+        contract, identical rankings to the single-host index."""
+        bids, lo, hi, qw = self._gather_blocks(q_terms, q_weights)
+        spec = NamedSharding(self.mesh, P(self.axis, None, None))
+        return _sharded_weighted_fn(self.mesh, self.axis, k, self.rows_per_shard)(
+            jax.device_put(bids, spec), jax.device_put(lo, spec),
+            jax.device_put(hi, spec), jax.device_put(qw, spec), self.blocks,
+        )
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_weighted_fn(mesh, axis, k, rps):
+    from trueno_rag_tpu.ops.bm25 import weighted_topk_blocks
+
+    def local(bi, l, h, qw, blk):
+        from trueno_rag_tpu.parallel.sharded import merge_local_topk
+
+        s_loc, r_loc = weighted_topk_blocks(bi[0], l[0], h[0], qw[0], blk[0], k=k)
+        shard = jax.lax.axis_index(axis)
+        r_glob = jnp.where(r_loc >= 0, r_loc + shard * rps, _INT_MAX)
+        return merge_local_topk(s_loc, r_glob, k, axis)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None, None), P(axis, None, None),
+                  P(axis, None, None), P(axis, None, None, None)),
+        out_specs=(P(), P()),
+        check_vma=False,  # replicated outputs; same stance as _sharded_bm25_fn
+    )
+    return jax.jit(fn)
