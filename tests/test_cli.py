@@ -116,6 +116,53 @@ def test_query_scan_tier_flag_matches_default(corpus_dir, tmp_path):
                                                     abs=1e-5)
 
 
+def test_index_multi_vector_then_query(corpus_dir, tmp_path):
+    """index --multi-vector writes a token-index artifact that query
+    auto-detects (seed-0 encoder identity); rankings are model-defined
+    so only the contract is asserted."""
+    out = tmp_path / "mv"
+    r = run_cli("index", "--path", str(corpus_dir), "--output", str(out),
+                "--multi-vector")
+    assert r.returncode == 0, r.stderr
+    assert "(multi-vector)" in r.stdout
+    assert (out / "token_index.trag").exists()
+    assert not (out / "index.trag").exists()
+
+    q = run_cli("query", "systolic array matrix", "--index", str(out),
+                "--format", "json")
+    assert q.returncode == 0, q.stderr
+    data = json.loads(q.stdout)
+    assert isinstance(data, list) and data
+    assert data[0]["rank"] == 1 and "content" in data[0]
+
+
+def test_index_learned_sparse_then_query(corpus_dir, tmp_path):
+    """index --learned-sparse writes a splade-index artifact that query
+    auto-detects; scores surface as sparse_score."""
+    out = tmp_path / "ls"
+    r = run_cli("index", "--path", str(corpus_dir), "--output", str(out),
+                "--learned-sparse")
+    assert r.returncode == 0, r.stderr
+    assert "(learned-sparse" in r.stdout
+    assert (out / "splade_index.trag").exists()
+
+    q = run_cli("query", "systolic array matrix", "--index", str(out),
+                "--format", "json")
+    assert q.returncode == 0, q.stderr
+    data = json.loads(q.stdout)
+    assert isinstance(data, list) and data
+    assert data[0]["sparse_score"] is not None
+    assert data[0]["sparse_score"] > 0
+
+
+def test_index_multi_vector_and_learned_sparse_exclusive(corpus_dir, tmp_path):
+    r = run_cli("index", "--path", str(corpus_dir),
+                "--output", str(tmp_path / "x"),
+                "--multi-vector", "--learned-sparse")
+    assert r.returncode != 0
+    assert "mutually exclusive" in (r.stderr + r.stdout)
+
+
 def test_index_nonexistent_path_fails(tmp_path):
     r = run_cli("index", "--path", str(tmp_path / "nope"), "--output", str(tmp_path / "o"))
     assert r.returncode != 0

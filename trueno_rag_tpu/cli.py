@@ -101,7 +101,8 @@ def cmd_info(args) -> int:
     for line in [
         "  chunking: recursive, fixed-size, sentence, paragraph, structural, semantic",
         "  embedders: mock, tfidf, jax-encoder (MiniLM/BGE-class), nemotron-class",
-        "  indexes: dense vector store (HBM-resident), BM25 (device CSR scoring)",
+        "  indexes: dense vector store (HBM-resident), BM25 (device CSR scoring),",
+        "           late-interaction (MaxSim token index), learned-sparse (SPLADE)",
         "  fusion: rrf, linear, convex, dbsf, union, intersection",
         "  rerankers: noop, lexical, mock-cross-encoder, neural cross-encoder, composite",
         "  context: sequential / document-grouped / interleaved assembly + citations",
@@ -240,13 +241,54 @@ def _cmd_index_multi_vector(args, docs) -> int:
     return 0
 
 
+def _cmd_index_learned_sparse(args, docs) -> int:
+    """Learned-sparse (SPLADE-class) indexing: each chunk stores a
+    top-T vocabulary expansion; queries score through the weighted
+    block-gather posting path. Like --multi-vector, the encoder
+    identity is the deterministic seed-0 demo encoder — real
+    deployments pass trained checkpoints through the library API
+    (persist.load_splade_index(params=...))."""
+    from trueno_rag_tpu import RecursiveChunker
+    from trueno_rag_tpu.models.splade import SpladeRetriever
+    from trueno_rag_tpu.persist import save_splade_index
+
+    chunker = RecursiveChunker(
+        chunk_size=args.chunk_size, overlap=args.chunk_overlap
+    )
+    retr = SpladeRetriever(seed=0)
+    doc_tags = _doc_tags_for(docs, args)
+    n_chunks = 0
+    for di, d in enumerate(docs):
+        chunks = chunker.chunk(d)
+        retr.index_batch(chunks)
+        n_chunks += len(chunks)
+        if doc_tags is not None and doc_tags[di]:
+            for c in chunks:
+                retr.registry.set_tags(c.id, doc_tags[di])
+    os.makedirs(args.output, exist_ok=True)
+    out_path = os.path.join(args.output, "splade_index.trag")
+    stats = save_splade_index(out_path, retr)
+    print(
+        f"indexed {len(docs)} documents, {n_chunks} chunks (learned-sparse, "
+        f"{stats['postings']} postings) -> {out_path} "
+        f"({stats['compressed_bytes']} bytes compressed)"
+    )
+    return 0
+
+
 def cmd_index(args) -> int:
     from trueno_rag_tpu import NoOpReranker, RagPipelineBuilder, RecursiveChunker
     from trueno_rag_tpu.persist import save_index
 
+    if args.multi_vector and args.learned_sparse:
+        raise SystemExit(
+            "error: --multi-vector and --learned-sparse are mutually exclusive"
+        )
     docs = _walk_documents(args.path)
     if args.multi_vector:
         return _cmd_index_multi_vector(args, docs)
+    if args.learned_sparse:
+        return _cmd_index_learned_sparse(args, docs)
     embedder = _build_embedder(args.embedder, args.dimension, args.model)
     if args.embedder == "tfidf":
         embedder.fit([d.content for d in docs])
@@ -285,6 +327,7 @@ def _load(index_dir: str, scan_tier=None):
 
     path = os.path.join(index_dir, "index.trag")
     tok_path = os.path.join(index_dir, "token_index.trag")
+    splade_path = os.path.join(index_dir, "splade_index.trag")
     if not os.path.exists(path):
         if os.path.exists(tok_path):
             # multi-vector artifact (index --multi-vector): rebuild the
@@ -294,6 +337,12 @@ def _load(index_dir: str, scan_tier=None):
             from trueno_rag_tpu.persist import load_token_index
 
             return load_token_index(tok_path, seed=0)
+        if os.path.exists(splade_path):
+            # learned-sparse artifact (index --learned-sparse): same
+            # seed-0 encoder identity contract as the other CLI builds
+            from trueno_rag_tpu.persist import load_splade_index
+
+            return load_splade_index(splade_path, seed=0)
         raise SystemExit(f"error: no index found at {path}")
     # header-only peek: handles BOTH artifact formats (the v2 streaming
     # container is what `index` itself writes past 50k chunks — reading
@@ -404,6 +453,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "chunk stores a token matrix, queries run the "
                         "certified fused-kernel scan tier; query/serve "
                         "auto-detect the artifact (token_index.trag)")
+    i.add_argument("--learned-sparse", action="store_true",
+                   help="build a learned-sparse (SPLADE-class) posting "
+                        "index instead of the hybrid dense+BM25 index: "
+                        "every chunk stores a top-T vocabulary expansion, "
+                        "queries score through the weighted block-gather "
+                        "posting path; query/serve auto-detect the "
+                        "artifact (splade_index.trag)")
     i.set_defaults(fn=cmd_index)
 
     q = sub.add_parser("query", help="query a persisted index")
