@@ -183,3 +183,150 @@ def test_linear_alpha_fallback_matches_device_param():
 
     f = FusionStrategy.from_dict({"kind": "linear", "params": {"alpha": 0.8}})
     assert f.device_param == pytest.approx(0.8)
+
+
+# --------------------------------------------------------- N-way fusion ----
+
+
+NWAY_STRATS = [
+    ("rrf", 60.0, FusionStrategy.rrf(60.0)),
+    ("linear", 0.5, FusionStrategy.linear(0.5)),
+    ("convex", 0.3, FusionStrategy.convex(0.3)),
+    ("dbsf", 0.0, FusionStrategy.dbsf()),
+    ("union", 0.0, FusionStrategy.union()),
+    ("intersection", 0.0, FusionStrategy.intersection()),
+]
+
+
+def _rand_lists(rng, n_lists, id_space=24, max_len=6):
+    lists = []
+    for _ in range(n_lists):
+        n = int(rng.integers(0, max_len))
+        rows = rng.choice(id_space, size=n, replace=False)
+        lists.append(sorted(
+            [(int(r), float(np.round(rng.random() * 4, 3))) for r in rows],
+            key=lambda kv: (-kv[1], kv[0]),
+        ))
+    return lists
+
+
+@pytest.mark.parametrize("kind,param,host", NWAY_STRATS,
+                         ids=[k for k, _, _ in NWAY_STRATS])
+def test_fuse_many_two_lists_matches_fuse(kind, param, host):
+    """fuse_many([d, s]) is exactly fuse(d, s) for every variant."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    for _ in range(8):
+        d, s = _rand_lists(rng, 2)
+        assert host.fuse_many([d, s]) == host.fuse(d, s)
+
+
+def test_fuse_many_rrf_three_way_math():
+    # id 1 at rank 0 in all three lists: 3/61
+    lists = [[(1, 0.9), (2, 0.5)], [(1, 7.0)], [(1, 2.0), (3, 1.0)]]
+    fused = FusionStrategy.rrf(60.0).fuse_many(lists)
+    assert fused[0][0] == 1
+    assert fused[0][1] == pytest.approx(3 / 61)
+    assert {i for i, _ in fused} == {1, 2, 3}
+
+
+def test_fuse_many_linear_weights():
+    lists = [[(1, 1.0)], [(2, 1.0)], [(3, 1.0)]]
+    # single-entry lists min-max to 1.0 each -> scores are the weights
+    fused = dict(FusionStrategy.linear(0.5).fuse_many(
+        lists, weights=[0.6, 0.3, 0.1]))
+    assert fused[1] == pytest.approx(0.6)
+    assert fused[2] == pytest.approx(0.3)
+    assert fused[3] == pytest.approx(0.1)
+    # default N!=2 weights are uniform
+    uni = dict(FusionStrategy.linear(0.5).fuse_many(lists))
+    assert uni[1] == pytest.approx(1 / 3)
+    # stored weights in params are honored and serialize
+    strat = FusionStrategy("linear", {"weights": [0.5, 0.25, 0.25]})
+    stored = dict(strat.fuse_many(lists))
+    assert stored[1] == pytest.approx(0.5)
+    assert FusionStrategy.from_dict(strat.to_dict()).fuse_many(lists) == \
+        strat.fuse_many(lists)
+
+
+def test_fuse_many_weight_arity_rejected():
+    with pytest.raises(InvalidConfigError):
+        FusionStrategy.linear(0.5).fuse_many(
+            [[(1, 1.0)], [(2, 1.0)]], weights=[1.0])
+
+
+def test_fuse_many_union_priority_order():
+    lists = [[(1, 9.0), (2, 8.0)], [(2, 7.0), (3, 6.0)], [(3, 5.0), (4, 4.0)]]
+    fused = FusionStrategy.union().fuse_many(lists)
+    assert fused == [(1, 9.0), (2, 8.0), (3, 6.0), (4, 4.0)]
+
+
+def test_fuse_many_intersection_all_lists():
+    lists = [[(1, 3.0), (2, 1.0)], [(1, 6.0), (3, 2.0)], [(1, 0.0), (2, 5.0)]]
+    fused = FusionStrategy.intersection().fuse_many(lists)
+    assert fused == [(1, pytest.approx(3.0))]  # mean(3, 6, 0)
+
+
+@pytest.mark.parametrize("kind,param,host", NWAY_STRATS,
+                         ids=[k for k, _, _ in NWAY_STRATS])
+@pytest.mark.parametrize("n_lists", [1, 2, 3, 4])
+def test_fuse_topk_many_matches_host(kind, param, host, n_lists):
+    """Device N-way fusion == host fuse_many on padded candidate lists."""
+    from trueno_rag_tpu.ops.fusion import fuse_topk_many
+
+    rng = np.random.Generator(np.random.PCG64(11 + n_lists))
+    weights = tuple(host.resolve_weights(n_lists)) \
+        if kind in ("linear", "convex") else ()
+    for trial in range(4):
+        lists = _rand_lists(rng, n_lists)
+        expected = host.fuse_many(lists)
+        padded = [_to_padded(lst, 8) for lst in lists]
+        rows_o, scores_o = fuse_topk_many(
+            tuple(p[0] for p in padded), tuple(p[1] for p in padded),
+            kind=kind, param=param, weights=weights,
+        )
+        got = _from_padded(rows_o, scores_o)
+        if kind == "union":
+            assert got == [(r, pytest.approx(s, rel=1e-5)) for r, s in expected], \
+                (trial, got, expected)
+        else:
+            assert [r for r, _ in got] == [r for r, _ in expected], \
+                (trial, got, expected)
+            for (r1, s1), (r2, s2) in zip(got, expected):
+                assert s1 == pytest.approx(s2, rel=1e-4, abs=1e-6)
+
+
+def test_fuse_topk_many_two_lists_matches_fuse_topk():
+    from trueno_rag_tpu.ops.fusion import fuse_topk_many
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    d, s = _rand_lists(rng, 2, max_len=5)
+    rd, sd = _to_padded(d, 6)
+    rs, ss = _to_padded(s, 6)
+    for kind, param in [("rrf", 60.0), ("linear", 0.7), ("dbsf", 0.0),
+                        ("union", 0.0), ("intersection", 0.0)]:
+        w = (0.7, 0.3) if kind == "linear" else ()
+        r1, s1 = fuse_topk(rd, sd, rs, ss, kind=kind, param=param)
+        r2, s2 = fuse_topk_many((rd, rs), (sd, ss), kind=kind,
+                                param=param, weights=w)
+        assert _from_padded(r1, s1) == _from_padded(r2, s2), kind
+
+
+def test_fuse_topk_many_batched():
+    from trueno_rag_tpu.ops.fusion import fuse_topk_many
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    host = FusionStrategy.rrf(60.0)
+    batches = [_rand_lists(rng, 3) for _ in range(4)]
+    rows = tuple(
+        np.concatenate([_to_padded(b[j], 8)[0] for b in batches])
+        for j in range(3)
+    )
+    scores = tuple(
+        np.concatenate([_to_padded(b[j], 8)[1] for b in batches])
+        for j in range(3)
+    )
+    rows_o, scores_o = fuse_topk_many(rows, scores, kind="rrf", param=60.0)
+    for i, b in enumerate(batches):
+        got = _from_padded(rows_o[i:i + 1], scores_o[i:i + 1])
+        expected = host.fuse_many(b)
+        assert [r for r, _ in got] == [r for r, _ in expected]

@@ -17,7 +17,7 @@ path uses the same rule with integer rows.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, Hashable, List, Sequence, Tuple
+from typing import Any, Dict, Hashable, List, Optional, Sequence, Tuple
 
 from trueno_rag_tpu.errors import InvalidConfigError
 
@@ -159,6 +159,104 @@ class FusionStrategy:
                 for cid, s in dense
                 if cid in sparse_map
             }
+            return _sorted_desc(acc)
+
+        raise InvalidConfigError(f"unknown fusion kind: {self.kind!r}")
+
+    # -- N-way fusion ---------------------------------------------------------
+
+    def resolve_weights(self, n: int,
+                        weights: Optional[Sequence[float]] = None) -> List[float]:
+        """Per-list weights for N-way Linear/Convex fusion.
+
+        Priority: explicit ``weights`` argument > a ``weights`` entry in
+        ``params`` > the two-list reference rule ``[w, 1-w]`` (with
+        ``w`` = dense_weight/alpha) > uniform ``1/n``. RRF/DBSF/Union/
+        Intersection are rank- or z-based and take weight 1.0 per list.
+        """
+        if weights is not None:
+            if len(weights) != n:
+                raise InvalidConfigError(
+                    f"got {len(weights)} fusion weights for {n} lists"
+                )
+            return [float(x) for x in weights]
+        if self.kind in ("linear", "convex"):
+            stored = self.params.get("weights")
+            if stored is not None:
+                if len(stored) != n:
+                    raise InvalidConfigError(
+                        f"configured {len(stored)} fusion weights for {n} lists"
+                    )
+                return [float(x) for x in stored]
+            w = float(self.params.get("dense_weight", self.params.get("alpha", 0.5)))
+            if n == 2:
+                return [w, 1.0 - w]
+            return [1.0 / n] * n
+        return [1.0] * n
+
+    def fuse_many(self, lists: Sequence[ScoredList],
+                  weights: Optional[Sequence[float]] = None
+                  ) -> List[Tuple[Hashable, float]]:
+        """Fuse N ranked (id, score) lists → one fused ranked list.
+
+        Generalizes the reference's two-list ``fuse`` (fusion.rs:39-224)
+        to any number of sources (dense + BM25 + learned-sparse + …);
+        ``fuse_many([dense, sparse])`` is exactly ``fuse(dense, sparse)``
+        for every variant. Semantics per variant:
+
+        - rrf: score(id) = Σ over lists 1/(k + rank + 1)
+        - linear/convex: per-list min-max normalize, weighted sum
+          (see :meth:`resolve_weights`)
+        - dbsf: per-list z-score, sum
+        - union: lists in priority order; entries of list j are kept
+          unless their id appeared in any EARLIER list; original scores
+        - intersection: ids present in ALL lists; score = mean over lists
+        """
+        n = len(lists)
+        if n == 0:
+            return []
+
+        if self.kind == "rrf":
+            k = float(self.params.get("k", 60.0))
+            acc: Dict[Hashable, float] = {}
+            for lst in lists:
+                for rank, (cid, _score) in enumerate(lst):
+                    acc[cid] = acc.get(cid, 0.0) + 1.0 / (k + rank + 1.0)
+            return _sorted_desc(acc)
+
+        if self.kind in ("linear", "convex"):
+            ws = self.resolve_weights(n, weights)
+            acc = {}
+            for lst, w in zip(lists, ws):
+                norm = _minmax([s for _, s in lst])
+                for (cid, _), s in zip(lst, norm):
+                    acc[cid] = acc.get(cid, 0.0) + w * s
+            return _sorted_desc(acc)
+
+        if self.kind == "dbsf":
+            acc = {}
+            for lst in lists:
+                z = _zscore([s for _, s in lst])
+                for (cid, _), s in zip(lst, z):
+                    acc[cid] = acc.get(cid, 0.0) + s
+            return _sorted_desc(acc)
+
+        if self.kind == "union":
+            # Exclusion is vs EARLIER lists only (within-list duplicates
+            # are kept, matching the two-list reference exactly).
+            out: List[Tuple[Hashable, float]] = []
+            seen_earlier: set = set()
+            for lst in lists:
+                out.extend((cid, s) for cid, s in lst if cid not in seen_earlier)
+                seen_earlier |= {cid for cid, _ in lst}
+            return out
+
+        if self.kind == "intersection":
+            maps = [dict(lst) for lst in lists[1:]]
+            acc = {}
+            for cid, s in lists[0]:
+                if all(cid in m for m in maps):
+                    acc[cid] = (s + sum(m[cid] for m in maps)) / float(n)
             return _sorted_desc(acc)
 
         raise InvalidConfigError(f"unknown fusion kind: {self.kind!r}")

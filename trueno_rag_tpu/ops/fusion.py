@@ -144,6 +144,104 @@ def _fuse_one(rows_d, scores_d, rows_s, scores_s, kind: str, param: float):
     return _sort_desc(rows_all, scores_all)
 
 
+def _fuse_many_one(rows_t, scores_t, kind: str, param: float, weights):
+    """N-way fusion for ONE query over concatenated candidate slots.
+
+    ``rows_t``/``scores_t`` are tuples of ``[K_j]`` arrays (one per
+    source list, priority order). Candidate lists are assumed
+    unique-rowed within each list (what every top-k op in this package
+    emits); accumulation across lists deduplicates by row with the
+    first-occurrence slot owning the fused entry. Host oracle:
+    :meth:`trueno_rag_tpu.fusion.FusionStrategy.fuse_many`.
+    """
+    n_lists = len(rows_t)
+    ks = [r.shape[0] for r in rows_t]
+    rows_all = jnp.concatenate(rows_t)  # [K]
+    scores_all = jnp.concatenate(scores_t)
+    k_total = rows_all.shape[0]
+    valid = rows_all >= 0
+    lid = jnp.concatenate(
+        [jnp.full((k,), j, jnp.int32) for j, k in enumerate(ks)]
+    )
+    rank = jnp.concatenate([jax.lax.iota(jnp.int32, k) for k in ks])
+    # eq[i, j]: slots i and j name the same valid chunk row
+    eq = (rows_all[:, None] == rows_all[None, :]) & valid[:, None] & valid[None, :]
+    idx = jnp.arange(k_total)
+    # ownership: the FIRST slot naming a row owns its fused entry
+    dup_earlier = jnp.any(eq & (idx[None, :] < idx[:, None]), axis=1)
+    own = valid & ~dup_earlier
+
+    if kind == "rrf":
+        vals = 1.0 / (param + rank.astype(jnp.float32) + 1.0)
+        fused = jnp.sum(jnp.where(eq, vals[None, :], 0.0), axis=1)
+    elif kind in ("linear", "convex"):
+        vals = jnp.concatenate([
+            w * _minmax_norm(s, r >= 0)
+            for w, s, r in zip(weights, scores_t, rows_t)
+        ])
+        fused = jnp.sum(jnp.where(eq, vals[None, :], 0.0), axis=1)
+    elif kind == "dbsf":
+        vals = jnp.concatenate([
+            _zscore_norm(s, r >= 0) for s, r in zip(scores_t, rows_t)
+        ])
+        fused = jnp.sum(jnp.where(eq, vals[None, :], 0.0), axis=1)
+    elif kind == "union":
+        # keep entries unmatched in every EARLIER list; output order =
+        # (list priority, within-list rank) — exactly the host order
+        matched_earlier = jnp.any(eq & (lid[None, :] < lid[:, None]), axis=1)
+        include = valid & ~matched_earlier
+        kmax = max(ks)
+        intmax = jnp.iinfo(jnp.int32).max
+        keys = jnp.where(include, lid * kmax + rank, intmax)
+        rows_u = jnp.where(include, rows_all, -1)
+        scores_u = jnp.where(include, scores_all, NEG_INF)
+        _, rows_o, scores_o = jax.lax.sort((keys, rows_u, scores_u), num_keys=1)
+        return rows_o, scores_o
+    elif kind == "intersection":
+        # rows present in ALL lists; score = mean of per-list scores.
+        # match_lists[i, m]: row i has a match in list m
+        onehot = lid[:, None] == jnp.arange(n_lists)[None, :]  # [K, L]
+        match_lists = jnp.any(eq[:, :, None] & onehot[None, :, :], axis=1)
+        in_all = jnp.all(match_lists, axis=1)
+        total = jnp.sum(jnp.where(eq, scores_all[None, :], 0.0), axis=1)
+        fused = total / float(n_lists)
+        own = own & in_all
+    else:
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(f"unknown fusion kind: {kind!r}")
+
+    out_scores = jnp.where(own, fused, NEG_INF)
+    out_rows = jnp.where(own, rows_all, -1)
+    return _sort_desc(out_rows, out_scores)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "param", "weights"))
+def fuse_topk_many(
+    rows: Tuple[jax.Array, ...],
+    scores: Tuple[jax.Array, ...],
+    kind: str = "rrf",
+    param: float = 60.0,
+    weights: Tuple[float, ...] = (),
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched N-way fusion: tuples of ``[B, K_j]`` candidate arrays →
+    ``[B, ΣK_j]`` (rows, scores), deterministically ordered, invalid
+    slots ``(-1, -inf)``. ``weights`` (static) are the per-list Linear/
+    Convex weights from :meth:`FusionStrategy.resolve_weights`; pass
+    ``()`` for rank/z-based kinds. ``fuse_topk_many((d, s), …)`` matches
+    :func:`fuse_topk` on the same two lists."""
+    rows = tuple(rows)
+    scores = tuple(scores)
+    if kind in ("linear", "convex") and len(weights) != len(rows):
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(
+            f"got {len(weights)} fusion weights for {len(rows)} lists"
+        )
+    fn = functools.partial(_fuse_many_one, kind=kind, param=param, weights=weights)
+    return jax.vmap(fn)(rows, scores)
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "param"))
 def fuse_topk(
     rows_d: jax.Array,
