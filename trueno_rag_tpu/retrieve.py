@@ -38,18 +38,24 @@ from trueno_rag_tpu.index import BM25Index, ChunkRegistry, VectorStore, VectorSt
 
 @dataclass
 class RetrievalResult:
-    """A retrieved chunk plus its per-source scores."""
+    """A retrieved chunk plus its per-source scores.
+
+    ``learned_score`` extends the reference's four-score model with the
+    learned-sparse (SPLADE-class) source when one is attached to the
+    retriever; it ranks after ``sparse_score`` in ``best_score``."""
 
     chunk: Chunk
     dense_score: Optional[float] = None
     sparse_score: Optional[float] = None
     fused_score: Optional[float] = None
     rerank_score: Optional[float] = None
+    learned_score: Optional[float] = None
 
     def best_score(self) -> float:
-        """Priority: rerank > fused > dense > sparse > 0.0
-        (reference: retrieve.rs:60-76)."""
-        for s in (self.rerank_score, self.fused_score, self.dense_score, self.sparse_score):
+        """Priority: rerank > fused > dense > sparse > learned > 0.0
+        (reference: retrieve.rs:60-76, extended with the learned source)."""
+        for s in (self.rerank_score, self.fused_score, self.dense_score,
+                  self.sparse_score, self.learned_score):
             if s is not None:
                 return s
         return 0.0
@@ -68,6 +74,9 @@ class HybridRetrieverConfig:
     fusion: FusionStrategy = field(default_factory=FusionStrategy.rrf)
     use_dense: bool = True
     use_sparse: bool = True
+    # learned-sparse third source; effective only after
+    # HybridRetriever.attach_learned_sparse() installs one
+    use_learned: bool = True
     # None = auto: JAX-encoder embedders route through the fully fused
     # one-XLA-program path (encoder+dense+BM25+fusion); False forces the
     # staged path; True raises for non-JAX embedders.
@@ -160,6 +169,44 @@ class HybridRetriever:
         vcfg = vector_config or VectorStoreConfig(dimension=embedder.dimension)
         self.vector_store = VectorStore(vcfg, registry=self.registry)
         self.sparse_index = BM25Index(registry=self.registry)
+        # optional learned-sparse (SPLADE-class) third source
+        self.learned_encoder = None
+        self.learned_index = None
+        self._learned_encode_batch = 128
+
+    def attach_learned_sparse(self, encoder, encode_batch: int = 128) -> None:
+        """Install a SPLADE-class expansion encoder (e.g.
+        :class:`trueno_rag_tpu.models.splade.SpladeEncoder`) as a THIRD
+        candidate source. Queries then fuse dense + BM25 + learned-
+        sparse candidates in one N-way device fusion
+        (:func:`trueno_rag_tpu.ops.fusion.fuse_topk_many`); results
+        carry the extra score in ``learned_score``. Chunks already
+        indexed are expanded and back-filled now; later ``index``/
+        ``index_batch`` calls feed all three stores. The reference has
+        no learned-sparse retrieval (its only sparse path is BM25,
+        index.rs:30-280); this is the tri-hybrid extension over it."""
+        from trueno_rag_tpu.index.learned_sparse import LearnedSparseIndex
+
+        self.learned_encoder = encoder
+        self.learned_index = LearnedSparseIndex(registry=self.registry)
+        self._learned_encode_batch = int(encode_batch)
+        live = [
+            c for c in (
+                self.registry.chunk_of(r)
+                for r in range(self.registry.capacity_rows)
+            ) if c is not None
+        ]
+        if live:
+            self._learned_add(live)
+
+    def _learned_add(self, chunks: Sequence[Chunk]) -> None:
+        eb = self._learned_encode_batch
+        for lo in range(0, len(chunks), eb):
+            batch = chunks[lo:lo + eb]
+            terms, w = self.learned_encoder.expand_documents(
+                [c.content for c in batch]
+            )
+            self.learned_index.add_batch(batch, terms, w)
 
     # -- indexing -------------------------------------------------------------
 
@@ -176,6 +223,8 @@ class HybridRetriever:
         self.vector_store.validate_chunk(chunk)
         self.sparse_index.add(chunk)
         self.vector_store.insert(chunk)
+        if self.learned_index is not None:
+            self._learned_add([chunk])
         if tags is not None:
             self.registry.set_tags(chunk.id, tags)
 
@@ -187,6 +236,8 @@ class HybridRetriever:
             self.vector_store.validate_chunk(chunk)
         self.sparse_index.add_batch(chunks)
         self.vector_store.insert_many(chunks)
+        if self.learned_index is not None:
+            self._learned_add(list(chunks))
         if tags is not None:
             for chunk in chunks:
                 self.registry.set_tags(chunk.id, tags)
@@ -195,9 +246,13 @@ class HybridRetriever:
         """Remove from both stores and free the shared row."""
         found_sparse = self.sparse_index.remove(chunk_id)
         found_dense = self.vector_store.remove(chunk_id)
-        if found_dense or found_sparse:
+        found_learned = (
+            self.learned_index.remove(chunk_id)
+            if self.learned_index is not None else False
+        )
+        if found_dense or found_sparse or found_learned:
             self.registry.remove(chunk_id)
-        return found_dense or found_sparse
+        return found_dense or found_sparse or found_learned
 
     # -- tag filters -----------------------------------------------------------
 
@@ -222,6 +277,8 @@ class HybridRetriever:
         atomic swap."""
         self.vector_store.ensure_ready()
         self.sparse_index.ensure_ready()
+        if self.learned_index is not None:
+            self.learned_index.ensure_ready()
         self.vector_store._device_tag_bits()  # lazy per-row tag masks
 
     # -- retrieval ---------------------------------------------------------------
@@ -252,8 +309,19 @@ class HybridRetriever:
             raise QueryError("empty query")
         use_dense = self.config.use_dense
         use_sparse = self.config.use_sparse
-        if not use_dense and not use_sparse:
-            raise QueryError("both retrieval sources disabled")
+        use_learned = (
+            self.learned_index is not None
+            and self.config.use_learned
+            and len(self.learned_index) > 0
+        )
+        if not use_dense and not use_sparse and not use_learned:
+            raise QueryError("all retrieval sources disabled")
+        if self.config.fused is True and use_learned:
+            raise QueryError(
+                "fused=True is the two-source one-program path; the "
+                "learned-sparse source serves the staged tri-hybrid "
+                "(leave fused=None or set use_learned=False)"
+            )
         if self.config.fused is True and not (use_dense and use_sparse):
             # the explicit-fused contract raises loudly everywhere else
             # (non-JAX embedder, compact store) — a disabled source must
@@ -267,7 +335,7 @@ class HybridRetriever:
             return [[] for _ in queries]
         cand = self.config.candidates_per_source
         fusion_strategy = fusion or self.config.fusion
-        if use_dense and use_sparse and self.config.fused is not False:
+        if use_dense and use_sparse and not use_learned and self.config.fused is not False:
             from trueno_rag_tpu.models.encoder import JaxEncoderEmbedder
 
             if isinstance(self.embedder, JaxEncoderEmbedder):
@@ -327,7 +395,7 @@ class HybridRetriever:
         staged_tier = self.vector_store._effective_tier() != "none" and (
             masks is None or self.vector_store.supports_tagged_scan
         )
-        if use_dense and use_sparse and staged_tier:
+        if use_dense and use_sparse and staged_tier and not use_learned:
             # Tiered store: stage the hybrid — certified dense scan
             # (exact: checked fallback on the bf16/int8 tiers, host
             # patch on compact) + BM25 + device fusion on the candidate
@@ -362,7 +430,7 @@ class HybridRetriever:
                 jnp.asarray(s_rows), jnp.asarray(s_scores),
                 kind=fusion_strategy.kind, param=fusion_strategy.device_param,
             )
-        elif use_dense and use_sparse:
+        elif use_dense and use_sparse and not use_learned:
             # one device dispatch for dense + BM25 + fusion
             from trueno_rag_tpu.ops.hybrid import (
                 hybrid_query_arrays,
@@ -430,56 +498,59 @@ class HybridRetriever:
                         b=self.sparse_index.b,
                     )
                 )
-        elif use_dense:
-            if masks is not None and self.vector_store.supports_tagged_scan:
-                # the filter rides the scan kernel (compact: certified
-                # exact-filtered sets + filter-aware host patch; bf16
-                # tile tier: exact with per-query tagged-fp32 fallback)
-                d_scores, d_rows = self.vector_store.search_arrays(
-                    qvecs, cand, tag_masks=masks
-                )
-            elif masks is not None:
-                import jax.numpy as jnp
-
-                from trueno_rag_tpu.ops.tags import dense_topk_tagged
-
-                self.vector_store._refresh_device()
-                dm = self.vector_store.device_matrix
-                d_scores, d_rows = dense_topk_tagged(
-                    jnp.asarray(qvecs), dm, self.vector_store.device_valid,
-                    self._device_tag_bits(dm.shape[0]),
-                    jnp.asarray(masks[0]), jnp.asarray(masks[1]),
-                    jnp.asarray(masks[2]),
-                    min(cand, len(self.registry)),
-                    self.vector_store.config.metric,
-                )
-            else:
-                d_scores, d_rows = self.vector_store.search_arrays(qvecs, cand)
+        elif use_dense and not use_learned:
+            d_scores, d_rows = self._dense_candidates(qvecs, cand, masks)
             f_rows, f_scores = d_rows, d_scores
-        else:
-            s_scores, s_rows = self.sparse_index.search_arrays(padded_queries, cand)
-            if masks is not None:
-                import jax.numpy as jnp
-
-                from trueno_rag_tpu.ops.tags import filter_candidates_by_tags
-
-                bits = self._device_tag_bits(
-                    max(self.registry.capacity_rows, 1)
-                )
-                s_rows, s_scores = filter_candidates_by_tags(
-                    jnp.asarray(s_rows), jnp.asarray(s_scores), bits,
-                    jnp.asarray(masks[0]), jnp.asarray(masks[1]),
-                    jnp.asarray(masks[2]),
-                )
+        elif use_sparse and not use_learned:
+            s_scores, s_rows = self._sparse_candidates(padded_queries, cand, masks)
             f_rows, f_scores = s_rows, s_scores
+        else:
+            # learned-sparse source active: staged multi-source hybrid —
+            # per-source top-C candidates over the shared row space,
+            # then one N-way device fusion (priority order dense, BM25,
+            # learned — matches the two-list reference ordering with the
+            # learned list appended).
+            import jax.numpy as jnp
+
+            from trueno_rag_tpu.ops.fusion import fuse_topk_many
+
+            lists = []
+            if use_dense:
+                d_scores, d_rows = self._dense_candidates(qvecs, cand, masks)
+                lists.append((d_rows, d_scores))
+            if use_sparse:
+                s_scores, s_rows = self._sparse_candidates(
+                    padded_queries, cand, masks
+                )
+                lists.append((s_rows, s_scores))
+            l_scores, l_rows = self._learned_candidates(
+                list(queries) + ["\0"] * (b_pad - b), cand, masks
+            )
+            lists.append((jnp.asarray(l_rows), jnp.asarray(l_scores)))
+            if len(lists) == 1:
+                f_rows, f_scores = l_rows, l_scores
+            else:
+                weights = (
+                    tuple(fusion_strategy.resolve_weights(len(lists)))
+                    if fusion_strategy.kind in ("linear", "convex") else ()
+                )
+                f_rows, f_scores = fuse_topk_many(
+                    tuple(jnp.asarray(r) for r, _ in lists),
+                    tuple(jnp.asarray(s) for _, s in lists),
+                    kind=fusion_strategy.kind,
+                    param=fusion_strategy.device_param,
+                    weights=weights,
+                )
 
         f_rows = np.asarray(f_rows)
         f_scores = np.asarray(f_scores)
         d_maps = self._score_maps(d_rows, d_scores) if use_dense else [{}] * b
         s_maps = self._score_maps(s_rows, s_scores) if use_sparse else [{}] * b
+        l_maps = self._score_maps(l_rows, l_scores) if use_learned else [{}] * b
 
         out: List[List[RetrievalResult]] = []
-        fused_is_real = use_dense and use_sparse
+        n_sources = int(use_dense) + int(use_sparse) + int(use_learned)
+        fused_is_real = n_sources >= 2
         for i in range(b):
             results: List[RetrievalResult] = []
             for row, score in zip(f_rows[i], f_scores[i]):
@@ -494,10 +565,77 @@ class HybridRetriever:
                         dense_score=d_maps[i].get(int(row)),
                         sparse_score=s_maps[i].get(int(row)),
                         fused_score=float(score) if fused_is_real else None,
+                        learned_score=l_maps[i].get(int(row)),
                     )
                 )
             out.append(results)
         return out
+
+    # -- per-source candidate stages (shared by the single-source and the
+    # -- learned tri-hybrid paths) ----------------------------------------
+
+    def _dense_candidates(self, qvecs, cand: int, masks):
+        """Dense top-C candidates with the tag filter routed the same
+        way the dense-only path always did: riding the scan kernel
+        where supported, ops.tags.dense_topk_tagged otherwise."""
+        if masks is not None and self.vector_store.supports_tagged_scan:
+            # the filter rides the scan kernel (compact: certified
+            # exact-filtered sets + filter-aware host patch; bf16
+            # tile tier: exact with per-query tagged-fp32 fallback)
+            return self.vector_store.search_arrays(qvecs, cand, tag_masks=masks)
+        if masks is not None:
+            import jax.numpy as jnp
+
+            from trueno_rag_tpu.ops.tags import dense_topk_tagged
+
+            self.vector_store._refresh_device()
+            dm = self.vector_store.device_matrix
+            return dense_topk_tagged(
+                jnp.asarray(qvecs), dm, self.vector_store.device_valid,
+                self._device_tag_bits(dm.shape[0]),
+                jnp.asarray(masks[0]), jnp.asarray(masks[1]),
+                jnp.asarray(masks[2]),
+                min(cand, len(self.registry)),
+                self.vector_store.config.metric,
+            )
+        return self.vector_store.search_arrays(qvecs, cand)
+
+    def _sparse_candidates(self, padded_queries, cand: int, masks):
+        """BM25 top-C candidates; tag filters drop disallowed rows
+        post-top-k (slots are not refilled — same contract as the
+        tagged one-dispatch path, ops/tags.py)."""
+        s_scores, s_rows = self.sparse_index.search_arrays(padded_queries, cand)
+        if masks is not None:
+            import jax.numpy as jnp
+
+            from trueno_rag_tpu.ops.tags import filter_candidates_by_tags
+
+            bits = self._device_tag_bits(max(self.registry.capacity_rows, 1))
+            s_rows, s_scores = filter_candidates_by_tags(
+                jnp.asarray(s_rows), jnp.asarray(s_scores), bits,
+                jnp.asarray(masks[0]), jnp.asarray(masks[1]),
+                jnp.asarray(masks[2]),
+            )
+        return s_scores, s_rows
+
+    def _learned_candidates(self, texts, cand: int, masks):
+        """Learned-sparse top-C candidates; the allowed-row mask rides
+        the weighted scoring op itself, so the filtered top-k is exact
+        (not over-fetch-and-drop)."""
+        q_terms, q_w = self.learned_encoder.expand_queries(texts)
+        allowed = None
+        if masks is not None:
+            t_all, t_any, t_none = masks
+            bits = self.registry.tag_bits_array(self.learned_index.capacity_rows)
+            allowed = np.stack([
+                ((bits & t_all[i]) == t_all[i])
+                & ((t_any[i] == 0) | ((bits & t_any[i]) != 0))
+                & ((bits & t_none[i]) == 0)
+                for i in range(len(texts))
+            ])
+        return self.learned_index.search_arrays(
+            q_terms, q_w, cand, allowed_rows=allowed
+        )
 
     @staticmethod
     def _score_maps(rows, scores) -> List[Dict[int, float]]:
