@@ -207,3 +207,119 @@ def test_tri_empty_learned_index_falls_back_to_two_way():
     res = retr.retrieve("term frequency", 3)
     assert res
     assert all(r.learned_score is None for r in res)
+
+
+# -------------------------------------------------------- persistence ----
+
+
+def _assert_same_results(a, b):
+    assert [r.chunk.id for r in a] == [r.chunk.id for r in b]
+    for x, y in zip(a, b):
+        for f in ("dense_score", "sparse_score", "fused_score", "learned_score"):
+            xv, yv = getattr(x, f), getattr(y, f)
+            assert (xv is None) == (yv is None), f
+            if xv is not None:
+                assert xv == pytest.approx(yv, rel=1e-6), f
+
+
+@pytest.mark.parametrize("streaming", [False, True], ids=["v1", "v2"])
+def test_tri_hybrid_save_load_round_trip(tmp_path, streaming):
+    from trueno_rag_tpu.persist import (
+        load_index, read_index_info, save_index, save_index_streaming)
+
+    retr, chunks = _tri_retriever(seed=3)
+    query = "weighted vocabulary terms"
+    before = retr.retrieve(query, 6)
+    path = str(tmp_path / "idx.trag")
+    if streaming:
+        save_index_streaming(path, retr, frame_rows=4)
+    else:
+        save_index(path, retr)
+
+    info = read_index_info(path)
+    assert info["learned"] == {"max_len": 32, "doc_top": 128, "query_top": 32}
+
+    enc = SpladeEncoder(seed=3, max_len=int(info["learned"]["max_len"]),
+                        doc_top=int(info["learned"]["doc_top"]),
+                        query_top=int(info["learned"]["query_top"]))
+    emb2 = rag.MockEmbedder(dimension=48)
+    loaded, _ = load_index(path, emb2, learned_encoder=enc)
+    assert len(loaded.learned_index) == len(chunks)
+    after = loaded.retrieve(query, 6)
+    _assert_same_results(before, after)
+
+    # without an encoder the artifact loads as a plain two-source hybrid
+    plain, _ = load_index(path, rag.MockEmbedder(dimension=48))
+    assert plain.learned_index is None
+    res = plain.retrieve(query, 4)
+    assert res and all(r.learned_score is None for r in res)
+
+
+def test_pipeline_builder_with_learned_sparse():
+    from trueno_rag_tpu.pipeline import RagPipelineBuilder
+    from trueno_rag_tpu.rerank import NoOpReranker
+
+    pipe = (
+        RagPipelineBuilder()
+        .with_embedder(rag.MockEmbedder(dimension=48))
+        .with_reranker(NoOpReranker())
+        .with_learned_sparse(SpladeEncoder(seed=0, max_len=32))
+        .build()
+    )
+    pipe.index_document(rag.Document(
+        "SPLADE expands queries into weighted vocabulary terms. "
+        "Dense retrieval embeds chunks. BM25 ranks by term frequency.",
+        title="t"))
+    assert len(pipe.retriever.learned_index) > 0
+    out = pipe.query("weighted vocabulary expansion", 3)
+    assert out
+    assert any(r.learned_score is not None for r in out)
+
+
+# ------------------------------------------------------ sharded tri ----
+
+
+def test_sharded_tri_hybrid_matches_single_host():
+    """ShardedHybridIndex picks up the retriever's learned source and
+    must reproduce the single-host tri-hybrid ranking over the 8-shard
+    mesh (replicated BM25 for bit-identical sparse arrays; the learned
+    and dense sides shard by document/row)."""
+    from trueno_rag_tpu.parallel.hybrid import ShardedHybridIndex
+    from trueno_rag_tpu.parallel.mesh import create_mesh
+
+    cfg = HybridRetrieverConfig(candidates_per_source=12)
+    retr, chunks = _tri_retriever(cand=12, config=cfg)
+    mesh = create_mesh(data=8, model=1)
+    for strat in [FusionStrategy.rrf(), FusionStrategy.linear(0.5)]:
+        retr.config.fusion = strat
+        sharded = ShardedHybridIndex(
+            retr, mesh, fusion=strat, candidates_per_source=12,
+            sparse_mode="replicated",
+        )
+        assert sharded.learned is not None
+        for q in ["weighted vocabulary terms", "dense vector retrieval",
+                  "term frequency ranking"]:
+            single = retr.retrieve(q, 6)
+            multi = sharded.search(q, 6)
+            assert [r.chunk.id for r in multi] == \
+                [r.chunk.id for r in single], (strat.kind, q)
+
+
+def test_sharded_tri_refresh_rebuilds_learned():
+    from trueno_rag_tpu.parallel.hybrid import ShardedHybridIndex
+    from trueno_rag_tpu.parallel.mesh import create_mesh
+
+    retr, chunks = _tri_retriever(cand=12)
+    mesh = create_mesh(data=8, model=1)
+    sharded = ShardedHybridIndex(retr, mesh, candidates_per_source=12,
+                                 sparse_mode="replicated")
+    q = "weighted vocabulary terms"
+    before_ids = [r.chunk.id for r in sharded.search(q, 6)]
+    victim = next(c for c in chunks if c.id in before_ids)
+    retr.remove(victim.id)
+    sharded.refresh(rows=[retr.registry.capacity_rows])  # force rebuild path
+    sharded.refresh()  # full rebuild: learned shards re-derive
+    after = sharded.search(q, 6)
+    assert victim.id not in [r.chunk.id for r in after]
+    single = retr.retrieve(q, 6)
+    assert [r.chunk.id for r in after] == [r.chunk.id for r in single]

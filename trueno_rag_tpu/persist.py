@@ -177,6 +177,36 @@ def _cluster_wire(store, rows) -> Optional[Dict[str, Any]]:
     }
 
 
+def _learned_wire(retriever, rows) -> Optional[Dict[str, Any]]:
+    """Learned-sparse (tri-hybrid) expansions as a ragged CSR aligned
+    with the saved chunk order — weight bytes round-trip exactly, so
+    scores after load are identical. Encoder weights travel separately
+    (:func:`save_params`), like every other artifact's model split
+    (main.rs:442-477)."""
+    li = getattr(retriever, "learned_index", None)
+    if li is None:
+        return None
+    enc = retriever.learned_encoder
+    indptr = [0]
+    terms: list = []
+    weights: list = []
+    for row in rows:
+        ts = li._row_terms.get(row, ())
+        terms.extend(int(t) for t in ts)
+        weights.extend(li._postings[int(t)][row] for t in ts)
+        indptr.append(len(terms))
+    return {
+        "encoder": {
+            "max_len": enc.max_len,
+            "doc_top": enc.doc_top,
+            "query_top": enc.query_top,
+        },
+        "indptr": np.asarray(indptr, np.int64).tobytes(),
+        "terms": np.asarray(terms, np.int32).tobytes(),
+        "weights": np.asarray(weights, np.float32).tobytes(),
+    }
+
+
 def _build_header(retriever, embedder_info) -> tuple:
     """Everything an index artifact carries EXCEPT the embedding matrix
     (shared by the monolithic v1 and streaming v2 writers) → (header,
@@ -197,6 +227,7 @@ def _build_header(retriever, embedder_info) -> tuple:
             "fusion": retriever.config.fusion.to_dict(),
             "use_dense": retriever.config.use_dense,
             "use_sparse": retriever.config.use_sparse,
+            "use_learned": retriever.config.use_learned,
         },
         "embedder": embedder_info or {},
         "tags": _tag_wire(reg, ids),
@@ -204,6 +235,9 @@ def _build_header(retriever, embedder_info) -> tuple:
     cluster = _cluster_wire(store, rows)
     if cluster is not None:
         header["cluster"] = cluster
+    learned = _learned_wire(retriever, rows)
+    if learned is not None:
+        header["learned"] = learned
     return header, ids, rows
 
 
@@ -281,6 +315,7 @@ def _retriever_from_header(header, embedder, scan_tier):
         fusion=FusionStrategy.from_dict(rcfg["fusion"]),
         use_dense=rcfg["use_dense"],
         use_sparse=rcfg["use_sparse"],
+        use_learned=rcfg.get("use_learned", True),
     )
     return HybridRetriever(
         embedder, config=config,
@@ -303,10 +338,10 @@ def _insert_block(retr, chunk_dicts, block: np.ndarray, start: int) -> None:
     retr.vector_store.insert_many(chunks)
 
 
-def _finish_load(retr, header, scan_tier):
-    """BM25 state remap + tags + clustered preset (shared by both
-    loaders; saved order IS row order because inserts allocate rows
-    0..n-1 in sequence)."""
+def _finish_load(retr, header, scan_tier, learned_encoder=None):
+    """BM25 state remap + tags + clustered preset + learned-sparse
+    postings (shared by both loaders; saved order IS row order because
+    inserts allocate rows 0..n-1 in sequence)."""
     row_remap = {int(r): i for r, i in header["bm25_rows"].items()}
     bm25_state = header["bm25"]
     bm25_state["postings"] = {
@@ -333,6 +368,22 @@ def _finish_load(retr, header, scan_tier):
             ).reshape(-1, d),
             "radii": np.frombuffer(cluster["radii"], dtype=np.float32),
         }
+    learned = header.get("learned")
+    if learned is not None and learned_encoder is not None:
+        # restore the saved expansions VERBATIM (no re-encoding — weight
+        # bytes round-trip, so learned scores are identical after load)
+        from trueno_rag_tpu.index.learned_sparse import LearnedSparseIndex
+
+        indptr = np.frombuffer(learned["indptr"], np.int64)
+        li = LearnedSparseIndex(registry=retr.registry)
+        li.load_rows(
+            [retr.registry.chunk_of(i) for i in range(len(indptr) - 1)],
+            indptr,
+            np.frombuffer(learned["terms"], np.int32),
+            np.frombuffer(learned["weights"], np.float32),
+        )
+        retr.learned_encoder = learned_encoder
+        retr.learned_index = li
     return retr
 
 
@@ -361,16 +412,26 @@ def read_index_info(path: str) -> Dict[str, Any]:
         "metric": payload.get("metric", "cosine"),
         "version": payload.get("version", 1),
         "chunks": payload.get("chunks", []),
+        # tri-hybrid artifacts: the learned-sparse expansion config, so
+        # callers can rebuild the SpladeEncoder BEFORE load_index
+        "learned": (payload.get("learned") or {}).get("encoder"),
     }
 
 
 def load_index(path: str, embedder, codec: Optional[Compression] = None,
-               scan_tier: Optional[str] = None):
+               scan_tier: Optional[str] = None, learned_encoder=None):
     """Rebuild a HybridRetriever from a saved artifact. ``embedder`` is
     supplied by the caller (embedder identity travels in the artifact's
     ``embedder`` dict for the CLI to reconstruct — main.rs:442-477; use
     :func:`read_index_info` to peek without loading). ``scan_tier``
-    configures the rebuilt VectorStore's scan tier (default fp32)."""
+    configures the rebuilt VectorStore's scan tier (default fp32).
+
+    ``learned_encoder``: a SpladeEncoder re-attaching a saved learned-
+    sparse (tri-hybrid) section — pass the SAME encoder identity
+    (seed/params) the index was built with (peek its expansion config
+    via ``read_index_info()['learned']``). Postings restore verbatim;
+    without an encoder the artifact loads as a plain two-source hybrid.
+    """
     if not os.path.exists(path):
         from trueno_rag_tpu.errors import IndexNotFoundError
 
@@ -378,14 +439,17 @@ def load_index(path: str, embedder, codec: Optional[Compression] = None,
     with open(path, "rb") as f:
         magic = f.read(len(MAGIC2))
         if magic == MAGIC2:  # v2 streaming container
-            return _load_index_streaming(f, embedder, scan_tier=scan_tier)
+            return _load_index_streaming(
+                f, embedder, scan_tier=scan_tier,
+                learned_encoder=learned_encoder,
+            )
         payload = deserialize_compressed(magic + f.read())
     retr = _retriever_from_header(payload, embedder, scan_tier)
     dim = payload["dimension"]
     n = len(payload["chunks"])
     matrix = np.frombuffer(payload["embeddings_raw"], dtype=np.float32).reshape(n, dim)
     _insert_block(retr, payload["chunks"], matrix, 0)
-    _finish_load(retr, payload, scan_tier)
+    _finish_load(retr, payload, scan_tier, learned_encoder=learned_encoder)
     return retr, payload.get("embedder", {})
 
 
@@ -478,7 +542,8 @@ def _read_streaming_header(f):
     return codec, header
 
 
-def _load_index_streaming(f, embedder, scan_tier: Optional[str] = None):
+def _load_index_streaming(f, embedder, scan_tier: Optional[str] = None,
+                          learned_encoder=None):
     """Resume after MAGIC2: codec id, compressed header, matrix frames."""
     codec, header = _read_streaming_header(f)
     retr = _retriever_from_header(header, embedder, scan_tier)
@@ -499,7 +564,7 @@ def _load_index_streaming(f, embedder, scan_tier: Optional[str] = None):
             raise SerializationError("empty matrix frame (truncated artifact?)")
         _insert_block(retr, chunk_dicts, block, loaded)
         loaded += block.shape[0]
-    _finish_load(retr, header, scan_tier)
+    _finish_load(retr, header, scan_tier, learned_encoder=learned_encoder)
     return retr, header.get("embedder", {})
 
 

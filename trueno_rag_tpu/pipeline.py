@@ -450,6 +450,7 @@ class RagPipelineBuilder:
         self._assembler_config: Optional[ContextAssemblerConfig] = None
         self._preprocessor = None
         self._dedup_threshold: Optional[float] = None
+        self._learned_encoder = None
 
     def with_embedder(self, embedder: Embedder) -> "RagPipelineBuilder":
         self._embedder = embedder
@@ -485,6 +486,13 @@ class RagPipelineBuilder:
         self._preprocessor = preprocessor
         return self
 
+    def with_learned_sparse(self, encoder) -> "RagPipelineBuilder":
+        """Attach a SPLADE-class expansion encoder as a third retrieval
+        source (tri-hybrid: dense + BM25 + learned-sparse fused N-way;
+        see :meth:`HybridRetriever.attach_learned_sparse`)."""
+        self._learned_encoder = encoder
+        return self
+
     def with_dedup(self, threshold: float = 0.97) -> "RagPipelineBuilder":
         """Skip near-duplicate chunks at ingest (cosine ≥ threshold vs
         the index or an earlier chunk of the same batch); skips count in
@@ -512,6 +520,8 @@ class RagPipelineBuilder:
             config=retr_cfg,
             vector_config=self._vector_config,
         )
+        if self._learned_encoder is not None:
+            retriever.attach_learned_sparse(self._learned_encoder)
         assembler = ContextAssembler(self._assembler_config)
         return RagPipeline(
             self._embedder, self._reranker, chunker, retriever, assembler,
