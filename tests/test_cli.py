@@ -178,3 +178,40 @@ def test_query_missing_index_fails(tmp_path):
 def test_unknown_command_fails():
     r = run_cli("frobnicate")
     assert r.returncode != 0
+
+
+def test_index_with_learned_sparse_tri_hybrid(corpus_dir, tmp_path):
+    """--with-learned-sparse builds a TRI-hybrid artifact (dense + BM25
+    + learned expansions inside index.trag); query re-attaches the
+    learned source automatically and surfaces learned_score."""
+    out = tmp_path / "tri"
+    r = run_cli("index", "--path", str(corpus_dir), "--output", str(out),
+                "--with-learned-sparse")
+    assert r.returncode == 0, r.stderr
+    assert (out / "index.trag").exists()
+    assert not (out / "splade_index.trag").exists()
+
+    q = run_cli("query", "systolic array matrix", "--index", str(out),
+                "--format", "json")
+    assert q.returncode == 0, q.stderr
+    data = json.loads(q.stdout)
+    assert isinstance(data, list) and data
+    assert data[0]["fused_score"] is not None
+    assert any(row["learned_score"] is not None for row in data)
+
+    # tag filters ride the tri path too
+    r2 = run_cli("index", "--path", str(corpus_dir), "--output", str(out),
+                 "--with-learned-sparse", "--tag-by-dir", "--tags", "docs")
+    assert r2.returncode == 0, r2.stderr
+    qf = run_cli("query", "systolic array matrix", "--index", str(out),
+                 "--filter-all", "docs", "--format", "json")
+    assert qf.returncode == 0, qf.stderr
+    assert json.loads(qf.stdout)
+
+
+def test_with_learned_sparse_excludes_other_modes(corpus_dir, tmp_path):
+    r = run_cli("index", "--path", str(corpus_dir),
+                "--output", str(tmp_path / "x"),
+                "--learned-sparse", "--with-learned-sparse")
+    assert r.returncode != 0
+    assert "cannot combine" in (r.stderr + r.stdout)

@@ -284,6 +284,11 @@ def cmd_index(args) -> int:
         raise SystemExit(
             "error: --multi-vector and --learned-sparse are mutually exclusive"
         )
+    if args.with_learned_sparse and (args.multi_vector or args.learned_sparse):
+        raise SystemExit(
+            "error: --with-learned-sparse augments the HYBRID index; it "
+            "cannot combine with --multi-vector/--learned-sparse"
+        )
     docs = _walk_documents(args.path)
     if args.multi_vector:
         return _cmd_index_multi_vector(args, docs)
@@ -292,13 +297,20 @@ def cmd_index(args) -> int:
     embedder = _build_embedder(args.embedder, args.dimension, args.model)
     if args.embedder == "tfidf":
         embedder.fit([d.content for d in docs])
-    pipeline = (
+    builder = (
         RagPipelineBuilder()
         .with_embedder(embedder)
         .with_reranker(NoOpReranker())
         .with_chunker(RecursiveChunker(chunk_size=args.chunk_size, overlap=args.chunk_overlap))
-        .build()
     )
+    if args.with_learned_sparse:
+        # seed-0 encoder identity, like the other CLI model builds; the
+        # loader reconstructs the same encoder from the artifact's
+        # expansion config
+        from trueno_rag_tpu.models.splade import SpladeEncoder
+
+        builder = builder.with_learned_sparse(SpladeEncoder(seed=0))
+    pipeline = builder.build()
     doc_tags = _doc_tags_for(docs, args)
     n_chunks = pipeline.index_documents(docs, tags=doc_tags)
     os.makedirs(args.output, exist_ok=True)
@@ -370,7 +382,21 @@ def _load(index_dir: str, scan_tier=None):
         embedder = _build_embedder("semantic", info.get("dimension", 384), info.get("model"), info.get("seed", 0))
     from trueno_rag_tpu.persist import load_index
 
-    retr, _ = load_index(path, embedder, scan_tier=scan_tier)
+    learned_encoder = None
+    learned_meta = payload.get("learned")
+    if learned_meta:
+        # tri-hybrid artifact: rebuild the seed-0 CLI encoder with the
+        # SAVED expansion config and re-attach the learned source
+        from trueno_rag_tpu.models.splade import SpladeEncoder
+
+        learned_encoder = SpladeEncoder(
+            seed=0,
+            max_len=int(learned_meta["max_len"]),
+            doc_top=int(learned_meta["doc_top"]),
+            query_top=int(learned_meta["query_top"]),
+        )
+    retr, _ = load_index(path, embedder, scan_tier=scan_tier,
+                         learned_encoder=learned_encoder)
     return retr
 
 
@@ -393,6 +419,7 @@ def cmd_query(args) -> int:
                 "dense_score": r.dense_score,
                 "sparse_score": r.sparse_score,
                 "fused_score": r.fused_score,
+                "learned_score": r.learned_score,
                 "title": r.chunk.metadata.title,
                 "source": r.chunk.metadata.custom.get("source"),
                 "content": r.chunk.content,
@@ -460,6 +487,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "queries score through the weighted block-gather "
                         "posting path; query/serve auto-detect the "
                         "artifact (splade_index.trag)")
+    i.add_argument("--with-learned-sparse", action="store_true",
+                   help="ALSO attach a learned-sparse (SPLADE-class) "
+                        "third source to the hybrid index: queries fuse "
+                        "dense + BM25 + learned expansions N-way; the "
+                        "expansions persist inside index.trag and "
+                        "query/serve re-attach them automatically")
     i.set_defaults(fn=cmd_index)
 
     q = sub.add_parser("query", help="query a persisted index")

@@ -83,6 +83,17 @@ class ShardedHybridIndex:
         self.sparse = (
             ShardedBM25(sparse, mesh) if sparse_mode == "sharded" else None
         )
+        # tri-hybrid: a retriever with a learned-sparse source shards it
+        # by document like BM25 (parallel/sparse.ShardedLearnedSparse);
+        # queries then fuse three candidate sets N-way
+        self.learned = None
+        self.learned_encoder = None
+        self._learned_index = getattr(retriever, "learned_index", None)
+        if self._learned_index is not None and len(self._learned_index) > 0:
+            from trueno_rag_tpu.parallel.sparse import ShardedLearnedSparse
+
+            self.learned = ShardedLearnedSparse(self._learned_index, mesh)
+            self.learned_encoder = retriever.learned_encoder
 
     def _build_dense(self):
         store = self._store
@@ -190,6 +201,9 @@ class ShardedHybridIndex:
         self._bm25 = None
         self._snap = None
         self._rep_tags = None
+        self.learned = None
+        self.learned_encoder = None
+        self._learned_index = None
 
         self.registry = ChunkRegistry()
         if chunks_per_shard is not None:
@@ -281,6 +295,10 @@ class ShardedHybridIndex:
         self._snap = self._bm25._snap
         if self.sparse_mode == "sharded":
             self.sparse = ShardedBM25(self._bm25, self.mesh)
+        if self._learned_index is not None and len(self._learned_index) > 0:
+            from trueno_rag_tpu.parallel.sparse import ShardedLearnedSparse
+
+            self.learned = ShardedLearnedSparse(self._learned_index, self.mesh)
 
     def _refresh_tags_if_stale(self) -> None:
         """Tag edits since the last build/refresh re-upload the tag
@@ -352,10 +370,43 @@ class ShardedHybridIndex:
                 jnp.asarray(s_rows), jnp.asarray(s_scores), self._replicated_tags(),
                 jnp.asarray(masks[0]), jnp.asarray(masks[1]), jnp.asarray(masks[2]),
             )
-        f_rows, f_scores = fuse_topk(
-            d_rows, d_scores, s_rows, s_scores,
-            kind=self.fusion.kind, param=self.fusion.device_param,
-        )
+        if self.learned is not None:
+            # tri-hybrid on the mesh: expand once host-side, score the
+            # document-sharded expansion postings, merge over ICI, and
+            # fuse all three candidate sets N-way. Tag filters drop
+            # disallowed learned candidates post-top-k (the BM25
+            # treatment here; the single-host path's exact allowed-mask
+            # rides the op — selective filters can differ in the tail).
+            l_scores, l_rows = self.learned.search_arrays(
+                *self.learned_encoder.expand_queries(list(queries)), cand
+            )
+            if masks is not None:
+                from trueno_rag_tpu.ops.tags import filter_candidates_by_tags
+
+                l_rows, l_scores = filter_candidates_by_tags(
+                    jnp.asarray(l_rows), jnp.asarray(l_scores),
+                    self._replicated_tags(),
+                    jnp.asarray(masks[0]), jnp.asarray(masks[1]),
+                    jnp.asarray(masks[2]),
+                )
+            from trueno_rag_tpu.ops.fusion import fuse_topk_many
+
+            weights = (
+                tuple(self.fusion.resolve_weights(3))
+                if self.fusion.kind in ("linear", "convex") else ()
+            )
+            f_rows, f_scores = fuse_topk_many(
+                (jnp.asarray(d_rows), jnp.asarray(s_rows), jnp.asarray(l_rows)),
+                (jnp.asarray(d_scores), jnp.asarray(s_scores),
+                 jnp.asarray(l_scores)),
+                kind=self.fusion.kind, param=self.fusion.device_param,
+                weights=weights,
+            )
+        else:
+            f_rows, f_scores = fuse_topk(
+                d_rows, d_scores, s_rows, s_scores,
+                kind=self.fusion.kind, param=self.fusion.device_param,
+            )
         return f_rows[:, :k], f_scores[:, :k]
 
     def search(self, query: str, k: int,
