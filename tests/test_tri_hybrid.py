@@ -323,3 +323,22 @@ def test_sharded_tri_refresh_rebuilds_learned():
     assert victim.id not in [r.chunk.id for r in after]
     single = retr.retrieve(q, 6)
     assert [r.chunk.id for r in after] == [r.chunk.id for r in single]
+
+
+def test_tri_one_dispatch_matches_staged():
+    """The one-program tri path (ops.hybrid.tri_query_arrays) must give
+    exactly the staged per-source results."""
+    retr, chunks = _tri_retriever(cand=8)
+    queries = ["weighted vocabulary terms", "dense vector retrieval"]
+    fast = retr.retrieve_batch(queries, 6)
+    retr._tri_fused_dispatch = False
+    staged = retr.retrieve_batch(queries, 6)
+    for a_list, b_list in zip(fast, staged):
+        assert [r.chunk.id for r in a_list] == [r.chunk.id for r in b_list]
+        for a, b in zip(a_list, b_list):
+            for f in ("dense_score", "sparse_score", "fused_score",
+                      "learned_score"):
+                av, bv = getattr(a, f), getattr(b, f)
+                assert (av is None) == (bv is None), f
+                if av is not None:
+                    assert av == pytest.approx(bv, rel=1e-5), f

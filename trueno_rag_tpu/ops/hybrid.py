@@ -69,6 +69,56 @@ def hybrid_query_arrays(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("cand", "metric", "fusion_kind", "fusion_param",
+                     "fusion_weights"),
+)
+def tri_query_arrays(
+    qvecs: jax.Array,  # [B, d] query vectors (any embedder)
+    matrix: jax.Array,
+    valid_mask: jax.Array,
+    block_ids: jax.Array,  # [B, S] BM25 block slots
+    block_lo: jax.Array,  # [B, S]
+    block_hi: jax.Array,  # [B, S]
+    blocks: jax.Array,  # [NB, 2, BLOCK_LEN] BM25 contribution table
+    l_block_ids: jax.Array,  # [B, Sl] learned-sparse block slots
+    l_lo: jax.Array,  # [B, Sl]
+    l_hi: jax.Array,  # [B, Sl]
+    l_qw: jax.Array,  # [B, Sl] per-slot query expansion weights
+    l_blocks: jax.Array,  # [NBl, 2, BLOCK_LEN] learned weight table
+    cand: int = 50,
+    metric: str = "cosine",
+    fusion_kind: str = "rrf",
+    fusion_param: float = 60.0,
+    fusion_weights: Tuple[float, ...] = (),
+) -> Tuple[jax.Array, ...]:
+    """Single-dispatch TRI-hybrid candidates: dense top-c + BM25 top-c
+    + learned-sparse top-c + one N-way fusion in ONE jitted program —
+    the tri extension of :func:`hybrid_query_arrays` (three staged
+    dispatches otherwise each pay the device round-trip; over the
+    tunneled dev chip that's milliseconds per stage). Returns
+    ``(f_rows, f_scores, d_rows, d_scores, s_rows, s_scores, l_rows,
+    l_scores)`` so the caller can attach per-source scores."""
+    from trueno_rag_tpu.ops.bm25 import weighted_topk_blocks
+    from trueno_rag_tpu.ops.fusion import fuse_topk_many
+
+    scores = similarity_scores(qvecs, matrix, metric)
+    masked = jnp.where(valid_mask[None, :], scores, NEG_INF)
+    d_scores, d_rows = blockwise_topk(masked, cand)
+    d_rows = jnp.where(jnp.isneginf(d_scores), -1, d_rows)
+    s_scores, s_rows = bm25_topk_blocks(block_ids, block_lo, block_hi, blocks, k=cand)
+    l_scores, l_rows = weighted_topk_blocks(
+        l_block_ids, l_lo, l_hi, l_qw, l_blocks, k=cand
+    )
+    f_rows, f_scores = fuse_topk_many(
+        (d_rows, s_rows, l_rows), (d_scores, s_scores, l_scores),
+        kind=fusion_kind, param=fusion_param, weights=fusion_weights,
+    )
+    return (f_rows, f_scores, d_rows, d_scores, s_rows, s_scores,
+            l_rows, l_scores)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("cand", "metric", "fusion_kind", "fusion_param", "k1", "b"),
 )
 def hybrid_query_arrays_segments(

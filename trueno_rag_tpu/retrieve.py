@@ -505,42 +505,51 @@ class HybridRetriever:
             s_scores, s_rows = self._sparse_candidates(padded_queries, cand, masks)
             f_rows, f_scores = s_rows, s_scores
         else:
-            # learned-sparse source active: staged multi-source hybrid —
-            # per-source top-C candidates over the shared row space,
-            # then one N-way device fusion (priority order dense, BM25,
-            # learned — matches the two-list reference ordering with the
-            # learned list appended).
+            # learned-sparse source active: tri-hybrid. Fast path = ONE
+            # jitted program (dense + BM25 + learned + N-way fusion,
+            # ops.hybrid.tri_query_arrays) when all three sources run
+            # unfiltered on the fp32/block-table layouts; otherwise the
+            # staged per-source path below (tiers, filters, subsets).
             import jax.numpy as jnp
 
             from trueno_rag_tpu.ops.fusion import fuse_topk_many
 
-            lists = []
-            if use_dense:
-                d_scores, d_rows = self._dense_candidates(qvecs, cand, masks)
-                lists.append((d_rows, d_scores))
-            if use_sparse:
-                s_scores, s_rows = self._sparse_candidates(
-                    padded_queries, cand, masks
-                )
-                lists.append((s_rows, s_scores))
-            l_scores, l_rows = self._learned_candidates(
-                list(queries) + ["\0"] * (b_pad - b), cand, masks
+            tri = (
+                self._tri_one_dispatch(qvecs, padded_queries, cand,
+                                       fusion_strategy)
+                if use_dense and use_sparse and masks is None else None
             )
-            lists.append((jnp.asarray(l_rows), jnp.asarray(l_scores)))
-            if len(lists) == 1:
-                f_rows, f_scores = l_rows, l_scores
+            if tri is not None:
+                (f_rows, f_scores, d_rows, d_scores,
+                 s_rows, s_scores, l_rows, l_scores) = tri
             else:
-                weights = (
-                    tuple(fusion_strategy.resolve_weights(len(lists)))
-                    if fusion_strategy.kind in ("linear", "convex") else ()
+                lists = []
+                if use_dense:
+                    d_scores, d_rows = self._dense_candidates(qvecs, cand, masks)
+                    lists.append((d_rows, d_scores))
+                if use_sparse:
+                    s_scores, s_rows = self._sparse_candidates(
+                        padded_queries, cand, masks
+                    )
+                    lists.append((s_rows, s_scores))
+                l_scores, l_rows = self._learned_candidates(
+                    list(queries) + ["\0"] * (b_pad - b), cand, masks
                 )
-                f_rows, f_scores = fuse_topk_many(
-                    tuple(jnp.asarray(r) for r, _ in lists),
-                    tuple(jnp.asarray(s) for _, s in lists),
-                    kind=fusion_strategy.kind,
-                    param=fusion_strategy.device_param,
-                    weights=weights,
-                )
+                lists.append((jnp.asarray(l_rows), jnp.asarray(l_scores)))
+                if len(lists) == 1:
+                    f_rows, f_scores = l_rows, l_scores
+                else:
+                    weights = (
+                        tuple(fusion_strategy.resolve_weights(len(lists)))
+                        if fusion_strategy.kind in ("linear", "convex") else ()
+                    )
+                    f_rows, f_scores = fuse_topk_many(
+                        tuple(jnp.asarray(r) for r, _ in lists),
+                        tuple(jnp.asarray(s) for _, s in lists),
+                        kind=fusion_strategy.kind,
+                        param=fusion_strategy.device_param,
+                        weights=weights,
+                    )
 
         f_rows = np.asarray(f_rows)
         f_scores = np.asarray(f_scores)
@@ -570,6 +579,53 @@ class HybridRetriever:
                 )
             out.append(results)
         return out
+
+    def _tri_one_dispatch(self, qvecs, padded_queries, cand: int,
+                          fusion_strategy):
+        """ONE-dispatch tri-hybrid candidates
+        (:func:`trueno_rag_tpu.ops.hybrid.tri_query_arrays`) when every
+        prerequisite holds: fp32 device matrix (no scan tier engaged),
+        block-table BM25 layout, no tag filters (caller-checked), all
+        three sources on. Returns None to fall back to the staged
+        per-source path. Set ``retriever._tri_fused_dispatch = False``
+        to force staging (A/B harnesses)."""
+        if not getattr(self, "_tri_fused_dispatch", True):
+            return None
+        if self.vector_store._effective_tier() != "none":
+            return None
+        self.sparse_index._refresh_snapshot()
+        snap = self.sparse_index._snap
+        if snap["blocks"] is None:
+            return None
+        import jax.numpy as jnp
+
+        from trueno_rag_tpu.ops.hybrid import tri_query_arrays
+
+        self.vector_store._refresh_device()
+        self.learned_index._refresh_snapshot()
+        bids, blo, bhi = self.sparse_index._gather_blocks(padded_queries)
+        q_terms, q_w = self.learned_encoder.expand_queries(list(padded_queries))
+        lb, ll, lh, lw = self.learned_index._gather_blocks(
+            np.asarray(q_terms), np.asarray(q_w)
+        )
+        weights = (
+            tuple(fusion_strategy.resolve_weights(3))
+            if fusion_strategy.kind in ("linear", "convex") else ()
+        )
+        return tri_query_arrays(
+            jnp.asarray(qvecs),
+            self.vector_store.device_matrix,
+            self.vector_store.device_valid,
+            jnp.asarray(bids), jnp.asarray(blo), jnp.asarray(bhi),
+            snap["blocks"],
+            jnp.asarray(lb), jnp.asarray(ll), jnp.asarray(lh),
+            jnp.asarray(lw), self.learned_index._snap["blocks"],
+            cand=cand,
+            metric=self.vector_store.config.metric,
+            fusion_kind=fusion_strategy.kind,
+            fusion_param=fusion_strategy.device_param,
+            fusion_weights=weights,
+        )
 
     # -- per-source candidate stages (shared by the single-source and the
     # -- learned tri-hybrid paths) ----------------------------------------
