@@ -2,11 +2,17 @@
 # pytest + the bench harness).
 
 PY ?= python
+# pytest-xdist workers: one per CPU on multi-core machines; plain
+# serial pytest on a 1-CPU box (this dev box!) where worker processes
+# only add overhead. Override with `make test WORKERS=4`.
+NPROC := $(shell nproc 2>/dev/null || echo 1)
+WORKERS ?= $(if $(filter 1,$(NPROC)),0,auto)
+XDIST := $(if $(filter 0,$(WORKERS)),,-n $(WORKERS))
 
 .PHONY: test test-fast bench examples lint dryrun quality
 
 test:
-	$(PY) -m pytest tests/ -q
+	$(PY) -m pytest tests/ -q $(XDIST)
 
 test-fast:
 	$(PY) -m pytest tests/ -q -x -m "not slow" --timeout=120

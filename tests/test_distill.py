@@ -159,3 +159,14 @@ def test_distillation_learns_teacher_ranking(student, objective):
     assert last["loss"] < 0.5 * first["loss"], (student, objective, first, last)
     assert last["agreement"] >= max(first["agreement"], 0.75), \
         (student, objective, first, last)
+
+
+def test_margin_mse_single_candidate_slate_rejected():
+    """C=1 slates would mean-reduce a [B, 0] margin array to NaN loss
+    and NaN gradients with no error (ADVICE r2) — reject instead."""
+    from trueno_rag_tpu.errors import InvalidConfigError
+    from trueno_rag_tpu.train.distill import distill_objective
+
+    one = jnp.ones((4, 1), jnp.float32)
+    with pytest.raises(InvalidConfigError, match="margin_mse"):
+        distill_objective(one, one, objective="margin_mse")

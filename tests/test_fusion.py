@@ -330,3 +330,36 @@ def test_fuse_topk_many_batched():
         got = _from_padded(rows_o[i:i + 1], scores_o[i:i + 1])
         expected = host.fuse_many(b)
         assert [r for r, _ in got] == [r for r, _ in expected]
+
+
+def test_fuse_topk_many_union_interior_holes_matches_fuse_topk():
+    """Post-tag-filter candidate lists carry interior invalid slots;
+    union's rank-offset key space must still match the two-list op
+    exactly (ADVICE r2: the kmax-based offset diverged)."""
+    from trueno_rag_tpu.ops.fusion import fuse_topk, fuse_topk_many
+
+    rd = np.array([[5, -1, 7, -1, 9, 3]], np.int32)
+    sd = np.array([[0.9, -np.inf, 0.7, -np.inf, 0.5, 0.4]], np.float32)
+    rs = np.array([[7, -1, 2, 8, -1, 1]], np.int32)
+    ss = np.array([[0.8, -np.inf, 0.6, 0.55, -np.inf, 0.1]], np.float32)
+    r1, s1 = fuse_topk(rd, sd, rs, ss, kind="union", param=0.0)
+    r2, s2 = fuse_topk_many((rd, rs), (sd, ss), kind="union", param=0.0)
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+
+    # randomized hole patterns, several widths
+    rng = np.random.Generator(np.random.PCG64(11))
+    for _ in range(20):
+        kd, ks = int(rng.integers(1, 7)), int(rng.integers(1, 7))
+        rd = rng.choice(12, size=(1, kd), replace=False).astype(np.int32)
+        rs = rng.choice(12, size=(1, ks), replace=False).astype(np.int32)
+        sd = np.sort(rng.random((1, kd)).astype(np.float32))[:, ::-1].copy()
+        ss = np.sort(rng.random((1, ks)).astype(np.float32))[:, ::-1].copy()
+        hole_d = rng.random((1, kd)) < 0.35
+        hole_s = rng.random((1, ks)) < 0.35
+        rd[hole_d], sd[hole_d] = -1, -np.inf
+        rs[hole_s], ss[hole_s] = -1, -np.inf
+        r1, s1 = fuse_topk(rd, sd, rs, ss, kind="union", param=0.0)
+        r2, s2 = fuse_topk_many((rd, rs), (sd, ss), kind="union", param=0.0)
+        assert np.array_equal(np.asarray(r1), np.asarray(r2)), (rd, rs)
+        assert np.array_equal(np.asarray(s1), np.asarray(s2)), (rd, rs)

@@ -237,7 +237,12 @@ def test_tri_hybrid_save_load_round_trip(tmp_path, streaming):
         save_index(path, retr)
 
     info = read_index_info(path)
-    assert info["learned"] == {"max_len": 32, "doc_top": 128, "query_top": 32}
+    assert info["learned"]["max_len"] == 32
+    assert info["learned"]["doc_top"] == 128
+    assert info["learned"]["query_top"] == 32
+    assert info["learned"]["seed"] == 3
+    assert info["learned"]["params_fingerprint"] == \
+        retr.learned_encoder.params_fingerprint()
 
     enc = SpladeEncoder(seed=3, max_len=int(info["learned"]["max_len"]),
                         doc_top=int(info["learned"]["doc_top"]),
@@ -342,3 +347,59 @@ def test_tri_one_dispatch_matches_staged():
                 assert (av is None) == (bv is None), f
                 if av is not None:
                     assert av == pytest.approx(bv, rel=1e-5), f
+
+
+def test_tri_fused_false_honored_by_one_dispatch(monkeypatch):
+    """config.fused=False is the documented switch forcing the staged
+    path; the one-program tri dispatch must honor it (ADVICE r2)."""
+    retr, _ = _tri_retriever(cand=8)
+    retr.config.fused = False
+    called = []
+    import trueno_rag_tpu.ops.hybrid as hybrid_ops
+
+    def boom(*a, **kw):  # pragma: no cover - failure path
+        called.append(1)
+        raise AssertionError("one-dispatch ran despite fused=False")
+
+    monkeypatch.setattr(hybrid_ops, "tri_query_arrays", boom)
+    res = retr.retrieve_batch(["weighted vocabulary terms"], 4)[0]
+    assert res and not called
+
+
+def test_load_rejects_mismatched_learned_encoder(tmp_path):
+    """An artifact's learned postings are the SAVED encoder's document
+    expansions — re-attaching a different-weights query encoder must
+    raise, not silently score noise (ADVICE r2, medium)."""
+    from trueno_rag_tpu.errors import InvalidConfigError
+    from trueno_rag_tpu.persist import load_index, save_index
+
+    retr, _ = _tri_retriever(seed=3)
+    path = str(tmp_path / "idx.trag")
+    save_index(path, retr)
+    wrong = SpladeEncoder(seed=4, max_len=32)
+    with pytest.raises(InvalidConfigError, match="fingerprint"):
+        load_index(path, rag.MockEmbedder(dimension=48), learned_encoder=wrong)
+    right = SpladeEncoder(seed=3, max_len=32)
+    loaded, _ = load_index(path, rag.MockEmbedder(dimension=48),
+                           learned_encoder=right)
+    assert loaded.learned_index is not None
+
+
+def test_sharded_honors_use_learned_flag():
+    """ShardedHybridIndex must gate the learned source on
+    config.use_learned like single-host retrieve_batch — otherwise the
+    mesh tri-fuses while the host path is two-source (ADVICE r2)."""
+    from trueno_rag_tpu.parallel.hybrid import ShardedHybridIndex
+    from trueno_rag_tpu.parallel.mesh import create_mesh
+
+    retr, _ = _tri_retriever(cand=12)
+    retr.config.use_learned = False
+    mesh = create_mesh(data=8, model=1)
+    sharded = ShardedHybridIndex(retr, mesh, candidates_per_source=12,
+                                 sparse_mode="replicated")
+    assert sharded.learned is None
+    q = "weighted vocabulary terms"
+    single = retr.retrieve(q, 6)
+    assert all(r.learned_score is None for r in single)
+    multi = sharded.search(q, 6)
+    assert [r.chunk.id for r in multi] == [r.chunk.id for r in single]

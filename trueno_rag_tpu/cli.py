@@ -385,12 +385,13 @@ def _load(index_dir: str, scan_tier=None):
     learned_encoder = None
     learned_meta = payload.get("learned")
     if learned_meta:
-        # tri-hybrid artifact: rebuild the seed-0 CLI encoder with the
-        # SAVED expansion config and re-attach the learned source
+        # tri-hybrid artifact: rebuild the encoder from the SAVED
+        # identity (seed + expansion config; load_index verifies the
+        # weights fingerprint) and re-attach the learned source
         from trueno_rag_tpu.models.splade import SpladeEncoder
 
         learned_encoder = SpladeEncoder(
-            seed=0,
+            seed=int(learned_meta.get("seed") or 0),
             max_len=int(learned_meta["max_len"]),
             doc_top=int(learned_meta["doc_top"]),
             query_top=int(learned_meta["query_top"]),

@@ -202,6 +202,27 @@ class SpladeEncoder:
         self.doc_top = min(doc_top, self.config.vocab_size)
         self.query_top = min(query_top, self.config.vocab_size)
         self.tokenizer = HashTokenizer(self.config.vocab_size, self.max_len)
+        # recorded for artifact identity only (meaningless when params
+        # were passed in — the fingerprint is the real identity then)
+        self.seed = seed if params is None else None
+
+    def params_fingerprint(self) -> str:
+        """Deterministic 16-hex digest of the encoder's weights.
+
+        Index artifacts store this next to the learned postings so a
+        load can verify the supplied query encoder IS the model that
+        produced the document expansions — a mismatched encoder (other
+        seed, trained vs untrained) makes learned scores silent noise,
+        the failure mode persist.load_index guards against."""
+        import hashlib
+
+        h = hashlib.blake2b(digest_size=8)
+        for name in sorted(self.params):
+            arr = np.asarray(self.params[name])
+            h.update(name.encode())
+            h.update(str(arr.shape).encode())
+            h.update(np.ascontiguousarray(arr, np.float32).tobytes())
+        return h.hexdigest()
 
     def _expand(self, texts: Sequence[str], top: int):
         ids = self.tokenizer.encode_batch(texts)

@@ -190,12 +190,23 @@ def _fuse_many_one(rows_t, scores_t, kind: str, param: float, weights):
         # (list priority, within-list rank) — exactly the host order
         matched_earlier = jnp.any(eq & (lid[None, :] < lid[:, None]), axis=1)
         include = valid & ~matched_earlier
-        kmax = max(ks)
         intmax = jnp.iinfo(jnp.int32).max
-        keys = jnp.where(include, lid * kmax + rank, intmax)
+        # offset list j by the count of VALID slots in earlier lists and
+        # tiebreak on rows — exactly `_fuse_one`'s union key space, so
+        # fuse_topk_many((d, s)) == fuse_topk(d, s) even when candidate
+        # lists carry interior invalid holes (post-tag-filter lists do)
+        n_valid = jnp.sum(
+            (valid[:, None] & (lid[:, None] == jnp.arange(n_lists)[None, :]))
+            .astype(jnp.int32),
+            axis=0,
+        )  # [L]
+        offsets = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(n_valid)[:-1]]
+        )
+        keys = jnp.where(include, offsets[lid] + rank, intmax)
         rows_u = jnp.where(include, rows_all, -1)
         scores_u = jnp.where(include, scores_all, NEG_INF)
-        _, rows_o, scores_o = jax.lax.sort((keys, rows_u, scores_u), num_keys=1)
+        _, rows_o, scores_o = jax.lax.sort((keys, rows_u, scores_u), num_keys=2)
         return rows_o, scores_o
     elif kind == "intersection":
         # rows present in ALL lists; score = mean of per-list scores.

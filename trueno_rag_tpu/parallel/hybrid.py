@@ -88,7 +88,13 @@ class ShardedHybridIndex:
         # queries then fuse three candidate sets N-way
         self.learned = None
         self.learned_encoder = None
-        self._learned_index = getattr(retriever, "learned_index", None)
+        # gated on config.use_learned exactly like the single-host
+        # retrieve_batch — otherwise the mesh would tri-fuse while the
+        # host path returns two-source results (a parity break)
+        self._learned_index = (
+            getattr(retriever, "learned_index", None)
+            if retriever.config.use_learned else None
+        )
         if self._learned_index is not None and len(self._learned_index) > 0:
             from trueno_rag_tpu.parallel.sparse import ShardedLearnedSparse
 

@@ -200,6 +200,12 @@ def _learned_wire(retriever, rows) -> Optional[Dict[str, Any]]:
             "max_len": enc.max_len,
             "doc_top": enc.doc_top,
             "query_top": enc.query_top,
+            # encoder IDENTITY: seed (None for externally-supplied
+            # params) + a weights fingerprint — load_index refuses to
+            # re-attach a query encoder whose fingerprint disagrees
+            # (mismatched expansions score as noise, silently)
+            "seed": getattr(enc, "seed", None),
+            "params_fingerprint": enc.params_fingerprint(),
         },
         "indptr": np.asarray(indptr, np.int64).tobytes(),
         "terms": np.asarray(terms, np.int32).tobytes(),
@@ -370,6 +376,22 @@ def _finish_load(retr, header, scan_tier, learned_encoder=None):
         }
     learned = header.get("learned")
     if learned is not None and learned_encoder is not None:
+        # encoder-identity gate: the artifact's postings are the SAVED
+        # encoder's document expansions; a query encoder with different
+        # weights (other seed, trained vs untrained) scores them as
+        # noise with no error — refuse rather than degrade silently
+        saved_fp = (learned.get("encoder") or {}).get("params_fingerprint")
+        if saved_fp is not None:
+            got_fp = learned_encoder.params_fingerprint()
+            if got_fp != saved_fp:
+                from trueno_rag_tpu.errors import InvalidConfigError
+
+                raise InvalidConfigError(
+                    "learned_encoder does not match this artifact's "
+                    f"learned-sparse model (saved fingerprint {saved_fp}, "
+                    f"supplied {got_fp}); rebuild the encoder with the "
+                    "original seed/params (read_index_info()['learned'])"
+                )
         # restore the saved expansions VERBATIM (no re-encoding — weight
         # bytes round-trip, so learned scores are identical after load)
         from trueno_rag_tpu.index.learned_sparse import LearnedSparseIndex

@@ -591,6 +591,10 @@ class HybridRetriever:
         to force staging (A/B harnesses)."""
         if not getattr(self, "_tri_fused_dispatch", True):
             return None
+        if not self.config.fused:
+            # same documented switch the two-source path honors:
+            # fused=False forces the staged per-source path (A/B runs)
+            return None
         if self.vector_store._effective_tier() != "none":
             return None
         self.sparse_index._refresh_snapshot()

@@ -59,6 +59,14 @@ def distill_objective(
         kl = jnp.sum(t_p * (t_logp - s_logp), axis=1)  # [B]
         loss = jnp.mean(kl)
     elif objective == "margin_mse":
+        if student.shape[1] < 2:
+            from trueno_rag_tpu.errors import InvalidConfigError
+
+            raise InvalidConfigError(
+                "margin_mse needs a slate of >= 2 candidates per query "
+                f"(got C={student.shape[1]}); the [B, 0] margin array "
+                "would mean-reduce to NaN loss/gradients"
+            )
         s_m = student[:, :1] - student[:, 1:]  # [B, C-1]
         t_m = (teacher[:, :1] - teacher[:, 1:]) / temperature_t
         loss = jnp.mean((s_m - t_m) ** 2)
