@@ -281,6 +281,251 @@ def bench_index_build(n_chunks=100_000, dim=384, seed=0):
     return n_chunks / best
 
 
+def _timed_chain(chain, args_tuple, iters, repeats=3, pick="median"):
+    """Compile, then time `repeats` runs of the chained program; returns
+    seconds per chain run (median by default — the tunneled device shows
+    20-30% run-to-run variance)."""
+    float(chain(*args_tuple, steps=1))
+    float(chain(*args_tuple, steps=iters))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(chain(*args_tuple, steps=iters))
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2] if pick == "median" else min(times)
+
+
+def bench_tri(n_chunks=100_000, dim=384, batch=256, cand=50, k=10, iters=20):
+    """Tri-hybrid (dense + BM25 + learned-sparse, N-way RRF) q/s — the
+    third source and fuse_topk_many measured on the chip (r2 verdict:
+    parity-tested but never measured)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from benches.hybrid_scale_bench import build_bm25_device, query_blocks_from_indptr
+    from benches.tri_bench import build_learned_device, learned_query_slots
+    from trueno_rag_tpu.ops.bm25 import bm25_topk_blocks, weighted_topk_blocks
+    from trueno_rag_tpu.ops.dense import dense_topk
+    from trueno_rag_tpu.ops.fusion import fuse_topk_many
+
+    key1, key2 = jax.random.split(jax.random.PRNGKey(0))
+    matrix = jax.random.normal(key1, (n_chunks, dim), dtype=jnp.float32)
+    matrix = matrix / jnp.linalg.norm(matrix, axis=1, keepdims=True)
+    valid = jnp.ones((n_chunks,), bool)
+    queries = jax.random.normal(key2, (batch, dim), dtype=jnp.float32)
+    blocks, indptr = build_bm25_device(n_chunks, 50_000, avg_len=64)
+    bids, blo, bhi = query_blocks_from_indptr(indptr, batch, 6)
+    l_blocks, l_indptr = build_learned_device(n_chunks, 30_000, 24)
+    lb, ll, lh, lw = learned_query_slots(l_indptr, batch, 32)
+    arrs = tuple(jnp.asarray(x) for x in (
+        queries, matrix, valid, bids, blo, bhi, blocks, lb, ll, lh, lw,
+        l_blocks,
+    ))
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def chain(queries, matrix, valid, bids, blo, bhi, blocks,
+              lb, ll, lh, lw, l_blocks, steps):
+        def one(carry, _):
+            q = queries + carry
+            shift = (carry > 1e30).astype(jnp.int32)
+            d_s, d_r = dense_topk(q, matrix, valid, cand, "cosine")
+            s_s, s_r = bm25_topk_blocks(bids + shift, blo, bhi, blocks, k=cand)
+            l_s, l_r = weighted_topk_blocks(
+                lb + shift, ll, lh, lw + carry * 1e-30, l_blocks, k=cand
+            )
+            f_r, f_s = fuse_topk_many(
+                (d_r, s_r, l_r), (d_s, s_s, l_s), kind="rrf", param=60.0
+            )
+            top = jax.lax.top_k(f_s, k)[0]
+            return jnp.max(top) * 1e-12, None
+
+        c, _ = jax.lax.scan(one, 0.0, None, length=steps)
+        return c
+
+    dt = _timed_chain(chain, arrs, iters)
+    return batch * iters / dt
+
+
+def bench_tiered_1m(n_chunks=1_000_000, dim=384, batch=256, cand=50, k=10,
+                    iters=10):
+    """Full hybrid at 1M chunks with the certified bf16 tile tier doing
+    the dense scan (the single-chip mid-scale serving configuration)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from benches.hybrid_scale_bench import build_bm25_device, query_blocks_from_indptr
+    from trueno_rag_tpu.ops.bm25 import bm25_topk_blocks
+    from trueno_rag_tpu.ops.dense_tiered import dense_topk_tiered, prepare_tiered
+    from trueno_rag_tpu.ops.fusion import fuse_topk
+
+    key1, key2 = jax.random.split(jax.random.PRNGKey(0))
+    matrix = jax.random.normal(key1, (n_chunks, dim), dtype=jnp.float32)
+    matrix = matrix / jnp.linalg.norm(matrix, axis=1, keepdims=True)
+    valid = jnp.ones((n_chunks,), bool)
+    queries = jax.random.normal(key2, (batch, dim), dtype=jnp.float32)
+    mb, el2, al2 = prepare_tiered(matrix)
+    blocks, indptr = build_bm25_device(n_chunks, 50_000, avg_len=64)
+    bids, blo, bhi = query_blocks_from_indptr(indptr, batch, 6)
+    arrs = tuple(jnp.asarray(x) for x in (
+        queries, matrix, mb, el2, al2, valid, bids, blo, bhi, blocks,
+    ))
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def chain(queries, matrix, mb, el2, al2, valid, bids, blo, bhi, blocks,
+              steps):
+        def one(carry, _):
+            q = queries + carry
+            shift = (carry > 1e30).astype(jnp.int32)
+            d_s, d_r, ok = dense_topk_tiered(
+                q, matrix, mb, el2, al2, valid, cand,
+                rescore_rows=192, block_top=2, tile_n=4096,
+            )
+            s_s, s_r = bm25_topk_blocks(bids + shift, blo, bhi, blocks, k=cand)
+            f_r, f_s = fuse_topk(d_r, d_s, s_r, s_s, kind="rrf", param=60.0)
+            top = jax.lax.top_k(f_s, k)[0]
+            return (jnp.max(top) + jnp.sum(ok).astype(jnp.float32)) * 1e-12, None
+
+        c, _ = jax.lax.scan(one, 0.0, None, length=steps)
+        return c
+
+    dt = _timed_chain(chain, arrs, iters)
+    return batch * iters / dt
+
+
+def bench_compact_10m(n_chunks=20 * 524_288, dim=384, batch=256, cand=50,
+                      k=10, iters=5, slab=524_288):
+    """North-star scale: full hybrid at 10.5M chunks on ONE chip with the
+    compact bf16+int8-residual dense tier (no fp32 matrix in HBM) +
+    device BM25 + RRF. Returns (qps, certified_frac)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from benches.hybrid_scale_bench import build_bm25_device, query_blocks_from_indptr
+    from trueno_rag_tpu.ops.bm25 import bm25_topk_blocks
+    from trueno_rag_tpu.ops.dense_tiered import (
+        dense_topk_compact_bf16r,
+        prepare_residual,
+        prepare_tiered,
+    )
+    from trueno_rag_tpu.ops.fusion import fuse_topk
+
+    # BM25 first: posting synthesis transients need the empty HBM
+    blocks, indptr = build_bm25_device(n_chunks, 50_000, avg_len=64)
+    bids, blo, bhi = query_blocks_from_indptr(indptr, batch, 6)
+    sparse = tuple(jnp.asarray(x) for x in (bids, blo, bhi)) + (blocks,)
+    jax.block_until_ready(blocks)
+
+    @functools.partial(jax.jit, static_argnames=("rows", "dim"))
+    def gen_slab(seed, rows, dim):
+        m = jax.random.normal(jax.random.PRNGKey(seed), (rows, dim), jnp.float32)
+        return m / jnp.linalg.norm(m, axis=1, keepdims=True)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def set_slab(dest, s, lo):
+        return jax.lax.dynamic_update_slice(dest, s, (lo,) + (0,) * (dest.ndim - 1))
+
+    parts = [
+        jnp.zeros((n_chunks, dim), jnp.bfloat16),
+        jnp.zeros((n_chunks,), jnp.float32),
+        jnp.zeros((n_chunks,), jnp.float32),
+        jnp.zeros((n_chunks, dim), jnp.int8),
+        jnp.ones((n_chunks,), jnp.float32),
+        jnp.zeros((n_chunks,), jnp.float32),
+    ]
+    for si, lo in enumerate(range(0, n_chunks, slab)):
+        s = gen_slab(si, slab, dim)
+        pieces = prepare_tiered(s) + prepare_residual(s)
+        parts = [set_slab(dst, p, lo) for dst, p in zip(parts, pieces)]
+        del s, pieces
+    jax.block_until_ready(parts)
+
+    valid = jnp.ones((n_chunks,), bool)
+    queries = jax.random.normal(jax.random.PRNGKey(777), (batch, dim), jnp.float32)
+    _, _, ok = dense_topk_compact_bf16r(queries, *parts, valid, cand, tile_n=4096)
+    certified = float(np.asarray(ok).astype(np.float32).mean())
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def chain(queries, bids, blo, bhi, blocks, *rest, steps):
+        *mats, valid = rest
+
+        def one(carry, _):
+            q = queries + carry
+            shift = (carry > 1e30).astype(jnp.int32)
+            d_s, d_r, ok = dense_topk_compact_bf16r(
+                q, *mats, valid, cand, tile_n=4096
+            )
+            s_s, s_r = bm25_topk_blocks(bids + shift, blo, bhi, blocks, k=cand)
+            f_r, f_s = fuse_topk(d_r, d_s, s_r, s_s, kind="rrf", param=60.0)
+            top = jax.lax.top_k(f_s, k)[0]
+            return (jnp.max(top) + jnp.sum(ok).astype(jnp.float32)) * 1e-12, None
+
+        c, _ = jax.lax.scan(one, 0.0, None, length=steps)
+        return c
+
+    arrs = (queries, *sparse, *parts, valid)
+    dt = _timed_chain(chain, arrs, iters)
+    return batch * iters / dt, certified
+
+
+def bench_encoder_fused(n_chunks=100_000, batch=64, seq=64, cand=50, k=10,
+                        iters=10):
+    """The flagship one-XLA-program query: MiniLM-class encoder forward
+    -> dense top-k -> candidate-space BM25 -> RRF, nothing leaving the
+    chip between stages (ops/hybrid.fused_hybrid_query — the program
+    __graft_entry__.entry() exports, at serving scale)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from benches.hybrid_scale_bench import build_bm25_device, query_blocks_from_indptr
+    from trueno_rag_tpu.models.encoder import EncoderConfig, init_encoder_params
+    from trueno_rag_tpu.ops.hybrid import fused_hybrid_query
+
+    config = EncoderConfig.minilm_l6()
+    params = init_encoder_params(jax.random.PRNGKey(0), config)
+    key1, key2 = jax.random.split(jax.random.PRNGKey(1))
+    matrix = jax.random.normal(key1, (n_chunks, config.hidden_dim), jnp.float32)
+    matrix = matrix / jnp.linalg.norm(matrix, axis=1, keepdims=True)
+    valid = jnp.ones((n_chunks,), bool)
+    token_ids = jax.random.randint(
+        key2, (batch, seq), 3, config.vocab_size, dtype=jnp.int32
+    )
+    blocks, indptr = build_bm25_device(n_chunks, 50_000, avg_len=64)
+    bids, blo, bhi = query_blocks_from_indptr(indptr, batch, 6)
+    # params travel as jit ARGUMENTS (closures bake into the jaxpr as
+    # constants and remote compile ships them with the program — lore)
+    arrs = (params,) + tuple(jnp.asarray(x) for x in (
+        token_ids, matrix, valid, bids, blo, bhi, blocks,
+    ))
+    fq = functools.partial(
+        fused_hybrid_query, encoder_config=config, cand=cand, k=k,
+        metric="cosine", fusion_kind="rrf", fusion_param=60.0,
+    )
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def chain(params, token_ids, matrix, valid, bids, blo, bhi, blocks, steps):
+        def one(carry, _):
+            shift = (carry > 1e30).astype(jnp.int32)
+            out = fq(
+                params, token_ids + shift, matrix, valid,
+                bids + shift, blo, bhi, blocks,
+            )
+            return jnp.max(out[1]) * 1e-12, None
+
+        c, _ = jax.lax.scan(one, 0.0, None, length=steps)
+        return c
+
+    dt = _timed_chain(chain, arrs, iters)
+    return batch * iters / dt
+
+
 def main():
     # The driver needs ONE JSON line no matter what; the tunneled TPU
     # backend occasionally fails to initialize (or hangs on a wedged
@@ -309,6 +554,8 @@ def main():
                            "error": f"{first_error!r} / {second_error!r}"})
             print(json.dumps(result))
             return
+    import sys
+
     import jax
 
     result["platform"] = jax.default_backend()
@@ -318,12 +565,55 @@ def main():
         "vs_baseline": round(qps / MEASURED_REF_QPS, 1),
         "vs_published_1k": round(qps / PUBLISHED_1K_QPS, 2),
     })
+    rows = [{
+        "metric": "hybrid_qps_100k", "value": round(qps, 1),
+        "unit": "queries/s", "vs_baseline": round(qps / MEASURED_REF_QPS, 1),
+    }]
     try:
         build = bench_index_build()
         result["index_build_chunks_per_s"] = round(build, 1)
         result["index_build_vs_baseline"] = round(build / MEASURED_REF_BUILD, 2)
+        rows.append({
+            "metric": "index_build_chunks_per_s", "value": round(build, 1),
+            "unit": "chunks/s",
+            "vs_baseline": round(build / MEASURED_REF_BUILD, 2),
+        })
     except Exception as e:  # noqa: BLE001 — the primary metric still prints
         result["index_build_error"] = repr(e)
+
+    # -- the multi-scale story (r2 verdict #2): every row labeled, each
+    # -- guarded so one failure never loses the others; the 10M build
+    # -- runs LAST against an otherwise-empty HBM
+    def row(metric, unit, fn, *, cpu_ok=True, extra=None):
+        t0 = time.perf_counter()
+        entry = {"metric": metric, "unit": unit}
+        try:
+            if on_cpu and not cpu_ok:
+                entry["skipped"] = "cpu fallback (workload needs the TPU)"
+            else:
+                value = fn()
+                if isinstance(value, tuple):
+                    value, cert = value
+                    entry["certified_frac"] = round(cert, 3)
+                entry["value"] = round(value, 1)
+                if extra:
+                    entry.update(extra)
+        except Exception as e:  # noqa: BLE001
+            entry["error"] = repr(e)
+        entry["bench_seconds"] = round(time.perf_counter() - t0, 1)
+        print(f"[bench] {metric}: {entry}", file=sys.stderr, flush=True)
+        rows.append(entry)
+
+    it = 3 if on_cpu else None  # low iters off-chip
+    row("tri_hybrid_qps_100k", "queries/s",
+        lambda: bench_tri(iters=it or 20))
+    row("encoder_fused_qps_100k", "queries/s",
+        lambda: bench_encoder_fused(iters=it or 10))
+    row("hybrid_qps_1m_bf16_tier", "queries/s",
+        lambda: bench_tiered_1m(iters=it or 10), cpu_ok=False)
+    row("hybrid_qps_10.5m_compact_bf16r", "queries/s",
+        lambda: bench_compact_10m(iters=it or 5), cpu_ok=False)
+    result["rows"] = rows
     print(json.dumps(result))
 
 

@@ -114,9 +114,9 @@ def test_q4_dequant(tmp_path):
 
 
 def test_unsupported_ggml_type_is_loud(tmp_path):
-    p = str(tmp_path / "q4k.gguf")
-    _manual_gguf(p, "x", (256,), 12, b"\x00" * 1024)  # Q4_K
-    with pytest.raises(SerializationError, match="Q4_K"):
+    p = str(tmp_path / "q3k.gguf")
+    _manual_gguf(p, "x", (256,), 11, b"\x00" * 1024)  # Q3_K (unimplemented)
+    with pytest.raises(SerializationError, match="Q3_K"):
         read_gguf(p)
 
 
@@ -172,3 +172,123 @@ def test_nemotron_gguf_missing_tensor(tmp_path):
                {"token_embd.weight": np.zeros((8, 4), np.float32)})
     with pytest.raises(SerializationError, match="missing tensor"):
         load_nemotron_gguf(path)
+
+
+# ---------------------------------------------------------------------------
+# k-quant super-block formats (Q4_K / Q5_K / Q6_K / Q8_K)
+# ---------------------------------------------------------------------------
+
+def _scale_min_k4_scalar(j, q):
+    """ggml get_scale_min_k4, transcribed (the test oracle)."""
+    if j < 4:
+        return int(q[j]) & 63, int(q[j + 4]) & 63
+    return ((int(q[j + 4]) & 0x0F) | ((int(q[j - 4]) >> 6) << 4),
+            (int(q[j + 4]) >> 4) | ((int(q[j]) >> 6) << 4))
+
+
+def _dequant_kquant_scalar(rec, ggml_type):
+    """Scalar transcription of ggml's dequantize_row_q{4,5,6,8}_K for
+    ONE super-block of raw bytes — the independent oracle the
+    vectorized package decoder is pinned against."""
+    y = np.zeros(256, np.float64)
+    if ggml_type == 15:  # Q8_K
+        d = rec[:4].view(np.float32)[0]
+        q = rec[4:260].view(np.int8)
+        return d * q.astype(np.float64)
+    if ggml_type == 14:  # Q6_K
+        ql, qh = rec[:128], rec[128:192]
+        sc = rec[192:208].view(np.int8)
+        d = float(rec[208:210].view(np.float16)[0])
+        yo = 0
+        qlo, qho, sco = 0, 0, 0
+        for _ in range(2):  # n = 0, 128
+            for l in range(32):
+                is_ = l // 16
+                q1 = ((int(ql[qlo + l]) & 0xF) | (((int(qh[qho + l]) >> 0) & 3) << 4)) - 32
+                q2 = ((int(ql[qlo + l + 32]) & 0xF) | (((int(qh[qho + l]) >> 2) & 3) << 4)) - 32
+                q3 = ((int(ql[qlo + l]) >> 4) | (((int(qh[qho + l]) >> 4) & 3) << 4)) - 32
+                q4 = ((int(ql[qlo + l + 32]) >> 4) | (((int(qh[qho + l]) >> 6) & 3) << 4)) - 32
+                y[yo + l] = d * int(sc[sco + is_]) * q1
+                y[yo + l + 32] = d * int(sc[sco + is_ + 2]) * q2
+                y[yo + l + 64] = d * int(sc[sco + is_ + 4]) * q3
+                y[yo + l + 96] = d * int(sc[sco + is_ + 6]) * q4
+            yo += 128
+            qlo += 64
+            qho += 32
+            sco += 8
+        return y
+    d = float(rec[0:2].view(np.float16)[0])
+    dmin = float(rec[2:4].view(np.float16)[0])
+    scales = rec[4:16]
+    if ggml_type == 12:  # Q4_K
+        qs = rec[16:144]
+        yo, qo = 0, 0
+        for j in range(4):
+            sc1, m1 = _scale_min_k4_scalar(2 * j, scales)
+            sc2, m2 = _scale_min_k4_scalar(2 * j + 1, scales)
+            for l in range(32):
+                y[yo + l] = d * sc1 * (int(qs[qo + l]) & 0xF) - dmin * m1
+                y[yo + 32 + l] = d * sc2 * (int(qs[qo + l]) >> 4) - dmin * m2
+            yo += 64
+            qo += 32
+        return y
+    # Q5_K
+    qh, qs = rec[16:48], rec[48:176]
+    yo, qo = 0, 0
+    u1, u2 = 1, 2
+    for j in range(4):
+        sc1, m1 = _scale_min_k4_scalar(2 * j, scales)
+        sc2, m2 = _scale_min_k4_scalar(2 * j + 1, scales)
+        for l in range(32):
+            y[yo + l] = d * sc1 * ((int(qs[qo + l]) & 0xF) + (16 if int(qh[l]) & u1 else 0)) - dmin * m1
+            y[yo + 32 + l] = d * sc2 * ((int(qs[qo + l]) >> 4) + (16 if int(qh[l]) & u2 else 0)) - dmin * m2
+        yo += 64
+        qo += 32
+        u1 <<= 2
+        u2 <<= 2
+    return y
+
+
+@pytest.mark.parametrize("ggml_type,block_bytes", [
+    (12, 144), (13, 176), (14, 210), (15, 292),
+], ids=["Q4_K", "Q5_K", "Q6_K", "Q8_K"])
+def test_kquant_dequant_matches_scalar_oracle(tmp_path, ggml_type, block_bytes):
+    """Random raw super-blocks decoded by the package's vectorized path
+    must match the scalar ggml-reference transcription bit-for-bit
+    (both compute in f32-representable values)."""
+    rng = np.random.default_rng(ggml_type)
+    nb = 3
+    raw = rng.integers(0, 256, size=nb * block_bytes, dtype=np.uint8)
+    if ggml_type == 15:  # keep Q8_K's f32 scale finite and sane
+        for b in range(nb):
+            raw[b * 292 : b * 292 + 4] = np.frombuffer(
+                np.float32(0.01 * (b + 1)).tobytes(), np.uint8)
+    else:  # keep the f16 scales finite (avoid inf/nan bit patterns)
+        for b in range(nb):
+            off = b * block_bytes + (208 if ggml_type == 14 else 0)
+            raw[off : off + 2] = np.frombuffer(
+                np.float16(0.02 * (b + 1)).tobytes(), np.uint8)
+            if ggml_type in (12, 13):
+                raw[b * block_bytes + 2 : b * block_bytes + 4] = np.frombuffer(
+                    np.float16(0.003 * (b + 1)).tobytes(), np.uint8)
+    p = str(tmp_path / "k.gguf")
+    _manual_gguf(p, "x", (nb * 256,), ggml_type, raw.tobytes())
+    _, t = read_gguf(p)
+    got = t["x"]
+    want = np.concatenate([
+        _dequant_kquant_scalar(raw[b * block_bytes : (b + 1) * block_bytes],
+                               ggml_type)
+        for b in range(nb)
+    ])
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=0, atol=0)
+
+
+def test_kquant_nemotron_load(tmp_path):
+    """A Q6_K token-embedding tensor flows through load_nemotron_gguf
+    like any float tensor (dequantized on read)."""
+    from trueno_rag_tpu.models.gguf import _tensor_nbytes
+
+    assert _tensor_nbytes(14, 512) == 2 * 210
+    assert _tensor_nbytes(12, 256) == 144
+    assert _tensor_nbytes(13, 256) == 176
+    assert _tensor_nbytes(15, 256) == 292

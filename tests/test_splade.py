@@ -403,3 +403,68 @@ def test_sharded_learned_sparse_tie_order_and_empty_query():
     s, r = sh.search_arrays(q, w, k=5)
     assert list(np.asarray(r)[0]) == [0, 1, 2, 3, 4]
     assert (np.asarray(r)[1] == -1).all()
+
+
+def test_splade_score_norm_cosine_and_validation():
+    """score_norm='cosine' trains through normalized logits (the
+    from-scratch recipe); unknown values raise."""
+    import functools
+
+    from trueno_rag_tpu.errors import InvalidConfigError
+    from trueno_rag_tpu.models.encoder import HashTokenizer
+    from trueno_rag_tpu.train.contrastive import (
+        TrainState,
+        create_optimizer,
+        splade_contrastive_loss,
+        splade_train_step,
+    )
+
+    cfg = EncoderConfig.tiny()
+    tok = HashTokenizer(cfg.vocab_size, 16)
+    q_ids = jnp.asarray(tok.encode_batch(["alpha beta", "gamma delta"]))
+    d_ids = jnp.asarray(tok.encode_batch(["alpha beta x", "gamma delta y"]))
+    params = init_splade_params(jax.random.PRNGKey(0), cfg)
+    loss_c, m_c = splade_contrastive_loss(
+        params, q_ids, d_ids, cfg, temperature=0.05, score_norm="cosine")
+    assert np.isfinite(float(loss_c))
+    with pytest.raises(InvalidConfigError, match="score_norm"):
+        splade_contrastive_loss(params, q_ids, d_ids, cfg, score_norm="zscore")
+    tx = create_optimizer(3e-4)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(functools.partial(
+        splade_train_step, tx=tx, config=cfg, temperature=0.05,
+        score_norm="cosine"))
+    for _ in range(10):
+        state, m = step(state, q_ids, d_ids)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_fit_splade_objective_with_kwargs():
+    """fit(objective='splade') + objective_kwargs drives the SPLADE
+    step end to end (create_train_state kind='splade')."""
+    from trueno_rag_tpu.chunking import Chunk
+    from trueno_rag_tpu.models.encoder import HashTokenizer
+    from trueno_rag_tpu.train.contrastive import create_train_state
+    from trueno_rag_tpu.train.loop import fit
+
+    cfg = EncoderConfig.tiny()
+    tok = HashTokenizer(cfg.vocab_size, 16)
+    chunks = [
+        Chunk(document_id="d", content=f"one two {i}. three four {i}.",
+              start_offset=0, end_offset=10)
+        for i in range(8)
+    ]
+    state, tx = create_train_state(jax.random.PRNGKey(0), cfg, kind="splade")
+    res = fit(state, tx, cfg, tok, chunks, steps=3, batch_size=4,
+              eval_every=2, objective="splade", temperature=0.05,
+              objective_kwargs={"score_norm": "cosine", "lambda_q": 5e-3,
+                                "lambda_d": 1e-3})
+    assert res.best_metric >= 0.0
+    # encoder-kind params are rejected by the splade objective
+    from trueno_rag_tpu.errors import InvalidConfigError
+
+    state2, tx2 = create_train_state(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(InvalidConfigError, match="splade"):
+        fit(state2, tx2, cfg, tok, chunks, steps=1, objective="splade")
+    with pytest.raises(InvalidConfigError, match="kind"):
+        create_train_state(jax.random.PRNGKey(0), cfg, kind="nope")

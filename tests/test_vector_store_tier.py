@@ -936,3 +936,80 @@ def test_clustered_build_routes_device_prep(monkeypatch):
 
     monkeypatch.setattr(cl, "prepare_clustered_device", device_prep_forbidden)
     assert [g[0] for g in dirty.search(q, 5)] == want
+
+
+# -- widened device retry for uncertified compact queries (r3) ---------------
+
+
+def test_compact_retry_rescues_trim_threshold_failures():
+    """A deliberately starved primary pass (margin_tiles=0, t_top=1,
+    rescore_rows=k) leaves queries uncertified; the widened device
+    retry must certify them WITHOUT touching the host matrix, and the
+    results must equal the fp32 store exactly."""
+    rng = np.random.default_rng(11)
+    dim = 32
+    chunks = [mk_chunk(i, dim, rng) for i in range(2000)]
+    plain = VectorStore(VectorStoreConfig(dimension=dim))
+    compact = VectorStore(VectorStoreConfig(
+        dimension=dim, scan_tier="compact",
+        scan_margin_tiles=0, scan_t_top=1, scan_rescore_rows=10,
+    ))
+    for s in (plain, compact):
+        s.insert_many(chunks)
+    patched_before = compact.tier_fallbacks
+    hits = 0
+    for qi in range(6):
+        q = np.asarray(chunks[qi].embedding, np.float32)
+        got, want = compact.search(q, 10), plain.search(q, 10)
+        assert [g[0] for g in got] == [w[0] for w in want], qi
+        hits += 1
+    assert hits == 6
+    # the starved primary must actually have failed somewhere and the
+    # widened retry must have rescued at least one query (the host
+    # patch may still cover a residue — the retry is an optimization,
+    # not a guarantee)
+    assert compact.compact_retry_certified >= 1
+
+
+def test_compact_retry_disabled_falls_back_to_host():
+    rng = np.random.default_rng(11)
+    dim = 32
+    chunks = [mk_chunk(i, dim, rng) for i in range(2000)]
+    store = VectorStore(VectorStoreConfig(
+        dimension=dim, scan_tier="compact", compact_retry=False,
+        scan_margin_tiles=0, scan_t_top=1, scan_rescore_rows=10,
+    ))
+    store.insert_many(chunks)
+    for qi in range(6):
+        store.search(np.asarray(chunks[qi].embedding, np.float32), 10)
+    assert store.compact_retry_certified == 0
+    assert store.compact_uncertified + store.tier_fallbacks >= 1
+
+
+def test_compact_uncertified_bound_recorded_for_near_ties():
+    """Rows whose true gap sits below the residual interval cannot
+    certify even after the retry; with compact_fallback='none' the
+    best-effort result must carry a RECORDED worst-case score-error
+    bound that is finite and small (the honest-degradation contract)."""
+    rng = np.random.default_rng(12)
+    dim = 24
+    chunks = [mk_chunk(i, dim, rng) for i in range(5000)]
+    base = np.asarray(chunks[0].embedding, np.float64)
+    base /= np.linalg.norm(base)
+    # 30 near-duplicates (gaps ~2e-5, straddling the residual
+    # interval) SCATTERED across storage tiles —
+    # concentrated in one 1024-row tile they would overflow the
+    # per-tile candidate pool, which is the clustered tier's territory
+    for j in range(157, 5000, 157):
+        if j // 157 > 30:
+            break
+        noise = rng.standard_normal(dim) * 2e-5
+        chunks[j].embedding = (base + noise).astype(np.float32).tolist()
+    store = VectorStore(VectorStoreConfig(
+        dimension=dim, scan_tier="compact", compact_fallback="none",
+    ))
+    store.insert_many(chunks)
+    res = store.search(base.astype(np.float32), 10)
+    assert store.compact_uncertified >= 1
+    assert all(cid is not None for cid, _ in res)
+    assert 0.0 < store.compact_uncertified_bound < 1e-3

@@ -109,6 +109,21 @@ class VectorStoreConfig:
     # certificate proves for certified queries); "none": return the
     # best-effort device result and only count it (compact_uncertified).
     compact_fallback: str = "host"
+    # DEVICE retry before the host fallback: re-scan just the
+    # uncertified queries with a widened selection (margin_tiles x4,
+    # every emitted candidate residual-rescored instead of the
+    # rescore_rows trim, t_top 8). The r3 failure analysis at 10.5M
+    # showed most certificate misses come from the TRIM threshold and
+    # the tile margin — both ±bf16-scan-bound (~1.7e-3) quantities the
+    # widened pass replaces with residual-corrected intervals (~2e-5)
+    # — not from true sub-interval rank gaps, so one retry certifies
+    # the bulk of them at the cost of one extra corpus scan over the
+    # uncertified subset. Queries still uncertified after the retry
+    # carry a RECORDED error bound (compact_uncertified_bound): the
+    # max margin by which any non-returned row could beat a returned
+    # one, i.e. the provable worst-case score error of the best-effort
+    # result.
+    compact_retry: bool = True
     # Candidate-row trim for the tiered rescore (ops/dense_tiered.py
     # rescore_rows); None rescores all block candidates. 96 is the
     # measured best at 1M for both kernels: the exclusion threshold is
@@ -265,6 +280,12 @@ class VectorStore:
         self._cluster_preset = None
         self.tier_fallbacks = 0  # queries re-run on fp32 (observability)
         self.compact_uncertified = 0  # compact-tier queries past the certificate
+        self.compact_retry_certified = 0  # rescued by the widened device retry
+        # provable worst-case score error of best-effort results: the
+        # max over still-uncertified queries of (exclusion upper bound −
+        # min selected lower bound); inf when a retry-pass failure mode
+        # (selector miss, tie) voided the bound entirely
+        self.compact_uncertified_bound = 0.0
 
     # -- mutation ------------------------------------------------------------
 
@@ -898,6 +919,11 @@ class VectorStore:
                     tags=tags,
                 )
                 ok_np = np.asarray(ok)
+                if not ok_np.all() and self.config.compact_retry:
+                    scores, rows, ok_np = self._compact_device_retry(
+                        q, np.asarray(scores), np.asarray(rows), ok_np,
+                        k_eff, tag_masks, interpret,
+                    )
                 if not ok_np.all():
                     self.compact_uncertified += int((~ok_np).sum())
                     if self.config.compact_fallback == "host":
@@ -984,6 +1010,98 @@ class VectorStore:
         bits = jnp.asarray(bits)
         self._tag_bits_clustered_cache = (version, bits)
         return bits
+
+    def _compact_device_retry(self, q, scores, rows, ok_np, k,
+                              tag_masks=None, interpret=False):
+        """Widened device re-scan of just the uncertified compact-tier
+        queries (see ``compact_retry``): margin_tiles x4 (>= 128), every
+        emitted candidate rescored (no ``rescore_rows`` trim), t_top 8.
+        The trim threshold and the tile margin are the two ±bf16-scan-
+        bound quantities that dominate certificate misses; the widened
+        pass replaces both with residual-corrected intervals. Returns
+        (scores, rows, ok) with rescued queries merged in; for queries
+        that STILL fail, records the provable worst-case score error in
+        ``compact_uncertified_bound`` (bf16r only — the other layouts
+        don't expose bounds)."""
+        from trueno_rag_tpu.ops import dense_tiered as dt
+
+        bad = np.flatnonzero(~ok_np)
+        b = len(bad)
+        bpad = 8
+        while bpad < b:
+            bpad *= 2  # bucketed retry batch: bounded recompiles
+        q_np = np.asarray(q, np.float32)
+        q_bad = np.zeros((bpad, q_np.shape[1]), np.float32)
+        q_bad[:b] = q_np[bad]
+        tags = None
+        if tag_masks is not None:
+            def sub(m):
+                return jnp.asarray(np.pad(
+                    np.asarray(m, np.int32)[bad], (0, bpad - b)
+                ))
+
+            # padded slots carry all-zero masks (match everything) —
+            # their results are discarded below
+            tags = (self._device_tag_bits(), sub(tag_masks[0]),
+                    sub(tag_masks[1]), sub(tag_masks[2]))
+        kwargs = dict(
+            metric=self.config.metric, interpret=interpret,
+            rescore_rows=None,
+            t_top=max(8, self.config.scan_t_top),
+            margin_tiles=max(128, 4 * self.config.scan_margin_tiles),
+            tile_n=self.config.scan_tile_n,
+            tags=tags,
+        )
+        bound = None
+        if self.config.compact_scan == "bf16r":
+            s2, r2, ok2, err2, rhs2 = dt.dense_topk_compact_bf16r(
+                jnp.asarray(q_bad), *self._tier, self._device_valid, k,
+                return_bounds=True, **kwargs,
+            )
+            s2n, err2n = np.asarray(s2)[:b], np.asarray(err2)[:b]
+            rhs2n = np.asarray(rhs2)[:b]
+            sel_lower = np.where(
+                np.isneginf(s2n), np.inf, s2n - err2n
+            ).min(axis=1)
+            bound = np.maximum(rhs2n - np.where(
+                np.isinf(sel_lower), -np.inf, sel_lower), 0.0)
+        else:
+            compact = {
+                "bf16": dt.dense_topk_compact_bf16,
+                "int8": dt.dense_topk_compact,
+            }[self.config.compact_scan]
+            s2, r2, ok2 = compact(
+                jnp.asarray(q_bad), *self._tier, self._device_valid, k,
+                **kwargs,
+            )
+        ok2_np = np.asarray(ok2)[:b]
+        s2n, r2n = np.asarray(s2)[:b], np.asarray(r2)[:b]
+        scores, rows = scores.copy(), rows.copy()
+        fixed = bad[ok2_np]
+        scores[fixed] = s2n[ok2_np]
+        rows[fixed] = r2n[ok2_np]
+        # the widened pass's result is usually the better best-effort
+        # answer even where uncertified (tighter intervals, wider
+        # selection) — but a concentrated corpus can overflow the
+        # per-tile candidate pool and come back SHORTER than the
+        # primary pass, so only adopt it when it found at least as
+        # many valid rows
+        still_m = ~ok2_np
+        better = (r2n >= 0).sum(axis=1) >= (rows[bad] >= 0).sum(axis=1)
+        adopt = still_m & better
+        scores[bad[adopt]] = s2n[adopt]
+        rows[bad[adopt]] = r2n[adopt]
+        self.compact_retry_certified += int(ok2_np.sum())
+        if bound is not None and still_m.any():
+            # a non-adopted (shorter) widened result leaves the primary
+            # best-effort in place, whose error the bounds don't cover
+            b_vals = np.where(better, bound, np.inf)[still_m]
+            self.compact_uncertified_bound = max(
+                self.compact_uncertified_bound, float(np.max(b_vals))
+            )
+        out_ok = ok_np.copy()
+        out_ok[fixed] = True
+        return scores, rows, out_ok
 
     def _host_exact_patch(self, q, scores, rows, ok_np, k, tag_masks=None):
         """Re-run uncertified compact-tier queries on the HOST fp32

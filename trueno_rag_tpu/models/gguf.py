@@ -9,9 +9,11 @@ maps llama-architecture tensors into
 :func:`trueno_rag_tpu.models.nemotron.init_nemotron_params`' layout, so
 the reference's model artifacts load directly.
 
-Quantization support: F32, F16 and the documented block formats Q8_0 /
-Q4_0 / Q4_1 dequantize to f32 on load (the scan/compute path re-casts
-to bf16 on device anyway). K-quants (Q4_K, ...) raise a typed
+Quantization support: F32, F16, the 32-element block formats Q8_0 /
+Q4_0 / Q4_1, and the 256-element k-quant super-blocks Q4_K / Q5_K /
+Q6_K / Q8_K (what real NV-Embed-class GGUFs actually ship) dequantize
+to f32 on load (the scan/compute path re-casts to bf16 on device
+anyway). The remaining k-quants (Q2_K/Q3_K) raise a typed
 ``SerializationError`` naming the unsupported type — fail loudly, not
 wrongly.
 
@@ -49,12 +51,15 @@ _SCALAR_FMT = {
 
 # ggml tensor types we can decode (type id -> name)
 GGML_F32, GGML_F16, GGML_Q4_0, GGML_Q4_1, GGML_Q8_0 = 0, 1, 2, 3, 8
+GGML_Q4_K, GGML_Q5_K, GGML_Q6_K, GGML_Q8_K = 12, 13, 14, 15
 _GGML_NAMES = {
     0: "F32", 1: "F16", 2: "Q4_0", 3: "Q4_1", 4: "Q4_2", 5: "Q4_3",
     6: "Q5_0", 7: "Q5_1", 8: "Q8_0", 9: "Q8_1", 10: "Q2_K", 11: "Q3_K",
     12: "Q4_K", 13: "Q5_K", 14: "Q6_K", 15: "Q8_K",
 }
 _QBLOCK = 32  # elements per quantization block for Q4_0/Q4_1/Q8_0
+_QK_K = 256  # elements per k-quant super-block
+_SUPPORTED = "F32/F16/Q8_0/Q4_0/Q4_1/Q4_K/Q5_K/Q6_K/Q8_K"
 
 
 class _Reader:
@@ -116,10 +121,94 @@ def _dequantize(raw: np.ndarray, ggml_type: int, n_elems: int) -> np.ndarray:
         lo = (packed & 0x0F).astype(np.float32)
         hi = (packed >> 4).astype(np.float32)
         return (np.concatenate([lo, hi], axis=1) * d + m).reshape(-1)
+    if ggml_type in (GGML_Q4_K, GGML_Q5_K, GGML_Q6_K, GGML_Q8_K):
+        return _dequantize_kquant(raw, ggml_type, n_elems)
     name = _GGML_NAMES.get(ggml_type, str(ggml_type))
     raise SerializationError(
-        f"unsupported GGML tensor type {name}; supported: F32/F16/Q8_0/Q4_0/Q4_1"
+        f"unsupported GGML tensor type {name}; supported: {_SUPPORTED}"
     )
+
+
+def _kscale_min(scales: np.ndarray):
+    """Unpack the Q4_K/Q5_K 12-byte packed 6-bit (scale, min) pairs →
+    (sc [nb, 8], mn [nb, 8]) uint8, the ggml get_scale_min_k4 layout:
+    entries 0-3 live in the low 6 bits of bytes 0-3 / 4-7; entries 4-7
+    split across the low nibbles of bytes 8-11 and the high 2 bits of
+    bytes 0-7."""
+    sc = np.empty(scales.shape[:1] + (8,), np.uint8)
+    mn = np.empty_like(sc)
+    sc[:, :4] = scales[:, :4] & 63
+    mn[:, :4] = scales[:, 4:8] & 63
+    sc[:, 4:] = (scales[:, 8:12] & 0x0F) | ((scales[:, 0:4] >> 6) << 4)
+    mn[:, 4:] = (scales[:, 8:12] >> 4) | ((scales[:, 4:8] >> 6) << 4)
+    return sc, mn
+
+
+def _dequantize_kquant(raw: np.ndarray, ggml_type: int, n_elems: int) -> np.ndarray:
+    """Decode the k-quant super-block formats (256 elements/block).
+
+    Layouts follow ggml's reference dequantize_row_q{4,5,6,8}_K exactly
+    (llama.cpp ggml-quants.c); the scalar loops there are transcribed
+    as vectorized slices here and pinned by a scalar oracle in
+    tests/test_gguf.py. Real NV-Embed-class GGUF artifacts ship these
+    (the reference consumes them via realizar, embed.rs:690-723)."""
+    nb = n_elems // _QK_K
+    if ggml_type == GGML_Q8_K:
+        rec = raw[: nb * 292].reshape(nb, 292)
+        d = rec[:, :4].copy().view(np.float32)  # [nb, 1]
+        q = rec[:, 4:260].copy().view(np.int8).astype(np.float32)
+        return (d * q).reshape(-1)
+    if ggml_type == GGML_Q6_K:
+        rec = raw[: nb * 210].reshape(nb, 210)
+        ql = rec[:, :128]
+        qh = rec[:, 128:192]
+        sc = rec[:, 192:208].copy().view(np.int8).astype(np.float32)
+        d = rec[:, 208:210].copy().view(np.float16).astype(np.float32)
+        halves = []
+        for h in (0, 1):
+            ql_h = ql[:, 64 * h : 64 * h + 64]
+            qh_h = qh[:, 32 * h : 32 * h + 32]
+            sc_h = sc[:, 8 * h : 8 * h + 8]
+            ql_lo, ql_hi = ql_h & 0x0F, ql_h >> 4
+            q = np.concatenate(
+                [
+                    ql_lo[:, :32] | (((qh_h >> 0) & 3) << 4),
+                    ql_lo[:, 32:] | (((qh_h >> 2) & 3) << 4),
+                    ql_hi[:, :32] | (((qh_h >> 4) & 3) << 4),
+                    ql_hi[:, 32:] | (((qh_h >> 6) & 3) << 4),
+                ],
+                axis=1,
+            ).astype(np.float32) - 32.0  # [nb, 128]
+            halves.append(np.repeat(sc_h, 16, axis=1) * q)
+        return (d * np.concatenate(halves, axis=1)).reshape(-1)
+    # Q4_K / Q5_K share the d/dmin + packed-6-bit-scales header
+    if ggml_type == GGML_Q4_K:
+        rec = raw[: nb * 144].reshape(nb, 144)
+        qs, qh = rec[:, 16:144], None
+    else:
+        rec = raw[: nb * 176].reshape(nb, 176)
+        qh, qs = rec[:, 16:48], rec[:, 48:176]
+    d = rec[:, 0:2].copy().view(np.float16).astype(np.float32)  # [nb, 1]
+    dmin = rec[:, 2:4].copy().view(np.float16).astype(np.float32)
+    sc, mn = _kscale_min(rec[:, 4:16])
+    sc_f, mn_f = sc.astype(np.float32), mn.astype(np.float32)
+    out = np.empty((rec.shape[0], _QK_K), np.float32)
+    for j in range(4):  # 64-element groups, each with two (sc, mn) pairs
+        q = qs[:, 32 * j : 32 * j + 32]
+        lo = (q & 0x0F).astype(np.float32)
+        hi = (q >> 4).astype(np.float32)
+        if qh is not None:  # Q5_K: the 5th bit rides qh's 2j / 2j+1 bits
+            lo = lo + 16.0 * ((qh & np.uint8(1 << (2 * j))) != 0)
+            hi = hi + 16.0 * ((qh & np.uint8(2 << (2 * j))) != 0)
+        out[:, 64 * j : 64 * j + 32] = (
+            d * sc_f[:, 2 * j : 2 * j + 1] * lo
+            - dmin * mn_f[:, 2 * j : 2 * j + 1]
+        )
+        out[:, 64 * j + 32 : 64 * j + 64] = (
+            d * sc_f[:, 2 * j + 1 : 2 * j + 2] * hi
+            - dmin * mn_f[:, 2 * j + 1 : 2 * j + 2]
+        )
+    return out.reshape(-1)
 
 
 def _tensor_nbytes(ggml_type: int, n_elems: int) -> int:
@@ -127,11 +216,15 @@ def _tensor_nbytes(ggml_type: int, n_elems: int) -> int:
         return 4 * n_elems
     if ggml_type == GGML_F16:
         return 2 * n_elems
+    per_k = {GGML_Q4_K: 144, GGML_Q5_K: 176, GGML_Q6_K: 210,
+             GGML_Q8_K: 292}.get(ggml_type)
+    if per_k is not None:
+        return per_k * (n_elems // _QK_K)
     per = {GGML_Q8_0: 34, GGML_Q4_0: 18, GGML_Q4_1: 20}.get(ggml_type)
     if per is None:
         name = _GGML_NAMES.get(ggml_type, str(ggml_type))
         raise SerializationError(
-            f"unsupported GGML tensor type {name}; supported: F32/F16/Q8_0/Q4_0/Q4_1"
+            f"unsupported GGML tensor type {name}; supported: {_SUPPORTED}"
         )
     return per * (n_elems // _QBLOCK)
 

@@ -37,8 +37,23 @@ def create_train_state(
     rng: jax.Array,
     config: EncoderConfig,
     learning_rate: float = 2e-5,
+    kind: str = "encoder",
 ) -> Tuple[TrainState, optax.GradientTransformation]:
-    params = init_encoder_params(rng, config)
+    """``kind="encoder"`` initializes the bi-encoder trunk;
+    ``kind="splade"`` adds the tied-embedding MLM expansion head on top
+    (required by splade_train_step / fit(objective="splade"))."""
+    if kind == "splade":
+        from trueno_rag_tpu.models.splade import init_splade_params
+
+        params = init_splade_params(rng, config)
+    elif kind == "encoder":
+        params = init_encoder_params(rng, config)
+    else:
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(
+            f"unknown train-state kind {kind!r} (encoder|splade)"
+        )
     tx = create_optimizer(learning_rate)
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)), tx
 
@@ -159,6 +174,7 @@ def splade_contrastive_loss(
     temperature: float = 1.0,
     lambda_q: float = 5e-4,
     lambda_d: float = 1e-4,
+    score_norm: str = "none",
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """InfoNCE over learned-sparse activation dots + the FLOPS
     regularizer — the SPLADE training recipe as one jitted step.
@@ -171,16 +187,40 @@ def splade_contrastive_loss(
     the knob that trades expansion richness for index size/scan cost
     (λ_q > λ_d by convention: query expansion is paid per query).
     Metrics report the live expansion widths so training logs show
-    sparsity converging."""
+    sparsity converging.
+
+    ``score_norm="cosine"`` L2-normalizes the activations INSIDE the
+    logits (inference still scores raw dots). The raw-dot objective is
+    the published recipe for warm-starting from a pretrained LM; from
+    a RANDOM init its logit scale swings over training (measured r3
+    lab: loss 28→14→0.2→6.6 oscillation, and the activations stay
+    ~60% dense so top-T truncation destroys retrieval — 0.68 vs 0.86
+    sparsified recall@10 on the cross-lexical harness). Use
+    score_norm="cosine" + temperature≈0.05 + lr 3e-4 when training
+    from scratch (tools/quality_eval.py is the pinned reproduction)."""
     from trueno_rag_tpu.models.encoder import _token_states
     from trueno_rag_tpu.models.splade import splade_head
 
+    if score_norm not in ("none", "cosine"):
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(
+            f"unknown score_norm {score_norm!r} (none|cosine)"
+        )
     qs, qm = _token_states(params, query_ids, config)
     ds, dm = _token_states(params, doc_ids, config)
     q_act = splade_head(params, qs, qm)  # [B, V] >= 0
     d_act = splade_head(params, ds, dm)
+    if score_norm == "cosine":
+        def _l2(x):
+            norm = jnp.linalg.norm(x, axis=1, keepdims=True)
+            return x / jnp.where(norm == 0.0, 1.0, norm)
+
+        q_s, d_s = _l2(q_act), _l2(d_act)
+    else:
+        q_s, d_s = q_act, d_act
     logits = (
-        jnp.dot(q_act, d_act.T, preferred_element_type=jnp.float32)
+        jnp.dot(q_s, d_s.T, preferred_element_type=jnp.float32)
         / temperature
     )  # [B, B]
     labels = jnp.arange(logits.shape[0])
@@ -211,6 +251,7 @@ def splade_train_step(
     temperature: float = 1.0,
     lambda_q: float = 5e-4,
     lambda_d: float = 1e-4,
+    score_norm: str = "none",
 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
     """One optimizer step on the SPLADE objective (see train_step for
     the sharding contract; state.params must come from
@@ -218,7 +259,8 @@ def splade_train_step(
 
     def loss_fn(p):
         return splade_contrastive_loss(
-            p, query_ids, doc_ids, config, temperature, lambda_q, lambda_d
+            p, query_ids, doc_ids, config, temperature, lambda_q, lambda_d,
+            score_norm,
         )
 
     (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

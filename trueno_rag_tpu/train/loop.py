@@ -30,7 +30,12 @@ from trueno_rag_tpu.chunking import Chunk, split_sentences
 from trueno_rag_tpu.models.encoder import EncoderConfig, encoder_forward
 from trueno_rag_tpu.ops.dense import dense_topk
 from trueno_rag_tpu.ops.metrics import batched_metrics
-from trueno_rag_tpu.train.contrastive import TrainState, maxsim_train_step, train_step
+from trueno_rag_tpu.train.contrastive import (
+    TrainState,
+    maxsim_train_step,
+    splade_train_step,
+    train_step,
+)
 from trueno_rag_tpu.train.data import PairBatcher, crop_pairs, ict_pairs
 
 
@@ -120,6 +125,35 @@ def _maxsim_eval_rows(
     return rows
 
 
+def _splade_eval_rows(
+    params, config, tokenizer, chunk_texts, evalset, k, encode_batch
+):
+    """Top-k rows under the UNTRUNCATED learned-sparse score (the dense
+    activation dot splade_contrastive_loss trains through). The
+    sparsified product path (SpladeEncoder top-T expansions + the
+    posting index) approximates this; tools/quality_eval.py measures
+    both and shows the truncation gap."""
+    from trueno_rag_tpu.models.splade import splade_activations
+
+    def acts(texts):
+        out = []
+        for lo in range(0, len(texts), encode_batch):
+            ids = tokenizer.encode_batch(texts[lo : lo + encode_batch])
+            ids = np.pad(
+                ids,
+                ((0, encode_batch - ids.shape[0]),
+                 (0, max(0, config.max_len - ids.shape[1]))),
+            )[:, : config.max_len]
+            out.append(splade_activations(params, jnp.asarray(ids), config))
+        return jnp.concatenate(out, axis=0)[: len(texts)]
+
+    d_act = acts(chunk_texts)  # [N, V]
+    q_act = acts(list(evalset.queries))  # [Q, V]
+    scores = jnp.dot(q_act, d_act.T, preferred_element_type=jnp.float32)
+    _, rows = jax.lax.top_k(scores, min(k, d_act.shape[0]))
+    return rows
+
+
 def evaluate_retrieval(
     params,
     config: EncoderConfig,
@@ -136,7 +170,9 @@ def evaluate_retrieval(
     ``mode="pooled"`` scores pooled cosine (dense_topk);
     ``mode="maxsim"`` scores exact late-interaction MaxSim over the
     trunk's L2-normed token states (the matching eval for the MaxSim
-    training objective)."""
+    training objective); ``mode="splade"`` scores the untruncated
+    learned-sparse activation dot (the matching eval for
+    fit(objective="splade") — params need the SPLADE head)."""
     if not evalset.queries or not chunk_texts:
         from trueno_rag_tpu.errors import InvalidConfigError
 
@@ -148,6 +184,10 @@ def evaluate_retrieval(
         rows = _maxsim_eval_rows(
             params, config, tokenizer, chunk_texts, evalset, k, encode_batch
         )
+    elif mode == "splade":
+        rows = _splade_eval_rows(
+            params, config, tokenizer, chunk_texts, evalset, k, encode_batch
+        )
     elif mode == "pooled":
         matrix = _encode_texts(params, config, tokenizer, chunk_texts, encode_batch)
         qvecs = _encode_texts(params, config, tokenizer, evalset.queries, encode_batch)
@@ -156,7 +196,7 @@ def evaluate_retrieval(
     else:
         from trueno_rag_tpu.errors import InvalidConfigError
 
-        raise InvalidConfigError(f"unknown eval mode {mode!r} (pooled|maxsim)")
+        raise InvalidConfigError(f"unknown eval mode {mode!r} (pooled|maxsim|splade)")
     width = max(1, max(len(r) for r in evalset.relevant))
     rel = np.full((len(evalset.relevant), width), -1, np.int32)
     for i, r in enumerate(evalset.relevant):
@@ -196,6 +236,7 @@ def fit(
     log: Optional[Callable[[str], None]] = None,
     evalset: Optional[EvalSet] = None,
     eval_corpus: Optional[Sequence[str]] = None,
+    objective_kwargs: Optional[Dict[str, float]] = None,
 ) -> FitResult:
     """Train with periodic retrieval evaluation; keep the best state.
 
@@ -215,15 +256,20 @@ def fit(
     selection would then never leave the initialization (this is a
     measured failure mode, see tools/quality_eval.py).
 
+    ``objective_kwargs`` forwards extra keyword arguments to the
+    objective's train step (e.g. the from-scratch SPLADE recipe:
+    ``{"score_norm": "cosine", "lambda_q": 5e-3, "lambda_d": 1e-3}``
+    with ``temperature=0.05`` — see splade_contrastive_loss).
+
     Returns a :class:`FitResult` whose ``state`` is the BEST-evaluating
     state seen (not necessarily the last) — eval-driven selection, the
     part the loss curve cannot do.
     """
     rng = random.Random(seed)
-    if objective not in ("pooled", "maxsim"):
+    if objective not in ("pooled", "maxsim", "splade"):
         from trueno_rag_tpu.errors import InvalidConfigError
 
-        raise InvalidConfigError(f"unknown objective {objective!r} (pooled|maxsim)")
+        raise InvalidConfigError(f"unknown objective {objective!r} (pooled|maxsim|splade)")
     pair_fn = {"ict": ict_pairs, "crop": crop_pairs}.get(pair_kind)
     if pair_fn is None:
         from trueno_rag_tpu.errors import InvalidConfigError
@@ -247,9 +293,22 @@ def fit(
     chunk_texts = list(eval_corpus) if eval_corpus is not None else [
         c.content for c in chunks
     ]
-    base_step = train_step if objective == "pooled" else maxsim_train_step
+    if objective == "splade" and "splade_vocab_bias" not in state.params:
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(
+            "objective='splade' needs SPLADE-head params — build the "
+            "state with create_train_state(..., kind='splade')"
+        )
+    base_step = {
+        "pooled": train_step,
+        "maxsim": maxsim_train_step,
+        "splade": splade_train_step,
+    }[objective]
     step_fn = jax.jit(
-        functools.partial(base_step, tx=tx, config=config, temperature=temperature)
+        functools.partial(base_step, tx=tx, config=config,
+                          temperature=temperature,
+                          **(objective_kwargs or {}))
     )
 
     result = FitResult(state=state)
@@ -259,7 +318,7 @@ def fit(
         nonlocal best_params_host
         scores = evaluate_retrieval(
             current.params, config, tokenizer, chunk_texts, evalset, k=k,
-            mode=objective if objective == "maxsim" else "pooled",
+            mode=objective if objective in ("maxsim", "splade") else "pooled",
         )
         scores["step"] = float(int(current.step))
         result.history.append(scores)
