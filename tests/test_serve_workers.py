@@ -157,3 +157,115 @@ def test_workers_concurrent_queries_coalesce(mp_server):
     for i, (_, data) in enumerate(results):
         want = "fox" if i % 2 else "tensor"
         assert want in data["results"][0]["content"].lower()
+
+
+def test_worker_crash_respawns_automatically():
+    """A SIGKILLed worker must be replaced by the supervisor with no
+    operator action, and the HTTP surface must keep serving (r2
+    verdict: detection without recovery was the gap)."""
+    import time
+
+    retr = _build_retriever()
+    batcher = MicroBatcher(retr, max_batch=8, max_wait_ms=2.0)
+    srv = MultiProcessServer(batcher, "127.0.0.1", 0, workers=2,
+                             respawn_interval=0.1)
+    url = f"http://127.0.0.1:{srv.port}"
+    try:
+        victim = srv.procs[0]
+        victim.kill()  # simulated crash (OOM-killer class)
+        deadline = time.time() + 15
+        while time.time() < deadline and srv.respawns < 1:
+            time.sleep(0.05)
+        assert srv.respawns >= 1, "supervisor never respawned the worker"
+        assert srv.poll_dead() == []
+        status, data = _post(url + "/query", {"query": "fox", "k": 2})
+        assert status == 200 and data["results"]
+    finally:
+        srv.stop()
+        batcher.shutdown()
+
+
+def test_supervisor_stops_respawning_after_device_death():
+    """Once the device side is closed, dead workers must NOT be
+    respawned (their lifeline would be dead on arrival)."""
+    import time
+
+    retr = _build_retriever()
+    batcher = MicroBatcher(retr, max_batch=8, max_wait_ms=2.0)
+    srv = MultiProcessServer(batcher, "127.0.0.1", 0, workers=2,
+                             respawn_interval=0.1)
+    try:
+        srv.ipc.close()
+        deadline = time.time() + 10
+        while time.time() < deadline and len(srv.poll_dead()) < 2:
+            time.sleep(0.1)
+        assert len(srv.poll_dead()) == 2
+        before = srv.respawns
+        time.sleep(0.5)
+        assert srv.respawns == before
+    finally:
+        srv.stop()
+        batcher.shutdown()
+
+
+def test_mutation_under_load_no_ghost_rows():
+    """Ingest/remove through MicroBatcher.mutate while queries stream
+    from other threads: queries never error, and a query issued after
+    a remove completes never returns the removed chunk."""
+    import time
+
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+
+    emb = TfIdfEmbedder(32).fit(CORPUS + ["rotating churn chunk data"])
+    retr = HybridRetriever(emb)
+    chunks = []
+    for i, t in enumerate(CORPUS * 3):
+        c = Chunk(document_id="d", content=t + f" v{i}", start_offset=0,
+                  end_offset=len(t), metadata=ChunkMetadata(),
+                  id=chunk_id_from_int(i))
+        c.set_embedding(emb.embed_document(c.content))
+        chunks.append(c)
+    retr.index_batch(chunks)
+    batcher = MicroBatcher(retr, max_batch=8, max_wait_ms=1.0)
+    errors: list = []
+    stop = threading.Event()
+
+    def reader(i):
+        while not stop.is_set():
+            try:
+                batcher.query("fox data matrices", k=4, timeout=30.0)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=reader, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    try:
+        for round_ in range(10):
+            victim = chunks[round_ % len(chunks)]
+
+            def rm(r, cid=victim.id):
+                return r.remove(cid)
+
+            assert batcher.mutate(rm)
+            res = batcher.query("fox data matrices", k=8, timeout=30.0)
+            got_ids = [r.chunk.id for r in res]
+            assert victim.id not in got_ids, f"ghost row after remove ({round_})"
+
+            def add(r, c=victim):
+                c2 = Chunk(document_id="d", content=c.content, start_offset=0,
+                           end_offset=c.end_offset, metadata=ChunkMetadata(),
+                           id=c.id)
+                c2.set_embedding(emb.embed_document(c.content))
+                r.index(c2)
+                return True
+
+            assert batcher.mutate(add)
+        time.sleep(0.2)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=10)
+        batcher.shutdown()
+    assert not errors, errors

@@ -68,6 +68,14 @@ def _build_embedder(kind: str, dimension: int, model: Optional[str], seed: int =
 
         name = model or "mini-lm"
         if os.path.isdir(name):  # local HF checkpoint directory
+            import json as _json
+
+            with open(os.path.join(name, "config.json")) as f:
+                model_type = _json.load(f).get("model_type", "bert")
+            if model_type in ("roformer", "nomic_bert"):
+                from trueno_rag_tpu.models.hf_import import load_hf_rotary_encoder
+
+                return load_hf_rotary_encoder(name)
             from trueno_rag_tpu.models.hf_import import load_hf_bert_encoder
 
             return load_hf_bert_encoder(name)
@@ -76,6 +84,7 @@ def _build_embedder(kind: str, dimension: int, model: Optional[str], seed: int =
             "mini-lm-l12": EncoderConfig.minilm_l12,
             "bge-small": EncoderConfig.bge_small,
             "bge-base": EncoderConfig.bge_base,
+            "nomic": EncoderConfig.nomic,
         }
         if name not in configs:
             raise SystemExit(f"unknown model {name!r}; choose from {sorted(configs)}")

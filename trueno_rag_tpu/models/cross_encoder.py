@@ -64,7 +64,7 @@ def cross_encoder_scores(params: Dict[str, jax.Array], token_ids: jax.Array, con
     }
 
     def body(carry, lp):
-        return _block(carry, mask, lp, config.num_heads), None
+        return _block(carry, mask, lp, config), None
 
     x, _ = jax.lax.scan(body, x, layer_params)
     cls = _pool(x, mask, "cls")  # [B, H] f32

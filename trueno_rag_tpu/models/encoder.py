@@ -58,6 +58,17 @@ class EncoderConfig:
     pooling: str = PoolingStrategy.MEAN.value
     normalize: bool = True
     compute_dtype: Any = jnp.bfloat16
+    # Position encoding: "learned" (BERT/MiniLM/BGE absolute table) or
+    # "rotary" (RoPE on q/k per head — RoFormer/Nomic-class encoders;
+    # no pos_emb parameter). rope_interleaved selects the pairing:
+    # False = NeoX/llama split-half (what flash-attn and Nomic use),
+    # True = GPT-J/RoFormer even-odd interleaving.
+    position: str = "learned"
+    rope_base: float = 10000.0
+    rope_interleaved: bool = False
+    # MLP flavor: "gelu" (BERT intermediate->output) or "swiglu"
+    # (Nomic: mlp_w1 packs [gate|up] as [H, 2*mlp_dim])
+    mlp: str = "gelu"
     # Rematerialize transformer blocks under grad (jax.checkpoint):
     # activations recompute in the backward pass instead of living
     # across it — trades ~1/3 more FLOPs for O(layers) less activation
@@ -68,6 +79,12 @@ class EncoderConfig:
     def __post_init__(self) -> None:
         if self.hidden_dim % self.num_heads != 0:
             raise InvalidConfigError("hidden_dim must be divisible by num_heads")
+        if self.position not in ("learned", "rotary"):
+            raise InvalidConfigError(f"unknown position {self.position!r}")
+        if self.mlp not in ("gelu", "swiglu"):
+            raise InvalidConfigError(f"unknown mlp {self.mlp!r}")
+        if (self.hidden_dim // self.num_heads) % 2 != 0 and self.position == "rotary":
+            raise InvalidConfigError("rotary needs an even head dim")
 
     @classmethod
     def minilm_l6(cls) -> "EncoderConfig":
@@ -86,6 +103,18 @@ class EncoderConfig:
         return cls(hidden_dim=768, num_layers=12, num_heads=12, mlp_dim=3072)
 
     @classmethod
+    def nomic(cls) -> "EncoderConfig":
+        """nomic-ai/nomic-embed-text-v1's shape (embed.rs:348-404 lists
+        it in the reference's model zoo): 768-d, 12 layers, rotary
+        position, SwiGLU MLP. The real model runs 8192 tokens; max_len
+        caps at 2048 here — O(T^2) attention memory is the binding
+        constraint, and ops/pallas/attention.py is the long-context
+        path beyond it."""
+        return cls(vocab_size=30528, hidden_dim=768, num_layers=12,
+                   num_heads=12, mlp_dim=3072, max_len=2048,
+                   position="rotary", mlp="swiglu")
+
+    @classmethod
     def tiny(cls) -> "EncoderConfig":
         """Test-size config: real architecture, toy capacity."""
         return cls(vocab_size=512, hidden_dim=64, num_layers=2, num_heads=4, mlp_dim=128, max_len=64)
@@ -101,9 +130,9 @@ def init_encoder_params(rng: jax.Array, config: EncoderConfig) -> Dict[str, jax.
     def stack(key, shape):
         return init(key, (L, *shape), jnp.float32)
 
-    return {
+    m1 = 2 * m if config.mlp == "swiglu" else m
+    params = {
         "tok_emb": init(keys[0], (config.vocab_size, h), jnp.float32),
-        "pos_emb": init(keys[1], (config.max_len, h), jnp.float32),
         "emb_ln_scale": jnp.ones((h,), jnp.float32),
         "emb_ln_bias": jnp.zeros((h,), jnp.float32),
         "qkv_w": stack(keys[2], (h, 3 * h)),
@@ -112,13 +141,16 @@ def init_encoder_params(rng: jax.Array, config: EncoderConfig) -> Dict[str, jax.
         "attn_out_b": jnp.zeros((L, h), jnp.float32),
         "ln1_scale": jnp.ones((L, h), jnp.float32),
         "ln1_bias": jnp.zeros((L, h), jnp.float32),
-        "mlp_w1": stack(keys[4], (h, m)),
-        "mlp_b1": jnp.zeros((L, m), jnp.float32),
+        "mlp_w1": stack(keys[4], (h, m1)),
+        "mlp_b1": jnp.zeros((L, m1), jnp.float32),
         "mlp_w2": stack(keys[5], (m, h)),
         "mlp_b2": jnp.zeros((L, h), jnp.float32),
         "ln2_scale": jnp.ones((L, h), jnp.float32),
         "ln2_bias": jnp.zeros((L, h), jnp.float32),
     }
+    if config.position == "learned":
+        params["pos_emb"] = init(keys[1], (config.max_len, h), jnp.float32)
+    return params
 
 
 def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
@@ -130,9 +162,39 @@ def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
     return (y * scale + bias).astype(x.dtype)
 
 
-def _attention(x: jax.Array, mask: jax.Array, lp: Dict[str, jax.Array], num_heads: int) -> jax.Array:
+def _rope_heads(x: jax.Array, base: float, interleaved: bool) -> jax.Array:
+    """Rotary position embedding over ``[B, H, T, hd]`` head states.
+
+    ``interleaved=False`` is the NeoX/llama split-half pairing (pairs
+    (x[i], x[i+half]) — flash-attn's default, what Nomic ships, and
+    models/nemotron.py's convention); ``interleaved=True`` pairs
+    even/odd lanes (GPT-J — transformers' RoFormer applies exactly
+    this, which the import test pins numerically). Angles are computed
+    in f32; per-pair frequency base**(-i/half) in both layouts."""
+    b, nh, t, hd = x.shape
+    half = hd // 2
+    freqs = 1.0 / (base ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    angles = jnp.arange(t, dtype=jnp.float32)[:, None] * freqs[None, :]
+    cos = jnp.cos(angles)[None, None]  # [1, 1, T, half]
+    sin = jnp.sin(angles)[None, None]
+    if interleaved:
+        x1 = x[..., 0::2].astype(jnp.float32)
+        x2 = x[..., 1::2].astype(jnp.float32)
+        y1 = x1 * cos - x2 * sin
+        y2 = x2 * cos + x1 * sin
+        return jnp.stack([y1, y2], axis=-1).reshape(x.shape).astype(x.dtype)
+    x1 = x[..., :half].astype(jnp.float32)
+    x2 = x[..., half:].astype(jnp.float32)
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+def _attention(x: jax.Array, mask: jax.Array, lp: Dict[str, jax.Array],
+               config: "EncoderConfig") -> jax.Array:
     """Bidirectional multi-head attention with padding-key masking.
     float32 softmax accumulation; matmuls on the MXU in compute dtype."""
+    num_heads = config.num_heads
     b, t, h = x.shape
     hd = h // num_heads
     qkv = jnp.dot(x, lp["qkv_w"].astype(x.dtype)) + lp["qkv_b"].astype(x.dtype)
@@ -142,6 +204,9 @@ def _attention(x: jax.Array, mask: jax.Array, lp: Dict[str, jax.Array], num_head
         return a.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q), heads(k), heads(v)
+    if config.position == "rotary":
+        q = _rope_heads(q, config.rope_base, config.rope_interleaved)
+        k = _rope_heads(k, config.rope_base, config.rope_interleaved)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits / np.sqrt(hd).astype(np.float32)
     neg = jnp.asarray(-1e9, dtype=logits.dtype)
@@ -152,17 +217,21 @@ def _attention(x: jax.Array, mask: jax.Array, lp: Dict[str, jax.Array], num_head
     return jnp.dot(ctx, lp["attn_out_w"].astype(x.dtype)) + lp["attn_out_b"].astype(x.dtype)
 
 
-def _block(x: jax.Array, mask: jax.Array, lp: Dict[str, jax.Array], num_heads: int) -> jax.Array:
-    """Post-LN transformer block (BERT/MiniLM convention)."""
-    attn = _attention(x, mask, lp, num_heads)
+def _block(x: jax.Array, mask: jax.Array, lp: Dict[str, jax.Array],
+           config: "EncoderConfig") -> jax.Array:
+    """Post-LN transformer block (BERT/MiniLM convention; Nomic-class
+    configs swap the GELU MLP for SwiGLU)."""
+    attn = _attention(x, mask, lp, config)
     x = _layer_norm(x + attn, lp["ln1_scale"], lp["ln1_bias"])
-    # exact (erf) GELU: BERT/MiniLM/BGE checkpoints use it, and the
-    # default tanh approximation drifts ~1e-3 per activation — enough to
-    # flip near-tie rankings under REAL loaded weights
-    hdn = jax.nn.gelu(
-        jnp.dot(x, lp["mlp_w1"].astype(x.dtype)) + lp["mlp_b1"].astype(x.dtype),
-        approximate=False,
-    )
+    pre = jnp.dot(x, lp["mlp_w1"].astype(x.dtype)) + lp["mlp_b1"].astype(x.dtype)
+    if config.mlp == "swiglu":
+        gate, up = jnp.split(pre, 2, axis=-1)
+        hdn = jax.nn.silu(gate) * up
+    else:
+        # exact (erf) GELU: BERT/MiniLM/BGE checkpoints use it, and the
+        # default tanh approximation drifts ~1e-3 per activation —
+        # enough to flip near-tie rankings under REAL loaded weights
+        hdn = jax.nn.gelu(pre, approximate=False)
     out = jnp.dot(hdn, lp["mlp_w2"].astype(x.dtype)) + lp["mlp_b2"].astype(x.dtype)
     return _layer_norm(x + out, lp["ln2_scale"], lp["ln2_bias"])
 
@@ -200,7 +269,9 @@ def _token_states(
     mask = token_ids != PAD_ID
     t = token_ids.shape[1]
     dtype = config.compute_dtype
-    x = params["tok_emb"][token_ids] + params["pos_emb"][:t][None, :, :]
+    x = params["tok_emb"][token_ids]
+    if config.position == "learned":
+        x = x + params["pos_emb"][:t][None, :, :]
     x = _layer_norm(x.astype(dtype), params["emb_ln_scale"], params["emb_ln_bias"])
 
     layer_params = {
@@ -217,7 +288,7 @@ def _token_states(
         block = jax.checkpoint(_block, static_argnums=(3,))
 
     def scan_body(carry, lp):
-        return block(carry, mask, lp, config.num_heads), None
+        return block(carry, mask, lp, config), None
 
     x, _ = jax.lax.scan(scan_body, x, layer_params)
     return x, mask

@@ -50,12 +50,15 @@ def _load_hf_state(model_dir: str) -> Dict[str, np.ndarray]:
 
 
 def convert_bert_state(
-    state: Dict[str, np.ndarray], num_layers: int
+    state: Dict[str, np.ndarray], num_layers: int, position: str = "learned"
 ) -> Dict[str, np.ndarray]:
-    """HF BERT state dict → layer-stacked encoder params (float32)."""
+    """HF BERT-family state dict → layer-stacked encoder params
+    (float32). ``position="rotary"`` skips the absolute position table
+    (RoFormer checkpoints have none — positions enter through RoPE on
+    q/k instead)."""
 
     def get(name: str) -> np.ndarray:
-        for prefix in ("", "bert.", "model."):
+        for prefix in ("", "bert.", "model.", "roformer."):
             key = prefix + name
             if key in state:
                 return np.asarray(state[key], dtype=np.float32)
@@ -88,9 +91,8 @@ def convert_bert_state(
         axis=1,
     )  # [L, 3H]
 
-    return {
+    out = {
         "tok_emb": tok,
-        "pos_emb": get("embeddings.position_embeddings.weight"),
         "emb_ln_scale": get("embeddings.LayerNorm.weight"),
         "emb_ln_bias": get("embeddings.LayerNorm.bias"),
         "qkv_w": qkv_w,
@@ -106,6 +108,141 @@ def convert_bert_state(
         "ln2_scale": stack("encoder.layer.{}.output.LayerNorm.weight"),
         "ln2_bias": stack("encoder.layer.{}.output.LayerNorm.bias"),
     }
+    if position == "learned":
+        out["pos_emb"] = get("embeddings.position_embeddings.weight")
+    return out
+
+
+def convert_nomic_state(
+    state: Dict[str, np.ndarray], num_layers: int
+) -> Dict[str, np.ndarray]:
+    """nomic-bert-2048-family state dict (``encoder.layers.{i}.attn.Wqkv``
+    / ``mlp.fc11``+``fc12`` SwiGLU naming) → layer-stacked encoder
+    params. Gate order follows Nomic's modeling code:
+    ``fc2(act(fc11(x)) * fc12(x))`` — fc11 is the activated gate, fc12
+    the linear up-projection, so ``mlp_w1 = [fc11ᵀ | fc12ᵀ]`` matches
+    encoder._block's ``silu(gate) * up`` split."""
+
+    def get(name: str, required: bool = True):
+        for prefix in ("", "model.", "bert."):
+            if prefix + name in state:
+                return np.asarray(state[prefix + name], dtype=np.float32)
+        if required:
+            raise SerializationError(f"missing HF weight: {name}")
+        return None
+
+    h = get("embeddings.word_embeddings.weight").shape[1]
+
+    def stack(fmt, transpose=False, default_shape=None):
+        mats = []
+        for i in range(num_layers):
+            m = get(fmt.format(i), required=default_shape is None)
+            if m is None:
+                m = np.zeros(default_shape, np.float32)
+            mats.append(m.T if transpose else m)
+        return np.stack(mats)
+
+    tok = get("embeddings.word_embeddings.weight")
+    tte = get("embeddings.token_type_embeddings.weight", required=False)
+    if tte is not None:
+        tok = tok + tte[0][None, :]
+    mlp_w1 = np.concatenate(
+        [
+            stack("encoder.layers.{}.mlp.fc11.weight", transpose=True),
+            stack("encoder.layers.{}.mlp.fc12.weight", transpose=True),
+        ],
+        axis=2,
+    )  # [L, H, 2M]
+    m2 = mlp_w1.shape[2]
+    m = m2 // 2
+    return {
+        "tok_emb": tok,
+        "emb_ln_scale": get("emb_ln.weight"),
+        "emb_ln_bias": get("emb_ln.bias"),
+        "qkv_w": stack("encoder.layers.{}.attn.Wqkv.weight", transpose=True),
+        "qkv_b": stack("encoder.layers.{}.attn.Wqkv.bias",
+                       default_shape=(3 * h,)),
+        "attn_out_w": stack("encoder.layers.{}.attn.out_proj.weight",
+                            transpose=True),
+        "attn_out_b": stack("encoder.layers.{}.attn.out_proj.bias",
+                            default_shape=(h,)),
+        "ln1_scale": stack("encoder.layers.{}.norm1.weight"),
+        "ln1_bias": stack("encoder.layers.{}.norm1.bias"),
+        "mlp_w1": mlp_w1,
+        "mlp_b1": np.concatenate(
+            [
+                stack("encoder.layers.{}.mlp.fc11.bias", default_shape=(m,)),
+                stack("encoder.layers.{}.mlp.fc12.bias", default_shape=(m,)),
+            ],
+            axis=1,
+        ),
+        "mlp_w2": stack("encoder.layers.{}.mlp.fc2.weight", transpose=True),
+        "mlp_b2": stack("encoder.layers.{}.mlp.fc2.bias",
+                        default_shape=(h,)),
+        "ln2_scale": stack("encoder.layers.{}.norm2.weight"),
+        "ln2_bias": stack("encoder.layers.{}.norm2.bias"),
+    }
+
+
+def load_hf_rotary_encoder(
+    model_dir: str,
+    pooling: str = "mean",
+    normalize: bool = True,
+    max_len: int = 256,
+    compute_dtype: Any = None,
+    embedding_config=None,
+) -> JaxEncoderEmbedder:
+    """Build a :class:`JaxEncoderEmbedder` from a local ROTARY encoder
+    checkpoint: transformers ``roformer`` (rotary q/k, GELU MLP,
+    GPT-J-interleaved pairing — numerically verified against a
+    random-weight RoFormerModel in tests/test_hf_import.py) or a
+    ``nomic_bert`` directory (rotary, SwiGLU, NeoX pairing — the
+    reference zoo's NomicEmbedTextV1, embed.rs:348-404)."""
+    import jax.numpy as jnp
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    model_type = hf_cfg.get("model_type", "roformer")
+    if model_type not in ("roformer", "nomic_bert"):
+        raise SerializationError(
+            f"load_hf_rotary_encoder expects roformer/nomic_bert, got {model_type!r}"
+        )
+    if hf_cfg.get("pad_token_id", 0) != 0:
+        raise SerializationError("encoder requires pad_token_id == 0")
+    is_nomic = model_type == "nomic_bert"
+    config = EncoderConfig(
+        vocab_size=hf_cfg["vocab_size"],
+        hidden_dim=hf_cfg["hidden_size"],
+        num_layers=hf_cfg["num_hidden_layers"],
+        num_heads=hf_cfg["num_attention_heads"],
+        # nomic's intermediate_size is the PER-BRANCH SwiGLU width
+        # (fc11/fc12 are each [n_inner, H]) — exactly mlp_dim here
+        mlp_dim=hf_cfg["intermediate_size"],
+        max_len=min(max_len, hf_cfg.get("max_position_embeddings", max_len)),
+        pooling=pooling,
+        normalize=normalize,
+        compute_dtype=compute_dtype if compute_dtype is not None else jnp.bfloat16,
+        position="rotary",
+        rope_base=float(hf_cfg.get("rotary_emb_base", 10000.0)),
+        rope_interleaved=not is_nomic,
+        mlp="swiglu" if is_nomic else "gelu",
+    )
+    state = _load_hf_state(model_dir)
+    conv = (
+        convert_nomic_state(state, config.num_layers)
+        if is_nomic
+        else convert_bert_state(state, config.num_layers, position="rotary")
+    )
+    params = {k: jnp.asarray(v) for k, v in conv.items()}
+    name = hf_cfg.get("_name_or_path") or os.path.basename(os.path.normpath(model_dir))
+    emb = JaxEncoderEmbedder(
+        config=config, params=params, model_name=name,
+        embedding_config=embedding_config,
+    )
+    vocab_path = os.path.join(model_dir, "vocab.txt")
+    if os.path.exists(vocab_path):
+        emb.tokenizer = WordPieceTokenizer.from_vocab_file(vocab_path, max_len=config.max_len)
+    return emb
 
 
 def load_hf_cross_encoder(

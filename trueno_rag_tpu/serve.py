@@ -234,6 +234,18 @@ class MicroBatcher:
         with self._retriever_lock:
             self.retriever = retriever
 
+    def mutate(self, fn):
+        """Run a mutation (ingest/remove/tag edit) against the live
+        retriever under the SAME lock the query path holds — the
+        supported way to mutate an index that is actively serving.
+        Queries dispatched before the mutation complete against the old
+        state; queries after see the new state; nothing observes a
+        half-applied host/device snapshot (the retriever's lazy device
+        refresh is not thread-safe on its own). Returns ``fn``'s
+        result. Keep ``fn`` small — it blocks the batch loop."""
+        with self._retriever_lock:
+            return fn(self.retriever)
+
     def shutdown(self) -> None:
         self._stop.set()
         self._worker.join(timeout=2.0)
@@ -535,7 +547,9 @@ class MultiProcessServer:
     a single front end at ~60% of even a CPU device ceiling)."""
 
     def __init__(self, batcher: MicroBatcher, host: str, port: int,
-                 workers: int, index_loader=None) -> None:
+                 workers: int, index_loader=None, respawn: bool = True,
+                 respawn_interval: float = 0.5,
+                 max_respawns: int = 20) -> None:
         import subprocess
         import sys
         import tempfile
@@ -554,26 +568,66 @@ class MultiProcessServer:
         os.chmod(self._tmpdir.name, 0o700)  # pickle IPC: owner-only
         self.sock_path = str(Path(self._tmpdir.name) / "device.sock")
         self.ipc = DeviceIPCServer(batcher, self.sock_path, index_loader)
-        script = Path(__file__).with_name("serve_worker.py")
-        self.procs = [
-            subprocess.Popen(
-                [sys.executable, "-u", str(script), "--host", host,
-                 "--port", str(port), "--sock", self.sock_path],
-                stdout=subprocess.PIPE, text=True,
-            )
-            for _ in range(workers)
-        ]
-        for p in self.procs:
-            line = p.stdout.readline()  # blocks until "worker ready"
-            if "ready" not in line:
-                self.stop()
-                raise RuntimeError(
-                    f"serve worker failed to start (exit {p.poll()})")
+        self._subprocess, self._sys = subprocess, sys
+        self._script = Path(__file__).with_name("serve_worker.py")
+        self.procs = [self._spawn() for _ in range(workers)]
+        # self-healing: a crashed worker (OOM kill, segfault, operator
+        # mistake) respawns automatically — crash-recovery is not an
+        # operator action. Bounded by max_respawns so a worker that
+        # dies instantly on startup cannot fork-bomb the box; no
+        # respawn once the device side is closed (the new worker's
+        # lifeline would be dead on arrival).
+        self.respawns = 0
+        self._max_respawns = max_respawns
+        self._respawn_interval = respawn_interval
+        self._supervisor = None
+        if respawn:
+            self._supervisor = threading.Thread(target=self._supervise,
+                                                daemon=True)
+            self._supervisor.start()
+
+    def _spawn(self):
+        p = self._subprocess.Popen(
+            [self._sys.executable, "-u", str(self._script), "--host",
+             self.host, "--port", str(self.port), "--sock", self.sock_path],
+            stdout=self._subprocess.PIPE, text=True,
+        )
+        line = p.stdout.readline()  # blocks until "worker ready"
+        if "ready" not in line:
+            try:
+                p.terminate()
+            except OSError:
+                pass
+            raise RuntimeError(f"serve worker failed to start (exit {p.poll()})")
+        return p
+
+    def _supervise(self) -> None:
+        import time as _time
+
+        while not self.ipc._stop.is_set():
+            _time.sleep(self._respawn_interval)
+            if self.ipc._stop.is_set():
+                return
+            for i, p in enumerate(self.procs):
+                if p.poll() is None:
+                    continue
+                if self.respawns >= self._max_respawns:
+                    return  # give up loudly-countably, not loopingly
+                if p.stdout is not None:
+                    p.stdout.close()
+                try:
+                    self.procs[i] = self._spawn()
+                    self.respawns += 1
+                except RuntimeError:
+                    return  # device side gone or port lost — stop trying
 
     def poll_dead(self) -> list:
         return [p for p in self.procs if p.poll() is not None]
 
     def stop(self) -> None:
+        self.ipc._stop.set()  # stops the supervisor's respawn loop too
+        if self._supervisor is not None:
+            self._supervisor.join(timeout=2.0)
         for p in self.procs:
             if p.poll() is None:
                 p.terminate()
