@@ -27,10 +27,21 @@ synthesized directly as CSR arrays with a realistic Zipf-ish shape.
 
 from __future__ import annotations
 
+import faulthandler
 import json
+import sys
 import time
 
 import numpy as np
+
+# a wedged tunnel manifests as a silent futex wait; emit thread stacks
+# every 10 min so a stuck bench is diagnosable from its stderr
+faulthandler.dump_traceback_later(600, repeat=True, file=sys.stderr)
+
+
+def _note(msg: str) -> None:
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 # measured 2026-08-17 via `make ref-baseline` (see module docstring)
 MEASURED_REF_QPS = 10.7  # ref-equivalent hybrid queries/s at 100k x 384
@@ -178,14 +189,18 @@ def bench_hybrid(n_chunks=100_000, dim=384, batch=256, k=10, cand=50, iters=30):
 
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
+    _note("hybrid100k: building corpus on device")
     matrix = jax.random.normal(k1, (n_chunks, dim), dtype=jnp.float32)
     matrix = matrix / jnp.linalg.norm(matrix, axis=1, keepdims=True)
     valid = jnp.ones((n_chunks,), dtype=bool)
     queries = jax.random.normal(k2, (batch, dim), dtype=jnp.float32)
-
+    jax.block_until_ready(matrix)
+    _note("hybrid100k: corpus ready; synthesizing BM25")
     snap = build_synthetic_bm25(n_chunks, vocab=50_000, avg_len=64)
     bids, blo, bhi, blocks = make_query_blocks(snap, batch, terms_per_query=6)
     bids, blo, bhi = jnp.asarray(bids), jnp.asarray(blo), jnp.asarray(bhi)
+    jax.block_until_ready(blocks)
+    _note("hybrid100k: BM25 on device; compiling chain")
 
     import functools
 
@@ -215,7 +230,9 @@ def bench_hybrid(n_chunks=100_000, dim=384, batch=256, k=10, cand=50, iters=30):
 
     args = (queries, bids, blo, bhi, blocks, matrix, valid)
     float(hybrid_chain(*args, steps=1))  # compile small
+    _note("hybrid100k: small chain compiled; compiling full")
     float(hybrid_chain(*args, steps=iters))  # compile full chain
+    _note("hybrid100k: timing")
     # median of 3 timed repeats: the tunneled device shows 20-30%
     # run-to-run variance (measured 51k vs 67k q/s minutes apart), and
     # one number is recorded per round

@@ -55,7 +55,11 @@ from trueno_rag_tpu.models.splade import (
     init_splade_params,
     splade_activations,
 )
-from trueno_rag_tpu.models.hf_import import load_hf_bert_encoder, load_hf_cross_encoder
+from trueno_rag_tpu.models.hf_import import (
+    load_hf_bert_encoder,
+    load_hf_cross_encoder,
+    load_hf_rotary_encoder,
+)
 from trueno_rag_tpu.models.tokenization import WordPieceTokenizer
 
 __all__ = [
@@ -82,5 +86,6 @@ __all__ = [
     "init_cross_encoder_params",
     "load_hf_bert_encoder",
     "load_hf_cross_encoder",
+    "load_hf_rotary_encoder",
     "WordPieceTokenizer",
 ]
