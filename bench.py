@@ -490,8 +490,10 @@ def bench_compact_10m(n_chunks=20 * 524_288, dim=384, batch=256, cand=50,
     return batch * iters / dt, certified
 
 
-def bench_encoder_fused(n_chunks=100_000, batch=64, seq=64, cand=50, k=10,
+def bench_encoder_fused(n_chunks=100_000, batch=256, seq=64, cand=50, k=10,
                         iters=10):
+    # batch sweep (r3, one v5e): B=64 13.4k, B=128 19.8k, B=256 22.0k
+    # q/s — the encoder forward amortizes, so bench the serving batch
     """The flagship one-XLA-program query: MiniLM-class encoder forward
     -> dense top-k -> candidate-space BM25 -> RRF, nothing leaving the
     chip between stages (ops/hybrid.fused_hybrid_query — the program

@@ -275,7 +275,7 @@ def eval_tri_hybrid(dense_params, dense_config, splade_params,
 
 def run_distillation(teacher_params, teacher_config, tokenizer,
                      train_chunks, valset, evalset, eval_texts,
-                     steps=600, batch=32, slate=8, seed=5):
+                     steps=1000, batch=32, slate=8, seed=5):
     """Teacher->student distillation lift: a SMALLER student trained
     only on teacher slate scores (train/distill.py KL) vs its
     undistilled twin. Returns (student metrics untrained, distilled).
@@ -321,7 +321,19 @@ def run_distillation(teacher_params, teacher_config, tokenizer,
     q_mat = np.asarray(_encode_texts(teacher_params, teacher_config,
                                      tokenizer, queries))
     sims = q_mat @ d_mat.T  # teacher slate scores, [Q, N]
-    top = np.argsort(-sims, axis=1)[:, :slate]  # [Q, C]
+    # Slates mix the teacher's top docs with RANDOM docs: a pure top-C
+    # slate on this corpus is all same-topic positives with near-equal
+    # teacher scores — a flat distribution that teaches the student
+    # nothing (measured r3: 0.104 vs 0.094 untrained). The random half
+    # supplies the negatives whose teacher scores carry the topic
+    # structure.
+    n_docs = sims.shape[1]
+    n_top = max(1, slate // 2)
+    top_part = np.argsort(-sims, axis=1)[:, :n_top]  # [Q, n_top]
+    rand_part = np.stack([
+        rng.sample(range(n_docs), slate - n_top) for _ in range(len(queries))
+    ]).astype(np.int64)
+    top = np.concatenate([top_part, rand_part], axis=1)  # [Q, C]
     teacher_scores = np.take_along_axis(sims, top, axis=1)  # [Q, C]
 
     step_fn = jax.jit(functools.partial(
