@@ -301,7 +301,11 @@ def bench_index_build(n_chunks=100_000, dim=384, seed=0):
 def _timed_chain(chain, args_tuple, iters, repeats=3, pick="median"):
     """Compile, then time `repeats` runs of the chained program; returns
     seconds per chain run (median by default — the tunneled device shows
-    20-30% run-to-run variance)."""
+    20-30% run-to-run variance). Each program LAUNCH carries ~25 ms of
+    fixed tunnel dispatch (measured r3: steps-2 vs steps-12 chains at
+    10.5M decompose to 22.9 ms marginal/scan + 25.8 ms fixed), so iters
+    must be large enough to amortize it — production serving launches
+    back-to-back and pays only the marginal cost."""
     float(chain(*args_tuple, steps=1))
     float(chain(*args_tuple, steps=iters))
     times = []
@@ -366,7 +370,7 @@ def bench_tri(n_chunks=100_000, dim=384, batch=256, cand=50, k=10, iters=20):
 
 
 def bench_tiered_1m(n_chunks=1_000_000, dim=384, batch=256, cand=50, k=10,
-                    iters=10):
+                    iters=15):
     """Full hybrid at 1M chunks with the certified bf16 tile tier doing
     the dense scan (the single-chip mid-scale serving configuration)."""
     import functools
@@ -414,7 +418,7 @@ def bench_tiered_1m(n_chunks=1_000_000, dim=384, batch=256, cand=50, k=10,
 
 
 def bench_compact_10m(n_chunks=20 * 524_288, dim=384, batch=256, cand=50,
-                      k=10, iters=5, slab=524_288):
+                      k=10, iters=12, slab=524_288):
     """North-star scale: full hybrid at 10.5M chunks on ONE chip with the
     compact bf16+int8-residual dense tier (no fp32 matrix in HBM) +
     device BM25 + RRF. Returns (qps, certified_frac)."""
