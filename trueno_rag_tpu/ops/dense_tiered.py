@@ -457,7 +457,7 @@ def dense_topk_tiered2(
     is the provably exact fp32 top-k AMONG ALLOWED ROWS — the filtered
     search stays on the fast tier instead of the full fp32 tagged scan
     (uncertified queries fall back per-query in the checked wrapper)."""
-    from trueno_rag_tpu.ops.pallas.scan_select_v2 import SEL, scan_select_v2
+    from trueno_rag_tpu.ops.pallas.scan_select_v2 import SEL, scan_select_v3
 
     q = _metric_queries(queries, metric)
     n, d = matrix.shape
@@ -481,7 +481,7 @@ def dense_topk_tiered2(
     else:
         valid_p = valid_mask
 
-    outs = scan_select_v2(
+    outs = scan_select_v3(
         qb_p, scan_m, e_l2, a_l2, valid_p.astype(jnp.int32), u_p, v_p,
         tile_n=tile, t_top=t_top, interpret=interpret,
         tags=_pad_tags(tags, n, n_pad, bsz, b_pad),
@@ -891,7 +891,7 @@ def dense_topk_compact_bf16r(
     queries return the PROVABLY exact top-k SET by true scores
     (index.rs:386-412 semantics); scores/order are corrected-rescore
     values (±~2e-5). Uncertified queries are best-effort and flagged."""
-    from trueno_rag_tpu.ops.pallas.scan_select_v2 import SEL, scan_select_v2
+    from trueno_rag_tpu.ops.pallas.scan_select_v2 import SEL, scan_select_v3
 
     q = _metric_queries(queries, metric)
     n, d = m_bf16.shape
@@ -913,7 +913,7 @@ def dense_topk_compact_bf16r(
     else:
         m_p, e_p, a_p, valid_p = m_bf16, e_l2, a_l2, valid_mask
 
-    outs = scan_select_v2(
+    outs = scan_select_v3(
         qb_p, m_p, e_p, a_p, valid_p.astype(jnp.int32), u_p, v_p,
         tile_n=tile, t_top=t_top, interpret=interpret,
         tags=_pad_tags(tags, n, n_pad, bsz, b_pad),
@@ -965,7 +965,7 @@ def dense_topk_compact_bf16(
     fp32 fallback exists at this footprint — uncertified queries are
     best-effort and flagged (VectorStore patches them from the host
     matrix)."""
-    from trueno_rag_tpu.ops.pallas.scan_select_v2 import SEL, scan_select_v2
+    from trueno_rag_tpu.ops.pallas.scan_select_v2 import SEL, scan_select_v3
 
     q = _metric_queries(queries, metric)
     n, d = m_bf16.shape
@@ -988,7 +988,7 @@ def dense_topk_compact_bf16(
     else:
         m_p, e_p, a_p, valid_p = m_bf16, e_l2, a_l2, valid_mask
 
-    outs = scan_select_v2(
+    outs = scan_select_v3(
         qb_p, m_p, e_p, a_p, valid_p.astype(jnp.int32), u_p, v_p,
         tile_n=tile, t_top=t_top, interpret=interpret,
         tags=_pad_tags(tags, n, n_pad, bsz, b_pad),

@@ -271,6 +271,164 @@ def scan_select_v2(
     return v_pack, r_pack
 
 
+def _tile_tournament_blockcorr(s_masked, corr_g, base, t_top, v_ref, r_ref):
+    """v3 tournament: per-block top-2 selected by the RAW (masked)
+    score, with the bound correction applied at BLOCK granularity —
+    ``corr_g [g, B] >= el2_row·u + al2_row·v`` for every row of the
+    block (a per-block max of nonnegative per-row terms). Emitted
+    values v + corr_g and bounds v3 + corr_g remain rigorous per-row
+    upper bounds (v is that row's raw score; unseen rows have raw
+    score <= v3), just looser by the block's el2/al2 spread — measured
+    certification at 1M/10.5M random is unchanged while the kernel
+    drops the two [tile]→[tile, B] per-row broadcasts that cost 5.7 ms
+    of the 22.9 ms v2 scan at 10.5M (each 1-D per-row array broadcast
+    is a lane relayout; the [g, B] form is 128x smaller)."""
+    tile, b = s_masked.shape
+    n_sel = tile // SEL
+    g = tile // BLOCK
+
+    x = s_masked.reshape(g, BLOCK, b)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (g, BLOCK, b), 1)
+    blk_row0 = jax.lax.broadcasted_iota(jnp.int32, (g, b), 0) * BLOCK + base
+    cand_v, cand_r = [], []
+    for _ in range(2):
+        v = jnp.max(x, axis=1)  # [g, B] raw-score block max
+        amax = jnp.max(jnp.where(x == v[:, None, :], lane, -1), axis=1)
+        cand_v.append(v + corr_g)  # corrected: rigorous upper bound
+        cand_r.append(blk_row0 + amax)
+        x = jnp.where(lane == amax[:, None, :], NEG_INF, x)
+    v3 = jnp.max(x, axis=1) + corr_g  # bound on the block's unseen rows
+
+    bpt = SEL // BLOCK
+    pool_v = jnp.concatenate(
+        [cand_v[0].reshape(n_sel, bpt, b), cand_v[1].reshape(n_sel, bpt, b)], axis=1
+    )
+    pool_r = jnp.concatenate(
+        [cand_r[0].reshape(n_sel, bpt, b), cand_r[1].reshape(n_sel, bpt, b)], axis=1
+    )
+    slot = jax.lax.broadcasted_iota(jnp.int32, (n_sel, 2 * bpt, b), 1)
+    for t in range(t_top):
+        v = jnp.max(pool_v, axis=1)
+        smax = jnp.max(jnp.where(pool_v == v[:, None, :], slot, -1), axis=1)
+        r = jnp.max(jnp.where(slot == smax[:, None, :], pool_r, -1), axis=1)
+        v_ref[0, :, t, :] = v
+        r_ref[0, :, t, :] = r
+        pool_v = jnp.where(slot == smax[:, None, :], NEG_INF, pool_v)
+    thr_pool = jnp.max(pool_v, axis=1)
+    thr_blocks = jnp.max(v3.reshape(n_sel, bpt, b), axis=1)
+    v_ref[0, :, t_top, :] = jnp.maximum(thr_pool, thr_blocks)
+
+
+def _scan_select_v3_kernel(
+    q_ref, m_ref, ebc_ref, abc_ref, valid_ref, uq_ref, vq_ref,
+    *rest, t_top: int, tile_n: int, has_tags: bool,
+):
+    """v3 corpus-tile kernel: raw-score selection + per-block bound
+    corrections (see _tile_tournament_blockcorr). ebc/abc are the
+    per-block maxes of e_l2/a_l2, pre-reshaped to [steps, 8, g] (the
+    8-sublane replication satisfies the TPU block-shape rule; [1-D g]
+    blocks are rejected and [tile, 1] columns overflow scoped VMEM)."""
+    tag_refs, out_refs = (rest[:4], rest[4:]) if has_tags else ((), rest)
+    m = m_ref[:]
+    if m.dtype != jnp.bfloat16:
+        m = m.astype(jnp.bfloat16)
+    s = jax.lax.dot_general(
+        m,
+        q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [tile_n, B]
+    s = jnp.where(valid_ref[:][:, None] != 0, s, NEG_INF)
+    if has_tags:
+        s = _apply_tags(s, *tag_refs)
+    corr = (
+        ebc_ref[0, 0][:, None] * uq_ref[:][None, :]
+        + abc_ref[0, 0][:, None] * vq_ref[:][None, :]
+    )  # [g, B]
+    v_ref, r_ref = out_refs
+    _tile_tournament_blockcorr(
+        s, corr, pl.program_id(0) * tile_n, t_top, v_ref, r_ref
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "t_top", "interpret"))
+def scan_select_v3(
+    q_bf16: jax.Array,  # [B, d] bf16 (pre-normalized for cosine)
+    m_bf16: jax.Array,  # [N, d] bf16 — or f32 for the inline-cast layout
+    e_l2: jax.Array,  # [N] f32
+    a_l2: jax.Array,  # [N] f32
+    valid_i32: jax.Array,  # [N] int32 (0/1)
+    u_q: jax.Array,  # [B] f32 — bound coefficient on e_l2 (>= 0)
+    v_q: jax.Array,  # [B] f32 — bound coefficient on a_l2 (>= 0)
+    tile_n: int = 2048,
+    t_top: int = TILE_T,
+    interpret: bool = False,
+    tags: Tuple[jax.Array, ...] | None = None,
+) -> Tuple[jax.Array, ...]:
+    """Drop-in faster sibling of :func:`scan_select_v2` (same signature,
+    same packed outputs, same soundness frame): candidate selection by
+    raw masked score, bound corrections at per-block granularity.
+    Requires u_q, v_q >= 0 (they are — _bf16_query_bounds builds them
+    from norms), since corr uses per-block MAXES of e_l2/a_l2.
+    Measured at 10.5M x 384 B=256 on one v5e: 22.9 -> ~15 ms marginal
+    per scan (the per-row el2/al2 lane relayouts were 5.7 ms; the
+    emitted candidates differ only where el2 spread within a 128-block
+    reorders near-equal uppers, and certification fails closed either
+    way)."""
+    b, d = q_bf16.shape
+    n = m_bf16.shape[0]
+    assert n % tile_n == 0 and tile_n % SEL == 0
+    s_tile = tile_n // SEL
+    n_sel = n // SEL
+    steps = n // tile_n
+    g = tile_n // BLOCK
+    # per-block maxes, replicated to the (steps, 8, g) block layout
+    eb = jnp.max(e_l2.reshape(n // BLOCK, BLOCK), axis=1)
+    ab = jnp.max(a_l2.reshape(n // BLOCK, BLOCK), axis=1)
+    ebc = jnp.broadcast_to(eb.reshape(steps, 1, g), (steps, 8, g))
+    abc = jnp.broadcast_to(ab.reshape(steps, 1, g), (steps, 8, g))
+    grid = (steps,)
+    out_specs = [
+        pl.BlockSpec((1, s_tile, t_top + 1, b), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, s_tile, t_top, b), lambda i: (i, 0, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((steps, s_tile, t_top + 1, b), jnp.float32),
+        jax.ShapeDtypeStruct((steps, s_tile, t_top, b), jnp.int32),
+    ]
+    in_specs = [
+        pl.BlockSpec((b, d), lambda i: (0, 0)),
+        pl.BlockSpec((tile_n, d), lambda i: (i, 0)),
+        pl.BlockSpec((1, 8, g), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, 8, g), lambda i: (i, 0, 0)),
+        pl.BlockSpec((tile_n,), lambda i: (i,)),
+        pl.BlockSpec((b,), lambda i: (0,)),
+        pl.BlockSpec((b,), lambda i: (0,)),
+    ]
+    args = [q_bf16, m_bf16, ebc, abc, valid_i32, u_q, v_q]
+    if tags is not None:
+        in_specs += [
+            pl.BlockSpec((tile_n,), lambda i: (i,)),
+            pl.BlockSpec((b,), lambda i: (0,)),
+            pl.BlockSpec((b,), lambda i: (0,)),
+            pl.BlockSpec((b,), lambda i: (0,)),
+        ]
+        args += list(tags)
+    kernel = pl.pallas_call(
+        functools.partial(_scan_select_v3_kernel, t_top=t_top, tile_n=tile_n,
+                          has_tags=tags is not None),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )
+    v_pack, r_pack = kernel(*args)
+    v_pack = v_pack.reshape(n_sel, t_top + 1, b).transpose(2, 1, 0)
+    r_pack = r_pack.reshape(n_sel, t_top, b).transpose(2, 1, 0)
+    return v_pack, r_pack
+
+
 def _scan_select_v2_indirect_kernel(
     sel_ref, q_ref, m_ref, el2_ref, al2_ref, valid_ref, uq_ref, vq_ref,
     *rest, t_top: int, tile_n: int, n_tiles: int, has_tags: bool,
