@@ -380,7 +380,7 @@ def bench_tiered_1m(n_chunks=1_000_000, dim=384, batch=256, cand=50, k=10,
 
     from benches.hybrid_scale_bench import build_bm25_device, query_blocks_from_indptr
     from trueno_rag_tpu.ops.bm25 import bm25_topk_blocks
-    from trueno_rag_tpu.ops.dense_tiered import dense_topk_tiered, prepare_tiered
+    from trueno_rag_tpu.ops.dense_tiered import dense_topk_tiered2, prepare_tiered
     from trueno_rag_tpu.ops.fusion import fuse_topk
 
     key1, key2 = jax.random.split(jax.random.PRNGKey(0))
@@ -401,9 +401,12 @@ def bench_tiered_1m(n_chunks=1_000_000, dim=384, batch=256, cand=50, k=10,
         def one(carry, _):
             q = queries + carry
             shift = (carry > 1e30).astype(jnp.int32)
-            d_s, d_r, ok = dense_topk_tiered(
+            # the production tile kernel (VectorStore scan_kernel
+            # default; scan_select_v3 since r3) at the store's default
+            # selection parameters
+            d_s, d_r, ok = dense_topk_tiered2(
                 q, matrix, mb, el2, al2, valid, cand,
-                rescore_rows=192, block_top=2, tile_n=4096,
+                rescore_rows=96, t_top=4, margin_tiles=32, tile_n=4096,
             )
             s_s, s_r = bm25_topk_blocks(bids + shift, blo, bhi, blocks, k=cand)
             f_r, f_s = fuse_topk(d_r, d_s, s_r, s_s, kind="rrf", param=60.0)
