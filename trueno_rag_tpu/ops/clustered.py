@@ -662,8 +662,8 @@ def dense_topk_compact_bf16r_clustered(
     """
     from trueno_rag_tpu.ops.pallas.scan_select_v2 import (
         SEL,
-        scan_select_v2,
-        scan_select_v2_indirect,
+        scan_select_v3,
+        scan_select_v3_indirect,
     )
 
     if fetch not in ("gather", "dma"):
@@ -728,7 +728,7 @@ def dense_topk_compact_bf16r_clustered(
     if fetch == "dma":
         # scalar-prefetch kernel scans the selected tiles IN PLACE —
         # HBM traffic = exactly the union's bytes; rows come out global
-        outs = scan_select_v2_indirect(
+        outs = scan_select_v3_indirect(
             qb_p, m_bf16, e_l2, a_l2, valid_mask.astype(jnp.int32),
             u_p, v_p, sel, tile_n=tile, t_top=t_top, interpret=interpret,
             tags=_pad_tags(tags, n, n, bsz, b_pad),
@@ -745,7 +745,7 @@ def dense_topk_compact_bf16r_clustered(
         tags_sel = None
         if tags is not None:
             tags_sel = (tags[0].reshape(t, tile)[ids].reshape(-1),) + tuple(tags[1:])
-        outs = scan_select_v2(
+        outs = scan_select_v3(
             qb_p, m_sel, e_sel, a_sel, valid_sel.astype(jnp.int32), u_p, v_p,
             tile_n=tile, t_top=t_top, interpret=interpret,
             tags=_pad_tags(tags_sel, budget * tile, budget * tile, bsz, b_pad),
