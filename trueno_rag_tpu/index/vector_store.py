@@ -173,9 +173,12 @@ class VectorStoreConfig:
     # custom-kernel risk); "dma" scans the selected tiles in place via
     # the scalar-prefetch kernel (exactly the union's bytes). "auto"
     # picks dma on accelerators and gather on CPU — measured on v5e at
-    # 1M×384: dma 3.9 ms vs gather 9.8 ms at B=8 (the copy costs more
-    # than it saves), and dma is the only fetch that beats the full
-    # compact stream (1.2-1.5x; gather is 0.5-0.8x).
+    # 1M×384 B=8 (r3, v3 kernels): dma 3.52 ms vs gather 9.32 ms (the
+    # copy costs more than it saves), and dma is the only fetch that
+    # beats the full compact stream (3.91 ms — v3 made the full scan
+    # fast enough that the clustered margin at 1M is now 1.11x; the
+    # tier's value concentrates at 10M+, where the full stream is
+    # ~24 ms and probed tiles stay ~constant).
     cluster_fetch: str = "auto"
     cluster_kmeans_iters: int = 8
     # Incremental clustered maintenance: a bounded set of mutated rows
