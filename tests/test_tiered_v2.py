@@ -328,3 +328,87 @@ def test_compact_bf16r_resolves_gaps_bf16_cannot():
     _, r_x = dense_topk(q, m, valid, k, "cosine")
     for b in range(bq):
         assert set(np.asarray(r_r)[b].tolist()) == set(np.asarray(r_x)[b].tolist())
+
+
+# -- v3 kernel soundness pins (r3: per-block bound corrections) -------------
+
+
+def test_scan_select_v3_packed_outputs_are_rigorous_upper_bounds():
+    """Direct soundness pin for scan_select_v3 (the r3 kernel behind the
+    bf16 tile and compact tiers): every emitted candidate value must be
+    >= that row's per-row upper bound s + el2*u + al2*v (v3 emits the
+    looser per-block-max correction), and every tile's thr channel must
+    be >= the upper bound of every row of the tile NOT among its
+    emitted candidates. Computed against a numpy oracle in interpret
+    mode."""
+    from trueno_rag_tpu.ops.pallas.scan_select_v2 import (
+        SEL,
+        scan_select_v3,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d, bq, t_top = 4096, 32, 8, 4
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    q = rng.standard_normal((bq, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    valid = np.ones(n, bool)
+    valid[100:140] = False
+
+    mb, e_l2, a_l2 = prepare_tiered(jnp.asarray(m))
+    qb = jnp.asarray(q).astype(jnp.bfloat16)
+    u_q = jnp.ones((bq,), jnp.float32) * 1.01
+    v_q = jnp.full((bq,), 1e-6, jnp.float32)
+    v_pack, r_pack = scan_select_v3(
+        qb, mb, e_l2, a_l2, jnp.asarray(valid).astype(jnp.int32),
+        u_q, v_q, tile_n=2048, t_top=t_top, interpret=True,
+    )
+    v_pack, r_pack = np.asarray(v_pack), np.asarray(r_pack)
+
+    # numpy oracle of per-row upper bounds (the quantity v2 computed
+    # per row; v3's emissions must dominate it). Both operands are the
+    # bf16-rounded values the kernel actually dots — q's own rounding
+    # is covered by u_q/v_q in the production bound derivation, not
+    # here.
+    s = (np.asarray(mb).astype(np.float32)
+         @ np.asarray(qb).astype(np.float32).T)  # [n, bq]
+    upper = s + np.asarray(e_l2)[:, None] * 1.01 + np.asarray(a_l2)[:, None] * 1e-6
+    upper[~valid] = -np.inf
+
+    n_sel = n // SEL
+    eps = 1e-5
+    for b in range(bq):
+        for t in range(n_sel):
+            cand_rows = r_pack[b, :, t]
+            cand_vals = v_pack[b, :t_top, t]
+            thr = v_pack[b, t_top, t]
+            tile_rows = np.arange(t * SEL, (t + 1) * SEL)
+            emitted = set(int(r) for r in cand_rows)
+            for cv, cr in zip(cand_vals, cand_rows):
+                if np.isneginf(cv):
+                    continue
+                assert t * SEL <= cr < (t + 1) * SEL, (b, t, cr)
+                assert cv >= upper[cr, b] - eps, (b, t, cr, cv, upper[cr, b])
+            unem = [r for r in tile_rows if r not in emitted]
+            worst = upper[unem, b].max()
+            assert thr >= worst - eps, (b, t, thr, worst)
+
+
+def test_scan_select_v3_matches_v2_certified_behavior():
+    """The v3-backed compact path must produce oracle-exact certified
+    sets on a corpus where certification succeeds — and at least one
+    query must actually certify (the kernel swap must not silently
+    fail everything closed)."""
+    n, d, bq, k = 6144, 48, 8, 10
+    m, q, valid = build(n, d, bq, seed=9)
+    mb, bf_e, bf_a = prepare_tiered(m)
+    res = prepare_residual(m)
+    s_c, r_c, ok = dense_topk_compact_bf16r(
+        q, mb, bf_e, bf_a, *res, valid, k, interpret=True,
+        tile_n=2048, rescore_rows=48,
+    )
+    ok_np = np.asarray(ok)
+    assert ok_np.any(), "v3 compact path certified nothing on easy data"
+    s_x, r_x = dense_topk(q, m, valid, k, "cosine")
+    for i in np.flatnonzero(ok_np):
+        assert set(np.asarray(r_c)[i].tolist()) == set(np.asarray(r_x)[i].tolist())
