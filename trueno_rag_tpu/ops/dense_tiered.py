@@ -707,7 +707,7 @@ def dense_topk_int8_tiered2(
     """int8 scan through the v2 tile kernel + exact fp32 rescore — the
     int8 sibling of :func:`dense_topk_tiered2`, same exactness contract.
     → (scores [B,k], rows [B,k], certified [B] bool)."""
-    from trueno_rag_tpu.ops.pallas.scan_select_v2 import SEL, scan_select_int8_v2
+    from trueno_rag_tpu.ops.pallas.scan_select_v2 import SEL, scan_select_int8_v3
 
     q = _metric_queries(queries, metric)
     n, d = matrix.shape
@@ -731,7 +731,7 @@ def dense_topk_int8_tiered2(
     else:
         valid_p = valid_mask
 
-    outs = scan_select_int8_v2(
+    outs = scan_select_int8_v3(
         q_i8, m_i8, s_row, e_l2, a_l2, valid_p.astype(jnp.int32), t_q,
         u_q, v_q, tile_n=tile, t_top=t_top, use_int8_mxu=use_int8_mxu,
         interpret=interpret,
@@ -1203,7 +1203,7 @@ def dense_topk_compact(
     deployment. The int8 scan-side quantization NEVER affects certified
     results (candidate proposal only); the bf16 bound governs the
     certificate width."""
-    from trueno_rag_tpu.ops.pallas.scan_select_v2 import SEL, scan_select_int8_v2
+    from trueno_rag_tpu.ops.pallas.scan_select_v2 import SEL, scan_select_int8_v3
 
     q = _metric_queries(queries, metric)
     n = m_bf16.shape[0]
@@ -1227,7 +1227,7 @@ def dense_topk_compact(
     else:
         m_i8_p, s_row_p, e_p, a_p, valid_p = m_i8, s_row, i8_e_l2, i8_a_l2, valid_mask
 
-    outs = scan_select_int8_v2(
+    outs = scan_select_int8_v3(
         q_i8, m_i8_p, s_row_p, e_p, a_p, valid_p.astype(jnp.int32), t_q,
         u_q, v_q, tile_n=tile, t_top=t_top, use_int8_mxu=use_int8_mxu,
         interpret=interpret, tags=_pad_tags(tags, n, n_pad, bsz, b_pad),

@@ -664,6 +664,121 @@ def scan_select_v2_indirect(
     return v_pack, r_pack
 
 
+def _scan_select_int8_v3_kernel(
+    q_ref, m_ref, sr_ref, ebc_ref, abc_ref, valid_ref, tq_ref, uq_ref,
+    vq_ref, *rest, t_top: int, tile_n: int, use_int8_mxu: bool,
+    has_tags: bool,
+):
+    """int8 v3 kernel: the dequantized score keeps its per-row scale
+    multiply (semantically required — selection ranks real scores),
+    but the el2/al2 bound terms move to per-block maxes like
+    :func:`scan_select_v3`, dropping two of the three per-row lane
+    relayouts."""
+    tag_refs, out_refs = (rest[:4], rest[4:]) if has_tags else ((), rest)
+    if use_int8_mxu:
+        dot = jax.lax.dot_general(
+            m_ref[:], q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        dot = jax.lax.dot_general(
+            m_ref[:].astype(jnp.bfloat16), q_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    s = dot * sr_ref[:][:, None] * tq_ref[:][None, :]
+    s = jnp.where(valid_ref[:][:, None] != 0, s, NEG_INF)
+    if has_tags:
+        s = _apply_tags(s, *tag_refs)
+    corr = (
+        ebc_ref[0, 0][:, None] * uq_ref[:][None, :]
+        + abc_ref[0, 0][:, None] * vq_ref[:][None, :]
+    )
+    v_ref, r_ref = out_refs
+    _tile_tournament_blockcorr(
+        s, corr, pl.program_id(0) * tile_n, t_top, v_ref, r_ref
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_n", "t_top", "use_int8_mxu", "interpret"),
+)
+def scan_select_int8_v3(
+    q_i8: jax.Array,  # [B, d] int8 (symmetric amax/127 scale t_q)
+    m_i8: jax.Array,  # [N, d] int8, N % tile_n == 0
+    s_row: jax.Array,  # [N] f32 — tightest symmetric (amax/127) row scales
+    e_l2: jax.Array,  # [N] f32 — ‖row − s_i·row_i8‖₂
+    a_l2: jax.Array,  # [N] f32 — ‖s_i·row_i8‖₂
+    valid_i32: jax.Array,  # [N] int32 (0/1)
+    t_q: jax.Array,  # [B] f32 — query scales
+    u_q: jax.Array,  # [B] f32 — bound coefficient on e_l2 (>= 0)
+    v_q: jax.Array,  # [B] f32 — bound coefficient on a_l2 (>= 0)
+    tile_n: int = 2048,
+    t_top: int = TILE_T,
+    use_int8_mxu: bool = True,
+    interpret: bool = False,
+    tags: Tuple[jax.Array, ...] | None = None,
+) -> Tuple[jax.Array, ...]:
+    """Drop-in faster sibling of :func:`scan_select_int8_v2` (same
+    signature/outputs; per-block el2/al2 corrections — see
+    :func:`scan_select_v3`)."""
+    b, d = q_i8.shape
+    n = m_i8.shape[0]
+    assert n % tile_n == 0 and tile_n % SEL == 0
+    assert d * 127 * 127 < 2**24, "int dot must stay exactly representable"
+    s_tile = tile_n // SEL
+    n_sel = n // SEL
+    steps = n // tile_n
+    g = tile_n // BLOCK
+    eb = jnp.max(e_l2.reshape(n // BLOCK, BLOCK), axis=1)
+    ab = jnp.max(a_l2.reshape(n // BLOCK, BLOCK), axis=1)
+    ebc = jnp.broadcast_to(eb.reshape(steps, 1, g), (steps, 8, g))
+    abc = jnp.broadcast_to(ab.reshape(steps, 1, g), (steps, 8, g))
+    in_specs = [
+        pl.BlockSpec((b, d), lambda i: (0, 0)),
+        pl.BlockSpec((tile_n, d), lambda i: (i, 0)),
+        pl.BlockSpec((tile_n,), lambda i: (i,)),
+        pl.BlockSpec((1, 8, g), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, 8, g), lambda i: (i, 0, 0)),
+        pl.BlockSpec((tile_n,), lambda i: (i,)),
+        pl.BlockSpec((b,), lambda i: (0,)),
+        pl.BlockSpec((b,), lambda i: (0,)),
+        pl.BlockSpec((b,), lambda i: (0,)),
+    ]
+    args = [q_i8, m_i8, s_row, ebc, abc, valid_i32, t_q, u_q, v_q]
+    if tags is not None:
+        in_specs += [
+            pl.BlockSpec((tile_n,), lambda i: (i,)),
+            pl.BlockSpec((b,), lambda i: (0,)),
+            pl.BlockSpec((b,), lambda i: (0,)),
+            pl.BlockSpec((b,), lambda i: (0,)),
+        ]
+        args += list(tags)
+    kernel = pl.pallas_call(
+        functools.partial(
+            _scan_select_int8_v3_kernel, t_top=t_top, tile_n=tile_n,
+            use_int8_mxu=use_int8_mxu, has_tags=tags is not None,
+        ),
+        grid=(steps,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, s_tile, t_top + 1, b), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, s_tile, t_top, b), lambda i: (i, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((steps, s_tile, t_top + 1, b), jnp.float32),
+            jax.ShapeDtypeStruct((steps, s_tile, t_top, b), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+    v_pack, r_pack = kernel(*args)
+    v_pack = v_pack.reshape(n_sel, t_top + 1, b).transpose(2, 1, 0)
+    r_pack = r_pack.reshape(n_sel, t_top, b).transpose(2, 1, 0)
+    return v_pack, r_pack
+
+
 @functools.partial(
     jax.jit, static_argnames=("tile_n", "t_top", "use_int8_mxu", "interpret")
 )
