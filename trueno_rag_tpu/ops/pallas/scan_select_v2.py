@@ -39,6 +39,22 @@ closed to the fp32 path, never certifies a wrong result.
 :func:`scan_select_int8_v2` is the int8 sibling (same packed outputs,
 same tournament; exactly-dequantized scores per scan_select_int8.py's
 error model) — the scan half of the 10M-rows-on-one-chip compact tier.
+
+**v3 (r3, the production default for every tile-scan tier):** the v2
+kernels broadcast the 1-D per-row ``e_l2``/``a_l2`` arrays across the
+batch axis — each such broadcast is a LANE RELAYOUT on TPU, and the
+two together cost 5.7 ms of the 22.9 ms marginal scan at 10.5M,
+independent of batch size. :func:`scan_select_v3` (and the
+``_indirect`` / ``int8`` siblings) select per-block top-2 by the raw
+masked score and add the bound terms at per-BLOCK granularity
+(``max_block(e_l2)·u + max_block(a_l2)·v``, carried in tiny
+``[steps, 8, g]`` side arrays): every emitted value and threshold
+remains a rigorous per-row upper bound (the block max dominates each
+row's own term, u/v >= 0), just looser by the within-block el2/al2
+spread — measured certification parity at 1M/10.5M random, and the
+scan drops to ~15 ms (10.5M hybrid 34.5 -> 24.1 ms/batch). The
+soundness pin lives in
+tests/test_tiered_v2.py::test_scan_select_v3_packed_outputs_are_rigorous_upper_bounds.
 """
 
 from __future__ import annotations
