@@ -13,6 +13,12 @@ methodology (CLAUDE.md: block_until_ready returns early over the
 tunnel; each step's query depends on the carry so XLA cannot hoist),
 plus certified counts and the scanned-tile fraction.
 
+Note (r3): this script materializes the fp32 matrix alongside the
+clustered replicas, so it tops out ~2.5M on one v5e — at 10.5M it dies
+on TPU ResourceExhausted (measured; the chip recovered on its own).
+The 10M-scale clustered numbers come from the slab-built store path
+(docs/architecture.md), not this script.
+
 Run: PYTHONPATH=.:$PYTHONPATH python benches/clustered_bench.py \
     [--n 1048576] [--batch 8] [--probe 16] [--check]
 """
