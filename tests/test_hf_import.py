@@ -236,8 +236,11 @@ def test_rotary_forward_matches_transformers_roformer(roformer_dir):
 def test_nomic_state_conversion_and_forward(tmp_path):
     """Synthetic nomic_bert checkpoint (Wqkv / fc11+fc12 SwiGLU naming,
     biasless MLP like the real nomic-bert-2048) loads, forwards, and
-    maps fc11->gate / fc12->up in the order Nomic's modeling code
-    computes fc2(act(fc11(x)) * fc12(x))."""
+    maps fc12->gate (activated) / fc11->up (linear) — flash-attn's
+    GatedMlp chunk order, which nomic's modeling file derives from and
+    which torch.nn.functional.glu pins externally (F.glu activates the
+    SECOND half; nomic's sigmoid path routes through F.glu and the
+    other activations reuse the same (y, gate) chunk order)."""
     import jax.numpy as jnp
 
     from trueno_rag_tpu.models.encoder import encoder_forward
@@ -282,14 +285,37 @@ def test_nomic_state_conversion_and_forward(tmp_path):
     assert out.shape == (1, h) and bool(np.isfinite(np.asarray(out)).all())
 
     # oracle: hand-computed SwiGLU on layer 0 must match the packed
-    # mlp_w1 split order (silu(fc11 x) * (fc12 x))
+    # mlp_w1 split order — encoder._block computes silu(gate) * up on
+    # the [gate | up] halves, so gate must be fc12 and up fc11
     x = np.asarray(rng.standard_normal(h), np.float32)
     pre = x @ np.asarray(emb.params["mlp_w1"][0])
     gate, up = pre[: m], pre[m:]
     fc11 = np.asarray(state["encoder.layers.0.mlp.fc11.weight"])
     fc12 = np.asarray(state["encoder.layers.0.mlp.fc12.weight"])
-    np.testing.assert_allclose(gate, x @ fc11.T, rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(up, x @ fc12.T, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(gate, x @ fc12.T, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(up, x @ fc11.T, rtol=1e-5, atol=1e-5)
+
+    # external pin for the chunk order (no egress to fetch a real
+    # checkpoint): torch.nn.functional.glu activates the SECOND half —
+    # glu(cat[y, g]) == y * sigmoid(g) — and flash-attn's GatedMlp
+    # (nomic's base) uses that same order for every activation:
+    # y, gate = fc1(x).chunk(2); y * act(gate), with fc11 = first
+    # chunk. Our import must therefore compute fc11(x) * silu(fc12(x)).
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    xt = torch.from_numpy(x)
+    y_lin = xt @ torch.from_numpy(fc11).T
+    g_act = xt @ torch.from_numpy(fc12).T
+    torch.testing.assert_close(
+        F.glu(torch.cat([y_lin, g_act]), dim=-1),
+        y_lin * torch.sigmoid(g_act),
+    )
+    import jax
+
+    ours = np.asarray(jax.nn.silu(jnp.asarray(gate)) * jnp.asarray(up))
+    want = (y_lin * F.silu(g_act)).numpy()
+    np.testing.assert_allclose(ours, want, rtol=1e-5, atol=1e-5)
 
 
 def test_nomic_preset_shape():

@@ -951,7 +951,7 @@ def test_compact_retry_rescues_trim_threshold_failures():
     chunks = [mk_chunk(i, dim, rng) for i in range(2000)]
     plain = VectorStore(VectorStoreConfig(dimension=dim))
     compact = VectorStore(VectorStoreConfig(
-        dimension=dim, scan_tier="compact",
+        dimension=dim, scan_tier="compact", compact_retry=True,
         scan_margin_tiles=0, scan_t_top=1, scan_rescore_rows=10,
     ))
     for s in (plain, compact):
@@ -1013,3 +1013,121 @@ def test_compact_uncertified_bound_recorded_for_near_ties():
     assert store.compact_uncertified >= 1
     assert all(cid is not None for cid, _ in res)
     assert 0.0 < store.compact_uncertified_bound < 1e-3
+
+
+# -- containment patch: exact default contract without the full GEMM (r4) ----
+
+
+def _near_tie_chunks(rng, dim, n=16384, dups=14, stride=1024, sigma=2e-5):
+    """Corpus whose rank-k gaps sit below the residual interval (after
+    f32 storage rounding the dup gaps land at ~1e-8) AND straddle the
+    k=10 boundary (base + 14 dups > k — ties strictly inside the top-k
+    never break the SET certificate): the compact certificate must fail
+    for queries near ``base``. The dups are STRIDED one per 1024-row
+    storage tile so the per-tile candidate pool (t_top) holds them all
+    — the containment patch's territory; packing more dups per tile
+    than t_top genuinely loses candidates and correctly demotes to the
+    GEMM (the clustered tier's case)."""
+    chunks = [mk_chunk(i, dim, rng) for i in range(n)]
+    base = np.asarray(chunks[0].embedding, np.float64)
+    base /= np.linalg.norm(base)
+    made = 0
+    for j in range(stride, n, stride):
+        if made >= dups:
+            break
+        noise = rng.standard_normal(dim) * sigma
+        chunks[j].embedding = (base + noise).astype(np.float32).tolist()
+        made += 1
+    return chunks, base.astype(np.float32)
+
+
+def _f64_oracle_rows(store, q, k, allowed=None):
+    """True-score (f64) top-k rows with the (score desc, row asc) tie
+    rule over the store's f32-stored rows — the exact contract the
+    certificate proves and the host patches implement. At ~1e-8 gaps a
+    fp32 device scan is NOT a valid oracle (its ~3e-8 rounding can
+    order near-ties differently)."""
+    n = store._host.shape[0]
+    qn = q.astype(np.float64)
+    nrm = np.linalg.norm(qn)
+    if nrm > 0:
+        qn = qn / nrm
+    s = store._host.astype(np.float64) @ qn
+    mask = store._valid if allowed is None else (store._valid & allowed)
+    s[~mask] = -np.inf
+    return np.lexsort((np.arange(n), -s))[:k]
+
+
+def test_candidate_patch_resolves_near_ties_exactly_without_gemm():
+    """DEFAULT compact config (auto retry off, host fallback): near-tie
+    certificate failures must be patched EXACTLY from the candidate rows
+    alone — no widened device retry, no full-matrix GEMM."""
+    rng = np.random.default_rng(21)
+    dim = 24
+    chunks, q = _near_tie_chunks(rng, dim)
+    compact = VectorStore(VectorStoreConfig(dimension=dim, scan_tier="compact"))
+    compact.insert_many(chunks)
+    got = compact.search(q, 10)
+    want = _f64_oracle_rows(compact, q, 10)
+    assert [g[0] for g in got] == [f"c{r}" for r in want]
+    assert compact.compact_uncertified >= 1
+    assert compact.compact_candidate_patched >= 1
+    assert compact.compact_gemm_patched == 0
+    assert compact.compact_retry_certified == 0  # auto retry skipped
+
+
+def test_candidate_patch_containment_failure_falls_back_to_gemm():
+    """A starved primary pass (margin_tiles=0, t_top=1) misses whole
+    tiles, so containment fails and the streamed GEMM must cover —
+    results still exactly match the fp32 store."""
+    rng = np.random.default_rng(22)
+    dim = 32
+    chunks = [mk_chunk(i, dim, rng) for i in range(3000)]
+    plain = VectorStore(VectorStoreConfig(dimension=dim))
+    compact = VectorStore(VectorStoreConfig(
+        dimension=dim, scan_tier="compact", compact_retry=False,
+        scan_margin_tiles=0, scan_t_top=1, scan_rescore_rows=10,
+    ))
+    for s in (plain, compact):
+        s.insert_many(chunks)
+    gemms = 0
+    for qi in range(6):
+        q = np.asarray(chunks[qi].embedding, np.float32)
+        got, want = compact.search(q, 10), plain.search(q, 10)
+        assert [g[0] for g in got] == [w[0] for w in want], qi
+    gemms = compact.compact_gemm_patched
+    assert compact.compact_uncertified >= 1
+    # the starved selection must have produced at least one true
+    # containment failure (otherwise the test exercises nothing)
+    assert gemms >= 1
+
+
+def test_candidate_patch_exact_under_tag_filter():
+    """Tag-filtered near-tie queries: the containment patch must honor
+    the filter (exact FILTERED top-k), matching a host f64 oracle over
+    the allowed rows only."""
+    rng = np.random.default_rng(23)
+    dim = 24
+    chunks, q = _near_tie_chunks(rng, dim)
+    compact = VectorStore(VectorStoreConfig(dimension=dim, scan_tier="compact"))
+    compact.insert_many(chunks)
+    for i, c in enumerate(chunks):
+        compact.registry.set_tags(c.id, ["even" if i % 2 == 0 else "odd"])
+
+    from trueno_rag_tpu.retrieve import TagFilter, resolve_tag_filters
+
+    bq = 4
+    masks = resolve_tag_filters(compact.registry, TagFilter(all=("even",)), bq)
+    qs = np.stack([q] * bq)
+    _, r_c = compact.search_arrays(qs, 10, tag_masks=masks)
+    r_c = np.asarray(r_c)
+
+    bits = compact.registry.tags_host(compact._host.shape[0])
+    t_all = int(np.asarray(masks[0])[0])
+    want = _f64_oracle_rows(compact, q, 10, allowed=(bits & t_all) == t_all)
+    for b in range(bq):
+        assert r_c[b].tolist() == want.tolist(), b
+    # the near ties among allowed rows must have stressed the
+    # certificate (otherwise this test exercises no patch path)
+    assert compact.compact_uncertified >= 1
+    assert compact.compact_gemm_patched == 0

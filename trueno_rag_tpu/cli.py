@@ -70,8 +70,21 @@ def _build_embedder(kind: str, dimension: int, model: Optional[str], seed: int =
         if os.path.isdir(name):  # local HF checkpoint directory
             import json as _json
 
-            with open(os.path.join(name, "config.json")) as f:
-                model_type = _json.load(f).get("model_type", "bert")
+            from trueno_rag_tpu.errors import SerializationError
+
+            cfg_path = os.path.join(name, "config.json")
+            try:
+                with open(cfg_path) as f:
+                    model_type = _json.load(f).get("model_type", "bert")
+            except OSError as e:
+                raise SerializationError(
+                    f"model directory {name!r} has no readable config.json "
+                    f"({e}); expected an HF checkpoint directory"
+                ) from e
+            except _json.JSONDecodeError as e:
+                raise SerializationError(
+                    f"unparseable {cfg_path!r}: {e}"
+                ) from e
             if model_type in ("roformer", "nomic_bert"):
                 from trueno_rag_tpu.models.hf_import import load_hf_rotary_encoder
 

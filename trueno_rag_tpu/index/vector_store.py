@@ -112,18 +112,24 @@ class VectorStoreConfig:
     # DEVICE retry before the host fallback: re-scan just the
     # uncertified queries with a widened selection (margin_tiles x4,
     # every emitted candidate residual-rescored instead of the
-    # rescore_rows trim, t_top 8). The r3 failure analysis at 10.5M
-    # showed most certificate misses come from the TRIM threshold and
-    # the tile margin — both ±bf16-scan-bound (~1.7e-3) quantities the
-    # widened pass replaces with residual-corrected intervals (~2e-5)
-    # — not from true sub-interval rank gaps, so one retry certifies
-    # the bulk of them at the cost of one extra corpus scan over the
-    # uncertified subset. Queries still uncertified after the retry
-    # carry a RECORDED error bound (compact_uncertified_bound): the
-    # max margin by which any non-returned row could beat a returned
-    # one, i.e. the provable worst-case score error of the best-effort
-    # result.
-    compact_retry: bool = True
+    # rescore_rows trim, t_top 8). Queries still uncertified after the
+    # retry carry a RECORDED error bound (compact_uncertified_bound):
+    # the max margin by which any non-returned row could beat a
+    # returned one, i.e. the provable worst-case score error of the
+    # best-effort result.
+    #
+    # Default None = AUTO: the retry runs only when
+    # ``compact_fallback != "host"`` — there its value is the tightened
+    # recorded bound. With the host fallback the retry is a net LOSS:
+    # the r4 containment patch resolves uncertified queries exactly
+    # from the primary pass's candidate rows (a ~W-row host f64
+    # rescore, microseconds), while the widened retry costs a second
+    # full corpus scan and at 10.5M random rescued only 3/49 failures
+    # (benches/compact_retry_bench.py — the remaining misses are TRUE
+    # near-ties below the residual interval, which no device pass at
+    # this storage precision can resolve but the exact host rescore
+    # settles trivially). Set True/False to force either way.
+    compact_retry: bool | None = None
     # Candidate-row trim for the tiered rescore (ops/dense_tiered.py
     # rescore_rows); None rescores all block candidates. 96 is the
     # measured best at 1M for both kernels: the exclusion threshold is
@@ -289,6 +295,11 @@ class VectorStore:
         # min selected lower bound); inf when a retry-pass failure mode
         # (selector miss, tie) voided the bound entirely
         self.compact_uncertified_bound = 0.0
+        # containment-patch observability: queries resolved exactly from
+        # the candidate rows alone vs. queries that needed the full
+        # host-matrix GEMM (containment certificate failed)
+        self.compact_candidate_patched = 0
+        self.compact_gemm_patched = 0
 
     # -- mutation ------------------------------------------------------------
 
@@ -912,7 +923,8 @@ class VectorStore:
                         jnp.asarray(np.asarray(tag_masks[1], np.int32)),
                         jnp.asarray(np.asarray(tag_masks[2], np.int32)),
                     )
-                scores, rows, ok = compact(
+                host_fb = self.config.compact_fallback == "host"
+                out = compact(
                     q, *self._tier, self._device_valid, k_eff,
                     metric=self.config.metric, interpret=interpret,
                     rescore_rows=self.config.scan_rescore_rows,
@@ -920,19 +932,32 @@ class VectorStore:
                     margin_tiles=self.config.scan_margin_tiles,
                     tile_n=self.config.scan_tile_n,
                     tags=tags,
+                    # candidate rows + tile threshold feed the
+                    # containment patch; kept on device (intermediates
+                    # anyway) and fetched only for uncertified queries
+                    return_candidates=host_fb,
                 )
+                scores, rows, ok = out[:3]
                 ok_np = np.asarray(ok)
-                if not ok_np.all() and self.config.compact_retry:
+                retry = self.config.compact_retry
+                if retry is None:  # AUTO — see the config comment
+                    retry = not host_fb
+                if not ok_np.all() and retry:
                     scores, rows, ok_np = self._compact_device_retry(
                         q, np.asarray(scores), np.asarray(rows), ok_np,
                         k_eff, tag_masks, interpret,
                     )
                 if not ok_np.all():
                     self.compact_uncertified += int((~ok_np).sum())
-                    if self.config.compact_fallback == "host":
-                        scores, rows = self._host_exact_patch(
+                    if host_fb:
+                        # exact containment patch from the PRIMARY
+                        # pass's candidates (sound regardless of any
+                        # retry in between); full GEMM only for
+                        # containment failures
+                        scores, rows = self._host_candidate_patch(
                             np.asarray(q), np.asarray(scores),
                             np.asarray(rows), ok_np, k_eff,
+                            np.asarray(out[3]), np.asarray(out[4]),
                             tag_masks=tag_masks,
                         )
                         self.tier_fallbacks += 1
@@ -1105,6 +1130,84 @@ class VectorStore:
         out_ok = ok_np.copy()
         out_ok[fixed] = True
         return scores, rows, out_ok
+
+    def _host_candidate_patch(self, q, scores, rows, ok_np, k,
+                              cand_rows, cand_thr, tag_masks=None):
+        """Exact patch for uncertified compact queries via the
+        CONTAINMENT certificate — the r4 replacement for the full-matrix
+        host GEMM as the default uncertified path.
+
+        ``cand_rows [B, W]`` / ``cand_thr [B]`` come from the primary
+        device pass (``return_candidates=True``): the scan's tile-level
+        threshold is a sound upper bound on the TRUE score of every row
+        outside the candidate set. The host rescores JUST the candidate
+        rows in f64 (exact true-score order, (desc, row asc) ties —
+        identical semantics to :meth:`_host_exact_patch`); if the k-th
+        exact candidate score strictly beats the threshold, the exact
+        top-k set provably lies inside the candidates and the patched
+        result carries the full exact contract at O(W·d) host cost.
+        Near-tie certificate failures — the dominant failure mode at
+        10M+ scale, where rank-k gaps sit below the residual interval —
+        always resolve here, because exact scores have no interval slop.
+        Containment failures (genuinely missed tiles: thr ≥ s_k, or a
+        fail-closed +inf threshold) fall through to the streamed
+        full-matrix GEMM, which this patch demotes to a last resort."""
+        bad = np.flatnonzero(~ok_np)
+        n = self._host.shape[0]
+        tag_bits = None
+        if tag_masks is not None:
+            tag_bits = self.registry.tags_host(n)
+            t_all = np.asarray(tag_masks[0], np.int32)
+            t_any = np.asarray(tag_masks[1], np.int32)
+            t_none = np.asarray(tag_masks[2], np.int32)
+        scores = scores.copy()
+        rows = rows.copy()
+        unresolved = []
+        for qi in bad:
+            cr = np.asarray(cand_rows[qi], np.int64)
+            cr = np.unique(cr[(cr >= 0) & (cr < n)])
+            cr = cr[self._valid[cr]]
+            if tag_bits is not None:
+                # defensive re-filter (the kernel already masked
+                # disallowed rows out of the candidate stream)
+                bits = tag_bits[cr]
+                allowed = (bits & t_all[qi]) == t_all[qi]
+                allowed &= (t_any[qi] == 0) | ((bits & t_any[qi]) != 0)
+                allowed &= (bits & t_none[qi]) == 0
+                cr = cr[allowed]
+            qv = q[qi].astype(np.float64)
+            if self.config.metric == DistanceMetric.COSINE:
+                nrm = np.linalg.norm(qv)
+                if nrm > 0.0:
+                    qv = qv / nrm
+            s = self._host[cr].astype(np.float64) @ qv
+            order = np.lexsort((cr, -s))
+            thr_i = float(cand_thr[qi])
+            if len(cr) >= k:
+                top = order[:k]
+                contained = thr_i < float(s[top[-1]])
+            else:
+                # fewer live candidates than k: complete only if the
+                # scan proved NO row exists outside the candidate set
+                top = order
+                contained = np.isneginf(thr_i)
+            if contained:
+                kk = len(top)
+                scores[qi, :kk] = s[top].astype(np.float32)
+                rows[qi, :kk] = cr[top]
+                scores[qi, kk:] = -np.inf
+                rows[qi, kk:] = -1
+                self.compact_candidate_patched += 1
+            else:
+                unresolved.append(qi)
+        if unresolved:
+            gemm_mask = np.ones_like(ok_np)
+            gemm_mask[unresolved] = False
+            scores, rows = self._host_exact_patch(
+                q, scores, rows, gemm_mask, k, tag_masks=tag_masks
+            )
+            self.compact_gemm_patched += len(unresolved)
+        return scores, rows
 
     def _host_exact_patch(self, q, scores, rows, ok_np, k, tag_masks=None):
         """Re-run uncertified compact-tier queries on the HOST fp32

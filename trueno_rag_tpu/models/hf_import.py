@@ -118,10 +118,20 @@ def convert_nomic_state(
 ) -> Dict[str, np.ndarray]:
     """nomic-bert-2048-family state dict (``encoder.layers.{i}.attn.Wqkv``
     / ``mlp.fc11``+``fc12`` SwiGLU naming) → layer-stacked encoder
-    params. Gate order follows Nomic's modeling code:
-    ``fc2(act(fc11(x)) * fc12(x))`` — fc11 is the activated gate, fc12
-    the linear up-projection, so ``mlp_w1 = [fc11ᵀ | fc12ᵀ]`` matches
-    encoder._block's ``silu(gate) * up`` split."""
+    params.
+
+    Gate order is pinned to flash-attn's ``GatedMlp``, which nomic's
+    ``modeling_hf_nomic_bert.py`` derives its fc11/fc12 split from:
+    ``y, gate = fc1(x).chunk(2); y * act(gate)`` — the SECOND chunk is
+    activated, the same order as ``torch.nn.functional.glu`` (the
+    sigmoid special case routes through ``F.glu`` directly, and the
+    other activations use the same chunk order). So **fc11 is the
+    LINEAR up-projection and fc12 the activated gate**:
+    ``fc2(fc11(x) * act(fc12(x)))``. encoder._block splits ``mlp_w1``
+    as ``[gate | up]`` with ``silu(gate) * up``, hence
+    ``mlp_w1 = [fc12ᵀ | fc11ᵀ]``. tests/test_hf_import.py pins this
+    against torch's ``F.glu`` chunk semantics (the only in-image ground
+    truth for the convention; no egress to fetch a real checkpoint)."""
 
     def get(name: str, required: bool = True):
         for prefix in ("", "model.", "bert."):
@@ -148,8 +158,9 @@ def convert_nomic_state(
         tok = tok + tte[0][None, :]
     mlp_w1 = np.concatenate(
         [
-            stack("encoder.layers.{}.mlp.fc11.weight", transpose=True),
+            # [gate | up] = [fc12 | fc11] — see the gate-order pin above
             stack("encoder.layers.{}.mlp.fc12.weight", transpose=True),
+            stack("encoder.layers.{}.mlp.fc11.weight", transpose=True),
         ],
         axis=2,
     )  # [L, H, 2M]
@@ -171,8 +182,8 @@ def convert_nomic_state(
         "mlp_w1": mlp_w1,
         "mlp_b1": np.concatenate(
             [
-                stack("encoder.layers.{}.mlp.fc11.bias", default_shape=(m,)),
                 stack("encoder.layers.{}.mlp.fc12.bias", default_shape=(m,)),
+                stack("encoder.layers.{}.mlp.fc11.bias", default_shape=(m,)),
             ],
             axis=1,
         ),

@@ -843,7 +843,7 @@ def prepare_residual(matrix: jax.Array):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "margin_tiles", "metric", "tile_n", "rescore_rows", "approx_select", "t_top", "interpret", "return_bounds"),
+    static_argnames=("k", "margin_tiles", "metric", "tile_n", "rescore_rows", "approx_select", "t_top", "interpret", "return_bounds", "return_candidates"),
 )
 def dense_topk_compact_bf16r(
     queries: jax.Array,  # [B, d] f32
@@ -863,11 +863,22 @@ def dense_topk_compact_bf16r(
     t_top: int = 4,
     interpret: bool = False,
     return_bounds: bool = False,
+    return_candidates: bool = False,
     tags: Tuple[jax.Array, ...] | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Compact tier with int8 residual correction — 3 B/element, the
     certification-per-byte sweet spot → (scores [B,k]
     residual-corrected, rows [B,k], set_certified [B] bool).
+
+    ``return_candidates=True`` additionally returns the full pre-trim
+    candidate rows ``cand [B, W]`` (W = t_top·(k+margin_tiles); entries
+    ≥ N are sentinels) and the tile-level exclusion bound ``thr [B]`` —
+    a sound upper bound on the TRUE score of every row outside ``cand``.
+    This is the CONTAINMENT certificate: if the exact k-th candidate
+    score (host f64 rescore of just those W rows) strictly beats
+    ``thr``, the exact top-k set is provably inside ``cand`` — the
+    uncertified-query patch then costs O(W·d) on the host instead of a
+    full-matrix GEMM (see VectorStore._host_candidate_patch).
 
     ``tags`` = (tag_bits [N] i32, t_all [B] i32, t_any [B] i32,
     t_none [B] i32): disallowed (row, query) pairs mask to -inf inside
@@ -925,13 +936,13 @@ def dense_topk_compact_bf16r(
         cand_rows, cand_vals, threshold, q, m_bf16, e_l2, a_l2,
         valid_mask, n, bsz, b_pad, k, rescore_rows, approx_select,
         residual=(r_i8, r_scale, e2_l2), return_bounds=return_bounds,
-        tags=tags,
+        tags=tags, return_candidates=return_candidates,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "margin_tiles", "metric", "tile_n", "rescore_rows", "approx_select", "t_top", "interpret"),
+    static_argnames=("k", "margin_tiles", "metric", "tile_n", "rescore_rows", "approx_select", "t_top", "interpret", "return_candidates"),
 )
 def dense_topk_compact_bf16(
     queries: jax.Array,  # [B, d] f32
@@ -947,6 +958,7 @@ def dense_topk_compact_bf16(
     approx_select: bool = True,
     t_top: int = 4,
     interpret: bool = False,
+    return_candidates: bool = False,
     tags: Tuple[jax.Array, ...] | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Compact tier, bf16-only storage: the scan_select_v2 pass and the
@@ -999,14 +1011,14 @@ def dense_topk_compact_bf16(
     return _trim_rescore_verify_compact(
         cand_rows, cand_vals, threshold, q, m_bf16, e_l2, a_l2,
         valid_mask, n, bsz, b_pad, k, rescore_rows, approx_select,
-        tags=tags,
+        tags=tags, return_candidates=return_candidates,
     )
 
 
 def _trim_rescore_verify_compact(
     cand_rows, cand_vals, threshold, q, m_bf16, bf_e_l2, bf_a_l2,
     valid_mask, n, bsz, b_pad, k_req, rescore_rows, approx_select,
-    residual=None, return_bounds=False, tags=None,
+    residual=None, return_bounds=False, tags=None, return_candidates=False,
 ):
     """Compact-tier tail: bf16 rescore with per-candidate interval
     bounds and the SET certificate.
@@ -1029,6 +1041,18 @@ def _trim_rescore_verify_compact(
     d = q.shape[1]
     k = k_req
     width = cand_rows.shape[1]
+    # Containment certificate inputs, captured BEFORE the rescore trim:
+    # ``threshold`` here is the tile-level exclusion bound (max of the
+    # (kb+1)-th tile max and the selected tiles' (t_top+1)-th value), a
+    # sound upper bound on the TRUE score of every row NOT in
+    # ``cand_rows`` — so if the host later proves the k-th exact
+    # candidate score strictly beats it, the exact top-k set is
+    # provably CONTAINED in the candidate rows and a ~W-row f64
+    # rescore replaces the full-matrix host GEMM
+    # (VectorStore._host_candidate_patch). The trim threshold below is
+    # deliberately NOT folded in: trimmed candidates are still
+    # candidate ROWS, the host rescores them exactly.
+    cont_rows, cont_thr = cand_rows, threshold
     if rescore_rows is not None and rescore_rows < width:
         rescore_rows = max(rescore_rows, k_req)
         if rescore_rows < width:
@@ -1153,6 +1177,7 @@ def _trim_rescore_verify_compact(
         top_s = jnp.pad(top_s, ((0, 0), (0, k_req - k)), constant_values=NEG_INF)
         top_r = jnp.pad(top_r, ((0, 0), (0, k_req - k)), constant_values=-1)
         top_err = jnp.pad(top_err, ((0, 0), (0, k_req - k)), constant_values=0.0)
+    out = (top_s[:bsz], top_r[:bsz], per_q[:bsz])
     if return_bounds:
         # For cross-shard composition (parallel/compact.py): per-
         # candidate interval half-widths plus the exclusion upper bound
@@ -1160,13 +1185,18 @@ def _trim_rescore_verify_compact(
         # Note rhs already folds every local failure mode (selector
         # miss, dup, tie, short width) into +inf, so a shard whose own
         # set is uncertified still composes fail-closed globally.
-        return top_s[:bsz], top_r[:bsz], per_q[:bsz], top_err[:bsz], rhs[:bsz]
-    return top_s[:bsz], top_r[:bsz], per_q[:bsz]
+        out = out + (top_err[:bsz], rhs[:bsz])
+    if return_candidates:
+        # For the host candidate patch: the FULL (pre-trim) candidate
+        # rows and the tile-level exclusion bound. Sentinel entries
+        # (rows >= n: -inf / duplicate slots) are the caller's to drop.
+        out = out + (cont_rows[:bsz], cont_thr[:bsz])
+    return out
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "margin_tiles", "metric", "tile_n", "use_int8_mxu", "rescore_rows", "approx_select", "t_top", "interpret"),
+    static_argnames=("k", "margin_tiles", "metric", "tile_n", "use_int8_mxu", "rescore_rows", "approx_select", "t_top", "interpret", "return_candidates"),
 )
 def dense_topk_compact(
     queries: jax.Array,  # [B, d] f32
@@ -1187,6 +1217,7 @@ def dense_topk_compact(
     approx_select: bool = True,
     t_top: int = 4,
     interpret: bool = False,
+    return_candidates: bool = False,
     tags: Tuple[jax.Array, ...] | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Compact tier: int8 tile scan + certified bf16 rescore, **no fp32
@@ -1238,5 +1269,5 @@ def dense_topk_compact(
     return _trim_rescore_verify_compact(
         cand_rows, cand_vals, threshold, q, m_bf16, bf_e_l2, bf_a_l2,
         valid_mask, n, bsz, b_pad, k, rescore_rows, approx_select,
-        tags=tags,
+        tags=tags, return_candidates=return_candidates,
     )

@@ -262,6 +262,10 @@ def _tier_stats(retriever) -> Dict[str, object]:
         "scan_tier": store._effective_tier(),
         "tier_fallbacks": int(store.tier_fallbacks),
         "uncertified_queries": int(store.compact_uncertified),
+        # r4 containment patch: exact resolutions from candidate rows
+        # alone vs. full-matrix GEMM last resorts
+        "candidate_patched": int(store.compact_candidate_patched),
+        "gemm_patched": int(store.compact_gemm_patched),
     }
 
 def _status_for(exc: Exception) -> int:
@@ -425,6 +429,9 @@ class DeviceIPCServer:
         self.batcher = batcher
         self.sock_path = sock_path
         self._index_loader = index_loader
+        # set by WorkerPool so health responses can surface supervisor
+        # state (respawn count, why self-healing gave up)
+        self.pool = None
         self._reload_lock = threading.Lock()
         self._stop = threading.Event()
         self._conns: set = set()
@@ -482,6 +489,12 @@ class DeviceIPCServer:
                                                       tag_filter=tf)
                 return ("ok", [[result_to_tuple(r) for r in b] for b in batches])
             if op == "health":
+                pool_stats = {}
+                if self.pool is not None:
+                    pool_stats = {
+                        "respawns": int(self.pool.respawns),
+                        "respawn_gave_up": self.pool.respawn_gave_up,
+                    }
                 return ("ok", {
                     "status": "ok",
                     "chunks": len(self.batcher.retriever),
@@ -489,6 +502,7 @@ class DeviceIPCServer:
                     "queries_served": self.batcher.queries_served,
                     **self.batcher.latency_stats(),
                     **_tier_stats(self.batcher.retriever),
+                    **pool_stats,
                 })
             if op == "reload":
                 return self._reload()
@@ -570,6 +584,7 @@ class MultiProcessServer:
         self.ipc = DeviceIPCServer(batcher, self.sock_path, index_loader)
         self._subprocess, self._sys = subprocess, sys
         self._script = Path(__file__).with_name("serve_worker.py")
+        self.ipc.pool = self  # health responses surface supervisor state
         self.procs = [self._spawn() for _ in range(workers)]
         # self-healing: a crashed worker (OOM kill, segfault, operator
         # mistake) respawns automatically — crash-recovery is not an
@@ -578,6 +593,10 @@ class MultiProcessServer:
         # respawn once the device side is closed (the new worker's
         # lifeline would be dead on arrival).
         self.respawns = 0
+        # why the supervisor stopped respawning (None while healthy) —
+        # surfaced through /stats so a disabled self-heal is visible to
+        # the operator instead of a silently dead daemon thread
+        self.respawn_gave_up = None
         self._max_respawns = max_respawns
         self._respawn_interval = respawn_interval
         self._supervisor = None
@@ -612,32 +631,66 @@ class MultiProcessServer:
                 if p.poll() is None:
                     continue
                 if self.respawns >= self._max_respawns:
+                    self.respawn_gave_up = (
+                        f"max_respawns ({self._max_respawns}) reached"
+                    )
                     return  # give up loudly-countably, not loopingly
                 if p.stdout is not None:
                     p.stdout.close()
                 try:
-                    self.procs[i] = self._spawn()
-                    self.respawns += 1
-                except RuntimeError:
-                    return  # device side gone or port lost — stop trying
+                    fresh = self._spawn()
+                except (RuntimeError, OSError) as e:
+                    # RuntimeError: device side gone or port lost.
+                    # OSError: fork/exec failure, fd exhaustion — must
+                    # not silently kill the supervisor thread. Either
+                    # way, stop trying but leave a visible trace
+                    # (surfaced via /stats respawn_gave_up).
+                    self.respawn_gave_up = f"{type(e).__name__}: {e}"
+                    return
+                # Shutdown race: stop() may have set the flag and swept
+                # self.procs while _spawn was blocked in readline
+                # (worker startup takes seconds). Installing the fresh
+                # worker now would orphan a process holding the TPU
+                # lease — reap it instead of adopting it.
+                if self.ipc._stop.is_set():
+                    self._reap(fresh)
+                    return
+                self.procs[i] = fresh
+                self.respawns += 1
 
     def poll_dead(self) -> list:
         return [p for p in self.procs if p.poll() is not None]
+
+    @staticmethod
+    def _reap(p) -> None:
+        if p.poll() is None:
+            try:
+                p.terminate()
+            except OSError:
+                pass
+        try:
+            p.wait(timeout=5)
+        except Exception:  # noqa: BLE001 — last resort
+            p.kill()
+        if p.stdout is not None:
+            p.stdout.close()
 
     def stop(self) -> None:
         self.ipc._stop.set()  # stops the supervisor's respawn loop too
         if self._supervisor is not None:
             self._supervisor.join(timeout=2.0)
         for p in self.procs:
-            if p.poll() is None:
-                p.terminate()
-        for p in self.procs:
-            try:
-                p.wait(timeout=5)
-            except Exception:  # noqa: BLE001 — last resort
-                p.kill()
-            if p.stdout is not None:
-                p.stdout.close()
+            self._reap(p)
+        # Re-sweep if the supervisor outlived the join timeout (blocked
+        # inside _spawn's readline): it either reaps the fresh worker
+        # itself on the post-spawn stop check, or installed it into
+        # self.procs before our first sweep — but if it installed
+        # DURING the sweep we could miss it, so wait it out and sweep
+        # once more. 30 s bounds a pathological worker start.
+        if self._supervisor is not None and self._supervisor.is_alive():
+            self._supervisor.join(timeout=30.0)
+            for p in self.procs:
+                self._reap(p)
         self.ipc.close()
         self._tmpdir.cleanup()
 
