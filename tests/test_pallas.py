@@ -75,6 +75,56 @@ def test_block_attention_matches_oracle(causal):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
 
 
+def test_block_attention_at_design_point_8k():
+    """The kernel exists FOR T=8192 (NemotronConfig max_length, the
+    reference design point embed.rs:746-750) — run it there, not just at
+    toy lengths: parity vs the materializing oracle at the full 8k with
+    ragged padding (r3 verdict: the design point was argued, never
+    exercised)."""
+    from trueno_rag_tpu.ops.pallas.attention import attention_oracle, block_attention
+
+    rng = np.random.default_rng(1)
+    bh, t, hd = 2, 8192, 32
+    q = jnp.asarray(rng.standard_normal((bh, t, hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((bh, t, hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((bh, t, hd)).astype(np.float32))
+    mask = np.ones((bh, t), bool)
+    mask[1, 7000:] = False
+    got = block_attention(q, k, v, jnp.asarray(mask), causal=True, interpret=True)
+    want = attention_oracle(q, k, v, jnp.asarray(mask), causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_nemotron_forward_at_8k_context():
+    """Full decoder forward at T=8192 through the block-attention path
+    (auto switches to it at this length) with a small-heads config:
+    finite, unit-norm output and last-token pooling past the padding
+    boundary."""
+    import dataclasses
+
+    import jax
+
+    from trueno_rag_tpu.models.nemotron import (
+        NemotronConfig, init_nemotron_params, nemotron_forward)
+
+    cfg = dataclasses.replace(
+        NemotronConfig.tiny(), max_len=8192, compute_dtype=jnp.float32)
+    params = init_nemotron_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    ids = rng.integers(3, cfg.vocab_size, (1, 8192), dtype=np.int32)
+    ids[0, 6000:] = 0  # PAD — last valid token at 5999
+    out = np.asarray(nemotron_forward(params, jnp.asarray(ids), cfg))
+    assert out.shape == (1, cfg.hidden_dim)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, rtol=1e-5)
+    # pooling must track the true last token: moving the pad boundary
+    # must change the embedding
+    ids2 = ids.copy()
+    ids2[0, 4000:] = 0
+    out2 = np.asarray(nemotron_forward(params, jnp.asarray(ids2), cfg))
+    assert np.abs(out - out2).max() > 1e-3
+
+
 def test_nemotron_block_attention_matches_naive():
     import dataclasses
 

@@ -1102,6 +1102,36 @@ def test_candidate_patch_containment_failure_falls_back_to_gemm():
     assert gemms >= 1
 
 
+def test_containment_failure_rescued_by_widened_retry_before_gemm():
+    """Stage 2 of the exact patch: when the PRIMARY pass's candidates
+    can't prove containment (starved selection), the widened device
+    retry must resolve the queries (outright certificate or its lower
+    threshold restoring containment) so nothing reaches the GEMM."""
+    rng = np.random.default_rng(31)
+    dim = 32
+    # several storage tiles: a SINGLE-tile corpus (n <= tile_n) caps
+    # even the widened retry at t_top=8 candidates < k and correctly
+    # demotes to the GEMM (the tiny-corpus limit the sibling test
+    # pins); the staged rescue needs tiles to widen into
+    chunks = [mk_chunk(i, dim, rng) for i in range(20_000)]
+    plain = VectorStore(VectorStoreConfig(dimension=dim))
+    compact = VectorStore(VectorStoreConfig(
+        dimension=dim, scan_tier="compact",  # compact_retry AUTO
+        scan_margin_tiles=0, scan_t_top=1, scan_rescore_rows=10,
+    ))
+    for s in (plain, compact):
+        s.insert_many(chunks)
+    for qi in range(6):
+        q = np.asarray(chunks[qi].embedding, np.float32)
+        got, want = compact.search(q, 10), plain.search(q, 10)
+        assert [g[0] for g in got] == [w[0] for w in want], qi
+    assert compact.compact_uncertified >= 1
+    # every failure resolved by stage 1 or stage 2 — never the GEMM
+    assert compact.compact_gemm_patched == 0
+    assert (compact.compact_retry_certified
+            + compact.compact_candidate_patched) >= 1
+
+
 def test_candidate_patch_exact_under_tag_filter():
     """Tag-filtered near-tie queries: the containment patch must honor
     the filter (exact FILTERED top-k), matching a host f64 oracle over

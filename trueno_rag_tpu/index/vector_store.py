@@ -940,9 +940,12 @@ class VectorStore:
                 scores, rows, ok = out[:3]
                 ok_np = np.asarray(ok)
                 retry = self.config.compact_retry
-                if retry is None:  # AUTO — see the config comment
-                    retry = not host_fb
-                if not ok_np.all() and retry:
+                # AUTO (None): under the host fallback the cheap exact
+                # candidate patch runs FIRST and the widened retry is
+                # reserved for its containment failures; under
+                # fallback="none" the retry is the only tightening step
+                retry_all = retry is True or (retry is None and not host_fb)
+                if not ok_np.all() and retry_all:
                     scores, rows, ok_np = self._compact_device_retry(
                         q, np.asarray(scores), np.asarray(rows), ok_np,
                         k_eff, tag_masks, interpret,
@@ -950,15 +953,11 @@ class VectorStore:
                 if not ok_np.all():
                     self.compact_uncertified += int((~ok_np).sum())
                     if host_fb:
-                        # exact containment patch from the PRIMARY
-                        # pass's candidates (sound regardless of any
-                        # retry in between); full GEMM only for
-                        # containment failures
-                        scores, rows = self._host_candidate_patch(
-                            np.asarray(q), np.asarray(scores),
-                            np.asarray(rows), ok_np, k_eff,
-                            np.asarray(out[3]), np.asarray(out[4]),
-                            tag_masks=tag_masks,
+                        scores, rows = self._compact_exact_patch(
+                            q, np.asarray(scores), np.asarray(rows),
+                            ok_np, k_eff, np.asarray(out[3]),
+                            np.asarray(out[4]), tag_masks, interpret,
+                            containment_retry=retry is not False,
                         )
                         self.tier_fallbacks += 1
                 return jnp.asarray(scores), jnp.asarray(rows)
@@ -1040,7 +1039,8 @@ class VectorStore:
         return bits
 
     def _compact_device_retry(self, q, scores, rows, ok_np, k,
-                              tag_masks=None, interpret=False):
+                              tag_masks=None, interpret=False,
+                              return_candidates=False):
         """Widened device re-scan of just the uncertified compact-tier
         queries (see ``compact_retry``): margin_tiles x4 (>= 128), every
         emitted candidate rescored (no ``rescore_rows`` trim), t_top 8.
@@ -1081,11 +1081,24 @@ class VectorStore:
             tags=tags,
         )
         bound = None
+        cand_full = thr_full = None
         if self.config.compact_scan == "bf16r":
-            s2, r2, ok2, err2, rhs2 = dt.dense_topk_compact_bf16r(
+            out2 = dt.dense_topk_compact_bf16r(
                 jnp.asarray(q_bad), *self._tier, self._device_valid, k,
-                return_bounds=True, **kwargs,
+                return_bounds=True, return_candidates=return_candidates,
+                **kwargs,
             )
+            s2, r2, ok2, err2, rhs2 = out2[:5]
+            if return_candidates:
+                # scatter the retry's candidates back to full-batch
+                # alignment for a second containment patch: the widened
+                # margin-128 threshold sits far below the primary's, so
+                # containment usually holds where the primary's failed
+                c2, t2 = np.asarray(out2[5])[:b], np.asarray(out2[6])[:b]
+                cand_full = np.full((len(ok_np), c2.shape[1]), -1, np.int64)
+                thr_full = np.full((len(ok_np),), np.inf, np.float64)
+                cand_full[bad] = c2
+                thr_full[bad] = t2
             s2n, err2n = np.asarray(s2)[:b], np.asarray(err2)[:b]
             rhs2n = np.asarray(rhs2)[:b]
             sel_lower = np.where(
@@ -1129,10 +1142,53 @@ class VectorStore:
             )
         out_ok = ok_np.copy()
         out_ok[fixed] = True
+        if return_candidates:
+            return scores, rows, out_ok, cand_full, thr_full
         return scores, rows, out_ok
 
+    def _compact_exact_patch(self, q, scores, rows, ok_np, k, cand, thr,
+                             tag_masks=None, interpret=False,
+                             containment_retry=True):
+        """Staged exact resolution of uncertified compact queries, in
+        strictly increasing cost order (measured at 10.5M random,
+        benches/exact_patch_probe.py: 52/256 uncertified → 45 resolved
+        by stage 1 at ~5 ms/query host work, 7 by stage 2's widened
+        threshold, 0 reached stage 3):
+
+        1. candidate patch — exact f64 rescore of the primary pass's
+           ~W candidate rows where the containment certificate holds;
+        2. widened device retry (margin ×4, no trim, t_top 8) WITH its
+           own candidates — either certifies outright or its far lower
+           tile threshold restores containment for another patch;
+        3. streamed full-matrix host GEMM (the former default, now the
+           last resort — counted in ``compact_gemm_patched``)."""
+        q_np = np.asarray(q)
+        scores, rows, unresolved = self._host_candidate_patch(
+            q_np, scores, rows, ok_np, k, cand, thr,
+            tag_masks=tag_masks, resolve_rest=False)
+        if (len(unresolved) and containment_retry
+                and self.config.compact_scan == "bf16r"):
+            nok = np.ones_like(ok_np)
+            nok[unresolved] = False
+            scores, rows, nok2, cand2, thr2 = self._compact_device_retry(
+                q, scores, rows, nok, k, tag_masks, interpret,
+                return_candidates=True)
+            unresolved = np.flatnonzero(~nok2)
+            if len(unresolved):
+                scores, rows, unresolved = self._host_candidate_patch(
+                    q_np, scores, rows, nok2, k, cand2, thr2,
+                    tag_masks=tag_masks, resolve_rest=False)
+        if len(unresolved):
+            gm = np.ones_like(ok_np)
+            gm[unresolved] = False
+            scores, rows = self._host_exact_patch(
+                q_np, scores, rows, gm, k, tag_masks=tag_masks)
+            self.compact_gemm_patched += len(unresolved)
+        return scores, rows
+
     def _host_candidate_patch(self, q, scores, rows, ok_np, k,
-                              cand_rows, cand_thr, tag_masks=None):
+                              cand_rows, cand_thr, tag_masks=None,
+                              resolve_rest=True):
         """Exact patch for uncertified compact queries via the
         CONTAINMENT certificate — the r4 replacement for the full-matrix
         host GEMM as the default uncertified path.
@@ -1148,59 +1204,91 @@ class VectorStore:
         result carries the full exact contract at O(W·d) host cost.
         Near-tie certificate failures — the dominant failure mode at
         10M+ scale, where rank-k gaps sit below the residual interval —
-        always resolve here, because exact scores have no interval slop.
-        Containment failures (genuinely missed tiles: thr ≥ s_k, or a
-        fail-closed +inf threshold) fall through to the streamed
-        full-matrix GEMM, which this patch demotes to a last resort."""
+        always resolve here, because exact scores have no interval slop
+        (measured at 10.5M random: 45/52 of the primary pass's
+        uncertified queries, benches/exact_patch_probe.py). Containment
+        failures (genuinely missed tiles: thr ≥ s_k, or a fail-closed
+        +inf threshold) fall through to the streamed full-matrix GEMM —
+        or, with ``resolve_rest=False``, are RETURNED as the third
+        element so the caller can try a widened device retry's
+        candidate set first (search_arrays does; the retry's margin-128
+        threshold usually restores containment)."""
         bad = np.flatnonzero(~ok_np)
         n = self._host.shape[0]
-        tag_bits = None
-        if tag_masks is not None:
-            tag_bits = self.registry.tags_host(n)
-            t_all = np.asarray(tag_masks[0], np.int32)
-            t_any = np.asarray(tag_masks[1], np.int32)
-            t_none = np.asarray(tag_masks[2], np.int32)
         scores = scores.copy()
         rows = rows.copy()
-        unresolved = []
-        for qi in bad:
-            cr = np.asarray(cand_rows[qi], np.int64)
-            cr = np.unique(cr[(cr >= 0) & (cr < n)])
-            cr = cr[self._valid[cr]]
-            if tag_bits is not None:
-                # defensive re-filter (the kernel already masked
-                # disallowed rows out of the candidate stream)
-                bits = tag_bits[cr]
-                allowed = (bits & t_all[qi]) == t_all[qi]
-                allowed &= (t_any[qi] == 0) | ((bits & t_any[qi]) != 0)
-                allowed &= (bits & t_none[qi]) == 0
-                cr = cr[allowed]
-            qv = q[qi].astype(np.float64)
-            if self.config.metric == DistanceMetric.COSINE:
-                nrm = np.linalg.norm(qv)
-                if nrm > 0.0:
-                    qv = qv / nrm
-            s = self._host[cr].astype(np.float64) @ qv
-            order = np.lexsort((cr, -s))
-            thr_i = float(cand_thr[qi])
-            if len(cr) >= k:
-                top = order[:k]
-                contained = thr_i < float(s[top[-1]])
-            else:
-                # fewer live candidates than k: complete only if the
-                # scan proved NO row exists outside the candidate set
-                top = order
-                contained = np.isneginf(thr_i)
-            if contained:
-                kk = len(top)
-                scores[qi, :kk] = s[top].astype(np.float32)
-                rows[qi, :kk] = cr[top]
-                scores[qi, kk:] = -np.inf
-                rows[qi, kk:] = -1
-                self.compact_candidate_patched += 1
-            else:
-                unresolved.append(qi)
-        if unresolved:
+        # One vectorized pass over the bad queries (the per-query loop
+        # measured ~5 ms/query at W=328 — the gather+einsum form is
+        # ~20x cheaper and the patch must stay negligible next to the
+        # ~25 ms device batch):
+        cr = np.asarray(cand_rows, np.int64)[bad]  # [B', W]
+        live = (cr >= 0) & (cr < n)
+        cr_safe = np.where(live, cr, 0)
+        live &= self._valid[cr_safe]
+        if tag_masks is not None:
+            # defensive re-filter (the kernel already masked disallowed
+            # rows out of the candidate stream)
+            tag_bits = self.registry.tags_host(n)
+            t_all = np.asarray(tag_masks[0], np.int32)[bad, None]
+            t_any = np.asarray(tag_masks[1], np.int32)[bad, None]
+            t_none = np.asarray(tag_masks[2], np.int32)[bad, None]
+            bits = tag_bits[cr_safe]
+            allowed = (bits & t_all) == t_all
+            allowed &= (t_any == 0) | ((bits & t_any) != 0)
+            allowed &= (bits & t_none) == 0
+            live &= allowed
+        # duplicate candidate rows (sentinel collisions) keep the first
+        # occurrence only — row-sorted neighbors mark the rest
+        srt = np.sort(np.where(live, cr, np.iinfo(np.int64).max), axis=1)
+        dup_vals = srt[:, 1:][srt[:, 1:] == srt[:, :-1]]
+        if dup_vals.size:
+            for bi in range(cr.shape[0]):
+                seen = set()
+                for wi in range(cr.shape[1]):
+                    if not live[bi, wi]:
+                        continue
+                    r = int(cr[bi, wi])
+                    if r in seen:
+                        live[bi, wi] = False
+                    else:
+                        seen.add(r)
+        qv = q[bad].astype(np.float64)
+        if self.config.metric == DistanceMetric.COSINE:
+            nrm = np.linalg.norm(qv, axis=1, keepdims=True)
+            qv = qv / np.where(nrm == 0.0, 1.0, nrm)
+        gathered = self._host[cr_safe].astype(np.float64)  # [B', W, d]
+        s = np.einsum("bwd,bd->bw", gathered, qv)
+        s[~live] = -np.inf
+        # (score desc, row asc) within candidates; dead slots last
+        sort_rows = np.where(live, cr, np.iinfo(np.int64).max)
+        kk = min(k, cr.shape[1])  # starved selections can have W < k
+        order = np.lexsort((sort_rows, -s), axis=-1)[:, :kk]
+        top_s = np.take_along_axis(s, order, axis=1)
+        top_r = np.take_along_axis(cr_safe, order, axis=1)
+        if kk < k:
+            pad = ((0, 0), (0, k - kk))
+            top_s = np.pad(top_s, pad, constant_values=-np.inf)
+            top_r = np.pad(top_r, pad, constant_values=0)
+        n_live = live.sum(axis=1)
+        thr_b = np.asarray(cand_thr, np.float64)[bad]
+        s_k = top_s[:, -1] if k > 0 else np.full(len(bad), -np.inf)
+        # containment: every non-candidate row provably below the k-th
+        # exact candidate score; short allowed sets need thr == -inf
+        contained = np.where(
+            n_live >= k, thr_b < s_k, np.isneginf(thr_b)
+        )
+        dead = np.isneginf(top_s)
+        top_r = np.where(dead, -1, top_r)
+        top_s32 = top_s.astype(np.float32)
+        top_s32[dead] = -np.inf
+        fixed = bad[contained]
+        scores[fixed] = top_s32[contained]
+        rows[fixed] = top_r[contained]
+        self.compact_candidate_patched += int(contained.sum())
+        unresolved = bad[~contained]
+        if not resolve_rest:
+            return scores, rows, unresolved
+        if len(unresolved):
             gemm_mask = np.ones_like(ok_np)
             gemm_mask[unresolved] = False
             scores, rows = self._host_exact_patch(
