@@ -571,14 +571,13 @@ def bench_compact_10m_suite(add_row, n_chunks=20 * 524_288, dim=384,
         with jax.default_device(cpu):
             host_vals = np.asarray(gen_rows_at(
                 jnp.asarray(rows_needed.astype(np.uint32)), dim))
-        pos = {int(r): i for i, r in enumerate(rows_needed)}
 
         def patch(cand_b, thr_b, q_b):
             """Vectorized containment check (mirrors
             VectorStore._host_candidate_patch math)."""
             live = (cand_b >= 0) & (cand_b < n_chunks)
             safe = np.where(live, cand_b, rows_needed[0])
-            gi = np.vectorize(lambda r: pos[int(r)])(safe)
+            gi = np.searchsorted(rows_needed, safe)  # rows_needed sorted
             g = host_vals[gi].astype(np.float64)
             qn = q_b.astype(np.float64)
             qn /= np.linalg.norm(qn, axis=1, keepdims=True)
@@ -702,6 +701,70 @@ def bench_nemotron_8k(layers=4, t=8192, batch=1, iters=4):
 
     dt = _timed_chain(chain, (params, ids), iters)
     return batch * t * iters / dt, mem
+
+
+def bench_maxsim_1m(n_chunks=1_048_576, lt=32, h=128, b=8, lq=8, k=10,
+                    iters=8, slab=65_536):
+    """Certified late-interaction retrieval AT SCALE on one chip (r3
+    verdict #5): 1M chunks × 32 tokens × 128-d, bf16-primary zero-copy
+    pack (8.6 GB — the only corpus-scale array), served by the fused
+    Pallas scan16 kernel with the interval certificate. A certified
+    query's k rows are PROVABLY the exact full-corpus MaxSim top-k over
+    the stored (bf16) token values — the ops/dense_tiered.py:29-35
+    contract at token granularity. Returns (qps, {certified_frac}).
+    2M+ at this token shape exceeds one v5e's HBM; parallel/maxsim.py
+    shards the corpus with the same composed certificate."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from trueno_rag_tpu.ops.maxsim import (
+        maxsim_topk_scan16_fused,
+        prepare_maxsim_self16,
+    )
+
+    @functools.partial(jax.jit, static_argnames=("rows",))
+    def gen_slab(seed, rows):
+        t = jax.random.normal(jax.random.PRNGKey(seed), (rows, lt, h), jnp.float32)
+        t = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+        return t.astype(jnp.bfloat16)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def set_slab(dest, s, lo):
+        return jax.lax.dynamic_update_slice(dest, s, (lo, 0, 0))
+
+    tokens = jnp.zeros((n_chunks, lt, h), jnp.bfloat16)
+    for si, lo in enumerate(range(0, n_chunks, slab)):
+        tokens = set_slab(tokens, gen_slab(si, slab), lo)
+    jax.block_until_ready(tokens)
+    _note("maxsim 1M: bf16 token store built")
+    t_mask = jnp.ones((n_chunks, lt), bool)
+    valid = jnp.ones((n_chunks,), bool)
+    e_max, n_max = prepare_maxsim_self16(tokens, t_mask)
+    q_tok = jax.random.normal(jax.random.PRNGKey(7), (b, lq, h), jnp.float32)
+    q_mask = jnp.ones((b, lq), bool)
+
+    _, _, ok = maxsim_topk_scan16_fused(
+        q_tok, q_mask, tokens, t_mask, tokens, e_max, n_max, valid, k
+    )
+    certified = float(np.asarray(ok).astype(np.float32).mean())
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def chain(q_tok, q_mask, tokens, t_mask, e_max, n_max, valid, steps):
+        def one(carry, _):
+            s, r, ok2 = maxsim_topk_scan16_fused(
+                q_tok + carry, q_mask, tokens, t_mask, tokens,
+                e_max, n_max, valid, k,
+            )
+            return (jnp.max(s) + jnp.sum(ok2).astype(jnp.float32)) * 1e-12, None
+
+        c, _ = jax.lax.scan(one, 0.0, None, length=steps)
+        return c
+
+    arrs = (q_tok, q_mask, tokens, t_mask, e_max, n_max, valid)
+    dt = _timed_chain(chain, arrs, iters)
+    return b * iters / dt, {"certified_frac": round(certified, 3)}
 
 
 def bench_encoder_fused(n_chunks=100_000, batch=256, seq=64, cand=50, k=10,
@@ -849,6 +912,16 @@ def main():
         lambda: bench_nemotron_8k(iters=it or 4), cpu_ok=False)
     row("hybrid_qps_1m_bf16_tier", "queries/s",
         lambda: bench_tiered_1m(iters=it or 10), cpu_ok=False)
+    row("maxsim_qps_1m_certified", "queries/s",
+        lambda: bench_maxsim_1m(iters=it or 8), cpu_ok=False)
+
+    def _serve_chip():
+        from benches.serve_chip_bench import measure
+
+        out = measure(requests=600)
+        return out.pop("served_qps"), out
+
+    row("serve_qps_1m_chip", "queries/s", _serve_chip, cpu_ok=False)
 
     # the 10.5M suite emits several rows from one build
     def add_row(metric, unit, value, extra=None):
