@@ -648,6 +648,127 @@ def bench_compact_10m_suite(add_row, n_chunks=20 * 524_288, dim=384,
     add_row("hybrid_qps_10.5m_b1024", "queries/s", 1024 * iters / dt1024)
 
 
+def bench_clustered_10m(n_chunks=20 * 524_288, dim=384, b=8, k=8,
+                        probe=16, tile_n=4096, iters=10, topk=10):
+    """Interactive-latency tier at north-star scale (r3 verdict #7):
+    balanced-k-means clustered layout built via the STREAMING path (the
+    fp32 corpus never exists anywhere — prepare_clustered_stream over a
+    row-id-keyed generator; the r3 fp32-resident build OOMed at ~2.5M),
+    then the full hybrid (clustered dense + BM25 + RRF + top-10) in the
+    small-batch regime with the selective-DMA fetch. Returns
+    (ms/query, extra). Measured r4: 4.10 ms/batch hybrid at B=8 —
+    ~0.51 ms/query at 10,500x the corpus of the reference book's
+    "query top-10 ~1.25 ms" (performance.md:91)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from benches.hybrid_scale_bench import build_bm25_device, query_blocks_from_indptr
+    from trueno_rag_tpu.ops.bm25 import bm25_topk_blocks
+    from trueno_rag_tpu.ops.clustered import (
+        dense_topk_compact_bf16r_clustered,
+        prepare_clustered_stream,
+    )
+    from trueno_rag_tpu.ops.dense_tiered import prepare_residual, prepare_tiered
+    from trueno_rag_tpu.ops.fusion import fuse_topk
+
+    n, d = n_chunks, dim
+    blobs = t_tiles = -(-n // tile_n)
+    per = -(-n // blobs)
+
+    _note("clustered 10.5M: BM25 blocks")
+    blocks, indptr = build_bm25_device(n, 50_000, avg_len=64)
+    bids, blo, bhi = query_blocks_from_indptr(indptr, b, 6)
+    sparse = tuple(jnp.asarray(x) for x in (bids, blo, bhi))
+    jax.block_until_ready(blocks)
+
+    # clusterable corpus (one blob per tile — real embedding corpora
+    # cluster; random data has nothing to prune and stays on the
+    # streaming tiers), rows a pure on-device function of their id
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((blobs, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    centers_j = jnp.asarray(centers)
+    gkey = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def gen_rows(ids):
+        ids = jnp.maximum(ids, 0)
+        keys = jax.vmap(lambda i: jax.random.fold_in(gkey, i))(ids)
+        noise = jax.vmap(lambda kk: jax.random.normal(kk, (d,)))(keys)
+        which = jnp.minimum(ids // per, blobs - 1)
+        plant = (ids % per < k) & (ids // per < b)
+        sig = jnp.where(plant, 0.01, 0.025)[:, None]
+        rows = jnp.take(centers_j, which, axis=0) + sig * noise
+        return rows / jnp.linalg.norm(rows, axis=1, keepdims=True)
+
+    def row_source(ids):
+        return gen_rows(jnp.asarray(np.asarray(ids), jnp.int32))
+
+    t0 = time.perf_counter()
+    order, cent, radii = prepare_clustered_stream(
+        row_source, n, d, tile_n=tile_n, iters=8)
+    _note(f"clustered 10.5M: streamed k-means {time.perf_counter()-t0:.0f}s "
+          f"(median radius {float(np.median(radii)):.3f})")
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def set_slab(dest, part, lo):
+        return jax.lax.dynamic_update_slice(
+            dest, part, (lo,) + (0,) * (dest.ndim - 1))
+
+    step = 1 << 19
+    parts = None
+    for lo in range(0, len(order), step):
+        ids = order[lo : lo + step]
+        ms = row_source(ids)
+        ms = jnp.where(jnp.asarray(ids >= 0)[:, None], ms, 0.0)
+        pieces = prepare_tiered(ms) + prepare_residual(ms)
+        if parts is None:
+            parts = [jnp.zeros((len(order),) + p.shape[1:], p.dtype)
+                     for p in pieces]
+        parts = [set_slab(dst, p, lo) for dst, p in zip(parts, pieces)]
+        del ms, pieces
+    jax.block_until_ready(parts)
+    _note("clustered 10.5M: permuted replicas resident")
+    valid = jnp.asarray(order >= 0)
+    cent_j, radii_j = jnp.asarray(cent), jnp.asarray(radii)
+    queries = jnp.asarray(
+        centers[:b] + 0.005 * rng.standard_normal((b, d)).astype(np.float32))
+
+    _, _, ok, nsc = dense_topk_compact_bf16r_clustered(
+        queries, *parts, valid, k, cent_j, radii_j, probe_tiles=probe,
+        tile_n=tile_n, return_stats=True, fetch="dma")
+    certified = float(np.asarray(ok).astype(np.float32).mean())
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def hchain(q0, bids, blo, bhi, blocks, *rest, steps):
+        *mats, valid, cr = rest
+
+        def one(carry, _):
+            shift = (carry > 1e30).astype(jnp.int32)
+            d_s, d_r, ok2 = dense_topk_compact_bf16r_clustered(
+                q0 + carry, *mats, valid, k, cr[0], cr[1],
+                probe_tiles=probe, tile_n=tile_n, fetch="dma")
+            s_s, s_r = bm25_topk_blocks(bids + shift, blo, bhi, blocks, k=k)
+            f_r, f_s = fuse_topk(d_r, d_s, s_r, s_s, kind="rrf", param=60.0)
+            top = jax.lax.top_k(f_s, min(topk, f_s.shape[1]))[0]
+            return (jnp.max(top) + jnp.sum(ok2).astype(jnp.float32)) * 1e-12, None
+
+        c, _ = jax.lax.scan(one, 0.0, None, length=steps)
+        return c
+
+    arrs = (queries, *sparse, blocks, *parts, valid, (cent_j, radii_j))
+    dt = _timed_chain(hchain, arrs, iters)
+    ms_batch = dt / iters * 1e3
+    return ms_batch / b, {
+        "certified_frac": round(certified, 3),
+        "tiles_scanned": int(nsc),
+        "batch": b,
+        "ms_per_batch": round(ms_batch, 2),
+    }
+
+
 def bench_nemotron_8k(layers=4, t=8192, batch=1, iters=4):
     """8k-context decoder forward ON THE CHIP at the reference design
     point (NemotronConfig max_length 8192, embed.rs:746-750): the
@@ -939,6 +1060,8 @@ def main():
             bench_compact_10m_suite(add_row, iters=it or 12)
         except Exception as e:  # noqa: BLE001
             rows.append({"metric": "hybrid_qps_10.5m_suite", "error": repr(e)})
+    row("hybrid_latency_10.5m_clustered", "ms/query",
+        lambda: bench_clustered_10m(iters=it or 10), cpu_ok=False)
     result["rows"] = rows
     print(json.dumps(result))
 

@@ -305,6 +305,16 @@ def main() -> None:
 
     # -- certification + oracle check -------------------------------------
     fetches = ("gather", "dma") if args.fetch == "both" else (args.fetch,)
+    if args.fetch == "both" and n >= 4_000_000:
+        # the gather variant materializes an XLA copy of the probed
+        # union (~3x its bytes of program temp — measured +7.0 GB at
+        # 10.5M/B=8/probe=16) next to the 11.5 GB replicas: HBM OOM.
+        # Production cluster_fetch="auto" resolves to dma on
+        # accelerators for exactly this reason; keep only dma here.
+        print("n >= 4M: skipping the gather fetch variant (union copy "
+              "OOMs HBM next to the replicas; auto->dma in production)",
+              flush=True)
+        fetches = ("dma",)
     for fetch in fetches:
         s, r, ok, nsc = dense_topk_compact_bf16r_clustered(
             queries, *parts, valid, k, cent_j, radii_j,

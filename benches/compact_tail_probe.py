@@ -33,7 +33,6 @@ def main() -> None:
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from benches.hybrid_scale_bench import build_bm25_device, query_blocks_from_indptr
     from trueno_rag_tpu.ops.bm25 import bm25_topk_blocks

@@ -23,7 +23,6 @@ Run: PYTHONPATH=.:$PYTHONPATH python -u benches/serve_chip_bench.py \
 from __future__ import annotations
 
 import argparse
-import functools
 import threading
 import time
 
