@@ -82,48 +82,42 @@ def main() -> None:
     queries = jax.random.normal(jax.random.PRNGKey(777), (b, d), jnp.float32)
 
     def stage_fn(stage):
-        m_bf16, e_l2, a_l2, r_i8, r_scale, e2_l2 = parts
-
-        def one_scan(q):
-            qq = _metric_queries(q, "cosine")
-            qb, u_q, v_q = _bf16_query_bounds(qq)
-            outs = scan_select_v3(
-                qb, m_bf16, e_l2, a_l2, valid.astype(jnp.int32), u_q, v_q,
-                tile_n=4096, t_top=4,
-            )
-            return sum(jnp.sum(o[:, 0, :1]) for o in outs)
-
-        def one_dense(q):
-            s, r, ok = dense_topk_compact_bf16r(
-                q, *parts, valid, cand, tile_n=4096)
-            return jnp.max(s) + jnp.sum(ok).astype(jnp.float32)
-
-        def one_bm25(q, shift):
-            s, r, ok = dense_topk_compact_bf16r(
-                q, *parts, valid, cand, tile_n=4096)
-            s_s, s_r = bm25_topk_blocks(bids + shift, blo, bhi, blocks, k=cand)
-            return jnp.max(s) + jnp.max(s_s) + jnp.sum(ok).astype(jnp.float32)
-
-        def one_full(q, shift):
-            d_s, d_r, ok = dense_topk_compact_bf16r(
-                q, *parts, valid, cand, tile_n=4096)
-            s_s, s_r = bm25_topk_blocks(bids + shift, blo, bhi, blocks, k=cand)
-            f_r, f_s = fuse_topk(d_r, d_s, s_r, s_s, kind="rrf", param=60.0)
-            return jnp.max(jax.lax.top_k(f_s, k)[0]) + jnp.sum(ok).astype(jnp.float32)
-
+        # arrays travel as ARGUMENTS (lore: closures bake into the
+        # jaxpr as constants and remote compile ships the corpus)
         @functools.partial(jax.jit, static_argnames=("steps",))
-        def chain(queries, steps):
+        def chain(queries, bids, blo, bhi, blocks, *rest, steps):
+            m_bf16, e_l2, a_l2, r_i8, r_scale, e2_l2, valid = rest
+            parts_l = rest[:-1]
+
             def one(carry, _):
                 q = queries + carry
                 shift = (carry > 1e30).astype(jnp.int32)
                 if stage == "scan":
-                    v = one_scan(q)
+                    qq = _metric_queries(q, "cosine")
+                    qb, u_q, v_q = _bf16_query_bounds(qq)
+                    outs = scan_select_v3(
+                        qb, m_bf16, e_l2, a_l2, valid.astype(jnp.int32),
+                        u_q, v_q, tile_n=4096, t_top=4,
+                    )
+                    v = sum(jnp.sum(o[:, 0, :1]) for o in outs)
                 elif stage == "dense":
-                    v = one_dense(q)
+                    s, r, ok = dense_topk_compact_bf16r(
+                        q, *parts_l, valid, cand, tile_n=4096)
+                    v = jnp.max(s) + jnp.sum(ok).astype(jnp.float32)
                 elif stage == "bm25":
-                    v = one_bm25(q, shift)
+                    s, r, ok = dense_topk_compact_bf16r(
+                        q, *parts_l, valid, cand, tile_n=4096)
+                    s_s, s_r = bm25_topk_blocks(bids + shift, blo, bhi,
+                                                blocks, k=cand)
+                    v = jnp.max(s) + jnp.max(s_s) + jnp.sum(ok).astype(jnp.float32)
                 else:
-                    v = one_full(q, shift)
+                    d_s, d_r, ok = dense_topk_compact_bf16r(
+                        q, *parts_l, valid, cand, tile_n=4096)
+                    s_s, s_r = bm25_topk_blocks(bids + shift, blo, bhi,
+                                                blocks, k=cand)
+                    f_r, f_s = fuse_topk(d_r, d_s, s_r, s_s, kind="rrf",
+                                         param=60.0)
+                    v = jnp.max(jax.lax.top_k(f_s, k)[0]) + jnp.sum(ok).astype(jnp.float32)
                 return v * 1e-12, None
 
             c, _ = jax.lax.scan(one, 0.0, None, length=steps)
@@ -131,13 +125,16 @@ def main() -> None:
 
         return chain
 
+    valid_j = valid
+    arrs = (queries, *sparse, blocks, *parts, valid_j)
+
     def marginal(chain, iters):
-        float(chain(queries, steps=1))
+        float(chain(*arrs, steps=1))
         def timed(s):
             ts = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                float(chain(queries, steps=s))
+                float(chain(*arrs, steps=s))
                 ts.append(time.perf_counter() - t0)
             return sorted(ts)[1]
         d_hi = timed(iters)

@@ -282,7 +282,17 @@ def run_distillation(teacher_params, teacher_config, tokenizer,
 
     Slates are the teacher's own top-C training docs per ICT query —
     the standard dense-teacher distillation recipe; the student never
-    sees a label, only the teacher's score distribution."""
+    sees a label, only the teacher's score distribution.
+
+    Recipe (r4 lab, tools/lab_distill_r4.py): the r3 student's 0.349
+    recall@10 was a LEARNING-RATE artifact, not a slate problem —
+    lr 1e-4 @ 1000 steps 0.349, lr 3e-4 0.682, **lr 1e-3 0.982** (same
+    steps; the 1L/64d student then beats the teacher's own 0.917 dense
+    row on this task). Hard-negative slates (teacher ranks 3-32 mixed
+    in) measured WORSE than top-4+random-4 at every lr tried (0.279 vs
+    0.349 at 1e-4, 0.797 vs 0.862 at 3e-4/2000) — on this corpus the
+    random half's spread of teacher scores is the signal, and
+    mid-rank hards flatten it back toward the same-topic plateau."""
     import functools
     import random as _random
 
@@ -302,7 +312,7 @@ def run_distillation(teacher_params, teacher_config, tokenizer,
     )
     s_tokenizer = HashTokenizer(s_config.vocab_size, s_config.max_len)
     state, tx = create_train_state(jax.random.PRNGKey(seed), s_config,
-                                   learning_rate=1e-4)
+                                   learning_rate=1e-3)
     untrained = evaluate_retrieval(state.params, s_config, s_tokenizer,
                                    eval_texts, evalset, k=10)
 
@@ -519,9 +529,14 @@ def main() -> None:
                                  train_chunks, valset, evalset, texts)
     record("student 1L/64d, untrained", unt)
     record("student 1L/64d, distilled", dist)
+    # r4 recipe (lr 1e-3) reaches ~0.98; assert a wide margin over the
+    # untrained twin AND absolute quality near the teacher's dense row
     assert dist["recall@10"] > unt["recall@10"] + 0.2, (
         f"distillation produced no retrieval lift: "
         f"{dist['recall@10']} vs {unt['recall@10']}")
+    assert dist["recall@10"] > 0.8, (
+        f"distilled student regressed from the r4 recipe "
+        f"(lr 1e-3, ~0.98 recall@10): {dist['recall@10']}")
 
     print("\n== summary (QUALITY.md table) ==")
     print("| system | recall@10 | ndcg@10 | MRR |")
