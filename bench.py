@@ -589,9 +589,12 @@ def bench_compact_10m_suite(add_row, n_chunks=20 * 524_288, dim=384,
             top_s = np.take_along_axis(s, order, axis=1)
             return top_s[:, -1] > thr_b  # containment per query
 
-        t0 = time.perf_counter()
-        contained = patch(cand_bad.astype(np.int64), thr_bad, q_np)
-        t_patch = time.perf_counter() - t0
+        pts = []
+        for _rep in range(3):  # median: host timing is contention-prone
+            t0 = time.perf_counter()
+            contained = patch(cand_bad.astype(np.int64), thr_bad, q_np)
+            pts.append(time.perf_counter() - t0)
+        t_patch = sorted(pts)[1]
         n_cont = int(contained.sum())
         exact_frac = (int(ok_np.sum()) + n_cont) / batch
         ms_total += t_fetch * 1e3 + t_patch * 1e3
@@ -638,6 +641,10 @@ def bench_compact_10m_suite(add_row, n_chunks=20 * 524_288, dim=384,
             extra["retry_ms"] = round(ms_retry, 1)
             exact_frac = 1.0
     extra["exact_ms_per_batch"] = round(ms_total, 1)
+    # the device->host candidate fetch is ~µs on PCIe; the corrected
+    # figure is the transferable one (fetch_ms_tunnel shows the gap)
+    ms_no_tunnel = ms_total - extra.get("fetch_ms_tunnel", 0.0)
+    extra["qps_excl_tunnel_fetch"] = round(batch / (ms_no_tunnel / 1e3), 1)
     add_row("hybrid_qps_10.5m_exact", "queries/s", batch / (ms_total / 1e3),
             extra={**extra, "exact_frac": round(exact_frac, 3)})
 
