@@ -124,6 +124,41 @@ def test_sharded_compact_index_host_patch_and_counters():
     assert idx2.uncertified == int((~ok2).sum())
 
 
+def test_sharded_containment_patch_resolves_near_ties_without_gemm():
+    """r4 sharded containment: near-tie rank-k gaps below the residual
+    interval defeat the composed certificate, but the union of every
+    shard's candidate rows + the max shard threshold prove containment
+    — the exact patch must resolve them from ~s·W rows, never the
+    global GEMM."""
+    rng = np.random.default_rng(4)
+    n, d, b, k = 8192, 32, 4, 10
+    matrix = rng.standard_normal((n, d)).astype(np.float32)
+    matrix /= np.linalg.norm(matrix, axis=1, keepdims=True)
+    base = matrix[0].astype(np.float64)
+    base /= np.linalg.norm(base)
+    # 14 near-duplicates (f32-rounding-level gaps) spread across shards
+    # and tiles: base + 14 > k straddles the boundary
+    for j in range(1, 15):
+        row = (base + rng.standard_normal(d) * 2e-5)
+        matrix[j * 550] = (row / np.linalg.norm(row)).astype(np.float32)
+    queries = np.stack([base.astype(np.float32)] * b)
+
+    mesh = create_mesh(data=8, model=1)
+    idx = ShardedCompactIndex(matrix, mesh, tile_n=128,
+                              rows_normalized=True)
+    s, r, ok = idx.search(queries, k)
+    r = np.asarray(r)
+    assert np.asarray(ok).astype(bool).all()  # patched → reported exact
+    assert idx.uncertified >= 1, "near ties must defeat the certificate"
+    assert idx.candidate_patched >= 1
+    assert idx.gemm_patched == 0, "containment must resolve without the GEMM"
+    # exact f64 oracle ORDER for the patched queries (the patch computes
+    # true scores; certified queries would only guarantee the SET)
+    oracle = _oracle_sets(queries, matrix, np.ones(n, bool), k)
+    for i in range(b):
+        assert r[i].tolist() == oracle[i].tolist(), i
+
+
 def test_sharded_compact_memory_is_3_bytes_per_element():
     """The contract that justifies the tier: per-shard bytes ≈ 3·(N/s)·d
     (bf16 + int8) plus O(N/s) vectors — no fp32 [N,d] anywhere."""

@@ -187,36 +187,66 @@ def sharded_compact_topk(
     if tags is not None:
         args += list(tags)
     return _sharded_compact_fn(
-        mesh, axis, k, metric, tile_n, interpret, tags is not None
+        mesh, axis, k, metric, tile_n, interpret, tags is not None, False
     )(*args)
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_compact_fn(mesh, axis, k, metric, tile_n, interpret, has_tags):
+def _sharded_compact_fn(mesh, axis, k, metric, tile_n, interpret, has_tags,
+                        with_candidates):
     """One jitted program per static config — a fresh shard_map+jit per
     call would retrace and RECOMPILE every search batch (same fix as
-    sparse.py's _sharded_bm25_fn / sharded.py's _sharded_dense_fn)."""
+    sparse.py's _sharded_bm25_fn / sharded.py's _sharded_dense_fn).
+
+    ``with_candidates=True`` additionally returns the all-gathered
+    GLOBAL candidate rows ``cand [B, s·W]`` (INT32_MAX empties) and the
+    composed containment threshold ``thr [B]`` = max over shards of the
+    shard's tile-level exclusion bound — a sound upper bound on the
+    TRUE score of every row outside the gathered candidates, because
+    each row lives on exactly one shard and is either among that
+    shard's candidates or bounded by that shard's threshold. This is
+    the sharded form of the r4 containment certificate: the host
+    patch f64-rescores just the union instead of running the global
+    GEMM (ShardedCompactIndex.search). Communication adds s·W int32
+    per query (~10 KB at s=8, W=328) — still N-independent."""
 
     def local(q, mb, el, al, ri, rs, e2, v, *tag_args):
-        s, r, _ok, err, rhs = dense_topk_compact_bf16r(
+        out = dense_topk_compact_bf16r(
             q, mb, el, al, ri, rs, e2, v, k, metric=metric, tile_n=tile_n,
             interpret=interpret, return_bounds=True,
+            return_candidates=with_candidates,
             tags=tag_args if tag_args else None,
         )
+        s, r, _ok, err, rhs = out[:5]
         local_n = mb.shape[0]
         shard = jax.lax.axis_index(axis)
         r_glob = jnp.where(r >= 0, r + shard * local_n, jnp.iinfo(jnp.int32).max)
-        return merge_bounded_candidates(s, r_glob, err, rhs, k, axis)
+        merged = merge_bounded_candidates(s, r_glob, err, rhs, k, axis)
+        if not with_candidates:
+            return merged
+        cand, thr = out[5], out[6]
+        cand_g = jnp.where(
+            (cand >= 0) & (cand < local_n), cand + shard * local_n,
+            jnp.iinfo(jnp.int32).max,
+        ).astype(jnp.int32)
+        cand_all = jax.lax.all_gather(cand_g, axis, axis=1, tiled=True)
+        thr_all = jnp.max(
+            jax.lax.all_gather(thr[:, None], axis, axis=1, tiled=True), axis=1
+        )
+        return merged + (cand_all, thr_all)
 
     in_specs = [P(), P(axis, None), P(axis), P(axis), P(axis, None),
                 P(axis), P(axis), P(axis)]
     if has_tags:
         in_specs += [P(axis), P(), P(), P()]
+    out_specs = (P(), P(), P())
+    if with_candidates:
+        out_specs += (P(), P())
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=tuple(in_specs),
-        out_specs=(P(), P(), P()),
+        out_specs=out_specs,
         # outputs ARE replicated (identical all-gather + certificate on
         # every shard); inference can't see through axis_index
         check_vma=False,
@@ -291,7 +321,9 @@ class ShardedCompactIndex:
         self.tags = None
         if tags is not None:
             self.set_tags(tags)
-        self.uncertified = 0  # observability counter
+        self.uncertified = 0  # observability counters
+        self.candidate_patched = 0  # exact via the sharded containment patch
+        self.gemm_patched = 0  # global-GEMM last resorts
 
     def set_tags(self, tags: np.ndarray) -> None:
         """(Re-)upload the per-row tag words, sharded with the rows —
@@ -327,18 +359,105 @@ class ShardedCompactIndex:
                 jnp.asarray(np.asarray(tag_masks[1], np.int32)),
                 jnp.asarray(np.asarray(tag_masks[2], np.int32)),
             )
-        s, r, ok = sharded_compact_topk(
-            q, self.m_bf16, self.e_l2, self.a_l2, self.r_i8, self.r_scale,
-            self.e2_l2, self.valid, k, self.mesh, self.metric, self.axis,
-            self.tile_n, self.interpret, tags=tags,
-        )
+        args = [q, self.m_bf16, self.e_l2, self.a_l2, self.r_i8,
+                self.r_scale, self.e2_l2, self.valid]
+        if tags is not None:
+            args += list(tags)
+        with_cand = self._host is not None
+        out = _sharded_compact_fn(
+            self.mesh, self.axis, k, self.metric, self.tile_n,
+            self.interpret, tags is not None, with_cand,
+        )(*args)
+        s, r, ok = out[:3]
         ok_np = np.asarray(ok).astype(bool)
         misses = int((~ok_np).sum())
         self.uncertified += misses
         if misses and self._host is not None:
-            s_p, r_p = host_exact_patch(
-                self._host, self._valid_host, self._tags_host, self.metric,
-                q, s, r, ok_np, k, tag_masks=tag_masks,
-            )
-            return s_p, r_p, jnp.ones_like(ok)
+            # containment first (sharded r4 form): the union of every
+            # shard's candidate rows + the max shard threshold prove
+            # the exact GLOBAL top-k lies inside the union — the f64
+            # rescore of ~s·W rows replaces the global GEMM
+            s_p, r_p, unresolved = self._containment_patch(
+                np.asarray(q), np.asarray(s), np.asarray(r), ok_np, k,
+                np.asarray(out[3]), np.asarray(out[4]), tag_masks)
+            if len(unresolved):
+                gm = np.ones_like(ok_np)
+                gm[unresolved] = False
+                s_p, r_p = host_exact_patch(
+                    self._host, self._valid_host, self._tags_host,
+                    self.metric, q, s_p, r_p, gm, k, tag_masks=tag_masks,
+                )
+                self.gemm_patched += len(unresolved)
+            return jnp.asarray(s_p), jnp.asarray(r_p), jnp.ones_like(ok)
         return s, r, ok
+
+    def _containment_patch(self, q, s, r, ok_np, k, cand, thr,
+                           tag_masks=None):
+        """Vectorized union rescore + containment check (the sharded
+        analog of VectorStore._host_candidate_patch): exact f64 scores
+        over each bad query's gathered candidate rows, (score desc,
+        row asc) ties; contained iff the exact k-th strictly beats the
+        composed shard threshold. Returns (scores, rows, unresolved)."""
+        bad = np.flatnonzero(~ok_np)
+        n = self._host.shape[0]
+        s_np, r_np = s.copy(), r.copy()
+        cr = cand[bad].astype(np.int64)  # [B', s*W]
+        live = (cr >= 0) & (cr < n)
+        safe = np.where(live, cr, 0)
+        live &= self._valid_host[safe]
+        if tag_masks is not None and self._tags_host is not None:
+            bits = self._tags_host[safe]
+            t_all = np.asarray(tag_masks[0], np.int32)[bad, None]
+            t_any = np.asarray(tag_masks[1], np.int32)[bad, None]
+            t_none = np.asarray(tag_masks[2], np.int32)[bad, None]
+            allowed = (bits & t_all) == t_all
+            allowed &= (t_any == 0) | ((bits & t_any) != 0)
+            allowed &= (bits & t_none) == 0
+            live &= allowed
+        qv = q[bad].astype(np.float64)
+        if self.metric == "cosine":
+            nrm = np.linalg.norm(qv, axis=1, keepdims=True)
+            qv = qv / np.where(nrm == 0.0, 1.0, nrm)
+        g = self._host[safe].astype(np.float64)
+        sc = np.einsum("bwd,bd->bw", g, qv)
+        sc[~live] = -np.inf
+        # candidate rows can repeat only through padding sentinels
+        # (shards are disjoint row ranges) — dedupe defensively anyway
+        sort_rows = np.where(live, cr, np.iinfo(np.int64).max)
+        srt = np.sort(sort_rows, axis=1)
+        if (srt[:, 1:] == srt[:, :-1])[(srt[:, 1:] < n)].any():
+            for bi in range(cr.shape[0]):
+                seen = set()
+                for wi in range(cr.shape[1]):
+                    if not live[bi, wi]:
+                        continue
+                    rr = int(cr[bi, wi])
+                    if rr in seen:
+                        live[bi, wi] = False
+                        sc[bi, wi] = -np.inf
+                    else:
+                        seen.add(rr)
+            sort_rows = np.where(live, cr, np.iinfo(np.int64).max)
+        kk = min(k, cr.shape[1])
+        order = np.lexsort((sort_rows, -sc), axis=-1)[:, :kk]
+        top_s = np.take_along_axis(sc, order, axis=1)
+        top_r = np.take_along_axis(safe, order, axis=1)
+        if kk < k:
+            top_s = np.pad(top_s, ((0, 0), (0, k - kk)),
+                           constant_values=-np.inf)
+            top_r = np.pad(top_r, ((0, 0), (0, k - kk)))
+        n_live = live.sum(axis=1)
+        thr_b = thr[bad].astype(np.float64)
+        contained = np.where(
+            n_live >= k, thr_b < top_s[:, k - 1] if k > 0 else False,
+            np.isneginf(thr_b),
+        )
+        dead = np.isneginf(top_s)
+        top_r = np.where(dead, -1, top_r)
+        top_s32 = top_s.astype(np.float32)
+        top_s32[dead] = NEG_INF
+        fixed = bad[contained]
+        s_np[fixed] = top_s32[contained]
+        r_np[fixed] = top_r[contained]
+        self.candidate_patched += int(contained.sum())
+        return s_np, r_np, bad[~contained]
