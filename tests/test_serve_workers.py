@@ -69,6 +69,10 @@ def test_workers_health(mp_server):
         data = json.loads(resp.read())
     assert data["status"] == "ok"
     assert data["chunks"] == 4
+    # supervisor state surfaces through the pool (r4: a dead/given-up
+    # self-heal must be operator-visible, not a silent daemon death)
+    assert data["respawns"] == 0
+    assert data["respawn_gave_up"] is None
 
 
 def test_workers_query_matches_direct_retrieval(mp_server):
