@@ -412,3 +412,88 @@ def test_scan_select_v3_matches_v2_certified_behavior():
     s_x, r_x = dense_topk(q, m, valid, k, "cosine")
     for i in np.flatnonzero(ok_np):
         assert set(np.asarray(r_c)[i].tolist()) == set(np.asarray(r_x)[i].tolist())
+
+
+def test_containment_threshold_bounds_every_non_candidate_row():
+    """The r4 containment contract (return_candidates): ``thr[b]`` must
+    be a SOUND upper bound on the TRUE (f64) score of every row NOT in
+    ``cand[b]`` — the exactness of the whole candidate-patch path rests
+    on this single inequality, so pin it directly against the oracle
+    across random corpora, invalidated rows, and all three compact
+    layouts."""
+    for seed in (0, 1, 2):
+        n, d, bq, k = 6144, 48, 8, 10
+        m, q, valid = build(n, d, bq, seed)
+        mb, bf_e, bf_a, mi, s_r, i8_e, i8_a = compact_pack(m)
+        ri, rs, e2 = prepare_residual(m)
+        outs = {
+            "bf16r": dense_topk_compact_bf16r(
+                q, mb, bf_e, bf_a, ri, rs, e2, valid, k,
+                tile_n=1024, interpret=True, return_candidates=True),
+            "bf16": dense_topk_compact_bf16(
+                q, mb, bf_e, bf_a, valid, k,
+                tile_n=1024, interpret=True, return_candidates=True),
+            "int8": dense_topk_compact(
+                q, mb, bf_e, bf_a, mi, s_r, i8_e, i8_a, valid, k,
+                tile_n=1024, interpret=True, return_candidates=True),
+        }
+        qn = np.asarray(q, np.float64)
+        qn /= np.linalg.norm(qn, axis=1, keepdims=True)
+        true = qn @ np.asarray(m, np.float64).T  # [B, N]
+        true[:, ~np.asarray(valid)] = -np.inf
+        for name, out in outs.items():
+            cand, thr = np.asarray(out[-2]), np.asarray(out[-1])
+            for b in range(bq):
+                mask = np.ones(n, bool)
+                cr = cand[b]
+                cr = cr[(cr >= 0) & (cr < n)]
+                mask[cr] = False
+                worst = true[b, mask].max()
+                assert worst <= thr[b] + 1e-12, (
+                    f"{name} seed {seed} q{b}: non-candidate row scores "
+                    f"{worst} > threshold {thr[b]}")
+
+
+def test_clustered_containment_threshold_covers_pruned_tiles():
+    """Clustered variant of the pin: the returned threshold must bound
+    every row outside the candidate set INCLUDING rows in tiles the
+    pruned scan never touched."""
+    from trueno_rag_tpu.ops.clustered import (
+        apply_cluster_order,
+        dense_topk_compact_bf16r_clustered,
+        prepare_clustered,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d, bq, k, tile = 4096, 32, 4, 8, 1024
+    # blobby corpus so pruning actually prunes
+    centers = rng.standard_normal((4, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    m = np.repeat(centers, n // 4, axis=0) + 0.05 * rng.standard_normal(
+        (n, d)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    order, cent, radii = prepare_clustered(m, tile_n=tile, iters=4)
+    mp = apply_cluster_order(m, order)
+    mb, e_l2, a_l2 = prepare_tiered(jnp.asarray(mp))
+    ri, rs, e2 = prepare_residual(jnp.asarray(mp))
+    valid = jnp.asarray(order >= 0)
+    q = jnp.asarray(
+        centers[:bq] + 0.01 * rng.standard_normal((bq, d)).astype(np.float32))
+    out = dense_topk_compact_bf16r_clustered(
+        q, mb, e_l2, a_l2, ri, rs, e2, valid, k,
+        jnp.asarray(cent), jnp.asarray(radii), probe_tiles=2,
+        row_map=jnp.asarray(order), tile_n=tile, interpret=True,
+        return_candidates=True,
+    )
+    cand, thr = np.asarray(out[-2]), np.asarray(out[-1])
+    qn = np.asarray(q, np.float64)
+    qn /= np.linalg.norm(qn, axis=1, keepdims=True)
+    true = qn @ m.astype(np.float64).T  # ORIGINAL row space
+    for b in range(bq):
+        mask = np.ones(n, bool)
+        cr = cand[b]
+        cr = cr[(cr >= 0) & (cr < n)]
+        mask[cr] = False
+        worst = true[b, mask].max()
+        assert worst <= thr[b] + 1e-12, (
+            f"q{b}: pruned/non-candidate row scores {worst} > thr {thr[b]}")

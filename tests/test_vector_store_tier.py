@@ -1132,7 +1132,45 @@ def test_containment_failure_rescued_by_widened_retry_before_gemm():
             + compact.compact_candidate_patched) >= 1
 
 
-def test_candidate_patch_exact_under_tag_filter():
+def test_clustered_containment_patch_resolves_cross_tile_ties():
+    """r4 clustered containment: near-ties straddling the k boundary
+    ACROSS tiles defeat the certificate but stay inside the emitted
+    candidates (t_top is sized ≥ k+4), and the returned threshold
+    already folds the pruned-tile bound — the candidate patch must
+    resolve exactly without the GEMM. (Ties CONCENTRATED in one tile
+    overflow the per-tile pool and correctly still take the GEMM —
+    the documented limit.)"""
+    rng = np.random.default_rng(41)
+    dim = 32
+    # two far-apart anchors, 8 near-dups of a probe direction near
+    # EACH anchor, plus bulk rows per anchor to fill two tiles
+    a = rng.standard_normal(dim)
+    a /= np.linalg.norm(a)
+    b_dir = rng.standard_normal(dim)
+    b_dir -= (b_dir @ a) * a
+    b_dir /= np.linalg.norm(b_dir)
+    probe = (a + b_dir) / np.linalg.norm(a + b_dir)
+    chunks = []
+    i = 0
+    for anchor in (a, b_dir):
+        for _ in range(8):  # near-dups of the probe, clustered at anchor
+            v = 0.6 * anchor + 0.4 * probe + rng.standard_normal(dim) * 2e-5
+            chunks.append(mk_chunk(i, dim, rng))
+            chunks[-1].embedding = (v / np.linalg.norm(v)).astype(np.float32).tolist()
+            i += 1
+        for _ in range(1016):  # bulk of the anchor's cluster
+            v = anchor + rng.standard_normal(dim) * 0.05
+            chunks.append(mk_chunk(i, dim, rng))
+            chunks[-1].embedding = (v / np.linalg.norm(v)).astype(np.float32).tolist()
+            i += 1
+    store = VectorStore(_clustered_cfg(dim))
+    store.insert_many(chunks)
+    got = store.search(probe.astype(np.float32), 10)
+    want = _f64_oracle_rows(store, probe.astype(np.float32), 10)
+    assert [g[0] for g in got] == [f"c{r}" for r in want]
+    if store.compact_uncertified:  # the 16 cross-tile near-ties fired
+        assert store.compact_candidate_patched >= 1
+        assert store.compact_gemm_patched == 0
     """Tag-filtered near-tie queries: the containment patch must honor
     the filter (exact FILTERED top-k), matching a host f64 oracle over
     the allowed rows only."""

@@ -867,9 +867,11 @@ class VectorStore:
                         jnp.asarray(np.asarray(tag_masks[1], np.int32)),
                         jnp.asarray(np.asarray(tag_masks[2], np.int32)),
                     )
-                scores, rows, ok = cl.dense_topk_compact_bf16r_clustered(
+                host_fb_cl = self.config.compact_fallback == "host"
+                out = cl.dense_topk_compact_bf16r_clustered(
                     q, *self._tier, self._device_valid, k_eff,
                     cent_j, radii_j,
+                    return_candidates=host_fb_cl,
                     probe_tiles=self.config.cluster_probe_tiles,
                     row_map=order_j,  # results in ORIGINAL row ids
                     metric=self.config.metric, interpret=interpret,
@@ -898,15 +900,31 @@ class VectorStore:
                     fetch=cl.resolve_cluster_fetch(self.config.cluster_fetch),
                     tags=tags,
                 )
+                scores, rows, ok = out[:3]
                 ok_np = np.asarray(ok)
                 if not ok_np.all():
                     self.compact_uncertified += int((~ok_np).sum())
-                    if self.config.compact_fallback == "host":
-                        scores, rows = self._host_exact_patch(
+                    if host_fb_cl:
+                        # containment patch (the pruned-tile bound is
+                        # folded into the returned threshold, so the
+                        # candidate set provably contains the exact
+                        # top-k whenever thr < the exact k-th score);
+                        # full GEMM only for containment failures
+                        s_np, r_np, unresolved = self._host_candidate_patch(
                             np.asarray(q), np.asarray(scores),
                             np.asarray(rows), ok_np, k_eff,
-                            tag_masks=tag_masks,
+                            np.asarray(out[3]), np.asarray(out[4]),
+                            tag_masks=tag_masks, resolve_rest=False,
                         )
+                        if len(unresolved):
+                            gm = np.ones_like(ok_np)
+                            gm[unresolved] = False
+                            s_np, r_np = self._host_exact_patch(
+                                np.asarray(q), s_np, r_np, gm, k_eff,
+                                tag_masks=tag_masks,
+                            )
+                            self.compact_gemm_patched += len(unresolved)
+                        scores, rows = s_np, r_np
                         self.tier_fallbacks += 1
                 return jnp.asarray(scores), jnp.asarray(rows)
             if self._effective_tier() == "compact":

@@ -586,7 +586,7 @@ def resolve_cluster_fetch(mode: str) -> str:
     static_argnames=(
         "k", "probe_tiles", "margin_tiles", "metric", "tile_n",
         "rescore_rows", "approx_select", "t_top", "interpret",
-        "return_stats", "fetch", "return_bounds",
+        "return_stats", "fetch", "return_bounds", "return_candidates",
     ),
 )
 def dense_topk_compact_bf16r_clustered(
@@ -614,6 +614,7 @@ def dense_topk_compact_bf16r_clustered(
     return_stats: bool = False,
     fetch: str = "gather",
     return_bounds: bool = False,
+    return_candidates: bool = False,
 ):
     """Cluster-pruned compact tier (bf16 + int8 residual, 3 B/element)
     → (scores [B, k], rows [B, k], set_certified [B] bool).
@@ -770,13 +771,29 @@ def dense_topk_compact_bf16r_clustered(
         cand_rows, cand_vals, threshold, q, m_bf16, e_l2, a_l2,
         valid_mask, n, bsz, b_pad, k, rescore_rows, approx_select,
         residual=(r_i8, r_scale, e2_l2), tags=tags,
-        return_bounds=return_bounds,
+        return_bounds=return_bounds, return_candidates=return_candidates,
     )
     scores, rows, certified = out[:3]
     if row_map is not None:
         safe_r = jnp.clip(rows, 0, n - 1)
         rows = jnp.where(rows >= 0, row_map[safe_r].astype(rows.dtype), rows)
-    extra = out[3:] if return_bounds else ()  # (err [B,k], rhs [B])
+    extra = tuple(out[3:])  # (err, rhs)? + (cand, thr)?
+    if return_candidates:
+        # the tail's containment threshold already folds the pruned-
+        # tile bound (threshold was max'd with unscanned_bound BEFORE
+        # the tail), so containment is sound for the pruned scan too:
+        # any row in an unscanned tile is bounded by thr. Candidates
+        # are CLUSTERED-layout rows — map to original ids for the host
+        # patch, like the top-k rows above.
+        cand_out, thr_out = extra[-2], extra[-1]
+        if row_map is not None:
+            live_c = (cand_out >= 0) & (cand_out < n)
+            safe_c = jnp.clip(cand_out, 0, n - 1)
+            cand_out = jnp.where(
+                live_c, row_map[safe_c].astype(cand_out.dtype),
+                jnp.int32(np.iinfo(np.int32).max),
+            )
+        extra = extra[:-2] + (cand_out, thr_out)
     if return_stats:
         return (scores, rows, certified, *extra,
                 jnp.sum(sel_ok.astype(jnp.int32)))
