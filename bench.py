@@ -654,6 +654,43 @@ def bench_compact_10m_suite(add_row, n_chunks=20 * 524_288, dim=384,
     dt1024 = hybrid_chain(1024, q1024)
     add_row("hybrid_qps_10.5m_b1024", "queries/s", 1024 * iters / dt1024)
 
+    # -- the flagship ONE-PROGRAM row at north-star scale (r4): MiniLM
+    # -- encoder forward + certified compact scan + BM25 + RRF + top-k,
+    # -- one dispatch, no fp32 matrix in HBM
+    _note("10.5M suite: encoder-fused compact program")
+    from trueno_rag_tpu.models.encoder import EncoderConfig, init_encoder_params
+    from trueno_rag_tpu.ops.hybrid import fused_hybrid_query_compact
+
+    e_cfg = EncoderConfig.minilm_l6()
+    e_params = init_encoder_params(jax.random.PRNGKey(0), e_cfg)
+    token_ids = jax.random.randint(
+        jax.random.PRNGKey(2), (batch, 64), 3, e_cfg.vocab_size,
+        dtype=jnp.int32)
+    bids, blo, bhi = query_blocks_from_indptr(indptr, batch, 6)
+    sparse = tuple(jnp.asarray(x) for x in (bids, blo, bhi))
+    fq = functools.partial(
+        fused_hybrid_query_compact, encoder_config=e_cfg, cand=cand, k=k,
+        metric="cosine", fusion_kind="rrf", fusion_param=60.0, tile_n=4096,
+    )
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def fchain(params, token_ids, bids, blo, bhi, blocks, *rest, steps):
+        *mats, valid = rest
+
+        def one(carry, _):
+            shift = (carry > 1e30).astype(jnp.int32)
+            out2 = fq(params, token_ids + shift, *mats, valid,
+                      bids + shift, blo, bhi, blocks)
+            return (jnp.max(out2[1]) + jnp.sum(out2[6]).astype(jnp.float32)) * 1e-12, None
+
+        c, _ = jax.lax.scan(one, 0.0, None, length=steps)
+        return c
+
+    arrs_f = (e_params, token_ids, *sparse, blocks, *parts, valid)
+    dt_f = _timed_chain(fchain, arrs_f, iters)
+    add_row("encoder_fused_qps_10.5m_compact", "queries/s",
+            batch * iters / dt_f)
+
 
 def bench_clustered_10m(n_chunks=20 * 524_288, dim=384, b=8, k=8,
                         probe=16, tile_n=4096, iters=10, topk=10):

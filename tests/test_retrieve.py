@@ -264,6 +264,45 @@ def test_fused_query_program_matches_staged_path():
             assert f.fused_score == pytest.approx(s.fused_score, rel=1e-4, abs=1e-6)
 
 
+def test_fused_compact_program_matches_staged_compact_path():
+    """r4: fused=True now serves COMPACT stores through the one-program
+    compact scan (encoder + certified scan + BM25 + fusion in one
+    dispatch, no fp32 matrix on device) — results must rank identically
+    to the staged compact path, including queries the certificate
+    fails (their dense candidates resolve through the exact patch and
+    re-fuse with the host oracle)."""
+    from trueno_rag_tpu.index import VectorStoreConfig
+    from trueno_rag_tpu.models.encoder import EncoderConfig, JaxEncoderEmbedder
+
+    emb = JaxEncoderEmbedder(config=EncoderConfig.tiny())
+    cfg = HybridRetrieverConfig(candidates_per_source=10, fused=False)
+    store_cfg = VectorStoreConfig(
+        dimension=emb.dimension, scan_tier="compact", scan_tile_n=1024,
+    )
+    staged_r = HybridRetriever(emb, config=cfg,
+                               vector_config=store_cfg)
+    texts = CORPUS * 8  # enough rows for several scan tiles
+    chunks = [mk_chunk(i, t + f" variant {i}") for i, t in enumerate(texts)]
+    emb.embed_chunks(chunks)
+    staged_r.index_batch(chunks)
+
+    queries = ["fox forests", "neural networks data", "tensor units"]
+    staged = staged_r.retrieve_batch(queries, 4)
+    fused = staged_r.retrieve_batch_fused(queries, 4)
+    for s_list, f_list in zip(staged, fused):
+        assert [r.chunk.id for r in f_list] == [r.chunk.id for r in s_list]
+        for s, f in zip(s_list, f_list):
+            assert f.fused_score == pytest.approx(s.fused_score, rel=1e-4, abs=1e-6)
+
+    # explicit fused=True routes compact stores through the program
+    fused_cfg = HybridRetrieverConfig(candidates_per_source=10, fused=True)
+    fr = HybridRetriever(emb, config=fused_cfg, vector_config=store_cfg)
+    fr.index_batch(chunks)
+    via_route = fr.retrieve_batch(queries, 4)
+    for s_list, f_list in zip(staged, via_route):
+        assert [r.chunk.id for r in f_list] == [r.chunk.id for r in s_list]
+
+
 def test_fused_path_requires_jax_encoder():
     from trueno_rag_tpu.errors import QueryError
 

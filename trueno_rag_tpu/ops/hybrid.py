@@ -182,3 +182,59 @@ def fused_hybrid_query(
         fusion_param=fusion_param,
     )
     return f_rows[:, :k], f_scores[:, :k], d_rows, d_scores, s_rows, s_scores
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("encoder_config", "cand", "k", "metric", "fusion_kind",
+                     "fusion_param", "tile_n", "interpret"),
+)
+def fused_hybrid_query_compact(
+    encoder_params,
+    token_ids: jax.Array,  # [B, T] query token ids
+    m_bf16: jax.Array,  # [N, d] bf16 compact replica (prepare_tiered)
+    e_l2: jax.Array,  # [N] f32
+    a_l2: jax.Array,  # [N] f32
+    r_i8: jax.Array,  # [N, d] int8 residual (prepare_residual)
+    r_scale: jax.Array,  # [N] f32
+    e2_l2: jax.Array,  # [N] f32
+    valid_mask: jax.Array,  # [N]
+    block_ids: jax.Array,  # [B, S] BM25 block slots
+    block_lo: jax.Array,  # [B, S]
+    block_hi: jax.Array,  # [B, S]
+    blocks: jax.Array,  # [NB, 2, BLOCK_LEN]
+    encoder_config: EncoderConfig,
+    cand: int = 50,
+    k: int = 10,
+    metric: str = "cosine",
+    fusion_kind: str = "rrf",
+    fusion_param: float = 60.0,
+    tile_n: int = 4096,
+    interpret: bool = False,
+):
+    """The one-XLA-program flagship at COMPACT scale: encoder forward +
+    certified compact scan (no fp32 matrix in HBM — the 10M-on-one-chip
+    configuration) + BM25 + fusion + top-k, one dispatch.
+
+    Returns ``(f_rows [B,k], f_scores [B,k], d_rows, d_scores, s_rows,
+    s_scores, ok [B], cand_rows [B,W], thr [B], qvecs [B,d])`` — the
+    last four feed the r4 exact patch: ``ok`` flags queries whose dense
+    SET the interval certificate proved; the candidate rows + tile
+    threshold let the host settle the rest exactly (containment) and
+    re-fuse those queries with the host fusion oracle; ``qvecs`` are
+    the encoder outputs so the patch needs no second forward
+    (HybridRetriever.retrieve_batch_fused wires all of this)."""
+    from trueno_rag_tpu.ops.dense_tiered import dense_topk_compact_bf16r
+
+    q = encoder_forward(encoder_params, token_ids, encoder_config)  # [B, d]
+    d_scores, d_rows, ok, cand_rows, thr = dense_topk_compact_bf16r(
+        q, m_bf16, e_l2, a_l2, r_i8, r_scale, e2_l2, valid_mask, cand,
+        metric=metric, tile_n=tile_n, interpret=interpret,
+        return_candidates=True,
+    )
+    s_scores, s_rows = bm25_topk_blocks(block_ids, block_lo, block_hi, blocks, k=cand)
+    f_rows, f_scores = fuse_topk(
+        d_rows, d_scores, s_rows, s_scores, kind=fusion_kind, param=fusion_param
+    )
+    return (f_rows[:, :k], f_scores[:, :k], d_rows, d_scores, s_rows,
+            s_scores, ok, cand_rows, thr, q)

@@ -340,12 +340,20 @@ class HybridRetriever:
 
             if isinstance(self.embedder, JaxEncoderEmbedder):
                 if self.config.fused is True:
-                    if self.vector_store.is_compact:
-                        # explicit request, impossible contract — surface it
+                    if self.vector_store._effective_tier() == "clustered":
+                        # the fused compact program reads the UNPERMUTED
+                        # compact replicas; the clustered layout stages
                         raise QueryError(
-                            "fused=True needs the fp32 device matrix; "
-                            "scan_tier='compact' serves the staged path "
-                            "(leave fused=None)"
+                            "fused=True is not available on "
+                            "scan_tier='clustered' (leave fused=None; "
+                            "the staged path serves it)"
+                        )
+                    if (self.vector_store.is_compact
+                            and tag_filter is not None):
+                        raise QueryError(
+                            "fused=True on a compact store does not "
+                            "support tag filters; leave fused=None "
+                            "(the staged compact path serves filters)"
                         )
                     return self.retrieve_batch_fused(
                         queries, k, fusion=fusion, tag_filter=tag_filter
@@ -747,6 +755,11 @@ class HybridRetriever:
         bids, blo, bhi = self.sparse_index._gather_blocks(
             list(queries) + ["\0"] * (b_pad - len(queries))
         )
+        if self.vector_store.is_compact:
+            return self._retrieve_batch_fused_compact(
+                queries, k, token_ids, bids, blo, bhi, snap, fusion,
+                tag_filter,
+            )
         if tag_filter is not None:
             from trueno_rag_tpu.ops.tags import fused_hybrid_query_tagged
 
@@ -810,6 +823,104 @@ class HybridRetriever:
                     )
             out.append(results)
         return out
+
+    def _retrieve_batch_fused_compact(self, queries, k, token_ids, bids,
+                                      blo, bhi, snap, fusion, tag_filter):
+        """Fused one-program path over the COMPACT store (r4): encoder
+        forward + certified compact scan + BM25 + fusion + top-k in one
+        dispatch (:func:`trueno_rag_tpu.ops.hybrid.fused_hybrid_query_compact`
+        — no fp32 matrix in HBM). Uncertified queries keep the exact
+        contract: their dense candidates resolve through the staged
+        exact patch (containment → widened retry → GEMM) using the
+        program's own encoder outputs and candidate returns, and ONLY
+        those queries re-fuse on the host fusion oracle — certified
+        queries never leave the device program."""
+        import jax
+        import jax.numpy as jnp
+
+        from trueno_rag_tpu.ops.hybrid import fused_hybrid_query_compact
+
+        if tag_filter is not None:
+            raise QueryError(
+                "the fused compact path does not support tag filters; "
+                "use the staged path (fused=None)"
+            )
+        emb = self.embedder
+        store = self.vector_store
+        store._refresh_device()  # materialize the compact replicas
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        cand = self.config.candidates_per_source
+        strategy = fusion or self.config.fusion
+        out = fused_hybrid_query_compact(
+            emb.params, jnp.asarray(token_ids), *store._tier,
+            store._device_valid, jnp.asarray(bids), jnp.asarray(blo),
+            jnp.asarray(bhi), snap["blocks"],
+            encoder_config=emb.encoder_config, cand=cand, k=k,
+            metric=store.config.metric, fusion_kind=strategy.kind,
+            fusion_param=strategy.device_param,
+            tile_n=store.config.scan_tile_n, interpret=interpret,
+        )
+        (f_rows, f_scores, d_rows, d_scores, s_rows, s_scores,
+         ok, cand_rows, thr, qvecs) = out
+        b = len(queries)
+        ok_np = np.asarray(ok)[:b]
+        # np.array (not asarray): device views are read-only and the
+        # patch below writes re-fused rows in place
+        f_rows = np.array(f_rows)
+        f_scores = np.array(f_scores)
+        d_maps = self._score_maps(d_rows, d_scores)
+        s_maps = self._score_maps(s_rows, s_scores)
+        if not ok_np.all():
+            store.compact_uncertified += int((~ok_np).sum())
+            pad = np.asarray(ok).shape[0] - b
+            ok_pad = np.concatenate([ok_np, np.ones(pad, bool)])
+            d_s_np, d_r_np = store._compact_exact_patch(
+                np.asarray(qvecs), np.asarray(d_scores),
+                np.asarray(d_rows), ok_pad, cand,
+                np.asarray(cand_rows), np.asarray(thr),
+                None, interpret,
+                containment_retry=store.config.compact_retry is not False,
+            )
+            store.tier_fallbacks += 1
+            # re-fuse ONLY the patched queries with the host oracle
+            # (exact reference fusion semantics over the exact dense
+            # list + the device BM25 list)
+            s_rows_np = np.asarray(s_rows)
+            s_scores_np = np.asarray(s_scores)
+            for qi in np.flatnonzero(~ok_np):
+                dense_list = [
+                    (int(r), float(s))
+                    for r, s in zip(d_r_np[qi], d_s_np[qi]) if r >= 0
+                ]
+                sparse_list = [
+                    (int(r), float(s))
+                    for r, s in zip(s_rows_np[qi], s_scores_np[qi]) if r >= 0
+                ]
+                fused = strategy.fuse(dense_list, sparse_list)[:k]
+                f_rows[qi, :] = -1
+                f_scores[qi, :] = float("-inf")
+                for j, (rid, sc) in enumerate(fused):
+                    f_rows[qi, j] = rid
+                    f_scores[qi, j] = sc
+                d_maps[qi] = dict(dense_list)
+        out_res: List[List[RetrievalResult]] = []
+        for i in range(b):
+            results: List[RetrievalResult] = []
+            for row, score in zip(f_rows[i], f_scores[i]):
+                if row < 0:
+                    continue
+                chunk = self.registry.chunk_of(int(row))
+                if chunk is not None:
+                    results.append(
+                        RetrievalResult(
+                            chunk=chunk,
+                            dense_score=d_maps[i].get(int(row)),
+                            sparse_score=s_maps[i].get(int(row)),
+                            fused_score=float(score),
+                        )
+                    )
+            out_res.append(results)
+        return out_res
 
     def retrieve_dense(self, query: str, k: int) -> List[RetrievalResult]:
         """Vector-only retrieval (reference: retrieve.rs:225-240)."""
