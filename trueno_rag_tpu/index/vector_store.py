@@ -82,8 +82,10 @@ class VectorStoreConfig:
     # retrieval runs STAGED (compact dense scan + BM25 + device fusion
     # — HybridRetriever.retrieve_batch switches automatically), and tag
     # filters ride the scan kernel (certified exact-FILTERED sets;
-    # filter-aware host patch); only the encoder-fused one-program path
-    # still needs a fp32 device matrix and rejects compact stores.
+    # filter-aware host patch). The encoder-fused one-program path
+    # serves compact stores too (r4,
+    # ops/hybrid.fused_hybrid_query_compact); only tag-filtered fused
+    # queries and clustered layouts stay on the staged path.
     #
     # Host fp32 rows feed the replica build in slabs of
     # ``compact_prep_rows`` so the transient fp32 upload stays bounded
