@@ -1258,10 +1258,14 @@ class VectorStore:
             allowed &= (bits & t_none) == 0
             live &= allowed
         # duplicate candidate rows (sentinel collisions) keep the first
-        # occurrence only — row-sorted neighbors mark the rest
-        srt = np.sort(np.where(live, cr, np.iinfo(np.int64).max), axis=1)
-        dup_vals = srt[:, 1:][srt[:, 1:] == srt[:, :-1]]
-        if dup_vals.size:
+        # occurrence only — row-sorted neighbors mark the rest. Dead
+        # slots all sort to the SAME int64-max padding value, so the
+        # dup check must ignore them or the slow defensive loop below
+        # would run on every patch
+        pad_v = np.iinfo(np.int64).max
+        srt = np.sort(np.where(live, cr, pad_v), axis=1)
+        eq = (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] != pad_v)
+        if eq.any():
             for bi in range(cr.shape[0]):
                 seen = set()
                 for wi in range(cr.shape[1]):
