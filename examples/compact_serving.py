@@ -57,8 +57,11 @@ def main() -> None:
         print(f"{q!r}:")
         for r in results:
             print(f"  [{r.best_score():.4f}] {r.chunk.metadata.title}: {r.chunk.content[:58]}")
-    print(f"compact store: {store.compact_uncertified} uncertified "
-          f"(host-patched exactly), {len(store)} chunks, no fp32 on device\n")
+    print(f"compact store: {store.compact_uncertified} uncertified -> "
+          f"{store.compact_candidate_patched} settled exactly from the scan's "
+          f"own candidate rows (containment certificate), "
+          f"{store.compact_gemm_patched} via the full-matrix fallback; "
+          f"{len(store)} chunks, no fp32 on device\n")
 
     # -- pod shape: shard the 3 B/element replicas over the mesh ----------
     mesh = create_mesh()
@@ -70,7 +73,8 @@ def main() -> None:
     rows = np.asarray(rows)
     print(f"sharded compact over {dict(mesh.shape)}: "
           f"top-1 rows {rows[:, 0].tolist()} (expect [0, 1, 2, 3]), "
-          f"{idx.uncertified} host-patched")
+          f"{idx.uncertified} patched ({idx.candidate_patched} from the "
+          f"gathered candidate union, {idx.gemm_patched} via the GEMM)")
     per_chip = (idx.m_bf16.nbytes + idx.r_i8.nbytes) // mesh.shape["data"]
     print(f"per-chip replica bytes: {per_chip:,} "
           f"(= 3 B/element x {matrix.shape[0] // mesh.shape['data']:,} rows x 64 dims)")
