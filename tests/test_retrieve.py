@@ -311,6 +311,33 @@ def test_fused_path_requires_jax_encoder():
         retr.retrieve_batch_fused(["q"], 2)
 
 
+def test_fused_compact_requires_bf16r_layout():
+    """Advisor r4: fused=True over a compact store with a non-bf16r
+    scan layout must raise the taxonomy's QueryError, not misalign
+    fused_hybrid_query_compact's positional tier arguments."""
+    from trueno_rag_tpu.errors import QueryError
+    from trueno_rag_tpu.index import VectorStoreConfig
+    from trueno_rag_tpu.models.encoder import EncoderConfig, JaxEncoderEmbedder
+
+    emb = JaxEncoderEmbedder(config=EncoderConfig.tiny())
+    retr = HybridRetriever(
+        emb,
+        config=HybridRetrieverConfig(candidates_per_source=5, fused=True),
+        vector_config=VectorStoreConfig(
+            dimension=emb.dimension, scan_tier="compact",
+            compact_scan="bf16", scan_tile_n=1024,
+        ),
+    )
+    chunks = [mk_chunk(i, t + f" v{i}") for i, t in enumerate(CORPUS * 4)]
+    emb.embed_chunks(chunks)
+    retr.index_batch(chunks)
+    with pytest.raises(QueryError, match="bf16r"):
+        retr.retrieve_batch_fused(["fox forests"], 3)
+    # the staged path still serves the bf16 layout
+    retr.config.fused = False
+    assert retr.retrieve_batch(["fox forests"], 3)[0]
+
+
 def test_hybrid_reindex_same_id_clears_old_postings():
     """Regression (code review): re-indexing an existing chunk id must
     clear the OLD content's BM25 postings — the registry swap order

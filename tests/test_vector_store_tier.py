@@ -1171,6 +1171,9 @@ def test_clustered_containment_patch_resolves_cross_tile_ties():
     if store.compact_uncertified:  # the 16 cross-tile near-ties fired
         assert store.compact_candidate_patched >= 1
         assert store.compact_gemm_patched == 0
+
+
+def test_compact_candidate_patch_honors_tag_filters():
     """Tag-filtered near-tie queries: the containment patch must honor
     the filter (exact FILTERED top-k), matching a host f64 oracle over
     the allowed rows only."""

@@ -847,6 +847,15 @@ class HybridRetriever:
             )
         emb = self.embedder
         store = self.vector_store
+        if store.config.compact_scan != "bf16r":
+            # fused_hybrid_query_compact takes the 6-array bf16r tier
+            # positionally; the bf16 (3-array) and int8 (7-array)
+            # layouts would misalign its signature
+            raise QueryError(
+                "the fused compact path requires compact_scan='bf16r' "
+                f"(store has {store.config.compact_scan!r}); "
+                "use the staged path (fused=None)"
+            )
         store._refresh_device()  # materialize the compact replicas
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
         cand = self.config.candidates_per_source
