@@ -247,8 +247,8 @@ def bench_hybrid(n_chunks=100_000, dim=384, batch=256, k=10, cand=50, iters=30):
         t0 = time.perf_counter()
         float(hybrid_chain(*args, steps=iters))  # sync via scalar fetch
         times.append(time.perf_counter() - t0)
-    dt = sorted(times)[1]
-    return batch * iters / dt
+    dt = Seconds.of(times)
+    return batch * iters / dt, spread(dt, batch * iters)
 
 
 def bench_index_build(n_chunks=100_000, dim=384, seed=0):
@@ -304,10 +304,41 @@ def bench_index_build(n_chunks=100_000, dim=384, seed=0):
     return n_chunks / best
 
 
+class Seconds(float):
+    """A chain timing (seconds) that also carries every repeat's timing
+    in ``.times`` (sorted ascending) so rows can emit min/median/max —
+    the r4 verdict's requirement that round-over-round deltas carry
+    error bars (identical chains measured 16.2-33.3 ms across
+    sessions; a single median hides that)."""
+
+    times: tuple = ()
+
+    @staticmethod
+    def of(times, pick="median"):
+        ts = tuple(sorted(times))
+        v = ts[len(ts) // 2] if pick == "median" else ts[0]
+        s = Seconds(v)
+        s.times = ts
+        return s
+
+
+def spread(sec, scale, ndigits=1):
+    """Per-repeat value spread for a bench row: `scale / t` for each
+    repeat timing carried by a :class:`Seconds` (or a plain list of
+    seconds). Emitted as value_min/value_max so BENCH rows quantify the
+    shared-pool variance instead of hiding it."""
+    times = getattr(sec, "times", None) or list(sec)
+    vals = sorted(scale / t for t in times)
+    return {"value_min": round(vals[0], ndigits),
+            "value_max": round(vals[-1], ndigits),
+            "timing_repeats": len(vals)}
+
+
 def _timed_chain(chain, args_tuple, iters, repeats=3, pick="median"):
     """Compile, then time `repeats` runs of the chained program; returns
-    seconds per chain run (median by default — the tunneled device shows
-    20-30% run-to-run variance). Each program LAUNCH carries ~25 ms of
+    :class:`Seconds` per chain run (median by default — the tunneled
+    device shows 20-30% run-to-run variance; all repeat timings ride
+    along in ``.times``). Each program LAUNCH carries ~25 ms of
     fixed tunnel dispatch (measured r3: steps-2 vs steps-12 chains at
     10.5M decompose to 22.9 ms marginal/scan + 25.8 ms fixed), so iters
     must be large enough to amortize it — production serving launches
@@ -319,7 +350,27 @@ def _timed_chain(chain, args_tuple, iters, repeats=3, pick="median"):
         t0 = time.perf_counter()
         float(chain(*args_tuple, steps=iters))
         times.append(time.perf_counter() - t0)
-    return sorted(times)[len(times) // 2] if pick == "median" else min(times)
+    return Seconds.of(times, pick)
+
+
+def interleaved(variants, repeats=4):
+    """Paired A/B timing: run each variant callable once per round in
+    round-robin order (A,B,A,B,... — never A,A,B,B), `repeats` rounds.
+    The repo's measured lore (CLAUDE.md): the device pool's throughput
+    drifts >2x WITHIN one session, so sequenced comparisons confound
+    variant with pool mood — interleaving makes each round a paired
+    sample. Returns {name: Seconds} (median over rounds, spread in
+    .times) plus a {name: per_round_times} dict for paired deltas.
+
+    Each callable must be a zero-arg fn returning elapsed seconds for
+    one fixed unit of work (compile OUTSIDE, before calling this)."""
+    names = list(variants)
+    per_round = {n: [] for n in names}
+    for _ in range(repeats):
+        for n in names:
+            per_round[n].append(float(variants[n]()))
+    meds = {n: Seconds.of(ts) for n, ts in per_round.items()}
+    return meds, per_round
 
 
 def bench_tri(n_chunks=100_000, dim=384, batch=256, cand=50, k=10, iters=20):
@@ -372,7 +423,7 @@ def bench_tri(n_chunks=100_000, dim=384, batch=256, cand=50, k=10, iters=20):
         return c
 
     dt = _timed_chain(chain, arrs, iters)
-    return batch * iters / dt
+    return batch * iters / dt, spread(dt, batch * iters)
 
 
 def bench_tiered_1m(n_chunks=1_000_000, dim=384, batch=256, cand=50, k=10,
@@ -423,7 +474,7 @@ def bench_tiered_1m(n_chunks=1_000_000, dim=384, batch=256, cand=50, k=10,
         return c
 
     dt = _timed_chain(chain, arrs, iters)
-    return batch * iters / dt
+    return batch * iters / dt, spread(dt, batch * iters)
 
 
 def bench_compact_10m_suite(add_row, n_chunks=20 * 524_288, dim=384,
@@ -547,7 +598,9 @@ def bench_compact_10m_suite(add_row, n_chunks=20 * 524_288, dim=384,
 
     dt256 = hybrid_chain(batch, queries)
     add_row("hybrid_qps_10.5m_compact_bf16r", "queries/s",
-            batch * iters / dt256, extra={"certified_frac": round(certified, 3)})
+            batch * iters / dt256,
+            extra={"certified_frac": round(certified, 3),
+                   **spread(dt256, batch * iters)})
 
     # -- the exact-contract row (default config end-to-end) ---------------
     ms_chain = dt256 / iters * 1e3
@@ -652,7 +705,8 @@ def bench_compact_10m_suite(add_row, n_chunks=20 * 524_288, dim=384,
     _note("10.5M suite: B=1024 sweep")
     q1024 = jax.random.normal(jax.random.PRNGKey(1024), (1024, dim), jnp.float32)
     dt1024 = hybrid_chain(1024, q1024)
-    add_row("hybrid_qps_10.5m_b1024", "queries/s", 1024 * iters / dt1024)
+    add_row("hybrid_qps_10.5m_b1024", "queries/s", 1024 * iters / dt1024,
+            extra=spread(dt1024, 1024 * iters))
 
     # -- the flagship ONE-PROGRAM row at north-star scale (r4): MiniLM
     # -- encoder forward + certified compact scan + BM25 + RRF + top-k,
@@ -689,7 +743,7 @@ def bench_compact_10m_suite(add_row, n_chunks=20 * 524_288, dim=384,
     arrs_f = (e_params, token_ids, *sparse, blocks, *parts, valid)
     dt_f = _timed_chain(fchain, arrs_f, iters)
     add_row("encoder_fused_qps_10.5m_compact", "queries/s",
-            batch * iters / dt_f)
+            batch * iters / dt_f, extra=spread(dt_f, batch * iters))
 
 
 def bench_clustered_10m(n_chunks=20 * 524_288, dim=384, b=8, k=8,
@@ -865,7 +919,7 @@ def bench_nemotron_8k(layers=4, t=8192, batch=1, iters=4):
         return c
 
     dt = _timed_chain(chain, (params, ids), iters)
-    return batch * t * iters / dt, mem
+    return batch * t * iters / dt, {**mem, **spread(dt, batch * t * iters)}
 
 
 def bench_maxsim_1m(n_chunks=1_048_576, lt=32, h=128, b=8, lq=8, k=10,
@@ -929,7 +983,8 @@ def bench_maxsim_1m(n_chunks=1_048_576, lt=32, h=128, b=8, lq=8, k=10,
 
     arrs = (q_tok, q_mask, tokens, t_mask, e_max, n_max, valid)
     dt = _timed_chain(chain, arrs, iters)
-    return b * iters / dt, {"certified_frac": round(certified, 3)}
+    return b * iters / dt, {"certified_frac": round(certified, 3),
+                            **spread(dt, b * iters)}
 
 
 def bench_encoder_fused(n_chunks=100_000, batch=256, seq=64, cand=50, k=10,
@@ -984,7 +1039,7 @@ def bench_encoder_fused(n_chunks=100_000, batch=256, seq=64, cand=50, k=10,
         return c
 
     dt = _timed_chain(chain, arrs, iters)
-    return batch * iters / dt
+    return batch * iters / dt, spread(dt, batch * iters)
 
 
 def main():
@@ -1004,11 +1059,11 @@ def main():
         # (round 1 driver bench, BENCH_r01.json)
         result["last_tpu_value"] = 66_899.0
     try:
-        qps = bench_hybrid(iters=5 if on_cpu else 30)
+        qps, qps_spread = bench_hybrid(iters=5 if on_cpu else 30)
     except Exception as first_error:  # noqa: BLE001 — report, don't die
         try:
             force_cpu()
-            qps = bench_hybrid(iters=5)
+            qps, qps_spread = bench_hybrid(iters=5)
             result["note"] = f"TPU unavailable ({type(first_error).__name__}); CPU fallback"
         except Exception as second_error:  # noqa: BLE001
             result.update({"value": 0, "vs_baseline": 0.0,
@@ -1029,6 +1084,7 @@ def main():
     rows = [{
         "metric": "hybrid_qps_100k", "value": round(qps, 1),
         "unit": "queries/s", "vs_baseline": round(qps / MEASURED_REF_QPS, 1),
+        **qps_spread,
     }]
     try:
         build = bench_index_build()
