@@ -1202,3 +1202,41 @@ def test_compact_candidate_patch_honors_tag_filters():
     # certificate (otherwise this test exercises no patch path)
     assert compact.compact_uncertified >= 1
     assert compact.compact_gemm_patched == 0
+
+
+@pytest.mark.parametrize("build", ["device", "host"])
+def test_compact_streamed_build_matches_single_slab(build):
+    """r5: full compact builds stream slabs into preallocated replicas
+    via donated updates (peak HBM = replicas + one slab, not 2x). The
+    streamed tier arrays — both prep placements — must be bit-identical
+    to the one-shot build, and search must stay exact."""
+    rng = np.random.default_rng(77)
+    dim = 32
+    chunks = [mk_chunk(i, dim, rng) for i in range(2600)]
+    one = VectorStore(VectorStoreConfig(dimension=dim, scan_tier="compact"))
+    streamed = VectorStore(VectorStoreConfig(
+        dimension=dim, scan_tier="compact", compact_prep_rows=1024,
+        compact_build=build,
+    ))
+    for s in (one, streamed):
+        s.insert_many(chunks)
+        s.ensure_ready()
+    assert len(streamed._tier) == len(one._tier)
+    for got, want in zip(streamed._tier, one._tier):
+        got, want = np.asarray(got), np.asarray(want)
+        if got.dtype in (np.int8, np.dtype("bfloat16")):
+            # quantized replica BYTES are shape-independent: exact
+            np.testing.assert_array_equal(got, want)
+        else:
+            # norm arrays reduce over different slab shapes — XLA's
+            # reduction tiling differs in the last ulp; each build's
+            # certificate stays self-consistent with its own bytes
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+    q = rng.standard_normal(dim).astype(np.float32)
+    got, want = streamed.search(q, 9), one.search(q, 9)
+    assert [g[0] for g in got] == [w[0] for w in want]
+
+
+def test_compact_build_config_validated():
+    with pytest.raises(InvalidConfigError):
+        VectorStoreConfig(dimension=8, compact_build="gpu")

@@ -21,9 +21,11 @@ raises :class:`DimensionMismatchError` (index.rs:359-375).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,6 +41,16 @@ class DistanceMetric:
     DOT_PRODUCT = "dot"
 
     ALL = (COSINE, EUCLIDEAN, DOT_PRODUCT)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _tier_slab_write(dest, part, lo):
+    """Donated slab write for streamed replica builds: XLA reuses
+    ``dest``'s buffer, so a full-matrix build never holds two copies of
+    a replica in HBM. Module-level so the jit cache survives across
+    stores and builds (2 shapes per build: full slabs + the remainder)."""
+    idx = (lo,) + (jnp.int32(0),) * (dest.ndim - 1)
+    return jax.lax.dynamic_update_slice(dest, part, idx)
 
 
 @dataclass
@@ -90,8 +102,22 @@ class VectorStoreConfig:
     # Host fp32 rows feed the replica build in slabs of
     # ``compact_prep_rows`` so the transient fp32 upload stays bounded
     # (1M rows × 384 ≈ 1.5 GB) instead of materializing the whole
-    # matrix on device.
+    # matrix on device. Slabs stream into PREALLOCATED device replicas
+    # via donated updates — peak HBM is the final replicas plus ONE
+    # slab's parts, so a 10.5M bf16r build (~12 GB) fits one v5e chip.
     compact_prep_rows: int = 1 << 20
+    # Where the slab prep (bf16 cast + residual quantization + norms)
+    # runs during a full replica build:
+    # - "auto": on the host CPU backend when the accelerator is a
+    #   tunneled remote (platform "axon" — shipping prepared bf16+int8
+    #   parts is 3 B/element vs 6 for raw fp32 over a ~40 MB/s link),
+    #   on the device otherwise (PCIe upload is cheap and the chip
+    #   preps a 1M slab in ms).
+    # - "device" / "host": force either. The prep code is the SAME
+    #   jitted function either way (ops/dense_tiered.prepare_*), so the
+    #   certificate arrays are always self-consistent with the stored
+    #   replica bytes; incremental row updates always prep on device.
+    compact_build: str = "auto"
     # Compact-tier storage layout (see ops/dense_tiered.py's compact
     # header for the measured interval/gap analysis):
     # - "bf16r" (default): bf16 scan+rescore copy + int8 residual
@@ -228,6 +254,8 @@ class VectorStoreConfig:
             )
         if self.compact_prep_rows < 1024:
             raise InvalidConfigError("compact_prep_rows must be >= 1024")
+        if self.compact_build not in ("auto", "device", "host"):
+            raise InvalidConfigError(f"unknown compact_build {self.compact_build!r}")
         if self.compact_scan not in ("bf16r", "bf16", "int8"):
             raise InvalidConfigError(f"unknown compact_scan {self.compact_scan!r}")
         if self.scan_tile_n <= 0 or self.scan_tile_n % 128 != 0:
@@ -512,19 +540,60 @@ class VectorStore:
                 jnp.asarray(self._valid[rows])
             )
         else:
-            slabs = []
-            step = self.config.compact_prep_rows
-            for lo in range(0, self._host.shape[0], step):
-                m = jnp.asarray(self._host[lo : lo + step])
-                slabs.append(prep(m))
-            self._tier = tuple(
-                part[0] if len(part) == 1 else jnp.concatenate(part, axis=0)
-                for part in zip(*slabs)
-            )
+            self._tier = self._stream_build_tier(prep)
             self._device_valid = jnp.asarray(self._valid)
         self._tier_built_for = "compact"
         self._dirty = False
         self._dirty_rows = set()
+
+    def _stream_build_tier(self, prep):
+        """Full compact replica build, streamed: host fp32 rows are
+        prepped slab-by-slab and written into PREALLOCATED device
+        arrays through donated dynamic_update_slice, so peak HBM is
+        the final replicas plus one slab's parts. (The previous
+        concatenate build held every slab's parts AND the concatenated
+        copy live simultaneously — a transient 2x that cannot fit a
+        10.5M bf16r build (~12 GB replicas) on a 16 GB chip.)
+
+        Per ``compact_build``, the slab prep itself runs either on the
+        accelerator (upload raw fp32, 6 B/element) or on the host CPU
+        backend (upload prepared bf16+int8 parts, 3 B/element — wins
+        when the device link is a slow tunnel). Either way it is the
+        same jitted prep, so every certificate array is computed from
+        the exact replica bytes it will sit next to."""
+        n = self._host.shape[0]
+        step = self.config.compact_prep_rows
+        if n <= step:
+            return tuple(prep(jnp.asarray(self._host)))
+        mode = self.config.compact_build
+        host_prep = mode == "host" or (
+            mode == "auto" and jax.default_backend() == "axon"
+        )
+        cpu = None
+        if host_prep:
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                host_prep = False  # no host backend registered
+        prep_j = jax.jit(prep)  # one wrapper: 2 compiles/build, not per-slab
+        dests = None
+        for lo in range(0, n, step):
+            slab = self._host[lo : lo + step]
+            if host_prep:
+                with jax.default_device(cpu):
+                    parts = [np.asarray(p) for p in prep_j(jnp.asarray(slab))]
+                parts = [jnp.asarray(p) for p in parts]
+            else:
+                parts = list(prep_j(jnp.asarray(slab)))
+            if dests is None:
+                dests = [
+                    jnp.zeros((n,) + p.shape[1:], p.dtype) for p in parts
+                ]
+            dests = [
+                _tier_slab_write(d, p, jnp.int32(lo))
+                for d, p in zip(dests, parts)
+            ]
+        return tuple(dests)
 
     def _refresh_device_clustered(self) -> None:
         """Clustered tier: the compact bf16r replicas in the balanced-
