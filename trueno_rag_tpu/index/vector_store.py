@@ -1034,18 +1034,27 @@ class VectorStore:
                 # reserved for its containment failures; under
                 # fallback="none" the retry is the only tightening step
                 retry_all = retry is True or (retry is None and not host_fb)
-                if not ok_np.all() and retry_all:
-                    scores, rows, ok_np = self._compact_device_retry(
-                        q, np.asarray(scores), np.asarray(rows), ok_np,
-                        k_eff, tag_masks, interpret,
+                if not ok_np.all():
+                    # grouped async fetch of everything the host stages
+                    # consume — per-array np.asarray paid one device
+                    # sync (a full RTT on tunneled links) per array
+                    fetch = (scores, rows) + (
+                        (out[3], out[4]) if host_fb else ()
                     )
+                    fetch = jax.device_get(fetch)
+                    scores, rows = fetch[0], fetch[1]
+                    if retry_all:
+                        scores, rows, ok_np = self._compact_device_retry(
+                            q, scores, rows, ok_np,
+                            k_eff, tag_masks, interpret,
+                        )
                 if not ok_np.all():
                     self.compact_uncertified += int((~ok_np).sum())
                     if host_fb:
                         scores, rows = self._compact_exact_patch(
                             q, np.asarray(scores), np.asarray(rows),
-                            ok_np, k_eff, np.asarray(out[3]),
-                            np.asarray(out[4]), tag_masks, interpret,
+                            ok_np, k_eff, fetch[2],
+                            fetch[3], tag_masks, interpret,
                             containment_retry=retry is not False,
                         )
                         self.tier_fallbacks += 1

@@ -869,24 +869,35 @@ class HybridRetriever:
             fusion_param=strategy.device_param,
             tile_n=store.config.scan_tile_n, interpret=interpret,
         )
-        (f_rows, f_scores, d_rows, d_scores, s_rows, s_scores,
-         ok, cand_rows, thr, qvecs) = out
+        (f_rows_d, f_scores_d, d_rows_d, d_scores_d, s_rows_d, s_scores_d,
+         ok_d, cand_rows_d, thr_d, qvecs_d) = out
         b = len(queries)
-        ok_np = np.asarray(ok)[:b]
-        # np.array (not asarray): device views are read-only and the
-        # patch below writes re-fused rows in place
+        # ONE grouped async fetch of the arrays every batch consumes
+        # (~200 KB at B=256) — per-array np.asarray paid a device sync
+        # per array, which over a tunneled link is a full RTT each. The
+        # patch inputs (cand_rows/thr/qvecs — ~4x the bytes) transfer
+        # ONLY when certification failed for some query.
+        f_rows, f_scores, d_rows, d_scores, s_rows, s_scores, ok_np = (
+            jax.device_get((f_rows_d, f_scores_d, d_rows_d, d_scores_d,
+                            s_rows_d, s_scores_d, ok_d))
+        )
+        # writable copies: the patch below re-fuses rows in place
         f_rows = np.array(f_rows)
         f_scores = np.array(f_scores)
+        ok_np = ok_np[:b]
         d_maps = self._score_maps(d_rows, d_scores)
         s_maps = self._score_maps(s_rows, s_scores)
         if not ok_np.all():
+            cand_rows, thr, qvecs = jax.device_get(
+                (cand_rows_d, thr_d, qvecs_d)
+            )
             store.compact_uncertified += int((~ok_np).sum())
-            pad = np.asarray(ok).shape[0] - b
+            pad = d_rows.shape[0] - b
             ok_pad = np.concatenate([ok_np, np.ones(pad, bool)])
             d_s_np, d_r_np = store._compact_exact_patch(
-                np.asarray(qvecs), np.asarray(d_scores),
-                np.asarray(d_rows), ok_pad, cand,
-                np.asarray(cand_rows), np.asarray(thr),
+                qvecs, d_scores,
+                d_rows, ok_pad, cand,
+                cand_rows, thr,
                 None, interpret,
                 containment_retry=store.config.compact_retry is not False,
             )
@@ -894,8 +905,8 @@ class HybridRetriever:
             # re-fuse ONLY the patched queries with the host oracle
             # (exact reference fusion semantics over the exact dense
             # list + the device BM25 list)
-            s_rows_np = np.asarray(s_rows)
-            s_scores_np = np.asarray(s_scores)
+            s_rows_np = s_rows
+            s_scores_np = s_scores
             for qi in np.flatnonzero(~ok_np):
                 dense_list = [
                     (int(r), float(s))
