@@ -1,0 +1,224 @@
+"""PRODUCT-stack bench at north-star scale (r4 verdict #1).
+
+Every prior 10.5M row measured the ops chains over synthetically
+generated device slabs ("production reads VectorStore._host instead" —
+an untested claim at that scale). This bench builds the REAL product
+object end-to-end and measures what the framework, not the kernels,
+delivers:
+
+    Chunk objects (synthetic text + precomputed embeddings)
+      -> HybridRetriever.index_batch          [native C++ BM25 tokenize/
+         (timed: product ingest)               build + registry + host
+                                               fp32 matrix]
+      -> ensure_ready()                        [CSR snapshot + block-
+         (timed: device build)                  table pack + streamed
+                                               bf16r replica build/upload]
+      -> retrieve_batch (config fused=True)    [encoder + certified
+         (timed: product QPS)                   compact scan + BM25 +
+                                               fusion in ONE program;
+                                               staged exact patch reads
+                                               the real ``_host``]
+
+Embeddings are PRE-computed (the offline-embedding production pattern;
+encoder throughput has its own rows) and random — dense throughput is
+data-independent. Text is synthetic with Zipf(0.9) term popularity over
+a 50k vocab; query terms sample ranks >= 5000 (informative terms — the
+head of a Zipf vocabulary is stopword-like and carries no BM25 signal).
+
+Reference contract: index.rs:386-412 (ingest) + retrieve.rs:175-220
+(hybrid query) semantics at ~10,500x the reference book's scale.
+
+Comparison targets: ``hybrid_qps_10.5m_compact_bf16r`` (the raw ops
+chain) and ``encoder_fused_qps_10.5m_compact`` (the same one-program
+path over synthetic slabs). On this harness the product path pays the
+TUNNEL per batch (one dispatch RTT + the result fetch at ~17 MB/s);
+``qps_tunnel_corrected`` subtracts the measured RTT floor + fetch time
+the way the serve row's ``p50_ms_rtt_corrected`` does, and is the
+figure transferable to a real TPU VM (PCIe fetches are ~us).
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import resource
+import sys
+import time
+
+import numpy as np
+
+
+def _note(msg: str) -> None:
+    print(f"[product {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _rss_gb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def synth_corpus(rows: int, vocab: int, doc_tokens: int, seed: int = 0):
+    """Zipf(0.9) word ids -> per-doc texts. Returns (texts, word_arr).
+    Untimed: corpus synthesis is the experiment's input, not product
+    work."""
+    rng = np.random.default_rng(seed)
+    w = 1.0 / (np.arange(1, vocab + 1) ** 0.9)
+    cdf = np.cumsum(w / w.sum())
+    texts = []
+    step = 1 << 19
+    word_arr = np.array([f"w{i:05d}" for i in range(vocab)])
+    for lo in range(0, rows, step):
+        m = min(step, rows - lo)
+        ids = np.searchsorted(cdf, rng.random((m, doc_tokens))).clip(0, vocab - 1)
+        texts.extend(" ".join(r) for r in word_arr[ids])
+        if lo % (1 << 21) == 0:
+            _note(f"text {lo + m}/{rows}")
+    return texts, word_arr
+
+
+def measure(rows: int = 20 * 524_288, dim: int = 384, doc_tokens: int = 16,
+            vocab: int = 50_000, cand: int = 50, k: int = 10,
+            slab: int = 1 << 19, q_iters: int = 24, seed: int = 0):
+    import jax
+    import jax.numpy as jnp
+
+    from trueno_rag_tpu.chunking import Chunk
+    from trueno_rag_tpu.index import VectorStoreConfig
+    from trueno_rag_tpu.models.encoder import JaxEncoderEmbedder
+    from trueno_rag_tpu.retrieve import HybridRetriever, HybridRetrieverConfig
+
+    out: dict = {"rows_n": rows, "dim": dim, "doc_tokens": doc_tokens,
+                 "platform": jax.default_backend()}
+    rng = np.random.default_rng(seed + 1)
+
+    _note(f"synthesizing corpus: {rows} docs x {doc_tokens} tokens")
+    texts, word_arr = synth_corpus(rows, vocab, doc_tokens, seed)
+    embs = rng.standard_normal((rows, dim)).astype(np.float32)
+    _note(f"corpus ready (rss {_rss_gb():.1f} GB)")
+
+    emb = JaxEncoderEmbedder()  # MiniLM-L6-shaped, 384-d (random params)
+    retr = HybridRetriever(
+        emb,
+        config=HybridRetrieverConfig(candidates_per_source=cand, fused=True),
+        vector_config=VectorStoreConfig(
+            dimension=dim, scan_tier="compact", scan_tile_n=4096,
+            initial_capacity=rows,
+        ),
+    )
+
+    # -- product ingest (host): Chunk objects -> native BM25 build +
+    # -- registry + host fp32 matrix ------------------------------------
+    t0 = time.perf_counter()
+    for lo in range(0, rows, slab):
+        m = min(slab, rows - lo)
+        chunks = []
+        for i in range(lo, lo + m):
+            t = texts[i]
+            c = Chunk(document_id="corpus", content=t,
+                      start_offset=0, end_offset=len(t))
+            c.embedding = embs[i]
+            chunks.append(c)
+        retr.index_batch(chunks)
+        _note(f"ingest {lo + m}/{rows} (rss {_rss_gb():.1f} GB)")
+    ingest_s = time.perf_counter() - t0
+    out["ingest_s"] = round(ingest_s, 1)
+    out["ingest_chunks_per_s"] = round(rows / ingest_s, 1)
+    _note(f"ingest: {rows / ingest_s:,.0f} chunks/s")
+
+    # -- device build: BM25 snapshot/pack + streamed bf16r replicas ----
+    t0 = time.perf_counter()
+    retr.ensure_ready()
+    jax.block_until_ready(retr.vector_store._tier)
+    device_build_s = time.perf_counter() - t0
+    replica_gb = sum(
+        a.size * a.dtype.itemsize for a in retr.vector_store._tier
+    ) / 1e9
+    out["device_build_s"] = round(device_build_s, 1)
+    out["replica_gb"] = round(replica_gb, 2)
+    out["peak_rss_gb"] = round(_rss_gb(), 1)
+    _note(f"device build {device_build_s:.1f}s, replicas {replica_gb:.2f} GB, "
+          f"rss {_rss_gb():.1f} GB")
+
+    # -- RTT floor (same correction as serve_chip_bench) ----------------
+    one = jax.jit(lambda x: x + 1.0)
+    z = jnp.zeros((), jnp.float32)
+    float(one(z))
+    rtts = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        float(one(z))
+        rtts.append(time.perf_counter() - t0)
+    rtt_ms = sorted(rtts)[len(rtts) // 2] * 1e3
+    out["rtt_floor_ms"] = round(rtt_ms, 1)
+
+    # -- product retrieval ---------------------------------------------
+    def make_queries(b, qseed):
+        q_rng = np.random.default_rng(qseed)
+        tids = q_rng.integers(5000, vocab, size=(b, 6))
+        return [" ".join(word_arr[t]) for t in tids]
+
+    store = retr.vector_store
+
+    def run(b, iters, label):
+        sets = [make_queries(b, 100 + s) for s in range(4)]
+        _note(f"{label}: compiling (first call)")
+        retr.retrieve_batch(sets[0], k)  # compile
+        retr.retrieve_batch(sets[1], k)  # warm caches
+        u0 = store.compact_uncertified
+        c0 = store.compact_candidate_patched
+        g0 = store.compact_gemm_patched
+        times = []
+        t_all0 = time.perf_counter()
+        for it in range(iters):
+            qs = sets[it % len(sets)]
+            t0 = time.perf_counter()
+            res = retr.retrieve_batch(qs, k)
+            times.append(time.perf_counter() - t0)
+        wall = time.perf_counter() - t_all0
+        assert len(res) == b and res[0], "product results must hydrate"
+        med = sorted(times)[len(times) // 2]
+        return {
+            "ms_per_batch": round(med * 1e3, 1),
+            "ms_min": round(min(times) * 1e3, 1),
+            "ms_max": round(max(times) * 1e3, 1),
+            "qps": round(b / med, 1),
+            "qps_sustained": round(b * iters / wall, 1),
+            "uncertified": store.compact_uncertified - u0,
+            "candidate_patched": store.compact_candidate_patched - c0,
+            "gemm_patched": store.compact_gemm_patched - g0,
+        }
+
+    r256 = run(256, q_iters, "fused B=256")
+    _note(f"fused B=256: {r256}")
+    r1024 = run(1024, max(6, q_iters // 3), "fused B=1024")
+    _note(f"fused B=1024: {r1024}")
+    retr.config.fused = False  # staged comparison: scan + BM25 + fusion
+    r256s = run(256, max(8, q_iters // 2), "staged B=256")
+    _note(f"staged B=256: {r256s}")
+    retr.config.fused = True
+    out["fused_b256"] = r256
+    out["fused_b1024"] = r1024
+    out["staged_b256"] = r256s
+    out["final_rss_gb"] = round(_rss_gb(), 1)
+
+    # free the device + host state for whatever runs after us
+    del retr, store, emb, texts, embs
+    gc.collect()
+    return out
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--rows", type=int, default=20 * 524_288)
+    p.add_argument("--doc-tokens", type=int, default=16)
+    p.add_argument("--q-iters", type=int, default=24)
+    args = p.parse_args()
+    out = measure(rows=args.rows, doc_tokens=args.doc_tokens,
+                  q_iters=args.q_iters)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -327,3 +327,142 @@ def test_status_mapping():
     assert _status_for(QueryError("bad")) == 400
     assert _status_for(ValueError("bad")) == 400
     assert _status_for(RuntimeError("device wedged")) == 500
+
+
+# -- pipelined two-phase serving (r5) ----------------------------------------
+
+
+def _compact_encoder_retriever(n=900, near_ties=True):
+    """Compact-tier retriever with a JAX encoder (the two-phase split's
+    home config); near-duplicate rows force certification failures so
+    the collect side exercises the staged exact patch."""
+    import numpy as np
+
+    from trueno_rag_tpu.index import VectorStoreConfig
+    from trueno_rag_tpu.models.encoder import EncoderConfig, JaxEncoderEmbedder
+    from trueno_rag_tpu.retrieve import HybridRetrieverConfig
+
+    emb = JaxEncoderEmbedder(config=EncoderConfig.tiny())
+    retr = HybridRetriever(
+        emb,
+        config=HybridRetrieverConfig(candidates_per_source=10, fused=True),
+        vector_config=VectorStoreConfig(
+            dimension=emb.dimension, scan_tier="compact", scan_tile_n=1024,
+        ),
+    )
+    rng = np.random.default_rng(5)
+    texts = [f"{CORPUS[i % len(CORPUS)]} variant {i}" for i in range(n)]
+    chunks = []
+    for i, t in enumerate(texts):
+        c = Chunk(document_id="d", content=t, start_offset=0,
+                  end_offset=len(t), id=chunk_id_from_int(i))
+        e = rng.standard_normal(emb.dimension).astype(np.float32)
+        if near_ties and i >= n - 40:  # near-duplicates of row 0
+            base = np.asarray(chunks[0].embedding, np.float32)
+            e = base + rng.standard_normal(emb.dimension).astype(np.float32) * 1e-6
+        c.set_embedding(e)
+        chunks.append(c)
+    retr.index_batch(chunks)
+    return retr
+
+
+def test_two_phase_submit_collect_matches_inline():
+    retr = _compact_encoder_retriever()
+    queries = ["fox forests", "tensor matrices", "data models"]
+    inline = retr.retrieve_batch(queries, 5)
+    handle = retr.retrieve_batch_submit(queries, 5)
+    assert handle[0] == "fused_compact"  # the split actually engaged
+    collected = retr.retrieve_batch_collect(handle)
+    for a, b in zip(inline, collected):
+        assert [r.chunk.id for r in a] == [r.chunk.id for r in b]
+        for x, y in zip(a, b):
+            assert x.fused_score == pytest.approx(y.fused_score, rel=1e-5)
+    # the near-tie tail must have exercised the patch path at least once
+    assert retr.vector_store.compact_uncertified >= 1
+
+
+def test_two_phase_falls_back_inline_for_unsplittable_configs(retriever):
+    # TF-IDF embedder: no fused program — submit completes inline
+    handle = retriever.retrieve_batch_submit(["fox forests"], 3)
+    assert handle[0] == "done"
+    res = retriever.retrieve_batch_collect(handle)
+    assert res and res[0]
+
+
+def test_pipelined_microbatcher_matches_depth1():
+    retr = _compact_encoder_retriever()
+    queries = [f"fox forests {i}" for i in range(12)]
+    base = MicroBatcher(retr, max_batch=4, max_wait_ms=50.0)
+    piped = MicroBatcher(retr, max_batch=4, max_wait_ms=50.0,
+                         pipeline_depth=2)
+    try:
+        want = base.retrieve_batch(queries, 4)
+
+        results = [None] * len(queries)
+        threads = []
+
+        def go(i):
+            results[i] = piped.query(queries[i], k=4, timeout=60.0)
+
+        for i in range(len(queries)):
+            t = threading.Thread(target=go, args=(i,))
+            threads.append(t)
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        for i in range(len(queries)):
+            assert results[i] is not None
+            assert [r.chunk.id for r in results[i]] == \
+                [r.chunk.id for r in want[i][:4]]
+        assert piped.queries_served == len(queries)
+    finally:
+        base.shutdown()
+        piped.shutdown()
+
+
+def test_pipelined_mutation_quiesces_inflight():
+    """mutate() must not interleave with a batch between submit and
+    collect — the patch would otherwise rescore rows the scan never
+    saw. The drain gate also keeps new pipelined submits from starving
+    the mutation."""
+    import numpy as np
+
+    retr = _compact_encoder_retriever()
+    piped = MicroBatcher(retr, max_batch=4, max_wait_ms=20.0,
+                         pipeline_depth=3)
+    try:
+        stop = threading.Event()
+        errors = []
+
+        def hammer():
+            i = 0
+            while not stop.is_set():
+                try:
+                    piped.query(f"fox forests {i}", k=3, timeout=60.0)
+                except Exception as e:  # noqa: BLE001
+                    errors.append(e)
+                i += 1
+
+        threads = [threading.Thread(target=hammer) for _ in range(3)]
+        for t in threads:
+            t.start()
+
+        def add_chunk(r):
+            c = Chunk(document_id="d", content="fresh ingest row",
+                      start_offset=0, end_offset=16,
+                      id=chunk_id_from_int(10_000))
+            c.set_embedding(np.random.default_rng(0).standard_normal(
+                r.embedder.dimension).astype(np.float32))
+            r.index_batch([c])
+            return len(r.registry)
+
+        for _ in range(3):
+            n = piped.mutate(add_chunk)
+            assert n >= 901
+        stop.set()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors
+        assert piped._inflight == 0
+    finally:
+        piped.shutdown()

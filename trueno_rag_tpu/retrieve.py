@@ -716,6 +716,87 @@ class HybridRetriever:
             )
         return maps
 
+    def retrieve_batch_submit(self, queries: Sequence[str], k: int,
+                              fusion: Optional[FusionStrategy] = None,
+                              tag_filter=None):
+        """Two-phase retrieval, phase 1: dispatch the device program and
+        return WITHOUT waiting for results. Pass the returned handle to
+        :meth:`retrieve_batch_collect` to fetch + exact-patch + hydrate.
+
+        The split exists so a serving loop can overlap batch N's host
+        work (the staged exact patch reads ``VectorStore._host`` in
+        f64) with batch N+1's device scan — see
+        :class:`trueno_rag_tpu.serve.MicroBatcher` ``pipeline_depth``.
+        Contract: do not mutate the index between submit and collect
+        (the patch must rescore the same rows the scan saw; the serve
+        layer's ``mutate`` gate enforces this).
+
+        The split applies on the fused compact path (JAX encoder +
+        compact bf16r store, no tag filters). Every other configuration
+        completes inline here and collect just unwraps the result, so
+        callers can pipeline unconditionally."""
+        from trueno_rag_tpu.models.encoder import JaxEncoderEmbedder
+
+        splittable = (
+            self.config.fused is not False
+            and self.config.use_dense and self.config.use_sparse
+            and self.learned_index is None
+            and tag_filter is None
+            and bool(queries)
+            and len(self.registry) > 0
+            and self.vector_store.is_compact
+            and self.vector_store.config.compact_scan == "bf16r"
+            and isinstance(self.embedder, JaxEncoderEmbedder)
+        )
+        if splittable:
+            if any(not q.strip() for q in queries):
+                raise QueryError("empty query")
+            pre = self._fused_preamble(queries)
+            out, ctx = self._fused_compact_submit(
+                queries, k, *pre[:4], pre[4], fusion, None
+            )
+            return ("fused_compact", out, ctx)
+        return (
+            "done",
+            self.retrieve_batch(queries, k, fusion=fusion,
+                                tag_filter=tag_filter),
+            None,
+        )
+
+    def retrieve_batch_collect(self, handle) -> List[List[RetrievalResult]]:
+        """Two-phase retrieval, phase 2: host side of a
+        :meth:`retrieve_batch_submit` dispatch (fetch, staged exact
+        patch, hydration)."""
+        kind, payload, ctx = handle
+        if kind == "done":
+            return payload
+        return self._fused_compact_collect(payload, ctx)
+
+    def _fused_preamble(self, queries: Sequence[str]):
+        """Host half of the fused dispatch: tokenize (batch bucketed to
+        a power of two), refresh the BM25 snapshot, and assemble the
+        block gather lists. Returns (token_ids, bids, blo, bhi, snap)."""
+        emb = self.embedder
+        token_ids = emb.tokenizer.encode_batch(
+            [emb.config.query_prefix + q for q in queries]
+        )
+        b_pad = 1  # power-of-two batch bucket (see retrieve_batch)
+        while b_pad < len(queries):
+            b_pad *= 2
+        if b_pad != token_ids.shape[0]:
+            token_ids = np.pad(token_ids, ((0, b_pad - token_ids.shape[0]), (0, 0)))
+        self.sparse_index._refresh_snapshot()
+        snap = self.sparse_index._snap
+        if snap["blocks"] is None:
+            raise QueryError(
+                "fused path requires the block-table BM25 layout "
+                "(corpus rows must stay below 2**24); use the staged path"
+            )
+        bids, blo, bhi = self.sparse_index._gather_blocks(
+            list(queries) + ["\0"] * (b_pad - len(queries))
+        )
+        return token_ids, bids, blo, bhi, snap
+
     def retrieve_batch_fused(self, queries: Sequence[str], k: int,
                              fusion: Optional[FusionStrategy] = None,
                              tag_filter=None) -> List[List[RetrievalResult]]:
@@ -737,24 +818,8 @@ class HybridRetriever:
         import jax.numpy as jnp
 
         emb = self.embedder
-        token_ids = emb.tokenizer.encode_batch(
-            [emb.config.query_prefix + q for q in queries]
-        )
-        b_pad = 1  # power-of-two batch bucket (see retrieve_batch)
-        while b_pad < len(queries):
-            b_pad *= 2
-        if b_pad != token_ids.shape[0]:
-            token_ids = np.pad(token_ids, ((0, b_pad - token_ids.shape[0]), (0, 0)))
-        self.sparse_index._refresh_snapshot()
-        snap = self.sparse_index._snap
-        if snap["blocks"] is None:
-            raise QueryError(
-                "fused path requires the block-table BM25 layout "
-                "(corpus rows must stay below 2**24); use the staged path"
-            )
-        bids, blo, bhi = self.sparse_index._gather_blocks(
-            list(queries) + ["\0"] * (b_pad - len(queries))
-        )
+        token_ids, bids, blo, bhi, snap = self._fused_preamble(queries)
+        b_pad = token_ids.shape[0]  # power-of-two batch bucket
         if self.vector_store.is_compact:
             return self._retrieve_batch_fused_compact(
                 queries, k, token_ids, bids, blo, bhi, snap, fusion,
@@ -835,6 +900,18 @@ class HybridRetriever:
         program's own encoder outputs and candidate returns, and ONLY
         those queries re-fuse on the host fusion oracle — certified
         queries never leave the device program."""
+        out, ctx = self._fused_compact_submit(
+            queries, k, token_ids, bids, blo, bhi, snap, fusion, tag_filter
+        )
+        return self._fused_compact_collect(out, ctx)
+
+    def _fused_compact_submit(self, queries, k, token_ids, bids, blo,
+                              bhi, snap, fusion, tag_filter):
+        """DEVICE half of the fused compact retrieval: one program
+        dispatch, no host sync. Returns (device outputs, ctx) for
+        :meth:`_fused_compact_collect` — the seam the pipelined serving
+        loop uses to overlap batch N's host patch with batch N+1's
+        device scan (r4 verdict #2)."""
         import jax
         import jax.numpy as jnp
 
@@ -869,6 +946,18 @@ class HybridRetriever:
             fusion_param=strategy.device_param,
             tile_n=store.config.scan_tile_n, interpret=interpret,
         )
+        return out, (list(queries), k, cand, strategy, interpret)
+
+    def _fused_compact_collect(self, out, ctx):
+        """HOST half of the fused compact retrieval: grouped result
+        fetch, staged exact patch for uncertified queries (reads the
+        real ``VectorStore._host``), host re-fusion of patched rows,
+        hydration. Touches no device state besides fetching ``out`` and
+        dispatching the bounded patch retry."""
+        import jax
+
+        queries, k, cand, strategy, interpret = ctx
+        store = self.vector_store
         (f_rows_d, f_scores_d, d_rows_d, d_scores_d, s_rows_d, s_scores_d,
          ok_d, cand_rows_d, thr_d, qvecs_d) = out
         b = len(queries)

@@ -85,17 +85,44 @@ class _Pending:
 
 
 class MicroBatcher:
-    """Coalesces concurrent single-query requests into device batches."""
+    """Coalesces concurrent single-query requests into device batches.
 
-    def __init__(self, retriever, max_batch: int = 32, max_wait_ms: float = 5.0) -> None:
+    ``pipeline_depth`` > 1 enables two-phase pipelining (r4 verdict
+    #2): the batch loop dispatches batch N+1's device program
+    (:meth:`HybridRetriever.retrieve_batch_submit`) while a collector
+    thread runs batch N's host side — result fetch, the staged exact
+    patch against ``VectorStore._host``, hydration. On the compact
+    tier the exact contract's host f64 work thereby hides behind the
+    next batch's device scan instead of serializing after it. Depth 1
+    (default) is the previous synchronous behavior; mutations quiesce
+    in-flight batches either way, so a patch never rescores rows a
+    concurrent ingest replaced."""
+
+    def __init__(self, retriever, max_batch: int = 32, max_wait_ms: float = 5.0,
+                 pipeline_depth: int = 1) -> None:
         self.retriever = retriever
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         # guards the retriever's lazy snapshot/device state against
-        # concurrent refresh from the worker and bulk-request threads
+        # concurrent refresh from the worker and bulk-request threads;
+        # the condition tracks pipelined batches in flight (collector
+        # side) so mutations can quiesce them
         self._retriever_lock = threading.Lock()
+        self._cond = threading.Condition(self._retriever_lock)
+        self._inflight = 0
+        self._draining = False
+        self._collect_q: "queue.Queue" = queue.Queue(
+            maxsize=max(1, self.pipeline_depth - 1)
+        )
+        self._collector = None
+        if self.pipeline_depth > 1:
+            self._collector = threading.Thread(
+                target=self._collect_loop, daemon=True
+            )
+            self._collector.start()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
         self.batches_served = 0
@@ -155,6 +182,28 @@ class MicroBatcher:
             if any(i.tag_filter is not None for i in batch):
                 filters = [i.tag_filter for i in batch]
             t_start = time.perf_counter()
+            if self.pipeline_depth > 1:
+                submitted = False
+                try:
+                    with self._cond:
+                        # a waiting mutation (draining) wins over new
+                        # pipelined submits; this batch takes the
+                        # synchronous path and queues behind it
+                        if not self._draining:
+                            retr = self.retriever
+                            handle = retr.retrieve_batch_submit(
+                                [i.query for i in batch], k,
+                                tag_filter=filters,
+                            )
+                            self._inflight += 1
+                            submitted = True
+                    if submitted:
+                        # blocks once `pipeline_depth - 1` batches await
+                        # collection — bounded device work in flight
+                        self._collect_q.put((batch, retr, handle, t_start))
+                        continue  # the collector finishes this batch
+                except Exception:
+                    pass  # submit failed: the synchronous path below retries
             try:
                 with self._retriever_lock:
                     all_results = self.retriever.retrieve_batch(
@@ -183,6 +232,57 @@ class MicroBatcher:
                     self.queries_served += len(batch)
                 for item in batch:
                     item.event.set()
+
+    def _collect_loop(self) -> None:
+        """Host side of the pipelined path: finish batch N (fetch +
+        exact patch + hydrate) while the batch loop dispatches N+1."""
+        import time
+
+        while True:
+            entry = self._collect_q.get()
+            if entry is None:
+                return
+            batch, retr, handle, t_start = entry
+            try:
+                all_results = retr.retrieve_batch_collect(handle)
+                for item, results in zip(batch, all_results):
+                    item.results = results[: item.k]
+            except Exception:
+                # same per-item salvage as the synchronous path: only
+                # the offending query errors
+                for item in batch:
+                    try:
+                        with self._retriever_lock:
+                            item.results = retr.retrieve_batch(
+                                [item.query], item.k,
+                                tag_filter=[item.tag_filter]
+                                if item.tag_filter is not None else None,
+                            )[0]
+                    except Exception as e:  # noqa: BLE001
+                        item.error = e
+            finally:
+                self._record_latency((time.perf_counter() - t_start) * 1e3)
+                with self._stats_lock:
+                    self.batches_served += 1
+                    self.queries_served += len(batch)
+                for item in batch:
+                    item.event.set()
+                with self._cond:
+                    self._inflight -= 1
+                    self._cond.notify_all()
+
+    def _quiesce_locked(self) -> None:
+        """Wait (holding the lock) until no pipelined batch is between
+        submit and collect — callers then observe a stable index. The
+        drain flag stops the batch loop from submitting new pipelined
+        work past a waiting mutation (those batches fall back to the
+        synchronous path and queue behind the lock)."""
+        self._draining = True
+        try:
+            while self._inflight:
+                self._cond.wait()
+        finally:
+            self._draining = False
 
     def retrieve_batch(self, queries: List[str], k: int,
                        tag_filter=None) -> List[List[RetrievalResult]]:
@@ -231,7 +331,8 @@ class MicroBatcher:
         the old retriever (the lock serializes), queued and future
         requests use the new one. Old index memory frees once its last
         batch completes."""
-        with self._retriever_lock:
+        with self._cond:
+            self._quiesce_locked()
             self.retriever = retriever
 
     def mutate(self, fn):
@@ -243,12 +344,16 @@ class MicroBatcher:
         half-applied host/device snapshot (the retriever's lazy device
         refresh is not thread-safe on its own). Returns ``fn``'s
         result. Keep ``fn`` small — it blocks the batch loop."""
-        with self._retriever_lock:
+        with self._cond:
+            self._quiesce_locked()
             return fn(self.retriever)
 
     def shutdown(self) -> None:
         self._stop.set()
         self._worker.join(timeout=2.0)
+        if self._collector is not None:
+            self._collect_q.put(None)
+            self._collector.join(timeout=2.0)
 
 
 
