@@ -39,6 +39,7 @@ figure transferable to a real TPU VM (PCIe fetches are ~us).
 
 from __future__ import annotations
 
+import faulthandler
 import gc
 import json
 import resource
@@ -47,8 +48,14 @@ import time
 
 import numpy as np
 
+# stall watchdog: if no progress note for 5 min, dump thread stacks to
+# stderr (same pattern as bench.py — diagnosable, not silent)
+faulthandler.dump_traceback_later(300, repeat=True, file=sys.stderr)
+
 
 def _note(msg: str) -> None:
+    faulthandler.cancel_dump_traceback_later()
+    faulthandler.dump_traceback_later(300, repeat=True, file=sys.stderr)
     print(f"[product {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
           flush=True)
 
@@ -93,7 +100,7 @@ def measure(rows: int = 20 * 524_288, dim: int = 384, doc_tokens: int = 16,
 
     _note(f"synthesizing corpus: {rows} docs x {doc_tokens} tokens")
     texts, word_arr = synth_corpus(rows, vocab, doc_tokens, seed)
-    embs = rng.standard_normal((rows, dim)).astype(np.float32)
+    embs = rng.standard_normal((rows, dim), dtype=np.float32)
     _note(f"corpus ready (rss {_rss_gb():.1f} GB)")
 
     emb = JaxEncoderEmbedder()  # MiniLM-L6-shaped, 384-d (random params)
@@ -108,6 +115,14 @@ def measure(rows: int = 20 * 524_288, dim: int = 384, doc_tokens: int = 16,
 
     # -- product ingest (host): Chunk objects -> native BM25 build +
     # -- registry + host fp32 matrix ------------------------------------
+    # Bulk-ingest GC hygiene: the corpus is tens of millions of live
+    # container objects; CPython's generational passes over them during
+    # the allocation-heavy ingest are pure overhead (nothing in this
+    # loop creates cycles). freeze() moves the pre-existing corpus out
+    # of the collector's view; collection is re-enabled after.
+    gc.collect()
+    gc.freeze()
+    gc.disable()
     t0 = time.perf_counter()
     for lo in range(0, rows, slab):
         m = min(slab, rows - lo)
@@ -121,6 +136,7 @@ def measure(rows: int = 20 * 524_288, dim: int = 384, doc_tokens: int = 16,
         retr.index_batch(chunks)
         _note(f"ingest {lo + m}/{rows} (rss {_rss_gb():.1f} GB)")
     ingest_s = time.perf_counter() - t0
+    gc.enable()
     out["ingest_s"] = round(ingest_s, 1)
     out["ingest_chunks_per_s"] = round(rows / ingest_s, 1)
     _note(f"ingest: {rows / ingest_s:,.0f} chunks/s")

@@ -140,42 +140,90 @@ def measure(n_chunks=1_000_000, dim=384, pool=1024, k=10, requests=1200,
     cap_qps = max_batch * reps / (time.perf_counter() - t0)
 
     batcher = MicroBatcher(retr, max_batch=max_batch, max_wait_ms=2.0)
-    lam = load * cap_qps  # offered load
+    # knee sweep first (fewer requests per point), then the headline
+    # load with the full request budget
+    sweep = []
+    for lv in (0.4, 0.75, 0.9):
+        pt = _run_load(batcher, cap_qps, lv, max(200, requests // 3), k,
+                       seed + int(lv * 100))
+        sweep.append({"load": lv, **pt})
+    head = _run_load(batcher, cap_qps, load, requests, k, seed)
+    batcher.shutdown()
+    return {
+        "served_qps": head["served_qps"],
+        "offered_qps": head["offered_qps"],
+        "capacity_qps": round(cap_qps, 1),
+        "p50_ms": head["p50_ms"],
+        "p95_ms": head["p95_ms"],
+        "p99_ms": head["p99_ms"],
+        "rtt_floor_ms": round(rtt_floor, 1),
+        "p50_ms_rtt_corrected": round(max(head["p50_ms"] - rtt_floor, 0.0), 1),
+        "drift_p99_ms": head["drift_p99_ms"],
+        "errors": head["errors"],
+        "batches": batcher.batches_served,
+        "load_sweep": sweep,
+    }
+
+
+def _run_load(batcher, cap_qps, load, requests, k, seed):
+    """Offered-load run with DEADLINE-BASED firing (r4 verdict #4).
+
+    The old generator slept `gap` then SPAWNED a thread per request —
+    at 1.7 ms inter-arrival on one core the spawn+sleep overhead
+    stretched the schedule, so "served < offered" measured the load
+    generator, not the server. Here the Poisson schedule is an
+    ABSOLUTE timeline fixed before the run; a pre-spawned worker pool
+    (each worker owns the i ≡ w mod W stripe of the schedule) sleeps
+    until each deadline and fires. `drift_*` reports how well the
+    generator held its own schedule — the evidence the offered rate
+    was real."""
+    import numpy as np
+
     rng = np.random.default_rng(seed)
-    gaps = rng.exponential(1.0 / lam, size=requests)
+    lam = load * cap_qps
+    sched = np.cumsum(rng.exponential(1.0 / lam, size=requests))
     lat = np.zeros(requests)
-    errs = [0]
+    drift = np.zeros(requests)
+    ok = np.zeros(requests, dtype=bool)
+    end_t = np.zeros(requests)
+    workers = int(min(256, max(32, lam)))
     done = threading.Semaphore(0)
+    t_start = time.perf_counter() + 0.1  # workers reach their 1st deadline
 
-    def fire(i):
-        t0 = time.perf_counter()
-        try:
-            batcher.query(f"pool query {i}", k=k, timeout=30.0)
-        except Exception:  # noqa: BLE001 — counted, not raised
-            errs[0] += 1
-        lat[i] = (time.perf_counter() - t0) * 1e3
-        done.release()
+    def worker(w):
+        for i in range(w, requests, workers):
+            target = t_start + sched[i]
+            now = time.perf_counter()
+            if target > now:
+                time.sleep(target - now)
+            fire_t = time.perf_counter()
+            drift[i] = (fire_t - target) * 1e3
+            try:
+                batcher.query(f"pool query {i}", k=k, timeout=30.0)
+                ok[i] = True
+            except Exception:  # noqa: BLE001 — counted, not raised
+                pass
+            end_t[i] = time.perf_counter()
+            lat[i] = (end_t[i] - fire_t) * 1e3
+            done.release()
 
-    t_start = time.perf_counter()
-    for i, g in enumerate(gaps):
-        time.sleep(float(g))
-        threading.Thread(target=fire, args=(i,), daemon=True).start()
+    threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+               for w in range(workers)]
+    for t in threads:
+        t.start()
     for _ in range(requests):
         done.acquire()
-    wall = time.perf_counter() - t_start
-    batcher.shutdown()
+    wall = float(end_t.max()) - t_start
     p50, p95, p99 = (float(np.percentile(lat, p)) for p in (50, 95, 99))
     return {
         "served_qps": round(requests / wall, 1),
         "offered_qps": round(lam, 1),
-        "capacity_qps": round(cap_qps, 1),
         "p50_ms": round(p50, 1),
         "p95_ms": round(p95, 1),
         "p99_ms": round(p99, 1),
-        "rtt_floor_ms": round(rtt_floor, 1),
-        "p50_ms_rtt_corrected": round(max(p50 - rtt_floor, 0.0), 1),
-        "errors": errs[0],
-        "batches": batcher.batches_served,
+        "drift_p50_ms": round(float(np.percentile(drift, 50)), 2),
+        "drift_p99_ms": round(float(np.percentile(drift, 99)), 2),
+        "errors": int((~ok).sum()),
     }
 
 
