@@ -292,3 +292,91 @@ def test_kquant_nemotron_load(tmp_path):
     assert _tensor_nbytes(12, 256) == 144
     assert _tensor_nbytes(13, 256) == 176
     assert _tensor_nbytes(15, 256) == 292
+
+
+# -- device-side k-quant dequant (r5: layer-streamed quantized serving) ------
+
+
+@pytest.mark.parametrize("kind,ggml_type", [("q4_k", 12), ("q6_k", 14)])
+def test_device_kquant_dequant_matches_host_decoder(kind, ggml_type):
+    """gguf_device's XLA bit-unpack must decode the SAME bytes to the
+    same values as the host decoder (the scalar-oracle-pinned numpy
+    path) — the invariant that makes on-chip dequant trustworthy."""
+    import numpy as np
+
+    from trueno_rag_tpu.models import gguf, gguf_device
+
+    rng = np.random.default_rng(3)
+    values = rng.standard_normal(8 * 256).astype(np.float32)
+    raw = gguf_device.quantize_kquant_host(values, kind)
+    host = gguf._dequantize_kquant(raw.reshape(-1), ggml_type, values.size)
+    import jax.numpy as jnp
+
+    dev = gguf_device._DEQUANT[kind](jnp.asarray(raw), dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(dev).reshape(-1), host, rtol=1e-6, atol=1e-7
+    )
+
+
+@pytest.mark.parametrize("kind", ["q4_k", "q6_k"])
+def test_kquant_host_encoder_roundtrip_error_bounded(kind):
+    """The bench/test encoder must produce blocks whose decode is close
+    to the original values (simple affine fit: looser than ggml's
+    search, but the quantization error must still be small relative to
+    the value scale)."""
+    import numpy as np
+
+    from trueno_rag_tpu.models import gguf, gguf_device
+
+    rng = np.random.default_rng(11)
+    values = (rng.standard_normal(4 * 256) * 0.05).astype(np.float32)
+    raw = gguf_device.quantize_kquant_host(values, kind)
+    ggml_type = 12 if kind == "q4_k" else 14
+    back = gguf._dequantize_kquant(raw.reshape(-1), ggml_type, values.size)
+    scale = np.abs(values).max()
+    tol = scale * (0.12 if kind == "q4_k" else 0.04)
+    assert np.abs(back - values).max() <= tol
+
+
+def test_quantized_nemotron_forward_matches_dequantized_weights():
+    """nemotron_forward_quantized (dequant inside the layer scan) must
+    equal nemotron_forward run on the host-dequantized copies of the
+    SAME quantized blocks — the layer streaming changes memory layout,
+    not math."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from trueno_rag_tpu.models import gguf, gguf_device
+    from trueno_rag_tpu.models.nemotron import (
+        NemotronConfig,
+        init_nemotron_params,
+        nemotron_forward,
+    )
+
+    cfg = NemotronConfig.tiny()
+    params = init_nemotron_params(jax.random.PRNGKey(0), cfg)
+    params = {k: np.asarray(v) for k, v in params.items()}
+    qp = gguf_device.quantize_nemotron_params(params)
+    # host-dequantize the same blocks back into stacked f32 params
+    deq = dict(params)
+    for name, (shape, kind) in qp["shapes"].items():
+        ggml_type = 12 if kind == "q4_k" else 14
+        L = np.asarray(qp[name]).shape[0]
+        deq[name] = np.stack([
+            gguf._dequantize_kquant(
+                np.asarray(qp[name][i]).reshape(-1), ggml_type,
+                int(np.prod(shape)),
+            ).reshape(shape).astype(np.float32)
+            for i in range(L)
+        ])
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 3, cfg.vocab_size)
+    want = np.asarray(nemotron_forward(
+        {k: jnp.asarray(v) for k, v in deq.items()}, ids, cfg))
+    got = np.asarray(gguf_device.nemotron_forward_quantized(qp, ids, cfg))
+    # identical weights; bf16 compute — differences only from the
+    # dequant arithmetic running in-graph vs on host
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+    cos = (got * want).sum(axis=1)
+    assert (cos > 0.999).all()
