@@ -580,3 +580,81 @@ def test_v2_bound_pass_parity_with_v1():
     assert s1[0, 7] == 0.0 and s2[0, 7] == 0.0 and s3[0, 7] == 0.0
     np.testing.assert_allclose(s2[fin], s1[fin], atol=2e-6, rtol=1e-6)
     np.testing.assert_allclose(s3[fin], s1[fin], atol=2e-6, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# int8 PRIMARY storage (r5 capacity tier: no float corpus anywhere)
+# ---------------------------------------------------------------------------
+
+
+def _store8_pack(tokens, t_mask):
+    from trueno_rag_tpu.ops.maxsim import prepare_maxsim_int8
+
+    td = jnp.asarray(np.asarray(tokens, np.float32))
+    tok8, s_tok, _e, n_max = prepare_maxsim_int8(td, jnp.asarray(t_mask))
+    a = np.asarray(tok8, np.float32) * np.asarray(s_tok)[:, :, None]
+    return tok8, s_tok, n_max, a
+
+
+@pytest.mark.parametrize("n,lt,h,b,lq,k,rescore", [
+    (400, 6, 32, 4, 5, 8, 128),
+    (150, 4, 16, 3, 3, 5, 64),
+    (50, 3, 8, 2, 2, 10, 64),
+])
+def test_int8_store_certified_matches_dequantized_oracle(n, lt, h, b, lq, k, rescore):
+    """Exactness contract of the capacity tier: certified results equal
+    the full-scan oracle over the DEQUANTIZED stored tokens (the only
+    values that exist — there is no float primary)."""
+    from trueno_rag_tpu.ops.maxsim import maxsim_topk_int8_store
+
+    tokens, t_mask, q, q_mask, valid = build(n, lt, h, b, lq, seed=n + 7)
+    tok8, s_tok, n_max, a = _store8_pack(tokens, t_mask)
+    s_t, r_t, cert = maxsim_topk_int8_store(
+        *to_dev(q, q_mask), tok8, s_tok, jnp.asarray(t_mask), n_max,
+        jnp.asarray(valid), k, rescore, interpret=True,
+    )
+    s_o, r_o = maxsim_scan_oracle(q, q_mask, a, t_mask, valid, k)
+    cert = np.asarray(cert)
+    assert cert.any(), "query-side-only interval: must certify random gaps"
+    for i in np.flatnonzero(cert):
+        np.testing.assert_array_equal(np.asarray(r_t)[i], r_o[i])
+        finite = np.isfinite(s_o[i])
+        np.testing.assert_allclose(
+            np.asarray(s_t)[i][finite], s_o[i][finite], atol=1e-5, rtol=1e-5
+        )
+
+
+def test_int8_store_duplicates_fail_closed_or_exact():
+    from trueno_rag_tpu.ops.maxsim import maxsim_topk_int8_store
+
+    tokens, t_mask, q, q_mask, valid = build(120, 4, 16, 3, 3, seed=3)
+    tokens[40:60] = tokens[0]  # 20 exact duplicates of chunk 0
+    t_mask[40:60] = t_mask[0]
+    tok8, s_tok, n_max, a = _store8_pack(tokens, t_mask)
+    s_t, r_t, cert = maxsim_topk_int8_store(
+        *to_dev(q, q_mask), tok8, s_tok, jnp.asarray(t_mask), n_max,
+        jnp.asarray(valid), 8, 64, interpret=True,
+    )
+    s_o, r_o = maxsim_scan_oracle(q, q_mask, a, t_mask, valid, 8)
+    for i in np.flatnonzero(np.asarray(cert)):
+        np.testing.assert_array_equal(np.asarray(r_t)[i], r_o[i])
+
+
+def test_int8_store_certificate_fail_closed_property():
+    """Sweep seeds; every certified query must equal the dequantized
+    oracle — the properties suite's contract for the storage tier."""
+    from trueno_rag_tpu.ops.maxsim import maxsim_topk_int8_store
+
+    checked = 0
+    for seed in range(6):
+        tokens, t_mask, q, q_mask, valid = build(90, 3, 16, 2, 3, seed=seed)
+        tok8, s_tok, n_max, a = _store8_pack(tokens, t_mask)
+        s_t, r_t, cert = maxsim_topk_int8_store(
+            *to_dev(q, q_mask), tok8, s_tok, jnp.asarray(t_mask), n_max,
+            jnp.asarray(valid), 6, 32, interpret=True,
+        )
+        s_o, r_o = maxsim_scan_oracle(q, q_mask, a, t_mask, valid, 6)
+        for i in np.flatnonzero(np.asarray(cert)):
+            np.testing.assert_array_equal(np.asarray(r_t)[i], r_o[i])
+            checked += 1
+    assert checked >= 4

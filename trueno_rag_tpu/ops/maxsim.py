@@ -541,9 +541,21 @@ def _select_rescore_threshold(
         threshold = jnp.where(complete, NEG_INF, threshold)
 
     # -- exact rescore of the gathered token slabs ---------------------
+    # `tokens` may be the float primary OR an (tok8, s_tok) pair when
+    # int8 IS the primary storage (the capacity tier): gather the raw
+    # int8 rows + scales and dequantize only the [B, C] candidate
+    # slabs — the f32 view of the corpus never materializes
     safe = jnp.maximum(cand, 0)
-    tok_c = jnp.take(tokens, safe.reshape(-1), axis=0)
-    tok_c = tok_c.reshape(b, c_n, *tokens.shape[1:])
+    if isinstance(tokens, tuple):
+        t8, st = tokens
+        tok_c = jnp.take(t8, safe.reshape(-1), axis=0).astype(jnp.float32)
+        s_c = jnp.take(st, safe.reshape(-1), axis=0)
+        tok_c = (tok_c * s_c[:, :, None]).reshape(
+            b, c_n, t8.shape[1], t8.shape[2]
+        )
+    else:
+        tok_c = jnp.take(tokens, safe.reshape(-1), axis=0)
+        tok_c = tok_c.reshape(b, c_n, *tokens.shape[1:])
     tm_c = jnp.take(t_mask, safe.reshape(-1), axis=0).reshape(b, c_n, t_mask.shape[1])
     s = maxsim_pair_scores(q_tok, q_mask, tok_c, tm_c)  # [B, C]
     s = jnp.where(cand >= 0, s, NEG_INF)
@@ -1238,6 +1250,69 @@ def maxsim_topk_int8_fused(
     u = s8 + w_bc
     return _select_rescore_certify(
         qv, q_mask, tokens, t_mask, u, k, min(rescore, n), select
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "rescore", "tile_n", "interpret", "select"),
+)
+def maxsim_topk_int8_store(
+    q_tok: jax.Array,  # [B, Lq, H] f32
+    q_mask: jax.Array,  # [B, Lq] bool
+    tok8: jax.Array,  # [N, Lt, H] int8 — THE storage (no float primary)
+    s_tok: jax.Array,  # [N, Lt] f32 per-token scales
+    t_mask: jax.Array,  # [N, Lt] bool
+    n_max: jax.Array,  # [N] f32 — widened max dequantized token norm
+    valid: jax.Array,  # [N] bool
+    k: int,
+    rescore: int = 1024,
+    tile_n: int = 0,
+    interpret: bool = False,
+    select: str = "auto",
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Certified MaxSim over int8 PRIMARY storage →
+    ``(scores [B,k], rows [B,k], certified [B] bool)`` — the capacity
+    tier (r4 verdict #5). Exactness is defined over the DEQUANTIZED
+    stored tokens ``a_j = s_j·tok8_j`` (the same storage-tier contract
+    as the dense ``storage_dtype="bfloat16"`` store: quantization
+    happens at ingest, retrieval is exact over what is stored), so the
+    ONLY corpus-scale array in HBM is the 1 B/element pack + scales —
+    2M×32×128 fits in ~8.5 GB where the bf16-primary zero-copy tier
+    (16.4 GB) cannot.
+
+    Bound structure = :func:`maxsim_topk_int8_fused` with the
+    token-residual term dropped (``e_max ≡ 0``: storage IS the int8
+    values): the scan's int32 q8·tok8 dot is exact, so the interval
+    covers only the QUERY quantization (``v_q`` per token, summed) and
+    the budgeted f32 rounding of both programs. Candidate rescore
+    gathers the raw int8 rows and dequantizes just the ``[B, C]``
+    slabs (``_select_rescore_threshold``'s tuple-primary mode)."""
+    if rescore < k:
+        from trueno_rag_tpu.errors import InvalidConfigError
+
+        raise InvalidConfigError(f"rescore={rescore} must be >= k={k}")
+    from trueno_rag_tpu.ops.dense_tiered import _int8_query_bounds
+    from trueno_rag_tpu.ops.pallas.maxsim_scan import maxsim_scan_int8_scores
+
+    b, lq, h = q_tok.shape
+    n = tok8.shape[0]
+    qv, qn_w = _widened_query_norms(q_tok, q_mask)
+    q8, t_q, u_q, v_q = _int8_query_bounds(qv.reshape(b * lq, h))
+    qm_f = q_mask.reshape(b * lq)
+    vsum = jnp.sum(jnp.where(qm_f, v_q, 0.0).reshape(b, lq), axis=1)
+    qsum_w = jnp.sum(jnp.where(q_mask, qn_w, 0.0), axis=1)
+    k_round = _tier_rounding_coeff(lq, h)
+    s8 = maxsim_scan_int8_scores(
+        q8.reshape(b, lq, h), t_q.reshape(b, lq), tok8, s_tok, t_mask,
+        valid, tile_n=tile_n, interpret=interpret,
+    )
+    w_bc = (
+        (vsum + k_round * qsum_w)[:, None] * n_max[None, :]
+    ) * jnp.float32(_BOUND_SLACK) + jnp.float32(_BOUND_EPS)
+    u = s8 + w_bc
+    return _select_rescore_certify(
+        qv, q_mask, (tok8, s_tok), t_mask, u, k, min(rescore, n), select
     )
 
 
