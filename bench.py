@@ -1360,8 +1360,12 @@ def main():
         out = measure(q_iters=24)
         for name, label in (("fused_b256", "hybrid_qps_10.5m_product"),
                             ("fused_b1024", "hybrid_qps_10.5m_product_b1024"),
-                            ("staged_b256", "hybrid_qps_10.5m_product_staged")):
-            r = out.pop(name)
+                            ("staged_b256", "hybrid_qps_10.5m_product_staged"),
+                            ("pipelined_b256", "hybrid_qps_10.5m_product_pipelined")):
+            r = out.pop(name, None) or {}
+            if "qps" not in r:  # phase failed: record, don't lose the rest
+                rows.append({"metric": label, **r})
+                continue
             qps = r.pop("qps")
             corr = r["ms_per_batch"] - out.get("rtt_floor_ms", 0.0)
             # the dispatch RTT a PCIe deployment would not pay; result
@@ -1369,6 +1373,12 @@ def main():
             r["qps_rtt_corrected"] = round(
                 (256 if name != "fused_b1024" else 1024) / (corr / 1e3), 1)
             add_row(label, "queries/s", qps, extra=r)
+        srv = out.pop("serve_exact", None)
+        if srv and "error" not in srv:
+            add_row("serve_qps_10.5m_exact", "queries/s",
+                    srv.pop("served_qps"), extra=srv)
+        elif srv:
+            rows.append({"metric": "serve_qps_10.5m_exact", **srv})
         add_row("product_ingest_10.5m", "chunks/s",
                 out.pop("ingest_chunks_per_s"), extra=out)
 

@@ -144,7 +144,13 @@ def measure(rows: int = 20 * 524_288, dim: int = 384, doc_tokens: int = 16,
     # -- device build: BM25 snapshot/pack + streamed bf16r replicas ----
     t0 = time.perf_counter()
     retr.ensure_ready()
-    jax.block_until_ready(retr.vector_store._tier)
+    # block_until_ready returns before remote execution completes on
+    # this tunnel (CLAUDE.md); a dependent scalar FETCH of every tier
+    # array is the only sync that proves the streamed upload drained —
+    # without it the build time under-reports by the in-flight minutes
+    # and the next phase silently absorbs them
+    for a in retr.vector_store._tier:
+        float(jnp.sum(a[:4].astype(jnp.float32)))
     device_build_s = time.perf_counter() - t0
     replica_gb = sum(
         a.size * a.dtype.itemsize for a in retr.vector_store._tier
@@ -204,17 +210,91 @@ def measure(rows: int = 20 * 524_288, dim: int = 384, doc_tokens: int = 16,
             "gemm_patched": store.compact_gemm_patched - g0,
         }
 
-    r256 = run(256, q_iters, "fused B=256")
-    _note(f"fused B=256: {r256}")
-    r1024 = run(1024, max(6, q_iters // 3), "fused B=1024")
-    _note(f"fused B=1024: {r1024}")
-    retr.config.fused = False  # staged comparison: scan + BM25 + fusion
-    r256s = run(256, max(8, q_iters // 2), "staged B=256")
-    _note(f"staged B=256: {r256s}")
-    retr.config.fused = True
-    out["fused_b256"] = r256
-    out["fused_b1024"] = r1024
-    out["staged_b256"] = r256s
+    def guarded(key, fn):
+        # one stuck phase (a 20-min remote compile happens — measured)
+        # must not lose every other number of a 40-minute build
+        try:
+            out[key] = fn()
+            _note(f"{key}: {out[key]}")
+        except Exception as e:  # noqa: BLE001
+            out[key] = {"error": repr(e)}
+            _note(f"{key} FAILED: {e!r}")
+
+    guarded("fused_b256", lambda: run(256, q_iters, "fused B=256"))
+    guarded("fused_b1024",
+            lambda: run(1024, max(6, q_iters // 3), "fused B=1024"))
+
+    def _staged():
+        retr.config.fused = False  # staged comparison
+        try:
+            return run(256, max(8, q_iters // 2), "staged B=256")
+        finally:
+            retr.config.fused = True
+
+    guarded("staged_b256", _staged)
+
+    # -- pipelined exact serving (r4 verdict #2): the submit/collect
+    # -- seam, 2 deep — batch N's host side (fetch + staged patch +
+    # -- hydration) overlaps batch N+1's device scan ----------------------
+    def run_pipelined(b, iters, label):
+        sets = [make_queries(b, 200 + s) for s in range(4)]
+        u0 = store.compact_uncertified
+        g0 = store.compact_gemm_patched
+        h = retr.retrieve_batch_submit(sets[0], k)
+        res = retr.retrieve_batch_collect(h)  # compile + warm
+        t0 = time.perf_counter()
+        h_prev = retr.retrieve_batch_submit(sets[0], k)
+        done = 0
+        for it in range(1, iters):
+            h_next = retr.retrieve_batch_submit(sets[it % len(sets)], k)
+            res = retr.retrieve_batch_collect(h_prev)
+            done += len(res)
+            h_prev = h_next
+        done += len(retr.retrieve_batch_collect(h_prev))
+        wall = time.perf_counter() - t0
+        return {
+            "ms_per_batch": round(wall / iters * 1e3, 1),
+            "qps": round(done / wall, 1),
+            "uncertified": store.compact_uncertified - u0,
+            "gemm_patched": store.compact_gemm_patched - g0,
+        }
+
+    guarded("pipelined_b256",
+            lambda: run_pipelined(256, q_iters, "pipelined B=256"))
+
+    # -- served percentiles under offered load through the REAL
+    # -- MicroBatcher (pipeline_depth=2) ---------------------------------
+    try:
+        from benches.serve_chip_bench import _run_load
+
+        from trueno_rag_tpu.serve import MicroBatcher
+
+        class _Q:  # map "pool query i" -> a real query string
+            def __init__(self, r):
+                self._r = r
+
+            def retrieve_batch(self, queries, k, tag_filter=None):
+                qs = [qpool[int(q.split()[-1]) % len(qpool)] for q in queries]
+                return self._r.retrieve_batch(qs, k)
+
+            def retrieve_batch_submit(self, queries, k, tag_filter=None):
+                qs = [qpool[int(q.split()[-1]) % len(qpool)] for q in queries]
+                return self._r.retrieve_batch_submit(qs, k)
+
+            def retrieve_batch_collect(self, handle):
+                return self._r.retrieve_batch_collect(handle)
+
+        qpool = make_queries(1024, 999)
+        rp = out.get("pipelined_b256") or {}
+        cap = rp.get("qps") or (out.get("fused_b256") or {}).get("qps") or 500.0
+        batcher = MicroBatcher(_Q(retr), max_batch=64, max_wait_ms=5.0,
+                               pipeline_depth=2)
+        srv = _run_load(batcher, cap, 0.6, 500, k, seed=11)
+        batcher.shutdown()
+        out["serve_exact"] = srv
+        _note(f"serve exact: {srv}")
+    except Exception as e:  # noqa: BLE001 — the other rows still count
+        out["serve_exact"] = {"error": repr(e)}
     out["final_rss_gb"] = round(_rss_gb(), 1)
 
     # free the device + host state for whatever runs after us
