@@ -497,3 +497,118 @@ def test_clustered_containment_threshold_covers_pruned_tiles():
         worst = true[b, mask].max()
         assert worst <= thr[b] + 1e-12, (
             f"q{b}: pruned/non-candidate row scores {worst} > thr {thr[b]}")
+
+
+# -- bf16rr: the two-level-residual certification-ceiling layout (r5) -------
+
+
+def test_prepare_residual2_consistent_and_sound():
+    """Level-1 outputs must equal prepare_residual's exactly (one store
+    can serve either layout from one prep), and e3_l2 must dominate the
+    true two-level reconstruction error while sitting far below e2_l2."""
+    from trueno_rag_tpu.ops.dense_tiered import (
+        prepare_residual,
+        prepare_residual2,
+        prepare_tiered,
+    )
+
+    rng = np.random.default_rng(5)
+    m = rng.standard_normal((600, 384)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    m = jnp.asarray(m)
+    r1a, s1a, e2a = (np.asarray(x) for x in prepare_residual(m))
+    r1, s1, e2, r2, s2, e3 = (np.asarray(x) for x in prepare_residual2(m))
+    # level 1 agrees with prepare_residual up to XLA fusion ulps (the
+    # two preps are different graphs; a store uses ONE of them, so
+    # bit-equality across functions is not a contract)
+    assert (r1 != r1a).mean() < 0.01
+    np.testing.assert_allclose(s1, s1a, rtol=1e-6)
+    np.testing.assert_allclose(e2, e2a, rtol=1e-4, atol=1e-9)
+    mb = np.asarray(prepare_tiered(m)[0]).astype(np.float32)
+    e_true = np.asarray(m, np.float64) - mb
+    rec = (s1[:, None] * r1.astype(np.float64)
+           + s2[:, None] * r2.astype(np.float64))
+    resid = np.linalg.norm(e_true - rec, axis=1)
+    # e3_l2 (f32, widened at pack time) must dominate the f64-true
+    # remainder up to f32 evaluation noise
+    assert (resid <= e3 * 1.0001 + 1e-9).all()
+    assert np.median(e3) < np.median(e2) / 20  # the whole point
+
+
+def test_compact_bf16rr_resolves_gaps_bf16r_cannot():
+    """Plant rank-boundary gaps of 6e-6 — inside bf16r's ~2.2e-5
+    rescore interval (must fail closed) but above bf16rr's ~1.5e-6
+    (must certify), with certified sets matching the fp32 oracle."""
+    from trueno_rag_tpu.ops.dense_tiered import (
+        dense_topk_compact_bf16r,
+        dense_topk_compact_bf16rr,
+        prepare_residual2,
+        prepare_tiered,
+    )
+
+    rng = np.random.default_rng(31)
+    n, d, bq, k = 8192, 384, 4, 8
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    q = rng.standard_normal((bq, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    gap = 6e-6
+    used = set()
+    for b in range(bq):
+        for i in range(k + 4):
+            row = (31 + b * 97 + i * 661) % n
+            assert row not in used
+            used.add(row)
+            target = 0.9 - gap * i
+            u = rng.standard_normal(d).astype(np.float32)
+            u -= (u @ q[b]) * q[b]
+            u /= np.linalg.norm(u)
+            m[row] = target * q[b] + np.sqrt(1.0 - target * target) * u
+    # NO re-normalization pass here: f32 normalize perturbs the planted
+    # cosines by ~1e-7 each, which at a 6e-6 gap budget is fine — but
+    # the rows are unit up to 1e-7 already
+    mj, qj = jnp.asarray(m), jnp.asarray(q)
+    valid = jnp.ones(n, bool)
+    pack1 = prepare_tiered(mj)
+    packr = prepare_residual2(mj)
+    _, _, ok_r = dense_topk_compact_bf16r(
+        qj, *(pack1 + packr[:3]), valid, k, tile_n=1024, interpret=True,
+    )
+    s2_, r2_, ok_rr = dense_topk_compact_bf16rr(
+        qj, *(pack1 + packr), valid, k, tile_n=1024, interpret=True,
+    )
+    assert not bool(np.asarray(ok_r).any()), "bf16r interval cannot resolve 6e-6"
+    assert bool(np.asarray(ok_rr).all()), "bf16rr interval must resolve 6e-6"
+    _, r_x = dense_topk(qj, mj, valid, k, "cosine")
+    for b in range(bq):
+        assert set(np.asarray(r2_)[b].tolist()) == set(np.asarray(r_x)[b].tolist())
+
+
+def test_compact_bf16rr_random_matches_oracle_fail_closed():
+    """Random corpora: every certified bf16rr query's set equals the
+    fp32 oracle; the uncertified are flagged, never wrong-certified."""
+    from trueno_rag_tpu.ops.dense_tiered import (
+        dense_topk_compact_bf16rr,
+        prepare_residual2,
+        prepare_tiered,
+    )
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        # >= k/t_top selection units: the per-tile candidate pool must
+        # be able to hold a top-k at all (3 tiles x t_top=4 cannot
+        # certify k=10 — structural, layout-independent)
+        n, d, bq, k = 8192, 384, 4, 8
+        m = rng.standard_normal((n, d)).astype(np.float32)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        q = rng.standard_normal((bq, d)).astype(np.float32)
+        mj, qj = jnp.asarray(m), jnp.asarray(q)
+        valid = jnp.ones(n, bool)
+        s, r, ok = dense_topk_compact_bf16rr(
+            qj, *(prepare_tiered(mj) + prepare_residual2(mj)), valid, k,
+            tile_n=1024, interpret=True,
+        )
+        assert np.asarray(ok).any()
+        _, r_x = dense_topk(qj, mj, valid, k, "cosine")
+        for b in np.flatnonzero(np.asarray(ok)):
+            assert set(np.asarray(r)[b].tolist()) == set(np.asarray(r_x)[b].tolist())
