@@ -147,7 +147,7 @@ def test_auto_tier_engages_past_row_threshold():
 # -- compact tier (no fp32 device matrix) -----------------------------------
 
 
-@pytest.mark.parametrize("layout", ["bf16r", "bf16", "int8"])
+@pytest.mark.parametrize("layout", ["bf16r", "bf16rr", "bf16", "int8"])
 def test_compact_store_matches_fp32_rows_exactly(layout):
     """Compact stores keep no fp32 matrix in device memory; returned
     ROWS must still match the fp32 store exactly (certified set proof,
@@ -180,7 +180,7 @@ def test_compact_store_device_matrix_raises():
         _ = store.device_matrix
 
 
-@pytest.mark.parametrize("layout", ["bf16r", "bf16", "int8"])
+@pytest.mark.parametrize("layout", ["bf16r", "bf16rr", "bf16", "int8"])
 def test_compact_incremental_updates_track_fresh_prepare(layout):
     import jax.numpy as jnp
 

@@ -124,6 +124,12 @@ class VectorStoreConfig:
     #   correction — 3 B/element (11.5 GB at 10M×384), certificate
     #   interval ~2e-5; certifies the large majority even of random
     #   corpora at 1M (dense_topk_compact_bf16r).
+    # - "bf16rr": bf16 copy + TWO int8 residual levels — 4 B/element
+    #   (r5): the rescore interval collapses to ~1.5e-6 (vs bf16r's
+    #   ~2e-5), the ceiling short of f64. For corpora ≤ ~8M×384 rows
+    #   per chip (16.1 GB at 10.5M does NOT fit one v5e) or sharded
+    #   meshes; near-tie-dense corpora certify on-device where bf16r
+    #   rides the host patch (dense_topk_compact_bf16rr).
     # - "bf16": ONE bf16 array — 2 B/element (7.7 GB at 10M×384),
     #   interval ~1.7e-3; certifies only well-separated corpora
     #   (dense_topk_compact_bf16). The minimum-memory option.
@@ -256,7 +262,7 @@ class VectorStoreConfig:
             raise InvalidConfigError("compact_prep_rows must be >= 1024")
         if self.compact_build not in ("auto", "device", "host"):
             raise InvalidConfigError(f"unknown compact_build {self.compact_build!r}")
-        if self.compact_scan not in ("bf16r", "bf16", "int8"):
+        if self.compact_scan not in ("bf16r", "bf16rr", "bf16", "int8"):
             raise InvalidConfigError(f"unknown compact_scan {self.compact_scan!r}")
         if self.scan_tile_n <= 0 or self.scan_tile_n % 128 != 0:
             raise InvalidConfigError("scan_tile_n must be a positive multiple of 128")
@@ -517,6 +523,8 @@ class VectorStore:
             parts = dt.prepare_tiered(m)
             if self.config.compact_scan == "bf16r":
                 parts = parts + dt.prepare_residual(m)
+            elif self.config.compact_scan == "bf16rr":
+                parts = parts + dt.prepare_residual2(m)
             elif self.config.compact_scan == "int8":
                 parts = parts + dt.prepare_int8(m)
             return parts
@@ -1001,6 +1009,7 @@ class VectorStore:
             if self._effective_tier() == "compact":
                 compact = {
                     "bf16r": dt.dense_topk_compact_bf16r,
+                    "bf16rr": dt.dense_topk_compact_bf16rr,
                     "bf16": dt.dense_topk_compact_bf16,
                     "int8": dt.dense_topk_compact,
                 }[self.config.compact_scan]
@@ -1180,8 +1189,10 @@ class VectorStore:
         )
         bound = None
         cand_full = thr_full = None
-        if self.config.compact_scan == "bf16r":
-            out2 = dt.dense_topk_compact_bf16r(
+        if self.config.compact_scan in ("bf16r", "bf16rr"):
+            rr = self.config.compact_scan == "bf16rr"
+            fn = dt.dense_topk_compact_bf16rr if rr else dt.dense_topk_compact_bf16r
+            out2 = fn(
                 jnp.asarray(q_bad), *self._tier, self._device_valid, k,
                 return_bounds=True, return_candidates=return_candidates,
                 **kwargs,
@@ -1265,7 +1276,7 @@ class VectorStore:
             q_np, scores, rows, ok_np, k, cand, thr,
             tag_masks=tag_masks, resolve_rest=False)
         if (len(unresolved) and containment_retry
-                and self.config.compact_scan == "bf16r"):
+                and self.config.compact_scan in ("bf16r", "bf16rr")):
             nok = np.ones_like(ok_np)
             nok[unresolved] = False
             scores, rows, nok2, cand2, thr2 = self._compact_device_retry(
