@@ -193,7 +193,8 @@ def test_compact_incremental_updates_track_fresh_prepare(layout):
     store.insert_many(chunks)
     store._refresh_device()
     assert store._tier is not None
-    assert len(store._tier) == {"bf16": 3, "bf16r": 6, "int8": 7}[layout]
+    assert len(store._tier) == {"bf16": 3, "bf16r": 6, "bf16rr": 9,
+                                "int8": 7}[layout]
     for i in (5, 17, 100):
         store.insert(mk_chunk(i, dim, rng))
     store.remove("c42")
@@ -204,6 +205,8 @@ def test_compact_incremental_updates_track_fresh_prepare(layout):
     fresh = dt.prepare_tiered(host)
     if layout == "bf16r":
         fresh = fresh + dt.prepare_residual(host)
+    elif layout == "bf16rr":
+        fresh = fresh + dt.prepare_residual2(host)
     elif layout == "int8":
         fresh = fresh + dt.prepare_int8(host)
     for got, want in zip(store._tier, fresh):
