@@ -1,7 +1,9 @@
 """Benchmark: hybrid (dense + BM25 + fusion) query throughput on TPU.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints cumulative JSON snapshot lines (marked "partial": true) after
+each row so a harness timeout can never lose every finished row; the
+LAST line is the complete result:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "rows": [...]}
 
 Workload: the BASELINE.json `hybrid_search` config at production scale —
 a 100k-chunk corpus (384-d dense matrix resident in HBM + synthetic BM25
@@ -1268,6 +1270,13 @@ def main():
         "unit": "queries/s", "vs_baseline": round(qps / MEASURED_REF_QPS, 1),
         **qps_spread,
     }]
+
+    def _snapshot():
+        # cumulative JSON after every row: if the driver's timeout
+        # kills a later stage, the LAST complete stdout line still
+        # carries every finished row (the driver records the tail)
+        print(json.dumps({**result, "rows": rows, "partial": True}),
+              flush=True)
     try:
         build = bench_index_build()
         result["index_build_chunks_per_s"] = round(build, 1)
@@ -1305,6 +1314,7 @@ def main():
         entry["bench_seconds"] = round(time.perf_counter() - t0, 1)
         print(f"[bench] {metric}: {entry}", file=sys.stderr, flush=True)
         rows.append(entry)
+        _snapshot()
 
     it = 3 if on_cpu else None  # low iters off-chip
     row("tri_hybrid_qps_100k", "queries/s",
@@ -1335,6 +1345,7 @@ def main():
             entry.update(extra)
         print(f"[bench] {metric}: {entry}", file=sys.stderr, flush=True)
         rows.append(entry)
+        _snapshot()
 
     if on_cpu:
         rows.append({"metric": "hybrid_qps_10.5m_exact",
