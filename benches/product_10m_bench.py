@@ -285,11 +285,45 @@ def measure(rows: int = 20 * 524_288, dim: int = 384, doc_tokens: int = 16,
                 return self._r.retrieve_batch_collect(handle)
 
         qpool = make_queries(1024, 999)
-        rp = out.get("pipelined_b256") or {}
-        cap = rp.get("qps") or (out.get("fused_b256") or {}).get("qps") or 500.0
-        batcher = MicroBatcher(_Q(retr), max_batch=64, max_wait_ms=5.0,
+        qb = _Q(retr)
+        # prewarm every power-of-two batch bucket BEFORE load: each
+        # fused-compact compile is 40-90 s on this backend and a cold
+        # bucket under load stalls the whole queue behind it (measured:
+        # p50 ~20 s, served 24/s — the run-3 lesson)
+        bs = 1
+        while bs <= 128:
+            _note(f"serve prewarm: bucket {bs}")
+            qb.retrieve_batch([f"pool query {i}" for i in range(bs)], k)
+            bs *= 2
+        batcher = MicroBatcher(qb, max_batch=128, max_wait_ms=5.0,
                                pipeline_depth=2)
-        srv = _run_load(batcher, cap, 0.6, 500, k, seed=11)
+        # closed-loop capacity through the REAL batcher (96 concurrent
+        # requesters, no schedule), then offer 0.6x of it
+        import threading as _th
+
+        n_cap = 1200
+        ctr = [0]
+        lk = _th.Lock()
+
+        def _worker():
+            while True:
+                with lk:
+                    i = ctr[0]
+                    if i >= n_cap:
+                        return
+                    ctr[0] += 1
+                batcher.query(f"pool query {i}", k=k, timeout=60.0)
+
+        ths = [_th.Thread(target=_worker, daemon=True) for _ in range(96)]
+        t0 = time.perf_counter()
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
+        cap = n_cap / (time.perf_counter() - t0)
+        _note(f"serve capacity (closed loop): {cap:.1f} q/s")
+        srv = _run_load(batcher, cap, 0.6, 600, k, seed=11)
+        srv["capacity_qps"] = round(cap, 1)
         batcher.shutdown()
         out["serve_exact"] = srv
         _note(f"serve exact: {srv}")
