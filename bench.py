@@ -1330,6 +1330,17 @@ def main():
     row("maxsim_qps_2m_int8_store", "queries/s",
         lambda: bench_maxsim_2m_int8_store(iters=it or 6), cpu_ok=False)
 
+    def _bf16rr():
+        from benches.bf16rr_probe import probe
+
+        out = probe(repeats=3)
+        unc_rr = out["uncertified_bf16rr"]
+        b = out.pop("batch")
+        out.pop("per_round_s", None)
+        return (b - unc_rr) / b * 100.0, out
+
+    row("dense_certified_pct_4m_bf16rr", "percent", _bf16rr, cpu_ok=False)
+
     def _serve_chip():
         from benches.serve_chip_bench import measure
 

@@ -35,15 +35,7 @@ def _note(msg):
           flush=True)
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--n", type=int, default=4 * 1_048_576)
-    p.add_argument("--dim", type=int, default=384)
-    p.add_argument("--batch", type=int, default=256)
-    p.add_argument("--iters", type=int, default=8)
-    p.add_argument("--repeats", type=int, default=4)
-    args = p.parse_args()
-    n, dim, batch, iters = args.n, args.dim, args.batch, args.iters
+def probe(n=4 * 1_048_576, dim=384, batch=256, iters=8, repeats=4):
 
     import jax
     import jax.numpy as jnp
@@ -127,7 +119,7 @@ def main():
     _note("compiling both chains")
     runs = {"bf16r": chain_of(dense_topk_compact_bf16r, tier_r),
             "bf16rr": chain_of(dense_topk_compact_bf16rr, tier_rr)}
-    meds, per_round = interleaved(runs, repeats=args.repeats)
+    meds, per_round = interleaved(runs, repeats=repeats)
     ms_r = float(meds["bf16r"]) / iters * 1e3
     ms_rr = float(meds["bf16rr"]) / iters * 1e3
     # paired per-round ratios — the interleave-sound comparison
@@ -144,7 +136,19 @@ def main():
                         for k, vs in per_round.items()},
         "verdict": "WIN" if win else "DEAD",
     }
-    print(json.dumps(out))
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=4 * 1_048_576)
+    p.add_argument("--dim", type=int, default=384)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--repeats", type=int, default=4)
+    args = p.parse_args()
+    print(json.dumps(probe(args.n, args.dim, args.batch, args.iters,
+                           args.repeats)))
 
 
 if __name__ == "__main__":
