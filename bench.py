@@ -1344,7 +1344,9 @@ def main():
     def _serve_chip():
         from benches.serve_chip_bench import measure
 
-        out = measure(requests=600)
+        # enough requests that the firing window dwarfs per-request
+        # latency (the steady-state rate needs window >> p50)
+        out = measure(requests=2400)
         return out.pop("served_qps"), out
 
     row("serve_qps_1m_chip", "queries/s", _serve_chip, cpu_ok=False)
