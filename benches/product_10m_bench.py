@@ -224,15 +224,6 @@ def measure(rows: int = 20 * 524_288, dim: int = 384, doc_tokens: int = 16,
     guarded("fused_b1024",
             lambda: run(1024, max(6, q_iters // 3), "fused B=1024"))
 
-    def _staged():
-        retr.config.fused = False  # staged comparison
-        try:
-            return run(256, max(8, q_iters // 2), "staged B=256")
-        finally:
-            retr.config.fused = True
-
-    guarded("staged_b256", _staged)
-
     # -- pipelined exact serving (r4 verdict #2): the submit/collect
     # -- seam, 2 deep — batch N's host side (fetch + staged patch +
     # -- hydration) overlaps batch N+1's device scan ----------------------
@@ -329,6 +320,17 @@ def measure(rows: int = 20 * 524_288, dim: int = 384, doc_tokens: int = 16,
         _note(f"serve exact: {srv}")
     except Exception as e:  # noqa: BLE001 — the other rows still count
         out["serve_exact"] = {"error": repr(e)}
+    # staged-path comparison LAST: its program reproducibly takes
+    # ~20 MINUTES to compile on this backend (r5, twice) — a harness
+    # timeout here must only ever cost this one comparison row
+    def _staged():
+        retr.config.fused = False
+        try:
+            return run(256, max(8, q_iters // 2), "staged B=256")
+        finally:
+            retr.config.fused = True
+
+    guarded("staged_b256", _staged)
     out["final_rss_gb"] = round(_rss_gb(), 1)
 
     # free the device + host state for whatever runs after us
