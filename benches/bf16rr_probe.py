@@ -41,7 +41,7 @@ def probe(n=4 * 1_048_576, dim=384, batch=256, iters=8, repeats=4):
     import jax.numpy as jnp
     import numpy as np
 
-    from bench import Seconds, interleaved
+    from bench import interleaved
     from trueno_rag_tpu.ops.dense_tiered import (
         dense_topk_compact_bf16r,
         dense_topk_compact_bf16rr,

@@ -13,7 +13,6 @@ the black-box suite.
 from __future__ import annotations
 
 import json
-import os
 
 import pytest
 
