@@ -1379,9 +1379,39 @@ def main():
     # -- because it holds ~50 GB host + ~15 GB HBM for ~30 min; one
     # -- failure here must not cost any other row.
     def _product():
-        from benches.product_10m_bench import measure
+        # FRESH SUBPROCESS, and release this process's TPU grant first:
+        # after ~90 min of big alloc/free cycles the parent's HBM arena
+        # cannot host the product build's ~15 GB peak (measured:
+        # RESOURCE_EXHAUSTED in-process; the identical build passes in
+        # a fresh process). clear_backends tears down the client so the
+        # child can claim the chip (the pool grants one process at a
+        # time — a child without this would hang at jax.devices()).
+        import gc
+        import os
+        import subprocess
 
-        out = measure(q_iters=24)
+        import jax as _jax
+
+        _jax.clear_backends()
+        gc.collect()
+        _note("product: TPU grant released; launching fresh subprocess")
+        env = dict(os.environ)
+        env["PYTHONPATH"] = ".:" + env.get("PYTHONPATH", "")
+        proc = subprocess.run(
+            [sys.executable, "-u", "benches/product_10m_bench.py",
+             "--q-iters", "24"],
+            capture_output=True, text=True, timeout=5400, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in proc.stderr.splitlines()[-40:]:
+            print(f"[product-sub] {line}", file=sys.stderr, flush=True)
+        payload = [l for l in proc.stdout.splitlines()
+                   if l.startswith('{"rows_n"')]
+        if not payload:
+            raise RuntimeError(
+                f"product subprocess rc={proc.returncode}, no JSON"
+            )
+        out = json.loads(payload[-1])
         for name, label in (("fused_b256", "hybrid_qps_10.5m_product"),
                             ("fused_b1024", "hybrid_qps_10.5m_product_b1024"),
                             ("staged_b256", "hybrid_qps_10.5m_product_staged"),
