@@ -1390,9 +1390,9 @@ def main():
         import os
         import subprocess
 
-        import jax as _jax
+        from jax.extend.backend import clear_backends
 
-        _jax.clear_backends()
+        clear_backends()
         gc.collect()
         _note("product: TPU grant released; launching fresh subprocess")
         env = dict(os.environ)
