@@ -67,7 +67,13 @@ def _candidate_topk(r_key: jax.Array, contrib: jax.Array, k: int):
     csum = jnp.cumsum(c_sorted)
     nxt = jnp.concatenate([r_sorted[1:], jnp.full((1,), -1, r_sorted.dtype)])
     is_end = r_sorted != nxt
-    run_max = jax.lax.associative_scan(jnp.maximum, jnp.where(is_end, csum, -jnp.inf))
+    # lax.cummax, NOT associative_scan(maximum): they compute the same
+    # inclusive running max, but XLA's fusion search explodes when an
+    # associative_scan sits downstream of sort+cumsum in one program —
+    # measured 219 s vs 6 s COMPILE at [256, 8192] on v5e (r5; this was
+    # the "~20-minute staged warmup": one such compile per (B, S)
+    # bucket). Same runtime (27.6 vs 28.0 ms), bit-identical outputs.
+    run_max = jax.lax.cummax(jnp.where(is_end, csum, -jnp.inf))
     prev_csum = jnp.concatenate([jnp.full((1,), -jnp.inf, csum.dtype), run_max[:-1]])
     base = jnp.where(jnp.isneginf(prev_csum), 0.0, prev_csum)
     seg_sum = csum - base

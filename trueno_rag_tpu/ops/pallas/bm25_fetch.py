@@ -192,7 +192,9 @@ def bm25_topk_dma(
         csum = jnp.cumsum(c_sorted)
         nxt = jnp.concatenate([r_sorted[1:], jnp.full((1,), -1, r_sorted.dtype)])
         is_end = r_sorted != nxt
-        run_max = jax.lax.associative_scan(jnp.maximum, jnp.where(is_end, csum, -jnp.inf))
+        # cummax, not associative_scan: the 219-s-vs-6-s compile fix
+        # (see ops/bm25._candidate_topk)
+        run_max = jax.lax.cummax(jnp.where(is_end, csum, -jnp.inf))
         prev_csum = jnp.concatenate([jnp.full((1,), -jnp.inf, csum.dtype), run_max[:-1]])
         base = jnp.where(jnp.isneginf(prev_csum), 0.0, prev_csum)
         seg_sum = csum - base
