@@ -320,15 +320,12 @@ def measure(rows: int = 20 * 524_288, dim: int = 384, doc_tokens: int = 16,
         _note(f"serve exact: {srv}")
     except Exception as e:  # noqa: BLE001 — the other rows still count
         out["serve_exact"] = {"error": repr(e)}
-    # staged-path comparison LAST: in a long-lived process its compile
-    # reproducibly took ~20 MINUTES (r5, three runs at two corpus
-    # sizes) while the IDENTICAL programs compile in 3-6 s from a fresh
-    # process — accumulated in-process compiler state, the same family
-    # as the late-session CPU-compiler segfault in CLAUDE.md. Clearing
-    # the jit caches first costs re-tracing we no longer need; either
-    # way a timeout here must only ever cost this one comparison row.
+    # staged-path comparison last: its warmup once took ~20 minutes —
+    # root-caused (r5) to the BM25 tail's associative_scan compile
+    # pathology, fixed with lax.cummax in ops/bm25._candidate_topk;
+    # the ordering stays as cheap insurance (a stall here costs only
+    # this comparison row).
     def _staged():
-        jax.clear_caches()
         retr.config.fused = False
         try:
             return run(256, max(8, q_iters // 2), "staged B=256")
