@@ -111,7 +111,7 @@ from trueno_rag_tpu.preprocess import (
 )
 from trueno_rag_tpu.preprocess_adaptive import AdaptivePreprocessor
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "RagError",
