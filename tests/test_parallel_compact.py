@@ -279,3 +279,102 @@ def test_sharded_compact_tag_filters_match_single_host():
     # single allowed row's shard emits it, every other shard's bound is
     # -inf — no host patch needed
     assert sharded.dense.uncertified == before
+
+
+# -- bf16rr sharded: the certification-ceiling layout on the mesh (r5) -------
+# 10.5M×384 at 4 B/elem (16.1 GB) does not fit ONE chip, so the mesh is
+# where bf16rr actually deploys; these pin the composed certificate.
+
+
+def test_sharded_bf16rr_resolves_gaps_bf16r_cannot():
+    """Plant rank-boundary gaps of 6e-6 spread across shards — inside
+    bf16r's ~2.2e-5 composed interval (fails closed) but above bf16rr's
+    ~1.5e-6 (certifies on-device, no host patch), certified sets equal
+    the f64 oracle."""
+    rng = np.random.default_rng(41)
+    n, d, bq, k = 8192, 384, 4, 8
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    q = rng.standard_normal((bq, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    gap = 6e-6
+    used = set()
+    for b in range(bq):
+        for i in range(k + 4):
+            row = (31 + b * 97 + i * 661) % n  # scatters over all 8 shards
+            assert row not in used
+            used.add(row)
+            target = 0.9 - gap * i
+            u = rng.standard_normal(d).astype(np.float32)
+            u -= (u @ q[b]) * q[b]
+            u /= np.linalg.norm(u)
+            m[row] = target * q[b] + np.sqrt(1.0 - target * target) * u
+
+    mesh = create_mesh(data=8, model=1)
+    idx_r = ShardedCompactIndex(m, mesh, rows_normalized=True,
+                                tile_n=256, keep_host=False)
+    idx_rr = ShardedCompactIndex(m, mesh, rows_normalized=True,
+                                 tile_n=256, keep_host=False,
+                                 layout="bf16rr")
+    _, _, ok_r = idx_r.search(q, k)
+    s2, r2, ok_rr = idx_rr.search(q, k)
+    assert not bool(np.asarray(ok_r).any()), "bf16r must fail closed at 6e-6"
+    assert bool(np.asarray(ok_rr).all()), "bf16rr must certify 6e-6 gaps"
+    oracle = _oracle_sets(q, m, np.ones(n, bool), k)
+    for b in range(bq):
+        assert set(np.asarray(r2)[b].tolist()) == set(oracle[b].tolist()), b
+
+
+def test_sharded_bf16rr_memory_and_validation():
+    """Per-shard bytes = 4·(N/s)·d (bf16 + two int8 levels); unknown
+    layouts raise the config taxonomy error."""
+    rng = np.random.default_rng(42)
+    n, d = 1024, 64
+    matrix = rng.standard_normal((n, d)).astype(np.float32)
+    mesh = create_mesh(data=8, model=1)
+    idx = ShardedCompactIndex(matrix, mesh, keep_host=False,
+                              layout="bf16rr")
+    assert sum(a.nbytes for a in (idx.m_bf16, idx.r_i8, idx.r2_i8)) == 4 * n * d
+    s, r, ok = idx.search(rng.standard_normal((4, d)).astype(np.float32), 5)
+    assert np.asarray(r).shape == (4, 5)
+    assert ((np.asarray(r) >= 0) & (np.asarray(r) < n)).all()
+
+    from trueno_rag_tpu.errors import InvalidConfigError
+    with pytest.raises(InvalidConfigError):
+        ShardedCompactIndex(matrix, mesh, layout="int8")
+
+
+def test_sharded_hybrid_follows_store_bf16rr_layout():
+    """ShardedHybridIndex(dense_mode='compact') adopts the store's
+    configured compact_scan layout: bf16rr stores shard the two-level
+    replicas; results still match the single-host retriever."""
+    rng = np.random.default_rng(43)
+    from trueno_rag_tpu.chunking import Chunk, ChunkMetadata, chunk_id_from_int
+    from trueno_rag_tpu.embed import MockEmbedder
+    from trueno_rag_tpu.parallel.hybrid import ShardedHybridIndex
+    from trueno_rag_tpu.retrieve import HybridRetriever
+
+    words = [f"term{i:03d}" for i in range(200)]
+    emb = MockEmbedder(dimension=32)
+    retr = HybridRetriever(emb)
+    retr.config.candidates_per_source = 12
+    retr.vector_store.config.compact_scan = "bf16rr"
+    chunks = []
+    for i in range(96):
+        t = " ".join(rng.choice(words, size=10, replace=False))
+        c = Chunk(document_id="d", content=t, start_offset=0,
+                  end_offset=len(t), metadata=ChunkMetadata(),
+                  id=chunk_id_from_int(i))
+        c.set_embedding(emb.embed_document(t))
+        chunks.append(c)
+    retr.index_batch(chunks)
+
+    mesh = create_mesh(data=8, model=1)
+    sharded = ShardedHybridIndex(retr, mesh, candidates_per_source=12,
+                                 dense_mode="compact",
+                                 sparse_mode="replicated")
+    assert sharded.dense.layout == "bf16rr"
+    for q in ["term003 term077 term150", chunks[5].content[:40]]:
+        single = [r.chunk.id for r in retr.retrieve(q, 5)]
+        multi = [r.chunk.id for r in sharded.search(q, 5)]
+        assert multi == single, q

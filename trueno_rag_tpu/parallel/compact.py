@@ -49,7 +49,9 @@ from jax import shard_map
 from trueno_rag_tpu.ops.dense import NEG_INF
 from trueno_rag_tpu.ops.dense_tiered import (
     dense_topk_compact_bf16r,
+    dense_topk_compact_bf16rr,
     prepare_residual,
+    prepare_residual2,
     prepare_tiered,
 )
 
@@ -193,7 +195,7 @@ def sharded_compact_topk(
 
 @functools.lru_cache(maxsize=64)
 def _sharded_compact_fn(mesh, axis, k, metric, tile_n, interpret, has_tags,
-                        with_candidates):
+                        with_candidates, layout="bf16r"):
     """One jitted program per static config — a fresh shard_map+jit per
     call would retrace and RECOMPILE every search batch (same fix as
     sparse.py's _sharded_bm25_fn / sharded.py's _sharded_dense_fn).
@@ -210,13 +212,28 @@ def _sharded_compact_fn(mesh, axis, k, metric, tile_n, interpret, has_tags,
     GEMM (ShardedCompactIndex.search). Communication adds s·W int32
     per query (~10 KB at s=8, W=328) — still N-independent."""
 
-    def local(q, mb, el, al, ri, rs, e2, v, *tag_args):
-        out = dense_topk_compact_bf16r(
-            q, mb, el, al, ri, rs, e2, v, k, metric=metric, tile_n=tile_n,
-            interpret=interpret, return_bounds=True,
-            return_candidates=with_candidates,
-            tags=tag_args if tag_args else None,
-        )
+    def local(q, mb, el, al, ri, rs, e2, *rest):
+        # layout "bf16rr" threads the level-2 residual triplet through
+        # to the two-level rescore (4 B/elem per shard, certificate
+        # interval ~1.5e-6 vs ~2e-5 — near-100% device certification on
+        # the mesh, where this layout's memory actually fits: 10.5M
+        # does NOT fit one chip at 4 B/elem but 2+ shards do).
+        if layout == "bf16rr":
+            r2, rs2, e3, v, *tag_args = rest
+            out = dense_topk_compact_bf16rr(
+                q, mb, el, al, ri, rs, e2, r2, rs2, e3, v, k,
+                metric=metric, tile_n=tile_n, interpret=interpret,
+                return_bounds=True, return_candidates=with_candidates,
+                tags=tuple(tag_args) if tag_args else None,
+            )
+        else:
+            v, *tag_args = rest
+            out = dense_topk_compact_bf16r(
+                q, mb, el, al, ri, rs, e2, v, k, metric=metric,
+                tile_n=tile_n, interpret=interpret, return_bounds=True,
+                return_candidates=with_candidates,
+                tags=tuple(tag_args) if tag_args else None,
+            )
         s, r, _ok, err, rhs = out[:5]
         local_n = mb.shape[0]
         shard = jax.lax.axis_index(axis)
@@ -236,7 +253,10 @@ def _sharded_compact_fn(mesh, axis, k, metric, tile_n, interpret, has_tags,
         return merged + (cand_all, thr_all)
 
     in_specs = [P(), P(axis, None), P(axis), P(axis), P(axis, None),
-                P(axis), P(axis), P(axis)]
+                P(axis), P(axis)]
+    if layout == "bf16rr":
+        in_specs += [P(axis, None), P(axis), P(axis)]
+    in_specs += [P(axis)]
     if has_tags:
         in_specs += [P(axis), P(), P(), P()]
     out_specs = (P(), P(), P())
@@ -264,6 +284,15 @@ class ShardedCompactIndex:
     certified queries), mirroring the single-chip VectorStore's
     ``compact_fallback="host"``. Pass False to drop it (10M×384 fp32 is
     15 GB of host RAM) and serve best-effort flagged results instead.
+
+    ``layout="bf16rr"`` adds the second int8 residual level (4 B/elem
+    per shard vs 3): the scan is identical but the rescore interval
+    collapses ~2e-5 → ~1.5e-6, measured +5.6% cost for device
+    certification 95.7% → 99.6% at 4M (benches/bf16rr_probe.py). The
+    mesh is where this layout belongs — 10.5M×384 at 4 B/elem (16.1 GB)
+    does not fit ONE chip, but ≥2 shards hold it with room to spare, so
+    sharded deployments get near-100% device certification and the host
+    patch all but leaves the serving path.
     """
 
     def __init__(
@@ -278,7 +307,15 @@ class ShardedCompactIndex:
         keep_host: bool = True,
         interpret: Optional[bool] = None,
         tags: Optional[np.ndarray] = None,
+        layout: str = "bf16r",
     ) -> None:
+        if layout not in ("bf16r", "bf16rr"):
+            from trueno_rag_tpu.errors import InvalidConfigError
+
+            raise InvalidConfigError(
+                f"unknown compact shard layout {layout!r} (bf16r|bf16rr)"
+            )
+        self.layout = layout
         matrix = np.asarray(matrix, dtype=np.float32)
         n, d = matrix.shape
         self.n, self.metric, self.mesh, self.axis = n, metric, mesh, axis
@@ -307,7 +344,11 @@ class ShardedCompactIndex:
         # pod, prepare per host-slab and device_put each shard to avoid
         # materializing the fp32 matrix on one device.)
         mb, el, al = prepare_tiered(jnp.asarray(matrix))
-        ri, rs, e2 = prepare_residual(jnp.asarray(matrix))
+        if layout == "bf16rr":
+            ri, rs, e2, r2, rs2, e3 = prepare_residual2(jnp.asarray(matrix))
+        else:
+            ri, rs, e2 = prepare_residual(jnp.asarray(matrix))
+            r2 = rs2 = e3 = None
         row_sh = NamedSharding(mesh, P(axis, None))
         vec_sh = NamedSharding(mesh, P(axis))
         self.m_bf16 = jax.device_put(mb, row_sh)
@@ -316,6 +357,10 @@ class ShardedCompactIndex:
         self.r_i8 = jax.device_put(ri, row_sh)
         self.r_scale = jax.device_put(rs, vec_sh)
         self.e2_l2 = jax.device_put(e2, vec_sh)
+        if layout == "bf16rr":
+            self.r2_i8 = jax.device_put(r2, row_sh)
+            self.r2_scale = jax.device_put(rs2, vec_sh)
+            self.e3_l2 = jax.device_put(e3, vec_sh)
         self.valid = jax.device_put(jnp.asarray(v), vec_sh)
         self._tags_host = None
         self.tags = None
@@ -360,13 +405,16 @@ class ShardedCompactIndex:
                 jnp.asarray(np.asarray(tag_masks[2], np.int32)),
             )
         args = [q, self.m_bf16, self.e_l2, self.a_l2, self.r_i8,
-                self.r_scale, self.e2_l2, self.valid]
+                self.r_scale, self.e2_l2]
+        if self.layout == "bf16rr":
+            args += [self.r2_i8, self.r2_scale, self.e3_l2]
+        args += [self.valid]
         if tags is not None:
             args += list(tags)
         with_cand = self._host is not None
         out = _sharded_compact_fn(
             self.mesh, self.axis, k, self.metric, self.tile_n,
-            self.interpret, tags is not None, with_cand,
+            self.interpret, tags is not None, with_cand, self.layout,
         )(*args)
         s, r, ok = out[:3]
         ok_np = np.asarray(ok).astype(bool)

@@ -115,6 +115,14 @@ class ShardedHybridIndex:
                 valid=store._valid,
                 rows_normalized=True,  # VectorStore normalizes at insert
                 tags=self.registry.tags_host(store._host.shape[0]),
+                # follow the store's configured compact layout: bf16rr
+                # (two residual levels, near-100% device certification)
+                # shards at 4 B/elem; bf16/int8 single-chip variants
+                # have no sharded scan — they compose as bf16r
+                layout=(
+                    "bf16rr"
+                    if store.config.compact_scan == "bf16rr" else "bf16r"
+                ),
             )
         if self.dense_mode == "clustered":
             # per-shard cluster-pruned scans + the same composed global
