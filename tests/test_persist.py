@@ -459,3 +459,30 @@ def test_tfidf_embedding_config_roundtrips():
     import numpy as np
 
     np.testing.assert_array_equal(emb2.embed_query("topic1"), emb.embed_query("topic1"))
+
+
+def test_compact_scan_layout_survives_roundtrip(tmp_path):
+    """A bf16rr-configured store must reload as bf16rr (r5): silently
+    downgrading to bf16r would serve with the ~2e-5 certificate interval
+    the owner explicitly paid 4 B/elem to escape. Pre-r5 artifacts lack
+    the header key and keep the config default."""
+    from trueno_rag_tpu.index.vector_store import VectorStoreConfig
+    from trueno_rag_tpu.persist import save_index_streaming
+
+    emb = TfIdfEmbedder(32).fit(CORPUS)
+    retr = HybridRetriever(
+        emb, vector_config=VectorStoreConfig(dimension=32,
+                                             compact_scan="bf16rr"))
+    retr.index_batch([mk_chunk(i, t, 32, emb) for i, t in enumerate(CORPUS)])
+    for path, saver in [(str(tmp_path / "a.trag"), save_index),
+                        (str(tmp_path / "b.trag"), save_index_streaming)]:
+        saver(path, retr)
+        retr2, _ = load_index(path, emb)
+        assert retr2.vector_store.config.compact_scan == "bf16rr", path
+        # engaging the compact tier on the reloaded store builds the
+        # 9-array two-level layout, not the 6-array bf16r one
+        retr3, _ = load_index(path, emb, scan_tier="compact")
+        got = [r.chunk.content for r in retr3.retrieve("fox", 3)]
+        want = [r.chunk.content for r in retr.retrieve("fox", 3)]
+        assert got == want
+        assert len(retr3.vector_store._tier) == 9, path

@@ -225,6 +225,11 @@ def _build_header(retriever, embedder_info) -> tuple:
         "format": "trueno-rag-tpu-index",
         "dimension": store.dimension,
         "metric": store.config.metric,
+        # layout choices the load must not silently downgrade: a bf16rr
+        # store reloaded at the default bf16r would serve with the wide
+        # (~2e-5) certificate interval its owner explicitly paid 4 B/elem
+        # to escape
+        "compact_scan": store.config.compact_scan,
         "chunks": [_chunk_to_wire(reg.get_chunk(cid)) for cid in ids],
         "bm25": retriever.sparse_index.state_dict(),
         "bm25_rows": {str(r): i for i, r in enumerate(rows)},
@@ -293,17 +298,22 @@ def save_index(path: str, retriever, embedder_info: Optional[Dict[str, Any]] = N
     return {"compressed_bytes": len(blob), "raw_bytes_estimate": raw, "chunks": len(ids)}
 
 
-def _loaded_vector_config(dimension: int, scan_tier: Optional[str], metric: str):
+def _loaded_vector_config(dimension: int, scan_tier: Optional[str], metric: str,
+                          compact_scan: Optional[str] = None):
     """VectorStoreConfig for a loaded artifact: restores the saved
     ``metric`` (a dot-metric index reloaded as the default cosine would
-    silently re-normalize every row) and engages ``scan_tier`` (serve a
-    multi-million-chunk artifact with `"auto"`/`"bf16"`/`"compact"`/
-    `"clustered"` without touching code — the CLI's ``--scan-tier``)."""
+    silently re-normalize every row) and the saved ``compact_scan``
+    layout (a bf16rr store must not downgrade to bf16r's wide interval),
+    and engages ``scan_tier`` (serve a multi-million-chunk artifact with
+    `"auto"`/`"bf16"`/`"compact"`/`"clustered"` without touching code —
+    the CLI's ``--scan-tier``)."""
     from trueno_rag_tpu.index.vector_store import VectorStoreConfig
 
     kw = {"dimension": dimension, "metric": metric}
     if scan_tier is not None:
         kw["scan_tier"] = scan_tier
+    if compact_scan is not None:  # absent in pre-r5 artifacts
+        kw["compact_scan"] = compact_scan
     return VectorStoreConfig(**kw)
 
 
@@ -326,7 +336,8 @@ def _retriever_from_header(header, embedder, scan_tier):
     return HybridRetriever(
         embedder, config=config,
         vector_config=_loaded_vector_config(
-            header["dimension"], scan_tier, header.get("metric", "cosine")
+            header["dimension"], scan_tier, header.get("metric", "cosine"),
+            header.get("compact_scan"),
         ),
     )
 
