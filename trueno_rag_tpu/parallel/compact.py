@@ -173,6 +173,7 @@ def sharded_compact_topk(
     tile_n: int = 2048,
     interpret: bool = False,
     tags: Optional[Tuple[jax.Array, ...]] = None,
+    residual2: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Certified-set top-k over row-sharded compact (bf16r) replicas.
 
@@ -183,13 +184,22 @@ def sharded_compact_topk(
     shard-locally inside each scan kernel (no extra communication), and
     the composed global certificate proves the exact top-k set AMONG
     ALLOWED rows — disallowed rows are -inf on both sides of the bound.
+
+    ``residual2`` = (r2_i8 [N,d] int8, r2_scale [N] f32, e3_l2 [N] f32)
+    from :func:`prepare_residual2` engages the bf16rr two-level rescore
+    (same scan, ~15x narrower certificate interval, 4 B/elem).
     """
 
-    args = [queries, m_bf16, e_l2, a_l2, r_i8, r_scale, e2_l2, valid_mask]
+    layout = "bf16r" if residual2 is None else "bf16rr"
+    args = [queries, m_bf16, e_l2, a_l2, r_i8, r_scale, e2_l2]
+    if residual2 is not None:
+        args += list(residual2)
+    args += [valid_mask]
     if tags is not None:
         args += list(tags)
     return _sharded_compact_fn(
-        mesh, axis, k, metric, tile_n, interpret, tags is not None, False
+        mesh, axis, k, metric, tile_n, interpret, tags is not None, False,
+        layout,
     )(*args)
 
 
