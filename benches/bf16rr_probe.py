@@ -51,17 +51,26 @@ def probe(n=4 * 1_048_576, dim=384, batch=256, iters=8, repeats=4):
 
     slab = 1 << 19
 
-    @functools.partial(jax.jit, static_argnames=("rows", "d"))
-    def gen_slab(lo, rows, d):
+    # ONE jitted program per slab (gen + both residual preps + all 9
+    # donated updates): the eager per-op form dispatched ~30 remote
+    # ops/slab and the pool's allocator churn left the subsequent scan
+    # RESOURCE_EXHAUSTED at the 8M capacity edge even though XLA's own
+    # memory analysis says the scan needs only ~48 MB of temp next to
+    # the 12.19 GiB replicas (measured r5; the fused build fits).
+    @functools.partial(jax.jit, donate_argnums=tuple(range(9)))
+    def build_slab(*state):
+        *parts, lo = state
         keys = jax.vmap(jax.random.fold_in, (None, 0))(
-            jax.random.PRNGKey(0), lo + jnp.arange(rows, dtype=jnp.uint32))
-        m = jax.vmap(lambda kk: jax.random.normal(kk, (d,), jnp.float32))(keys)
-        return m / jnp.linalg.norm(m, axis=1, keepdims=True)
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def set_slab(dest, s, lo):
-        return jax.lax.dynamic_update_slice(
-            dest, s, (lo,) + (jnp.int32(0),) * (dest.ndim - 1))
+            jax.random.PRNGKey(0), lo + jnp.arange(slab, dtype=jnp.uint32))
+        s = jax.vmap(lambda kk: jax.random.normal(kk, (dim,), jnp.float32))(keys)
+        s = s / jnp.linalg.norm(s, axis=1, keepdims=True)
+        pieces = prepare_tiered(s) + prepare_residual2(s)
+        lo32 = lo.astype(jnp.int32)
+        return tuple(
+            jax.lax.dynamic_update_slice(
+                d, p, (lo32,) + (jnp.int32(0),) * (d.ndim - 1))
+            for d, p in zip(parts, pieces)
+        )
 
     parts = [
         jnp.zeros((n, dim), jnp.bfloat16), jnp.zeros((n,), jnp.float32),
@@ -73,10 +82,7 @@ def probe(n=4 * 1_048_576, dim=384, batch=256, iters=8, repeats=4):
     ]
     t0 = time.perf_counter()
     for lo in range(0, n, slab):
-        s = gen_slab(jnp.uint32(lo), slab, dim)
-        pieces = prepare_tiered(s) + prepare_residual2(s)
-        parts = [set_slab(d, p, lo) for d, p in zip(parts, pieces)]
-        del s, pieces
+        parts = list(build_slab(*parts, jnp.uint32(lo)))
     jax.block_until_ready(parts)
     _note(f"replicas built in {time.perf_counter() - t0:.1f}s "
           f"({sum(a.size * a.dtype.itemsize for a in parts) / 2**30:.2f} GiB)")
@@ -86,10 +92,14 @@ def probe(n=4 * 1_048_576, dim=384, batch=256, iters=8, repeats=4):
     tier_r = tuple(parts[:6])
     tier_rr = tuple(parts)
 
-    # certification (single uncached pass each)
+    # certification (single uncached pass each). The blocking fetch
+    # BETWEEN passes is load-bearing at the capacity edge: dispatch is
+    # async, so without it both scan programs' HBM temps co-allocate
+    # next to the 12.2 GiB replicas — measured RESOURCE_EXHAUSTED at 8M
+    # where each pass alone fits.
     _, _, ok_r = dense_topk_compact_bf16r(q, *tier_r, valid, 10, tile_n=4096)
-    _, _, ok_rr = dense_topk_compact_bf16rr(q, *tier_rr, valid, 10, tile_n=4096)
     unc_r = int((~np.asarray(ok_r)).sum())
+    _, _, ok_rr = dense_topk_compact_bf16rr(q, *tier_rr, valid, 10, tile_n=4096)
     unc_rr = int((~np.asarray(ok_rr)).sum())
     _note(f"uncertified: bf16r {unc_r}/{batch}  bf16rr {unc_rr}/{batch}")
 
